@@ -1,0 +1,30 @@
+"""PySpark-native log-analytics engine.
+
+Re-expresses the full capability surface of ``cgivre/drill-logfile-plugin``
+(a regex log-file format plugin for Apache Drill) Spark-first: the scan
+operator is a declarative parse over ``spark.read.text`` (Catalyst prunes,
+pushes down and codegens it), the SQL surface is Spark SQL, and the
+large-scale training-data operators (dedup, similarity search, text
+analysis, multimodal columns) are shuffle-friendly DataFrame programs
+designed for 1000-executor / 100 TB deployments while remaining testable on
+``local[*]``.
+"""
+
+from .config import LogFormatConfig, normalize_type
+from .sources.log_reader import (
+    UNMATCHED_COLUMN,
+    parse_lines,
+    read_log,
+    read_log_stream,
+)
+
+__all__ = [
+    "LogFormatConfig",
+    "normalize_type",
+    "UNMATCHED_COLUMN",
+    "parse_lines",
+    "read_log",
+    "read_log_stream",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,172 @@
+"""The log scan operator: regex-parsed text files -> typed DataFrame.
+
+This is the Spark-native re-expression of the reference's entire implemented
+surface (/root/reference/src/main/java/org/apache/drill/exec/store/log/
+LogRecordReader.java — the scan operator — plus LogFormatPlugin.java — the
+registration/config half). Where the reference fills Drill value vectors
+row-by-row inside a single-threaded, non-splittable reader
+(LogFormatPlugin.java:56), we declare the parse as a pure ``select`` of
+``regexp_extract``/casts over ``spark.read.text`` and let Catalyst +
+whole-stage codegen execute it: the regex runs JVM-side, unused fields are
+pruned, and uncompressed files split across executors for free.
+
+Semantics replicated exactly (SURVEY.md §1.4):
+  1. unmatched line -> ``unmatched_lines`` column (errorOnMismatch=false,
+     LogRecordReader.java:286-291) or job abort (=true, :283-285)
+  2. bad DATE/TIMESTAMP value -> abort when errorOnMismatch else NULL
+     (:244-267)
+  3. bad INT/FLOAT value -> NULL by default, always-fatal under
+     ``strict_numeric=True`` (reference behavior, :239 + :301-303)
+  4. null capture group -> empty string "" (:234-236); Spark's
+     ``regexp_extract`` already returns "" for an unparticipating group
+  5. unanchored ``Matcher.find()`` matching (:225): ``rlike`` + Spark's
+     ``regexp_extract`` both find anywhere in the line — first match wins
+  6. empty/whitespace-only lines skipped entirely after trim (:216-219)
+
+Scale notes (100 TB posture):
+  - No Python runs per row: the whole parse is JVM expressions inside one
+    WholeStageCodegen span over the text scan.
+  - One regex evaluation feeds the match gate and all extracts; Catalyst
+    CSE + column pruning drop extracts for unprojected fields (the
+    reference *declares* projection pushdown but ignores it,
+    LogFormatPlugin.java:77-79 vs LogRecordReader.java:226-281 — we get the
+    real thing).
+  - Uncompressed inputs split by ``spark.sql.files.maxPartitionBytes``;
+    gzip falls back to file-granular parallelism exactly like the
+    reference's one-reader-per-file model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import (
+    DATE,
+    DOUBLE,
+    FLOAT,
+    INT,
+    TIME,
+    TIMESTAMP,
+    LogFormatConfig,
+)
+
+#: Name of the error-channel column (README.md:34, LogRecordReader.java:287-291).
+UNMATCHED_COLUMN = "unmatched_lines"
+
+
+def _try_cast(col: Column, to: str) -> Column:
+    """ANSI-safe cast: NULL on failure regardless of spark.sql.ansi.enabled."""
+    return col.try_cast(to)
+
+
+def _coerce(raw: Column, type_tag: str, cfg: LogFormatConfig, name: str) -> Column:
+    """Coerce one extracted capture group to its declared type.
+
+    Mirrors the dispatch at LogRecordReader.java:238-281 with the error
+    semantics of SURVEY.md §1.4 (see module docstring).
+    """
+    if type_tag == INT:
+        out = _try_cast(raw, "int")
+        fatal = cfg.strict_numeric
+    elif type_tag == DOUBLE:
+        out = _try_cast(raw, "double")
+        fatal = cfg.strict_numeric
+    elif type_tag == FLOAT:
+        out = _try_cast(raw, "float")
+        fatal = cfg.strict_numeric
+    elif type_tag == DATE:
+        out = F.try_to_timestamp(raw, F.lit(cfg.date_format)).cast("date")
+        fatal = cfg.error_on_mismatch
+    elif type_tag == TIMESTAMP:
+        out = F.try_to_timestamp(raw, F.lit(cfg.effective_timestamp_format()))
+        fatal = cfg.error_on_mismatch
+    elif type_tag == TIME:
+        # Spark has no TIME type; reference materializes millis-of-day
+        # (LogRecordReader.java:268-275, fractional seconds dropped).
+        ts = F.try_to_timestamp(raw, F.lit(cfg.time_format))
+        out = (
+            (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)) * 1000
+        ).cast("int")
+        fatal = cfg.strict_numeric
+    else:  # VARCHAR and unknown types (LogRecordReader.java:276-281)
+        return raw
+    if fatal:
+        # Reference aborts the query naming the offending value
+        # (dataReadError, LogRecordReader.java:301-303 / :250-255).
+        err = F.raise_error(
+            F.concat(
+                F.lit("log scan: cannot parse value '"),
+                raw,
+                F.lit(f"' for {type_tag} field '{name}'"),
+            )
+        )
+        return F.when(raw.isNotNull() & out.isNull(), err).otherwise(out)
+    return out
+
+
+def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value") -> DataFrame:
+    """Apply the log-format parse to a DataFrame of raw text lines.
+
+    Shared by the batch reader (``read_log``) and the streaming reader
+    (``read_log_stream``) — the parse is a pure projection, so it is valid
+    in both execution modes.
+
+    Output schema: one column per ``cfg.field_names`` (typed per §1.3) plus
+    ``unmatched_lines`` (string; NULL on matched rows).
+    """
+    line = F.trim(F.col(line_col))
+    # Empty-line skip (LogRecordReader.java:216-219): no row at all.
+    df = lines.where(F.length(line) > 0)
+    # Unanchored find() (LogRecordReader.java:225).
+    matched = line.rlike(cfg.pattern)
+
+    cols: list[Column] = []
+    types = cfg.resolved_types()
+    for i, (name, type_tag) in enumerate(zip(cfg.field_names, types)):
+        # group(i+1); an unparticipating optional group yields "" exactly
+        # like the reference's null->"" coercion (LogRecordReader.java:234-236).
+        raw = F.when(matched, F.regexp_extract(line, cfg.pattern, i + 1))
+        cols.append(_coerce(raw, type_tag, cfg, name).alias(name))
+
+    if cfg.error_on_mismatch:
+        # Abort on first unmatched line (LogRecordReader.java:283-285).
+        unmatched = F.when(
+            ~matched,
+            F.raise_error(
+                F.concat(F.lit("log scan: line does not match pattern: "), line)
+            ).cast("string"),
+        ).otherwise(F.lit(None).cast("string"))
+    else:
+        unmatched = F.when(~matched, line).otherwise(F.lit(None).cast("string"))
+    cols.append(unmatched.alias(UNMATCHED_COLUMN))
+    return df.select(*cols)
+
+
+def read_log(
+    spark: SparkSession,
+    path: str,
+    cfg: LogFormatConfig,
+    *,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """Read a log file/directory as a typed DataFrame (the A1-A9 bundle).
+
+    Equivalent of the reference's scan path: format resolution + reader
+    (LogFormatPlugin.java:60-64 -> LogRecordReader.java:202-304), except the
+    parse is declarative and the host engine is Spark SQL. Compression is
+    handled by ``spark.read.text`` (codec by extension — same rule as the
+    reference's CompressionCodecFactory, LogRecordReader.java:85-86,123-129).
+    """
+    lines = spark.read.text(paths if paths else path)
+    return parse_lines(lines, cfg)
+
+
+def read_log_stream(spark: SparkSession, path: str, cfg: LogFormatConfig) -> DataFrame:
+    """Streaming variant: same parse over ``spark.readStream.text``.
+
+    No reference counterpart (the reference is batch-only); see SURVEY.md §2
+    streaming row. Combine with ``withWatermark`` + ``window`` downstream.
+    """
+    lines = spark.readStream.text(path)
+    return parse_lines(lines, cfg)

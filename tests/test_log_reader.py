@@ -1,0 +1,254 @@
+"""Golden tests for the log scan operator (FIXTURES.md §A, SURVEY.md §1.3-1.5)."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from drill_logfile_plugin_spark import LogFormatConfig, read_log
+
+MYSQL_PATTERN = r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)"
+
+
+def mysql_cfg(**kw):
+    base = dict(
+        pattern=MYSQL_PATTERN,
+        field_names=["date", "time", "pid", "action", "query"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+        time_format="HH:mm:ss",
+    )
+    base.update(kw)
+    return LogFormatConfig(**base)
+
+
+# --- A1: canonical MySQL example ------------------------------------------
+
+
+def test_mysql_example_schema_and_values(spark, mysql_log):
+    df = read_log(spark, mysql_log, mysql_cfg())
+    assert [f.name for f in df.schema.fields] == [
+        "date",
+        "time",
+        "pid",
+        "action",
+        "query",
+        "unmatched_lines",
+    ]
+    types = {f.name: f.dataType for f in df.schema.fields}
+    assert types["date"] == T.DateType()
+    assert types["time"] == T.IntegerType()  # millis-of-day (no Spark TIME type)
+    assert types["pid"] == T.IntegerType()
+    assert types["action"] == T.StringType()
+    assert types["query"] == T.StringType()
+
+    rows = df.orderBy("date", "time").collect()
+    assert len(rows) == 5
+    first = rows[0]
+    assert first["date"] == datetime.date(2007, 8, 23)
+    assert first["time"] == (21 * 3600 + 0 * 60 + 32) * 1000
+    assert first["pid"] == 1
+    assert first["action"] == "Connect"
+    assert first["query"] == "root@localhost on test1"
+    assert first["unmatched_lines"] is None
+    # README's sample analysis: GROUP BY action
+    counts = dict(
+        df.groupBy("action").count().collect()
+    )
+    assert counts == {"Connect": 1, "Query": 4}
+
+
+def test_gzip_input_identical(spark, mysql_log, tmp_path):
+    """A5: compression by extension (LogRecordReader.java:85-86,123-129)."""
+    gz = tmp_path / "mysql.log.gz"
+    with open(mysql_log, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    plain = read_log(spark, mysql_log, mysql_cfg()).orderBy("date", "time").collect()
+    zipped = read_log(spark, str(gz), mysql_cfg()).orderBy("date", "time").collect()
+    assert plain == zipped
+
+
+# --- A2: error-semantics matrix -------------------------------------------
+
+
+def test_unmatched_line_routed(spark, tmp_path):
+    p = tmp_path / "mix.log"
+    p.write_text(
+        "070823 21:00:32 1 Connect root@localhost\n"
+        "THIS IS GARBAGE\n"
+        "\n"
+        "   \n"
+        "070917 16:29:12 21 Quit bye\n"
+    )
+    df = read_log(spark, str(p), mysql_cfg())
+    rows = df.collect()
+    # empty + whitespace-only lines dropped entirely (:216-219)
+    assert len(rows) == 3
+    unmatched = [r for r in rows if r["unmatched_lines"] is not None]
+    assert len(unmatched) == 1
+    assert unmatched[0]["unmatched_lines"] == "THIS IS GARBAGE"
+    # all field columns NULL on the unmatched row
+    assert all(unmatched[0][c] is None for c in ["date", "time", "pid", "action", "query"])
+
+
+def test_error_on_mismatch_aborts(spark, tmp_path):
+    p = tmp_path / "bad.log"
+    p.write_text("070823 21:00:32 1 Connect ok\nGARBAGE\n")
+    df = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+    with pytest.raises(Exception, match="does not match pattern"):
+        df.collect()
+
+
+def test_bad_date_lenient_null_strict_aborts(spark, tmp_path):
+    p = tmp_path / "baddate.log"
+    # 13th month — regex matches (6 digits) but date parse fails
+    p.write_text("071399 21:00:32 1 Connect ok\n")
+    lenient = read_log(spark, str(p), mysql_cfg()).collect()
+    assert len(lenient) == 1
+    assert lenient[0]["date"] is None
+    assert lenient[0]["pid"] == 1  # rest of the row kept (:249-255)
+    strict = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+    with pytest.raises(Exception, match="cannot parse"):
+        strict.collect()
+
+
+def test_bad_int_lenient_vs_strict_numeric(spark, tmp_path):
+    cfg_kw = dict(
+        pattern=r"(\w+)\|(\w+)",
+        field_names=["i", "s"],
+        data_types=["INT", "VARCHAR"],
+    )
+    p = tmp_path / "badint.log"
+    p.write_text("abc|hello\n")
+    lenient = read_log(spark, str(p), LogFormatConfig(**cfg_kw)).collect()
+    assert lenient[0]["i"] is None and lenient[0]["s"] == "hello"
+    strict = read_log(
+        spark, str(p), LogFormatConfig(strict_numeric=True, **cfg_kw)
+    )
+    with pytest.raises(Exception, match="cannot parse"):
+        strict.collect()
+
+
+def test_optional_group_empty_string(spark, tmp_path):
+    """Unparticipating optional group -> '' (LogRecordReader.java:234-236)."""
+    p = tmp_path / "opt.log"
+    p.write_text("hello world\nhello\n")
+    cfg = LogFormatConfig(pattern=r"(hello)(?: (\w+))?", field_names=["a", "b"])
+    rows = read_log(spark, str(p), cfg).orderBy(F.desc("b")).collect()
+    assert rows[0]["b"] == "world"
+    assert rows[1]["b"] == ""  # empty string, not NULL
+
+
+def test_midline_find_semantics(spark, tmp_path):
+    """Unanchored Matcher.find() (LogRecordReader.java:225)."""
+    p = tmp_path / "mid.log"
+    p.write_text("prefix junk 070823 21:00:32 1 Connect ok\n")
+    rows = read_log(spark, str(p), mysql_cfg()).collect()
+    assert rows[0]["unmatched_lines"] is None
+    assert rows[0]["pid"] == 1
+
+
+def test_long_line_ok(spark, tmp_path):
+    """Reference has a 4 KB varchar buffer hazard (:93,:279); we must not."""
+    p = tmp_path / "long.log"
+    payload = "x" * 20000
+    p.write_text(f"070823 21:00:32 1 Query {payload}\n")
+    rows = read_log(spark, str(p), mysql_cfg()).collect()
+    assert rows[0]["query"] == payload
+
+
+# --- A3: full type dispatch -------------------------------------------------
+
+
+def test_all_types(spark, tmp_path):
+    p = tmp_path / "typed.log"
+    p.write_text("42|3.5|2.25|20240131|12:34:56|20240131123456|tail text\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d+)\|([\d.]+)\|([\d.]+)\|(\d{8})\|(\d{2}:\d{2}:\d{2})\|(\d{14})\|(.*)",
+        field_names=["i", "f8", "f4", "d", "t", "ts", "s"],
+        data_types=["INTEGER", "FLOAT8", "FLOAT4", "DATE", "TIME", "TIMESTAMP", "VARCHAR"],
+        date_format="yyyyMMdd",
+        time_format="HH:mm:ss",
+        timestamp_format="yyyyMMddHHmmss",
+    )
+    row = read_log(spark, str(p), cfg).collect()[0]
+    assert row["i"] == 42
+    assert row["f8"] == 3.5
+    assert row["f4"] == 2.25
+    assert row["d"] == datetime.date(2024, 1, 31)
+    assert row["t"] == (12 * 3600 + 34 * 60 + 56) * 1000
+    assert row["ts"] == datetime.datetime(2024, 1, 31, 12, 34, 56)
+    assert row["s"] == "tail text"
+
+
+def test_timestamp_reuses_dateformat_quirk(spark, tmp_path):
+    """Reference: TIMESTAMP parses with dateFormat (LogRecordReader.java:256-258)."""
+    p = tmp_path / "tsq.log"
+    p.write_text("20240131\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d{8})",
+        field_names=["ts"],
+        data_types=["TIMESTAMP"],
+        date_format="yyyyMMdd",
+    )
+    row = read_log(spark, str(p), cfg).collect()[0]
+    assert row["ts"] == datetime.datetime(2024, 1, 31, 0, 0, 0)
+
+
+# --- A4: config defaults + setup errors --------------------------------------
+
+
+def test_no_datatypes_all_varchar(spark, tmp_path):
+    p = tmp_path / "d.log"
+    p.write_text("1|2\n")
+    cfg = LogFormatConfig(pattern=r"(\d)\|(\d)", field_names=["a", "b"])
+    df = read_log(spark, str(p), cfg)
+    assert all(
+        f.dataType == T.StringType() for f in df.schema.fields if f.name in ("a", "b")
+    )
+
+
+def test_wrong_length_datatypes_all_varchar(spark, tmp_path):
+    p = tmp_path / "d.log"
+    p.write_text("1|2\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d)\|(\d)", field_names=["a", "b"], data_types=["INT"]
+    )
+    df = read_log(spark, str(p), cfg)
+    assert all(
+        f.dataType == T.StringType() for f in df.schema.fields if f.name in ("a", "b")
+    )
+
+
+def test_unknown_type_degrades_to_varchar(spark, tmp_path):
+    p = tmp_path / "d.log"
+    p.write_text("1|2\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d)\|(\d)", field_names=["a", "b"], data_types=["BIGINT", "INT"]
+    )
+    df = read_log(spark, str(p), cfg)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    assert types["a"] == T.StringType()  # unknown -> VARCHAR silently
+    assert types["b"] == T.IntegerType()
+
+
+@pytest.mark.parametrize(
+    "kw,msg",
+    [
+        (dict(pattern="", field_names=[]), "non-empty"),
+        (dict(pattern="(unclosed", field_names=["a"]), "compile"),
+        (dict(pattern="nogroups", field_names=[]), "capture group"),
+        (dict(pattern="(a)(b)", field_names=["x"]), "must match"),
+        (
+            dict(pattern=r"(\d+)", field_names=["d"], data_types=["DATE"]),
+            "dateFormat",
+        ),
+    ],
+)
+def test_setup_errors(kw, msg):
+    with pytest.raises(ValueError, match=msg):
+        LogFormatConfig(**kw)
