@@ -1,0 +1,80 @@
+"""Expression helpers shared by the query surface.
+
+Determinism policy for floating-point aggregates
+------------------------------------------------
+A distributed SUM over doubles is order-dependent: Spark's partial
+aggregation tree and a single-node engine (the DuckDB oracle, or a 10×
+bigger cluster) accumulate in different orders and can disagree in the last
+ulps. Worse, ``CAST(double AS DECIMAL)`` itself is only cross-engine
+deterministic when the target scale is far from the double's binary noise:
+a 2-decimal money value carries ~1e-13 relative error, so casting at scale
+10 rounds *inside* the noise band (engines disagree), while casting at the
+data's true scale 2 has a 0.005 margin (always identical).
+
+Policy, used by every money aggregate and mirrored verbatim in the DuckDB
+oracle SQL:
+
+  * cast each raw 2-decimal column to DECIMAL(12,2) — unambiguous,
+  * do multiplications in decimal (exact; widths sized so a 3-factor
+    product stays within precision 38 in both engines),
+  * SUM the decimals (exact, order-independent — stable under any
+    partial-agg tree, AQE re-plan, shuffle layout, or cluster size),
+  * cast the final aggregate back to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Scale-2 money type; precision 12 keeps 3-factor products within 38.
+MONEY = "decimal(12,2)"
+
+
+def money(col: Column) -> Column:
+    """Cast a 2-decimal double column/expression to exact decimal."""
+    return col.cast(MONEY)
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM of a 2-decimal double column."""
+    return F.sum(money(col)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def dsum_dec(dec_col: Column) -> Column:
+    """Order-independent SUM of an already-decimal expression."""
+    return F.sum(dec_col).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent AVG: exact decimal sum / count, in double."""
+    return F.sum(money(col)).cast("double") / F.count(col)
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(12,2))) AS DOUBLE) / COUNT({expr})"
+    )
+
+
+def revenue_dec() -> Column:
+    """lineitem revenue ``price * (1 - discount)`` in exact decimal."""
+    return money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
+
+
+#: SQL mirror of revenue_dec().
+REVENUE_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+)
+
+
+def charge_dec() -> Column:
+    """lineitem charge ``revenue * (1 + tax)`` in exact decimal."""
+    return revenue_dec() * money(1 + F.col("l_tax"))
+
+
+CHARGE_DEC_SQL = f"({REVENUE_DEC_SQL}) * CAST(1 + l_tax AS DECIMAL(12,2))"

@@ -1,0 +1,613 @@
+"""The engine's query surface: named queries + DuckDB oracle SQL.
+
+One entry per operator category of SURVEY.md §2 (Tier B — the query surface
+the reference plugin serves through its host engine) plus the LLM-pipeline
+extension operators. Each ``QuerySpec`` pairs a Spark implementation with an
+equivalent ANSI-SQL oracle string the driver runs on DuckDB; column names and
+value determinism are aligned so the order-insensitive value hash matches
+(see functions/exprs.py for the float-determinism policy).
+
+Scale posture: every query is a declarative DataFrame/SQL plan — Catalyst
+does pruning/pushdown, small dimension tables are explicitly broadcast, aggs
+use partial (map-side) combine automatically, and nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.exprs import (
+    CHARGE_DEC_SQL,
+    REVENUE_DEC_SQL,
+    charge_dec,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_dec,
+    dsum_sql,
+    revenue_dec,
+)
+from .sources.tables import configure_session, load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible (weaker rows-only check)
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, _prepped(fn), oracle, doc)
+        return fn
+
+    return deco
+
+
+def _prepped(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
+
+
+# =========================================================================
+# Aggregation (GROUP BY, HAVING-equivalents, multiple aggregates)
+# =========================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {REV_SUM_SQL} AS sum_disc_price,
+           CAST(SUM({CHARGE_DEC_SQL}) AS DOUBLE) AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filtered scan + hash agg "
+    "(map-side partial agg; 6 aggregates in one pass).",
+)
+def q01(spark, sf):
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    rev = revenue_dec()
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum_dec(rev).alias("sum_disc_price"),
+        dsum_dec(charge_dec()).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q08_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) — expand+two-phase agg in Spark; scales via shuffle on (grp,key).",
+)
+def q08(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q09_rollup",
+    f"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals; dims broadcast, single shuffle on grouping sets.",
+)
+def q09(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+@query(
+    "q10_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two low-cardinality dims.",
+)
+def q10(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# Joins (broadcast, shuffle, semi/anti, outer, non-equi)
+# =========================================================================
+
+
+@query(
+    "q02_top_revenue_orders",
+    f"""
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+           {REV_SUM_SQL} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping priority: selective dim filter broadcast into "
+    "fact join, agg, deterministic top-k.",
+)
+def q02(spark, sf):
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_dec(revenue_dec()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_revenue",
+    f"""
+    SELECT n_name, {REV_SUM_SQL} AS revenue, COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style 6-way star join; small dims broadcast, facts shuffle "
+    "on join keys; flagship entry() query.",
+)
+def q03(spark, sf):
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    dims = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    cust = c.join(dims, c.c_nationkey == dims.n_nationkey)
+    ord_cust = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    joined = l.join(ord_cust, l.l_orderkey == ord_cust.o_orderkey).join(
+        F.broadcast(s),
+        (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        dsum_dec(revenue_dec()).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join (EXISTS); Spark plans BroadcastHashJoin(LeftSemi) or "
+    "shuffled semi at scale — no row duplication.",
+)
+def q04(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n_customers")
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_no_urgent
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def q05(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .count()
+        .withColumnRenamed("count", "n_customers_no_urgent")
+    )
+
+
+@query(
+    "q06_nonequi_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_late_items
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+    doc="Equi key + non-equi (range) residual condition: Spark keeps the hash "
+    "join on the equi key and applies the range as a join residual — no BNL.",
+)
+def q06(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n_late_items")
+    )
+
+
+@query(
+    "q07_outer_join_histogram",
+    """
+    WITH per_order AS (
+      SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+      FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey
+    )
+    SELECT n_items, COUNT(*) AS n_orders
+    FROM per_order GROUP BY n_items
+    """,
+    doc="Left-outer join preserving empty orders, then re-aggregation "
+    "(order-size histogram).",
+)
+def q07(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    per_order = (
+        o.join(l, l.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+
+@query(
+    "q11_window_topk",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group via ROW_NUMBER (shuffle on partition key only; "
+    "Spark inserts WindowGroupLimit to keep k rows per key before the sort).",
+)
+def q11(spark, sf):
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q12_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running total per customer (decimal accumulate for cross-engine "
+    "bit-stability).",
+)
+def q12(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "q13_window_lag",
+    """
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    doc="LAG analytic over an event stream (per-row double arithmetic — "
+    "order-independent).",
+)
+def q13(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# =========================================================================
+# Sort / limit / set ops
+# =========================================================================
+
+
+@query(
+    "q14_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="Global deterministic top-k: Spark TakeOrderedAndProject "
+    "(per-partition heap + driver merge, no full sort).",
+)
+def q14(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q15_set_ops",
+    """
+    SELECT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="UNION / INTERSECT / EXCEPT distinct set semantics.",
+)
+def q15(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        building.union(rich).distinct().intersect(with_orders).subtract(urgent)
+    )
+
+
+# =========================================================================
+# Scalar functions (string / JSON / datetime / conditional)
+# =========================================================================
+
+
+@query(
+    "q16_string_funcs",
+    f"""
+    SELECT regexp_extract(p_type, '(\\S+)$', 1) AS type_suffix,
+           COUNT(*) AS n_parts,
+           {davg_sql('p_retailprice')} AS avg_price,
+           MAX(UPPER(SUBSTRING(p_name, 1, 10))) AS max_prefix,
+           MIN(LENGTH(p_name)) AS min_name_len
+    FROM part
+    GROUP BY regexp_extract(p_type, '(\\S+)$', 1)
+    """,
+    doc="String functions (regexp_extract, substring, upper, length) — all "
+    "JVM-side, whole-stage-codegen'd.",
+)
+def q16(spark, sf):
+    p = _t(spark, sf, "part")
+    suffix = F.regexp_extract(F.col("p_type"), r"(\S+)$", 1).alias("type_suffix")
+    return p.groupBy(suffix).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        davg(F.col("p_retailprice")).alias("avg_price"),
+        F.max(F.upper(F.substring("p_name", 1, 10))).alias("max_prefix"),
+        F.min(F.length("p_name")).alias("min_name_len"),
+    )
+
+
+@query(
+    "q17_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column access (get_json_object) — needed for "
+    "events.props; integer aggregates are exact.",
+)
+def q17(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q18_date_trunc",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS month_revenue
+    FROM orders GROUP BY 1
+    """,
+    doc="Datetime bucketing with date_trunc (pre-aggregation pattern for "
+    "time-partitioned data).",
+)
+def q18(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("month_revenue"),
+    )
+
+
+@query(
+    "q19_case_buckets",
+    f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS balance_bucket,
+           COUNT(*) AS n_customers,
+           {davg_sql('c_acctbal')} AS avg_balance
+    FROM customer GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregation.",
+)
+def q19(spark, sf):
+    c = _t(spark, sf, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("balance_bucket")
+    )
+    return c.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg(F.col("c_acctbal")).alias("avg_balance"),
+    )
+
+
+@query(
+    "q20_correlated_subquery",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_big_spenders
+    FROM customer
+    WHERE (SELECT COUNT(*) FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000) >= 2
+    GROUP BY c_nationkey
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates into an aggregate "
+    "+ join (no per-row subquery execution).",
+)
+def q20(spark, sf):
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_big_spenders
+        FROM customer
+        WHERE (SELECT COUNT(*) FROM orders
+               WHERE o_custkey = c_custkey AND o_totalprice > 400000) >= 2
+        GROUP BY c_nationkey
+        """
+    )

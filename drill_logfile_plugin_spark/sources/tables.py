@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -41,12 +42,24 @@ def configure_session(spark: SparkSession, shuffle_partitions: int | None = None
     # Timestamp parse patterns are Java DateTimeFormatter (Spark 3+ default).
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The events table stores TIMESTAMP(NANOS) which Spark rejects by default
+    # (PARQUET_TYPE_ILLEGAL); read as long and convert in load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Nanosecond timestamps surface as LongType under nanosAsLong; truncate to
+    # microseconds exactly like DuckDB/pyarrow do (integer floor division —
+    # a double division would lose precision above 2^53 ns).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
