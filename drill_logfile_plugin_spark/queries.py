@@ -15,10 +15,7 @@ driver.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.exprs import (
@@ -32,39 +29,7 @@ from .functions.exprs import (
     dsum_sql,
     revenue_dec,
 )
-from .sources.tables import configure_session, load_table
-
-
-@dataclass
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None => non-SQL-expressible (weaker rows-only check)
-    doc: str = ""
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: Optional[str], doc: str = ""):
-    def deco(fn):
-        QUERIES[name] = QuerySpec(name, _prepped(fn), oracle, doc)
-        return fn
-
-    return deco
-
-
-def _prepped(fn):
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        configure_session(spark)
-        return fn(spark, sf_dir)
-
-    return wrapped
-
-
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
-
+from .registry import _t, query
 
 REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
 

@@ -1,0 +1,56 @@
+"""Query registry: named Spark queries paired with DuckDB oracle SQL.
+
+Query modules (queries.py, queries_llm.py, queries_log.py,
+queries_streaming.py) register via the ``@query`` decorator; the driver
+contract (__spark_entry__.py) exposes the registry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.tables import configure_session, load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible (weaker rows-only check)
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, _prepped(fn), oracle, doc)
+        return fn
+
+    return deco
+
+
+def _prepped(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def load_all_query_modules() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registry population)."""
+    from . import queries  # noqa: F401
+    from . import queries_llm  # noqa: F401
+    from . import queries_log  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+
+    return QUERIES
