@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from drill_logfile_plugin_spark.queries import QUERIES  # noqa: E402
+from drill_logfile_plugin_spark.registry import (  # noqa: E402
+    QUERIES,
+    load_all_query_modules,
+)
+
+load_all_query_modules()  # populate QUERIES (imports every query module)
 
 
 def entry(spark: SparkSession) -> DataFrame:

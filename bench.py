@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness: runs the engine's headline queries at a chosen scale factor.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "headline_queries_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Env:
+    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Timing protocol: one warm SparkSession; per query we execute the full plan and
+drain results via ``df.write.format("noop")`` (no driver-side collect cost, no
+result-size bias). The total is the sum of per-query wall times, excluding
+session startup — matching how a resident service would amortize it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            # Drain the full result through the engine without materializing
+            # rows on the driver: noop sink executes every task.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # keep benching; a broken query shows as -1
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if any(t < 0 for t in timings.values()) else 0)
+
+
+if __name__ == "__main__":
+    main()

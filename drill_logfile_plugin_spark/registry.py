@@ -46,11 +46,18 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+#: Query modules that exist today. Extend this tuple as modules land so the
+#: driver entry point picks them up automatically; never list a module that
+#: does not import (a missing module here = the whole driver surface is dead).
+QUERY_MODULES = (
+    "queries",
+)
+
+
 def load_all_query_modules() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry population)."""
-    from . import queries  # noqa: F401
-    from . import queries_llm  # noqa: F401
-    from . import queries_log  # noqa: F401
-    from . import queries_streaming  # noqa: F401
+    import importlib
 
+    for mod in QUERY_MODULES:
+        importlib.import_module(f"{__package__}.{mod}")
     return QUERIES
