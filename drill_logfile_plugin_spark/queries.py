@@ -161,9 +161,11 @@ def q02(spark, sf):
     c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
     l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    # customer grows with scale factor — no broadcast hint; AQE picks the
+    # join strategy (broadcast at small SF, shuffle hash/sort-merge at 100 TB).
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum_dec(revenue_dec()).alias("revenue"))
         .select(
@@ -205,10 +207,13 @@ def q03(spark, sf):
             "n_nationkey", "n_name"
         )
     )
+    # Only fixed-cardinality dims (region, nation) are broadcast; customer,
+    # supplier, orders, lineitem all grow with SF, so their joins are left to
+    # AQE — a forced broadcast there would OOM executors at the 100 TB target.
     cust = c.join(dims, c.c_nationkey == dims.n_nationkey)
-    ord_cust = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    ord_cust = o.join(cust, o.o_custkey == cust.c_custkey)
     joined = l.join(ord_cust, l.l_orderkey == ord_cust.o_orderkey).join(
-        F.broadcast(s),
+        s,
         (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
     )
     return joined.groupBy("n_name").agg(
@@ -565,14 +570,16 @@ def q19(spark, sf):
     "+ join (no per-row subquery execution).",
 )
 def q20(spark, sf):
-    _t(spark, sf, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    # DataFrames are passed as template args (Spark 3.5+ parameterized SQL),
+    # not temp views — no session-catalog side effects for the caller.
     return spark.sql(
         """
         SELECT c_nationkey, COUNT(*) AS n_big_spenders
-        FROM customer
-        WHERE (SELECT COUNT(*) FROM orders
+        FROM {customer} AS customer
+        WHERE (SELECT COUNT(*) FROM {orders} AS orders
                WHERE o_custkey = c_custkey AND o_totalprice > 400000) >= 2
         GROUP BY c_nationkey
-        """
+        """,
+        customer=_t(spark, sf, "customer"),
+        orders=_t(spark, sf, "orders"),
     )
