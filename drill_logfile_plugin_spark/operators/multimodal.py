@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the raw media as a
+``binary`` column next to typed metadata, keep it opaque to the relational
+layer, and run decode / feature-extraction as **Arrow-batched Pandas
+iterators** (``mapInPandas``) so bytes move executor-side in columnar
+batches — never row-at-a-time through the driver.
+
+The actual media codecs (PIL/ffmpeg/torchaudio) are not available in this
+container, so the decode step is pluggable:
+
+* ``codec="fake"`` — a deterministic stand-in that derives (width, height,
+  format) from the md5 of the payload bytes. Because Python's hashlib md5
+  equals SQL ``md5()``, the fake decoder is *oracle-checkable end to end*:
+  the driver's DuckDB SQL reproduces it exactly, which validates the real
+  part (schema, batching, partitioning, UDF signature) rather than the
+  stub.
+* any other codec — raises :class:`NotImplementedError` at plan-build
+  time, marking exactly where a real decoder plugs in.
+
+No reference counterpart: the reference plugin is text-only
+(LogRecordReader.java:125 hardcodes UTF-8 line decoding); this module is
+part of the LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Metadata schema produced by decode_media for every payload row.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+SUPPORTED_CODECS = ("fake",)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a binary payload column (UTF-8 bytes of the text column).
+
+    Stand-in for reading real media bytes; gives every downstream operator
+    a genuine BinaryType column to exercise.
+    """
+    return df.withColumn("payload", F.col(text_col).cast("binary"))
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic (format, width, height) from md5 of the bytes.
+
+    Mirrored in SQL by the oracle: width/height are 16 + (16-bit md5
+    prefix mod 512); format cycles on the first hash nibble.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + int(h[0:4], 16) % 512
+    height = 16 + int(h[4:8], 16) % 512
+    fmt = ("png", "jpeg", "webp", "gif")[int(h[8], 16) % 4]
+    return fmt, width, height
+
+
+def decode_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "fake",
+) -> DataFrame:
+    """Decode binary payloads to typed metadata via mapInPandas.
+
+    The iterator-of-DataFrames signature keeps peak memory bounded by the
+    Arrow batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+    regardless of total partition size — the correct shape for multi-MB
+    media payloads.
+    """
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(
+            f"codec {codec!r}: real media codecs (PIL/ffmpeg) are not "
+            f"available in this environment; supported: {SUPPORTED_CODECS}"
+        )
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def decode_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": [d[0] for d in decoded],
+                    "width": pd.Series(
+                        [d[1] for d in decoded], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [d[2] for d in decoded], dtype="int32"
+                    ),
+                    "n_bytes": pd.Series(
+                        [len(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                    "n_pixels": pd.Series(
+                        [d[1] * d[2] for d in decoded], dtype="int64"
+                    ),
+                }
+            )
+
+    return narrow.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame, max_side: int = 256, codec: str = "fake"
+) -> DataFrame:
+    """Plan a resize: target dims preserving aspect ratio, longest side
+    capped at ``max_side``. Pure column arithmetic over decoded metadata —
+    the byte-level resample itself would live in the codec (stubbed here).
+    """
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} not available")
+    scale = F.when(
+        F.greatest("width", "height") <= max_side, F.lit(1.0)
+    ).otherwise(max_side / F.greatest("width", "height"))
+    return df.select(
+        "*",
+        F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "target_width"
+        ),
+        F.greatest(
+            F.floor(F.col("height") * scale).cast("int"), F.lit(1)
+        ).alias("target_height"),
+    )

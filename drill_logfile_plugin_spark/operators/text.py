@@ -1,0 +1,151 @@
+"""Text-analysis operators for the LLM-data-pipeline tier.
+
+Everything here is a *pure column expression* (JVM-side, whole-stage
+codegen'd — no Python UDFs), built so the same semantics can be mirrored
+exactly in ANSI/DuckDB SQL for the driver's oracle comparison:
+
+* tokenization = regex split on whitespace of the trimmed text,
+* all ratios are ``int / int`` double divisions (bit-identical across
+  engines — no accumulation-order dependence),
+* hashes are md5 hex strings (identical in Spark, DuckDB, and hashlib).
+
+Scale posture: per-row expressions only — embarrassingly parallel, no
+shuffle, no driver involvement. At 100 TB these run at scan speed.
+
+Reference parity note: the reference plugin (cgivre/drill-logfile-plugin)
+has no text-analysis surface; this tier is the LLM-pipeline extension
+mandated by the build spec (SURVEY.md §2 Tier B last row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization ---------------------------------------------------------
+
+#: Spark-SQL fragment: whitespace tokens of a text column.
+TOKS_SPARK = "split(trim({c}), '\\\\s+')"
+#: DuckDB fragment with identical semantics.
+TOKS_DUCK = r"string_split_regex(trim({c}), '\s+')"
+
+#: BPE-ish pre-token pattern: letter runs, digit runs, single other glyphs.
+#: (The classic GPT-2 pre-tokenizer splits on letter/digit/other boundaries;
+#: this is the regex-only approximation of that pass.)
+BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace token array (Spark side)."""
+    return F.expr(TOKS_SPARK.format(c=col))
+
+
+def n_tokens(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def n_bpe_tokens(col: str = "text") -> Column:
+    """Count of BPE-ish pre-tokens (regexp_count — JVM regex, no UDF)."""
+    return F.regexp_count(F.col(col), F.lit(BPE_PAT))
+
+
+def n_bpe_tokens_duck(col: str = "text") -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_PAT}'))"
+
+
+# --- language identification (marker-word heuristic) ----------------------
+
+#: Tiny per-language stopword marker lists (n-gram heuristic per the build
+#: spec). Ordered: the order is the deterministic argmax tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _score_spark(col: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"size(filter({TOKS_SPARK.format(c=col)}, t -> t IN ({lst})))"
+
+
+def _score_duck(col: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({TOKS_DUCK.format(c=col)}, t -> t IN ({lst})))"
+
+
+def lang_id(col: str = "text") -> Column:
+    """Predicted language: argmax of marker-hit counts, 'und' if all zero.
+
+    Deterministic tie-break = LANG_MARKERS declaration order (the CASE
+    chain checks ``score >= max(all scores)`` in that fixed order).
+    """
+    return F.expr(lang_id_sql_spark(col))
+
+
+def _lang_case(scores: dict[str, str]) -> str:
+    all_scores = ", ".join(scores.values())
+    branches = "\n".join(
+        f"WHEN {s} >= greatest({all_scores}) THEN '{lang}'"
+        for lang, s in scores.items()
+    )
+    return (
+        f"CASE WHEN greatest({all_scores}) = 0 THEN 'und'\n{branches}\n"
+        "ELSE 'und' END"
+    )
+
+
+def lang_id_sql_spark(col: str = "text") -> str:
+    return _lang_case({k: _score_spark(col, v) for k, v in LANG_MARKERS.items()})
+
+
+def lang_id_sql_duck(col: str = "text") -> str:
+    return _lang_case({k: _score_duck(col, v) for k, v in LANG_MARKERS.items()})
+
+
+# --- quality scoring ------------------------------------------------------
+
+#: Stopword list for the stopword-ratio quality signal.
+QUALITY_STOPWORDS = ("a", "the", "of", "and", "in", "to", "is")
+
+
+def quality_bucket(col: str = "text") -> Column:
+    """Heuristic quality band from length / type-token ratio / stopword ratio.
+
+    All signals are int/int double divisions compared against literals —
+    bit-identical across engines, stable under any execution plan.
+    """
+    return F.expr(quality_bucket_sql_spark(col))
+
+
+def _quality_case(n_tok: str, n_distinct: str, n_stop: str, n_chars: str) -> str:
+    return f"""CASE
+      WHEN {n_tok} < 20 THEN 'too_short'
+      WHEN ({n_chars}) / ({n_tok}) > 12.0 THEN 'long_tokens'
+      WHEN ({n_distinct}) / ({n_tok}) < 0.35 THEN 'repetitive'
+      WHEN ({n_stop}) / ({n_tok}) > 0.30 THEN 'stopword_heavy'
+      ELSE 'good' END"""
+
+
+def quality_bucket_sql_spark(col: str = "text") -> str:
+    toks = TOKS_SPARK.format(c=col)
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return _quality_case(
+        f"size({toks})",
+        f"size(array_distinct({toks}))",
+        f"size(filter({toks}, t -> t IN ({stop})))",
+        f"length({col})",
+    )
+
+
+def quality_bucket_sql_duck(col: str = "text") -> str:
+    toks = TOKS_DUCK.format(c=col)
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return _quality_case(
+        f"len({toks})",
+        f"len(list_distinct({toks}))",
+        f"len(list_filter({toks}, t -> t IN ({stop})))",
+        f"length({col})",
+    )

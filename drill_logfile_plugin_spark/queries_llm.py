@@ -1,0 +1,380 @@
+"""LLM-data-pipeline query surface: dedup, text analysis, similarity search.
+
+Each entry pairs the Spark operator (operators/{text,dedup,similarity,
+multimodal}.py) with a DuckDB oracle that recomputes the *same semantics*
+independently — in several cases (MinHash-LSH, SimHash byte-banding, ANN)
+the oracle is the exact brute-force ground truth and the Spark side is the
+scale-path algorithm, so a MATCH certifies the approximation is lossless at
+the configured thresholds, not merely self-consistent.
+
+Cross-engine determinism rests on three invariants, verified in round 2:
+md5() is identical in Spark / DuckDB / hashlib; int-by-int division yields
+bit-identical doubles; and sequential left-folds over double arrays
+(aggregate vs list_reduce) accumulate in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as T
+from .registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_TOKS = T.TOKS_DUCK.format(c="text")
+_NTOK = f"len({_TOKS})"
+
+
+def _duck_hex2int(hexpr: str) -> str:
+    """Fold a hex-digit substring into a BIGINT (DuckDB has no conv())."""
+    return (
+        f"list_reduce(list_transform(string_split_regex({hexpr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@query(
+    "q21_exact_dedup",
+    """
+    WITH g AS (
+      SELECT md5(text) AS content_hash,
+             MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT n_copies, COUNT(*) AS n_groups, MIN(keep_id) AS min_keep_id
+    FROM g GROUP BY n_copies
+    """,
+    doc="Exact dedup: group on md5(text) (32-byte shuffle key, never the "
+    "raw text), survivor = MIN(doc_id); output = copies-per-group histogram.",
+)
+def q21(spark, sf):
+    survivors = D.exact_dedup_survivors(_t(spark, sf, "documents"))
+    return survivors.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("keep_id").alias("min_keep_id"),
+    )
+
+
+@query(
+    "q27_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {D.shingles_sql_duck('text', 3)} AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    """,
+    doc="Near-dup via MinHash(128)+LSH(64 bands) with exact Jaccard re-rank. "
+    "The oracle is the exact ALL-PAIRS ground truth: a MATCH proves the "
+    "banded equi-join (O(collisions), 100 TB-safe) loses no pair at J>=0.6 "
+    "(theoretical miss p ~ 4e-13).",
+)
+def q27(spark, sf):
+    return D.lsh_candidate_pairs(
+        _t(spark, sf, "documents"), jaccard_threshold=0.6
+    )
+
+
+@query(
+    "q28_simhash_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, ({D.simhash_sql_duck('text')}) AS sig FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="SimHash-32 near-dup pairs at Hamming<=3. Spark joins on one of 4 "
+    "signature bytes (pigeonhole => lossless banding); oracle is all-pairs "
+    "ground truth, so MATCH certifies the equi-join finds every pair.",
+)
+def q28(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+@query(
+    "q29_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, n_chars // 50 AS blk,
+             {D.shingles_sql_duck('text', 2)} AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.blk AS blk,
+           len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
+    doc="Exact bigram Jaccard within 50-char length-band blocks: the "
+    "blocking-key pattern that bounds the pair space without hashing.",
+)
+def q29(spark, sf):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"),
+        shingle_n=2,
+        block_expr="n_chars DIV 50",
+        threshold=0.3,
+    )
+
+
+@query(
+    "q26_fingerprint",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_min(list_transform({D.shingles_sql_duck('text', 5)},
+                                     s -> md5(s))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint
+    """,
+    doc="Document fingerprint: min-hash over rolling 5-word shingles "
+    "(k=1 MinHash). Grouping by fingerprint clusters near-identical docs.",
+)
+def q26(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = F.expr(
+        f"array_min(transform({D.shingles_sql_spark('text', 5)}, s -> md5(s)))"
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@query(
+    "q22_text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           SUM({_NTOK}) AS total_tokens,
+           MIN({_NTOK}) AS min_tokens,
+           MAX({_NTOK}) AS max_tokens,
+           CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus stats per language: char/token counts (exact integer "
+    "aggregates; avg = bigint/bigint division — deterministic).",
+)
+def q22(spark, sf):
+    d = _t(spark, sf, "documents")
+    nt = T.n_tokens("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(nt).alias("total_tokens"),
+        F.min(nt).alias("min_tokens"),
+        F.max(nt).alias("max_tokens"),
+        (F.sum(nt).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q23_language_id",
+    f"""
+    SELECT lang, {T.lang_id_sql_duck('text')} AS pred_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang, pred_lang
+    """,
+    doc="Marker-word language ID (n-gram heuristic) vs the labeled lang "
+    "column — confusion-matrix counts. Deterministic argmax tie-break.",
+)
+def q23(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", T.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q24_quality_score",
+    f"""
+    SELECT {T.quality_bucket_sql_duck('text')} AS quality,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY quality
+    """,
+    doc="Heuristic quality bands (length / type-token ratio / stopword "
+    "ratio); all signals are int/int double divisions vs literals.",
+)
+def q24(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", "text", T.quality_bucket("text").alias("quality"))
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@query(
+    "q25_token_counts",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM({_NTOK}) AS total_ws_tokens,
+           SUM({T.n_bpe_tokens_duck('text')}) AS total_bpe_tokens,
+           MAX({T.n_bpe_tokens_duck('text')}) AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Token counting per source: whitespace tokens + BPE-ish regex "
+    "pre-tokens (letter runs / digit runs / single glyphs).",
+)
+def q25(spark, sf):
+    d = _t(spark, sf, "documents")
+    bpe = T.n_bpe_tokens("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.n_tokens("text")).alias("total_ws_tokens"),
+        F.sum(bpe).alias("total_bpe_tokens"),
+        F.max(bpe).alias("max_bpe_tokens"),
+    )
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+
+@query(
+    "q30_embedding_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             {S.cosine_sql_duck('q.qe', 'c.embedding', 64)} AS sim
+      FROM q JOIN embeddings c ON c.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, rank, sim FROM (
+      SELECT q_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5: broadcast query set x one corpus scan; "
+    "sequential-fold dot products are bit-identical to the DuckDB oracle.",
+)
+def q30(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_topk(
+        e.where(F.col("vec_id") % 100 == 0), e, k=5
+    )
+
+
+@query(
+    "q31_ann_lsh",
+    None,  # approximate by construction — driver runs the rows-only check;
+    # pytest (tests/test_llm_ops.py) asserts recall vs the exact q30 result.
+    doc="ANN top-5 via random-hyperplane LSH (8 tables x 8 sign bits, "
+    "deterministic md5-derived planes) + exact re-rank of bucket "
+    "candidates. Equi join on (table_id, bucket) — no cross join.",
+)
+def q31(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.ann_lsh_topk(
+        e.where(F.col("vec_id") % 100 == 0), e, k=5
+    )
+
+
+@query(
+    "q32_embedding_stats",
+    f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN({S.norm_sql_duck('embedding', 64)}) AS min_norm,
+           MAX({S.norm_sql_duck('embedding', 64)}) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label embedding stats; min/max of deterministic-fold norms "
+    "(order-independent aggregates only — no float SUM across rows).",
+)
+def q32(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    norm = F.expr(S.norm_sql_spark("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
+# =========================================================================
+# Multimodal plumbing
+# =========================================================================
+
+
+@query(
+    "q33_multimodal_decode",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             16 + {_duck_hex2int('substr(md5(text), 1, 4)')} % 512 AS width,
+             16 + {_duck_hex2int('substr(md5(text), 5, 4)')} % 512 AS height,
+             (list_value('png', 'jpeg', 'webp', 'gif'))
+               [({_duck_hex2int('substr(md5(text), 9, 1)')} % 4) + 1]
+               AS media_format,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_format,
+           COUNT(*) AS n_media,
+           SUM(n_bytes) AS total_bytes,
+           SUM(width * height) AS total_pixels,
+           MAX(width) AS max_width,
+           MAX(height) AS max_height
+    FROM d GROUP BY media_format
+    """,
+    doc="Multimodal decode plumbing: binary payload column -> mapInPandas "
+    "(Arrow-batched) stub decoder -> typed metadata aggregation. The fake "
+    "decoder is md5-derived so the DuckDB oracle validates the whole Spark "
+    "path (schema, batching, UDF signature) exactly.",
+)
+def q33(spark, sf):
+    d = M.attach_payload(_t(spark, sf, "documents"))
+    decoded = M.decode_media(d, codec="fake")
+    return decoded.groupBy("media_format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )

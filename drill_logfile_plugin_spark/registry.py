@@ -51,6 +51,7 @@ def _t(spark, sf_dir, name):
 #: does not import (a missing module here = the whole driver surface is dead).
 QUERY_MODULES = (
     "queries",
+    "queries_llm",
 )
 
 
