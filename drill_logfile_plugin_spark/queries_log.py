@@ -1,0 +1,165 @@
+"""Driver-checked query surface for the log scan operator (Tier A).
+
+This puts the reference's entire reason to exist — regex-parsed log files
+queried with SQL (/root/reference/src/main/java/org/apache/drill/exec/store/
+log/LogRecordReader.java:202-304, worked example /root/reference/README.md:9-15)
+— under the driver's DuckDB oracle. The fixture (fixtures/mysql.log, committed,
+generated deterministically by tools/gen_log_fixture.py) contains matched
+lines, unmatched lines, empty/whitespace lines, and mid-line matches, so a
+MATCH certifies A1-A6 semantics end to end:
+
+  A1 scan, A2 decompression (q36 reads the gzip twin while the oracle reads
+  the plaintext twin), A3 unanchored find() tokenization, A4 DATE/TIME/INT
+  coercion, A5 unmatched_lines routing, A6 empty-line skip.
+
+The DuckDB side re-implements the parse independently (read_text +
+regexp_matches/regexp_extract + strptime), sharing no code with the Spark
+path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from .config import LogFormatConfig
+from .registry import query
+from .sources.log_reader import read_log
+
+FIXTURE_DIR = Path(__file__).resolve().parent.parent / "fixtures"
+LOG_PATH = str(FIXTURE_DIR / "mysql.log")
+GZ_PATH = str(FIXTURE_DIR / "mysql_gz.log.gz")
+
+#: The reference README's worked-example config (README.md:38-48).
+PATTERN = r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)"
+
+MYSQL_CFG = LogFormatConfig(
+    pattern=PATTERN,
+    field_names=["log_date", "log_time", "pid", "action", "sql_text"],
+    data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+    date_format="yyMMdd",
+    time_format="HH:mm:ss",
+)
+
+
+def _duck_parsed(path: str) -> str:
+    """DuckDB CTE body reproducing the scan semantics over a text file."""
+    p = PATTERN
+    g2 = f"regexp_extract(line, '{p}', 2)"
+    time_ms = (
+        f"(CAST(substr({g2}, 1, 2) AS INT) * 3600 "
+        f"+ CAST(substr({g2}, 4, 2) AS INT) * 60 "
+        f"+ CAST(substr({g2}, 7, 2) AS INT)) * 1000"
+    )
+    return f"""
+    raw AS (
+      SELECT trim(unnest(string_split(content, chr(10)))) AS line
+      FROM read_text('{path}')
+    ),
+    lines AS (SELECT line FROM raw WHERE length(line) > 0),
+    parsed AS (
+      SELECT
+        CASE WHEN regexp_matches(line, '{p}')
+             THEN strptime(regexp_extract(line, '{p}', 1), '%y%m%d')::DATE
+        END AS log_date,
+        CASE WHEN regexp_matches(line, '{p}') THEN {time_ms} END AS log_time,
+        CASE WHEN regexp_matches(line, '{p}')
+             THEN CAST(regexp_extract(line, '{p}', 3) AS INT)
+        END AS pid,
+        CASE WHEN regexp_matches(line, '{p}')
+             THEN regexp_extract(line, '{p}', 4)
+        END AS action,
+        CASE WHEN regexp_matches(line, '{p}')
+             THEN regexp_extract(line, '{p}', 5)
+        END AS sql_text,
+        CASE WHEN NOT regexp_matches(line, '{p}') THEN line
+        END AS unmatched_lines
+      FROM lines
+    )
+    """
+
+
+@query(
+    "q34_log_actions",
+    f"""
+    WITH {_duck_parsed(LOG_PATH)}
+    SELECT action,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT pid) AS n_pids,
+           MIN(log_date) AS min_date,
+           MAX(log_date) AS max_date,
+           MAX(log_time) AS max_time_ms
+    FROM parsed GROUP BY action
+    """,
+    doc="The reference README workload (actions histogram over the MySQL "
+    "log) through read_log: DATE/TIME/INT coercion, unmatched rows as the "
+    "NULL-action group, unanchored find() on prefix-junk lines.",
+)
+def q34(spark, sf):
+    df = read_log(spark, LOG_PATH, MYSQL_CFG)
+    return df.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("pid").alias("n_pids"),
+        F.min("log_date").alias("min_date"),
+        F.max("log_date").alias("max_date"),
+        F.max("log_time").alias("max_time_ms"),
+    )
+
+
+@query(
+    "q35_log_monthly_sql",
+    f"""
+    WITH {_duck_parsed(LOG_PATH)}
+    SELECT date_trunc('month', log_date)::DATE AS month,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN action = 'Query' THEN 1 ELSE 0 END) AS n_queries,
+           COUNT(DISTINCT pid) AS n_pids
+    FROM parsed
+    WHERE unmatched_lines IS NULL
+    GROUP BY month
+    """,
+    doc="SQL entry path over a registered log view (the reference's usage "
+    "mode: plug in the format, then write plain SQL against the file).",
+)
+def q35(spark, sf):
+    df = read_log(spark, LOG_PATH, MYSQL_CFG)
+    view = "spark_graft_mysql_log_v"  # unique name: never clobber user views
+    df.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT trunc(log_date, 'month') AS month,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN action = 'Query' THEN 1 ELSE 0 END) AS n_queries,
+               COUNT(DISTINCT pid) AS n_pids
+        FROM {view}
+        WHERE unmatched_lines IS NULL
+        GROUP BY trunc(log_date, 'month')
+        """
+    )
+
+
+@query(
+    "q36_log_gzip",
+    f"""
+    WITH {_duck_parsed(LOG_PATH)}
+    SELECT COUNT(*) AS n_rows,
+           COUNT(pid) AS n_matched,
+           COUNT(unmatched_lines) AS n_unmatched,
+           SUM(pid) AS sum_pid,
+           COUNT(DISTINCT action) AS n_actions
+    FROM parsed
+    """,
+    doc="Decompression parity (A2): Spark reads the gzip twin, the oracle "
+    "reads the plaintext original — identical aggregates prove the codec "
+    "path changes nothing.",
+)
+def q36(spark, sf):
+    df = read_log(spark, GZ_PATH, MYSQL_CFG)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pid").alias("n_matched"),
+        F.count("unmatched_lines").alias("n_unmatched"),
+        F.sum("pid").alias("sum_pid"),
+        F.countDistinct("action").alias("n_actions"),
+    )

@@ -52,6 +52,7 @@ def _t(spark, sf_dir, name):
 QUERY_MODULES = (
     "queries",
     "queries_llm",
+    "queries_log",
 )
 
 
