@@ -53,6 +53,7 @@ QUERY_MODULES = (
     "queries",
     "queries_llm",
     "queries_log",
+    "queries_streaming",
 )
 
 

@@ -1,0 +1,189 @@
+"""Event-time windowing operators, valid in both batch and streaming mode.
+
+The reference is batch-only (its two classes contain no watermark/window/
+state code — SURVEY.md §2 streaming row); this module is the Structured
+Streaming extension tier. Every transformation here is a *pure function of
+a DataFrame*, so the identical code path runs
+
+* in **batch** (the driver's CORRECTNESS entries, queries_streaming.py,
+  where the DuckDB oracle recomputes the window semantics independently),
+* in **streaming** (``spark.readStream`` inputs; tests/test_streaming.py
+  proves stream output == batch output on the same data).
+
+Watermarks are applied only when the input actually streams: on a batch
+DataFrame ``withWatermark`` is legal but meaningless, and skipping it keeps
+batch plans trivially optimal.
+
+Scale notes (100 TB posture): all three window shapes are single-shuffle
+hash aggregations keyed on (window, group): partial aggregation happens
+map-side, and sliding windows multiply input by exactly
+``window/slide`` (3× here) *before* the partial agg, not in state. Session
+windows shuffle on the session key (user_id) so state for one user never
+spans executors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.exprs import dsum
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-(hour, event_type) counts and exact-decimal value sums.
+
+    Output: win_start, win_end, event_type, n_events, sum_value.
+    """
+    g = _with_watermark(df, ts_col, watermark).groupBy(
+        F.window(ts_col, window).alias("w"), "event_type"
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_event_counts(
+    df: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Overlapping-window activity: each event lands in window/slide buckets.
+
+    Output: win_start, win_end, n_events, sum_value.
+
+    Note on distinct counts: exact ``countDistinct`` is illegal on a
+    streaming DataFrame (unbounded per-window distinct state); the
+    streaming-native answers are ``approx_count_distinct`` (HLL state) or a
+    ``dropDuplicates`` stage feeding a second windowed count. This operator
+    sticks to fully-streamable exact aggregates so batch == stream holds
+    bit-for-bit.
+    """
+    g = _with_watermark(df, ts_col, watermark).groupBy(
+        F.window(ts_col, window, slide).alias("w")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_event_windows(
+    df: DataFrame,
+    gap: str = "15 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Per-user sessions: events closer than ``gap`` merge into one session.
+
+    Session end = last event + gap (Spark ``session_window`` semantics;
+    the window is [start, end), so an event exactly ``gap`` later starts a
+    new session).
+
+    Output: user_id, session_start, session_end, n_events.
+    """
+    g = _with_watermark(df, ts_col, watermark).groupBy(
+        F.session_window(ts_col, gap).alias("w"), "user_id"
+    )
+    return g.agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+# --- custom stateful operator (streaming-only) -----------------------------
+
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, exact value sum).
+
+    ``applyInPandasWithState`` over a streaming DataFrame grouped by
+    user_id; each micro-batch folds its rows into the per-key state and
+    emits the updated totals. The value sum is kept in integer cents so the
+    state is exact regardless of arrival order — same determinism policy as
+    the batch tier (functions/exprs.py).
+
+    Batch equivalence (tested): after processing all input, the last emitted
+    row per user equals ``groupBy(user_id).agg(count, sum(cents))``.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            # round() matches decimal(12,2) semantics for 2-decimal doubles.
+            cents += int(sum(round(v * 100) for v in pdf["value"]))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value_cents": [cents],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

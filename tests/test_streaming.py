@@ -1,0 +1,202 @@
+"""Streaming-mode proofs: the shared window transformations and the log
+stream reader produce, when executed incrementally over ``readStream``,
+exactly the result the batch path produces on the same data.
+
+The reference has no streaming surface (SURVEY.md §2 streaming row); these
+tests validate the Structured Streaming extension tier:
+
+* tumbling / sliding / session windows via the same functions the
+  driver-checked batch queries q37-q39 run (streaming/windows.py),
+* watermark append-mode semantics (only watermark-closed windows emit),
+* a custom stateful operator (``applyInPandasWithState``),
+* ``read_log_stream`` (the streaming variant of the scan operator).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.config import LogFormatConfig
+from drill_logfile_plugin_spark.sources.log_reader import (
+    parse_lines,
+    read_log,
+    read_log_stream,
+)
+from drill_logfile_plugin_spark.sources.tables import load_table
+from drill_logfile_plugin_spark.streaming.windows import (
+    session_event_windows,
+    sliding_event_counts,
+    tumbling_event_counts,
+    user_running_totals,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory, events_batch):
+    """Events re-written as 4 files so the file source runs 4 micro-batches.
+
+    Files are time-ordered quartiles — the realistic arrival order, and what
+    makes the watermark tests meaningful (event time advances per batch).
+    """
+    d = tmp_path_factory.mktemp("events_stream")
+    n = events_batch.count()
+    per = (n + 3) // 4
+    rows = events_batch.orderBy("ts").collect()
+    for i in range(4):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, events_batch.schema).coalesce(
+                1
+            ).write.parquet(str(d / "input"), mode="append")
+    return str(d / "input")
+
+
+def _read_events_stream(spark, path, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df, cols=None):
+    if cols:
+        df = df.select(*cols)
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+@pytest.mark.parametrize(
+    "fn,name",
+    [
+        (tumbling_event_counts, "tumbling_mem"),
+        (sliding_event_counts, "sliding_mem"),
+    ],
+)
+def test_windowed_agg_stream_equals_batch(
+    spark, events_batch, events_stream_dir, fn, name
+):
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    # complete mode: every window emits regardless of watermark, so the
+    # final table must equal the batch computation exactly.
+    _run_to_memory(fn(sdf, watermark=None), name, "complete")
+    got = _rows(spark.table(name))
+    want = _rows(fn(events_batch))
+    assert got == want
+
+
+def test_session_window_stream_equals_batch(
+    spark, events_batch, events_stream_dir
+):
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    # Session windows require a watermark in streaming; with event time
+    # ordered across files and availableNow, all sessions older than
+    # (max ts - watermark) are final. Compare on that closed prefix.
+    out = session_event_windows(sdf, watermark="30 minutes")
+    _run_to_memory(out, "session_mem", "append")
+    emitted = _rows(spark.table("session_mem"))
+    batch = session_event_windows(events_batch)
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    closed = batch.where(
+        F.col("session_end") < F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+    )
+    want_closed = _rows(closed)
+    # Everything the stream emitted must be a true batch session, and every
+    # watermark-closed batch session must have been emitted.
+    batch_all = set(_rows(batch))
+    assert set(emitted) <= batch_all
+    assert set(want_closed) <= set(emitted)
+
+
+def test_tumbling_append_emits_only_closed_windows(
+    spark, events_batch, events_stream_dir
+):
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    out = tumbling_event_counts(sdf, watermark="1 hour")
+    _run_to_memory(out, "tumbling_append_mem", "append")
+    emitted = _rows(spark.table("tumbling_append_mem"))
+    batch_all = set(_rows(tumbling_event_counts(events_batch)))
+    assert set(emitted) <= batch_all
+    # Windows fully before (max ts - 1 hour) are watermark-closed -> emitted.
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    closed = set(
+        _rows(
+            tumbling_event_counts(events_batch).where(
+                F.col("win_end") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+            )
+        )
+    )
+    assert closed <= set(emitted)
+
+
+def test_stateful_running_totals(spark, events_batch, events_stream_dir):
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    _run_to_memory(user_running_totals(sdf), "running_mem", "update")
+    # Last emitted row per user (update mode re-emits on every batch).
+    final = (
+        spark.table("running_mem")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value_cents").alias("sum_value_cents"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+    assert _rows(final) == _rows(want)
+
+
+def test_read_log_stream_equals_batch(spark, tmp_path):
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["log_date", "log_time", "pid", "action", "sql_text"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    import shutil
+
+    shutil.copy("/root/repo/fixtures/mysql.log", d / "a.log")
+    sdf = read_log_stream(spark, str(d), cfg)
+    assert sdf.isStreaming
+    _run_to_memory(sdf, "log_stream_mem", "append")
+    got = _rows(spark.table("log_stream_mem"))
+    want = _rows(read_log(spark, str(d), cfg))
+    assert got == want
+    assert len(got) > 3000
+
+
+def test_parse_lines_is_mode_agnostic(spark):
+    """The scan parse is a pure projection: valid on any lines-shaped DF."""
+    cfg = LogFormatConfig(pattern=r"(\w+)=(\d+)", field_names=["k", "v"],
+                          data_types=["VARCHAR", "INT"])
+    df = spark.createDataFrame([("a=1",), ("junk",), ("b=2",)], ["value"])
+    out = parse_lines(df, cfg)
+    rows = sorted([tuple(r) for r in out.collect()], key=str)
+    assert rows == sorted(
+        [("a", 1, None), (None, None, "junk"), ("b", 2, None)], key=str
+    )
