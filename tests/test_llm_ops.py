@@ -1,0 +1,192 @@
+"""Invariant tests for the LLM-pipeline operators (operators/{dedup,
+similarity,text,multimodal}.py).
+
+The driver's DuckDB oracle already certifies exact cross-engine parity for
+the SQL-expressible queries (q21-q30, q32, q33); these tests cover what the
+oracle can't:
+
+* ANN recall vs the exact brute-force result (q31 is rows-only there),
+* operator-level invariants independent of any oracle (conservation
+  counts, banding losslessness, decode determinism),
+* error paths (unsupported codecs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.operators import dedup as D
+from drill_logfile_plugin_spark.operators import multimodal as M
+from drill_logfile_plugin_spark.operators import similarity as S
+from drill_logfile_plugin_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def test_ann_recall_vs_exact(spark, embeddings):
+    """The shipped ANN config must hold >=0.9 recall@5 vs brute force —
+    on this corpus, which is near-uniform random (the hardest LSH case)."""
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.q_id, r.neighbor_id) for r in S.cosine_topk(q, embeddings, k=5).collect()
+    }
+    ann = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ann_lsh_topk(q, embeddings, k=5).collect()
+    }
+    assert len(exact) == 25  # 5 queries x full k
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_ann_sims_are_exact_cosines(spark, embeddings):
+    """ANN never fabricates similarities: every (q, neighbor, sim) it
+    returns equals the exact cosine of that pair."""
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    ann = S.ann_lsh_topk(q, embeddings, k=5)
+    qv = embeddings.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    cv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    joined = ann.join(qv, "q_id").join(cv, "neighbor_id")
+    bad = joined.where(
+        F.abs(F.col("sim") - S.cosine("qe", "ce")) > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_cosine_topk_shape(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    rows = S.cosine_topk(q, embeddings, k=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.q_id != r.neighbor_id  # self-matches excluded
+        assert -1.0001 <= r.sim <= 1.0001
+        by_q.setdefault(r.q_id, []).append((r.rank, r.sim))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)  # rank follows sim desc
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def test_exact_dedup_conserves_rows(spark, documents):
+    total = documents.count()
+    surv = D.exact_dedup_survivors(documents)
+    agg = surv.agg(
+        F.sum("n_copies").alias("rows"), F.count(F.lit(1)).alias("groups")
+    ).collect()[0]
+    assert agg["rows"] == total
+    assert agg["groups"] <= total
+
+
+def test_simhash_banding_is_lossless(spark, documents):
+    """The byte-banded equi join finds exactly the all-pairs Hamming<=3 set
+    (pigeonhole: <=3 flipped bits leave >=1 of 4 bytes untouched)."""
+    sigs = {
+        r.doc_id: r.sig
+        for r in documents.select(
+            "doc_id", F.expr(D.simhash_sql_spark("text")).alias("sig")
+        ).collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(documents, max_hamming=3).collect()
+    }
+    assert got == want
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(spark, documents):
+    """LSH banding at (128 hashes, 64 bands) vs exact all-pairs Jaccard,
+    computed independently in Python over 3-gram shingle sets."""
+    docs = {r.doc_id: r.text for r in documents.collect()}
+
+    def sh(text: str) -> frozenset:
+        toks = text.split()
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    shingles = {d: sh(t) for d, t in docs.items()}
+    want = {}
+    for a, b in combinations(sorted(docs), 2):
+        inter = len(shingles[a] & shingles[b])
+        if inter:
+            j = inter / (len(shingles[a] | shingles[b]))
+            if j >= 0.6:
+                want[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.lsh_candidate_pairs(documents, jaccard_threshold=0.6).collect()
+    }
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+def test_simhash_rejects_wide_radius(spark, documents):
+    with pytest.raises(ValueError, match="lossless"):
+        D.simhash_pairs(documents, max_hamming=4)
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_decode_media_matches_reference_decoder(spark, documents):
+    sample = M.decode_media(M.attach_payload(documents.limit(50)))
+    texts = {r.doc_id: r.text for r in documents.limit(50).collect()}
+    for r in sample.collect():
+        payload = texts[r.doc_id].encode("utf-8")
+        fmt, w, h = M._fake_decode(payload)
+        assert (r.media_format, r.width, r.height) == (fmt, w, h)
+        assert r.n_bytes == len(payload)
+        assert r.n_pixels == w * h
+        h16 = hashlib.md5(payload).hexdigest()
+        assert 16 <= r.width < 16 + 512 and 16 <= r.height < 16 + 512
+        assert r.media_format == ("png", "jpeg", "webp", "gif")[int(h16[8], 16) % 4]
+
+
+def test_resize_plan_caps_longest_side(spark, documents):
+    decoded = M.decode_media(M.attach_payload(documents.limit(100)))
+    planned = M.resize_plan(decoded, max_side=256)
+    for r in planned.collect():
+        assert max(r.target_width, r.target_height) <= 256
+        assert r.target_width >= 1 and r.target_height >= 1
+        if max(r.width, r.height) <= 256:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+        else:
+            # aspect ratio preserved to within floor rounding
+            want = r.width / r.height
+            got = r.target_width / r.target_height
+            assert abs(want - got) / want < 0.15
+
+
+def test_unsupported_codec_raises(spark, documents):
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_media(M.attach_payload(documents.limit(1)), codec="pil")
+    with pytest.raises(NotImplementedError):
+        M.resize_plan(documents.limit(1), codec="ffmpeg")
