@@ -107,24 +107,20 @@ class LogFormatConfig:
                 "Log parser requires a valid, non-empty 'pattern' in the plugin "
                 "configuration"
             )
-        # 2. pattern compiles (LogRecordReader.java:160-167). We validate with
-        # Python re; execution uses the JVM regex engine via regexp_extract.
+        # 2-4. pattern compiles, has >=1 group, group count == field count
+        # (LogRecordReader.java:160-184). Execution uses the JVM regex
+        # engine, so the authoritative check is validate_groups_jvm(),
+        # called by parse_lines() when a session is in hand — exactly the
+        # engine parity the reference gets from Pattern.compile. Python re
+        # runs here as an *early* check only: if the pattern is Java-valid
+        # but Python-invalid (Java named groups `(?<n>...)`, `\p{java...}`
+        # classes), we defer rather than wrongly reject.
         try:
             compiled = re.compile(self.pattern)
-        except re.error as exc:
-            raise ValueError(f"Log parser pattern does not compile: {exc}") from exc
-        # 3. at least one capture group (LogRecordReader.java:169-170)
-        if compiled.groups == 0:
-            raise ValueError(
-                "Log parser pattern must contain at least one capture group"
-            )
-        # 4. group count == len(field_names) (LogRecordReader.java:171-184)
-        if compiled.groups != len(self.field_names):
-            raise ValueError(
-                f"Log parser pattern has {compiled.groups} capture groups but "
-                f"{len(self.field_names)} field names were configured; these "
-                "must match"
-            )
+        except re.error:
+            compiled = None  # defer to the JVM check at read time
+        if compiled is not None:
+            self._check_groups(compiled.groups)
         # 5/6. date/time format present when a typed column needs it
         # (LogRecordReader.java:193-199, 310-329)
         types = self.resolved_types()
@@ -134,6 +130,45 @@ class LogFormatConfig:
             raise ValueError("TIMESTAMP field declared but 'dateFormat' is empty")
         if TIME in types and not self.time_format:
             raise ValueError("TIME field declared but 'timeFormat' is empty")
+
+    def _check_groups(self, n_groups: int) -> None:
+        """Group-count rules (LogRecordReader.java:169-184)."""
+        if n_groups == 0:
+            raise ValueError(
+                "Log parser pattern must contain at least one capture group"
+            )
+        if n_groups != len(self.field_names):
+            raise ValueError(
+                f"Log parser pattern has {n_groups} capture groups but "
+                f"{len(self.field_names)} field names were configured; these "
+                "must match"
+            )
+
+    def validate_groups_jvm(self, spark) -> None:
+        """Validate the pattern with the engine that will execute it.
+
+        Uses ``java.util.regex.Pattern`` through the py4j gateway — the
+        same call the reference makes (LogRecordReader.java:162) — so
+        setup errors match execution reality in both directions:
+        Java-invalid/Python-valid patterns (``(?P<n>...)``) fail *here*
+        with a setup ValueError instead of a mid-job SparkException, and
+        Java-valid/Python-invalid ones (``a*+``) pass. No-op when the JVM
+        gateway is unreachable (Spark Connect); Python-re validation from
+        ``validate()`` is the fallback there.
+        """
+        try:
+            jvm = spark._jvm
+            jpattern = jvm.java.util.regex.Pattern
+        except Exception:
+            return  # no gateway (Connect); rely on the Python-re check
+        try:
+            compiled = jpattern.compile(self.pattern)
+        except Exception as exc:
+            raise ValueError(
+                f"Log parser pattern does not compile (java.util.regex): "
+                f"{getattr(exc, 'java_exception', exc)}"
+            ) from None
+        self._check_groups(compiled.matcher("").groupCount())
 
     # -- resolution ----------------------------------------------------------
 
@@ -149,7 +184,13 @@ class LogFormatConfig:
 
     @property
     def group_count(self) -> int:
-        return re.compile(self.pattern).groups
+        """Capture-group count per Python re; -1 if only the JVM can parse
+        the pattern (authoritative count then comes from
+        :meth:`validate_groups_jvm`)."""
+        try:
+            return re.compile(self.pattern).groups
+        except re.error:
+            return -1
 
     def effective_timestamp_format(self) -> str:
         return self.timestamp_format or self.date_format

@@ -115,6 +115,10 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
     Output schema: one column per ``cfg.field_names`` (typed per §1.3) plus
     ``unmatched_lines`` (string; NULL on matched rows).
     """
+    # Authoritative setup validation against the engine that executes the
+    # regex (java.util.regex — same compile the reference does at setup,
+    # LogRecordReader.java:160-184).
+    cfg.validate_groups_jvm(lines.sparkSession)
     line = F.trim(F.col(line_col))
     # Empty-line skip (LogRecordReader.java:216-219): no row at all.
     df = lines.where(F.length(line) > 0)

@@ -240,7 +240,6 @@ def test_unknown_type_degrades_to_varchar(spark, tmp_path):
     "kw,msg",
     [
         (dict(pattern="", field_names=[]), "non-empty"),
-        (dict(pattern="(unclosed", field_names=["a"]), "compile"),
         (dict(pattern="nogroups", field_names=[]), "capture group"),
         (dict(pattern="(a)(b)", field_names=["x"]), "must match"),
         (
@@ -252,3 +251,48 @@ def test_unknown_type_degrades_to_varchar(spark, tmp_path):
 def test_setup_errors(kw, msg):
     with pytest.raises(ValueError, match=msg):
         LogFormatConfig(**kw)
+
+
+class TestJvmRegexValidation:
+    """Setup validation runs against the engine that executes (JVM regex),
+    covering both divergence directions (config.py validate_groups_jvm)."""
+
+    def test_java_only_pattern_accepted_and_runs(self, spark, tmp_path):
+        # Java-style named group (?<n>...): Python re (which only knows
+        # (?P<n>...)) rejects it, java.util.regex accepts it.
+        p = tmp_path / "a.log"
+        p.write_text("aaab\nxxb\n")
+        cfg = LogFormatConfig(pattern=r"(?<run>a*)b", field_names=["run"])
+        assert cfg.group_count == -1  # Python could not parse; deferred
+        rows = sorted(
+            [tuple(r) for r in read_log(spark, str(p), cfg).collect()], key=str
+        )
+        assert rows == sorted([("aaa", None), ("", None)], key=str)
+
+    def test_python_only_pattern_rejected_at_setup(self, spark, tmp_path):
+        # Python named group (?P<n>...): re accepts, java.util.regex rejects.
+        p = tmp_path / "b.log"
+        p.write_text("x1\n")
+        cfg = LogFormatConfig(pattern=r"(?P<n>x\d)", field_names=["n"])
+        with pytest.raises(ValueError, match="java.util.regex"):
+            read_log(spark, str(p), cfg).collect()
+
+    def test_java_only_pattern_group_mismatch_raises_at_read(
+        self, spark, tmp_path
+    ):
+        p = tmp_path / "c.log"
+        p.write_text("ab\n")
+        cfg = LogFormatConfig(pattern=r"(?<g>a)(b)", field_names=["only_one"])
+        assert cfg.group_count == -1  # deferred: only the JVM can count
+        with pytest.raises(ValueError, match="capture groups"):
+            read_log(spark, str(p), cfg)
+
+    def test_invalid_everywhere_pattern_raises_at_read(self, spark, tmp_path):
+        # Invalid in both engines: construction defers (Python re failed),
+        # the JVM check at read time raises — the reference's reader-setup
+        # moment (LogRecordReader.java:160-167).
+        p = tmp_path / "d.log"
+        p.write_text("x\n")
+        cfg = LogFormatConfig(pattern="(unclosed", field_names=["a"])
+        with pytest.raises(ValueError, match="java.util.regex"):
+            read_log(spark, str(p), cfg)
