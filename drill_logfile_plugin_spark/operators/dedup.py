@@ -13,16 +13,19 @@ Design for 100 TB
   (pigeonhole: any pair within Hamming distance 3 agrees on ≥1 byte), so the
   candidate join is equi-key too, and the result is *exactly* the set of
   pairs with distance ≤ 3 — banding here is lossless, not approximate.
-* All hashes are md5 hex strings: identical in Spark, DuckDB, and Python's
-  hashlib, which is what lets the driver's DuckDB oracle replicate every
-  operator bit-for-bit. MinHash "values" are the hex strings themselves —
-  for fixed-length hex, lexicographic MIN equals numeric MIN, so no
-  hex→int conversion is needed on the hot path.
+* Hash policy: md5 where the oracle must replicate the value bit-for-bit
+  (exact-dedup content hash, fingerprints, SimHash — md5 is identical in
+  Spark, DuckDB, and hashlib); xxhash64 where the hash is internal
+  candidate-generation state judged only by its *output pairs* (MinHash
+  signatures/buckets — the LSH oracle is the exact all-pairs Jaccard, so
+  the cheap non-cryptographic JVM intrinsic is the right hot-path choice).
 
 No Python UDFs anywhere — every expression is JVM-side and codegen'd.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -76,32 +79,54 @@ def exact_dedup_survivors(
 # --- MinHash + LSH --------------------------------------------------------
 
 
-def minhash_expr(shingle_col: str, seed: int) -> str:
-    """One MinHash value: MIN over shingles of md5 keyed by the seed."""
-    return (
-        f"array_min(transform({shingle_col}, s -> md5(concat('{seed}:', s))))"
-    )
-
-
-def minhash_expr_duck(shingle_col: str, seed: int) -> str:
-    return (
-        f"list_min(list_transform({shingle_col}, s -> md5('{seed}:' || s)))"
-    )
-
-
-def band_exprs(num_hashes: int, bands: int, mk) -> list[str]:
-    """Bucket id per band: md5 over the band's row of MinHash values.
-
-    ``mk(seed)`` renders the minhash expression for one seed, letting the
-    same banding logic serve both the Spark and DuckDB renderers.
-    """
-    rows = num_hashes // bands
+def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic 31-bit (multiplier, offset) pairs, md5-derived at
+    plan-build time (pure Python, no RNG state)."""
     out = []
-    for b in range(bands):
-        parts = " || '|' || ".join(
-            mk(b * rows + r) for r in range(rows)
+    for k in range(num_hashes):
+        h = hashlib.md5(f"spark-graft-minhash:{k}".encode()).hexdigest()
+        a = (int(h[:8], 16) & 0x7FFFFFFF) | 1  # odd multiplier
+        b = int(h[8:16], 16) & 0x7FFFFFFF
+        out.append((a, b))
+    return out
+
+
+def _minhash_expr(hs_col: str, a: int, b: int) -> str:
+    """One MinHash value from the pre-hashed shingle array.
+
+    ``MIN over shingles of (mid_bits(h) * a + b)``: a universal-hash
+    permutation approximation over the 64-bit shingle hashes. Operands are
+    kept under 31 bits so the product stays below 2^63 — no overflow, so
+    the expression is exact under ANSI and non-ANSI evaluation alike.
+
+    Cost model (why this shape): each shingle is hashed ONCE
+    (xxhash64, a bigint JVM intrinsic — no hex-string allocation); the
+    ``num_hashes`` signature lanes reuse those hashes with one
+    multiply-add per element. Higher-order ``transform`` lambdas are
+    interpreted (never codegen'd), so the per-element work inside them
+    must be trivial arithmetic — an earlier md5-per-(seed,shingle)
+    formulation did 128 string hashes per shingle inside the lambdas and
+    was ~30× slower. The minhash values are internal candidate-generation
+    state, never oracle-compared (the LSH oracle is the exact all-pairs
+    Jaccard), so nothing requires a cross-engine hash here.
+    """
+    return (
+        f"array_min(transform({hs_col}, "
+        f"h -> (shiftright(h, 16) & 2147483647) * {a}L + {b}L))"
+    )
+
+
+def band_bucket_exprs(hs_col: str, num_hashes: int, bands: int) -> list[str]:
+    """Per-band bucket ids: xxhash64 over the band's MinHash lanes."""
+    rows = num_hashes // bands
+    consts = _mix_consts(num_hashes)
+    out = []
+    for band in range(bands):
+        lanes = ", ".join(
+            _minhash_expr(hs_col, *consts[band * rows + r])
+            for r in range(rows)
         )
-        out.append(f"md5({parts})")
+        out.append(f"xxhash64({lanes})")
     return out
 
 
@@ -123,17 +148,35 @@ def lsh_candidate_pairs(
     output matches an exact all-pairs computation on any realistic data
     while doing no all-pairs work.
     """
-    sh = F.expr(shingles_sql_spark(text_col, shingle_n))
-    docs = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
-
-    buckets = band_exprs(
-        num_hashes, bands, lambda s: minhash_expr("sh", s)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
     )
-    banded = docs.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.expr(b) for b in buckets])).alias(
-            "band_id", "bucket"
-        ),
+    # Candidate generation hashes shingles arithmetically — multi-arg
+    # xxhash64 straight over the n token strings, no array_join/slice
+    # string allocation, no array_distinct (duplicate shingles cannot
+    # change a MIN). Only the re-rank needs real string shingle sets.
+    ngram_hash = ", ".join(
+        f"element_at(toks, i + {j + 1})" for j in range(shingle_n)
+    )
+    hs = (
+        f"transform(sequence(0, size(toks) - {shingle_n}), "
+        f"i -> xxhash64({ngram_hash}))"
+    )
+    buckets = band_bucket_exprs("hs", num_hashes, bands)
+    banded = (
+        base.select("doc_id", F.expr(hs).alias("hs"))
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[F.expr(b) for b in buckets])).alias(
+                "band_id", "bucket"
+            ),
+        )
+        # Both sides of the self-join read this; without a materialization
+        # point Spark recomputes the whole tokenize+hash+band subtree per
+        # side (and again for every later reference). bands×n rows of
+        # (id, int, bigint) — executor-local disk, never the driver.
+        .localCheckpoint(eager=False)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -148,6 +191,25 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # The candidate set is referenced three times below (two id
+        # projections + the re-rank join); checkpointing materializes the
+        # banding/self-join subplan once instead of once per reference.
+        # It is O(duplicate pairs) — tiny at any corpus scale — and lives
+        # on executor-local disk, not the driver.
+        .localCheckpoint(eager=False)
+    )
+    # Exact re-rank: build string shingle sets ONLY for docs that appear in
+    # a candidate pair (a left-semi prefilter) — candidate counts are
+    # O(duplicates), so this is a tiny fraction of the corpus.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = F.expr(shingles_sql_spark(text_col, shingle_n))
+    docs = (
+        df.join(cand_ids, df[id_col] == cand_ids["doc_id"], "left_semi")
+        .select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -183,19 +245,38 @@ def _hash32_duck(tok: str) -> str:
     )
 
 
-def simhash_sql_spark(col: str = "text") -> str:
-    """32-bit SimHash of the whitespace tokens (with repeats = weights)."""
-    toks = TOKS_SPARK.format(c=col)
-    hs = f"transform({toks}, t -> {_hash32_spark('t')})"
+def simhash_from_hashes(hs_col: str) -> str:
+    """32-bit SimHash from a pre-hashed token array column.
+
+    32 arithmetic folds over the hash array; callers should stage
+    ``hs_col`` as its own projection so the md5-per-token work runs once —
+    inlining it here would re-evaluate it 32× (the bit expressions are
+    separate trees, outside common-subexpression elimination's reach).
+    """
     bits = []
     for j in range(SIMHASH_BITS):
         sb = (
-            f"aggregate({hs}, CAST(0 AS BIGINT), "
+            f"aggregate({hs_col}, CAST(0 AS BIGINT), "
             f"(acc, h) -> acc + (CASE WHEN (shiftright(h, {j}) & 1) = 1 "
             f"THEN 1 ELSE -1 END))"
         )
         bits.append(f"(CASE WHEN ({sb}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     return " + ".join(bits)
+
+
+def token_hashes_sql_spark(col: str = "text") -> str:
+    """Per-token 32-bit hashes (md5-derived — oracle-reproducible)."""
+    toks = TOKS_SPARK.format(c=col)
+    return f"transform({toks}, t -> {_hash32_spark('t')})"
+
+
+def simhash_sql_spark(col: str = "text") -> str:
+    """32-bit SimHash of the whitespace tokens (with repeats = weights).
+
+    Single-expression form (token hashes inlined 32×) — convenient for
+    tests/oracles; hot paths use the staged form (see simhash_pairs).
+    """
+    return simhash_from_hashes(token_hashes_sql_spark(col))
 
 
 def simhash_sql_duck(col: str = "text") -> str:
@@ -236,7 +317,10 @@ def simhash_pairs(
         )
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(simhash_sql_spark(text_col)).alias("sig"),
+        F.expr(token_hashes_sql_spark(text_col)).alias("hs"),
+    ).select(
+        "doc_id",
+        F.expr(simhash_from_hashes("hs")).alias("sig"),
     )
     banded = sigs.select(
         "doc_id",

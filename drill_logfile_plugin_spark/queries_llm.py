@@ -127,8 +127,12 @@ def q28(spark, sf):
     WHERE len(list_intersect(a.s, b.s)) /
             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
     """,
-    doc="Exact bigram Jaccard within 50-char length-band blocks: the "
-    "blocking-key pattern that bounds the pair space without hashing.",
+    doc="Exact bigram Jaccard within 50-char length-band blocks — the "
+    "blocking pattern demo. Length is the only dup-stable key on this "
+    "corpus (seeded near-dups scramble source/lang), so blocks stay "
+    "coarse; when no tight domain key exists, the scale path is MinHash-"
+    "LSH (q27), whose bucket count grows with the data instead of "
+    "quadratic per-block cost.",
 )
 def q29(spark, sf):
     return D.ngram_jaccard_pairs(
