@@ -218,6 +218,39 @@ def ann_lsh_topk(
     )
 
 
+# --- embedding-cosine near-dup --------------------------------------------
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: (id_a, id_b, sim) with sim >= t.
+
+    Upper-triangle comparison (id_a < id_b), deterministic fold cosines.
+
+    Scale posture: this is the *exact baseline* — O(n²) pair space, upper
+    bound n ~ 10^5-10^6 vectors (one block of a larger corpus). At full
+    corpus scale the industry-standard answer is approximate by nature:
+    run the LSH candidate generation from :func:`ann_lsh_topk` (equi join
+    on (table_id, bucket)) and re-rank with this exact cosine, accepting
+    documented recall — there is no lossless banding for cosine thresholds
+    the way there is for SimHash Hamming radii. The exact variant exists
+    so the approximate one has a measurable ground truth (and because
+    within-block exact dedup after a coarse partition — by label, tenant,
+    or shard — is itself a real workload shape.)
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 # --- embedding stats ------------------------------------------------------
 
 

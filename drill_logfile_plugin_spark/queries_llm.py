@@ -322,6 +322,24 @@ def q31(spark, sf):
 
 
 @query(
+    "q40_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (exact upper-triangle baseline at "
+    "threshold 0.4 — the corpus is near-uniform, max pairwise sim ~0.45). "
+    "Scale path = ann_lsh_topk's bucketed candidate gen + this exact "
+    "re-rank; see cosine_dup_pairs docstring for why cosine thresholds "
+    "have no lossless banding.",
+)
+def q40(spark, sf):
+    return S.cosine_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+@query(
     "q32_embedding_stats",
     f"""
     SELECT label,

@@ -54,7 +54,8 @@ def _duck_parsed(path: str) -> str:
     )
     return f"""
     raw AS (
-      SELECT trim(unnest(string_split(content, chr(10)))) AS line
+      SELECT regexp_replace(unnest(string_split(content, chr(10))),
+                            '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS line
       FROM read_text('{path}')
     ),
     lines AS (SELECT line FROM raw WHERE length(line) > 0),

@@ -54,6 +54,17 @@ from ..config import (
 #: Name of the error-channel column (README.md:34, LogRecordReader.java:287-291).
 UNMATCHED_COLUMN = "unmatched_lines"
 
+#: Java String.trim() strips every char <= U+0020 (tabs, CR, control chars),
+#: while SQL TRIM strips only spaces — a real divergence surfaced by the
+#: property tests (a tab-only line must be *skipped*, not routed to
+#: unmatched_lines, LogRecordReader.java:216-219). This regex replicates
+#: Java trim in both Spark and DuckDB (the oracle uses the same class).
+JAVA_TRIM_RE = r"^[\x00-\x20]+|[\x00-\x20]+$"
+
+
+def _java_trim(col: Column) -> Column:
+    return F.regexp_replace(col, JAVA_TRIM_RE, "")
+
 
 def _try_cast(col: Column, to: str) -> Column:
     """ANSI-safe cast: NULL on failure regardless of spark.sql.ansi.enabled."""
@@ -119,7 +130,7 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
     # regex (java.util.regex — same compile the reference does at setup,
     # LogRecordReader.java:160-184).
     cfg.validate_groups_jvm(lines.sparkSession)
-    line = F.trim(F.col(line_col))
+    line = _java_trim(F.col(line_col))
     # Empty-line skip (LogRecordReader.java:216-219): no row at all.
     df = lines.where(F.length(line) > 0)
     # Unanchored find() (LogRecordReader.java:225).

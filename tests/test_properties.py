@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the log scan operator.
+
+SURVEY.md §5 item 3: random lines ⊎ random-ish patterns → structural
+invariants that must hold for ANY input, independent of the DuckDB oracle:
+
+* conservation: matched rows + unmatched rows = non-blank input lines,
+* matched rows never carry unmatched_lines; unmatched rows carry only it,
+* VARCHAR fields round-trip the matched substring exactly,
+* the type-default rule (wrong-length data_types -> all VARCHAR).
+
+One shared SparkSession; hypothesis drives many small DataFrames through
+the same plan shape, so deadline is disabled (Spark job latency dwarfs it).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from drill_logfile_plugin_spark.config import LogFormatConfig
+from drill_logfile_plugin_spark.sources.log_reader import parse_lines
+
+# Lines over a small alphabet so that matches, partial matches, and
+# non-matches all occur with useful frequency.
+line_st = st.text(
+    alphabet=st.sampled_from(list("ab1 \t:")), min_size=0, max_size=24
+)
+
+SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+#: key=value-ish pattern: one alpha group, one numeric group.
+PATTERN = r"([ab]+):?\s*(\d+)"
+
+
+def _run(spark, lines, cfg):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return parse_lines(df, cfg).collect()
+
+
+@given(lines=st.lists(line_st, min_size=0, max_size=30))
+@SETTINGS
+def test_conservation_and_routing(spark, lines):
+    cfg = LogFormatConfig(
+        pattern=PATTERN,
+        field_names=["k", "v"],
+        data_types=["VARCHAR", "INT"],
+    )
+    rows = _run(spark, lines, cfg)
+    non_blank = [ln for ln in lines if ln.strip()]
+    assert len(rows) == len(non_blank)
+    import re
+
+    rx = re.compile(PATTERN)
+    n_match = sum(1 for ln in non_blank if rx.search(ln.strip()))
+    matched = [r for r in rows if r.unmatched_lines is None]
+    unmatched = [r for r in rows if r.unmatched_lines is not None]
+    assert len(matched) == n_match
+    assert len(matched) + len(unmatched) == len(non_blank)
+    for r in unmatched:
+        # unmatched rows carry ONLY the raw (trimmed) line
+        assert r.k is None and r.v is None
+        assert r.unmatched_lines == r.unmatched_lines.strip() != ""
+
+
+@given(lines=st.lists(line_st, min_size=1, max_size=30))
+@SETTINGS
+def test_varchar_roundtrip_first_match(spark, lines):
+    """VARCHAR fields equal re.search's groups on the trimmed line —
+    Matcher.find() first-match semantics, both engines."""
+    import re
+
+    cfg = LogFormatConfig(pattern=PATTERN, field_names=["k", "v"])
+    rows = _run(spark, lines, cfg)
+    rx = re.compile(PATTERN)
+    got = {(r.k, r.v) for r in rows if r.unmatched_lines is None}
+    want = set()
+    for ln in lines:
+        m = rx.search(ln.strip())
+        if m:
+            want.add((m.group(1), m.group(2)))
+    # set-compare (duplicates collapse; order is not part of the contract)
+    assert got == want
+
+
+@given(
+    lines=st.lists(line_st, min_size=1, max_size=10),
+    types=st.one_of(
+        st.none(),
+        st.just(["INT"]),  # wrong length for 2 fields
+        st.just(["WIDGET", "BLOB"]),  # unknown type strings
+    ),
+)
+@SETTINGS
+def test_type_default_rule(spark, lines, types):
+    """None / wrong-length / unknown data_types -> every field VARCHAR
+    (LogRecordReader.java:185-191 and the :276-281 else-branch)."""
+    cfg = LogFormatConfig(pattern=PATTERN, field_names=["k", "v"], data_types=types)
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    out = parse_lines(df, cfg)
+    assert [f.dataType.simpleString() for f in out.schema.fields[:2]] == [
+        "string",
+        "string",
+    ]
