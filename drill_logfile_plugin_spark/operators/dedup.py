@@ -20,17 +20,39 @@ Design for 100 TB
   signatures/buckets — the LSH oracle is the exact all-pairs Jaccard, so
   the cheap non-cryptographic JVM intrinsic is the right hot-path choice).
 
-No Python UDFs anywhere — every expression is JVM-side and codegen'd.
+No row-at-a-time Python UDFs anywhere — expressions are JVM-side except
+the MinHash signature/banding step, which is an Arrow-batched pandas UDF
+(one numpy pass per batch; the pure-SQL formulation needed 128 interpreted
+lambda traversals per doc and was ~5× slower end-to-end).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from .text import TOKS_DUCK, TOKS_SPARK
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the source has fewer splits than cores.
+
+    The shingle/signature expressions below are interpreted higher-order
+    functions — CPU-bound per-document work. On a real corpus the parquet
+    scan yields thousands of splits and this is a no-op; on a small table
+    (one file = one split) every core but one would idle through the most
+    expensive phase of the operator. Shuffling the raw docs once (a few
+    hundred bytes each) is far cheaper than single-threading the parse.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
 
 # --- shingling ------------------------------------------------------------
 
@@ -91,43 +113,49 @@ def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def _minhash_expr(hs_col: str, a: int, b: int) -> str:
-    """One MinHash value from the pre-hashed shingle array.
+def _band_buckets_udf(num_hashes: int, bands: int):
+    """Pandas UDF: shingle-hash array -> per-band bucket ids.
 
-    ``MIN over shingles of (mid_bits(h) * a + b)``: a universal-hash
-    permutation approximation over the 64-bit shingle hashes. Operands are
-    kept under 31 bits so the product stays below 2^63 — no overflow, so
-    the expression is exact under ANSI and non-ANSI evaluation alike.
+    MinHash lane k = ``MIN over shingles of (mid_bits(h) * a_k + b_k)``
+    — a universal-hash permutation approximation over the 64-bit shingle
+    hashes, with operands kept under 31 bits so products stay below 2^63
+    (no overflow before the int64 wrap). Each shingle is hashed ONCE on
+    the JVM (xxhash64 intrinsic over the n token strings — no string
+    shingle allocation); this UDF computes all ``num_hashes`` lanes as
+    one ``(m, num_hashes)`` numpy broadcast multiply-add + column min per
+    doc. An earlier pure-SQL formulation ran the same arithmetic as 128
+    interpreted ``transform`` lambdas per doc (HOFs are never codegen'd)
+    and was ~5× slower end-to-end.
 
-    Cost model (why this shape): each shingle is hashed ONCE
-    (xxhash64, a bigint JVM intrinsic — no hex-string allocation); the
-    ``num_hashes`` signature lanes reuse those hashes with one
-    multiply-add per element. Higher-order ``transform`` lambdas are
-    interpreted (never codegen'd), so the per-element work inside them
-    must be trivial arithmetic — an earlier md5-per-(seed,shingle)
-    formulation did 128 string hashes per shingle inside the lambdas and
-    was ~30× slower. The minhash values are internal candidate-generation
-    state, never oracle-compared (the LSH oracle is the exact all-pairs
-    Jaccard), so nothing requires a cross-engine hash here.
+    Lanes combine into a band bucket via an FNV-style int64 polynomial
+    (wrapping arithmetic — deterministic across platforms). Bucket values
+    are internal candidate-generation state, never oracle-compared: only
+    which *unequal* lane tuples collide depends on the combine function,
+    and such collisions are false-positive candidates that the exact
+    Jaccard re-rank removes — the operator's output is invariant to it.
     """
-    return (
-        f"array_min(transform({hs_col}, "
-        f"h -> (shiftright(h, 16) & 2147483647) * {a}L + {b}L))"
-    )
-
-
-def band_bucket_exprs(hs_col: str, num_hashes: int, bands: int) -> list[str]:
-    """Per-band bucket ids: xxhash64 over the band's MinHash lanes."""
+    consts = np.asarray(_mix_consts(num_hashes), dtype=np.int64)
+    mult, off = consts[:, 0], consts[:, 1]
     rows = num_hashes // bands
-    consts = _mix_consts(num_hashes)
-    out = []
-    for band in range(bands):
-        lanes = ", ".join(
-            _minhash_expr(hs_col, *consts[band * rows + r])
-            for r in range(rows)
-        )
-        out.append(f"xxhash64({lanes})")
-    return out
+    fnv = np.int64(1099511628211)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(hs: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in hs:
+                h = (np.asarray(arr, dtype=np.int64) >> 16) & 0x7FFFFFFF
+                if h.size == 0:
+                    h = np.zeros(1, dtype=np.int64)
+                lanes = (h[:, None] * mult + off).min(axis=0)
+                bl = lanes.reshape(bands, rows)
+                acc = np.zeros(bands, dtype=np.int64)
+                for r in range(rows):
+                    acc = acc * fnv + bl[:, r]
+                out.append(acc)
+        return pd.Series(out)
+
+    return buckets
 
 
 def lsh_candidate_pairs(
@@ -148,6 +176,7 @@ def lsh_candidate_pairs(
     output matches an exact all-pairs computation on any realistic data
     while doing no all-pairs work.
     """
+    df = _spread(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
@@ -163,20 +192,18 @@ def lsh_candidate_pairs(
         f"transform(sequence(0, size(toks) - {shingle_n}), "
         f"i -> xxhash64({ngram_hash}))"
     )
-    buckets = band_bucket_exprs("hs", num_hashes, bands)
+    bucket_udf = _band_buckets_udf(num_hashes, bands)
     banded = (
         base.select("doc_id", F.expr(hs).alias("hs"))
         .select(
             "doc_id",
-            F.posexplode(F.array(*[F.expr(b) for b in buckets])).alias(
-                "band_id", "bucket"
-            ),
+            F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
         )
         # Both sides of the self-join read this; without a materialization
         # point Spark recomputes the whole tokenize+hash+band subtree per
         # side (and again for every later reference). bands×n rows of
         # (id, int, bigint) — executor-local disk, never the driver.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -196,7 +223,7 @@ def lsh_candidate_pairs(
         # banding/self-join subplan once instead of once per reference.
         # It is O(duplicate pairs) — tiny at any corpus scale — and lives
         # on executor-local disk, not the driver.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Exact re-rank: build string shingle sets ONLY for docs that appear in
     # a candidate pair (a left-semi prefilter) — candidate counts are
@@ -315,6 +342,7 @@ def simhash_pairs(
             "byte-banding is only lossless for max_hamming <= 3 "
             "(4 bands of 8 bits); use more/narrower bands for larger radii"
         )
+    df = _spread(df)
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(token_hashes_sql_spark(text_col)).alias("hs"),
@@ -367,29 +395,59 @@ def ngram_jaccard_pairs(
     block_expr: str = "n_chars DIV 50",
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within blocking-key groups.
+    """Exact n-gram Jaccard within blocking-key groups, via inverted index.
 
-    The block key (default: 50-char length band) bounds the pair space —
-    the standard blocking pattern when a domain key (same source, same
-    URL-host, similar length) makes cross-block duplicates implausible.
-    Within a block the comparison is exact.
+    The block key (default: 50-char length band) scopes which pairs count
+    as comparable — the standard blocking pattern when a domain key (same
+    source, same URL-host, similar length) makes cross-block duplicates
+    implausible. Within a block the result is exact.
+
+    Shape: never materializes the per-block pair space. Shingles explode
+    into an inverted index (doc, blk, shingle); a self equi-join on
+    (blk, shingle) + groupBy counts |A∩B| only for pairs that share ≥1
+    shingle (pairs with empty intersection have Jaccard 0 < threshold and
+    are correctly absent); set sizes join back for |A∪B| = |A|+|B|-|A∩B|.
+    Cost is O(Σ per-shingle posting-list²) ≈ O(co-occurrences) — on a
+    mostly-distinct corpus that is near-linear, vs the all-pairs join's
+    O(Σ block²·setsize) even when nothing matches.
     """
+    df = _spread(df)
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(block_expr).alias("blk"),
         F.expr(shingles_sql_spark(text_col, shingle_n)).alias("sh"),
-    )
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("blk"), F.col("sh").alias("sh_a")
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("blk"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        a.join(b, ["blk"])
+        # Referenced by both the index explode and the size lookup (and the
+        # index twice more via the self-join): materialize the tokenize+
+        # shingle work once, executor-local.
+    ).localCheckpoint(eager=True)
+    sizes = docs.select("doc_id", F.size("sh").alias("sz"))
+    # Join on the 8-byte xxhash64 of the shingle, not the string itself —
+    # same shuffle volume trick as exact dedup's md5 key. A within-doc or
+    # cross-doc hash collision would need two distinct shingles of the
+    # same doc pair to collide (p ~ 2^-64 per co-occurrence) to perturb a
+    # count; the DuckDB oracle (string sets) certifies it doesn't happen.
+    idx = docs.select(
+        "doc_id", "blk", F.explode("sh").alias("g0")
+    ).select("doc_id", "blk", F.xxhash64("g0").alias("g"))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "blk", "g")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "blk", "g")
+    inter = (
+        a.join(b, ["blk", "g"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "blk", (inter / union).alias("jaccard"))
+        .groupBy("doc_a", "doc_b", "blk")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ni = F.col("n_inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "blk",
+            (ni / (F.col("sz_a") + F.col("sz_b") - ni)).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )

@@ -226,26 +226,98 @@ def cosine_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 1024,
+    eps: float = 1e-6,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: (id_a, id_b, sim) with sim >= t.
 
-    Upper-triangle comparison (id_a < id_b), deterministic fold cosines.
+    Two phases, both distributed:
 
-    Scale posture: this is the *exact baseline* — O(n²) pair space, upper
-    bound n ~ 10^5-10^6 vectors (one block of a larger corpus). At full
-    corpus scale the industry-standard answer is approximate by nature:
-    run the LSH candidate generation from :func:`ann_lsh_topk` (equi join
-    on (table_id, bucket)) and re-rank with this exact cosine, accepting
-    documented recall — there is no lossless banding for cosine thresholds
-    the way there is for SimHash Hamming radii. The exact variant exists
-    so the approximate one has a measurable ground truth (and because
-    within-block exact dedup after a coarse partition — by label, tenant,
-    or shard — is itself a real workload shape.)
+    1. **Blocked-matmul candidate generation.** Vectors are hash-assigned
+       to ``ceil(n / block_size)`` blocks; each block is packed into one
+       Arrow row (``applyInPandas``), block pairs (upper triangle) meet in
+       a tiny ``nblocks²/2``-row join, and one numpy/BLAS matmul per block
+       pair finds every pair with sim >= threshold - eps. Communication is
+       O(n·nblocks) — the classic 2D-blocked all-pairs schedule — and the
+       n² arithmetic runs inside BLAS, not per-row expression evaluation.
+    2. **Exact fold re-rank.** Survivors (O(duplicate pairs), tiny) join
+       back to their vectors and the deterministic sequential-fold cosine
+       (bit-identical to the DuckDB oracle) makes the final threshold
+       decision. The matmul's float error is ~1e-13 << eps, so phase 1
+       can never drop a pair phase 2 would keep: output is exact.
+
+    Scale posture: exact all-pairs is O(n²) no matter how it's scheduled —
+    this shape is for n ~ 10^5-10^6 (one coarse partition — label, tenant,
+    shard — of a larger corpus). At full corpus scale run the LSH candidate
+    generation from :func:`ann_lsh_topk` instead and accept documented
+    recall; there is no lossless banding for cosine thresholds the way
+    there is for SimHash Hamming radii. The exact variant exists so the
+    approximate one has a measurable ground truth.
     """
+    n = df.count()
+    nblocks = max(1, -(-n // block_size))
+    vecs = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).alias("blk"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def pack(key, pdf):
+        return pd.DataFrame(
+            {
+                "blk": [key[0]],
+                "ids": [pdf["vid"].tolist()],
+                "vecs": [[list(v) for v in pdf["vec"]]],
+            }
+        )
+
+    packed = vecs.groupBy("blk").applyInPandas(
+        pack, schema="blk long, ids array<long>, vecs array<array<double>>"
+    )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    block_pairs = pa.join(pb, F.col("blk_a") <= F.col("blk_b"))
+    lo = threshold - eps
+
+    def gen(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.ids_a, dtype=np.int64)
+                ib = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.stack([np.asarray(v) for v in r.vecs_a])
+                B = np.stack([np.asarray(v) for v in r.vecs_b])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                mask = (An @ Bn.T) >= lo
+                if r.blk_a == r.blk_b:
+                    mask &= ia[:, None] < ib[None, :]
+                i_idx, j_idx = np.nonzero(mask)
+                xa, xb = ia[i_idx], ib[j_idx]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    cand = block_pairs.mapInPandas(gen, schema="id_a long, id_b long")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
         .where(F.col("sim") >= threshold)
     )
