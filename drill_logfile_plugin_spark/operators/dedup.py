@@ -199,12 +199,18 @@ def lsh_candidate_pairs(
             "doc_id",
             F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
         )
-        # Both sides of the self-join read this; without a materialization
-        # point Spark recomputes the whole tokenize+hash+band subtree per
-        # side (and again for every later reference). bands×n rows of
-        # (id, int, bigint) — executor-local disk, never the driver.
+        # Referenced by both sides of the candidate self-join; materialize
+        # the tokenize+hash+band pipeline once (bands×n small rows,
+        # executor-local disk, never the driver).
         .localCheckpoint(eager=True)
     )
+    # Candidate pairs via native hash self-join on (band_id, bucket).
+    # A groupBy+collect_list pair expansion was tried and is SLOWER here:
+    # a near-identical pair collides in all ~64 bands, so the pair space
+    # before dedup is ~bands × n_dup_pairs (704k rows at sf0.1) and the
+    # interpreted lambda expansion loses to the codegen'd join on that
+    # volume. Bucket skew is bounded by design: 2 lanes/band keeps bucket
+    # posting lists near-singleton away from true duplicate clusters.
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -325,6 +331,43 @@ def simhash32(col: str = "text") -> Column:
     return F.expr(simhash_sql_spark(col))
 
 
+def _simhash_udf():
+    """Pandas UDF: whitespace-token array -> 32-bit SimHash signature.
+
+    Bit-identical to :func:`simhash_sql_spark` / :func:`simhash_sql_duck`
+    (the forms the DuckDB oracle mirrors): token hash = first 8 hex chars
+    of md5 as a 32-bit int (``hashlib.md5`` == Spark ``md5`` == DuckDB
+    ``md5`` on UTF-8 bytes); per bit j, sum ±1 over tokens by bit j, sign
+    >= 0 sets bit j. All values fit in int64 — numpy integer arithmetic
+    reproduces the SQL fold exactly, including the empty-doc case (sum
+    over no tokens = 0 → every bit set). One md5 pass + one ``(m, 32)``
+    numpy reduction per doc replaces an interpreted md5-per-token lambda
+    plus 32 interpreted ``aggregate`` lambdas.
+    """
+    js = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << js)
+
+    @F.pandas_udf(LongType())
+    def sig(toks: pd.Series) -> pd.Series:
+        out = np.empty(len(toks), dtype=np.int64)
+        for i, arr in enumerate(toks):
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
+                    )
+                    for t in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+            sb = (2 * ((h[:, None] >> js) & 1) - 1).sum(axis=0)
+            out[i] = ((sb >= 0) * weights).sum()
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -343,12 +386,13 @@ def simhash_pairs(
             "(4 bands of 8 bits); use more/narrower bands for larger radii"
         )
     df = _spread(df)
+    sig_udf = _simhash_udf()
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(token_hashes_sql_spark(text_col)).alias("hs"),
+        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
     ).select(
         "doc_id",
-        F.expr(simhash_from_hashes("hs")).alias("sig"),
+        sig_udf(F.col("toks")).alias("sig"),
     )
     banded = sigs.select(
         "doc_id",
@@ -361,7 +405,13 @@ def simhash_pairs(
                 ]
             )
         ).alias("band_id", "byte"),
-    )
+        # Both sides of the candidate self-join read this; materialize the
+        # tokenize+md5+signature pipeline once (4×n small rows, executor-
+        # local disk). A groupBy+collect_list pair expansion was tried and
+        # is slower: this corpus is dup-heavy, so in-bucket pair volume is
+        # large and the interpreted lambda expansion (bit_count per pair)
+        # loses to the codegen'd hash join + filter on the same volume.
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.expr("bit_count(CAST(sig_a ^ sig_b AS BIGINT))")
