@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -124,6 +126,111 @@ def decode_media(
             )
 
     return narrow.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+#: Schema produced by extract_features.
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    codec: str = "fake",
+) -> DataFrame:
+    """Feature-extract binary payloads to a dense vector via mapInPandas.
+
+    The embedding-extraction shape: media bytes in, ``array<double>`` out,
+    ready for the similarity tier (cosine_topk / ann_lsh_topk / ivf_topk).
+    Fake codec: feature j = byte j of iterated md5 of the payload, scaled
+    to [0, 1] by /255 — deterministic, and reproducible in SQL (md5 hex
+    pairs → ints), so aggregates over features are oracle-checkable with
+    order-independent reducers (MIN/MAX; j/255.0 is IEEE-exact in every
+    engine).
+    """
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} not available")
+    if dim > 16:
+        raise ValueError("fake codec derives at most 16 features (one md5)")
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def feature_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [b / 255.0 for b in hashlib.md5(p).digest()[:dim]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return narrow.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+#: Schema produced by frame_sample.
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+    codec: str = "fake",
+) -> DataFrame:
+    """Sample frames from video-like payloads: one output row per frame.
+
+    The one-to-many media shape (mapInPandas as a flatMap): a real codec
+    would emit ``(doc_id, frame_idx, frame_bytes)``; the fake codec
+    derives a deterministic frame count (1..8, md5 nibbles 10-12 of the
+    payload) and emits every ``every_n``-th index with its 25 fps
+    timestamp. Frame counts are md5-derived, so the exploded row set is
+    reproducible in SQL (DuckDB ``unnest(range(...))``) — the driver
+    oracle checks the full explode, not just plumbing.
+    """
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} not available")
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def frame_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(p).hexdigest()
+                n_frames = 1 + int(h[9:12], 16) % 8
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ts.append(i * 40)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "t_ms": pd.Series(ts, dtype="int64"),
+                }
+            )
+
+    return narrow.mapInPandas(frame_batches, FRAMES_SCHEMA)
 
 
 def resize_plan(

@@ -417,3 +417,84 @@ def q33(spark, sf):
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+@query(
+    "q42_frame_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             1 + {_duck_hex2int('substr(md5(text), 10, 3)')} % 8 AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sampled,
+           MAX(frame_idx) AS last_frame,
+           SUM(frame_idx * 40) AS total_t_ms
+    FROM frames GROUP BY doc_id
+    """,
+    doc="Video frame sampling (one-to-many mapInPandas flatMap): md5-"
+    "derived deterministic frame counts, every-2nd-frame sample, 25 fps "
+    "timestamps. The oracle reproduces the full exploded row set via "
+    "unnest(range()), so the flatMap semantics — not just plumbing — are "
+    "hash-checked.",
+)
+def q42(spark, sf):
+    d = M.attach_payload(_t(spark, sf, "documents"))
+    frames = M.frame_sample(d, every_n=2, codec="fake")
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").alias("last_frame"),
+        F.sum("t_ms").alias("total_t_ms"),
+    )
+
+
+@query(
+    "q43_feature_extract",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_duck_hex2int('substr(md5(text), 1, 2)')} / 255.0 AS f0,
+             {_duck_hex2int('substr(md5(text), 31, 2)')} / 255.0 AS f15,
+             16 + {_duck_hex2int('substr(md5(text), 1, 4)')} % 512 AS width,
+             16 + {_duck_hex2int('substr(md5(text), 5, 4)')} % 512 AS height,
+             (list_value('png', 'jpeg', 'webp', 'gif'))
+               [({_duck_hex2int('substr(md5(text), 9, 1)')} % 4) + 1]
+               AS media_format
+      FROM documents
+    )
+    SELECT media_format,
+           COUNT(*) AS n_docs,
+           MIN(f0) AS min_f0,
+           MAX(f0) AS max_f0,
+           MIN(f15) AS min_f15,
+           MAX(f15) AS max_f15
+    FROM f GROUP BY media_format
+    """,
+    doc="Feature extraction (media bytes -> dense array<double> via "
+    "mapInPandas) joined back to decoded metadata — the embedding-"
+    "extraction pipeline shape. Aggregates use only order-independent "
+    "reducers over IEEE-exact byte/255.0 lanes, so the Arrow round-trip "
+    "is value-checked against SQL-recomputed features.",
+)
+def q43(spark, sf):
+    d = M.attach_payload(_t(spark, sf, "documents"))
+    feats = M.extract_features(d, dim=16, codec="fake")
+    meta = M.decode_media(d, codec="fake").select("doc_id", "media_format")
+    f0 = F.col("features")[0]
+    f15 = F.col("features")[15]
+    return (
+        feats.join(meta, "doc_id")
+        .groupBy("media_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(f0).alias("min_f0"),
+            F.max(f0).alias("max_f0"),
+            F.min(f15).alias("min_f15"),
+            F.max(f15).alias("max_f15"),
+        )
+    )

@@ -214,3 +214,31 @@ def test_unsupported_codec_raises(spark, documents):
         M.decode_media(M.attach_payload(documents.limit(1)), codec="pil")
     with pytest.raises(NotImplementedError):
         M.resize_plan(documents.limit(1), codec="ffmpeg")
+    with pytest.raises(NotImplementedError):
+        M.extract_features(M.attach_payload(documents.limit(1)), codec="clip")
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(M.attach_payload(documents.limit(1)), codec="ffmpeg")
+
+
+def test_extract_features_matches_md5_bytes(spark, documents):
+    feats = M.extract_features(M.attach_payload(documents.limit(50)), dim=16)
+    texts = {r.doc_id: r.text for r in documents.limit(50).collect()}
+    for r in feats.collect():
+        digest = hashlib.md5(texts[r.doc_id].encode("utf-8")).digest()
+        assert len(r.features) == 16
+        assert r.features == [b / 255.0 for b in digest]
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+
+
+def test_frame_sample_is_deterministic_flatmap(spark, documents):
+    sample = M.frame_sample(M.attach_payload(documents.limit(50)), every_n=2)
+    texts = {r.doc_id: r.text for r in documents.limit(50).collect()}
+    by_doc: dict = {}
+    for r in sample.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.t_ms))
+    assert set(by_doc) == set(texts)  # every doc emits >=1 frame
+    for doc_id, frames in by_doc.items():
+        h = hashlib.md5(texts[doc_id].encode("utf-8")).hexdigest()
+        n_frames = 1 + int(h[9:12], 16) % 8
+        want = [(i, i * 40) for i in range(0, n_frames, 2)]
+        assert sorted(frames) == want
