@@ -68,6 +68,20 @@ def main() -> None:
             .select(_warm(_F.col("count")))
             .write.format("noop").mode("overwrite").save()
         )
+        # Decimal partial/final aggregation codegen is its own JIT path
+        # (the money-sum determinism policy runs on decimal(12,2)); warm
+        # it on a synthetic frame so the first priced query isn't charged
+        # for compiler time.
+        (
+            spark.range(1000)
+            .select(
+                (_F.col("id") % 7).alias("k"),
+                (_F.col("id") / 100).cast("decimal(12,2)").alias("d"),
+            )
+            .groupBy("k")
+            .agg(_F.sum("d"), _F.avg("d"), _F.count("d"))
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception as e:
         print(f"bench: warmup failed (continuing): {e}", file=sys.stderr)
 

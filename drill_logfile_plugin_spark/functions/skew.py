@@ -1,0 +1,67 @@
+"""Skew mitigation: explicit key salting for joins AQE cannot fix.
+
+When to use what (the decision tree this module implements the last leaf
+of):
+
+1. **Aggregations** over skewed keys need nothing here — Spark's partial
+   (map-side) aggregation already collapses hot keys before the shuffle.
+2. **Skewed sort-merge joins** are handled by AQE skew-join splitting
+   (``spark.sql.adaptive.skewJoin.enabled``, on by default in this
+   engine's session config).
+3. **Broadcastable small sides** should broadcast — no shuffle, no skew.
+4. What remains: a shuffled join where ONE side's hot keys overwhelm a
+   task and the other side is too big to broadcast. The fix is salting:
+   split each hot key's rows across ``salt`` sub-keys on the big side and
+   replicate the other side's matching rows ``salt`` times, turning one
+   straggler task into ``salt`` even ones at the cost of replicating only
+   the matching rows of the replicated side.
+
+``salted_join`` is deterministic (salt from a hash of a chosen column,
+not a random number), so plans are reproducible and re-runnable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join robust to hot keys on the ``skewed`` side.
+
+    The skewed side gets a deterministic salt in ``[0, salt)`` derived
+    from ``salt_source`` (default: the first non-key column, falling back
+    to the key itself — a key-only salt still spreads distinct hot keys,
+    but cannot split ONE key unless a distinguishing column exists).
+    The ``other`` side is exploded ``salt`` times; join keys become
+    ``on + [__salt]``, so each former single hot-key task is now ``salt``
+    tasks. Output schema equals a plain ``skewed.join(other, on, how)``.
+
+    Cost model: ``other`` is scanned once but shuffled ``salt`` times
+    over — use this ONLY when ``other`` is far smaller than the skewed
+    side (else the replication dominates) yet too big to broadcast.
+    """
+    if salt < 2:
+        raise ValueError("salt must be >= 2 to spread anything")
+    if salt_source is None:
+        non_key = [c for c in skewed.columns if c not in on]
+        salt_source = non_key[0] if non_key else list(on)[0]
+    salted = skewed.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt))
+    )
+    replicated = other.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")),
+    )
+    return salted.join(replicated, [*on, SALT_COL], how).drop(SALT_COL)

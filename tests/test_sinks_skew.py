@@ -1,0 +1,154 @@
+"""Tests for the write path (sinks) and explicit skew salting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.config import LogFormatConfig
+from drill_logfile_plugin_spark.functions.skew import salted_join
+from drill_logfile_plugin_spark.sources.log_reader import read_log
+from drill_logfile_plugin_spark.sources import sinks
+
+from .conftest import MYSQL_LOG_LINES
+
+
+# --- sinks ----------------------------------------------------------------
+
+
+def _mysql_df(spark, tmp_path):
+    log = tmp_path / "mysql.log"
+    log.write_text("\n".join(MYSQL_LOG_LINES) + "\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["date", "time", "pid", "action", "query"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    return read_log(spark, str(log), cfg)
+
+
+def test_write_table_partitioned_roundtrip(spark, tmp_path):
+    """Parse -> partitioned parquet -> read back: values survive, and the
+    partition column becomes a directory (pruning surface)."""
+    df = _mysql_df(spark, tmp_path)
+    out = tmp_path / "out"
+    sinks.write_table(df, str(out), partition_by=["date"])
+    # one directory per distinct date value
+    dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert dirs == {"date=2007-08-23", "date=2007-09-17"}
+    back = spark.read.parquet(str(out))
+    assert back.count() == df.count()
+    want = sorted(
+        map(str, df.select("date", "pid", "action", "query").collect())
+    )
+    got = sorted(
+        map(str, back.select("date", "pid", "action", "query").collect())
+    )
+    assert got == want
+
+
+def test_write_table_mode_error_refuses_overwrite(spark, tmp_path):
+    df = _mysql_df(spark, tmp_path)
+    out = tmp_path / "once"
+    sinks.write_table(df, str(out))
+    with pytest.raises(Exception, match="already exists"):
+        sinks.write_table(df, str(out))  # default mode="error"
+
+
+def test_write_stream_parquet_roundtrip(spark, tmp_path):
+    """read_log_stream -> checkpointed parquet sink -> batch read back."""
+    from drill_logfile_plugin_spark.sources.log_reader import read_log_stream
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+    (indir / "a.log").write_text("\n".join(MYSQL_LOG_LINES) + "\n")
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["date", "time", "pid", "action", "query"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    stream = read_log_stream(spark, str(indir), cfg)
+    q = sinks.write_stream(
+        stream,
+        str(tmp_path / "stream_out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(str(tmp_path / "stream_out"))
+    assert back.count() == len(MYSQL_LOG_LINES)
+    assert {r.action for r in back.select("action").collect()} == {
+        "Connect",
+        "Query",
+    }
+
+
+# --- skew salting ---------------------------------------------------------
+
+
+@pytest.fixture()
+def skewed_pair(spark):
+    """90% of fact rows share one hot key; dim has one row per key."""
+    fact = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    return fact, dim
+
+
+def test_salted_join_equals_plain_join(spark, skewed_pair):
+    fact, dim = skewed_pair
+    plain = fact.join(dim, ["k"]).select("k", "payload", "label")
+    salted = salted_join(fact, dim, on=["k"], salt=8).select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(str, salted.collect())) == sorted(
+        map(str, plain.collect())
+    )
+
+
+def test_salted_join_spreads_the_hot_key(spark, skewed_pair):
+    """The hot key's rows must land in >1 shuffle partition: group the
+    salted key set and check the hot key maps to multiple salts."""
+    fact, _ = skewed_pair
+    from drill_logfile_plugin_spark.functions.skew import SALT_COL
+
+    salted = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col("payload")), F.lit(8))
+    )
+    n_salts = (
+        salted.where(F.col("k") == 7)
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_salted_join_outer_preserves_unmatched(spark, skewed_pair):
+    fact, dim = skewed_pair
+    dim_missing_hot = dim.where(F.col("k") != 7)
+    plain = fact.join(dim_missing_hot, ["k"], "left").select(
+        "k", "payload", "label"
+    )
+    salted = salted_join(
+        fact, dim_missing_hot, on=["k"], salt=4, how="left"
+    ).select("k", "payload", "label")
+    assert sorted(map(str, salted.collect())) == sorted(
+        map(str, plain.collect())
+    )
+
+
+def test_salted_join_rejects_degenerate_salt(spark, skewed_pair):
+    fact, dim = skewed_pair
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(fact, dim, on=["k"], salt=1)
