@@ -113,41 +113,66 @@ def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def _band_buckets_udf(num_hashes: int, bands: int):
-    """Pandas UDF: shingle-hash array -> per-band bucket ids.
+def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
+    """Pandas UDF: token-hash array -> per-band LSH bucket ids.
 
-    MinHash lane k = ``MIN over shingles of (mid_bits(h) * a_k + b_k)``
-    — a universal-hash permutation approximation over the 64-bit shingle
-    hashes, with operands kept under 31 bits so products stay below 2^63
-    (no overflow before the int64 wrap). Each shingle is hashed ONCE on
-    the JVM (xxhash64 intrinsic over the n token strings — no string
-    shingle allocation); this UDF computes all ``num_hashes`` lanes as
-    one ``(m, num_hashes)`` numpy broadcast multiply-add + column min per
-    doc. An earlier pure-SQL formulation ran the same arithmetic as 128
+    Input is one xxhash64 per TOKEN (the only per-string work, done on
+    the JVM as a single ``transform`` — n ops, not n_shingles × n string
+    ops). Everything downstream is vectorized numpy per Arrow batch:
+
+    * shingle hash = FNV-style rolling polynomial over ``shingle_n``
+      consecutive token hashes, then a splitmix64 finalizer — the
+      polynomial alone is LINEAR, so shingles sharing suffix tokens get
+      correlated hashes, which biases the MinHash estimate enough to
+      drop a true J>=0.6 pair (observed against the exact oracle); the
+      xor-shift-multiply finalizer restores uniformity (wrapping uint64 —
+      deterministic),
+    * MinHash lane k = ``MIN over shingles of (mid_bits(h) * a_k + b_k)
+      mod (2^61 - 1)`` — genuine Carter-Wegman universal hashing. The
+      ``mod`` is load-bearing: without it the map is MONOTONIC in h, so
+      every lane's min collapses to the same argmin shingle and the 128
+      "lanes" silently degrade to one k=1 minhash (the round-2 SQL
+      formulation had exactly this bug and passed the oracle only
+      because this corpus's near-dups have J≈1). Operands stay under 31
+      bits so products fit in int64 before the mod. Computed as one
+      ``(m, num_hashes)`` broadcast multiply-add-mod + column min,
+    * band bucket = the same FNV polynomial over the band's lanes.
+
+    An earlier pure-SQL formulation ran the lane arithmetic as 128
     interpreted ``transform`` lambdas per doc (HOFs are never codegen'd)
-    and was ~5× slower end-to-end.
-
-    Lanes combine into a band bucket via an FNV-style int64 polynomial
-    (wrapping arithmetic — deterministic across platforms). Bucket values
-    are internal candidate-generation state, never oracle-compared: only
-    which *unequal* lane tuples collide depends on the combine function,
-    and such collisions are false-positive candidates that the exact
-    Jaccard re-rank removes — the operator's output is invariant to it.
+    and was ~5× slower end-to-end. All values here are internal
+    candidate-generation state, never oracle-compared: hash choices only
+    decide which *unequal* shingles/lane-tuples collide, and collisions
+    are false-positive candidates that the exact Jaccard re-rank removes
+    — the operator's output is invariant to them.
     """
     consts = np.asarray(_mix_consts(num_hashes), dtype=np.int64)
     mult, off = consts[:, 0], consts[:, 1]
     rows = num_hashes // bands
     fnv = np.int64(1099511628211)
+    mersenne61 = np.int64((1 << 61) - 1)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def buckets(hs: pd.Series) -> pd.Series:
+    def buckets(token_hashes: pd.Series) -> pd.Series:
         out = []
         with np.errstate(over="ignore"):
-            for arr in hs:
-                h = (np.asarray(arr, dtype=np.int64) >> 16) & 0x7FFFFFFF
-                if h.size == 0:
-                    h = np.zeros(1, dtype=np.int64)
-                lanes = (h[:, None] * mult + off).min(axis=0)
+            for arr in token_hashes:
+                t = np.asarray(arr, dtype=np.int64)
+                m = t.size - shingle_n + 1
+                if m <= 0:
+                    sh = np.zeros(1, dtype=np.uint64)
+                else:
+                    sh = np.zeros(m, dtype=np.int64)
+                    for j in range(shingle_n):
+                        sh = sh * fnv + t[j : j + m]
+                    sh = sh.astype(np.uint64)
+                    sh ^= sh >> np.uint64(30)
+                    sh *= np.uint64(0xBF58476D1CE4E5B9)
+                    sh ^= sh >> np.uint64(27)
+                    sh *= np.uint64(0x94D049BB133111EB)
+                    sh ^= sh >> np.uint64(31)
+                h = (sh.astype(np.int64) >> 16) & 0x7FFFFFFF
+                lanes = ((h[:, None] * mult + off) % mersenne61).min(axis=0)
                 bl = lanes.reshape(bands, rows)
                 acc = np.zeros(bands, dtype=np.int64)
                 for r in range(rows):
@@ -181,20 +206,15 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("doc_id"),
         F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
     )
-    # Candidate generation hashes shingles arithmetically — multi-arg
-    # xxhash64 straight over the n token strings, no array_join/slice
-    # string allocation, no array_distinct (duplicate shingles cannot
-    # change a MIN). Only the re-rank needs real string shingle sets.
-    ngram_hash = ", ".join(
-        f"element_at(toks, i + {j + 1})" for j in range(shingle_n)
-    )
-    hs = (
-        f"transform(sequence(0, size(toks) - {shingle_n}), "
-        f"i -> xxhash64({ngram_hash}))"
-    )
-    bucket_udf = _band_buckets_udf(num_hashes, bands)
+    # Candidate generation hashes each TOKEN once (xxhash64, a bigint JVM
+    # intrinsic — n interpreted ops per doc, vs n_shingles × n string ops
+    # for per-shingle hashing; no array_join/slice string allocation, no
+    # array_distinct since duplicate shingles cannot change a MIN).
+    # Shingle hashes are derived from consecutive token hashes inside the
+    # banding UDF, vectorized. Only the re-rank needs string shingle sets.
+    bucket_udf = _band_buckets_udf(num_hashes, bands, shingle_n)
     banded = (
-        base.select("doc_id", F.expr(hs).alias("hs"))
+        base.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
         .select(
             "doc_id",
             F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
