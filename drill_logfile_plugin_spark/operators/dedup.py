@@ -101,16 +101,16 @@ def exact_dedup_survivors(
 # --- MinHash + LSH --------------------------------------------------------
 
 
-def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic 31-bit (multiplier, offset) pairs, md5-derived at
-    plan-build time (pure Python, no RNG state)."""
-    out = []
-    for k in range(num_hashes):
-        h = hashlib.md5(f"spark-graft-minhash:{k}".encode()).hexdigest()
-        a = (int(h[:8], 16) & 0x7FFFFFFF) | 1  # odd multiplier
-        b = int(h[8:16], 16) & 0x7FFFFFFF
-        out.append((a, b))
-    return out
+def _lane_seeds(num_hashes: int) -> list[int]:
+    """Deterministic 64-bit per-lane seeds, md5-derived at plan-build
+    time (pure Python, no RNG state — reproducible across sessions)."""
+    return [
+        int.from_bytes(
+            hashlib.md5(f"spark-graft-minhash:{k}".encode()).digest()[:8],
+            "big",
+        )
+        for k in range(num_hashes)
+    ]
 
 
 def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
@@ -121,21 +121,21 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
     ops). Everything downstream is vectorized numpy per Arrow batch:
 
     * shingle hash = FNV-style rolling polynomial over ``shingle_n``
-      consecutive token hashes, then a splitmix64 finalizer — the
-      polynomial alone is LINEAR, so shingles sharing suffix tokens get
-      correlated hashes, which biases the MinHash estimate enough to
-      drop a true J>=0.6 pair (observed against the exact oracle); the
-      xor-shift-multiply finalizer restores uniformity (wrapping uint64 —
-      deterministic),
-    * MinHash lane k = ``MIN over shingles of (mid_bits(h) * a_k + b_k)
-      mod (2^61 - 1)`` — genuine Carter-Wegman universal hashing. The
-      ``mod`` is load-bearing: without it the map is MONOTONIC in h, so
-      every lane's min collapses to the same argmin shingle and the 128
-      "lanes" silently degrade to one k=1 minhash (the round-2 SQL
-      formulation had exactly this bug and passed the oracle only
-      because this corpus's near-dups have J≈1). Operands stay under 31
-      bits so products fit in int64 before the mod. Computed as one
-      ``(m, num_hashes)`` broadcast multiply-add-mod + column min,
+      consecutive token hashes (wrapping int64 — deterministic; its
+      linear suffix-correlation is harmless because each lane applies a
+      full scramble below),
+    * MinHash lane k = ``MIN over shingles of splitmix64(h XOR seed_k)``
+      — a genuinely independent scramble per lane. Two rejected
+      formulations looked right and were statistically broken, caught by
+      the planted-borderline-pair test (tests/test_llm_ops.py): a
+      multiply-add ``h*a_k+b_k`` is MONOTONIC in h (every lane's min
+      collapses to the argmin shingle — one k=1 minhash wearing 128
+      hats), and adding ``mod 2^61-1`` barely helps because products
+      stay under 2^62, so the map wraps at most once and lanes remain
+      ~95% correlated — miss rate degrades from the advertised
+      (1-J^r)^b to roughly (1-J). The XOR+finalizer map has no such
+      order structure. Computed as one ``(m, num_hashes)`` uint64
+      broadcast + column min,
     * band bucket = the same FNV polynomial over the band's lanes.
 
     An earlier pure-SQL formulation ran the lane arithmetic as 128
@@ -146,11 +146,19 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
     are false-positive candidates that the exact Jaccard re-rank removes
     — the operator's output is invariant to them.
     """
-    consts = np.asarray(_mix_consts(num_hashes), dtype=np.int64)
-    mult, off = consts[:, 0], consts[:, 1]
+    seeds = np.asarray(_lane_seeds(num_hashes), dtype=np.uint64)
     rows = num_hashes // bands
     fnv = np.int64(1099511628211)
-    mersenne61 = np.int64((1 << 61) - 1)
+    c1 = np.uint64(0xBF58476D1CE4E5B9)
+    c2 = np.uint64(0x94D049BB133111EB)
+
+    def mix64(z: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer, elementwise over uint64."""
+        z = z ^ (z >> np.uint64(30))
+        z = z * c1
+        z = z ^ (z >> np.uint64(27))
+        z = z * c2
+        return z ^ (z >> np.uint64(31))
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(token_hashes: pd.Series) -> pd.Series:
@@ -160,19 +168,16 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
                 t = np.asarray(arr, dtype=np.int64)
                 m = t.size - shingle_n + 1
                 if m <= 0:
-                    sh = np.zeros(1, dtype=np.uint64)
+                    sh = np.zeros(1, dtype=np.int64)
                 else:
                     sh = np.zeros(m, dtype=np.int64)
                     for j in range(shingle_n):
                         sh = sh * fnv + t[j : j + m]
-                    sh = sh.astype(np.uint64)
-                    sh ^= sh >> np.uint64(30)
-                    sh *= np.uint64(0xBF58476D1CE4E5B9)
-                    sh ^= sh >> np.uint64(27)
-                    sh *= np.uint64(0x94D049BB133111EB)
-                    sh ^= sh >> np.uint64(31)
-                h = (sh.astype(np.int64) >> 16) & 0x7FFFFFFF
-                lanes = ((h[:, None] * mult + off) % mersenne61).min(axis=0)
+                lanes = (
+                    mix64(sh.astype(np.uint64)[:, None] ^ seeds)
+                    .min(axis=0)
+                    .astype(np.int64)
+                )
                 bl = lanes.reshape(bands, rows)
                 acc = np.zeros(bands, dtype=np.int64)
                 for r in range(rows):

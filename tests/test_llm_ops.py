@@ -172,6 +172,61 @@ def test_minhash_lsh_finds_all_high_jaccard_pairs(spark, documents):
         assert abs(got[pair] - j) < 1e-12
 
 
+def test_minhash_lsh_recall_on_planted_borderline_pairs(spark):
+    """Statistical safety net: plant near-dup pairs at J just above the
+    0.6 threshold — the regime where broken banding visibly loses pairs
+    (a round-2 lane bug collapsed all 128 lanes to one k=1 minhash and
+    still passed the corpus oracle, because the corpus's dups sit at
+    J~1; borderline pairs expose that failure with probability ~1-J per
+    pair). With genuine universal lanes the theoretical miss rate at
+    J=0.65 is (1-J^2)^64 ~ 4e-16: finding all 40 planted pairs must be
+    deterministic in practice."""
+    import hashlib as _hl
+
+    def words(seed: str, n: int) -> list[str]:
+        out = []
+        i = 0
+        while len(out) < n:
+            h = _hl.md5(f"{seed}:{i}".encode()).hexdigest()
+            out.append(h[:6])
+            i += 1
+        return out
+
+    rows = []
+    doc_id = 0
+    for p in range(40):
+        base = words(f"pair{p}", 120)
+        # mutate ~7% of tokens; each killed token removes 3 trigram
+        # shingles, landing shingle Jaccard around 0.62-0.70
+        mut = list(base)
+        for j in range(0, 120, 15):
+            mut[j] = words(f"mut{p}:{j}", 1)[0]
+        rows.append((doc_id, " ".join(base)))
+        rows.append((doc_id + 1, " ".join(mut)))
+        doc_id += 2
+    for f in range(200):  # filler docs, all distinct
+        rows.append((doc_id, " ".join(words(f"filler{f}", 120))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    found = D.lsh_candidate_pairs(df, jaccard_threshold=0.6).collect()
+    found_pairs = {(r.doc_a, r.doc_b) for r in found}
+    planted = {(2 * p, 2 * p + 1) for p in range(40)}
+    # ground truth: which planted pairs are really >= 0.6 (mutation rate
+    # gives J in a band straddling the threshold; typically most qualify)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            df, shingle_n=3, block_expr="0", threshold=0.6
+        ).collect()
+    }
+    assert truth & planted, "fixture must plant at least one J>=0.6 pair"
+    missed = (truth & planted) - found_pairs
+    assert not missed, f"LSH lost {len(missed)} true borderline pairs: {sorted(missed)[:5]}"
+    # and nothing below threshold sneaks through the exact re-rank
+    assert all(r.jaccard >= 0.6 for r in found)
+
+
 def test_simhash_rejects_wide_radius(spark, documents):
     with pytest.raises(ValueError, match="lossless"):
         D.simhash_pairs(documents, max_hamming=4)
