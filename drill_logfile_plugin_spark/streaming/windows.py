@@ -126,6 +126,34 @@ def session_event_windows(
     )
 
 
+def dedup_events(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup valid in both modes — the streaming face of the dedup
+    tier (operators/dedup.py holds the batch corpus operators).
+
+    Batch: plain ``dropDuplicates(keys)``. Streaming:
+    ``dropDuplicatesWithinWatermark`` after a watermark, so the dedup
+    state is bounded by the watermark horizon instead of growing one
+    entry per key forever — the difference between a stream that runs
+    for a day and one that runs for a year. Duplicates arriving later
+    than the watermark are consciously admitted (the same late-data
+    contract as every windowed aggregate here).
+
+    At 100 TB-scale ingest the keys should be a content hash (the exact
+    dedup policy from the batch tier: hash first, shuffle 32 bytes),
+    which this accepts as ``keys=("content_hash",)``.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
 # --- custom stateful operator (streaming-only) -----------------------------
 
 RUNNING_OUTPUT_SCHEMA = StructType(

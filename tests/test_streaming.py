@@ -169,6 +169,31 @@ def test_stateful_running_totals(spark, events_batch, events_stream_dir):
     assert _rows(final) == _rows(want)
 
 
+def test_stream_dedup_equals_batch(spark, events_batch, events_stream_dir):
+    """Duplicated input stream -> dedup_events -> the surviving key set
+    equals batch dropDuplicates on the same (doubled) data. The input
+    files repeat each event twice (within-batch and cross-batch dups);
+    within the watermark horizon every duplicate must be suppressed."""
+    from drill_logfile_plugin_spark.streaming.windows import dedup_events
+
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    doubled = sdf.union(sdf)  # every event arrives twice
+    keys = ("user_id", "event_type", "value", "ts")
+    _run_to_memory(
+        dedup_events(doubled, keys=keys, watermark="10 years"),
+        "dedup_mem",
+        "append",
+    )
+    got = _rows(spark.table("dedup_mem"), cols=list(keys))
+    want = _rows(
+        dedup_events(events_batch.union(events_batch), keys=keys),
+        cols=list(keys),
+    )
+    assert got == want
+    # and the dedup really removed the doubling
+    assert len(got) == events_batch.select(*keys).distinct().count()
+
+
 def test_read_log_stream_equals_batch(spark, tmp_path):
     cfg = LogFormatConfig(
         pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
