@@ -160,11 +160,10 @@ def q29(spark, sf):
 )
 def q26(spark, sf):
     d = _t(spark, sf, "documents")
-    fp = F.expr(
-        f"array_min(transform({D.shingles_sql_spark('text', 5)}, s -> md5(s)))"
-    )
+    fp = T.fingerprint_udf(shingle_n=5)
     return (
-        d.select("doc_id", fp.alias("fingerprint"))
+        d.select("doc_id", F.expr(T.TOKS_SPARK.format(c="text")).alias("toks"))
+        .select("doc_id", fp(F.col("toks")).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )
