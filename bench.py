@@ -53,13 +53,23 @@ def main() -> None:
     # and the Python worker pool once, so per-query numbers measure the
     # queries rather than first-touch session costs (standard steady-state
     # benchmarking; a resident service pays these once per process).
+    # Apply the engine's session confs FIRST — codegen compiled under the
+    # session defaults (e.g. ANSI on) is thrown away when the first query
+    # flips them, which would silently charge the JIT to that query.
+    try:
+        from drill_logfile_plugin_spark.sources.tables import (
+            configure_session,
+        )
+
+        configure_session(spark)
+    except Exception as e:
+        print(f"bench: configure failed (continuing): {e}", file=sys.stderr)
     try:
         from pyspark.sql import functions as _F
-        import pandas as _pd
 
-        @_F.pandas_udf("long")
-        def _warm(s: _pd.Series) -> _pd.Series:
-            return s
+        # functional form: no type hints needed (the decorator form
+        # requires literal `pd.Series` annotations to resolve)
+        _warm = _F.pandas_udf(lambda s: s, "long")
 
         (
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
