@@ -54,6 +54,14 @@ def salted_join(
     """
     if salt < 2:
         raise ValueError("salt must be >= 2 to spread anything")
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full would emit each unmatched `other` row salt times
+        # (they exist once per replica and match nothing); cross is a
+        # different operator entirely.
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}"
+        )
     if salt_source is None:
         non_key = [c for c in skewed.columns if c not in on]
         salt_source = non_key[0] if non_key else list(on)[0]

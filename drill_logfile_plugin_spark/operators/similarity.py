@@ -262,8 +262,14 @@ def ivf_topk(
     tables) or raise ``nprobe``.
     """
     cent_rows = (
-        corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
+        corpus.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("tie"),
+        )
+        # id tiebreak: equal hashes must not leave centroid choice to
+        # partition order, or two sessions could build different indexes
+        .orderBy("h", "tie")
         .limit(n_cells)
         .collect()
     )

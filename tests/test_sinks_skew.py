@@ -152,3 +152,25 @@ def test_salted_join_rejects_degenerate_salt(spark, skewed_pair):
     fact, dim = skewed_pair
     with pytest.raises(ValueError, match="salt"):
         salted_join(fact, dim, on=["k"], salt=1)
+
+
+def test_salted_join_rejects_right_and_full(spark, skewed_pair):
+    """Replicated unmatched rows would surface salt times under right/full
+    preservation — the operator must refuse rather than corrupt."""
+    fact, dim = skewed_pair
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, on=["k"], salt=4, how=how)
+
+
+def test_salted_semi_and_anti_match_plain(spark, skewed_pair):
+    fact, dim = skewed_pair
+    dim_part = dim.where(F.col("k") < 50)
+    for how in ("left_semi", "left_anti"):
+        plain = fact.join(dim_part, ["k"], how).select("k", "payload")
+        salted = salted_join(fact, dim_part, on=["k"], salt=4, how=how).select(
+            "k", "payload"
+        )
+        assert sorted(map(str, salted.collect())) == sorted(
+            map(str, plain.collect())
+        ), how
