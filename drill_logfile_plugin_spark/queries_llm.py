@@ -21,6 +21,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as T
+from .operators.asof import asof_join
 from .registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -372,6 +373,82 @@ def q32(spark, sf):
         F.count(F.lit(1)).alias("n_vecs"),
         F.min(norm).alias("min_norm"),
         F.max(norm).alias("max_norm"),
+    )
+
+
+# =========================================================================
+# As-of join (custom operator; oracle = DuckDB's native ASOF JOIN)
+# =========================================================================
+
+
+@query(
+    "q44_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             COUNT(*) AS n_day_orders,
+             MAX(o_totalprice) AS day_max_price
+      FROM orders GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             datediff('day', r.o_orderdate, CAST(e.ts AS DATE)) AS gap_days,
+             r.n_day_orders, r.day_max_price
+      FROM events e
+      ASOF JOIN r ON e.user_id = r.user_id
+                 AND CAST(e.ts AS DATE) >= r.o_orderdate
+    )
+    SELECT event_type,
+           gap_days // 30 AS gap_month,
+           COUNT(*) AS n_events,
+           MIN(gap_days) AS min_gap,
+           MAX(gap_days) AS max_gap,
+           SUM(n_day_orders) AS sum_day_orders,
+           MAX(day_max_price) AS max_price
+    FROM j GROUP BY event_type, gap_month
+    """,
+    doc="As-of join (custom operator Spark lacks): each event attaches its "
+    "user's most recent order day at-or-before the event. Implemented as "
+    "union + per-key window last(ignorenulls) — one shuffle, no per-key "
+    "loops, no range explosion; the oracle is DuckDB's NATIVE ASOF JOIN, "
+    "so a MATCH certifies the composition against an independent "
+    "first-class implementation. Right side pre-aggregated to one row per "
+    "(user, day) so 'most recent' is unambiguous in both engines.",
+)
+def q44(spark, sf):
+    orders = _t(spark, sf, "orders")
+    events = _t(spark, sf, "events")
+    r = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_day_orders"),
+            F.max("o_totalprice").alias("day_max_price"),
+        )
+        # the as-of key timestamp is consumed by the join machinery; ride
+        # a copy along as payload so gap arithmetic can use it
+        .withColumn("order_day", F.col("o_orderdate"))
+    )
+    j = asof_join(
+        events.select("event_id", "user_id", "event_type", "ts"),
+        r,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        how="inner",
+    ).withColumn(
+        "gap_days", F.datediff(F.col("ts").cast("date"), F.col("order_day"))
+    )
+    return j.groupBy(
+        "event_type",
+        F.expr("gap_days DIV 30").alias("gap_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
+        F.sum("n_day_orders").alias("sum_day_orders"),
+        F.max("day_max_price").alias("max_price"),
     )
 
 

@@ -1,0 +1,95 @@
+"""Unit tests for the as-of join operator (operators/asof.py).
+
+The driver query q44 certifies it against DuckDB's native ASOF JOIN on
+real tables; these pin the edge semantics on a handcrafted fixture.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from drill_logfile_plugin_spark.operators.asof import asof_join
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:00:00"), 10.0),
+            (1, ts("2024-01-01T10:00:00"), 11.0),
+            (1, ts("2024-01-01T11:00:00"), 12.0),
+            (2, ts("2024-01-01T09:30:00"), 20.0),
+        ],
+        ["k", "qts", "price"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:30:00"), "a"),  # -> 09:00 quote (10.0)
+            (1, ts("2024-01-01T10:00:00"), "b"),  # tie -> 10:00 quote (11.0)
+            (1, ts("2024-01-01T23:00:00"), "c"),  # -> latest (12.0)
+            (2, ts("2024-01-01T09:00:00"), "d"),  # before any quote
+            (3, ts("2024-01-01T09:00:00"), "e"),  # key with no quotes
+        ],
+        ["k", "tts", "tag"],
+    )
+    return quotes, trades
+
+
+def test_asof_inner_semantics(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r.tag: r.price
+        for r in asof_join(
+            trades, quotes, on=["k"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    assert got == {"a": 10.0, "b": 11.0, "c": 12.0}
+
+
+def test_asof_left_keeps_unmatched(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r.tag: r.price
+        for r in asof_join(
+            trades, quotes, on=["k"], left_ts="tts", right_ts="qts", how="left"
+        ).collect()
+    }
+    assert got == {"a": 10.0, "b": 11.0, "c": 12.0, "d": None, "e": None}
+
+
+def test_asof_all_null_payload_still_matches(spark):
+    """`inner` keeps a left row whose matched right payload is null —
+    match detection must not be fooled by null payload values."""
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00:00"), None)],
+        "k long, qts timestamp, price double",
+    )
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "x")], ["k", "tts", "tag"]
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="tts", right_ts="qts"
+    ).collect()
+    assert len(rows) == 1 and rows[0].price is None
+
+
+def test_asof_rejects_column_collision_and_bad_how(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades.withColumnRenamed("tag", "price"),
+            quotes,
+            on=["k"],
+            left_ts="tts",
+            right_ts="qts",
+        )
+    with pytest.raises(ValueError, match="asof_join supports"):
+        asof_join(
+            trades, quotes, on=["k"], left_ts="tts", right_ts="qts", how="full"
+        )
