@@ -22,6 +22,7 @@ from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as T
 from .operators.asof import asof_join
+from .operators.rangejoin import range_join
 from .registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -449,6 +450,60 @@ def q44(spark, sf):
         F.max("gap_days").alias("max_gap"),
         F.sum("n_day_orders").alias("sum_day_orders"),
         F.max("day_max_price").alias("max_price"),
+    )
+
+
+@query(
+    "q45_range_join",
+    """
+    WITH o AS (
+      SELECT o_custkey AS cust,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+             o_orderpriority AS priority
+      FROM orders
+    )
+    SELECT a.priority,
+           COUNT(*) AS n_repeats,
+           COUNT(DISTINCT a.cust) AS n_custs,
+           MIN(a.d - b.d) AS min_gap_days,
+           MAX(a.d - b.d) AS max_gap_days
+    FROM o a JOIN o b ON a.cust = b.cust
+    WHERE a.d >= b.d + 1 AND a.d < b.d + 61
+    GROUP BY a.priority
+    """,
+    doc="Range (interval) join: repeat orders landing 1-60 days after a "
+    "previous order by the same customer. Spark plans a raw inequality "
+    "join as a nested loop; the operator bucketizes each interval into "
+    "60-day buckets for a hash equi-join on (customer, bucket) + exact "
+    "residual — duplicate-free by construction (a point lives in one "
+    "bucket). Oracle = DuckDB's plain inequality join, certifying the "
+    "bucketed rewrite loses/invents nothing.",
+)
+def q45(spark, sf):
+    o = _t(spark, sf, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+    left = o.select(
+        F.col("o_custkey").alias("cust"),
+        day.alias("d"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("cust"),
+        (day + 1).alias("lo"),
+        (day + 61).alias("hi"),
+    )
+    j = range_join(
+        left, right, on=["cust"], left_val="d",
+        right_lo="lo", right_hi="hi", bucket_width=60.0,
+    )
+    gap = F.col("d") - F.col("lo") + 1
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_repeats"),
+        F.countDistinct("cust").alias("n_custs"),
+        F.min(gap).cast("long").alias("min_gap_days"),
+        F.max(gap).cast("long").alias("max_gap_days"),
     )
 
 
