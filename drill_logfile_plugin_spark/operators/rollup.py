@@ -1,0 +1,75 @@
+"""Hypertable-style rollup cascade: multi-grain time aggregates, one scan.
+
+The pattern behind continuous aggregates / materialized rollups in
+time-series stores: keep the finest grain (hour), and derive every coarser
+grain (day, month, ...) by RE-AGGREGATING the next-finer level instead of
+rescanning the fact table — legal because the aggregates carried are
+reaggregable (counts, exact decimal sums; never averages or distincts).
+
+Plan shape: the three levels share the hour-aggregation subtree, and
+Spark's exchange reuse (``spark.sql.exchange.reuse``, on by default)
+collapses the identical shuffles — the physical plan scans the fact table
+ONCE and shows ``ReusedExchange`` for the repeated subplans (pinned by
+tests/test_plans.py). At 100 TB the cascade aggregates ~n rows once, then
+~n/3600, ~n/86400 rows — the coarser levels are free.
+
+Exactness: the cascade keeps the determinism-policy decimal sums
+(functions/exprs.py) through every level and casts to double only on
+output, so re-aggregated coarse sums are bit-identical to direct
+aggregation — which is exactly what the DuckDB oracle (q46) computes each
+level as, certifying the reaggregation property end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import money
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    grains: Sequence[str] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Union of per-grain aggregates; coarser grains derive from finer.
+
+    Output: grain, bucket (truncated timestamp), ``group_cols``…,
+    n_events, sum_value. ``grains`` must be ordered finest → coarsest.
+    """
+    if not grains:
+        raise ValueError("need at least one grain")
+    level = df.groupBy(
+        F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money(F.col(value_col))).alias("_dec_sum"),
+    )
+    levels = [(grains[0], level)]
+    for g in grains[1:]:
+        level = level.groupBy(
+            F.date_trunc(g, F.col("bucket")).alias("bucket"), *group_cols
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_dec_sum").alias("_dec_sum"),
+        )
+        levels.append((g, level))
+    outs = [
+        lvl.select(
+            F.lit(g).alias("grain"),
+            "bucket",
+            *group_cols,
+            "n_events",
+            F.col("_dec_sum").cast("double").alias("sum_value"),
+        )
+        for g, lvl in levels
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

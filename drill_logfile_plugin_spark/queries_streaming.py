@@ -19,6 +19,7 @@ origin conventions.
 from __future__ import annotations
 
 from .functions.exprs import dsum_sql
+from .operators.rollup import rollup_cascade
 from .registry import _t, query
 from .streaming.windows import (
     session_event_windows,
@@ -103,3 +104,28 @@ def q38(spark, sf):
 )
 def q39(spark, sf):
     return session_event_windows(_t(spark, sf, "events"))
+
+
+def _grain_select(grain: str) -> str:
+    return f"""
+    SELECT '{grain}' AS grain,
+           date_trunc('{grain}', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY bucket, event_type
+    """
+
+
+@query(
+    "q46_rollup_cascade",
+    " UNION ALL ".join(_grain_select(g) for g in ("hour", "day", "month")),
+    doc="Hypertable-style rollup cascade: hour/day/month aggregates where "
+    "each coarser grain RE-AGGREGATES the finer one (reaggregable stats "
+    "only: counts + exact decimal sums). Spark's exchange reuse collapses "
+    "the shared subtrees to ONE fact scan (plan-pinned); the oracle "
+    "computes every grain directly from the raw events, so a MATCH "
+    "certifies the reaggregation property, not just the plumbing.",
+)
+def q46(spark, sf):
+    return rollup_cascade(_t(spark, sf, "events"))

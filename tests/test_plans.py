@@ -153,6 +153,17 @@ def test_aggregates_do_partial_before_shuffle(spark, queries):
         assert "partial_" in plan, name
 
 
+def test_rollup_cascade_reuses_exchanges(spark, queries):
+    """The hour/day/month cascade must execute ONE fact aggregation and
+    re-aggregate it, not rescan per grain: the final adaptive plan shows
+    a ReusedExchange per derived grain (reuse is resolved at runtime, so
+    the query is executed first)."""
+    df = queries["q46_rollup_cascade"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert plan.count("ReusedExchange") >= 2
+
+
 def test_topk_search_broadcasts_queries_not_corpus(spark, queries):
     """q30 brute-force top-k: the small query set broadcasts; the corpus
     is scanned once, never shuffled before the window."""
