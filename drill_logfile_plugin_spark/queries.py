@@ -583,3 +583,33 @@ def q20(spark, sf):
         customer=_t(spark, sf, "customer"),
         orders=_t(spark, sf, "orders"),
     )
+
+
+@query(
+    "q47_exact_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS value_quantiles,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantiles (p25/p50/p75/p95) per event type. "
+    "Spark's percentile() and DuckDB's quantile_cont use the same "
+    "(1-f)*lo + f*hi interpolation over the sorted values, so the doubles "
+    "are bit-identical cross-engine — verified by the hash MATCH. At "
+    "scale, swap percentile() for approx_percentile (t-digest sketch, "
+    "mergeable map-side) when single-pass memory matters more than "
+    "exactness; the exact form is the correctness baseline for it.",
+)
+def q47(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").alias(
+            "value_quantiles"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
