@@ -613,3 +613,60 @@ def q47(spark, sf):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "q48_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    doc="Arbitrary GROUPING SETS — the non-hierarchical shape neither ROLLUP "
+    "(q09) nor CUBE (q10) can express: (flag,status) detail, status-only "
+    "margins, grand total, but NO flag-only margin. Spark expands the sets "
+    "into one Expand + single hash agg (one shuffle, partial agg per set).",
+)
+def q48(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q49_pivot",
+    f"""
+    SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS total_f,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS total_o,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS total_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long→wide conditional aggregation): one hash agg computes all "
+    "three status columns in a single pass over orders — the pivot values are "
+    "given explicitly so Spark skips the extra distinct-values job it would "
+    "otherwise run (a full scan + collect at 100 TB). Decimal-exact sums "
+    "keep the doubles order-independent across the partial-agg tree.",
+)
+def q49(spark, sf):
+    o = _t(spark, sf, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return (
+        wide.withColumnRenamed("F", "total_f")
+        .withColumnRenamed("O", "total_o")
+        .withColumnRenamed("P", "total_p")
+    )
