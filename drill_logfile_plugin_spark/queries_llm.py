@@ -629,3 +629,95 @@ def q43(spark, sf):
             F.max(f15).alias("max_f15"),
         )
     )
+
+
+# =========================================================================
+# Corpus exploration / incremental pipeline shapes
+# =========================================================================
+
+
+@query(
+    "q50_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, n, rk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts
+    ) WHERE rk <= 5
+    """,
+    doc="Top-5 terms per language: explode (lateral/unnest shape) -> "
+    "frequency count -> per-group top-k. The explode is a one-to-many "
+    "flatMap with no shuffle; the (lang, token) count gets map-side "
+    "partial agg so the shuffle carries one row per distinct term per "
+    "partition, not one per token occurrence; top-k is the q11 "
+    "row_number pattern with a (n DESC, token) tie-break making the "
+    "result deterministic across engines. At 100 TB the same plan "
+    "holds; if a single lang skews, salt the count's first stage "
+    "(functions/skew.py) and re-aggregate.",
+)
+def q50(spark, sf):
+    from pyspark.sql import Window
+
+    toks = _t(spark, sf, "documents").select(
+        "lang", F.explode(T.tokens("text")).alias("token")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "q51_incremental_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), corpus AS (
+      SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8
+    ), inc AS (
+      SELECT h, MIN(source) AS source, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM d WHERE doc_id % 10 >= 8 GROUP BY h
+    )
+    SELECT inc.source,
+           COUNT(*) AS n_new_groups,
+           CAST(SUM(inc.n_copies) AS BIGINT) AS n_incoming_rows,
+           MIN(inc.keep_id) AS min_keep_id
+    FROM inc LEFT JOIN corpus ON inc.h = corpus.h
+    WHERE corpus.h IS NULL
+    GROUP BY inc.source
+    """,
+    doc="Incremental exact dedup — the production shape where a new batch "
+    "(doc_id%10>=8 stands in for today's crawl) is deduped first within "
+    "itself, then anti-joined against the historical corpus hash set. "
+    "Hashing to md5 first makes every shuffle key 32 bytes regardless of "
+    "document size; the anti join is a plain equi shuffle join on that "
+    "hash (AQE picks broadcast only if the corpus side is genuinely "
+    "small — never forced). At 100 TB the corpus hash set is a compact "
+    "side table you'd persist and bucket by h so tomorrow's batch "
+    "anti-joins without re-reading corpus text.",
+)
+def q51(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
+    inc = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .groupBy("h")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    new = inc.join(corpus, "h", "left_anti")
+    return new.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_groups"),
+        F.sum("n_copies").alias("n_incoming_rows"),
+        F.min("keep_id").alias("min_keep_id"),
+    )
