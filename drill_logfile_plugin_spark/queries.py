@@ -670,3 +670,72 @@ def q49(spark, sf):
         .withColumnRenamed("O", "total_o")
         .withColumnRenamed("P", "total_p")
     )
+
+
+# =========================================================================
+# Sketch tier — approximate aggregates for the 100 TB scale path
+# =========================================================================
+
+
+@query(
+    "q52_approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="HLL++ sketch vs exact distinct count. The Spark side computes BOTH "
+    "count_distinct (exact, the q08 pattern — full shuffle of distinct "
+    "keys) and approx_count_distinct (HLL++ sketch: fixed-size mergeable "
+    "state, map-side combine, no distinct-key shuffle) and emits whether "
+    "the sketch landed within its 5% error budget. The oracle recomputes "
+    "the exact count and asserts TRUE, so a sketch drifting out of "
+    "tolerance is a hash MISMATCH, not a silent pass — the same "
+    "invariant-check pattern as the ANN recall tests, but driver-visible. "
+    "At 100 TB the sketch lane is the only viable one (exact distinct "
+    "shuffles every key); this query certifies its error stays in band.",
+)
+def q52(spark, sf):
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    within = (
+        F.abs(F.col("n_approx") - F.col("n_users_exact"))
+        <= 0.05 * F.col("n_users_exact")
+    )
+    return agg.select(
+        "event_type", "n_users_exact", within.alias("sketch_within_5pct")
+    )
+
+
+@query(
+    "q53_approx_percentile",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           TRUE AS sketch_within_band
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_percentile (Greenwald-Khanna summary: bounded mergeable "
+    "state, single pass) checked against the exact interpolated median "
+    "(q47's bit-identical percentile). The emitted boolean asserts the "
+    "sketch's value error stays within 2% of the per-group value range; "
+    "the oracle recomputes the exact median and asserts TRUE. GK "
+    "guarantees rank error <= n/accuracy, so the band is generous at "
+    "accuracy=10000 — a regression in the sketch path flips the hash.",
+)
+def q53(spark, sf):
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    within = (
+        F.abs(F.col("p50_approx") - F.col("p50_exact"))
+        <= 0.02 * F.col("rng") + F.lit(1e-9)
+    )
+    return agg.select("event_type", "p50_exact", within.alias("sketch_within_band"))
