@@ -45,6 +45,46 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "error",
+) -> None:
+    """Write a catalog table hash-bucketed (and optionally sorted) on a key.
+
+    Bucketing is the write-time half of a shuffle the read side then never
+    pays: two tables bucketed on the same key with the same bucket count
+    join with ZERO exchange (and, if sorted, zero sort) — the join becomes
+    a per-bucket merge. At 100 TB this converts the nightly fact-to-fact
+    join from the cluster's dominant shuffle into a file-parallel scan.
+    Verified by plan contract in tests/test_bucketing.py: the joined plan
+    contains no ShuffleExchange on the bucketed key.
+
+    Spark only exploits bucketing through the catalog (``saveAsTable``), not
+    path-based ``parquet(path)`` reads — so this sink takes a table name.
+    The complementary read-side tactic when only ONE side is pre-bucketed:
+    set ``spark.sql.shuffle.partitions`` = bucket count so the other side
+    shuffles directly into matching buckets.
+
+    ``sort_by`` additionally removes the per-bucket Sort, but only when the
+    reader sets ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (Spark ≥3.0 hides bucket sort order by default because a multi-file
+    bucket is only sorted per file — the repartition below guarantees one
+    file per bucket, which makes the flag sound for tables this writes).
+    """
+    # Repartition on the bucket key first: without this every write task
+    # emits a file into every bucket (tasks × buckets small files), and
+    # Spark only exploits write-time sortBy when a bucket is a single file.
+    df = df.repartition(n_buckets, *[df[c] for c in bucket_by])
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_stream(
     df: DataFrame,
     path: str,
