@@ -26,6 +26,7 @@ from drill_logfile_plugin_spark.sources.log_reader import (
 from drill_logfile_plugin_spark.sources.tables import load_table
 from drill_logfile_plugin_spark.streaming.windows import (
     session_event_windows,
+    sessionize_stateful,
     sliding_event_counts,
     tumbling_event_counts,
     user_running_totals,
@@ -167,6 +168,49 @@ def test_stateful_running_totals(spark, events_batch, events_stream_dir):
         ),
     )
     assert _rows(final) == _rows(want)
+
+
+def test_stateful_sessionize_matches_session_window(
+    spark, events_batch, events_stream_dir
+):
+    """The custom EventTimeTimeout operator reproduces session_window
+    semantics exactly (same start/end/count) while adding the custom
+    close-time aggregate (exact integer-cents sum)."""
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    _run_to_memory(
+        sessionize_stateful(sdf, gap="15 minutes", watermark="30 minutes"),
+        "sess_state_mem",
+        "append",
+    )
+    emitted = _rows(spark.table("sess_state_mem"))
+    # Batch ground truth: session_window with the same gap + cents sum.
+    batch = (
+        events_batch.groupBy(
+            F.session_window("ts", "15 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    batch_all = set(_rows(batch))
+    assert emitted, "stateful sessionizer emitted nothing"
+    assert set(emitted) <= batch_all
+    # Sessions whose timeout is past the final watermark must have emitted.
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    closed = batch.where(
+        F.col("session_end") < F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+    )
+    assert set(_rows(closed)) <= set(emitted)
 
 
 def test_stream_dedup_equals_batch(spark, events_batch, events_stream_dir):
