@@ -164,3 +164,93 @@ def q36(spark, sf):
         F.sum("pid").alias("sum_pid"),
         F.countDistinct("action").alias("n_actions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second real-world format: Apache combined access log
+# ---------------------------------------------------------------------------
+
+ACCESS_PATH = str(FIXTURE_DIR / "access.log")
+
+#: Apache combined log; the timestamp offset stays OUTSIDE the capture
+#: group so both engines parse a zone-free local datetime.
+ACCESS_PATTERN = (
+    r'(\S+) \S+ (\S+) \[(\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}) \+0000\] '
+    r'"(\w+) (\S+) HTTP/[\d.]+" (\d{3}) (\d+)'
+)
+
+ACCESS_CFG = LogFormatConfig(
+    pattern=ACCESS_PATTERN,
+    field_names=["ip", "user", "ts", "method", "path", "status", "nbytes"],
+    data_types=[
+        "VARCHAR",
+        "VARCHAR",
+        "TIMESTAMP",
+        "VARCHAR",
+        "VARCHAR",
+        "INT",
+        "INT",
+    ],
+    # TIMESTAMP reuses date_format — the reference quirk (SURVEY.md §1.3),
+    # here with Java month-name pattern MMM <-> DuckDB %b.
+    date_format="dd/MMM/yyyy:HH:mm:ss",
+)
+
+
+@query(
+    "q54_access_log",
+    f"""
+    WITH raw AS (
+      SELECT regexp_replace(unnest(string_split(content, chr(10))),
+                            '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS line
+      FROM read_text('{ACCESS_PATH}')
+    ),
+    lines AS (SELECT line FROM raw WHERE length(line) > 0),
+    parsed AS (
+      SELECT
+        CASE WHEN regexp_matches(line, '{ACCESS_PATTERN}')
+             THEN strptime(regexp_extract(line, '{ACCESS_PATTERN}', 3),
+                           '%d/%b/%Y:%H:%M:%S')
+        END AS ts,
+        CASE WHEN regexp_matches(line, '{ACCESS_PATTERN}')
+             THEN regexp_extract(line, '{ACCESS_PATTERN}', 4)
+        END AS method,
+        CASE WHEN regexp_matches(line, '{ACCESS_PATTERN}')
+             THEN CAST(regexp_extract(line, '{ACCESS_PATTERN}', 6) AS INT)
+        END AS status,
+        CASE WHEN regexp_matches(line, '{ACCESS_PATTERN}')
+             THEN CAST(regexp_extract(line, '{ACCESS_PATTERN}', 7) AS INT)
+        END AS nbytes,
+        CASE WHEN NOT regexp_matches(line, '{ACCESS_PATTERN}') THEN line
+        END AS unmatched_lines
+      FROM lines
+    )
+    SELECT method,
+           status // 100 AS status_class,
+           COUNT(*) AS n_requests,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS max_ts,
+           COUNT(*) FILTER (WHERE unmatched_lines IS NOT NULL) AS n_unmatched
+    FROM parsed
+    GROUP BY method, status // 100
+    """,
+    doc="Apache combined access log — a second organic format through the "
+    "same scan operator: TIMESTAMP coercion with a month-name pattern "
+    "(MMM <-> %b), and mismatch routing exercised by real-world rows "
+    "(Apache's bytes='-' convention fails the numeric group, so those "
+    "lines land in unmatched_lines and surface as the NULL-method "
+    "group). Status-class histogram per method over the parsed columns.",
+)
+def q54(spark, sf):
+    df = read_log(spark, ACCESS_PATH, ACCESS_CFG)
+    return df.groupBy(
+        "method",
+        (F.col("status") / 100).cast("int").alias("status_class"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count("unmatched_lines").alias("n_unmatched"),
+    )

@@ -67,6 +67,48 @@ def make_lines() -> list[str]:
     return out
 
 
+MONTHS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+METHODS = ("GET", "GET", "GET", "POST", "PUT", "DELETE")  # GET-skewed
+N_ACCESS_LINES = 3000
+
+
+def make_access_lines() -> list[str]:
+    """Apache combined-log-style fixture (second real-world format).
+
+    Exercises TIMESTAMP coercion (the MySQL fixture covers DATE/TIME/INT)
+    and mismatch routing on organic malformed rows: ``bytes`` is sometimes
+    the Apache convention ``-`` (no body), which fails the ``(\\d+)`` group
+    and must land in ``unmatched_lines``.
+    """
+    out: list[str] = []
+    for i in range(N_ACCESS_LINES):
+        h = hashlib.md5(f"spark-graft-accessline:{i}".encode()).hexdigest()
+        if i % 43 == 11:
+            out.append(f"### rotated-log banner {h[:10]}")  # garbage line
+            continue
+        ip = ".".join(str(int(h[j : j + 2], 16)) for j in (0, 2, 4, 6))
+        user = "-" if int(h[8], 16) < 12 else f"u{int(h[8:10], 16)}"
+        month = MONTHS[int(h[10:12], 16) % 12]
+        day = 1 + int(h[12:14], 16) % 28
+        hh, mm, ss = (
+            int(h[14:16], 16) % 24,
+            int(h[16:18], 16) % 60,
+            int(h[18:20], 16) % 60,
+        )
+        method = METHODS[int(h[20], 16) % 6]
+        path = f"/api/v{1 + int(h[21], 16) % 3}/item/{int(h[22:25], 16)}"
+        status = (200, 200, 200, 301, 404, 500)[int(h[25], 16) % 6]
+        nbytes = "-" if i % 17 == 5 else str(int(h[26:30], 16))
+        out.append(
+            f'{ip} - {user} [{day:02d}/{month}/2024:{hh:02d}:{mm:02d}:{ss:02d}'
+            f' +0000] "{method} {path} HTTP/1.1" {status} {nbytes}'
+        )
+    return out
+
+
 def main() -> None:
     FIXTURE_DIR.mkdir(exist_ok=True)
     text = "\n".join(make_lines()) + "\n"
@@ -78,6 +120,9 @@ def main() -> None:
         gz.write(text.encode("utf-8"))
     (FIXTURE_DIR / "mysql_gz.log.gz").write_bytes(buf.getvalue())
     print(f"wrote {FIXTURE_DIR}/mysql.log ({len(text)} bytes) and gzip twin")
+    access = "\n".join(make_access_lines()) + "\n"
+    (FIXTURE_DIR / "access.log").write_text(access, encoding="utf-8")
+    print(f"wrote {FIXTURE_DIR}/access.log ({len(access)} bytes)")
 
 
 if __name__ == "__main__":
