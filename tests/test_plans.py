@@ -170,3 +170,35 @@ def test_topk_search_broadcasts_queries_not_corpus(spark, queries):
     plan = plan_of(queries["q30_embedding_topk"](spark, SF_DIR))
     chunks = plan.split("BroadcastExchange")
     assert len(chunks) > 1, "expected the query side to broadcast"
+
+
+def test_grouping_sets_is_one_expand_one_shuffle(spark, queries):
+    """q48: all three grouping sets must come from ONE Expand feeding ONE
+    partial-agg'd shuffle — not one scan/shuffle per set."""
+    plan = plan_of(queries["q48_grouping_sets"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_top_terms_partial_aggs_before_shuffle(spark, queries):
+    """q50: the (lang, token) frequency count must partial-aggregate
+    map-side — the shuffle carries distinct terms per partition, not one
+    row per token occurrence (the explode output)."""
+    plan = plan_of(queries["q50_top_terms"](spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "partial_count" in plan
+
+
+def test_incremental_dedup_never_hint_broadcasts(spark, queries):
+    """q51: both join sides (corpus hash set, incoming batch) grow with the
+    corpus; with size-based broadcast disabled, no broadcast may survive —
+    proving none is forced by hint."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(queries["q51_incremental_dedup"](spark, SF_DIR))
+        assert "BroadcastExchange" not in plan
+        assert "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

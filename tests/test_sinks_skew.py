@@ -48,6 +48,23 @@ def test_write_table_partitioned_roundtrip(spark, tmp_path):
     assert got == want
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """The point of partition_by: a filter on the partition column must
+    become a PartitionFilter (directory pruning — at 100 TB the difference
+    between listing one day and scanning a year), and the scan must read
+    strictly fewer files than the table holds."""
+    df = _mysql_df(spark, tmp_path)
+    out = tmp_path / "pruned"
+    sinks.write_table(df, str(out), partition_by=["date"])
+    q = spark.read.parquet(str(out)).where(F.col("date") == "2007-08-23")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan, plan
+    read = plan.split("PartitionFilters:", 1)[1]
+    assert "2007-08-23" in read.splitlines()[0]
+    # And the other date's rows are never materialized.
+    assert q.count() == df.where(F.col("date") == "2007-08-23").count()
+
+
 def test_write_table_mode_error_refuses_overwrite(spark, tmp_path):
     df = _mysql_df(spark, tmp_path)
     out = tmp_path / "once"
