@@ -721,3 +721,45 @@ def q51(spark, sf):
         F.sum("n_copies").alias("n_incoming_rows"),
         F.min("keep_id").alias("min_keep_id"),
     )
+
+
+@query(
+    "q55_deterministic_split",
+    f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN {_duck_hex2int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 < 80
+                  THEN 'train'
+                  WHEN {_duck_hex2int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 < 90
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY source, split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment: the split is a "
+    "pure function of doc_id (md5 prefix mod 100), NOT a seeded "
+    "df.sample() — so it is reproducible across engines, runs, cluster "
+    "sizes, and data re-partitioning, and a document keeps its split "
+    "when the corpus grows (no reshuffling yesterday's training set). "
+    "Per-row expression, no shuffle until the final count: at 100 TB "
+    "this is scan-speed. The MATCH proves Spark's conv(md5) bucketing "
+    "is bit-identical to the oracle's independent hex fold.",
+)
+def q55(spark, sf):
+    d = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
