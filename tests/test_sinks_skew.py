@@ -65,6 +65,36 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert q.count() == df.where(F.col("date") == "2007-08-23").count()
 
 
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """200 tiny files -> one right-sized file; bytes and rows unchanged."""
+    out = tmp_path / "frag"
+    spark.range(0, 10_000).repartition(200).write.parquet(str(out))
+    n_before = len(list(out.glob("*.parquet")))
+    assert n_before == 200
+    want = sorted(r[0] for r in spark.read.parquet(str(out)).collect())
+    n_after = sinks.compact_table(spark, str(out))
+    assert n_after < n_before
+    assert n_after == len(list(out.glob("*.parquet")))
+    got = sorted(r[0] for r in spark.read.parquet(str(out)).collect())
+    assert got == want
+    assert not (tmp_path / "frag.compact").exists()
+    assert not (tmp_path / "frag.old").exists()
+
+
+def test_compact_table_preserves_partitions(spark, tmp_path):
+    df = _mysql_df(spark, tmp_path)
+    out = tmp_path / "part"
+    # Fragment: one file per row within each date partition.
+    sinks.write_table(df.repartition(5), str(out), partition_by=["date"])
+    sinks.compact_table(spark, str(out), partition_by=["date"])
+    dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert dirs == {"date=2007-08-23", "date=2007-09-17"}
+    back = spark.read.parquet(str(out))
+    assert sorted(map(str, back.select("pid", "action").collect())) == sorted(
+        map(str, df.select("pid", "action").collect())
+    )
+
+
 def test_write_table_mode_error_refuses_overwrite(spark, tmp_path):
     df = _mysql_df(spark, tmp_path)
     out = tmp_path / "once"
