@@ -526,3 +526,90 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --- edit-distance near-dup (char-level) ----------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snippet_len: int = 64,
+    probe_len: int = 16,
+    max_dist: int = 5,
+) -> DataFrame:
+    """Char-level near-dup pairs: Levenshtein over fixed-length snippets,
+    candidates from two-probe blocking.
+
+    The token-level operators (MinHash/SimHash/Jaccard) treat a document
+    as a shingle set and miss the "same text, small typo/edit" class when
+    the edit shifts every shingle (short docs) — this operator covers that
+    class. Comparing full documents by edit distance is O(len²) per pair
+    and unblockable, so the standard fingerprint compromise: distance over
+    the leading ``snippet_len`` chars.
+
+    Candidate generation is **two-probe blocking**: a pair is compared
+    when the snippets share their first ``probe_len`` chars OR their last
+    ``probe_len`` chars — two equi self-joins on 8-byte hash keys, never
+    all-pairs. A pair edited in BOTH probe regions is consciously missed
+    (same bounded-recall trade as LSH banding; with max_dist=5 and edits
+    uniform over 64 chars, both-ends clustering is rare). The DuckDB
+    oracle recomputes the identical blocked semantics, so a MATCH
+    certifies engine parity (blocking + distance), while recall bounds are
+    the documented contract.
+
+    Scale posture: shuffle keys are (probe-id, xxhash64(probe)) — 9 bytes
+    regardless of document size; the expensive levenshtein runs only on
+    collision pairs, JVM-side (codegen'd), after a distinct() that
+    collapses double-probe hits.
+    """
+    s = F.substring(F.col(text_col), 1, snippet_len)
+    d = df.select(F.col(id_col).alias("doc_id"), s.alias("s")).where(
+        F.length("s") >= 2 * probe_len
+    )
+    pre = d.select(
+        "doc_id", "s", F.lit(0).alias("p"),
+        F.xxhash64(F.substring("s", 1, probe_len)).alias("k"),
+    )
+    suf = d.select(
+        "doc_id", "s", F.lit(1).alias("p"),
+        F.xxhash64(F.substring("s", -probe_len, probe_len)).alias("k"),
+    )
+    blocks = pre.unionByName(suf)
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), "p", "k"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"), "p", "k"
+    )
+    cand = (
+        a.join(b, ["p", "k"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # xxhash64 equality is a candidate signal, not truth: re-check the
+        # probe strings before paying for levenshtein (collision p~2^-64,
+        # but the oracle compares strings — parity demands we do too).
+        .where(
+            (
+                (F.col("p") == 0)
+                & (
+                    F.substring("s_a", 1, probe_len)
+                    == F.substring("s_b", 1, probe_len)
+                )
+            )
+            | (
+                (F.col("p") == 1)
+                & (
+                    F.substring("s_a", -probe_len, probe_len)
+                    == F.substring("s_b", -probe_len, probe_len)
+                )
+            )
+        )
+        .select("doc_a", "doc_b", "s_a", "s_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("s_a", "s_b").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= max_dist)

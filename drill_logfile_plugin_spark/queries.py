@@ -739,3 +739,39 @@ def q53(spark, sf):
         <= 0.02 * F.col("rng") + F.lit(1e-9)
     )
     return agg.select("event_type", "p50_exact", within.alias("sketch_within_band"))
+
+
+@query(
+    "q56_rank_functions",
+    """
+    SELECT c_nationkey, c_custkey, rnk, pct_rnk, quartile FROM (
+      SELECT c_nationkey, c_custkey,
+             DENSE_RANK() OVER w AS rnk,
+             PERCENT_RANK() OVER w AS pct_rnk,
+             NTILE(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rnk <= 10
+    """,
+    doc="Ranking-function triple over one window spec: dense_rank, "
+    "percent_rank ((rank-1)/(n-1) — bit-identical int/int division "
+    "cross-engine), and ntile quartiles. One shuffle on the partition "
+    "key serves all three (single Window node); the c_custkey tie-break "
+    "makes every rank deterministic.",
+)
+def q56(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.dense_rank().over(w).alias("rnk"),
+            F.percent_rank().over(w).alias("pct_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )

@@ -763,3 +763,48 @@ def q55(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "q57_edit_distance_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 64) AS s FROM documents
+      WHERE length(substr(text, 1, 64)) >= 32
+    ), b AS (
+      SELECT doc_id, s, 0 AS p, substr(s, 1, 16) AS probe FROM d
+      UNION ALL
+      SELECT doc_id, s, 1 AS p, substr(s, -16) AS probe FROM d
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                      a.s AS s_a, b2.s AS s_b
+      FROM b a JOIN b b2
+        ON a.p = b2.p AND a.probe = b2.probe AND a.doc_id < b2.doc_id
+    )
+    SELECT edit_dist, COUNT(*) AS n_pairs,
+           MIN(doc_a) AS min_doc_a, MAX(doc_b) AS max_doc_b
+    FROM (
+      SELECT doc_a, doc_b, levenshtein(s_a, s_b) AS edit_dist FROM cand
+    ) WHERE edit_dist <= 5
+    GROUP BY edit_dist
+    """,
+    doc="Char-level near-dup: Levenshtein <= 5 over 64-char snippets, "
+    "candidates from two-probe (prefix/suffix) blocking — covers the "
+    "typo/small-edit duplicate class that shingle-set operators "
+    "(q27-q29) under-weight on short texts. Histogram by edit distance; "
+    "both engines run the same blocked semantics and the same DP "
+    "distance, so the MATCH is full engine parity for blocking + "
+    "metric.",
+)
+def q57(spark, sf):
+    pairs = D.edit_distance_pairs(
+        _t(spark, sf, "documents"),
+        snippet_len=64,
+        probe_len=16,
+        max_dist=5,
+    )
+    return pairs.groupBy("edit_dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("doc_a").alias("min_doc_a"),
+        F.max("doc_b").alias("max_doc_b"),
+    )

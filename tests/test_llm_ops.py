@@ -297,3 +297,23 @@ def test_frame_sample_is_deterministic_flatmap(spark, documents):
         n_frames = 1 + int(h[9:12], 16) % 8
         want = [(i, i * 40) for i in range(0, n_frames, 2)]
         assert sorted(frames) == want
+
+
+def test_edit_distance_pairs_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and once more!"
+    assert len(base) == 64
+    typo = base[:30] + "X" + base[31:]          # one mid-string substitution
+    both_ends = "Z" + base[1:63] + "Z"          # edits in BOTH probe regions
+    unrelated = "completely different content that shares no prefix either."
+    df = spark.createDataFrame(
+        [(1, base), (2, typo), (3, both_ends), (4, unrelated)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in D.edit_distance_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 1                     # found via both probes
+    # the documented recall bound: both-ends edits evade both probes
+    assert (1, 3) not in got and (2, 3) not in got
+    assert not any(4 in p for p in got)
