@@ -808,3 +808,98 @@ def q57(spark, sf):
         F.min("doc_a").alias("min_doc_a"),
         F.max("doc_b").alias("max_doc_b"),
     )
+
+
+_SH8_SPARK = D.shingles_sql_spark("text", 8)
+_SH8_DUCK = D.shingles_sql_duck("text", 8)
+_SH5_SPARK = D.shingles_sql_spark("text", 5)
+_SH5_DUCK = D.shingles_sql_duck("text", 5)
+
+
+@query(
+    "q58_contamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SH5_DUCK}) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, source, unnest({_SH5_DUCK}) AS g
+      FROM documents WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT c.doc_id, MIN(c.source) AS source,
+             COUNT(DISTINCT c.g) AS n_shared_grams
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_contaminated_docs,
+           CAST(SUM(n_shared_grams) AS BIGINT) AS total_shared_grams,
+           MAX(n_shared_grams) AS max_shared_grams
+    FROM hits GROUP BY source
+    """,
+    doc="Benchmark-contamination scan: which training docs share 5-gram "
+    "spans with a held-out benchmark set (stand-in: doc_id%97=0)? The "
+    "benchmark's distinct shingles are a small table joined against the "
+    "corpus's exploded shingles — at 100 TB the benchmark side stays "
+    "KB-to-MB-sized (real eval sets are tiny vs the corpus), so AQE "
+    "broadcasts it and the scan never shuffles corpus-sized data; "
+    "per-doc hit counts partial-aggregate map-side. This is the "
+    "eval-decontamination pass every training pipeline must run before "
+    "a data release.",
+)
+def q58(spark, sf):
+    d = _t(spark, sf, "documents")
+    bench = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.expr(_SH5_SPARK)).alias("g"))
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", F.explode(F.expr(_SH5_SPARK)).alias("g")
+    )
+    hits = (
+        corpus.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count_distinct("g").alias("n_shared_grams"),
+        )
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated_docs"),
+        F.sum("n_shared_grams").alias("total_shared_grams"),
+        F.max("n_shared_grams").alias("max_shared_grams"),
+    )
+
+
+@query(
+    "q59_boilerplate_spans",
+    f"""
+    WITH s AS (
+      SELECT doc_id, unnest({_SH8_DUCK}) AS g FROM documents
+    ), freq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS n_docs
+      FROM s GROUP BY g
+    )
+    SELECT g AS span, n_docs FROM freq WHERE n_docs >= 3
+    """,
+    doc="Boilerplate-span detection: word 8-grams appearing in >= 3 "
+    "distinct documents (nav menus, license headers, template text — "
+    "what quality filters strip before training; this corpus has no "
+    "newline/sentence structure, so the span unit is the word n-gram). "
+    "Explode to distinct-per-doc shingles, count distinct docs per span "
+    "with map-side partial agg; output is only the offending spans. "
+    "The removal pass is then a broadcast anti-join of these spans "
+    "against the corpus's shingles. At 100 TB, swap the raw span string "
+    "for its xxhash64 as the shuffle key (the q29 trick) and keep "
+    "MIN(span) for reporting.",
+)
+def q59(spark, sf):
+    d = _t(spark, sf, "documents")
+    s = d.select("doc_id", F.explode(F.expr(_SH8_SPARK)).alias("g"))
+    return (
+        s.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 3)
+        .select(F.col("g").alias("span"), "n_docs")
+    )
