@@ -254,3 +254,47 @@ def q54(spark, sf):
         F.max("ts").alias("max_ts"),
         F.count("unmatched_lines").alias("n_unmatched"),
     )
+
+
+@query(
+    "q60_ip_anonymize",
+    f"""
+    WITH raw AS (
+      SELECT regexp_replace(unnest(string_split(content, chr(10))),
+                            '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS line
+      FROM read_text('{ACCESS_PATH}')
+    ),
+    lines AS (SELECT line FROM raw WHERE length(line) > 0),
+    parsed AS (
+      SELECT regexp_extract(line, '{ACCESS_PATTERN}', 1) AS ip,
+             CAST(regexp_extract(line, '{ACCESS_PATTERN}', 6) AS INT)
+               AS status
+      FROM lines WHERE regexp_matches(line, '{ACCESS_PATTERN}')
+    )
+    SELECT status // 100 AS status_class,
+           COUNT(*) AS n_requests,
+           COUNT(DISTINCT ip) AS n_ips,
+           COUNT(DISTINCT regexp_replace(ip, '\\.\\d+$', '.0'))
+             AS n_anon_ips
+    FROM parsed GROUP BY status // 100
+    """,
+    doc="PII pass over the log source: classic last-octet IP anonymization "
+    "(the GDPR-era Apache/nginx convention) as a pure regexp_replace — "
+    "JVM-side, scan-speed, no shuffle beyond the final count. The "
+    "before/after distinct counts per status class quantify the "
+    "k-anonymity gain (distinct /24s vs distinct hosts); MATCH proves "
+    "both engines' regex replace + distinct agree. The production "
+    "removal pass is the same expression in a writer pipeline — "
+    "redaction happens before anything durable is written.",
+)
+def q60(spark, sf):
+    df = read_log(spark, ACCESS_PATH, ACCESS_CFG)
+    matched = df.where(F.col("ip").isNotNull())
+    anon = F.regexp_replace(F.col("ip"), r"\.\d+$", ".0")
+    return matched.groupBy(
+        (F.col("status") / 100).cast("int").alias("status_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.count_distinct("ip").alias("n_ips"),
+        F.count_distinct(anon).alias("n_anon_ips"),
+    )
