@@ -227,7 +227,7 @@ def q23(spark, sf):
     f"""
     SELECT {T.quality_bucket_sql_duck('text')} AS quality,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM documents GROUP BY quality
     """,
@@ -404,7 +404,7 @@ def q32(spark, sf):
            COUNT(*) AS n_events,
            MIN(gap_days) AS min_gap,
            MAX(gap_days) AS max_gap,
-           SUM(n_day_orders) AS sum_day_orders,
+           CAST(SUM(n_day_orders) AS BIGINT) AS sum_day_orders,
            MAX(day_max_price) AS max_price
     FROM j GROUP BY event_type, gap_month
     """,
@@ -565,7 +565,7 @@ def q33(spark, sf):
     SELECT doc_id,
            COUNT(*) AS n_sampled,
            MAX(frame_idx) AS last_frame,
-           SUM(frame_idx * 40) AS total_t_ms
+           CAST(SUM(frame_idx * 40) AS BIGINT) AS total_t_ms
     FROM frames GROUP BY doc_id
     """,
     doc="Video frame sampling (one-to-many mapInPandas flatMap): md5-"

@@ -114,7 +114,8 @@ def q34(spark, sf):
     WITH {_duck_parsed(LOG_PATH)}
     SELECT date_trunc('month', log_date)::DATE AS month,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN action = 'Query' THEN 1 ELSE 0 END) AS n_queries,
+           CAST(SUM(CASE WHEN action = 'Query' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_queries,
            COUNT(DISTINCT pid) AS n_pids
     FROM parsed
     WHERE unmatched_lines IS NULL
@@ -147,7 +148,7 @@ def q35(spark, sf):
     SELECT COUNT(*) AS n_rows,
            COUNT(pid) AS n_matched,
            COUNT(unmatched_lines) AS n_unmatched,
-           SUM(pid) AS sum_pid,
+           CAST(SUM(pid) AS BIGINT) AS sum_pid,
            COUNT(DISTINCT action) AS n_actions
     FROM parsed
     """,

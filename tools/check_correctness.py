@@ -48,6 +48,40 @@ def row_key(row):
     return repr(row)
 
 
+def driver_divergence_lints(spark_df, rel):
+    """Traps where this checker's fetchall()-based compare is *weaker* than
+    the driver's pandas-based canonicalizer (round-2 lessons):
+
+    - DuckDB HUGEINT (uncast SUM of ints) fetches as a Python int here and
+      compares equal, but ``.df()`` converts it to float64 and the driver's
+      type-sensitive hash mismatches.  Oracles must CAST(... AS BIGINT).
+    - Array-typed output columns hash fine here (we tuple-ize), but the
+      driver's pandas sort_values dies with 'unhashable type: list' (q47).
+    """
+    problems = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if "HUGEINT" in ts or "INT128" in ts:
+            problems.append(
+                f"oracle column '{c}' is {ts} (uncast integer SUM?) — the "
+                "driver's pandas fetch turns this into float64 and the hash "
+                "MISMATCHes; CAST(... AS BIGINT) in the oracle SQL"
+            )
+        if ts.endswith("[]") or "STRUCT" in ts or "MAP" in ts:
+            problems.append(
+                f"oracle column '{c}' is {ts} — driver canonicalizer cannot "
+                "hash nested values; flatten to scalar columns"
+            )
+    for f in spark_df.schema.fields:
+        kind = f.dataType.typeName()
+        if kind in ("array", "map", "struct"):
+            problems.append(
+                f"spark column '{f.name}' is {kind}-typed — driver "
+                "canonicalizer dies on unhashable values; flatten to scalars"
+            )
+    return problems
+
+
 def compare(name, spark_df, con, sql):
     cols_s = list(spark_df.columns)
     t0 = time.time()
@@ -57,7 +91,7 @@ def compare(name, spark_df, con, sql):
     cols_o = list(rel.columns)
     rows_o = [tuple(normalize(v) for v in r) for r in rel.fetchall()]
 
-    problems = []
+    problems = driver_divergence_lints(spark_df, rel)
     if sorted(cols_s) != sorted(cols_o):
         problems.append(f"schema: spark={sorted(cols_s)} oracle={sorted(cols_o)}")
     if len(rows_s) != len(rows_o):
