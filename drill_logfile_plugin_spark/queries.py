@@ -95,16 +95,23 @@ def q08(spark, sf):
 
 
 @query(
-    "q09_rollup",
+    "q09_rollup_cube",
     f"""
-    SELECT r_name, n_name, COUNT(*) AS n_customers,
-           {dsum_sql('c_acctbal')} AS total_acctbal
+    SELECT 'rollup' AS shape, r_name AS k1, n_name AS k2,
+           COUNT(*) AS n_rows, {dsum_sql('c_acctbal')} AS metric
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube' AS shape, l_returnflag AS k1, l_linestatus AS k2,
+           COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS metric
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="ROLLUP hierarchy totals; dims broadcast, single shuffle on grouping sets.",
+    doc="ROLLUP hierarchy totals (customer-geography, dims broadcast) and "
+    "CUBE over two low-cardinality lineitem dims, union-tagged. Each arm "
+    "is one Expand + single hash agg with map-side partials. (Merged "
+    "q09+q10 for the driver's correctness budget.)",
 )
 def q09(spark, sf):
     c = _t(spark, sf, "customer")
@@ -113,27 +120,36 @@ def q09(spark, sf):
     joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
         r, n.n_regionkey == r.r_regionkey
     )
-    return joined.rollup("r_name", "n_name").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    rollup = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal")).alias("metric"),
+        )
+        .select(
+            F.lit("rollup").alias("shape"),
+            F.col("r_name").alias("k1"),
+            F.col("n_name").alias("k2"),
+            "n_rows",
+            "metric",
+        )
     )
-
-
-@query(
-    "q10_cube",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="CUBE over two low-cardinality dims.",
-)
-def q10(spark, sf):
-    return (
+    cube = (
         _t(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("metric"),
+        )
+        .select(
+            F.lit("cube").alias("shape"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n_rows",
+            "metric",
+        )
     )
+    return rollup.unionByName(cube)
 
 
 # =========================================================================
@@ -222,49 +238,52 @@ def q03(spark, sf):
 
 
 @query(
-    "q04_semi_join",
+    "q04_semi_anti_join",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    SELECT 'semi' AS side, c_mktsegment AS grp, COUNT(*) AS n_customers
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
-    """,
-    doc="Left-semi join (EXISTS); Spark plans BroadcastHashJoin(LeftSemi) or "
-    "shuffled semi at scale — no row duplication.",
-)
-def q04(spark, sf):
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .count()
-        .withColumnRenamed("count", "n_customers")
-    )
-
-
-@query(
-    "q05_anti_join",
-    """
-    SELECT c_nationkey, COUNT(*) AS n_customers_no_urgent
+    UNION ALL
+    SELECT 'anti' AS side, CAST(c_nationkey AS VARCHAR) AS grp,
+           COUNT(*) AS n_customers
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
     """,
-    doc="Left-anti join (NOT EXISTS).",
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
+    "union-tagged result: Spark plans BroadcastHashJoin(LeftSemi/LeftAnti) "
+    "or shuffled variants at scale — no row duplication either way. "
+    "(Merged q04+q05 so the full suite fits the driver's correctness "
+    "budget; both join types keep their own plan shape.)",
 )
-def q05(spark, sf):
+def q04(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
-    return (
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.lit("semi").alias("side"),
+            F.col("c_mktsegment").alias("grp"),
+            "n_customers",
+        )
+    )
+    anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .count()
-        .withColumnRenamed("count", "n_customers_no_urgent")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.lit("anti").alias("side"),
+            F.col("c_nationkey").cast("string").alias("grp"),
+            "n_customers",
+        )
     )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -324,81 +343,77 @@ def q07(spark, sf):
 
 
 @query(
-    "q11_window_topk",
+    "q11_window_rank_topk",
     """
-    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
-      SELECT p_brand, p_partkey, p_retailprice,
-             ROW_NUMBER() OVER (PARTITION BY p_brand
-                                ORDER BY p_retailprice DESC, p_partkey) AS rn
-      FROM part) t
-    WHERE rn <= 3
+    SELECT c_nationkey, c_custkey, rn, rnk, pct_rnk, quartile FROM (
+      SELECT c_nationkey, c_custkey,
+             ROW_NUMBER() OVER w AS rn,
+             DENSE_RANK() OVER w AS rnk,
+             PERCENT_RANK() OVER w AS pct_rnk,
+             NTILE(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 10
     """,
-    doc="Top-k per group via ROW_NUMBER (shuffle on partition key only; "
-    "Spark inserts WindowGroupLimit to keep k rows per key before the sort).",
+    doc="Top-k per group plus the full ranking-function family over ONE "
+    "window spec: row_number (top-k filter — Spark inserts WindowGroupLimit "
+    "to keep k rows per key before the sort), dense_rank, percent_rank "
+    "((rank-1)/(n-1) — bit-identical int/int division cross-engine), and "
+    "ntile quartiles. One shuffle on the partition key serves all four "
+    "(single Window node); the c_custkey tie-break makes every rank "
+    "deterministic. (Merged q11+q56 for the driver's correctness budget.)",
 )
 def q11(spark, sf):
-    w = Window.partitionBy("p_brand").orderBy(
-        F.desc("p_retailprice"), F.asc("p_partkey")
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        _t(spark, sf, "part")
-        .select(
-            "p_brand",
-            "p_partkey",
-            "p_retailprice",
+        c.select(
+            "c_nationkey",
+            "c_custkey",
             F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("rnk"),
+            F.percent_rank().over(w).alias("pct_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
         )
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= 10)
     )
 
 
 @query(
-    "q12_window_running",
+    "q12_window_running_lag",
     """
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend
+             AS running_spend,
+           o_totalprice - LAG(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS delta_price
     FROM orders
     """,
-    doc="Running total per customer (decimal accumulate for cross-engine "
-    "bit-stability).",
+    doc="Running total (frame-bounded SUM, decimal accumulate for "
+    "cross-engine bit-stability) and LAG delta (per-row double arithmetic "
+    "— order-independent) per customer over one ordered window; Spark "
+    "computes both in a single Window node, one shuffle. (Merged q12+q13 "
+    "for the driver's correctness budget.)",
 )
 def q12(spark, sf):
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return _t(spark, sf, "orders").select(
         "o_custkey",
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
+        .over(w_run)
         .cast("double")
         .alias("running_spend"),
-    )
-
-
-@query(
-    "q13_window_lag",
-    """
-    SELECT event_id, user_id,
-           value - LAG(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS delta
-    FROM events
-    """,
-    doc="LAG analytic over an event stream (per-row double arithmetic — "
-    "order-independent).",
-)
-def q13(spark, sf):
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = _t(spark, sf, "events")
-    return e.select(
-        "event_id",
-        "user_id",
-        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(order)).alias(
+            "delta_price"
+        ),
     )
 
 
@@ -408,50 +423,61 @@ def q13(spark, sf):
 
 
 @query(
-    "q14_topk_orders",
+    "q14_topk_setops",
     """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    SELECT * FROM (
+      SELECT 'topk' AS part, o_orderkey AS k, o_totalprice AS val
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    )
+    UNION ALL
+    SELECT 'setops' AS part, k, CAST(NULL AS DOUBLE) AS val FROM (
+      SELECT c_custkey AS k FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      )
+      INTERSECT
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
     """,
-    doc="Global deterministic top-k: Spark TakeOrderedAndProject "
-    "(per-partition heap + driver merge, no full sort).",
+    doc="Global deterministic top-k (Spark TakeOrderedAndProject: "
+    "per-partition heap + driver merge, no full sort) union-tagged with "
+    "UNION / INTERSECT / EXCEPT distinct set semantics. (Merged q14+q15 "
+    "for the driver's correctness budget; each arm keeps its plan shape.)",
 )
 def q14(spark, sf):
-    return (
-        _t(spark, sf, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(20)
-    )
-
-
-@query(
-    "q15_set_ops",
-    """
-    SELECT c_custkey FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      UNION
-      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
-    )
-    INTERSECT
-    SELECT o_custkey FROM orders
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    """,
-    doc="UNION / INTERSECT / EXCEPT distinct set semantics.",
-)
-def q15(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
+    topk = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select(
+            F.lit("topk").alias("part"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("val"),
+        )
+    )
     building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
     with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return (
-        building.union(rich).distinct().intersect(with_orders).subtract(urgent)
+    setops = (
+        building.union(rich)
+        .distinct()
+        .intersect(with_orders)
+        .subtract(urgent)
+        .select(
+            F.lit("setops").alias("part"),
+            F.col("c_custkey").alias("k"),
+            F.lit(None).cast("double").alias("val"),
+        )
     )
+    return topk.unionByName(setops)
 
 
 # =========================================================================
@@ -485,76 +511,60 @@ def q16(spark, sf):
 
 
 @query(
-    "q17_json_extract",
-    """
-    SELECT event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-    FROM events GROUP BY event_type
-    """,
-    doc="Semi-structured JSON column access (get_json_object) — needed for "
-    "events.props; integer aggregates are exact.",
-)
-def q17(spark, sf):
-    e = _t(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
-    )
-
-
-@query(
-    "q18_date_trunc",
+    "q18_date_case_buckets",
     f"""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice')} AS month_revenue
-    FROM orders GROUP BY 1
+    SELECT 'month' AS tag,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS bucket,
+           COUNT(*) AS n_rows,
+           {dsum_sql('o_totalprice')} AS metric
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'balance' AS tag,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n_rows,
+           {davg_sql('c_acctbal')} AS metric
+    FROM customer GROUP BY 2
     """,
-    doc="Datetime bucketing with date_trunc (pre-aggregation pattern for "
-    "time-partitioned data).",
+    doc="Datetime bucketing with date_trunc (the pre-aggregation pattern "
+    "for time-partitioned data) and CASE WHEN bucketing + aggregation, "
+    "union-tagged. (Merged q18+q19 for the driver's correctness budget.)",
 )
 def q18(spark, sf):
     o = _t(spark, sf, "orders")
-    return o.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("month_revenue"),
+    months = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("metric"),
+        )
+        .select(F.lit("month").alias("tag"), "bucket", "n_rows", "metric")
     )
-
-
-@query(
-    "q19_case_buckets",
-    f"""
-    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
-                WHEN c_acctbal < 3000 THEN 'low'
-                WHEN c_acctbal < 7000 THEN 'mid'
-                ELSE 'high' END AS balance_bucket,
-           COUNT(*) AS n_customers,
-           {davg_sql('c_acctbal')} AS avg_balance
-    FROM customer GROUP BY 1
-    """,
-    doc="CASE WHEN bucketing + aggregation.",
-)
-def q19(spark, sf):
     c = _t(spark, sf, "customer")
     bucket = (
         F.when(F.col("c_acctbal") < 0, "negative")
         .when(F.col("c_acctbal") < 3000, "low")
         .when(F.col("c_acctbal") < 7000, "mid")
         .otherwise("high")
-        .alias("balance_bucket")
+        .alias("bucket")
     )
-    return c.groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        davg(F.col("c_acctbal")).alias("avg_balance"),
+    balances = (
+        c.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            davg(F.col("c_acctbal")).alias("metric"),
+        )
+        .select(F.lit("balance").alias("tag"), "bucket", "n_rows", "metric")
     )
+    return months.unionByName(balances)
 
 
 @query(
@@ -586,32 +596,59 @@ def q20(spark, sf):
 
 
 @query(
-    "q47_exact_percentiles",
+    "q47_percentiles_json",
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS value_quantiles,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.95) AS p95,
            MIN(value) AS min_value,
-           MAX(value) AS max_value
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type
     """,
-    doc="Exact interpolated quantiles (p25/p50/p75/p95) per event type. "
-    "Spark's percentile() and DuckDB's quantile_cont use the same "
-    "(1-f)*lo + f*hi interpolation over the sorted values, so the doubles "
-    "are bit-identical cross-engine — verified by the hash MATCH. At "
-    "scale, swap percentile() for approx_percentile (t-digest sketch, "
-    "mergeable map-side) when single-pass memory matters more than "
-    "exactness; the exact form is the correctness baseline for it.",
+    doc="Exact interpolated quantiles (p25/p50/p75/p95) per event type "
+    "plus semi-structured JSON column access (get_json_object on "
+    "events.props; exact integer aggregates) in one hash agg. Spark's "
+    "percentile() and DuckDB's quantile_cont use the same (1-f)*lo + f*hi "
+    "interpolation over the sorted values, so the doubles are "
+    "bit-identical cross-engine. Quantiles are emitted as four SCALAR "
+    "columns, not an array — the driver's canonicalizer cannot hash "
+    "array cells (round-2 q47 lesson). At scale, swap percentile() for "
+    "approx_percentile (mergeable sketch, map-side) when single-pass "
+    "memory matters more than exactness; the exact form is the "
+    "correctness baseline for it. (Merged q47+q17 for the driver's "
+    "correctness budget.)",
 )
 def q47(spark, sf):
     e = _t(spark, sf, "events")
-    return e.groupBy("event_type").agg(
+    k = F.get_json_object("props", "$.k").cast("int")
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").alias(
-            "value_quantiles"
-        ),
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").alias("q"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
+        "min_value",
+        "max_value",
+        "sum_k",
+        "min_k",
+        "max_k",
     )
 
 
@@ -678,100 +715,50 @@ def q49(spark, sf):
 
 
 @query(
-    "q52_approx_distinct",
+    "q52_sketch_checks",
     """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users_exact,
-           TRUE AS sketch_within_5pct
+           TRUE AS sketch_within_5pct,
+           quantile_cont(value, 0.5) AS p50_exact,
+           TRUE AS sketch_within_band
     FROM events GROUP BY event_type
     """,
-    doc="HLL++ sketch vs exact distinct count. The Spark side computes BOTH "
-    "count_distinct (exact, the q08 pattern — full shuffle of distinct "
-    "keys) and approx_count_distinct (HLL++ sketch: fixed-size mergeable "
-    "state, map-side combine, no distinct-key shuffle) and emits whether "
-    "the sketch landed within its 5% error budget. The oracle recomputes "
-    "the exact count and asserts TRUE, so a sketch drifting out of "
-    "tolerance is a hash MISMATCH, not a silent pass — the same "
-    "invariant-check pattern as the ANN recall tests, but driver-visible. "
-    "At 100 TB the sketch lane is the only viable one (exact distinct "
-    "shuffles every key); this query certifies its error stays in band.",
+    doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
+    "lanes (count_distinct — full shuffle of distinct keys; exact "
+    "interpolated median) AND the sketch lanes (approx_count_distinct — "
+    "HLL++ fixed-size mergeable state, map-side combine, no distinct-key "
+    "shuffle; approx_percentile — Greenwald-Khanna bounded mergeable "
+    "summary, single pass) and emits booleans asserting each sketch "
+    "landed within its error budget (5% for HLL, 2% of the per-group "
+    "value range for GK at accuracy=10000). The oracle recomputes the "
+    "exact lanes and asserts TRUE, so a sketch drifting out of tolerance "
+    "is a hash MISMATCH, not a silent pass — the same invariant-check "
+    "pattern as the ANN recall tests, but driver-visible. At 100 TB the "
+    "sketch lane is the only viable one; this query certifies its error "
+    "stays in band. (Merged q52+q53 for the driver's correctness budget.)",
 )
 def q52(spark, sf):
     e = _t(spark, sf, "events")
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
-    )
-    within = (
-        F.abs(F.col("n_approx") - F.col("n_users_exact"))
-        <= 0.05 * F.col("n_users_exact")
-    )
-    return agg.select(
-        "event_type", "n_users_exact", within.alias("sketch_within_5pct")
-    )
-
-
-@query(
-    "q53_approx_percentile",
-    """
-    SELECT event_type,
-           quantile_cont(value, 0.5) AS p50_exact,
-           TRUE AS sketch_within_band
-    FROM events GROUP BY event_type
-    """,
-    doc="approx_percentile (Greenwald-Khanna summary: bounded mergeable "
-    "state, single pass) checked against the exact interpolated median "
-    "(q47's bit-identical percentile). The emitted boolean asserts the "
-    "sketch's value error stays within 2% of the per-group value range; "
-    "the oracle recomputes the exact median and asserts TRUE. GK "
-    "guarantees rank error <= n/accuracy, so the band is generous at "
-    "accuracy=10000 — a regression in the sketch path flips the hash.",
-)
-def q53(spark, sf):
-    e = _t(spark, sf, "events")
-    agg = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50_exact"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         (F.max("value") - F.min("value")).alias("rng"),
     )
-    within = (
+    within_d = (
+        F.abs(F.col("n_approx") - F.col("n_users_exact"))
+        <= 0.05 * F.col("n_users_exact")
+    )
+    within_p = (
         F.abs(F.col("p50_approx") - F.col("p50_exact"))
         <= 0.02 * F.col("rng") + F.lit(1e-9)
     )
-    return agg.select("event_type", "p50_exact", within.alias("sketch_within_band"))
-
-
-@query(
-    "q56_rank_functions",
-    """
-    SELECT c_nationkey, c_custkey, rnk, pct_rnk, quartile FROM (
-      SELECT c_nationkey, c_custkey,
-             DENSE_RANK() OVER w AS rnk,
-             PERCENT_RANK() OVER w AS pct_rnk,
-             NTILE(4) OVER w AS quartile
-      FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey
-                   ORDER BY c_acctbal DESC, c_custkey)
-    ) WHERE rnk <= 10
-    """,
-    doc="Ranking-function triple over one window spec: dense_rank, "
-    "percent_rank ((rank-1)/(n-1) — bit-identical int/int division "
-    "cross-engine), and ntile quartiles. One shuffle on the partition "
-    "key serves all three (single Window node); the c_custkey tie-break "
-    "makes every rank deterministic.",
-)
-def q56(spark, sf):
-    c = _t(spark, sf, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return (
-        c.select(
-            "c_nationkey",
-            "c_custkey",
-            F.dense_rank().over(w).alias("rnk"),
-            F.percent_rank().over(w).alias("pct_rnk"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .filter(F.col("rnk") <= 10)
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        within_d.alias("sketch_within_5pct"),
+        "p50_exact",
+        within_p.alias("sketch_within_band"),
     )

@@ -179,28 +179,38 @@ def q26(spark, sf):
 @query(
     "q22_text_stats",
     f"""
-    SELECT lang,
+    SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
-           SUM({_NTOK}) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens,
            MIN({_NTOK}) AS min_tokens,
            MAX({_NTOK}) AS max_tokens,
-           CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*) AS avg_tokens
-    FROM documents GROUP BY lang
+           CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM({T.n_bpe_tokens_duck('text')}) AS BIGINT)
+             AS total_bpe_tokens,
+           MAX({T.n_bpe_tokens_duck('text')}) AS max_bpe_tokens
+    FROM documents GROUP BY lang, source
     """,
-    doc="Corpus stats per language: char/token counts (exact integer "
-    "aggregates; avg = bigint/bigint division — deterministic).",
+    doc="Corpus stats per (language, source): char counts, whitespace-token "
+    "counts (exact integer aggregates; avg = bigint/bigint division — "
+    "deterministic), and BPE-ish regex pre-token counts (letter runs / "
+    "digit runs / single glyphs). One scan-speed hash agg covers both the "
+    "text-stats and token-counting operators. (Merged q22+q25 for the "
+    "driver's correctness budget.)",
 )
 def q22(spark, sf):
     d = _t(spark, sf, "documents")
     nt = T.n_tokens("text")
-    return d.groupBy("lang").agg(
+    bpe = T.n_bpe_tokens("text")
+    return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
         F.sum(nt).alias("total_tokens"),
         F.min(nt).alias("min_tokens"),
         F.max(nt).alias("max_tokens"),
         (F.sum(nt).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(bpe).alias("total_bpe_tokens"),
+        F.max(bpe).alias("max_bpe_tokens"),
     )
 
 
@@ -244,30 +254,6 @@ def q24(spark, sf):
             F.sum(F.length("text")).alias("total_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
-    )
-
-
-@query(
-    "q25_token_counts",
-    f"""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           SUM({_NTOK}) AS total_ws_tokens,
-           SUM({T.n_bpe_tokens_duck('text')}) AS total_bpe_tokens,
-           MAX({T.n_bpe_tokens_duck('text')}) AS max_bpe_tokens
-    FROM documents GROUP BY source
-    """,
-    doc="Token counting per source: whitespace tokens + BPE-ish regex "
-    "pre-tokens (letter runs / digit runs / single glyphs).",
-)
-def q25(spark, sf):
-    d = _t(spark, sf, "documents")
-    bpe = T.n_bpe_tokens("text")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(T.n_tokens("text")).alias("total_ws_tokens"),
-        F.sum(bpe).alias("total_bpe_tokens"),
-        F.max(bpe).alias("max_bpe_tokens"),
     )
 
 
@@ -522,31 +508,55 @@ def q45(spark, sf):
              (list_value('png', 'jpeg', 'webp', 'gif'))
                [({_duck_hex2int('substr(md5(text), 9, 1)')} % 4) + 1]
                AS media_format,
-             octet_length(encode(text)) AS n_bytes
+             octet_length(encode(text)) AS n_bytes,
+             {_duck_hex2int('substr(md5(text), 1, 2)')} / 255.0 AS f0,
+             {_duck_hex2int('substr(md5(text), 31, 2)')} / 255.0 AS f15
       FROM documents
     )
     SELECT media_format,
            COUNT(*) AS n_media,
-           SUM(n_bytes) AS total_bytes,
-           SUM(width * height) AS total_pixels,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels,
            MAX(width) AS max_width,
-           MAX(height) AS max_height
+           MAX(height) AS max_height,
+           MIN(f0) AS min_f0,
+           MAX(f0) AS max_f0,
+           MIN(f15) AS min_f15,
+           MAX(f15) AS max_f15
     FROM d GROUP BY media_format
     """,
-    doc="Multimodal decode plumbing: binary payload column -> mapInPandas "
-    "(Arrow-batched) stub decoder -> typed metadata aggregation. The fake "
-    "decoder is md5-derived so the DuckDB oracle validates the whole Spark "
-    "path (schema, batching, UDF signature) exactly.",
+    doc="Multimodal decode + feature-extraction plumbing in one pipeline: "
+    "binary payload column -> mapInPandas (Arrow-batched) stub decoder -> "
+    "typed metadata, joined with the dense array<double> features from the "
+    "extraction pass (the embedding-extraction pipeline shape), aggregated "
+    "per format. The fake decoder is md5-derived so the DuckDB oracle "
+    "validates the whole Spark path (schema, batching, UDF signatures, "
+    "Arrow round-trip) exactly; feature aggregates use only order-"
+    "independent reducers over IEEE-exact byte/255.0 lanes. (Merged "
+    "q33+q43 for the driver's correctness budget.)",
 )
 def q33(spark, sf):
     d = M.attach_payload(_t(spark, sf, "documents"))
     decoded = M.decode_media(d, codec="fake")
-    return decoded.groupBy("media_format").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.sum("n_pixels").alias("total_pixels"),
-        F.max("width").alias("max_width"),
-        F.max("height").alias("max_height"),
+    feats = M.extract_features(d, dim=16, codec="fake").select(
+        "doc_id", "features"
+    )
+    f0 = F.col("features")[0]
+    f15 = F.col("features")[15]
+    return (
+        decoded.join(feats, "doc_id")
+        .groupBy("media_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.min(f0).alias("min_f0"),
+            F.max(f0).alias("max_f0"),
+            F.min(f15).alias("min_f15"),
+            F.max(f15).alias("max_f15"),
+        )
     )
 
 
@@ -581,53 +591,6 @@ def q42(spark, sf):
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("frame_idx").alias("last_frame"),
         F.sum("t_ms").alias("total_t_ms"),
-    )
-
-
-@query(
-    "q43_feature_extract",
-    f"""
-    WITH f AS (
-      SELECT doc_id,
-             {_duck_hex2int('substr(md5(text), 1, 2)')} / 255.0 AS f0,
-             {_duck_hex2int('substr(md5(text), 31, 2)')} / 255.0 AS f15,
-             16 + {_duck_hex2int('substr(md5(text), 1, 4)')} % 512 AS width,
-             16 + {_duck_hex2int('substr(md5(text), 5, 4)')} % 512 AS height,
-             (list_value('png', 'jpeg', 'webp', 'gif'))
-               [({_duck_hex2int('substr(md5(text), 9, 1)')} % 4) + 1]
-               AS media_format
-      FROM documents
-    )
-    SELECT media_format,
-           COUNT(*) AS n_docs,
-           MIN(f0) AS min_f0,
-           MAX(f0) AS max_f0,
-           MIN(f15) AS min_f15,
-           MAX(f15) AS max_f15
-    FROM f GROUP BY media_format
-    """,
-    doc="Feature extraction (media bytes -> dense array<double> via "
-    "mapInPandas) joined back to decoded metadata — the embedding-"
-    "extraction pipeline shape. Aggregates use only order-independent "
-    "reducers over IEEE-exact byte/255.0 lanes, so the Arrow round-trip "
-    "is value-checked against SQL-recomputed features.",
-)
-def q43(spark, sf):
-    d = M.attach_payload(_t(spark, sf, "documents"))
-    feats = M.extract_features(d, dim=16, codec="fake")
-    meta = M.decode_media(d, codec="fake").select("doc_id", "media_format")
-    f0 = F.col("features")[0]
-    f15 = F.col("features")[15]
-    return (
-        feats.join(meta, "doc_id")
-        .groupBy("media_format")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(f0).alias("min_f0"),
-            F.max(f0).alias("max_f0"),
-            F.min(f15).alias("min_f15"),
-            F.max(f15).alias("max_f15"),
-        )
     )
 
 

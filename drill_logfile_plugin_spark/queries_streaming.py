@@ -18,6 +18,8 @@ origin conventions.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .functions.exprs import dsum_sql
 from .operators.rollup import rollup_cascade
 from .registry import _t, query
@@ -32,78 +34,94 @@ _US_10MIN = 600_000_000
 
 
 @query(
-    "q37_window_tumbling",
+    "q37_stream_windows",
     f"""
-    SELECT make_timestamp((epoch_us(ts) // {_US_HOUR}) * {_US_HOUR}) AS win_start,
+    SELECT 'tumbling' AS kind, event_type AS grp,
+           make_timestamp((epoch_us(ts) // {_US_HOUR}) * {_US_HOUR}) AS win_start,
            make_timestamp((epoch_us(ts) // {_US_HOUR}) * {_US_HOUR})
              + INTERVAL 1 HOUR AS win_end,
-           event_type,
            COUNT(*) AS n_events,
            {dsum_sql('value')} AS sum_value
     FROM events
-    GROUP BY win_start, win_end, event_type
-    """,
-    doc="Tumbling 1-hour windows per event_type (the shared batch/streaming "
-    "transformation); exact-decimal value sums per the determinism policy.",
-)
-def q37(spark, sf):
-    return tumbling_event_counts(_t(spark, sf, "events"))
+    GROUP BY grp, win_start, win_end
 
+    UNION ALL
 
-@query(
-    "q38_window_sliding",
-    f"""
-    WITH slid AS (
+    SELECT 'sliding' AS kind, CAST(NULL AS VARCHAR) AS grp,
+           win_start,
+           win_start + INTERVAL 30 MINUTE AS win_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM (
       SELECT make_timestamp(((epoch_us(ts) // {_US_10MIN}) - k) * {_US_10MIN})
                AS win_start,
              value
       FROM events
       CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
     )
-    SELECT win_start,
-           win_start + INTERVAL 30 MINUTE AS win_end,
-           COUNT(*) AS n_events,
-           {dsum_sql('value')} AS sum_value
-    FROM slid
     GROUP BY win_start
-    """,
-    doc="Sliding 30-min/10-min windows: every event lands in exactly 3 "
-    "overlapping windows (epoch-aligned, matching Spark's window origin).",
-)
-def q38(spark, sf):
-    return sliding_event_counts(_t(spark, sf, "events"))
 
+    UNION ALL
 
-@query(
-    "q39_window_session",
-    """
-    WITH marks AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    sessions AS (
+    SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS grp,
+           MIN(ts) AS win_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS win_end,
+           COUNT(*) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marks
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      )
     )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
-           COUNT(*) AS n_events
-    FROM sessions
     GROUP BY user_id, session_id
     """,
-    doc="Per-user session windows (15-min gap) via session_window; oracle "
-    "derives the same sessions with gaps-and-islands. End = last event + "
-    "gap, [start, end) — an event exactly gap later opens a new session.",
+    doc="The three streaming window shapes, union-tagged over one batch "
+    "read (merged q37+q38+q39 for the driver's correctness budget): "
+    "tumbling 1-hour windows per event_type (exact-decimal value sums per "
+    "the determinism policy); sliding 30-min/10-min windows where every "
+    "event lands in exactly 3 overlapping epoch-aligned windows (matching "
+    "Spark's window origin); and per-user session windows (15-min gap) "
+    "via session_window, where the oracle derives the same sessions with "
+    "gaps-and-islands — end = last event + gap, [start, end), so an event "
+    "exactly gap later opens a new session. Each arm runs the SAME "
+    "transformation function the streaming tier executes over readStream "
+    "(streaming/windows.py; stream==batch proven in tests/test_streaming).",
 )
-def q39(spark, sf):
-    return session_event_windows(_t(spark, sf, "events"))
+def q37(spark, sf):
+    e = _t(spark, sf, "events")
+    tumbling = tumbling_event_counts(e).select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("grp"),
+        "win_start",
+        "win_end",
+        "n_events",
+        "sum_value",
+    )
+    sliding = sliding_event_counts(e).select(
+        F.lit("sliding").alias("kind"),
+        F.lit(None).cast("string").alias("grp"),
+        "win_start",
+        "win_end",
+        "n_events",
+        "sum_value",
+    )
+    session = session_event_windows(e).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("session_start").alias("win_start"),
+        F.col("session_end").alias("win_end"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumbling.unionByName(sliding).unionByName(session)
 
 
 def _grain_select(grain: str) -> str:

@@ -49,11 +49,19 @@ def _t(spark, sf_dir, name):
 #: Query modules that exist today. Extend this tuple as modules land so the
 #: driver entry point picks them up automatically; never list a module that
 #: does not import (a missing module here = the whole driver surface is dead).
+#:
+#: ORDER MATTERS: the driver's correctness run processes queries in
+#: registration order and has a finite budget (round 2 truncated after 50,
+#: silently dropping everything registered later). The log-scan tier is the
+#: reference's entire reason to exist and the streaming tier has no other
+#: driver-visible record, so they register FIRST; the suite is also kept at
+#: <= 48 registrations (overlapping relational demos are union-merged) so
+#: nothing falls off the end even if the budget shrinks.
 QUERY_MODULES = (
-    "queries",
-    "queries_llm",
     "queries_log",
     "queries_streaming",
+    "queries",
+    "queries_llm",
 )
 
 
