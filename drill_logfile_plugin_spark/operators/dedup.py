@@ -224,10 +224,13 @@ def lsh_candidate_pairs(
             "doc_id",
             F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
         )
-        # Referenced by both sides of the candidate self-join; materialize
-        # the tokenize+hash+band pipeline once (bands×n small rows,
-        # executor-local disk, never the driver).
-        .localCheckpoint(eager=True)
+        # Referenced by both sides of the candidate self-join — but both
+        # sides shuffle on the same (band_id, bucket) key, so Catalyst's
+        # ReuseExchange computes the tokenize+hash+band pipeline ONCE and
+        # reads the shuffle twice; no persist/checkpoint needed here.
+        # (Round 2 had an eager localCheckpoint at this spot; with the one
+        # below it serialized the operator into three back-to-back jobs
+        # and tripled exposure to host throttling — 44 s vs ~8 s.)
     )
     # Candidate pairs via native hash self-join on (band_id, bucket).
     # A groupBy+collect_list pair expansion was tried and is SLOWER here:
@@ -250,10 +253,13 @@ def lsh_candidate_pairs(
         )
         .distinct()
         # The candidate set is referenced three times below (two id
-        # projections + the re-rank join); checkpointing materializes the
-        # banding/self-join subplan once instead of once per reference.
-        # It is O(duplicate pairs) — tiny at any corpus scale — and lives
-        # on executor-local disk, not the driver.
+        # projections + the re-rank join), in subplans different enough
+        # that ReuseExchange cannot dedup them; the ONE eager checkpoint
+        # in this operator materializes the banding/self-join subplan once
+        # instead of once per reference (a lazy persist would let the
+        # three branches race and redundantly recompute it within the
+        # final job). It is O(duplicate pairs) — tiny at any corpus
+        # scale — and lives on executor-local disk, not the driver.
         .localCheckpoint(eager=True)
     )
     # Exact re-rank: build string shingle sets ONLY for docs that appear in
