@@ -157,17 +157,52 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
         cols.append(_coerce(raw, type_tag, cfg, name).alias(name))
 
     if cfg.error_on_mismatch:
-        # Abort on first unmatched line (LogRecordReader.java:283-285).
+        # Abort on first unmatched line, naming the offending file like the
+        # reference's UserException does (LogRecordReader.java:283-285
+        # attaches file + line number via the error context). Spark's text
+        # source has no line-number column (and adding one via
+        # zipWithIndex would break input splitting), so the context is
+        # file + line text. input_file_name() is "" for non-file sources
+        # (e.g. in-memory test frames) — harmless.
         unmatched = F.when(
             ~matched,
             F.raise_error(
-                F.concat(F.lit("log scan: line does not match pattern: "), line)
+                F.concat(
+                    F.lit("log scan: line does not match pattern in file '"),
+                    F.input_file_name(),
+                    F.lit("': "),
+                    line,
+                )
             ).cast("string"),
         ).otherwise(F.lit(None).cast("string"))
     else:
         unmatched = F.when(~matched, line).otherwise(F.lit(None).cast("string"))
     cols.append(unmatched.alias(UNMATCHED_COLUMN))
     return df.select(*cols)
+
+
+#: Compression suffixes spark.read.text decodes transparently (Hadoop codec
+#: factory — the same extension->codec rule as the reference's
+#: CompressionCodecFactory, LogRecordReader.java:85-86,123-129). A file named
+#: ``x.log.gz`` is a ``.log`` file for format dispatch, matching Drill's
+#: behavior of resolving the codec first and the format from the inner name.
+_CODEC_SUFFIXES = ("gz", "bz2", "deflate", "snappy", "lz4", "zst")
+
+
+def _extensions_glob(extensions: list[str]) -> str | None:
+    """Build the ``pathGlobFilter`` implementing extension dispatch.
+
+    The reference maps files to the plugin via the ``extensions`` config
+    (LogFormatPlugin.java:88, defaulting ``["log"]`` at :96-104;
+    README.md:33): pointing a query at a mixed directory parses only files
+    with a registered extension. An empty list disables filtering (parse
+    everything the path matches).
+    """
+    exts = [e.lstrip(".") for e in extensions if e and e.lstrip(".")]
+    if not exts:
+        return None
+    alts = [x for e in exts for x in (e, *(f"{e}.{c}" for c in _CODEC_SUFFIXES))]
+    return "*.{" + ",".join(alts) + "}"
 
 
 def read_log(
@@ -184,8 +219,19 @@ def read_log(
     parse is declarative and the host engine is Spark SQL. Compression is
     handled by ``spark.read.text`` (codec by extension — same rule as the
     reference's CompressionCodecFactory, LogRecordReader.java:85-86,123-129).
+
+    ``cfg.extensions`` performs the reference's extension->format dispatch
+    (LogFormatPlugin.java:88,96-104) as a ``pathGlobFilter``: a directory
+    containing ``a.log`` and ``b.txt`` parses only ``a.log`` under the
+    default config. Compressed twins (``a.log.gz`` …) stay included, like
+    Drill's codec-then-format resolution. Set ``extensions=[]`` to parse
+    every file the path matches.
     """
-    lines = spark.read.text(paths if paths else path)
+    reader = spark.read
+    glob = _extensions_glob(cfg.extensions)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    lines = reader.text(paths if paths else path)
     return parse_lines(lines, cfg)
 
 
@@ -194,6 +240,12 @@ def read_log_stream(spark: SparkSession, path: str, cfg: LogFormatConfig) -> Dat
 
     No reference counterpart (the reference is batch-only); see SURVEY.md §2
     streaming row. Combine with ``withWatermark`` + ``window`` downstream.
+    Extension dispatch applies exactly as in ``read_log`` — files dropped
+    into a watched directory parse only if their extension is registered.
     """
-    lines = spark.readStream.text(path)
+    reader = spark.readStream
+    glob = _extensions_glob(cfg.extensions)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    lines = reader.text(path)
     return parse_lines(lines, cfg)

@@ -103,6 +103,49 @@ def test_error_on_mismatch_aborts(spark, tmp_path):
         df.collect()
 
 
+def test_error_on_mismatch_names_file(spark, tmp_path):
+    """Strict abort carries the offending file, like the reference's error
+    context (LogRecordReader.java:283-285)."""
+    p = tmp_path / "named.log"
+    p.write_text("070823 21:00:32 1 Connect ok\nGARBAGE\n")
+    df = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+    with pytest.raises(Exception, match="named.log"):
+        df.collect()
+
+
+# --- A9: extension->format dispatch (LogFormatPlugin.java:88,96-104) -------
+
+
+def test_extension_dispatch_filters_directory(spark, tmp_path):
+    """Default config parses only *.log in a mixed directory."""
+    (tmp_path / "a.log").write_text("070823 21:00:32 1 Connect ok\n")
+    (tmp_path / "b.txt").write_text("070823 21:00:33 2 Query select\n")
+    rows = read_log(spark, str(tmp_path), mysql_cfg()).collect()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "Connect"
+
+
+def test_extension_dispatch_custom_and_disabled(spark, tmp_path):
+    (tmp_path / "a.log").write_text("070823 21:00:32 1 Connect ok\n")
+    (tmp_path / "b.txt").write_text("070823 21:00:33 2 Query select\n")
+    only_txt = read_log(
+        spark, str(tmp_path), mysql_cfg(extensions=["txt"])
+    ).collect()
+    assert [r["action"] for r in only_txt] == ["Query"]
+    both = read_log(spark, str(tmp_path), mysql_cfg(extensions=[])).collect()
+    assert len(both) == 2
+
+
+def test_extension_dispatch_keeps_compressed_twins(spark, tmp_path):
+    """x.log.gz is a .log file for dispatch (codec-then-format, like Drill)."""
+    (tmp_path / "a.log").write_text("070823 21:00:32 1 Connect ok\n")
+    with gzip.open(tmp_path / "c.log.gz", "wb") as dst:
+        dst.write(b"070823 21:00:34 3 Quit bye\n")
+    (tmp_path / "b.txt").write_text("070823 21:00:33 2 Query select\n")
+    rows = read_log(spark, str(tmp_path), mysql_cfg()).collect()
+    assert sorted(r["action"] for r in rows) == ["Connect", "Quit"]
+
+
 def test_bad_date_lenient_null_strict_aborts(spark, tmp_path):
     p = tmp_path / "baddate.log"
     # 13th month — regex matches (6 digits) but date parse fails
