@@ -41,12 +41,24 @@ def salted_join(
     """Equi-join robust to hot keys on the ``skewed`` side.
 
     The skewed side gets a deterministic salt in ``[0, salt)`` derived
-    from ``salt_source`` (default: the first non-key column, falling back
-    to the key itself — a key-only salt still spreads distinct hot keys,
-    but cannot split ONE key unless a distinguishing column exists).
-    The ``other`` side is exploded ``salt`` times; join keys become
-    ``on + [__salt]``, so each former single hot-key task is now ``salt``
-    tasks. Output schema equals a plain ``skewed.join(other, on, how)``.
+    from ``salt_source`` (default: a hash over ALL non-key columns,
+    falling back to the key itself — a key-only salt still spreads
+    distinct hot keys, but cannot split ONE key unless a distinguishing
+    column exists). The ``other`` side is exploded ``salt`` times; join
+    keys become ``on + [__salt]``, so each former single hot-key task is
+    now ``salt`` tasks. Output schema equals a plain
+    ``skewed.join(other, on, how)``.
+
+    Salt-entropy caveat: the salt only spreads a hot key as far as the
+    salt source varies WITHIN that key's rows. If every non-key column is
+    constant (or NULL — ``xxhash64(NULL)`` is one constant value) across
+    the hot key's rows, they all land in one salt bucket while the query
+    still pays the full ``salt``× replication of ``other``. Callers with
+    a single dominant hot key should pass an explicitly high-cardinality
+    ``salt_source`` (a row-unique id is ideal); the all-columns default
+    only degrades when the hot key's rows are full duplicates, where no
+    deterministic salt can help (use ``F.rand``-free alternatives like
+    ``monotonically_increasing_id`` upstream if that case matters).
 
     Cost model: ``other`` is scanned once but shuffled ``salt`` times
     over — use this ONLY when ``other`` is far smaller than the skewed
@@ -64,9 +76,11 @@ def salted_join(
         )
     if salt_source is None:
         non_key = [c for c in skewed.columns if c not in on]
-        salt_source = non_key[0] if non_key else list(on)[0]
+        srcs = non_key if non_key else list(on)
+    else:
+        srcs = [salt_source]
     salted = skewed.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt))
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in srcs]), F.lit(salt))
     )
     replicated = other.withColumn(
         SALT_COL,

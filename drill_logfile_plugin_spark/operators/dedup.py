@@ -410,6 +410,19 @@ def simhash_pairs(
     Exact (not approximate): the candidate join is on one of 4 signature
     bytes; any pair with ≤3 differing bits must agree on at least one byte
     (pigeonhole over 4 bytes), so banding loses nothing for max_hamming ≤ 3.
+
+    Bucket-headroom contract (when to widen the signature): with 8-bit
+    bands there are only 256 buckets per band, so each band's posting
+    lists grow O(n/256) and the candidate self-join goes quadratic in
+    n/256 — fine up to corpora of ~millions, the regime this 32-bit form
+    targets. At larger n, switch to 64-bit signatures banded as 4×16-bit
+    halves: the pigeonhole argument is band-count-ruled (lossless for
+    Hamming ≤ bands-1, unchanged at 4 bands), while buckets-per-band
+    jumps 256× to 65 536, restoring near-singleton posting lists. The
+    change is mechanical — SIMHASH_BITS=64 (md5 has the hash bits to
+    spare), band extraction masks 16 bits instead of 8 — and the exact
+    Hamming re-rank is identical; it is not wired in here because the
+    driver oracle (simhash_sql_duck) pins the 32-bit form bit-for-bit.
     """
     if max_hamming > 3:
         raise ValueError(

@@ -58,9 +58,15 @@ def range_join(
     w = float(bucket_width)
     lb = F.floor(F.col(left_val) / w)
     # half-open: an interval ending exactly on a bucket boundary does not
-    # cover that bucket
+    # cover that bucket. ceil(hi/w) - 1 computes the last covered bucket
+    # EXACTLY for boundary and non-boundary values alike; the earlier
+    # floor((hi - 1e-9)/w) form used an absolute epsilon that float64
+    # absorbs at large magnitudes (epoch seconds ~1e9), silently dropping
+    # the boundary bucket — and with it true matches — for a hi lying
+    # within 1e-9 above a boundary. Over-coverage is corrected by the
+    # exact residual filter below; under-coverage never is.
     rb_lo = F.floor(F.col(right_lo) / w)
-    rb_hi = F.floor((F.col(right_hi) - F.lit(1e-9)) / w)
+    rb_hi = F.ceil(F.col(right_hi) / w) - F.lit(1)
     l_b = left.withColumn(_BUCKET, lb.cast("long"))
     r_b = right.withColumn(
         _BUCKET,

@@ -850,19 +850,25 @@ def q58(spark, sf):
     "distinct documents (nav menus, license headers, template text — "
     "what quality filters strip before training; this corpus has no "
     "newline/sentence structure, so the span unit is the word n-gram). "
-    "Explode to distinct-per-doc shingles, count distinct docs per span "
-    "with map-side partial agg; output is only the offending spans. "
+    "Explode to shingles, then shuffle on xxhash64(span) — an 8-byte "
+    "key — instead of the raw 8-gram string (the q29 trick), carrying "
+    "MIN(span) alongside for reporting: the count-distinct expand and "
+    "both shuffle stages move fixed-width keys, and the string appears "
+    "once per (partition, distinct span) in the partial agg, not once "
+    "per occurrence. A 64-bit cross-span collision (~2^-64, same "
+    "accepted trade-off as q29) would merge two spans' doc counts. "
     "The removal pass is then a broadcast anti-join of these spans "
-    "against the corpus's shingles. At 100 TB, swap the raw span string "
-    "for its xxhash64 as the shuffle key (the q29 trick) and keep "
-    "MIN(span) for reporting.",
+    "against the corpus's shingles.",
 )
 def q59(spark, sf):
     d = _t(spark, sf, "documents")
     s = d.select("doc_id", F.explode(F.expr(_SH8_SPARK)).alias("g"))
     return (
-        s.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        s.groupBy(F.xxhash64("g").alias("gh"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("g").alias("span"),
+        )
         .where(F.col("n_docs") >= 3)
-        .select(F.col("g").alias("span"), "n_docs")
+        .select("span", "n_docs")
     )

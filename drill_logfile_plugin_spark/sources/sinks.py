@@ -98,8 +98,16 @@ def compact_table(
     scan unit, and at 100 TB the resulting per-file open/footer overhead
     (plus NameNode/object-store listing) dominates scan time. Compaction
     reads the table once, repartitions to ``ceil(bytes / target)`` and
-    rewrites atomically-per-directory (write to ``path + '.compact'``,
-    then swap) so a failed compaction never corrupts the live table.
+    rewrites to ``path + '.compact'``, then swaps directories.
+
+    Crash-safety contract (local-FS renames are atomic individually but
+    the swap is TWO renames, not one): a failure before the first rename
+    leaves the live table untouched; a crash *between* the renames leaves
+    the data intact at ``path + '.old'`` with the live path missing —
+    recover by renaming ``.old`` back. A pre-existing ``.old`` directory
+    (a prior interrupted run) fails fast with a recovery hint rather than
+    guessing which copy is authoritative. For a single-rename swap, point
+    readers at a manifest/symlink and flip that instead.
 
     Returns the number of files after compaction. Row values, schema, and
     partition layout are preserved (``partition_by`` must name the existing
@@ -114,6 +122,15 @@ def compact_table(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"compact_table: '{old}' already exists — a previous compaction "
+            "was interrupted mid-swap. Inspect it: if the live table at "
+            f"'{path}' is missing or incomplete, restore with "
+            f"os.rename('{old}', '{path}'); otherwise delete the stale "
+            "'.old' directory. Refusing to guess."
+        )
     df = spark.read.parquet(path)
     size = sum(
         os.path.getsize(os.path.join(root, f))
@@ -127,7 +144,6 @@ def compact_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

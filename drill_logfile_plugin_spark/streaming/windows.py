@@ -266,6 +266,20 @@ def sessionize_stateful(
     keys shuffle once on user_id so a key's state never spans executors;
     eviction is watermark-driven so state size tracks *active* users, not
     all users ever seen.
+
+    Late-data contract (narrower than ``session_window``, by design): a
+    micro-batch's events are merged with the OPEN session by the full
+    interval-overlap rule — out-of-order arrivals within a batch, events
+    earlier than the open session's start, and a state session bridging
+    two batch sessions all merge with the correct (minimum) start. What
+    does NOT merge: a session already *emitted* (closed by a later event
+    in a previous batch) cannot absorb a still-within-watermark straggler
+    from a later batch — that straggler starts a new session. Reopening
+    emitted sessions would require buffering every closed session until
+    the watermark passes (unbounded state) or retraction support;
+    keeping per-key state at 4 longs is the point of this operator. Use
+    the declarative ``session_window`` path when exact late-data merging
+    across micro-batches matters more than custom close logic.
     """
     gap_ns = int(pd.Timedelta(gap).value)
 
@@ -305,26 +319,33 @@ def sessionize_stateful(
         counts = np.diff(np.append(idx, len(t)))
         sums = np.add.reduceat(c, idx)
 
-        if state.exists:
-            start_ns, last_ns, n, cents = state.get
-            if t[0] - last_ns < gap_ns:
-                # First batch-session extends the open one.
-                starts[0], counts[0], sums[0] = (
-                    start_ns,
-                    counts[0] + n,
-                    sums[0] + cents,
-                )
-            else:
-                yield _frame(user_id, start_ns, last_ns, n, cents)
-
-        for i in range(len(starts) - 1):  # all but the last are closed
-            yield _frame(
-                user_id, starts[i], ends[i], int(counts[i]), int(sums[i])
-            )
-        state.update(
-            (int(starts[-1]), int(ends[-1]), int(counts[-1]), int(sums[-1]))
+        # Merge the open state session into the batch's session list as one
+        # more interval, then sweep-merge by the gap rule (two sessions
+        # merge iff next.start - prev.end < gap, i.e. [start, end+gap)
+        # overlap — session_window's rule). This handles a batch whose
+        # events land BEFORE the open session's start (the merged start is
+        # the true minimum, not the state's start) and a state session that
+        # bridges two batch sessions. The loop is over sessions, not
+        # events — a handful of iterations per key per micro-batch.
+        sess = list(
+            zip(starts.tolist(), ends.tolist(), counts.tolist(), sums.tolist())
         )
-        state.setTimeoutTimestamp((int(ends[-1]) + gap_ns) // 1_000_000)
+        if state.exists:
+            sess.append(state.get)
+            sess.sort(key=lambda s: s[0])
+        merged: list[tuple] = []
+        for s in sess:
+            if merged and s[0] - merged[-1][1] < gap_ns:
+                p = merged[-1]
+                merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            else:
+                merged.append(s)
+
+        for s in merged[:-1]:  # all but the last are closed
+            yield _frame(user_id, s[0], s[1], int(s[2]), int(s[3]))
+        last = merged[-1]
+        state.update((int(last[0]), int(last[1]), int(last[2]), int(last[3])))
+        state.setTimeoutTimestamp((int(last[1]) + gap_ns) // 1_000_000)
 
     return (
         events.withWatermark(ts_col, watermark)

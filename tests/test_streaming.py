@@ -269,3 +269,57 @@ def test_parse_lines_is_mode_agnostic(spark):
     assert rows == sorted(
         [("a", 1, None), (None, None, "junk"), ("b", 2, None)], key=str
     )
+
+
+def test_stateful_sessionizer_merges_late_event_before_open_start(
+    spark, tmp_path
+):
+    """An event arriving in a LATER micro-batch with ts BEFORE the open
+    session's start (within gap, within watermark) must merge with the
+    true minimum start — pins the round-3 interval-merge fix (the old
+    code overwrote the merged start with the state's start).
+    """
+    import datetime
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = tmp_path / "late_in"
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m, 0)
+
+    batches = [
+        [(1, ts(10, 5), 1.0), (1, ts(10, 10), 1.0)],
+        [(1, ts(10, 1), 1.0), (99, ts(12, 0), 1.0)],
+        [(99, ts(13, 0), 1.0)],
+    ]
+    stamped = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d), mode="append"
+        )
+        # Deterministic micro-batch order: the file source processes files
+        # by modification time; stamp each append with an increasing one.
+        for f in sorted(d.glob("part-*")):
+            if f not in stamped:
+                os.utime(f, (1700000000 + 100 * i, 1700000000 + 100 * i))
+                stamped.add(f)
+    sdf = _read_events_stream(spark, str(d), schema)
+    _run_to_memory(
+        sessionize_stateful(sdf, gap="15 minutes", watermark="30 minutes"),
+        "sess_late_mem",
+        "append",
+    )
+    emitted = _rows(spark.table("sess_late_mem"))
+    # user 1's three events (10:01 late, 10:05, 10:10) are one session
+    # starting at the MINIMUM ts, closed by timeout once user 99's events
+    # push the watermark past 10:25.
+    assert (1, ts(10, 1), ts(10, 25), 3, 300) in emitted
