@@ -320,6 +320,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     block_size: int = 1024,
     eps: float = 1e-6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: (id_a, id_b, sim) with sim >= t.
 
@@ -345,8 +346,14 @@ def cosine_dup_pairs(
     recall; there is no lossless banding for cosine thresholds the way
     there is for SimHash Hamming radii. The exact variant exists so the
     approximate one has a measurable ground truth.
+
+    ``n_rows``: the block count needs the input cardinality before
+    planning, which otherwise costs one extra counting job. Pass it when
+    known (catalog/table statistics, a prior action's count) to make the
+    operator single-job; an approximate value is fine — it only shifts
+    block sizes, never correctness.
     """
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     nblocks = max(1, -(-n // block_size))
     vecs = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).alias("blk"),
