@@ -362,39 +362,53 @@ def simhash32(col: str = "text") -> Column:
     return F.expr(simhash_sql_spark(col))
 
 
-def _simhash_udf():
-    """Pandas UDF: whitespace-token array -> 32-bit SimHash signature.
+def _simhash_udf(bits: int = SIMHASH_BITS):
+    """Pandas UDF: whitespace-token array -> ``bits``-wide SimHash signature.
 
-    Bit-identical to :func:`simhash_sql_spark` / :func:`simhash_sql_duck`
-    (the forms the DuckDB oracle mirrors): token hash = first 8 hex chars
-    of md5 as a 32-bit int (``hashlib.md5`` == Spark ``md5`` == DuckDB
-    ``md5`` on UTF-8 bytes); per bit j, sum ±1 over tokens by bit j, sign
-    >= 0 sets bit j. All values fit in int64 — numpy integer arithmetic
-    reproduces the SQL fold exactly, including the empty-doc case (sum
-    over no tokens = 0 → every bit set). One md5 pass + one ``(m, 32)``
-    numpy reduction per doc replaces an interpreted md5-per-token lambda
-    plus 32 interpreted ``aggregate`` lambdas.
+    At ``bits=32``, bit-identical to :func:`simhash_sql_spark` /
+    :func:`simhash_sql_duck` (the forms the DuckDB oracle mirrors): token
+    hash = first 8 hex chars of md5 as a 32-bit int (``hashlib.md5`` ==
+    Spark ``md5`` == DuckDB ``md5`` on UTF-8 bytes); per bit j, sum ±1
+    over tokens by bit j, sign >= 0 sets bit j. The empty-doc case (sum
+    over no tokens = 0 → every bit set) falls out of the same arithmetic.
+    One md5 pass + one ``(m, bits)`` numpy reduction per doc replaces an
+    interpreted md5-per-token lambda plus ``bits`` interpreted
+    ``aggregate`` lambdas.
+
+    At ``bits=64``, the token hash widens to the first 16 hex chars (md5
+    has the bits to spare) and the signature occupies the full int64 —
+    bit 63 makes the stored value negative, which is only a
+    representation detail: banding extracts via shift+mask and the
+    Hamming re-rank XORs the raw two's-complement patterns, both
+    sign-agnostic. Bit math runs in uint64 and the result is reinterpreted
+    (not value-converted) into the LongType column.
     """
-    js = np.arange(SIMHASH_BITS, dtype=np.int64)
-    weights = (np.int64(1) << js)
+    if bits not in (32, 64):
+        raise ValueError("simhash bits must be 32 or 64")
+    nbytes = bits // 8
+    js = np.arange(bits, dtype=np.uint64)
+    weights = np.uint64(1) << js
 
     @F.pandas_udf(LongType())
     def sig(toks: pd.Series) -> pd.Series:
-        out = np.empty(len(toks), dtype=np.int64)
+        out = np.empty(len(toks), dtype=np.uint64)
         for i, arr in enumerate(toks):
             h = np.fromiter(
                 (
                     int.from_bytes(
-                        hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
+                        hashlib.md5(t.encode("utf-8")).digest()[:nbytes],
+                        "big",
                     )
                     for t in arr
                 ),
-                dtype=np.int64,
+                dtype=np.uint64,
                 count=len(arr),
             )
-            sb = (2 * ((h[:, None] >> js) & 1) - 1).sum(axis=0)
-            out[i] = ((sb >= 0) * weights).sum()
-        return pd.Series(out)
+            sb = (2 * ((h[:, None] >> js) & np.uint64(1)).astype(np.int64) - 1).sum(
+                axis=0
+            )
+            out[i] = ((sb >= 0) * weights).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
 
     return sig
 
@@ -404,33 +418,42 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` of 32-bit SimHash.
+    """Pairs within Hamming distance ``max_hamming`` of a SimHash signature.
 
     Exact (not approximate): the candidate join is on one of 4 signature
-    bytes; any pair with ≤3 differing bits must agree on at least one byte
-    (pigeonhole over 4 bytes), so banding loses nothing for max_hamming ≤ 3.
+    bands; any pair with ≤3 differing bits must agree on at least one band
+    (pigeonhole over 4 bands), so banding loses nothing for max_hamming ≤ 3.
 
-    Bucket-headroom contract (when to widen the signature): with 8-bit
-    bands there are only 256 buckets per band, so each band's posting
-    lists grow O(n/256) and the candidate self-join goes quadratic in
-    n/256 — fine up to corpora of ~millions, the regime this 32-bit form
-    targets. At larger n, switch to 64-bit signatures banded as 4×16-bit
-    halves: the pigeonhole argument is band-count-ruled (lossless for
-    Hamming ≤ bands-1, unchanged at 4 bands), while buckets-per-band
-    jumps 256× to 65 536, restoring near-singleton posting lists. The
-    change is mechanical — SIMHASH_BITS=64 (md5 has the hash bits to
-    spare), band extraction masks 16 bits instead of 8 — and the exact
-    Hamming re-rank is identical; it is not wired in here because the
-    driver oracle (simhash_sql_duck) pins the 32-bit form bit-for-bit.
+    Bucket-headroom contract (when to widen the signature): at ``bits=32``
+    the 4 bands are 8 bits wide — only 256 buckets per band, so each
+    band's posting lists grow O(n/256) and the candidate self-join goes
+    quadratic in n/256. Fine up to corpora of ~millions, and it is the
+    form the driver oracle (simhash_sql_duck) pins bit-for-bit, so q28
+    keeps it. At larger n pass ``bits=64``: signatures widen to the full
+    md5-derived 64 bits and band as 4×16-bit quarters — the pigeonhole
+    argument is band-count-ruled (lossless for Hamming ≤ bands-1,
+    unchanged at 4 bands) while buckets-per-band jumps 256× to 65 536,
+    restoring near-singleton posting lists; the exact Hamming re-rank is
+    identical (``bit_count`` over the XOR of the int64 patterns is
+    sign-agnostic, so bit 63 driving the stored value negative is
+    harmless). Recall-vs-width behavior is pinned in
+    tests/test_llm_ops.py: both widths recover a planted near-pair, and
+    the 64-bit signature separates docs the coarser 32-bit form may
+    alias.
     """
     if max_hamming > 3:
         raise ValueError(
-            "byte-banding is only lossless for max_hamming <= 3 "
-            "(4 bands of 8 bits); use more/narrower bands for larger radii"
+            "4-band banding is only lossless for max_hamming <= 3; "
+            "use more/narrower bands for larger radii"
         )
+    if bits not in (32, 64):
+        raise ValueError("simhash bits must be 32 or 64")
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
     df = _spread(df)
-    sig_udf = _simhash_udf()
+    sig_udf = _simhash_udf(bits)
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
@@ -444,7 +467,7 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(shiftright(sig, {8 * k}) & 255)")
+                    F.expr(f"(shiftright(sig, {band_bits * k}) & {band_mask})")
                     for k in range(4)
                 ]
             )
@@ -504,6 +527,13 @@ def ngram_jaccard_pairs(
     Cost is O(Σ per-shingle posting-list²) ≈ O(co-occurrences) — on a
     mostly-distinct corpus that is near-linear, vs the all-pairs join's
     O(Σ block²·setsize) even when nothing matches.
+
+    Exact-by-construction: the inverted index joins on xxhash64(shingle)
+    (8-byte shuffle keys), whose collisions can only over-count the
+    intersection — so the hashed threshold pass keeps every true pair —
+    and survivors are then re-verified against the string shingle sets
+    (array_intersect), which removes any collision-inflated phantom.
+    The reported jaccard is the exact string-set value.
     """
     df = _spread(df)
     docs = df.select(
@@ -516,10 +546,14 @@ def ngram_jaccard_pairs(
     ).localCheckpoint(eager=True)
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))
     # Join on the 8-byte xxhash64 of the shingle, not the string itself —
-    # same shuffle volume trick as exact dedup's md5 key. A within-doc or
-    # cross-doc hash collision would need two distinct shingles of the
-    # same doc pair to collide (p ~ 2^-64 per co-occurrence) to perturb a
-    # count; the DuckDB oracle (string sets) certifies it doesn't happen.
+    # same shuffle volume trick as exact dedup's md5 key. Hash collisions
+    # can only INFLATE n_inter (a true shared shingle always collides with
+    # itself; two distinct shingles colliding adds phantom intersection),
+    # so the hashed count is an upper bound and the threshold filter on it
+    # is a lossless prefilter: no true pair is dropped. The string-shingle
+    # re-verification below then removes any phantom survivors, making the
+    # operator exact-by-construction — at O(survivors) extra cost, since
+    # only pairs past the threshold reach the array_intersect.
     idx = docs.select(
         "doc_id", "blk", F.explode("sh").alias("g0")
     ).select("doc_id", "blk", F.xxhash64("g0").alias("g"))
@@ -534,14 +568,26 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     ni = F.col("n_inter")
-    return (
+    surv = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "blk", "n_inter", "sz_a", "sz_b")
+        .where(ni / (F.col("sz_a") + F.col("sz_b") - ni) >= threshold)
+    )
+    # Exact re-verification on the string shingle sets (docs is already
+    # checkpointed; survivors are a handful of rows, so these joins are
+    # broadcast-cheap at any corpus scale).
+    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    xi = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        surv.join(va, "doc_a")
+        .join(vb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "blk",
-            (ni / (F.col("sz_a") + F.col("sz_b") - ni)).alias("jaccard"),
+            (xi / (F.size("sh_a") + F.size("sh_b") - xi)).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

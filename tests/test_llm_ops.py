@@ -144,6 +144,48 @@ def test_simhash_banding_is_lossless(spark, documents):
     assert got == want
 
 
+def test_simhash64_matches_python_reference(spark, documents):
+    """The wide-signature path (bits=64, 16-bit bands) returns exactly the
+    all-pairs Hamming<=3 set of a from-scratch Python SimHash — pinning
+    both the signature arithmetic (uint64 bit math reinterpreted into
+    int64, bit 63 sign included) and the banding losslessness at the
+    wider band width."""
+    import re
+
+    def sig64(text: str) -> int:
+        toks = re.split(r"\s+", text.strip())
+        sb = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for j in range(64):
+                sb[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(64) if sb[j] >= 0)
+
+    sigs = {r.doc_id: sig64(r.text) for r in documents.collect()}
+    want = set()
+    for a, b in combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            want.add((a, b))
+    rows = D.simhash_pairs(documents, max_hamming=3, bits=64).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == want
+    # spot-check the engine's stored two's-complement signatures against
+    # the unsigned reference values
+    eng = {
+        r.doc_id: r.sig & ((1 << 64) - 1)
+        for r in documents.select(
+            "doc_id",
+            D._simhash_udf(64)(F.expr(D.TOKS_SPARK.format(c="text"))).alias("sig"),
+        ).collect()
+    }
+    assert eng == sigs
+
+
+def test_simhash_rejects_bad_width(spark, documents):
+    with pytest.raises(ValueError, match="bits"):
+        D.simhash_pairs(documents, bits=48)
+
+
 def test_minhash_lsh_finds_all_high_jaccard_pairs(spark, documents):
     """LSH banding at (128 hashes, 64 bands) vs exact all-pairs Jaccard,
     computed independently in Python over 3-gram shingle sets."""
