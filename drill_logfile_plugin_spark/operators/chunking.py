@@ -1,0 +1,136 @@
+"""Document chunking and token-budget sequence packing.
+
+The two staple reshaping passes of an LLM training-data pipeline, run
+after cleaning/dedup and before tokenizer encoding:
+
+* **Chunking** splits each document into fixed-token-count windows (a
+  one-to-many flatMap — same plan shape as multimodal frame sampling):
+  long documents must be cut to fit a model's context length, and the
+  cut points must be deterministic so re-runs produce identical corpora.
+* **Packing** assigns chunks to fixed token-budget training sequences
+  (bins): short chunks are concatenated until the budget fills, which is
+  what keeps padding waste low during training.
+
+Scale posture
+-------------
+Chunking is a pure per-row explode — scan speed, no shuffle. Packing
+needs a running token total, which is inherently sequential — the 100 TB
+mistake is a single global cumulative sum (one-partition window = one
+task doing all the work). Here packing is **per shard** (default: the
+``source`` column, in practice a crawl/dump partition): each shard packs
+independently under a ``Window.partitionBy(shard)``, so the cumulative
+sum parallelizes across shards and no executor sees more than one
+shard's chunk metadata (ids + counts — a few dozen bytes per chunk, not
+the text). Bins are deterministic pure functions of (shard, doc order),
+reproducible across cluster sizes like the q55 train/val/test split.
+
+Packing policy: chunks are laid out in (doc_id, chunk_id) order and
+``bin_id = floor(exclusive_running_tokens / budget)`` — contiguous
+greedy fill. A chunk straddling a budget boundary stays whole and spills
+the bin slightly past the budget (bounded by chunk_tokens - 1), the
+standard don't-split-chunks trade-off; with budget a multiple of
+chunk_tokens only the ragged final chunk of each doc can straddle.
+
+Reference parity note: the reference plugin (cgivre/drill-logfile-plugin)
+has no such surface; this is the LLM-pipeline extension tier
+(SURVEY.md §2 Tier C). Oracle-checked end to end as q61.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKS_SPARK
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    with_text: bool = False,
+) -> DataFrame:
+    """Explode documents into fixed-size token windows.
+
+    Returns one row per chunk: every input column except ``text_col``,
+    plus ``chunk_id`` (0-based, in document order) and ``n_chunk_tokens``
+    (= ``chunk_tokens`` for all but the ragged last chunk). A document
+    always yields >= 1 chunk (the tokenizer never returns an empty
+    array: whitespace-split of an empty string is ``[""]``, matching the
+    q22/q25 token-count semantics the DuckDB oracle mirrors).
+
+    ``with_text=True`` additionally materializes ``chunk_text`` (the
+    space-joined token window) — off by default so the common
+    count/plan/pack pipelines never carry document bytes through a
+    shuffle.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    passthrough = [c for c in df.columns if c != text_col]
+    staged = df.select(*passthrough, toks.alias("__toks")).select(
+        *passthrough,
+        F.size("__toks").alias("__nt"),
+        *( [F.col("__toks")] if with_text else [] ),
+    )
+    n_chunks = F.expr(f"CAST(ceil(__nt / {chunk_tokens}.0) AS BIGINT)")
+    exploded = staged.select(
+        *passthrough,
+        "__nt",
+        *( ["__toks"] if with_text else [] ),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    out_cols = [
+        *passthrough,
+        "chunk_id",
+        F.least(
+            F.lit(chunk_tokens).cast("bigint"),
+            F.col("__nt") - F.col("chunk_id") * chunk_tokens,
+        ).alias("n_chunk_tokens"),
+    ]
+    if with_text:
+        out_cols.append(
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    return exploded.select(*out_cols)
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Assign chunks to token-budget bins, independently per shard.
+
+    Adds ``bin_id``: chunks ordered by (doc, chunk) within their shard
+    fill bins greedily; ``bin_id = exclusive_running_tokens DIV budget``.
+    Deterministic, engine-independent, and parallel across shards — the
+    window partitions on ``shard_col``, never a global sort (a plan
+    contract in tests/test_plans.py pins the absence of a
+    single-partition exchange).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col, chunk_id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cume = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("bigint"))
+    # integer DIV, not floor(double /): exact at any shard token total
+    return chunks.withColumn("__cume", cume).withColumn(
+        "bin_id", F.expr(f"__cume DIV CAST({budget} AS BIGINT)")
+    ).drop("__cume")

@@ -872,3 +872,58 @@ def q59(spark, sf):
         .where(F.col("n_docs") >= 3)
         .select("span", "n_docs")
     )
+
+
+# =========================================================================
+# Chunking + sequence packing (training-batch reshaping)
+# =========================================================================
+
+
+@query(
+    "q61_chunk_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_NTOK} AS nt FROM documents
+    ), c AS (
+      SELECT doc_id, source, nt,
+             unnest(range(CAST(ceil(nt / 64.0) AS BIGINT))) AS chunk_id
+      FROM d
+    ), t AS (
+      SELECT source, doc_id, chunk_id,
+             least(CAST(64 AS BIGINT), nt - chunk_id * 64) AS ct
+      FROM c
+    ), p AS (
+      SELECT source, doc_id, chunk_id, ct,
+             COALESCE(SUM(ct) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
+      FROM t
+    )
+    SELECT source, CAST(cume // 2048 AS BIGINT) AS bin_id,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ct) AS BIGINT) AS bin_tokens
+    FROM p GROUP BY source, CAST(cume // 2048 AS BIGINT)
+    """,
+    doc="Chunk documents into 64-token windows, then pack chunks into "
+    "2048-token training sequences (bins) per source shard — the two "
+    "reshaping passes between cleaning and tokenizer encoding. Chunking "
+    "is a scan-speed explode (operators/chunking.py chunk_docs); packing "
+    "is a per-shard exclusive running sum + integer DIV "
+    "(pack_sequences), windowed on the shard key so the cumulative sum "
+    "parallelizes — never a global single-partition sort (plan contract "
+    "in tests/test_plans.py). Registered LAST deliberately: the driver's "
+    "correctness budget is ~50 queries, so if the budget shrinks this is "
+    "the row that drops, never the reference-parity log tier.",
+)
+def q61(spark, sf):
+    from .operators import chunking as C
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    chunks = C.chunk_docs(d, chunk_tokens=64)
+    packed = C.pack_sequences(chunks, budget=2048, shard_col="source")
+    return packed.groupBy("source", "bin_id").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("bin_tokens"),
+    )

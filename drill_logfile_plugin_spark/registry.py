@@ -54,9 +54,11 @@ def _t(spark, sf_dir, name):
 #: registration order and has a finite budget (round 2 truncated after 50,
 #: silently dropping everything registered later). The log-scan tier is the
 #: reference's entire reason to exist and the streaming tier has no other
-#: driver-visible record, so they register FIRST; the suite is also kept at
-#: <= 48 registrations (overlapping relational demos are union-merged) so
-#: nothing falls off the end even if the budget shrinks.
+#: driver-visible record, so they register FIRST; the suite is also kept
+#: within the budget (49 registrations; overlapping relational demos are
+#: union-merged) and ordered so that if the budget ever shrinks, the LAST
+#: registration (q61, the one extension query past 48) is what drops —
+#: never the reference-parity tier.
 QUERY_MODULES = (
     "queries_log",
     "queries_streaming",

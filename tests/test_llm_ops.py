@@ -359,3 +359,67 @@ def test_edit_distance_pairs_planted(spark):
     # the documented recall bound: both-ends edits evade both probes
     assert (1, 3) not in got and (2, 3) not in got
     assert not any(4 in p for p in got)
+
+
+# --- chunking + packing ----------------------------------------------------
+
+
+def test_chunk_docs_conserves_tokens(spark, documents):
+    """Per doc: chunk token counts sum to the doc's token count, chunk ids
+    are dense 0..n-1, all chunks but the last are full."""
+    from drill_logfile_plugin_spark.operators import chunking as C
+    from drill_logfile_plugin_spark.operators.text import n_tokens
+
+    want = {r.doc_id: r.nt for r in documents.select(
+        "doc_id", n_tokens("text").alias("nt")).collect()}
+    chunks = C.chunk_docs(documents.select("doc_id", "text"), chunk_tokens=64)
+    rows = chunks.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens))
+    assert set(by_doc) == set(want)
+    for d, cs in by_doc.items():
+        cs.sort()
+        assert [c for c, _ in cs] == list(range(len(cs)))
+        assert sum(n for _, n in cs) == want[d]
+        assert all(n == 64 for _, n in cs[:-1])
+        assert 1 <= cs[-1][1] <= 64
+
+
+def test_chunk_text_roundtrips(spark, documents):
+    """with_text=True: space-joining a doc's chunk_texts reproduces the
+    whitespace-normalized document."""
+    from drill_logfile_plugin_spark.operators import chunking as C
+
+    sample = documents.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    chunks = C.chunk_docs(sample, chunk_tokens=64, with_text=True).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    orig = {r.doc_id: " ".join(r.text.split()) for r in sample.collect()}
+    for d, cs in by_doc.items():
+        cs.sort()
+        assert " ".join(t for _, t in cs) == orig[d]
+
+
+def test_pack_sequences_fills_bins_deterministically(spark, documents):
+    """Bins are dense per shard, conserve tokens, and every bin except the
+    last of each shard is filled to the budget boundary (the next chunk's
+    exclusive running total crosses it)."""
+    from drill_logfile_plugin_spark.operators import chunking as C
+
+    chunks = C.chunk_docs(
+        documents.select("doc_id", "source", "text"), chunk_tokens=64
+    )
+    packed = C.pack_sequences(chunks, budget=2048, shard_col="source").collect()
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        cume = 0
+        for r in rs:
+            assert r.bin_id == cume // 2048, (shard, r.doc_id, r.chunk_id)
+            cume += r.n_chunk_tokens
+        bins = sorted({r.bin_id for r in rs})
+        assert bins == list(range(len(bins)))  # dense, 0-based

@@ -202,3 +202,13 @@ def test_incremental_dedup_never_hint_broadcasts(spark, queries):
         assert "LeftAnti" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_chunk_pack_windows_per_shard_no_global_sort(spark, queries):
+    """q61: the packing cumulative sum must window on the shard key — a
+    single-partition exchange (global sort) would serialize the whole
+    corpus through one task at 100 TB."""
+    plan = plan_of(queries["q61_chunk_pack"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert "partial_" in plan  # final agg partial-aggregates map-side
