@@ -422,6 +422,68 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs — the 100 TB lane of
+    :func:`cosine_dup_pairs`.
+
+    Same output contract ((id_a, id_b, sim), id_a < id_b, sim >=
+    threshold, sims exact) but candidates come from random-hyperplane
+    sign buckets instead of the O(n²) blocked matmul: each vector lands
+    in one bucket per table, a self equi-join on (table_id, bucket)
+    proposes pairs, and the deterministic fold cosine re-ranks — so
+    precision is exact-by-construction (output ⊆ the exact operator's
+    output) and recall is the only approximation.
+
+    Recall math: a pair at angle θ collides in one table with
+    p = (1 - θ/π)^n_bits and is missed with (1 - p)^n_tables. The
+    defaults (16 tables × 8 bits) are tuned for the near-dup regime —
+    sim >= 0.9 (θ <= 26°) misses < 1e-4 of pairs. This banding is NOT
+    lossless at low thresholds (sim 0.4 → recall ~0.3 at the defaults;
+    lower n_bits / raise n_tables to buy recall with candidate volume)
+    — there is no lossless banding for cosine thresholds the way there
+    is for SimHash Hamming radii, which is exactly why the exact
+    operator exists as the measurable ground truth (planted-pair recall
+    pinned in tests/test_llm_ops.py).
+
+    Scale posture: banded rows are (id, 2 ints) — n × n_tables small
+    rows, never the vectors; candidate volume is O(Σ bucket²) per
+    table, kept near-singleton by n_bits (256 buckets at 8 bits;
+    raise for corpora where posting lists saturate, same headroom rule
+    as SimHash banding). Vectors travel only to the O(candidates)
+    re-rank joins.
+    """
+    planes = hyperplanes(n_tables, n_bits, dim)
+    to_buckets = _bucket_udf(planes)
+    banded = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(to_buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    a = banded.select(F.col("vid").alias("id_a"), "table_id", "bucket")
+    b = banded.select(F.col("vid").alias("id_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 # --- embedding stats ------------------------------------------------------
 
 

@@ -423,3 +423,36 @@ def test_pack_sequences_fills_bins_deterministically(spark, documents):
             cume += r.n_chunk_tokens
         bins = sorted({r.bin_id for r in rs})
         assert bins == list(range(len(bins)))  # dense, 0-based
+
+
+def test_cosine_neardup_lsh_recall_on_planted_pairs(spark, embeddings):
+    """The LSH lane of embedding near-dup must recover planted sim~0.97
+    near-copies (the operator's target regime) with recall >= 0.95, and
+    every pair it reports must also be in the exact operator's output
+    (precision 1.0 by construction — the re-rank is the same fold
+    cosine)."""
+    import numpy as np
+
+    base = embeddings.limit(200).collect()
+    rng = np.random.default_rng(7)  # test-local; operator itself is RNG-free
+    rows = [(r.vec_id, list(map(float, r.embedding))) for r in base]
+    planted = set()
+    for r in base[:50]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noise = rng.normal(0.0, 0.05 * np.linalg.norm(v) / np.sqrt(v.size), v.size)
+        rows.append((r.vec_id + 1_000_000, list(map(float, v + noise))))
+        planted.add((r.vec_id, r.vec_id + 1_000_000))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_lsh(df, threshold=0.9).collect()
+    }
+    assert len(exact & planted) >= 45  # the noise scale really lands ~0.97
+    assert got <= exact  # precision 1.0: no fabricated pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall = {recall}"
