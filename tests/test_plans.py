@@ -212,3 +212,17 @@ def test_chunk_pack_windows_per_shard_no_global_sort(spark, queries):
     assert "SinglePartition" not in plan
     assert "Window" in plan
     assert "partial_" in plan  # final agg partial-aggregates map-side
+
+
+def test_cosine_neardup_lsh_is_equi_join_ids_only(spark):
+    """The embedding near-dup scale lane must propose candidates via an
+    equi join that shuffles only ids — no cartesian/BNL, and no vector
+    column in the candidate join's projection."""
+    from drill_logfile_plugin_spark.operators.similarity import (
+        cosine_neardup_lsh,
+    )
+
+    df = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    plan = plan_of(cosine_neardup_lsh(df, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
