@@ -226,3 +226,36 @@ def test_cosine_neardup_lsh_is_equi_join_ids_only(spark):
     plan = plan_of(cosine_neardup_lsh(df, threshold=0.9))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_shuffles_hash_never_text(spark, queries):
+    """q21: the dedup shuffle key must be the fixed-width content_hash —
+    shuffling raw document text is the classic exact-dedup scale mistake."""
+    plan = plan_of(queries["q21_exact_dedup"](spark, SF_DIR))
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert any("content_hash" in ln for ln in exchange_lines)
+    assert not any("text" in ln for ln in exchange_lines)
+
+
+def test_deterministic_split_shuffles_only_the_report(spark, queries):
+    """q55: split assignment is a pure function of doc_id (scan speed);
+    the only exchange in the plan is the tiny per-(source, split) report
+    aggregation."""
+    plan = plan_of(queries["q55_deterministic_split"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+
+
+def test_boilerplate_spans_shuffles_hashed_keys(spark, queries):
+    """q59: both shuffle stages key on xxhash64(span) — 8-byte keys, never
+    the raw 8-gram strings (the strings appear once per distinct span in
+    the partial agg, not once per occurrence)."""
+    plan = plan_of(queries["q59_boilerplate_spans"](spark, SF_DIR))
+    assert "xxhash64" in plan
+    assert plan.count("Exchange") == 2  # expand (count-distinct) + final
+
+
+def test_scan_speed_text_ops_single_exchange(spark, queries):
+    """q23 (language ID): per-row scoring is pure column expressions; the
+    plan's only exchange is the small final-report aggregation."""
+    plan = plan_of(queries["q23_language_id"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
