@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -41,6 +42,14 @@ from ..functions.exprs import dsum
 
 def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
     if watermark is not None and df.isStreaming:
+        # Watermarks require TIMESTAMP (LTZ); parquet written without
+        # isAdjustedToUTC infers TIMESTAMP_NTZ under Spark 4's default
+        # inferTimestampNTZ. configure_session pins the session timezone to
+        # UTC, so this cast relabels the same instant rather than shifting it.
+        # Batch inputs are left untouched — the driver's oracle comparisons
+        # see the type the scan produced.
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
         return df.withWatermark(ts_col, watermark)
     return df
 
@@ -149,7 +158,7 @@ def dedup_events(
     which this accepts as ``keys=("content_hash",)``.
     """
     if df.isStreaming:
-        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        return _with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
@@ -348,7 +357,7 @@ def sessionize_stateful(
         state.setTimeoutTimestamp((int(last[1]) + gap_ns) // 1_000_000)
 
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_watermark(events, ts_col, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
