@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -152,6 +152,82 @@ def quality_bucket_sql_duck(col: str = "text") -> str:
         f"len(list_distinct({toks}))",
         f"len(list_filter({toks}, t -> t IN ({stop})))",
         f"length({col})",
+    )
+
+
+# --- intra-document repetition (Gopher-style dup n-gram signals) ----------
+
+#: Verdict thresholds on the duplicate-2-gram fraction. Gopher/C4 filter on
+#: duplicate n-gram fractions per document; the classic thresholds (~0.20)
+#: assume natural prose — this corpus's vocabulary is small, so the operative
+#: thresholds sit at its measured p90/p99 instead. Strict ``>`` comparisons:
+#: both engines compute the identical int/int IEEE division, so boundary
+#: behavior is bit-identical.
+REPETITION_DROP_T = 0.08
+REPETITION_FLAG_T = 0.04
+
+
+def dup_ngram_counts_sql_spark(toks: str, n: int) -> tuple[str, str]:
+    """(total n-grams, distinct n-grams) Spark SQL fragments over a token
+    array expression. Total - distinct = duplicated n-gram occurrences."""
+    total = f"greatest(size({toks}) - {n - 1}, 0)"
+    dist = (
+        f"IF(size({toks}) >= {n}, size(array_distinct(transform("
+        f"sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')))), 0)"
+    )
+    return total, dist
+
+
+def dup_ngram_counts_sql_duck(toks: str, n: int) -> tuple[str, str]:
+    total = f"greatest(len({toks}) - {n - 1}, 0)"
+    dist = (
+        f"CASE WHEN len({toks}) >= {n} THEN len(list_distinct(list_transform("
+        f"range(len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i + 1 : i + {n}], ' ')))) ELSE 0 END"
+    )
+    return total, dist
+
+
+def repetition_verdict_case(total2: str, dist2: str) -> str:
+    """Shared CASE fragment classifying a doc by duplicate-2-gram fraction.
+
+    Engine-portable: callers pass the engine's count fragments. The ratio is
+    one int/int double division, so the classification is bit-identical
+    across engines (same policy as quality_bucket above).
+    """
+    frac = f"(CAST(({total2}) - ({dist2}) AS DOUBLE) / CAST({total2} AS DOUBLE))"
+    return f"""CASE
+      WHEN ({total2}) = 0 THEN 'keep'
+      WHEN {frac} > {REPETITION_DROP_T} THEN 'drop'
+      WHEN {frac} > {REPETITION_FLAG_T} THEN 'flag'
+      ELSE 'keep' END"""
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: duplicate n-gram counts + verdict.
+
+    Output: (id, total2, dist2, total3, dist3, verdict). Pure column
+    expressions over one tokenize pass — scan speed, zero shuffles; the
+    downstream aggregation (queries_llm q62) is the only exchange. At
+    100 TB this runs as a map-only stage fused into the scan.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
+        *[c for c in df.columns if c not in (id_col, text_col)],
+    )
+    t2, d2 = dup_ngram_counts_sql_spark("toks", 2)
+    t3, d3 = dup_ngram_counts_sql_spark("toks", 3)
+    return d.select(
+        *[c for c in d.columns if c != "toks"],
+        F.expr(t2).alias("total2"),
+        F.expr(d2).alias("dist2"),
+        F.expr(t3).alias("total3"),
+        F.expr(d3).alias("dist3"),
+        F.expr(repetition_verdict_case(t2, d2)).alias("verdict"),
     )
 
 

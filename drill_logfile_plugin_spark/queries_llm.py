@@ -927,3 +927,61 @@ def q61(spark, sf):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("bin_tokens"),
     )
+
+
+# =========================================================================
+# Intra-document repetition filter (Gopher-style quality signal)
+# =========================================================================
+
+_REP_T2, _REP_D2 = T.dup_ngram_counts_sql_duck("toks", 2)
+_REP_T3, _REP_D3 = T.dup_ngram_counts_sql_duck("toks", 3)
+
+
+@query(
+    "q62_repetition_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT source,
+             {_REP_T2} AS total2, {_REP_D2} AS dist2,
+             {_REP_T3} AS total3, {_REP_D3} AS dist3,
+             {T.repetition_verdict_case(_REP_T2, _REP_D2)} AS verdict
+      FROM d
+    )
+    SELECT source, verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(total2 - dist2) AS BIGINT) AS dup2_ngrams,
+           CAST(SUM(total2) AS BIGINT) AS total2_ngrams,
+           CAST(SUM(total3 - dist3) AS BIGINT) AS dup3_ngrams,
+           CASE WHEN SUM(total2) = 0 THEN 0.0
+                ELSE CAST(CAST(SUM(total2 - dist2) AS BIGINT) AS DOUBLE)
+                     / CAST(SUM(total2) AS BIGINT) END AS dup_ratio
+    FROM s GROUP BY source, verdict
+    """,
+    doc="Within-document repetition filter: per-doc duplicate 2-/3-gram "
+    "counts (the Gopher repetition signals — a doc that repeats its own "
+    "n-grams is boilerplate/spam, a different failure mode from the "
+    "cross-doc dedup tier) classify each doc keep/flag/drop, then "
+    "aggregate per (source, verdict). Spark side is pure column "
+    "expressions over one tokenize pass (operators/text.py "
+    "repetition_signals) — scan speed, one partial-agg exchange on the "
+    "tiny (source, verdict) key space. The one emitted ratio is a single "
+    "BIGINT/BIGINT division, so it is bit-identical across engines (no "
+    "order-dependent double accumulation). Registered after q61, i.e. "
+    "50th of ~50: if the driver budget shrinks this drops before any "
+    "reference-parity row.",
+)
+def q62(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    sig = T.repetition_signals(d)
+    dup2 = F.sum(F.col("total2") - F.col("dist2"))
+    return sig.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup2.alias("dup2_ngrams"),
+        F.sum("total2").alias("total2_ngrams"),
+        F.sum(F.col("total3") - F.col("dist3")).alias("dup3_ngrams"),
+        F.when(F.sum("total2") == 0, F.lit(0.0))
+        .otherwise(dup2.cast("double") / F.sum("total2"))
+        .alias("dup_ratio"),
+    )

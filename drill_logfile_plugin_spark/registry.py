@@ -55,10 +55,10 @@ def _t(spark, sf_dir, name):
 #: silently dropping everything registered later). The log-scan tier is the
 #: reference's entire reason to exist and the streaming tier has no other
 #: driver-visible record, so they register FIRST; the suite is also kept
-#: within the budget (49 registrations; overlapping relational demos are
+#: within the budget (50 registrations; overlapping relational demos are
 #: union-merged) and ordered so that if the budget ever shrinks, the LAST
-#: registration (q61, the one extension query past 48) is what drops —
-#: never the reference-parity tier.
+#: registrations (q61 chunk/pack, then q62 repetition — the two extension
+#: queries past 48) are what drop — never the reference-parity tier.
 QUERY_MODULES = (
     "queries_log",
     "queries_streaming",

@@ -456,3 +456,40 @@ def test_cosine_neardup_lsh_recall_on_planted_pairs(spark, embeddings):
     assert got <= exact  # precision 1.0: no fabricated pairs
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"recall = {recall}"
+
+
+# --- repetition signals (q62 operator) ------------------------------------
+
+
+def test_repetition_signals_planted_verdicts(spark):
+    """Planted docs with known duplicate-n-gram structure get the right
+    counts and verdicts; verdict thresholds operate on the 2-gram dup
+    fraction exactly as documented."""
+    from drill_logfile_plugin_spark.operators import text as T
+
+    rows = [
+        # "a b a b a b": total2=5, dist2={'a b','b a'}=2 -> frac 0.6 -> drop
+        (1, "a b a b a b"),
+        # all-distinct tokens: dup frac 0 -> keep
+        (2, "one two three four five six"),
+        # exactly one repeated 2-gram in 20: frac 0.05 in (0.04, 0.08] -> flag
+        (3, "x y " + " ".join(f"t{i}" for i in range(18)) + " x y"),
+        # empty/whitespace text: total2=0 -> keep (guard path)
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_signals(df).collect()
+    }
+    assert out[1]["total2"] == 5 and out[1]["dist2"] == 2
+    assert out[1]["verdict"] == "drop"
+    assert out[2]["verdict"] == "keep"
+    assert out[2]["total2"] == out[2]["dist2"]
+    d3 = out[3]
+    assert d3["total2"] - d3["dist2"] == 1 and d3["total2"] == 21
+    assert d3["verdict"] == "flag"
+    assert out[4]["total2"] == 0 and out[4]["verdict"] == "keep"
+    # 3-gram counts ride along for the aggregate: "a b a b a b" has
+    # total3=4 and only {'a b a', 'b a b'} distinct.
+    assert out[1]["total3"] == 4 and out[1]["dist3"] == 2

@@ -259,3 +259,13 @@ def test_scan_speed_text_ops_single_exchange(spark, queries):
     plan's only exchange is the small final-report aggregation."""
     plan = plan_of(queries["q23_language_id"](spark, SF_DIR))
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_filter_single_exchange(spark, queries):
+    """q62 (repetition filter): per-doc dup-n-gram signals are pure column
+    expressions fused into the scan; the only exchange is the tiny
+    (source, verdict) report aggregation, with a partial agg before it."""
+    plan = plan_of(queries["q62_repetition_filter"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -104,3 +104,44 @@ def test_type_default_rule(spark, lines, types):
         "string",
         "string",
     ]
+
+
+# --- cross-engine parity: repetition n-gram fragments (q62) ---------------
+
+text_st = st.text(alphabet=st.sampled_from(list("ab \t")), max_size=30)
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=12))
+@SETTINGS
+def test_dup_ngram_counts_cross_engine(spark, texts):
+    """The Spark and DuckDB dup-n-gram fragments agree cell-for-cell on
+    arbitrary whitespace-mangled inputs (leading tabs, runs of spaces,
+    empty strings) — the exact surface where split()/trim() semantics
+    could silently diverge between engines and flip a q62 verdict."""
+    import duckdb
+    import pandas as pd
+
+    from drill_logfile_plugin_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["total2"], r["dist2"], r["total3"], r["dist3"], r["verdict"])
+        for r in T.repetition_signals(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    t2, d2 = T.dup_ngram_counts_sql_duck("toks", 2)
+    t3, d3 = T.dup_ngram_counts_sql_duck("toks", 3)
+    toks = T.TOKS_DUCK.format(c="text")
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(
+            f"""WITH d AS (SELECT doc_id, {toks} AS toks FROM docs)
+            SELECT doc_id, {t2}, {d2}, {t3}, {d3},
+                   {T.repetition_verdict_case(t2, d2)} FROM d"""
+        ).fetchall()
+    }
+    assert got == want
