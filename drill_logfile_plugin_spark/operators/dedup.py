@@ -678,3 +678,119 @@ def edit_distance_pairs(
         "doc_b",
         F.levenshtein("s_a", "s_b").alias("edit_dist"),
     ).where(F.col("edit_dist") <= max_dist)
+
+
+# --- pair graph -> duplicate clusters (connected components) ---------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (doc_id, cluster_id).
+
+    The missing step between every pair operator above and an actual dedup
+    pass: near-dup relations are not transitive (A~B, B~C, A!~C), so a
+    survivor policy needs the transitive CLUSTER, not pairs. cluster_id is
+    the minimum doc_id reachable from the node — the same deterministic
+    min-survivor policy as exact_dedup_survivors. Every node that appears
+    in a pair gets exactly one output row.
+
+    Algorithm: hook-and-shortcut contraction (the FastSV/pointer-jumping
+    family). Each round (a) HOOKS: every label adopts the minimum label in
+    its label-graph neighborhood — for a path this is only a shift-by-one,
+    which is why hooking alone needs O(diameter) rounds; then (b)
+    SHORTCUTS: the old→new map is composed with itself to its fixpoint by
+    pointer jumping (m = m∘m doubles the jump distance, so the fixpoint
+    takes log(chain) compositions), collapsing every hook chain straight
+    to its minimum; then (c) nodes are relabeled and edges rewritten
+    through the collapsed map, dropping self-loops. A 65-node path
+    converges in ONE outer round (~6 inner compositions); near-clique
+    duplicate clusters converge immediately.
+
+    Scale posture: every step is an equi join / partial-agg groupBy on
+    8-byte ids; per-round volume is O(edges), and the edge set only
+    shrinks (contraction). The graph is O(duplicate pairs) — tiny
+    relative to the corpus. Each step ends in an eager localCheckpoint:
+    an iteration barrier that caps lineage depth (nested iteration would
+    otherwise stack plans rounds deep) at O(pair-graph) executor-local
+    disk. The per-round emptiness probes that drive convergence are
+    scalar job results, not data collects.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # node -> current label; labels start as the node id itself.
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    def _shortcut(m: DataFrame) -> DataFrame:
+        """Pointer-jump an old→new map (new <= old) to its fixpoint."""
+        for _ in range(64):  # 2^64 jump distance; effectively unbounded
+            a, b = m.alias("a"), m.alias("b")
+            hop = a.join(b, F.col("a.new") == F.col("b.old"), "left").select(
+                F.col("a.old").alias("old"),
+                F.coalesce(F.col("b.new"), F.col("a.new")).alias("new"),
+                (F.coalesce(F.col("b.new"), F.col("a.new")) < F.col("a.new")).alias(
+                    "moved"
+                ),
+            )
+            m = hop.select("old", "new").localCheckpoint(eager=True)
+            if hop.where("moved").isEmpty():
+                return m
+        raise RuntimeError("dup_clusters: shortcut did not reach a fixpoint")
+
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        # Hook: min neighbor label per label-node, over both edge
+        # directions; shortcut: collapse hook chains by pointer jumping.
+        nbr_min = _shortcut(
+            e.select("src", "dst")
+            .union(e.select(F.col("dst"), F.col("src")))
+            .groupBy(F.col("src").alias("old"))
+            .agg(F.min("dst").alias("nbr"))
+            .select("old", F.least("old", "nbr").alias("new"))
+        )
+        # Relabel nodes through the contraction map...
+        labels = (
+            labels.join(nbr_min, labels["label"] == nbr_min["old"], "left")
+            .select(
+                "node",
+                F.coalesce("new", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ...and rewrite edges into the new label space.
+        ma = nbr_min.select(F.col("old").alias("src"), F.col("new").alias("ns"))
+        mb = nbr_min.select(F.col("old").alias("dst"), F.col("new").alias("nd"))
+        e = (
+            e.join(ma, "src", "left")
+            .join(mb, "dst", "left")
+            .select(
+                F.coalesce("ns", "src").alias("src"),
+                F.coalesce("nd", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not e.isEmpty():
+            raise RuntimeError(
+                f"dup_clusters: not converged after {max_iter} rounds "
+                "(adversarial graph topology; raise max_iter)"
+            )
+    return labels.select("node", F.col("label").alias("cluster_id"))

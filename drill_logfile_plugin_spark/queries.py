@@ -653,20 +653,43 @@ def q47(spark, sf):
 
 
 @query(
-    "q48_grouping_sets",
+    "q48_sets_pivot",
     f"""
-    SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    SELECT 'sets' AS part, l_returnflag AS key1, l_linestatus AS key2,
+           {dsum_sql('l_quantity')} AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+           COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    UNION ALL
+    SELECT 'pivot' AS part, o_orderpriority AS key1,
+           CAST(NULL AS VARCHAR) AS key2,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS v1,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS v2,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS v3,
+           CAST(NULL AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
     """,
-    doc="Arbitrary GROUPING SETS — the non-hierarchical shape neither ROLLUP "
-    "(q09) nor CUBE (q10) can express: (flag,status) detail, status-only "
-    "margins, grand total, but NO flag-only margin. Spark expands the sets "
-    "into one Expand + single hash agg (one shuffle, partial agg per set).",
+    doc="GROUPING SETS + explicit-values PIVOT, union-merged (driver "
+    "query-budget policy, SURVEY.md §2 note) — each branch keeps its own "
+    "plan shape. Sets branch: the non-hierarchical shape neither ROLLUP "
+    "(q09) nor CUBE can express — (flag,status) detail, status-only "
+    "margins, grand total, NO flag-only margin; one Expand feeding one "
+    "partial-agg'd shuffle. Pivot branch (long→wide conditional "
+    "aggregation): one hash agg computes all three status columns in a "
+    "single pass over orders. Expressed as conditional aggregation rather "
+    "than the .pivot() API: .pivot() plans TWO aggregations (partial on "
+    "(key, pivot-col), then pivotfirst on key — two exchanges) and, "
+    "without explicit values, adds a distinct-values job (a full scan + "
+    "collect at 100 TB); the conditional-agg form is one partial-agg'd "
+    "exchange, same result. Decimal-exact sums keep the doubles "
+    "order-independent across the partial-agg tree.",
 )
 def q48(spark, sf):
-    return (
+    sets = (
         _t(spark, sf, "lineitem")
         .groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
@@ -674,39 +697,40 @@ def q48(spark, sf):
             "l_linestatus",
         )
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("sets").alias("part"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            F.col("sum_qty").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+            F.col("n"),
+        )
     )
+    def _status_sum(s: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == s, F.col("o_totalprice"))
+        )
 
-
-@query(
-    "q49_pivot",
-    f"""
-    SELECT o_orderpriority,
-           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
-               AS total_f,
-           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
-               AS total_o,
-           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
-               AS total_p
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="PIVOT (long→wide conditional aggregation): one hash agg computes all "
-    "three status columns in a single pass over orders — the pivot values are "
-    "given explicitly so Spark skips the extra distinct-values job it would "
-    "otherwise run (a full scan + collect at 100 TB). Decimal-exact sums "
-    "keep the doubles order-independent across the partial-agg tree.",
-)
-def q49(spark, sf):
-    o = _t(spark, sf, "orders")
-    wide = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(dsum(F.col("o_totalprice")))
+    piv = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            _status_sum("F").alias("v1"),
+            _status_sum("O").alias("v2"),
+            _status_sum("P").alias("v3"),
+        )
+        .select(
+            F.lit("pivot").alias("part"),
+            F.col("o_orderpriority").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "v1",
+            "v2",
+            "v3",
+            F.lit(None).cast("long").alias("n"),
+        )
     )
-    return (
-        wide.withColumnRenamed("F", "total_f")
-        .withColumnRenamed("O", "total_o")
-        .withColumnRenamed("P", "total_p")
-    )
+    return sets.unionByName(piv)
 
 
 # =========================================================================

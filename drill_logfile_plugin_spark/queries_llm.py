@@ -875,6 +875,56 @@ def q59(spark, sf):
 
 
 # =========================================================================
+# Duplicate clusters (connected components over the pair graph)
+# =========================================================================
+
+
+@query(
+    "q63_dup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {D.shingles_sql_duck('text', 3)} AS s FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT cluster_id, COUNT(*) AS n_members FROM (
+      SELECT a, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ) GROUP BY cluster_id
+    """,
+    doc="Duplicate CLUSTERS from the near-dup pair graph — the step every "
+    "real dedup pass needs between pair generation and survivor election: "
+    "near-dup similarity is not transitive, so keep-one-per-PAIR "
+    "over-deletes chains (A~B, B~C: dropping B's pair partners twice) "
+    "while keep-one-per-CLUSTER is the correct policy. Spark side is "
+    "min-label star contraction over the LSH pair graph (operators/"
+    "dedup.py dup_clusters): O(log diameter) rounds of 8-byte equi "
+    "joins, edge set only shrinks, convergence driven by scalar counts. "
+    "The oracle recomputes components via exact all-pairs Jaccard + a "
+    "recursive transitive closure — a MATCH certifies both the pair "
+    "graph AND the clustering against an independent engine.",
+)
+def q63(spark, sf):
+    pairs = D.lsh_candidate_pairs(
+        _t(spark, sf, "documents"), jaccard_threshold=0.6
+    )
+    return (
+        D.dup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# =========================================================================
 # Chunking + sequence packing (training-batch reshaping)
 # =========================================================================
 

@@ -57,8 +57,8 @@ def _t(spark, sf_dir, name):
 #: driver-visible record, so they register FIRST; the suite is also kept
 #: within the budget (50 registrations; overlapping relational demos are
 #: union-merged) and ordered so that if the budget ever shrinks, the LAST
-#: registrations (q61 chunk/pack, then q62 repetition — the two extension
-#: queries past 48) are what drop — never the reference-parity tier.
+#: registrations (q61 chunk/pack, then q62 repetition — extension queries)
+#: are what drop — never the reference-parity tier.
 QUERY_MODULES = (
     "queries_log",
     "queries_streaming",

@@ -493,3 +493,34 @@ def test_repetition_signals_planted_verdicts(spark):
     # 3-gram counts ride along for the aggregate: "a b a b a b" has
     # total3=4 and only {'a b a', 'b a b'} distinct.
     assert out[1]["total3"] == 4 and out[1]["dist3"] == 2
+
+
+# --- duplicate clusters (q63 operator) ------------------------------------
+
+
+def test_dup_clusters_chain_clique_pair(spark):
+    """Chains (where pairwise near-dup is non-transitive), cliques, and
+    isolated pairs all resolve to min-id clusters with one row per node."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (10, 12), (11, 12),        # clique
+         (20, 21)],                           # isolated pair
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_long_path_converges(spark):
+    """A 65-node path is the adversarial diameter case: one-hop label
+    propagation would need 64 rounds, star contraction must finish in
+    O(log) — well inside the default max_iter=25."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"]
+    )
+    rows = D.dup_clusters(pairs).collect()
+    assert len(rows) == 65
+    assert {r["cluster_id"] for r in rows} == {0}

@@ -173,11 +173,13 @@ def test_topk_search_broadcasts_queries_not_corpus(spark, queries):
 
 
 def test_grouping_sets_is_one_expand_one_shuffle(spark, queries):
-    """q48: all three grouping sets must come from ONE Expand feeding ONE
-    partial-agg'd shuffle — not one scan/shuffle per set."""
-    plan = plan_of(queries["q48_grouping_sets"](spark, SF_DIR))
+    """q48 (sets branch): all three grouping sets must come from ONE Expand
+    feeding ONE partial-agg'd shuffle — not one scan/shuffle per set. The
+    union-merged pivot branch adds exactly one more exchange (its own hash
+    agg) and no distinct-values job (pivot values are explicit)."""
+    plan = plan_of(queries["q48_sets_pivot"](spark, SF_DIR))
     assert plan.count("Expand") == 1
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
     assert "partial_" in plan
 
 
