@@ -1,0 +1,89 @@
+"""Deterministic corpus-subset operators: temperature-based source mixing.
+
+LLM training corpora mix sources with weights proportional to
+``count(source)**alpha`` (alpha < 1 upweights small sources relative to
+their size — the standard temperature-mixing recipe from multilingual /
+multi-corpus training). This module realizes the mix as DETERMINISTIC
+per-document hash-threshold sampling, not ``df.sample()``:
+
+* a document's keep/drop decision is a pure function of (doc_id, the
+  per-source threshold), so the mix is reproducible across engines,
+  cluster sizes, and re-partitioning, and adding new data never
+  resamples yesterday's documents (same contract as the q55 split);
+* thresholds use only correctly-rounded IEEE operations (divide, sqrt
+  via pow(x, 0.5) is NOT used — see below; multiply, floor), so Spark
+  and an independent SQL engine compute bit-identical thresholds and the
+  driver's hash comparison certifies the whole pipeline.
+
+No reference counterpart (cgivre/drill-logfile-plugin is a scan plugin;
+SURVEY.md §2 Tier C).
+
+Scale posture: one partial-agg'd count per source (a dim-sized
+aggregate), one broadcast join of the per-source thresholds back onto
+the corpus, then a scan-speed hash filter — no corpus-sized shuffle at
+any point. At 100 TB the only exchanges are the tiny count and report
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hash-bucket resolution for the keep/drop threshold.
+MIX_BUCKETS = 1_000_000
+
+
+def doc_bucket(id_col: str = "doc_id") -> Column:
+    """Deterministic bucket in [0, MIX_BUCKETS): md5-prefix fold of the id.
+
+    8 hex digits (32 bits) folded to an integer, mod 1e6 — the same
+    engine-portable construction as the q55 split buckets (conv(md5) in
+    Spark == hex fold in the oracle).
+    """
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % MIX_BUCKETS
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample each source to rate ``(n_min / n_s) ** (1 - alpha)``.
+
+    Rates follow the temperature-mixing law: selected volume per source is
+    proportional to ``n_s ** alpha``, normalized so the smallest source is
+    kept in full (rate 1.0) — pure downsampling; upsampling small sources
+    is a replication concern left to the training loader.
+
+    alpha=0.5 gives rate ``sqrt(n_min / n_s)``; sqrt and the division are
+    both correctly-rounded IEEE operations, so the integer threshold
+    ``floor(MIX_BUCKETS * rate)`` is bit-identical across engines. For
+    general alpha the rate uses ``pow``, which is NOT guaranteed
+    correctly rounded across libm implementations — callers needing the
+    cross-engine-exact contract should stick to alpha=0.5 (the shipped
+    default and the common practical choice).
+
+    Returns the kept rows of ``df`` plus the per-source ``mix_thr`` used.
+    """
+    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = cnt.agg(F.min("n_s").alias("n_min"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_s"))
+    else:
+        rate = F.pow(F.col("n_min").cast("double") / F.col("n_s"), 1.0 - alpha)
+    thr = (
+        cnt.crossJoin(F.broadcast(n_min))
+        .select(
+            source_col,
+            F.floor(F.lit(float(MIX_BUCKETS)) * rate).cast("long").alias("mix_thr"),
+        )
+    )
+    return df.join(F.broadcast(thr), source_col).where(
+        doc_bucket(id_col) < F.col("mix_thr")
+    )

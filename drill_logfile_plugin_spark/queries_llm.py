@@ -687,7 +687,7 @@ def q51(spark, sf):
 
 
 @query(
-    "q55_deterministic_split",
+    "q55_split_mix",
     f"""
     WITH assigned AS (
       SELECT source, n_chars,
@@ -697,21 +697,49 @@ def q51(spark, sf):
                   THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
+    ), cnt AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), thr AS (
+      SELECT source,
+             CAST(FLOOR(1000000.0 * sqrt(
+               CAST((SELECT MIN(n_s) FROM cnt) AS DOUBLE) / n_s
+             )) AS BIGINT) AS mix_thr
+      FROM cnt
+    ), kept AS (
+      SELECT d.source, d.n_chars, t.mix_thr
+      FROM documents d JOIN thr t USING (source)
+      WHERE {_duck_hex2int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")} % 1000000
+            < t.mix_thr
     )
-    SELECT source, split, COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    SELECT source, split AS part, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(NULL AS BIGINT) AS mix_thr
     FROM assigned GROUP BY source, split
+    UNION ALL
+    SELECT source, 'mix' AS part, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(mix_thr) AS mix_thr
+    FROM kept GROUP BY source
     """,
-    doc="Deterministic 80/10/10 train/val/test assignment: the split is a "
-    "pure function of doc_id (md5 prefix mod 100), NOT a seeded "
-    "df.sample() — so it is reproducible across engines, runs, cluster "
-    "sizes, and data re-partitioning, and a document keeps its split "
-    "when the corpus grows (no reshuffling yesterday's training set). "
-    "Per-row expression, no shuffle until the final count: at 100 TB "
-    "this is scan-speed. The MATCH proves Spark's conv(md5) bucketing "
-    "is bit-identical to the oracle's independent hex fold.",
+    doc="The two deterministic corpus-subset operators, union-merged "
+    "(driver query-budget policy). Split branch: 80/10/10 "
+    "train/val/test as a pure function of doc_id (md5 prefix mod 100) — "
+    "NOT a seeded df.sample() — reproducible across engines, runs, "
+    "cluster sizes, and re-partitioning; a document keeps its split when "
+    "the corpus grows. Mix branch (operators/sampling.py "
+    "temperature_mix): alpha=0.5 temperature source mixing — each "
+    "source downsampled to rate sqrt(n_min/n_s) by the same "
+    "hash-threshold construction, so the MIX membership is equally "
+    "deterministic; the threshold uses only correctly-rounded IEEE ops "
+    "(divide, sqrt, floor), so the driver hash MATCH certifies "
+    "bit-identical thresholds AND identical per-document keep/drop "
+    "decisions against the independent engine. Both branches are "
+    "scan-speed with dim-sized aggregates/broadcasts only — no "
+    "corpus-sized shuffle at 100 TB.",
 )
 def q55(spark, sf):
+    from .operators.sampling import temperature_mix
+
     d = _t(spark, sf, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -722,10 +750,31 @@ def q55(spark, sf):
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
     )
-    return assigned.groupBy("source", "split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+    split_report = (
+        assigned.groupBy("source", F.col("split").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn("mix_thr", F.lit(None).cast("long"))
     )
+    mix_report = (
+        temperature_mix(d, alpha=0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("mix_thr").alias("mix_thr"),
+        )
+        .select(
+            "source",
+            F.lit("mix").alias("part"),
+            "n_docs",
+            "total_chars",
+            "mix_thr",
+        )
+    )
+    return split_report.unionByName(mix_report)
 
 
 @query(

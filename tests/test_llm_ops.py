@@ -524,3 +524,45 @@ def test_dup_clusters_long_path_converges(spark):
     rows = D.dup_clusters(pairs).collect()
     assert len(rows) == 65
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+# --- temperature mixing (q55 mix branch operator) -------------------------
+
+
+def test_temperature_mix_rates_and_determinism(spark, documents):
+    """alpha=0.5 mixing: the smallest source is kept in full (threshold =
+    the full bucket range), kept volume per source tracks sqrt(n_min*n_s)
+    within binomial noise, and membership is exactly reproducible."""
+    from drill_logfile_plugin_spark.operators.sampling import (
+        MIX_BUCKETS,
+        temperature_mix,
+    )
+
+    counts = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    kept = temperature_mix(documents).select("doc_id", "source", "mix_thr")
+    rows = kept.collect()
+
+    # Smallest source: rate 1.0 — every document survives.
+    small = min(counts, key=counts.get)
+    assert sum(1 for r in rows if r["source"] == small) == counts[small]
+    thr = {r["source"]: r["mix_thr"] for r in rows}
+    assert thr[small] == MIX_BUCKETS
+
+    # Expected kept per source = n_s * sqrt(n_min/n_s) = sqrt(n_min*n_s);
+    # binomial std is sqrt(n*p*(1-p)) — allow 5 sigma.
+    import math
+
+    for s, n_s in counts.items():
+        got = sum(1 for r in rows if r["source"] == s)
+        p = math.sqrt(n_min / n_s)
+        exp = n_s * p
+        tol = 5 * math.sqrt(max(n_s * p * (1 - p), 1.0))
+        assert abs(got - exp) <= tol, (s, got, exp, tol)
+
+    # Determinism: a second run keeps exactly the same documents.
+    again = {(r["doc_id"]) for r in temperature_mix(documents).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in rows}

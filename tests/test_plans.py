@@ -239,12 +239,19 @@ def test_exact_dedup_shuffles_hash_never_text(spark, queries):
     assert not any("text" in ln for ln in exchange_lines)
 
 
-def test_deterministic_split_shuffles_only_the_report(spark, queries):
-    """q55: split assignment is a pure function of doc_id (scan speed);
-    the only exchange in the plan is the tiny per-(source, split) report
-    aggregation."""
-    plan = plan_of(queries["q55_deterministic_split"](spark, SF_DIR))
-    assert plan.count("Exchange") == 1
+def test_deterministic_split_shuffles_only_reports(spark, queries):
+    """q55: split assignment is a pure function of doc_id (scan speed) and
+    the mix branch's per-source thresholds join back onto the corpus via
+    BROADCAST — every exchange in the plan is a dim-sized or report
+    aggregation; the corpus itself is never shuffle-joined."""
+    plan = plan_of(queries["q55_split_mix"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # split report + mix report + the source-count subplan twice (once
+    # feeding thresholds, once the global min — not exchange-reusable) =
+    # 4 dim-sized agg exchanges; more means a corpus shuffle crept in.
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "partial_" in plan
 
 
 def test_boilerplate_spans_shuffles_hashed_keys(spark, queries):
