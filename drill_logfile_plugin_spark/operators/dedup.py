@@ -794,3 +794,43 @@ def dup_clusters(
                 "(adversarial graph topology; raise max_iter)"
             )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end corpus dedup: exact → near-dup pairs → clusters → keep.
+
+    The composition every training pipeline actually runs, as one call:
+
+    1. exact pass — keep the min-id document per md5(text) group
+       (32-byte shuffle keys, never raw text);
+    2. near-dup pass over the exact survivors — MinHash-LSH banded
+       candidate pairs + exact Jaccard re-rank at ``jaccard_threshold``;
+    3. transitivity — connected components over the pair graph
+       (:func:`dup_clusters`), because near-dup is not transitive and
+       per-pair dropping over- or under-deletes chains;
+    4. survivor election — keep the min-id member of every cluster,
+       i.e. drop exactly the nodes whose cluster label differs from
+       their own id.
+
+    Returns the surviving rows of ``df`` with their original columns.
+    Deterministic end to end (min-id policies throughout); each stage is
+    the documented 100 TB-shaped operator above.
+    """
+    keep_exact = exact_dedup_survivors(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    uniq = df.join(keep_exact, id_col, "left_semi")
+    pairs = lsh_candidate_pairs(
+        uniq, text_col, id_col, jaccard_threshold=jaccard_threshold
+    )
+    losers = (
+        dup_clusters(pairs)
+        .where(F.col("cluster_id") != F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )
+    return uniq.join(losers, id_col, "left_anti")

@@ -566,3 +566,24 @@ def test_temperature_mix_rates_and_determinism(spark, documents):
     # Determinism: a second run keeps exactly the same documents.
     again = {(r["doc_id"]) for r in temperature_mix(documents).select("doc_id").collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """Exact copies collapse to the min id; a near-dup chain collapses to
+    one survivor even though its endpoints are NOT pairwise near-dups
+    (the transitivity step); unique docs pass through untouched."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    chain = [base + "alpha", base + "beta", base + "gamma"]
+    rows = (
+        [(1, chain[0]), (2, chain[0]),          # exact dups -> keep 1
+         (10, chain[0]), (11, chain[1]), (12, chain[2])]  # near-dup chain
+        + [(20 + i, "totally unrelated words " + str(i) * 40) for i in range(3)]
+    )
+    # doc 10 duplicates doc 1's text exactly: the exact pass folds it first.
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"] for r in D.dedup_corpus(df, jaccard_threshold=0.6).collect()
+    )
+    # 1 survives its exact group {1,2,10}; chain {1,11,12} then collapses
+    # into cluster min 1; unique docs 20-22 all survive.
+    assert kept == [1, 20, 21, 22]
