@@ -493,3 +493,38 @@ def norm_sql_spark(vec: str) -> str:
 
 def norm_sql_duck(vec: str, dim: int) -> str:
     return f"sqrt({dot_sql_duck(vec, vec, dim)})"
+
+
+# --- int8 quantization (embedding storage compression) ---------------------
+
+
+def int8_quant_err_sql_spark(vec: str) -> str:
+    """Max |x - dequant(quant_int8(x))| of one vector, Spark SQL fragment.
+
+    Symmetric per-vector int8 quantization — scale = max|x|/127,
+    q = round-half-up(x/scale), bounded by construction to [-127, 127] —
+    the standard storage compression for ANN corpora (4x smaller than
+    float32, recall loss bounded by this exact reconstruction error).
+    Every operation is correctly-rounded IEEE (divide, floor, multiply,
+    abs, max), so the value is bit-identical cross-engine; rounding is
+    floor(x + 0.5) explicitly because SQL round() half-even vs half-away
+    conventions differ between engines. Zero vectors quantize losslessly
+    (guard, not a division).
+    """
+    scale = f"(array_max(transform({vec}, s -> abs(CAST(s AS DOUBLE)))) / CAST(127 AS DOUBLE))"
+    x = "CAST(v AS DOUBLE)"
+    err = (
+        f"array_max(transform({vec}, v -> "
+        f"abs({x} - floor({x} / {scale} + CAST(0.5 AS DOUBLE)) * {scale})))"
+    )
+    return f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE {err} END"
+
+
+def int8_quant_err_sql_duck(vec: str) -> str:
+    scale = f"(list_max(list_transform({vec}, s -> abs(CAST(s AS DOUBLE)))) / CAST(127 AS DOUBLE))"
+    x = "CAST(v AS DOUBLE)"
+    err = (
+        f"list_max(list_transform({vec}, v -> "
+        f"abs({x} - floor({x} / {scale} + CAST(0.5 AS DOUBLE)) * {scale})))"
+    )
+    return f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE {err} END"

@@ -347,19 +347,28 @@ def q40(spark, sf):
     SELECT label,
            COUNT(*) AS n_vecs,
            MIN({S.norm_sql_duck('embedding', 64)}) AS min_norm,
-           MAX({S.norm_sql_duck('embedding', 64)}) AS max_norm
+           MAX({S.norm_sql_duck('embedding', 64)}) AS max_norm,
+           MAX({S.int8_quant_err_sql_duck('embedding')}) AS max_q_err
     FROM embeddings GROUP BY label
     """,
-    doc="Per-label embedding stats; min/max of deterministic-fold norms "
-    "(order-independent aggregates only — no float SUM across rows).",
+    doc="Per-label embedding stats: min/max of deterministic-fold norms, "
+    "plus the max int8-quantization reconstruction error (symmetric "
+    "per-vector scale = max|x|/127 — the standard 4x storage compression "
+    "for ANN corpora; operators/similarity.py int8_quant_err_sql_*). "
+    "Order-independent aggregates only — no float SUM across rows; the "
+    "quantize/dequantize round-trip uses only correctly-rounded IEEE "
+    "ops, so the MATCH certifies bit-identical per-vector quantization "
+    "cross-engine.",
 )
 def q32(spark, sf):
     e = _t(spark, sf, "embeddings")
     norm = F.expr(S.norm_sql_spark("embedding"))
+    qerr = F.expr(S.int8_quant_err_sql_spark("embedding"))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min(norm).alias("min_norm"),
         F.max(norm).alias("max_norm"),
+        F.max(qerr).alias("max_q_err"),
     )
 
 

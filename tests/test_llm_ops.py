@@ -587,3 +587,32 @@ def test_dedup_corpus_end_to_end(spark):
     # 1 survives its exact group {1,2,10}; chain {1,11,12} then collapses
     # into cluster min 1; unique docs 20-22 all survive.
     assert kept == [1, 20, 21, 22]
+
+
+def test_int8_quant_err_matches_numpy(spark, embeddings):
+    """The SQL quantization fragment agrees with an independent numpy
+    implementation per vector, and the error respects the half-scale
+    bound |x - dequant(q)| <= scale/2."""
+    import numpy as np
+
+    rows = (
+        embeddings.limit(50)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(S.int8_quant_err_sql_spark("embedding")).alias("err"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float32).astype(np.float64)
+        scale = np.abs(x).max() / 127.0
+        if scale == 0.0:
+            assert r["err"] == 0.0
+            continue
+        q = np.floor(x / scale + 0.5)
+        assert np.abs(q).max() <= 127
+        err = np.abs(x - q * scale).max()
+        assert r["err"] == err  # bit-identical, not approximately
+        assert err <= scale / 2 + 1e-15
