@@ -278,3 +278,32 @@ def test_repetition_filter_single_exchange(spark, queries):
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
+    """Global sweep over EVERY registered query's physical plan:
+
+    * no BatchEvalPython anywhere — row-at-a-time Python UDFs are banned
+      from the engine outright (Arrow-batched pandas UDFs show up as
+      ArrowEvalPython/MapInPandas and are the sanctioned slow path);
+    * no CartesianProduct anywhere;
+    * BroadcastNestedLoopJoin only where a non-equi predicate is the
+      query's documented point (q06 theta join, q45's residual is
+      bucketized so it must NOT appear there).
+
+    Catches a whole class of future regressions (a contributor swapping
+    an expression for a Python UDF, an optimizer change degrading an
+    equi join) across all 50 surfaces at once.
+    """
+    bnl_allowed = {
+        "q06_nonequi_join",  # theta join IS the query's point
+        "q30_embedding_topk",  # brute-force scoring vs the BROADCAST query set
+        "q40_embedding_neardup",  # nblocks² block-pair join, bounded input
+        "q55_split_mix",  # one-row global-min scalar broadcast into rates
+    }
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+        if name not in bnl_allowed:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
