@@ -616,3 +616,48 @@ def test_int8_quant_err_matches_numpy(spark, embeddings):
         err = np.abs(x - q * scale).max()
         assert r["err"] == err  # bit-identical, not approximately
         assert err <= scale / 2 + 1e-15
+
+
+def test_dup_clusters_random_graphs_vs_union_find(spark):
+    """Fixed-seed random graphs (shuffled non-monotone ids, multiple
+    components, stars, chains) vs an independent union-find: the operator
+    must produce exactly the same (node -> component-min) labeling."""
+    import random
+
+    rng = random.Random(427)
+    for trial in range(3):
+        ids = rng.sample(range(1000, 9999), 60)
+        edges = []
+        # random chains and stars over shuffled ids
+        for start in range(0, 60, 12):
+            grp = ids[start : start + 12]
+            if trial % 2 == 0:
+                edges += list(zip(grp, grp[1:]))  # chain
+            else:
+                edges += [(grp[0], x) for x in grp[1:]]  # star
+        # a few random extra edges merging groups
+        edges += [tuple(rng.sample(ids, 2)) for _ in range(5)]
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {x for e in edges for x in e}
+        want = {}
+        comp_min: dict = {}
+        for x in touched:
+            comp_min.setdefault(find(x), []).append(x)
+        for root, members in comp_min.items():
+            m = min(members)
+            for x in members:
+                want[x] = m
+
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["node"]: r["cluster_id"] for r in D.dup_clusters(df).collect()}
+        assert got == want, f"trial {trial}"
