@@ -145,3 +145,43 @@ def test_dup_ngram_counts_cross_engine(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+# --- chunking invariants (q61 operator) -----------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc ")), max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_tokens=st.sampled_from([1, 3, 7]),
+)
+@SETTINGS
+def test_chunking_conserves_tokens(spark, texts, chunk_tokens):
+    """For ANY input and chunk size: token counts are conserved across the
+    explode, chunk ids are contiguous from 0, every chunk except the last
+    is full, and the with_text chunks concatenate back to the original
+    token stream."""
+    from drill_logfile_plugin_spark.operators.chunking import chunk_docs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_docs(df, chunk_tokens=chunk_tokens, with_text=True).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        toks = __import__("re").split(r"\s+", t.strip())
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert sum(c["n_chunk_tokens"] for c in chunks) == len(toks)
+        assert all(
+            c["n_chunk_tokens"] == chunk_tokens for c in chunks[:-1]
+        )
+        assert 1 <= chunks[-1]["n_chunk_tokens"] <= chunk_tokens
+        rejoined = " ".join(c["chunk_text"] for c in chunks).split(" ")
+        assert rejoined == toks
