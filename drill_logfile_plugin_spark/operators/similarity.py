@@ -511,20 +511,41 @@ def int8_quant_err_sql_spark(vec: str) -> str:
     conventions differ between engines. Zero vectors quantize losslessly
     (guard, not a division).
     """
-    scale = f"(array_max(transform({vec}, s -> abs(CAST(s AS DOUBLE)))) / CAST(127 AS DOUBLE))"
-    x = "CAST(v AS DOUBLE)"
-    err = (
-        f"array_max(transform({vec}, v -> "
-        f"abs({x} - floor({x} / {scale} + CAST(0.5 AS DOUBLE)) * {scale})))"
-    )
-    return f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE {err} END"
+    scale = int8_scale_sql_spark(vec)
+    return int8_err_given_scale_sql(vec, scale, spark=True)
 
 
 def int8_quant_err_sql_duck(vec: str) -> str:
     scale = f"(list_max(list_transform({vec}, s -> abs(CAST(s AS DOUBLE)))) / CAST(127 AS DOUBLE))"
+    return int8_err_given_scale_sql(vec, scale, spark=False)
+
+
+def int8_scale_sql_spark(vec: str) -> str:
+    """Per-vector symmetric int8 scale = max|x|/127, Spark SQL fragment."""
+    return (
+        f"(array_max(transform({vec}, s -> abs(CAST(s AS DOUBLE))))"
+        f" / CAST(127 AS DOUBLE))"
+    )
+
+
+def int8_err_given_scale_sql(vec: str, scale: str, spark: bool) -> str:
+    """Reconstruction-error fragment with the scale expression supplied.
+
+    Callers on the Spark side should pass a pre-projected scale COLUMN
+    (see q32): interpolating the full max|x|/127 subexpression inside the
+    per-element lambda evaluates an O(d) array-max once per element —
+    O(d²) per vector — because common-subexpression elimination does not
+    reach across lambda scopes. The oracle side inlines it (the oracle's
+    cost is irrelevant); values are identical either way since the
+    operations are the same correctly-rounded IEEE ops.
+    """
+    xform, amax = ("transform", "array_max") if spark else ("list_transform", "list_max")
     x = "CAST(v AS DOUBLE)"
     err = (
-        f"list_max(list_transform({vec}, v -> "
+        f"{amax}({xform}({vec}, v -> "
         f"abs({x} - floor({x} / {scale} + CAST(0.5 AS DOUBLE)) * {scale})))"
     )
-    return f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE {err} END"
+    return (
+        f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+        f"ELSE {err} END"
+    )

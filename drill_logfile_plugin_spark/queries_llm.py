@@ -361,9 +361,15 @@ def q40(spark, sf):
     "cross-engine.",
 )
 def q32(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").select(
+        "label",
+        "embedding",
+        # Scale projected ONCE per vector; inlining it in the lambda would
+        # re-evaluate the O(d) max per element (see int8_err_given_scale_sql).
+        F.expr(S.int8_scale_sql_spark("embedding")).alias("q_scale"),
+    )
     norm = F.expr(S.norm_sql_spark("embedding"))
-    qerr = F.expr(S.int8_quant_err_sql_spark("embedding"))
+    qerr = F.expr(S.int8_err_given_scale_sql("embedding", "q_scale", spark=True))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min(norm).alias("min_norm"),
