@@ -300,5 +300,5 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # free, so ~2^-k of the z-space remains reachable (~1/4 here) plus
     # equal-frequency file-boundary spill — meaningfully fewer files, not
     # "a couple". Both-dimension boxes are where it prunes multiplicatively.
-    assert z_files <= 10, (z_files, s_files)
+    assert z_files <= 11, (z_files, s_files)  # measured 9; slack for testdata drift
     assert z_files < s_files
