@@ -307,3 +307,27 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
         assert "CartesianProduct" not in plan, f"{name}: cartesian join"
         if name not in bnl_allowed:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    """EXPLAIN every oracle_sql() entry against DuckDB views over the
+    sf0.001 tables — a syntax/typo guard that runs in seconds, without
+    waiting for the full value-compare harness."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in e.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:
+            raise AssertionError(f"{name}: oracle SQL fails to parse: {ex}")
