@@ -87,3 +87,32 @@ def temperature_mix(
     return df.join(F.broadcast(thr), source_col).where(
         doc_bucket(id_col) < F.col("mix_thr")
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle: order rows by ``md5(salt || id)``.
+
+    Training wants data in random order, but ``df.sample``/``orderBy(rand())``
+    give a DIFFERENT order per run, cluster size, and retry — which breaks
+    resumable training and ablation comparisons. Hashing the id gives an
+    order that is uniformly pseudo-random yet a pure function of
+    (salt, id): re-running, resharding, or growing the cluster reproduces
+    byte-identical shards. Vary ``salt`` per epoch for fresh orders.
+
+    Plan shape: one range-partitioning exchange on the 16-byte hash prefix
+    (Spark samples range boundaries) + an in-partition sort — the same
+    cost as any global sort, with files written in final order. At 100 TB
+    choose ``n_partitions`` so each output shard fits a trainer's reader.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = df.withColumn("__shuffle_key", key)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "__shuffle_key")
+    else:
+        out = out.repartitionByRange("__shuffle_key")
+    return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")

@@ -661,3 +661,21 @@ def test_dup_clusters_random_graphs_vs_union_find(spark):
         df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
         got = {r["node"]: r["cluster_id"] for r in D.dup_clusters(df).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_shuffle_deterministic_reproducible_and_salted(spark, documents):
+    """Same salt -> byte-identical order across runs; different salt ->
+    different order; content conserved exactly."""
+    from drill_logfile_plugin_spark.operators.sampling import (
+        shuffle_deterministic,
+    )
+
+    d = documents.select("doc_id").limit(200)
+    a = [r["doc_id"] for r in shuffle_deterministic(d, n_partitions=4).collect()]
+    b = [r["doc_id"] for r in shuffle_deterministic(d, n_partitions=4).collect()]
+    c = [r["doc_id"] for r in
+         shuffle_deterministic(d, salt="epoch1", n_partitions=4).collect()]
+    assert a == b                       # reproducible
+    assert sorted(a) == sorted(c)       # conserved
+    assert a != c                       # salt changes the order
+    assert a != sorted(a)               # and it isn't just sorted ids
