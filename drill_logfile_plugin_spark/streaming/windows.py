@@ -367,3 +367,65 @@ def sessionize_stateful(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def event_followups(
+    df: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval self-join: per-user followup correlation.
+
+    Pairs every ``first_type`` event with the same user's ``then_type``
+    events that happen within ``within`` afterwards — the funnel /
+    attribution query (view→purchase, error→retry). Output:
+    (user_id, first_id, then_id, first_ts, lag_seconds).
+
+    Batch: a plain equi join on user plus the time-range predicate.
+    Streaming: the SAME function is a Spark stream-stream inner join —
+    both sides get watermarks and the join condition carries the
+    event-time bound, so each side's buffered state is evicted once the
+    watermark passes ``ts + within`` (bounded state; an unbounded
+    stream-stream join would grow forever). Inner joins emit matches
+    immediately; the watermark only governs state cleanup, so
+    stream==batch on complete input (proven in tests/test_streaming.py).
+
+    Scale posture: one shuffle on user_id for each side; the range
+    predicate is evaluated post-join within user groups, and per-user
+    event counts bound the pair fan-out.
+    """
+    a = df.where(F.col("event_type") == first_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("first_id"),
+        F.col(ts_col).alias("first_ts"),
+    )
+    b = df.where(F.col("event_type") == then_type).select(
+        F.col(user_col).alias("u2"),
+        F.col("event_id").alias("then_id"),
+        F.col(ts_col).alias("then_ts"),
+    )
+    if df.isStreaming:
+        a = _with_watermark(a, "first_ts", watermark)
+        b = _with_watermark(b, "then_ts", watermark)
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        "user_id",
+        "first_id",
+        "then_id",
+        "first_ts",
+        (
+            # cast: unix_micros requires TIMESTAMP; NTZ batch inputs
+            # relabel to the same instant under the pinned UTC session tz.
+            F.unix_micros(F.col("then_ts").cast(TimestampType()))
+            - F.unix_micros(F.col("first_ts").cast(TimestampType()))
+        ).alias("lag_us"),
+    )

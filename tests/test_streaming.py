@@ -323,3 +323,34 @@ def test_stateful_sessionizer_merges_late_event_before_open_start(
     # starting at the MINIMUM ts, closed by timeout once user 99's events
     # push the watermark past 10:25.
     assert (1, ts(10, 1), ts(10, 25), 3, 300) in emitted
+
+
+def test_event_followups_stream_equals_batch(
+    spark, events_batch, events_stream_dir
+):
+    """Stream-stream interval self-join (view→purchase within 30 min):
+    the same function over readStream must emit exactly the batch join —
+    inner stream-stream joins emit on match, and the 1 h watermark only
+    evicts view-side state that can no longer match future purchases."""
+    from drill_logfile_plugin_spark.streaming.windows import event_followups
+
+    batch = {
+        (r["user_id"], r["first_id"], r["then_id"], r["lag_us"])
+        for r in event_followups(events_batch).collect()
+    }
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    q = (
+        event_followups(sdf)
+        .writeStream.format("memory")
+        .queryName("followups_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {
+        (r["user_id"], r["first_id"], r["then_id"], r["lag_us"])
+        for r in spark.sql("SELECT * FROM followups_mem").collect()
+    }
+    assert batch, "fixture must produce at least one followup pair"
+    assert stream == batch
