@@ -24,6 +24,7 @@ from .functions.exprs import dsum_sql
 from .operators.rollup import rollup_cascade
 from .registry import _t, query
 from .streaming.windows import (
+    event_followups,
     session_event_windows,
     sliding_event_counts,
     tumbling_event_counts,
@@ -82,9 +83,23 @@ _US_10MIN = 600_000_000
       )
     )
     GROUP BY user_id, session_id
+
+    UNION ALL
+
+    SELECT 'followup' AS kind, CAST(user_id AS VARCHAR) AS grp,
+           MIN(first_ts) AS win_start, MAX(then_ts) AS win_end,
+           COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      SELECT a.user_id, a.ts AS first_ts, b.ts AS then_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ) GROUP BY user_id
     """,
-    doc="The three streaming window shapes, union-tagged over one batch "
-    "read (merged q37+q38+q39 for the driver's correctness budget): "
+    doc="The four streaming shapes, union-tagged over one batch read "
+    "(merged q37+q38+q39 + the stream-stream interval join, for the "
+    "driver's correctness budget): "
     "tumbling 1-hour windows per event_type (exact-decimal value sums per "
     "the determinism policy); sliding 30-min/10-min windows where every "
     "event lands in exactly 3 overlapping epoch-aligned windows (matching "
@@ -121,7 +136,28 @@ def q37(spark, sf):
         "n_events",
         F.lit(None).cast("double").alias("sum_value"),
     )
-    return tumbling.unionByName(sliding).unionByName(session)
+    followup = (
+        event_followups(e)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_ts").alias("win_start"),
+            F.max("then_ts").alias("win_end"),
+        )
+        .select(
+            F.lit("followup").alias("kind"),
+            F.col("user_id").cast("string").alias("grp"),
+            "win_start",
+            "win_end",
+            "n_events",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(session)
+        .unionByName(followup)
+    )
 
 
 def _grain_select(grain: str) -> str:

@@ -422,6 +422,7 @@ def event_followups(
         "first_id",
         "then_id",
         "first_ts",
+        "then_ts",
         (
             # cast: unix_micros requires TIMESTAMP; NTZ batch inputs
             # relabel to the same instant under the pinned UTC session tz.
