@@ -47,11 +47,80 @@ def _spread(df: DataFrame) -> DataFrame:
     (one file = one split) every core but one would idle through the most
     expensive phase of the operator. Shuffling the raw docs once (a few
     hundred bytes each) is far cheaper than single-threading the parse.
+
+    The split estimate is driver-side metadata only — input-file count
+    plus the optimizer's size statistic over ``maxPartitionBytes`` (large
+    files split) — never RDD ``getNumPartitions``, which converts the
+    plan to an RDD and materializes scan state per call (banned
+    package-wide; tests/test_plans.py source sweep).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        est = len(df.inputFiles())
+        if est and est < par:
+            # Account for big files splitting: bytes / maxPartitionBytes.
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            mpb = _bytes_conf(
+                df.sparkSession, "spark.sql.files.maxPartitionBytes", 128 << 20
+            )
+            est = max(est, -(-size // mpb))
+    except Exception:
+        est = 0  # non-file source / stats unavailable: spread to be safe
+    if est < par:
         return df.repartition(par)
     return df
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "1g")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return max(1, int(float(raw)) * mult)
+    except ValueError:
+        return default
+
+
+#: Conf key to force executor-local barriers even when a checkpoint dir is
+#: configured (escape hatch for tests / single-node runs).
+RELIABLE_CHECKPOINT_CONF = "spark.graft.dedup.reliableCheckpoint"
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Eager iteration/reuse barrier with a fault-domain choice.
+
+    Default (no checkpoint dir configured): ``localCheckpoint`` —
+    executor-local disk, zero setup, right for single-node and
+    interactive runs. Its trade: losing an executor loses the
+    checkpointed partitions WITH their lineage, failing the job.
+
+    Cluster mode: call ``spark.sparkContext.setCheckpointDir(path)``
+    (HDFS/object store) before running the operator and the same barrier
+    becomes a reliable ``checkpoint()`` — survives executor loss, at the
+    cost of a write to the fault-tolerant store. Set the
+    ``spark.graft.dedup.reliableCheckpoint=false`` conf to force local
+    barriers even with a dir configured. Both modes produce identical
+    results (tests/test_llm_ops.py pins cluster equality across modes);
+    only the fault domain differs.
+    """
+    spark = df.sparkSession
+    if (
+        spark.sparkContext.getCheckpointDir() is not None
+        and str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "true")).lower()
+        != "false"
+    ):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 # --- shingling ------------------------------------------------------------
@@ -241,7 +310,15 @@ def lsh_candidate_pairs(
     # posting lists near-singleton away from true duplicate clusters.
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # The candidate set is referenced three times below (two id
+    # projections + the re-rank join), in subplans different enough
+    # that ReuseExchange cannot dedup them; the ONE eager barrier
+    # in this operator materializes the banding/self-join subplan once
+    # instead of once per reference (a lazy persist would let the
+    # three branches race and redundantly recompute it within the
+    # final job). It is O(duplicate pairs) — tiny at any corpus
+    # scale; see _barrier for the local-vs-reliable fault-domain knob.
+    cand = _barrier(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -252,15 +329,6 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        # The candidate set is referenced three times below (two id
-        # projections + the re-rank join), in subplans different enough
-        # that ReuseExchange cannot dedup them; the ONE eager checkpoint
-        # in this operator materializes the banding/self-join subplan once
-        # instead of once per reference (a lazy persist would let the
-        # three branches race and redundantly recompute it within the
-        # final job). It is O(duplicate pairs) — tiny at any corpus
-        # scale — and lives on executor-local disk, not the driver.
-        .localCheckpoint(eager=True)
     )
     # Exact re-rank: build string shingle sets ONLY for docs that appear in
     # a candidate pair (a left-semi prefilter) — candidate counts are
@@ -461,24 +529,26 @@ def simhash_pairs(
         "doc_id",
         sig_udf(F.col("toks")).alias("sig"),
     )
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"(shiftright(sig, {band_bits * k}) & {band_mask})")
-                    for k in range(4)
-                ]
-            )
-        ).alias("band_id", "byte"),
-        # Both sides of the candidate self-join read this; materialize the
-        # tokenize+md5+signature pipeline once (4×n small rows, executor-
-        # local disk). A groupBy+collect_list pair expansion was tried and
-        # is slower: this corpus is dup-heavy, so in-bucket pair volume is
-        # large and the interpreted lambda expansion (bit_count per pair)
-        # loses to the codegen'd hash join + filter on the same volume.
-    ).localCheckpoint(eager=True)
+    # Both sides of the candidate self-join read this; materialize the
+    # tokenize+md5+signature pipeline once (4×n small rows; see _barrier
+    # for the local-vs-reliable knob). A groupBy+collect_list pair
+    # expansion was tried and is slower: this corpus is dup-heavy, so
+    # in-bucket pair volume is large and the interpreted lambda expansion
+    # (bit_count per pair) loses to the codegen'd hash join + filter.
+    banded = _barrier(
+        sigs.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(f"(shiftright(sig, {band_bits * k}) & {band_mask})")
+                        for k in range(4)
+                    ]
+                )
+            ).alias("band_id", "byte"),
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.expr("bit_count(CAST(sig_a ^ sig_b AS BIGINT))")
@@ -536,14 +606,16 @@ def ngram_jaccard_pairs(
     The reported jaccard is the exact string-set value.
     """
     df = _spread(df)
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(block_expr).alias("blk"),
-        F.expr(shingles_sql_spark(text_col, shingle_n)).alias("sh"),
-        # Referenced by both the index explode and the size lookup (and the
-        # index twice more via the self-join): materialize the tokenize+
-        # shingle work once, executor-local.
-    ).localCheckpoint(eager=True)
+    # Referenced by both the index explode and the size lookup (and the
+    # index twice more via the self-join): materialize the tokenize+
+    # shingle work once (see _barrier for the local-vs-reliable knob).
+    docs = _barrier(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(block_expr).alias("blk"),
+            F.expr(shingles_sql_spark(text_col, shingle_n)).alias("sh"),
+        )
+    )
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))
     # Join on the 8-byte xxhash64 of the shingle, not the string itself —
     # same shuffle volume trick as exact dedup's md5 key. Hash collisions
@@ -713,28 +785,43 @@ def dup_clusters(
     Scale posture: every step is an equi join / partial-agg groupBy on
     8-byte ids; per-round volume is O(edges), and the edge set only
     shrinks (contraction). The graph is O(duplicate pairs) — tiny
-    relative to the corpus. Each step ends in an eager localCheckpoint:
-    an iteration barrier that caps lineage depth (nested iteration would
-    otherwise stack plans rounds deep) at O(pair-graph) executor-local
-    disk. The per-round emptiness probes that drive convergence are
-    scalar job results, not data collects.
+    relative to the corpus. Each step ends in an eager barrier (see
+    :func:`_barrier`) that caps lineage depth (nested iteration would
+    otherwise stack plans rounds deep) at O(pair-graph) checkpoint
+    storage — executor-local by default, reliable when a checkpoint dir
+    is configured. The per-round emptiness probes that drive convergence
+    are scalar job results, not data collects.
+
+    Id columns must already be integral: a silent ``cast("long")`` of
+    string ids would turn non-numeric ids into NULLs, EMPTY the pair
+    graph, and make downstream dedup silently keep every near-duplicate.
+    Hash string ids to long explicitly (e.g. ``xxhash64``) before calling.
     """
-    e = (
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for c in (id_a, id_b):
+        dt = pairs.schema[c].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"dup_clusters: id column '{c}' has type {dt.simpleString()}; "
+                "ids must be integral (hash string ids to long explicitly, "
+                "e.g. xxhash64(id), so the pair graph cannot silently "
+                "collapse to NULLs)"
+            )
+    e = _barrier(
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
             F.col(id_b).cast("long").alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # node -> current label; labels start as the node id itself.
-    labels = (
+    labels = _barrier(
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     def _shortcut(m: DataFrame) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint."""
@@ -747,7 +834,7 @@ def dup_clusters(
                     "moved"
                 ),
             )
-            m = hop.select("old", "new").localCheckpoint(eager=True)
+            m = _barrier(hop.select("old", "new"))
             if hop.where("moved").isEmpty():
                 return m
         raise RuntimeError("dup_clusters: shortcut did not reach a fixpoint")
@@ -765,18 +852,17 @@ def dup_clusters(
             .select("old", F.least("old", "nbr").alias("new"))
         )
         # Relabel nodes through the contraction map...
-        labels = (
+        labels = _barrier(
             labels.join(nbr_min, labels["label"] == nbr_min["old"], "left")
             .select(
                 "node",
                 F.coalesce("new", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         # ...and rewrite edges into the new label space.
         ma = nbr_min.select(F.col("old").alias("src"), F.col("new").alias("ns"))
         mb = nbr_min.select(F.col("old").alias("dst"), F.col("new").alias("nd"))
-        e = (
+        e = _barrier(
             e.join(ma, "src", "left")
             .join(mb, "dst", "left")
             .select(
@@ -785,7 +871,6 @@ def dup_clusters(
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
     else:
         if not e.isEmpty():

@@ -70,6 +70,18 @@ def temperature_mix(
     default and the common practical choice).
 
     Returns the kept rows of ``df`` plus the per-source ``mix_thr`` used.
+
+    Edge semantics (deliberate, shared with the DuckDB oracle):
+
+    * rows with a NULL ``source_col`` are DROPPED — NULL groups to its own
+      count row, but the threshold join back onto the corpus is an inner
+      equi join and SQL equality never matches NULL. Coalesce the column
+      to a sentinel source first if NULL-source rows must participate;
+    * a source so large that ``floor(MIX_BUCKETS * rate) == 0`` (rate
+      below 1/MIX_BUCKETS, i.e. > MIX_BUCKETS² times the smallest source
+      at alpha=0.5) is dropped entirely — the integer threshold cannot
+      represent rates below one bucket. Raise ``MIX_BUCKETS`` resolution
+      if such extreme ratios are real.
     """
     cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
     n_min = cnt.agg(F.min("n_s").alias("n_min"))
@@ -101,8 +113,19 @@ def shuffle_deterministic(
     give a DIFFERENT order per run, cluster size, and retry — which breaks
     resumable training and ablation comparisons. Hashing the id gives an
     order that is uniformly pseudo-random yet a pure function of
-    (salt, id): re-running, resharding, or growing the cluster reproduces
-    byte-identical shards. Vary ``salt`` per epoch for fresh orders.
+    (salt, id): the GLOBAL ORDER of the concatenated output is
+    reproducible across runs, cluster sizes, and input layouts (pinned in
+    tests/test_llm_ops.py). Vary ``salt`` per epoch for fresh orders.
+
+    Shard BOUNDARIES are not part of that contract: range-partitioning
+    boundaries come from Spark sampling the input, so a different input
+    split layout can shift where one shard ends and the next begins (the
+    concatenation is identical; the cut points may move). When byte-stable
+    individual shards matter — resumable loaders addressing shard files
+    directly — derive the shard explicitly instead: project
+    ``pmod(conv(substring(md5(key), 1, 8), 16, 10), n_shards)`` (the
+    :func:`doc_bucket` construction) and write with ``partitionBy`` on it,
+    sorting within shards by the hash key.
 
     Plan shape: one range-partitioning exchange on the 16-byte hash prefix
     (Spark samples range boundaries) + an in-partition sort — the same

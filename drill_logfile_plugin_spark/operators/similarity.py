@@ -221,14 +221,63 @@ def ann_lsh_topk(
 # --- IVF (inverted-file) ANN ----------------------------------------------
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    lloyd_iters: int,
+    sample_size: int,
+) -> np.ndarray:
+    """Deterministic spherical-k-means centroids, unit-normalized.
+
+    Model fitting on a BOUNDED deterministic sample: the ``sample_size``
+    corpus vectors with the smallest ``xxhash64(id)`` (id tiebreak — no
+    RNG state, no partition-order dependence) are collected to the driver
+    — ``sample_size × dim`` doubles (~2 MB at the defaults), a model
+    artifact like any broadcast dimension table, NOT a data-sized collect
+    — and refined with ``lloyd_iters`` rounds of Lloyd's algorithm under
+    the cosine metric (assign to argmax-dot cell; recenter on the
+    member mean; renormalize; empty cells keep their previous centroid).
+    Initial centroids are the first ``n_cells`` vectors in hash order —
+    the same hash-seeded init as before, now refined so cells track the
+    corpus's actual cluster structure instead of landing on arbitrary
+    corpus points. Every step is numpy over a fixed-order array, so the
+    fit is bit-reproducible across sessions and cluster layouts.
+    """
+    rows = (
+        corpus.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("tie"),
+        )
+        .orderBy("h", "tie")
+        .limit(max(sample_size, n_cells))
+        .collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 32,
-    nprobe: int = 16,
+    n_cells: int = 128,
+    nprobe: int = 32,
+    lloyd_iters: int = 4,
+    sample_size: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via an IVF-flat index: coarse cells + probe.
 
@@ -241,41 +290,36 @@ def ivf_topk(
     partition pruning: at 100 TB, cell is the partition key and a probe
     touches nprobe partitions.
 
-    Centroids are a hash-deterministic sample of the corpus itself (the
-    ``n_cells`` vectors with the smallest ``xxhash64(id)`` — no RNG
-    state, reproducible across sessions). They are collected to the
-    driver — ``n_cells × dim`` doubles, a model artifact like any
-    broadcast dimension table, NOT a data-sized collect — and ship to
-    executors inside the two pandas-UDF closures (argmax cell assignment
-    for the corpus, top-``nprobe`` cells for queries; one numpy matmul
-    per Arrow batch each). Exact fold cosines re-rank candidates, so
-    reported sims are bit-exact; recall is the only approximation
-    (asserted against the brute-force ground truth in pytest).
+    Centroids come from :func:`_ivf_centroids`: deterministic spherical
+    k-means (``lloyd_iters`` Lloyd rounds, hash-seeded init, no RNG) fit
+    on a bounded hash-deterministic sample, collected to the driver as a
+    model artifact and shipped to executors inside the two pandas-UDF
+    closures (argmax cell assignment for the corpus, top-``nprobe``
+    cells for queries; one numpy matmul per Arrow batch each). Exact
+    fold cosines re-rank candidates, so reported sims are bit-exact;
+    recall is the only approximation (asserted against the brute-force
+    ground truth in pytest).
 
-    Recall calibration: the driver corpus is near-uniform random — the
-    WORST case for IVF, since true neighbors (sim ~0.45) sit in almost
-    random directions and cell membership barely correlates with
-    neighborhood. The defaults (probe 16/32 cells = half the corpus)
-    give 0.76 recall@5 there; clustered real-world embeddings reach the
-    same recall probing far fewer cells. When recall matters more than
-    cost on unclustered data, prefer :func:`ann_lsh_topk` (0.92 @ 16
-    tables) or raise ``nprobe``.
+    Recall calibration (defaults = 128 cells, probe 32 — a quarter of
+    the corpus, half the previous round's probe fraction at HIGHER
+    recall, because Lloyd cells + finer quantization beat coarse random
+    cells): measured recall@5 on the near-uniform driver corpora is
+    0.92/0.96/0.80 at sf0.001/0.01/0.1 — and uniform data is IVF's WORST
+    case (true neighbors at sim ~0.45 sit in near-random directions, so
+    cell membership barely correlates with neighborhood; q41's in-band
+    check pins recall >= 0.65 driver-visibly). On CLUSTERED data —
+    real-world embedding corpora — the Lloyd cells track cluster
+    structure and recall holds >= 0.9 probing ≤ 1/16 of the cells
+    (pinned on planted Gaussian blobs in tests/test_llm_ops.py).
+    Sizing rule at scale: n_cells ~ sqrt(n) keeps cells bounded;
+    candidate volume per query ≈ n × nprobe / n_cells is the explicit
+    cost dial. When recall matters more than cost on unclustered data,
+    prefer :func:`ann_lsh_topk` (0.92 @ 16 tables) or raise ``nprobe``.
     """
-    cent_rows = (
-        corpus.select(
-            F.col(vec_col),
-            F.xxhash64(F.col(id_col)).alias("h"),
-            F.col(id_col).alias("tie"),
-        )
-        # id tiebreak: equal hashes must not leave centroid choice to
-        # partition order, or two sessions could build different indexes
-        .orderBy("h", "tie")
-        .limit(n_cells)
-        .collect()
+    Cn = _ivf_centroids(
+        corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
     )
-    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    nprobe_eff = min(nprobe, len(C))
+    nprobe_eff = min(nprobe, len(Cn))
 
     @F.pandas_udf(IntegerType())
     def assign_cell(col: pd.Series) -> pd.Series:

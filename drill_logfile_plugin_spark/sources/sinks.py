@@ -188,6 +188,7 @@ def zorder_column(
     cols: Sequence[str],
     bits: int = 8,
     out_col: str = "__zorder",
+    exact_quantiles: bool = False,
 ):
     """Add a Morton (Z-order) key interleaving the rank-buckets of ``cols``.
 
@@ -204,18 +205,35 @@ def zorder_column(
     The interleave is a pure JVM bit expression (shift/and/or folds);
     NULLs bucket to 0 (co-located, prunable). Returns (df + out_col,
     n_buckets) — pass to :func:`write_zordered` or use directly.
+
+    ``exact_quantiles``: the default approx cutpoints (GK sketch, one
+    small aggregate job) are the 100 TB path, but the sketch's partial
+    merges happen in task-completion order, so cutpoints — and therefore
+    the exact file layout — can differ run to run by one boundary.
+    Exact percentiles are a pure function of the data multiset
+    (bit-reproducible layouts; used by the strict pruning test), at
+    O(n)-memory-per-aggregate cost — fine up to mid-size tables, not for
+    full-corpus 100 TB writes.
     """
     from pyspark.sql import functions as F
 
     n = 1 << bits
-    # Approximate quantile cutpoints per column — one pass, tiny result.
+    # Quantile cutpoints per column — one pass, tiny result.
     probs = [i / n for i in range(1, n)]
-    cuts = df.select(
-        *[
+    if exact_quantiles:
+        probs_sql = ", ".join(repr(p) for p in probs)
+        cut_cols = [
+            F.expr(
+                f"percentile(CAST({c} AS DOUBLE), array({probs_sql}))"
+            ).alias(c)
+            for c in cols
+        ]
+    else:
+        cut_cols = [
             F.percentile_approx(F.col(c).cast("double"), probs, 10_000).alias(c)
             for c in cols
         ]
-    ).collect()[0]
+    cuts = df.select(*cut_cols).collect()[0]
 
     # width_bucket assumes uniform buckets — wrong for skewed data;
     # rank-bucket against the quantile cutpoints instead via a SQL
@@ -253,18 +271,51 @@ def write_zordered(
     cols: Sequence[str],
     bits: int = 8,
     n_files: int = 16,
+    exact_quantiles: bool = False,
+    deterministic_layout: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``.
 
-    Range-partitions on the z-value (sampled range boundaries — the same
-    mechanism as a global orderBy, but we only need clustering, not a
-    total order) and sorts within partitions, so every output file covers
-    a compact z-range: parquet min/max stats on EVERY z-ordered column
-    become selective, and a box query touches O(few) files instead of all
-    of them (proven in tests/test_sinks_skew.py against a
-    single-column-sorted layout).
+    Default layout: range-partition on the z-value (sampled range
+    boundaries — the same mechanism as a global orderBy, but we only
+    need clustering, not a total order) and sort within partitions, so
+    every output file covers a compact z-range: parquet min/max stats on
+    EVERY z-ordered column become selective, and a box query touches
+    O(few) files instead of all of them (proven in
+    tests/test_sinks_skew.py against a single-column-sorted layout).
+
+    ``deterministic_layout``: the range sampler's seed incorporates the
+    RDD id (session-history-dependent), so the default layout can shift
+    file boundaries run to run. This mode shards by EXPLICIT equal-width
+    z-intervals instead (``floor(z * n_files / z_space)`` — a pure
+    function of the data, no sampling job) and writes one
+    ``__shard=k/`` directory per interval, each a contiguous z-range.
+    Near-equal shard sizes fall out of the rank-bucketizing (each
+    dimension is quantile-uniform, so z-space is near-uniformly
+    occupied); data heavily tied in every dimension can skew shards,
+    which is why the sampled layout stays the default. Combine with
+    ``exact_quantiles=True`` for a fully bit-reproducible layout.
     """
-    zdf, _ = zorder_column(df, cols, bits=bits)
+    from pyspark.sql import functions as F
+
+    zdf, n_buckets = zorder_column(
+        df, cols, bits=bits, exact_quantiles=exact_quantiles
+    )
+    if deterministic_layout:
+        z_space = n_buckets ** len(cols)
+        shard = F.floor(
+            F.col("__zorder") * F.lit(n_files) / F.lit(z_space)
+        ).cast("int")
+        (
+            zdf.withColumn("__shard", shard)
+            .repartition(n_files, "__shard")
+            .sortWithinPartitions("__shard", "__zorder")
+            .drop("__zorder")
+            .write.partitionBy("__shard")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return
     (
         zdf.repartitionByRange(n_files, "__zorder")
         .sortWithinPartitions("__zorder")

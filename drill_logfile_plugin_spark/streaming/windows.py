@@ -383,7 +383,8 @@ def event_followups(
     Pairs every ``first_type`` event with the same user's ``then_type``
     events that happen within ``within`` afterwards — the funnel /
     attribution query (view→purchase, error→retry). Output:
-    (user_id, first_id, then_id, first_ts, lag_seconds).
+    (user_id, first_id, then_id, first_ts, then_ts, lag_us) — lag in
+    MICROSECONDS (``unix_micros`` difference; divide by 1e6 for seconds).
 
     Batch: a plain equi join on user plus the time-range predicate.
     Streaming: the SAME function is a Spark stream-stream inner join —

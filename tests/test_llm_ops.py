@@ -57,10 +57,12 @@ def test_ann_recall_vs_exact(spark, embeddings):
 
 
 def test_ivf_recall_vs_exact(spark, embeddings):
-    """IVF-flat at the shipped defaults (probe 16/32 cells) must hold
-    >=0.7 recall@5 on this near-uniform corpus — IVF's worst case, where
-    cell membership barely correlates with true neighborhood (measured
-    0.76; clustered embeddings do far better at the same cost)."""
+    """IVF-flat at the shipped defaults (Lloyd-refined, probe 32/128
+    cells = 25% of the corpus) must hold >=0.8 recall@5 on this
+    near-uniform corpus — IVF's worst case, where cell membership barely
+    correlates with true neighborhood (measured 0.96 at sf0.01, 0.80 at
+    sf0.1; clustered embeddings hold 0.9 at far smaller probe fractions,
+    see test_ivf_recall_on_clustered_blobs)."""
     q = embeddings.where(F.col("vec_id") % 100 == 0)
     exact = {
         (r.q_id, r.neighbor_id) for r in S.cosine_topk(q, embeddings, k=5).collect()
@@ -69,7 +71,37 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     ivf = {(r.q_id, r.neighbor_id) for r in ivf_rows}
     assert len(ivf_rows) == 25  # full k per query even when probing misses
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.7, f"recall@5 = {recall}"
+    assert recall >= 0.8, f"recall@5 = {recall}"
+
+
+def test_ivf_recall_on_clustered_blobs(spark):
+    """On CLUSTERED data — the realistic embedding regime — the
+    Lloyd-refined cells must track cluster structure: recall@5 >= 0.9
+    probing 2/32 cells (1/16 of the corpus). This is the contract that
+    makes IVF earn its keep over brute force; the uniform-corpus tests
+    above pin its honest worst case. Fixture: 16 Gaussian blobs in 64-d
+    (seeded numpy — deterministic), well-separated (center norm ~1,
+    within-blob std 0.15)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 125, axis=0) + 0.15 * rng.normal(size=(2000, 64))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") % 100 == 0)  # 20 queries across blobs
+    exact = {
+        (r.q_id, r.neighbor_id) for r in S.cosine_topk(q, df, k=5).collect()
+    }
+    ivf = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            q, df, k=5, n_cells=32, nprobe=2, lloyd_iters=4, sample_size=2000
+        ).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, f"clustered recall@5 at 1/16 probe = {recall}"
 
 
 def test_ivf_is_deterministic(spark, embeddings):
@@ -524,6 +556,47 @@ def test_dup_clusters_long_path_converges(spark):
     rows = D.dup_clusters(pairs).collect()
     assert len(rows) == 65
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_dup_clusters_rejects_string_ids(spark):
+    """Non-integral id columns must FAIL FAST: a silent cast("long") would
+    turn string ids into NULLs, empty the pair graph, and make a dedup
+    pass silently keep every near-duplicate (ADVICE r3)."""
+    pairs = spark.createDataFrame(
+        [("docA", "docB")], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(TypeError, match="integral"):
+        D.dup_clusters(pairs)
+
+
+def test_dup_clusters_reliable_checkpoint_mode_identical(spark, tmp_path):
+    """The fault-domain knob must not change results: with a checkpoint
+    dir configured (cluster mode — barriers become reliable checkpoint()
+    writes that survive executor loss) the clusters are identical to the
+    default executor-local mode."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (3, 4)],
+        ["doc_a", "doc_b"],
+    )
+    local = {
+        r["node"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            r["node"]: r["cluster_id"]
+            for r in D.dup_clusters(pairs).collect()
+        }
+        # And the escape hatch: dir set but conf forces local barriers.
+        spark.conf.set(D.RELIABLE_CHECKPOINT_CONF, "false")
+        forced_local = {
+            r["node"]: r["cluster_id"]
+            for r in D.dup_clusters(pairs).collect()
+        }
+    finally:
+        spark.conf.set(D.RELIABLE_CHECKPOINT_CONF, "false")
+    assert reliable == local
+    assert forced_local == local
 
 
 # --- temperature mixing (q55 mix branch operator) -------------------------

@@ -83,6 +83,10 @@ def test_q03_forces_broadcast_of_fixed_dims_only(spark, queries):
 
 
 def test_pair_operators_have_no_cartesian_joins(spark, queries):
+    """Candidate generation must stay equi-join-shaped. q31/q41 are allowed
+    EXACTLY ONE BroadcastNestedLoopJoin: the 1-row in-band recall flag
+    attaching to the output (the q55 scalar-broadcast shape) — their ANN
+    candidate joins themselves must contribute none."""
     for name in (
         "q27_minhash_lsh",
         "q28_simhash_pairs",
@@ -92,7 +96,8 @@ def test_pair_operators_have_no_cartesian_joins(spark, queries):
     ):
         plan = plan_of(queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        allowed_bnl = 1 if name in ("q31_ann_lsh", "q41_ann_ivf") else 0
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed_bnl, name
 
 
 def test_neardup_block_join_is_the_only_nonequi(spark, queries):
@@ -298,7 +303,9 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
     bnl_allowed = {
         "q06_nonequi_join",  # theta join IS the query's point
         "q30_embedding_topk",  # brute-force scoring vs the BROADCAST query set
+        "q31_ann_lsh",  # 1-row in-band recall flag broadcast (scalar shape)
         "q40_embedding_neardup",  # nblocks² block-pair join, bounded input
+        "q41_ann_ivf",  # 1-row in-band recall flag broadcast (scalar shape)
         "q55_split_mix",  # one-row global-min scalar broadcast into rates
     }
     for name, fn in queries.items():
@@ -307,6 +314,26 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
         assert "CartesianProduct" not in plan, f"{name}: cartesian join"
         if name not in bnl_allowed:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
+
+
+def test_no_rdd_access_in_package_source():
+    """``df.rdd`` is banned engine-wide: it converts the plan to an RDD
+    (materializing scan state, breaking Catalyst re-planning) and is never
+    needed — partition estimates come from driver-side metadata
+    (inputFiles + optimizer size stats; see operators/dedup.py _spread).
+    A source-level ban, like the plan sweep's BatchEvalPython ban, catches
+    a contributor reintroducing it anywhere in the package."""
+    import pathlib
+
+    import drill_logfile_plugin_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if ".rdd" in p.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], offenders
 
 
 def test_every_oracle_sql_parses_in_duckdb():
