@@ -50,7 +50,7 @@ stays a JVM expression tree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import (
@@ -128,6 +128,47 @@ def _coerce(raw: Column, type_tag: str, cfg: LogFormatConfig, name: str) -> Colu
     return out
 
 
+def _with_line_numbers(lines: DataFrame) -> DataFrame | None:
+    """Attach the 1-based line number within each source FILE, or None.
+
+    Only used by strict mode (``error_on_mismatch=True``) so its abort can
+    carry the reference's full error context (file + line number,
+    LogRecordReader.java:283-285). The text source exposes no row index,
+    so the number is derived: per-file ``row_number()`` ordered by
+    ``_metadata.file_block_start`` (splits of one uncompressed file are
+    distinct blocks, ordered by byte offset) then a pre-projected
+    ``monotonically_increasing_id`` (rows stream in file order within a
+    split, and the id is strictly increasing in partition row order) —
+    exact for both compressed (single-block) and split files. Numbering
+    runs BEFORE the empty-line skip, so it counts raw file lines like the
+    reference's reader does.
+
+    The window costs one hash exchange on file_path — acceptable for a
+    validation mode, never paid by the default mismatch-routing path.
+    Returns None when the source has no ``_metadata`` (in-memory frames)
+    or is streaming (windows are unsupported there); callers fall back to
+    the file + line-text context.
+    """
+    if lines.isStreaming:
+        return None
+    try:
+        numbered = lines.select(
+            "*",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__blk"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    except Exception:
+        return None
+    w = Window.partitionBy("__file").orderBy("__blk", "__mid")
+    # __file stays: input_file_name() evaluates AFTER the window exchange,
+    # outside any scan context, and would come back "" — the abort message
+    # reads the pre-projected metadata path instead.
+    return numbered.withColumn(
+        "__line_no", F.row_number().over(w)
+    ).drop("__blk", "__mid")
+
+
 def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value") -> DataFrame:
     """Apply the log-format parse to a DataFrame of raw text lines.
 
@@ -143,6 +184,12 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
     # LogRecordReader.java:160-184).
     cfg.validate_groups_jvm(lines.sparkSession)
     line = _java_trim(F.col(line_col))
+    line_no: Column | None = None
+    if cfg.error_on_mismatch:
+        numbered = _with_line_numbers(lines)
+        if numbered is not None:
+            lines = numbered
+            line_no = F.col("__line_no")
     # Empty-line skip (LogRecordReader.java:216-219): no row at all.
     df = lines.where(F.length(line) > 0)
     # Unanchored find() (LogRecordReader.java:225).
@@ -157,20 +204,26 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
         cols.append(_coerce(raw, type_tag, cfg, name).alias(name))
 
     if cfg.error_on_mismatch:
-        # Abort on first unmatched line, naming the offending file like the
-        # reference's UserException does (LogRecordReader.java:283-285
-        # attaches file + line number via the error context). Spark's text
-        # source has no line-number column (and adding one via
-        # zipWithIndex would break input splitting), so the context is
-        # file + line text. input_file_name() is "" for non-file sources
-        # (e.g. in-memory test frames) — harmless.
+        # Abort on first unmatched line with the reference's full error
+        # context — file AND line number (UserException,
+        # LogRecordReader.java:283-285) — derived per _with_line_numbers
+        # (file sources); in-memory frames fall back to file + line text.
+        # input_file_name() is "" for non-file sources — harmless.
+        if line_no is not None:
+            fname = F.col("__file")
+            at_line = F.concat(
+                F.lit("' at line "), line_no.cast("string"), F.lit(": ")
+            )
+        else:
+            fname = F.input_file_name()
+            at_line = F.lit("': ")
         unmatched = F.when(
             ~matched,
             F.raise_error(
                 F.concat(
                     F.lit("log scan: line does not match pattern in file '"),
-                    F.input_file_name(),
-                    F.lit("': "),
+                    fname,
+                    at_line,
                     line,
                 )
             ).cast("string"),

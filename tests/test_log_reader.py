@@ -113,6 +113,38 @@ def test_error_on_mismatch_names_file(spark, tmp_path):
         df.collect()
 
 
+def test_error_on_mismatch_carries_line_number(spark, tmp_path):
+    """Strict abort carries the 1-based line number WITHIN THE FILE, like
+    the reference's UserException context (LogRecordReader.java:283-285)
+    — counting raw file lines, so the blank line at 3 shifts the bad line
+    to 4 even though blank lines produce no rows."""
+    p = tmp_path / "numbered.log"
+    p.write_text(
+        "070823 21:00:32 1 Connect ok\n"
+        "070823 21:00:33 2 Query select\n"
+        "\n"
+        "GARBAGE LINE\n"
+        "070917 16:29:12 21 Quit bye\n"
+    )
+    df = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+    with pytest.raises(Exception, match="at line 4: GARBAGE LINE"):
+        df.collect()
+
+
+def test_error_on_mismatch_line_number_in_gzip(spark, tmp_path):
+    """The compressed path is file-granular (one block), so line numbers
+    must be exact there too — the case the reference's one-reader-per-file
+    model covers natively."""
+    import gzip
+
+    p = tmp_path / "numbered.log.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("070823 21:00:32 1 Connect ok\nBAD\n")
+    df = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+    with pytest.raises(Exception, match="at line 2: BAD"):
+        df.collect()
+
+
 # --- A9: extension->format dispatch (LogFormatPlugin.java:88,96-104) -------
 
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale smoke: run the dedup/cluster tier one order of magnitude up.
+
+The driver's correctness gate runs at sf0.01 and the bench at sf0.1; this
+tool checks the SCALING claim — candidate volume O(duplicates), not
+O(n²) — by timing the dedup-tier queries at sf0.1 and at a generated
+10× corpus ("sf1"), and reporting the per-query scale factor. A
+super-linear blowup (>> 10×) would mean a candidate generator is
+quietly quadratic; near-linear means the plan shape bends with data.
+
+The sf1 corpus derives from sf0.1 documents with CONSTANT duplicate
+density: 10 replicas, replica r Caesar-shifts every letter by r (a
+per-replica bijection on the alphabet), so each replica's internal
+duplicate structure is isomorphic to the original while replicas share
+no tokens — corpus 10×, duplicate pairs 10×, NOT 100×. Replica ids
+offset by r×1e6. Deterministic end to end (no RNG), regenerated only
+when missing.
+
+Usage: python tools/scale_smoke.py [--runs 3] [--regen]
+Writes fixtures/sf1/documents.parquet (gitignored) and prints one JSON
+line per scale plus a scale-factor summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import string
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC_SF = "/root/testdata/sf0.1"
+SF1_DIR = str(Path(__file__).resolve().parent.parent / "fixtures" / "sf1")
+QUERIES = (
+    "q21_exact_dedup",
+    "q27_minhash_lsh",
+    "q63_dup_clusters",
+    "q61_chunk_pack",
+)
+
+
+def gen_sf1(spark, regen: bool) -> None:
+    out = Path(SF1_DIR) / "documents.parquet"
+    if out.exists() and not regen:
+        return
+    from pyspark.sql import functions as F
+
+    if out.exists():
+        shutil.rmtree(out)
+    src = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    reps = []
+    for r in range(10):
+        tgt = lower[r:] + lower[:r] + upper[r:] + upper[:r]
+        reps.append(
+            src.select(
+                (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                F.translate(F.col("text"), lower + upper, tgt).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    df = reps[0]
+    for rep in reps[1:]:
+        df = df.unionByName(rep)
+    df.repartition(8).write.mode("overwrite").parquet(str(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--regen", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    gen_sf1(spark, args.regen)
+
+    qs = entry.queries()
+    # Warm the Python worker pool once (numpy import cold start, see
+    # bench.py) so pandas-UDF queries measure work, not interpreter boot.
+    import pandas as pd  # noqa: F401
+
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    summary: dict[str, dict[str, float]] = {}
+    for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
+        times = {}
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).collect()
+                best = min(best, time.monotonic() - t0)
+            times[name] = round(best, 3)
+        summary[sf_label] = times
+        print(json.dumps({"sf": sf_label, "queries": times}))
+    ratios = {
+        q: round(summary["sf1"][q] / max(summary["sf0.1"][q], 1e-9), 2)
+        for q in QUERIES
+    }
+    print(json.dumps({"scale_factor_10x_data": ratios}))
+
+
+if __name__ == "__main__":
+    main()
