@@ -123,6 +123,22 @@ def _barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _probed_barrier(df: DataFrame, metric):
+    """:func:`_barrier` + one observed scalar riding the SAME job.
+
+    Iterative operators (dup_clusters) need a convergence probe after
+    every barrier; a separate ``isEmpty()``/``count()`` action would
+    re-execute the subplan, doubling the driver loop's job count.
+    ``df.observe`` metrics fire on the eager checkpoint action itself, so
+    the probe is free. Returns (checkpointed df, metric value).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = _barrier(df.observe(obs, metric))
+    return out, obs.get["n"]
+
+
 # --- shingling ------------------------------------------------------------
 
 
@@ -808,13 +824,14 @@ def dup_clusters(
                 "e.g. xxhash64(id), so the pair graph cannot silently "
                 "collapse to NULLs)"
             )
-    e = _barrier(
+    e, n_edges = _probed_barrier(
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
             F.col(id_b).cast("long").alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
     # node -> current label; labels start as the node id itself.
     labels = _barrier(
@@ -824,7 +841,13 @@ def dup_clusters(
         .select("node", F.col("node").alias("label"))
     )
     def _shortcut(m: DataFrame) -> DataFrame:
-        """Pointer-jump an old→new map (new <= old) to its fixpoint."""
+        """Pointer-jump an old→new map (new <= old) to its fixpoint.
+
+        One Spark job per composition: the "did anything move" probe
+        rides the barrier job as an observed metric instead of a second
+        pass over the join (df.observe fires on the eager checkpoint
+        action), halving the operator's driver-loop job count.
+        """
         for _ in range(64):  # 2^64 jump distance; effectively unbounded
             a, b = m.alias("a"), m.alias("b")
             hop = a.join(b, F.col("a.new") == F.col("b.old"), "left").select(
@@ -834,14 +857,22 @@ def dup_clusters(
                     "moved"
                 ),
             )
-            m = _barrier(hop.select("old", "new"))
-            if hop.where("moved").isEmpty():
+            ck, n_moved = _probed_barrier(
+                hop, F.sum(F.col("moved").cast("long")).alias("n")
+            )
+            m = ck.select("old", "new")
+            if not n_moved:
                 return m
         raise RuntimeError("dup_clusters: shortcut did not reach a fixpoint")
 
-    for _ in range(max_iter):
-        if e.isEmpty():
-            break
+    rounds = 0
+    while n_edges:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"dup_clusters: not converged after {max_iter} rounds "
+                "(adversarial graph topology; raise max_iter)"
+            )
+        rounds += 1
         # Hook: min neighbor label per label-node, over both edge
         # directions; shortcut: collapse hook chains by pointer jumping.
         nbr_min = _shortcut(
@@ -859,10 +890,11 @@ def dup_clusters(
                 F.coalesce("new", "label").alias("label"),
             )
         )
-        # ...and rewrite edges into the new label space.
+        # ...and rewrite edges into the new label space; the emptiness
+        # probe that decides convergence rides the same barrier job.
         ma = nbr_min.select(F.col("old").alias("src"), F.col("new").alias("ns"))
         mb = nbr_min.select(F.col("old").alias("dst"), F.col("new").alias("nd"))
-        e = _barrier(
+        e, n_edges = _probed_barrier(
             e.join(ma, "src", "left")
             .join(mb, "dst", "left")
             .select(
@@ -870,14 +902,9 @@ def dup_clusters(
                 F.coalesce("nd", "dst").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
-            .distinct()
+            .distinct(),
+            F.count(F.lit(1)).alias("n"),
         )
-    else:
-        if not e.isEmpty():
-            raise RuntimeError(
-                f"dup_clusters: not converged after {max_iter} rounds "
-                "(adversarial graph topology; raise max_iter)"
-            )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
