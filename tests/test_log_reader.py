@@ -145,6 +145,37 @@ def test_error_on_mismatch_line_number_in_gzip(spark, tmp_path):
         df.collect()
 
 
+def test_syslog_format_golden(spark, tmp_path):
+    """Third real-world format (RFC3164-ish syslog), exercising the combo
+    the first two fixtures don't: MMM month-name TIMESTAMPs without a
+    year, a non-capturing group wrapping an OPTIONAL pid capture (an
+    unparticipating group coerces "" -> NULL INT, LogRecordReader.java's
+    null->"" rule composed with the numeric NULL-on-failure rule), and
+    regex bracket escapes in the pattern."""
+    p = tmp_path / "sys.log"
+    p.write_text(
+        "Aug 13 23:01:02 host1 sshd[4123]: Failed password for root\n"
+        "Aug 14 00:00:01 host2 CRON: session opened\n"
+    )
+    cfg = LogFormatConfig(
+        pattern=(
+            r"(\w{3}\s+\d+\s\d{2}:\d{2}:\d{2})\s(\S+)\s"
+            r"(\w+)(?:\[(\d+)\])?:\s(.+)"
+        ),
+        field_names=["ts", "host", "proc", "pid", "msg"],
+        data_types=["TIMESTAMP", "VARCHAR", "VARCHAR", "INT", "VARCHAR"],
+        timestamp_format="MMM d HH:mm:ss",
+    )
+    rows = {r["host"]: r for r in read_log(spark, str(p), cfg).collect()}
+    assert rows["host1"]["pid"] == 4123
+    assert rows["host1"]["proc"] == "sshd"
+    assert rows["host1"]["ts"] == datetime.datetime(1970, 8, 13, 23, 1, 2)
+    # CRON line: pid group did not participate -> "" -> NULL int, row kept.
+    assert rows["host2"]["pid"] is None
+    assert rows["host2"]["msg"] == "session opened"
+    assert all(r["unmatched_lines"] is None for r in rows.values())
+
+
 # --- A9: extension->format dispatch (LogFormatPlugin.java:88,96-104) -------
 
 
