@@ -53,6 +53,15 @@ def _spread(df: DataFrame) -> DataFrame:
     files split) — never RDD ``getNumPartitions``, which converts the
     plan to an RDD and materializes scan state per call (banned
     package-wide; tests/test_plans.py source sweep).
+
+    Precondition: the input is a scan-rooted frame (a table read, a
+    filter/semi-join over one — every in-package call site), where leaf
+    metadata reflects real execution parallelism. A plan that collapses
+    partitioning downstream of the scan (``limit``, ``coalesce(1)``) is
+    invisible to leaf metadata; callers building such plans should
+    repartition explicitly before the pair operators. The converse miss
+    (a post-shuffle frame over a 1-file table paying one redundant
+    repartition of raw docs) is the cheap direction by design.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -74,20 +83,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _bytes_conf(spark, key: str, default: int) -> int:
-    """Parse a Spark byte-size conf value ("134217728", "128m", "1g")."""
-    raw = str(spark.conf.get(key, str(default))).strip().lower()
-    mult = 1
-    for suffix, m in (
-        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
-        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
-        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
-    ):
-        if raw.endswith(suffix):
-            raw, mult = raw[: -len(suffix)], m
-            break
+    """Read a Spark byte-size conf ("134217728", "128m", "1g") — parsed by
+    Spark's own JavaUtils.byteStringAsBytes, the parser the conf itself
+    goes through, so the interpretation cannot drift from Spark's."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
     try:
-        return max(1, int(float(raw)) * mult)
-    except ValueError:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                str(raw)
+            )
+        )
+    except Exception:
         return default
 
 
@@ -107,7 +115,10 @@ def _barrier(df: DataFrame) -> DataFrame:
     Cluster mode: call ``spark.sparkContext.setCheckpointDir(path)``
     (HDFS/object store) before running the operator and the same barrier
     becomes a reliable ``checkpoint()`` — survives executor loss, at the
-    cost of a write to the fault-tolerant store. Set the
+    cost of a write to the fault-tolerant store. The frame is persisted
+    around the checkpoint: Spark's reliable checkpoint otherwise executes
+    the subplan once to return rows and AGAIN to write the checkpoint
+    files (the classic uncached-checkpoint double-compute). Set the
     ``spark.graft.dedup.reliableCheckpoint=false`` conf to force local
     barriers even with a dir configured. Both modes produce identical
     results (tests/test_llm_ops.py pins cluster equality across modes);
@@ -119,7 +130,11 @@ def _barrier(df: DataFrame) -> DataFrame:
         and str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "true")).lower()
         != "false"
     ):
-        return df.checkpoint(eager=True)
+        cached = df.persist()
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
     return df.localCheckpoint(eager=True)
 
 
@@ -131,6 +146,12 @@ def _probed_barrier(df: DataFrame, metric):
     re-execute the subplan, doubling the driver loop's job count.
     ``df.observe`` metrics fire on the eager checkpoint action itself, so
     the probe is free. Returns (checkpointed df, metric value).
+
+    Contract: callers may rely on the metric ONLY as a zero/nonzero
+    convergence signal. Under reliable-mode cache eviction the subplan
+    (metrics node included) can partially re-execute, inflating the
+    accumulated value; zero-vs-nonzero is unaffected (re-execution of an
+    all-false/empty frame accumulates zero).
     """
     from pyspark.sql import Observation
 

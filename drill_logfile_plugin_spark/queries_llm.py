@@ -295,9 +295,13 @@ def _exact_with_recall_flag(spark, sf, ann_topk, min_recall, flag_name):
     oracle recomputes the exact lane and the constant TRUE, so the MATCH
     certifies the exact values AND that the ANN lane held its recall
     floor. Recall is aggregated over all queries (per-query recall at
-    k=5 is quantized to fifths and would flap); the floor leaves >= 0.15
-    margin under every measured corpus so testdata regeneration cannot
-    flip it (ann_lsh 0.88-0.93 vs 0.80; ivf 0.80-0.96 vs 0.65).
+    k=5 is quantized to fifths and would flap); the floors leave >= 0.13
+    margin under the lowest measurement on ANY corpus draw — and >= 0.15
+    under the driver's sf0.01 — so testdata regeneration cannot flip
+    them (ann_lsh 0.88-0.93 measured vs 0.75; ivf 0.80-0.96 vs 0.65).
+    The floors certify "the ANN lane works" (a broken one lands near
+    zero), not the shipped operating point's typical recall — that is
+    pytest's job (tests/test_llm_ops.py pins the tighter bands).
 
     The exact lane is barriered: it feeds both the output and the recall
     join, and without the barrier Spark would run the brute-force scan
@@ -343,7 +347,7 @@ def q30(spark, sf):
     "bucketing) + exact re-rank of bucket candidates; equi join on "
     "(table_id, bucket) — no cross join. Output = the exact top-5 rows "
     "(oracle-pinned) + an in-band predicate asserting LSH recall@5 >= "
-    "0.8 (measured 0.88-0.93 across corpora) — recall drift is a hash "
+    "0.75 (measured 0.88-0.93 across corpora) — recall drift is a hash "
     "MISMATCH, not a silent pass (the q52 sketch pattern).",
 )
 def q31(spark, sf):
@@ -351,7 +355,7 @@ def q31(spark, sf):
         spark,
         sf,
         lambda q, e: S.ann_lsh_topk(q, e, k=5),
-        min_recall=0.8,
+        min_recall=0.75,
         flag_name="lsh_recall_ok",
     )
 

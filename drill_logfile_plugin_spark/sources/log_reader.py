@@ -134,25 +134,31 @@ def _with_line_numbers(lines: DataFrame) -> DataFrame | None:
     Only used by strict mode (``error_on_mismatch=True``) so its abort can
     carry the reference's full error context (file + line number,
     LogRecordReader.java:283-285). The text source exposes no row index,
-    so the number is derived: per-file ``row_number()`` ordered by
-    ``_metadata.file_block_start`` (splits of one uncompressed file are
-    distinct blocks, ordered by byte offset) then a pre-projected
-    ``monotonically_increasing_id`` (rows stream in file order within a
-    split, and the id is strictly increasing in partition row order) —
-    exact for both compressed (single-block) and split files. Numbering
-    runs BEFORE the empty-line skip, so it counts raw file lines like the
-    reference's reader does.
+    so the number is derived SPLIT-LOCALLY — a window partitioned by the
+    whole file would funnel every row of a file through one reducer
+    (single-task validation of a 10 GB file):
 
-    The window costs one hash exchange on file_path — acceptable for a
-    validation mode, never paid by the default mismatch-routing path.
-    Returns None when the source has no ``_metadata`` (in-memory frames)
-    or is streaming (windows are unsupported there); callers fall back to
-    the file + line-text context.
+    * intra-split index: ``row_number()`` over (``_metadata.file_path``,
+      ``_metadata.file_block_start``) ordered by a pre-projected
+      ``monotonically_increasing_id`` (rows stream in file order within a
+      split and the id is strictly increasing in partition row order) —
+      parallelism stays one task per split;
+    * split offset: per-split line counts (a tiny aggregate, one row per
+      split) cumulative-summed over block offsets within each file and
+      BROADCAST back; line number = offset + intra-split index.
+
+    Exact for compressed (single-block) and split files alike; numbering
+    runs BEFORE the empty-line skip, so it counts raw file lines like the
+    reference's reader does. Costs one extra scan (the counts pass) and
+    one split-keyed exchange — a validation-mode price, never paid by the
+    default mismatch-routing path. Returns None when the source has no
+    ``_metadata`` (in-memory frames) or is streaming (windows are
+    unsupported there); callers fall back to the file + line-text context.
     """
     if lines.isStreaming:
         return None
     try:
-        numbered = lines.select(
+        base = lines.select(
             "*",
             F.col("_metadata.file_path").alias("__file"),
             F.col("_metadata.file_block_start").alias("__blk"),
@@ -160,13 +166,30 @@ def _with_line_numbers(lines: DataFrame) -> DataFrame | None:
         )
     except Exception:
         return None
-    w = Window.partitionBy("__file").orderBy("__blk", "__mid")
-    # __file stays: input_file_name() evaluates AFTER the window exchange,
+    counts = base.groupBy("__file", "__blk").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("__file")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__file",
+        "__blk",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_split = Window.partitionBy("__file", "__blk").orderBy("__mid")
+    # __file stays: input_file_name() evaluates AFTER the exchanges,
     # outside any scan context, and would come back "" — the abort message
     # reads the pre-projected metadata path instead.
-    return numbered.withColumn(
-        "__line_no", F.row_number().over(w)
-    ).drop("__blk", "__mid")
+    return (
+        base.join(F.broadcast(offsets), ["__file", "__blk"])
+        .withColumn(
+            "__line_no", F.col("__off") + F.row_number().over(w_split)
+        )
+        .drop("__blk", "__mid", "__off")
+    )
 
 
 def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value") -> DataFrame:

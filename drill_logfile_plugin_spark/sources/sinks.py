@@ -288,12 +288,16 @@ def write_zordered(
     RDD id (session-history-dependent), so the default layout can shift
     file boundaries run to run. This mode shards by EXPLICIT equal-width
     z-intervals instead (``floor(z * n_files / z_space)`` — a pure
-    function of the data, no sampling job) and writes one
-    ``__shard=k/`` directory per interval, each a contiguous z-range.
-    Near-equal shard sizes fall out of the rank-bucketizing (each
-    dimension is quantile-uniform, so z-space is near-uniformly
-    occupied); data heavily tied in every dimension can skew shards,
-    which is why the sampled layout stays the default. Combine with
+    function of the data, no sampling job) and writes a PARTITIONED
+    dataset: one ``zshard=k/`` directory per interval, each a contiguous
+    z-range. Like any partitioned table, the ``zshard`` int column is
+    part of the read-back schema (drop it if unwanted) — a deliberate
+    schema difference from the flat default layout, in exchange for a
+    layout that is a pure function of the data. Near-equal shard sizes
+    fall out of the rank-bucketizing (each dimension is
+    quantile-uniform, so z-space is near-uniformly occupied); data
+    heavily tied in every dimension can skew shards, which is why the
+    sampled layout stays the default. Combine with
     ``exact_quantiles=True`` for a fully bit-reproducible layout.
     """
     from pyspark.sql import functions as F
@@ -307,11 +311,11 @@ def write_zordered(
             F.col("__zorder") * F.lit(n_files) / F.lit(z_space)
         ).cast("int")
         (
-            zdf.withColumn("__shard", shard)
-            .repartition(n_files, "__shard")
-            .sortWithinPartitions("__shard", "__zorder")
+            zdf.withColumn("zshard", shard)
+            .repartition(n_files, "zshard")
+            .sortWithinPartitions("zshard", "__zorder")
             .drop("__zorder")
-            .write.partitionBy("__shard")
+            .write.partitionBy("zshard")
             .mode("overwrite")
             .parquet(path)
         )
