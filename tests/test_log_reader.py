@@ -145,6 +145,53 @@ def test_error_on_mismatch_line_number_in_gzip(spark, tmp_path):
         df.collect()
 
 
+def test_error_on_mismatch_line_number_across_splits(spark, tmp_path):
+    """Line numbers must stay exact when ONE file splits into MANY scan
+    blocks — the cumulative per-split offset path, which the single-split
+    tests never exercise. The file is forced to split by shrinking
+    maxPartitionBytes below the file size."""
+    p = tmp_path / "big.log"
+    good = "070823 21:00:32 1 Connect okpad%06d\n"
+    bad_at = 1500  # 1-based; ~45 KB in, far past the first 8 KB split
+    lines = [good % i for i in range(2000)]
+    lines[bad_at - 1] = "THIS ONE IS BAD\n"
+    p.write_text("".join(lines))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        df = read_log(spark, str(p), mysql_cfg(error_on_mismatch=True))
+        with pytest.raises(Exception, match=f"at line {bad_at}: THIS ONE IS BAD"):
+            df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_error_on_mismatch_streaming_falls_back_to_text_context(spark, tmp_path):
+    """Streaming strict mode cannot window for line numbers; it must still
+    abort, with the file + line-text context (the documented fallback)."""
+    from drill_logfile_plugin_spark.sources.log_reader import read_log_stream
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+    (indir / "s.log").write_text("070823 21:00:32 1 Connect ok\nSTREAMBAD\n")
+    stream = read_log_stream(spark, str(indir), mysql_cfg(error_on_mismatch=True))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("strict_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="does not match pattern"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+
+
 def test_syslog_format_golden(spark, tmp_path):
     """Third real-world format (RFC3164-ish syslog), exercising the combo
     the first two fixtures don't: MMM month-name TIMESTAMPs without a

@@ -316,6 +316,28 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
 
 
+def test_registry_holds_exactly_50_queries_log_tier_first(queries):
+    """The driver's correctness run processes AT MOST 50 registrations in
+    registration order, then silently truncates (it dropped the log tier
+    in round 2). This pins the load-bearing invariants mechanically: the
+    suite is exactly 50 — one registration per driver slot, none wasted,
+    none truncated — the reference-parity log tier registers FIRST (its
+    queries are the reference's entire reason to exist), and the
+    designated extension queries sit LAST so a shrinking budget drops
+    them, never the parity tier."""
+    names = list(queries)
+    assert len(names) == 50
+    assert names[:5] == [
+        "q34_log_actions",
+        "q35_log_monthly_sql",
+        "q36_log_gzip",
+        "q54_access_log",
+        "q60_ip_anonymize",
+    ]
+    assert names[5] == "q37_stream_windows"  # streaming tier second
+    assert names[-2:] == ["q61_chunk_pack", "q62_repetition_filter"]
+
+
 def test_no_rdd_access_in_package_source():
     """``df.rdd`` is banned engine-wide: it converts the plan to an RDD
     (materializing scan state, breaking Catalyst re-planning) and is never
