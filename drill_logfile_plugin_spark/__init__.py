@@ -11,6 +11,7 @@ designed for 1000-executor / 100 TB deployments while remaining testable on
 """
 
 from .config import LogFormatConfig, normalize_type
+from .sources.formats import APACHE_COMBINED, MYSQL_LOG, SYSLOG
 from .sources.log_reader import (
     UNMATCHED_COLUMN,
     parse_lines,
@@ -25,6 +26,9 @@ __all__ = [
     "parse_lines",
     "read_log",
     "read_log_stream",
+    "MYSQL_LOG",
+    "APACHE_COMBINED",
+    "SYSLOG",
 ]
 
 __version__ = "0.1.0"

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .config import LogFormatConfig
 from .registry import query
+from .sources.formats import APACHE_COMBINED
 from .sources.log_reader import read_log
 
 FIXTURE_DIR = Path(__file__).resolve().parent.parent / "fixtures"
@@ -173,29 +174,12 @@ def q36(spark, sf):
 
 ACCESS_PATH = str(FIXTURE_DIR / "access.log")
 
-#: Apache combined log; the timestamp offset stays OUTSIDE the capture
-#: group so both engines parse a zone-free local datetime.
-ACCESS_PATTERN = (
-    r'(\S+) \S+ (\S+) \[(\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}) \+0000\] '
-    r'"(\w+) (\S+) HTTP/[\d.]+" (\d{3}) (\d+)'
-)
-
-ACCESS_CFG = LogFormatConfig(
-    pattern=ACCESS_PATTERN,
-    field_names=["ip", "user", "ts", "method", "path", "status", "nbytes"],
-    data_types=[
-        "VARCHAR",
-        "VARCHAR",
-        "TIMESTAMP",
-        "VARCHAR",
-        "VARCHAR",
-        "INT",
-        "INT",
-    ],
-    # TIMESTAMP reuses date_format — the reference quirk (SURVEY.md §1.3),
-    # here with Java month-name pattern MMM <-> DuckDB %b.
-    date_format="dd/MMM/yyyy:HH:mm:ss",
-)
+#: The APACHE_COMBINED preset (sources/formats.py) IS the q54 config —
+#: the oracle-checked query and the shipped preset cannot drift apart.
+#: TIMESTAMP reuses date_format — the reference quirk (SURVEY.md §1.3),
+#: here with Java month-name pattern MMM <-> DuckDB %b.
+ACCESS_CFG = APACHE_COMBINED
+ACCESS_PATTERN = ACCESS_CFG.pattern
 
 
 @query(

@@ -193,27 +193,20 @@ def test_error_on_mismatch_streaming_falls_back_to_text_context(spark, tmp_path)
 
 
 def test_syslog_format_golden(spark, tmp_path):
-    """Third real-world format (RFC3164-ish syslog), exercising the combo
-    the first two fixtures don't: MMM month-name TIMESTAMPs without a
-    year, a non-capturing group wrapping an OPTIONAL pid capture (an
-    unparticipating group coerces "" -> NULL INT, LogRecordReader.java's
-    null->"" rule composed with the numeric NULL-on-failure rule), and
-    regex bracket escapes in the pattern."""
+    """Third real-world format (the SYSLOG preset, RFC3164-ish),
+    exercising the combo the first two fixtures don't: MMM month-name
+    TIMESTAMPs without a year, a non-capturing group wrapping an OPTIONAL
+    pid capture (an unparticipating group coerces "" -> NULL INT,
+    LogRecordReader.java's null->"" rule composed with the numeric
+    NULL-on-failure rule), and regex bracket escapes in the pattern."""
+    from drill_logfile_plugin_spark import SYSLOG
+
     p = tmp_path / "sys.log"
     p.write_text(
         "Aug 13 23:01:02 host1 sshd[4123]: Failed password for root\n"
         "Aug 14 00:00:01 host2 CRON: session opened\n"
     )
-    cfg = LogFormatConfig(
-        pattern=(
-            r"(\w{3}\s+\d+\s\d{2}:\d{2}:\d{2})\s(\S+)\s"
-            r"(\w+)(?:\[(\d+)\])?:\s(.+)"
-        ),
-        field_names=["ts", "host", "proc", "pid", "msg"],
-        data_types=["TIMESTAMP", "VARCHAR", "VARCHAR", "INT", "VARCHAR"],
-        timestamp_format="MMM d HH:mm:ss",
-    )
-    rows = {r["host"]: r for r in read_log(spark, str(p), cfg).collect()}
+    rows = {r["host"]: r for r in read_log(spark, str(p), SYSLOG).collect()}
     assert rows["host1"]["pid"] == 4123
     assert rows["host1"]["proc"] == "sshd"
     assert rows["host1"]["ts"] == datetime.datetime(1970, 8, 13, 23, 1, 2)
@@ -221,6 +214,20 @@ def test_syslog_format_golden(spark, tmp_path):
     assert rows["host2"]["pid"] is None
     assert rows["host2"]["msg"] == "session opened"
     assert all(r["unmatched_lines"] is None for r in rows.values())
+
+
+def test_mysql_preset_parses_reference_example(spark, tmp_path):
+    """The MYSQL_LOG preset must parse the reference README's worked
+    example as-is — it is the shipped form of README.md:38-48."""
+    from drill_logfile_plugin_spark import MYSQL_LOG
+
+    p = tmp_path / "ref.log"
+    p.write_text("070823 21:00:32       1 Connect     root@localhost on test1\n")
+    row = read_log(spark, str(p), MYSQL_LOG).collect()[0]
+    assert row["date"] == datetime.date(2007, 8, 23)
+    assert row["pid"] == 1
+    assert row["action"] == "Connect"
+    assert row["unmatched_lines"] is None
 
 
 # --- A9: extension->format dispatch (LogFormatPlugin.java:88,96-104) -------
