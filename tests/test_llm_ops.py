@@ -756,3 +756,70 @@ def test_shuffle_deterministic_reproducible_and_salted(spark, documents):
     assert sorted(a) == sorted(c)       # conserved
     assert a != c                       # salt changes the order
     assert a != sorted(a)               # and it isn't just sorted ids
+
+
+# --- PII redaction (corpus scrubbing; q60 is the driver-checked IP pass) ---
+
+
+def test_redact_text_planted_pii(spark):
+    """Each kind redacts its planted example; surrounding text survives."""
+    from drill_logfile_plugin_spark.operators.redact import (
+        redact_corpus,
+        redact_report,
+    )
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk for details"),
+        (2, "server at 192.168.10.25 timed out"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "call (415) 555-2671 or +1 415.555.2671 today"),
+        (5, "mixed: a@b.io from 10.0.0.1, ssn 987-65-4320"),
+        (6, "clean document, nothing to scrub in 2026"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in redact_corpus(df).collect()}
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "server at <IP> timed out"
+    assert got[3] == "ssn <SSN> on file"
+    assert got[4] == "call <PHONE> or <PHONE> today"
+    assert got[5] == "mixed: <EMAIL> from <IP>, ssn <SSN>"
+    assert got[6] == rows[5][1]  # untouched
+
+    rep = redact_report(df).collect()[0]
+    assert rep["n_docs"] == 6
+    assert rep["docs_with_email"] == 2
+    assert rep["docs_with_ipv4"] == 2
+    assert rep["docs_with_ssn"] == 2
+    assert rep["docs_with_phone"] == 1
+
+
+def test_redact_order_and_idempotence(spark):
+    """email-before-ip keeps 'bob@10.0.0.1' one EMAIL (not a stump + IP);
+    ssn-before-phone keeps the digit shape from being eaten; and a second
+    pass is a no-op (placeholders can't re-match)."""
+    from drill_logfile_plugin_spark.operators.redact import redact_corpus
+
+    df = spark.createDataFrame(
+        [(1, "mail root@10.0.0.1 ssn 111-22-3333")], ["doc_id", "text"]
+    )
+    once = redact_corpus(df)
+    assert once.collect()[0]["text"] == "mail <EMAIL> ssn <SSN>"
+    assert (
+        redact_corpus(once).collect()[0]["text"] == "mail <EMAIL> ssn <SSN>"
+    )
+
+
+def test_redact_is_scan_speed(spark, documents):
+    """The scrub is a pure JVM projection: no exchange, no Python nodes —
+    the plan shape that makes it free at 100 TB."""
+    from drill_logfile_plugin_spark.operators.redact import redact_corpus
+
+    plan = (
+        redact_corpus(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
