@@ -241,6 +241,32 @@ def q54(spark, sf):
     )
 
 
+#: Deterministic PII plant for the q60 scrub arm: every 5th document gains
+#: one email + one IPv4 + one SSN, so the cross-engine regex counts are
+#: nonzero and a MATCH certifies the patterns' semantics, not 0 == 0.
+#: Only the RE2-expressible kinds are oracle-checked — the phone pattern
+#: needs a lookbehind DuckDB's RE2 lacks (pytest covers it instead).
+_SCRUB_PLANT = " contact a.user@dom10.example or 10.1.2.3 ssn 123-45-6789"
+_SCRUB_KINDS = ("email", "ipv4", "ssn")
+
+
+def _scrub_oracle_cols() -> str:
+    from .operators.redact import PII_PATTERNS
+
+    cols = ["COUNT(*) AS n_docs"]
+    for k in _SCRUB_KINDS:
+        pat, tok = PII_PATTERNS[k]
+        cols.append(
+            f"CAST(SUM(CASE WHEN regexp_matches(text, '{pat}') "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS w_{k}"
+        )
+        cols.append(
+            f"CAST(SUM(length(text) - length(regexp_replace(text, "
+            f"'{pat}', '{tok}', 'g'))) AS BIGINT) AS d_{k}"
+        )
+    return ",\n             ".join(cols)
+
+
 @query(
     "q60_ip_anonymize",
     f"""
@@ -255,31 +281,76 @@ def q54(spark, sf):
              CAST(regexp_extract(line, '{ACCESS_PATTERN}', 6) AS INT)
                AS status
       FROM lines WHERE regexp_matches(line, '{ACCESS_PATTERN}')
+    ),
+    planted AS (
+      SELECT text || CASE WHEN doc_id % 5 = 0 THEN '{_SCRUB_PLANT}'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    scrub AS (
+      SELECT {_scrub_oracle_cols()}
+      FROM planted
     )
-    SELECT status // 100 AS status_class,
-           COUNT(*) AS n_requests,
-           COUNT(DISTINCT ip) AS n_ips,
-           COUNT(DISTINCT regexp_replace(ip, '\\.\\d+$', '.0'))
-             AS n_anon_ips
+    SELECT 'access' AS part, CAST(status // 100 AS BIGINT) AS k,
+           COUNT(*) AS n1, COUNT(DISTINCT ip) AS n2,
+           COUNT(DISTINCT regexp_replace(ip, '\\.\\d+$', '.0')) AS n3
     FROM parsed GROUP BY status // 100
+    UNION ALL SELECT 'scrub', 0, n_docs, w_email, d_email FROM scrub
+    UNION ALL SELECT 'scrub', 1, n_docs, w_ipv4, d_ipv4 FROM scrub
+    UNION ALL SELECT 'scrub', 2, n_docs, w_ssn, d_ssn FROM scrub
     """,
-    doc="PII pass over the log source: classic last-octet IP anonymization "
-    "(the GDPR-era Apache/nginx convention) as a pure regexp_replace — "
-    "JVM-side, scan-speed, no shuffle beyond the final count. The "
-    "before/after distinct counts per status class quantify the "
-    "k-anonymity gain (distinct /24s vs distinct hosts); MATCH proves "
-    "both engines' regex replace + distinct agree. The production "
-    "removal pass is the same expression in a writer pipeline — "
-    "redaction happens before anything durable is written.",
+    doc="PII tier, both arms driver-checked. 'access': classic last-octet "
+    "IP anonymization over the parsed log (the GDPR-era Apache/nginx "
+    "convention) — before/after distinct counts per status class "
+    "quantify the k-anonymity gain. 'scrub': the corpus redaction "
+    "operator (operators/redact.py) over documents with a deterministic "
+    "PII plant — per-kind docs-hit and chars-removed counts, so a MATCH "
+    "certifies both engines agree on the match SET and the REPLACEMENT "
+    "semantics of each RE2-expressible pattern (email/ipv4/ssn; the "
+    "phone lookbehind is beyond RE2 and stays pytest-pinned). All "
+    "expressions JVM-side at scan speed; one tiny agg exchange per arm. "
+    "(Union-merged for the driver's 50-registration budget.)",
 )
 def q60(spark, sf):
+    from .operators.redact import PII_PATTERNS
+
     df = read_log(spark, ACCESS_PATH, ACCESS_CFG)
     matched = df.where(F.col("ip").isNotNull())
     anon = F.regexp_replace(F.col("ip"), r"\.\d+$", ".0")
-    return matched.groupBy(
-        (F.col("status") / 100).cast("int").alias("status_class")
+    access = matched.groupBy(
+        (F.col("status") / 100).cast("long").alias("k")
     ).agg(
-        F.count(F.lit(1)).alias("n_requests"),
-        F.count_distinct("ip").alias("n_ips"),
-        F.count_distinct(anon).alias("n_anon_ips"),
+        F.count(F.lit(1)).alias("n1"),
+        F.count_distinct("ip").alias("n2"),
+        F.count_distinct(anon).alias("n3"),
+    ).select(F.lit("access").alias("part"), "k", "n1", "n2", "n3")
+
+    from .registry import _t
+
+    planted = _t(spark, sf, "documents").select(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_SCRUB_PLANT)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text")
     )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for k in _SCRUB_KINDS:
+        pat, tok = PII_PATTERNS[k]
+        aggs.append(F.sum(F.col("text").rlike(pat).cast("long")).alias(f"w_{k}"))
+        aggs.append(
+            F.sum(
+                F.length("text") - F.length(F.regexp_replace("text", pat, tok))
+            ).alias(f"d_{k}")
+        )
+    one = planted.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, w_{k}, d_{k}" for i, k in enumerate(_SCRUB_KINDS)
+    )
+    scrub = one.select(
+        F.lit("scrub").alias("part"),
+        F.expr(f"stack(3, {stack_args}) AS (k, n2, n3)"),
+        F.col("n_docs").alias("n1"),
+    ).select("part", "k", "n1", "n2", "n3")
+    return access.unionByName(scrub)
