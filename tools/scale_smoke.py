@@ -61,6 +61,45 @@ def _src_fingerprint() -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
+def gen_sf1_embeddings(spark, regen: bool) -> None:
+    """10× embeddings: replica r flips a deterministic md5-derived ±1 sign
+    pattern elementwise (norm-preserving, so within-replica neighbor
+    structure mirrors the original while replicas decorrelate — neighbor
+    density constant, corpus 10×)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    out = Path(SF1_DIR) / "embeddings.parquet"
+    if out.exists() and not regen and (out / "_SUCCESS").exists():
+        return
+    if out.exists():
+        shutil.rmtree(out)
+    src = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
+    dim = len(src.select("embedding").head()[0])
+    reps = []
+    for r in range(10):
+        h = hashlib.md5(f"sf1-emb:{r}".encode()).digest() * ((dim // 16) + 1)
+        signs = [1.0 if (h[i // 8] >> (i % 8)) & 1 else -1.0 for i in range(dim)]
+        if r == 0:
+            signs = [1.0] * dim
+        arr = "array(" + ", ".join(
+            f"element_at(embedding, {i + 1}) * CAST({signs[i]} AS DOUBLE)"
+            for i in range(dim)
+        ) + ")"
+        reps.append(
+            src.select(
+                (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
+                F.expr(arr).cast("array<double>").alias("embedding"),
+                "label",
+            )
+        )
+    df = reps[0]
+    for rep in reps[1:]:
+        df = df.unionByName(rep)
+    df.repartition(8).write.mode("overwrite").parquet(str(out))
+
+
 def gen_sf1(spark, regen: bool) -> None:
     out = Path(SF1_DIR) / "documents.parquet"
     meta = Path(SF1_DIR) / "_source_fingerprint"
@@ -121,6 +160,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     gen_sf1(spark, args.regen)
+    gen_sf1_embeddings(spark, args.regen)
 
     qs = entry.queries()
     # Warm the Python worker pool once (numpy import cold start, see
@@ -144,6 +184,32 @@ def main() -> None:
 
     timed = [(n, qs[n]) for n in QUERIES]
     timed.append(("q28_simhash64_scale_lane", simhash64_lane))
+
+    # Similarity tier at 10× embeddings, FIXED query set (the 20 replica-0
+    # queries exist at both scales), so each lane's factor isolates corpus
+    # growth: brute force is linear-in-corpus by construction; the ANN
+    # lanes must track it with a smaller constant, not degrade.
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    def sim_lane(op):
+        def run(spark, sf_dir):
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            q = e.where(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+            )
+            return op(q, e, k=5)
+
+        return run
+
+    timed.append(("sim_brute_topk", sim_lane(cosine_topk)))
+    timed.append(("sim_ann_lsh", sim_lane(ann_lsh_topk)))
+    timed.append(("sim_ann_ivf", sim_lane(ivf_topk)))
 
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
