@@ -259,6 +259,45 @@ def test_read_log_stream_equals_batch(spark, tmp_path):
     assert len(got) > 3000
 
 
+def test_streaming_scrub_pipeline_equals_batch(spark, tmp_path):
+    """Pipeline COMPOSITION across tiers, stream vs batch: log parse →
+    PII scrub (pure projections, so both execution modes share the exact
+    expression tree) → per-action aggregation. The scrub-before-sink
+    ordering is the redaction operator's documented production shape —
+    nothing durable ever holds a raw IP."""
+    from drill_logfile_plugin_spark.operators.redact import redact_text
+
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["log_date", "log_time", "pid", "action", "sql_text"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text(
+        "070823 21:00:32 1 Connect root@10.1.2.3 on test1\n"
+        "070823 21:00:33 2 Query select 'mail admin@corp.example' x\n"
+        "070823 21:00:34 3 Connect root@10.1.2.4 on test2\n"
+    )
+
+    def scrubbed_counts(df):
+        return (
+            df.where(F.col("action").isNotNull())
+            .select("action", redact_text("sql_text").alias("clean"))
+            .groupBy("action", "clean")
+            .count()
+        )
+
+    sdf = scrubbed_counts(read_log_stream(spark, str(d), cfg))
+    _run_to_memory(sdf, "scrub_mem", "complete")
+    got = _rows(spark.table("scrub_mem"))
+    want = _rows(scrubbed_counts(read_log(spark, str(d), cfg)))
+    assert got == want
+    texts = " | ".join(r[1] for r in got)
+    assert "<EMAIL>" in texts and "10.1.2.3" not in texts
+
+
 def test_parse_lines_is_mode_agnostic(spark):
     """The scan parse is a pure projection: valid on any lines-shaped DF."""
     cfg = LogFormatConfig(pattern=r"(\w+)=(\d+)", field_names=["k", "v"],
