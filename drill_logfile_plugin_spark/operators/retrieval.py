@@ -1,0 +1,244 @@
+"""Full-text retrieval over the corpus: BM25 scoring with top-k per query.
+
+A training-data pipeline needs lexical retrieval for three jobs that all
+run at corpus scale: locating contaminated documents for a benchmark
+probe, pulling topical slices for ablation sets, and spot-checking what a
+near-dup cluster actually contains. BM25 is the standard lexical ranking
+function; this module expresses it as a pure DataFrame plan whose score
+arithmetic is **bit-identical across engines**, so the driver's DuckDB
+oracle can hash-check the ranking — not merely the row counts.
+
+Cross-engine exactness contract
+-------------------------------
+IEEE-754 guarantees correct rounding for ``+ - * /`` and ``sqrt`` only;
+``ln``/``log``/``pow`` come from each engine's libm and may differ in the
+last ulp — enough to flip a ``floor()`` or swap two close ranks. The suite
+therefore runs BM25 with the **sqrt-dampened idf**
+
+    idf(t) = sqrt( ((N - df) + 0.5) / (df + 0.5) )
+
+(the classic Robertson idf with ``sqrt`` in place of ``ln`` — same
+monotonicity, milder dampening), mirroring the ``alpha=0.5`` restriction
+in :func:`..sampling.temperature_mix`. Callers preferring the textbook
+``ln`` idf pass ``idf="ln"`` and give up the cross-engine-exact
+guarantee (documented trade, not a bug).
+
+Summation order is the second portability trap: double addition is not
+associative and SQL ``SUM`` order is engine-chosen. Per-term
+contributions are therefore scaled to integers *before* the sum —
+``floor(contribution * 1e6)`` as BIGINT — so the aggregate is an exact,
+order-free integer sum (the ``doc_bucket`` construction from
+sampling.py applied to scores). Constants (k1, b and their derived
+forms) are computed once in Python and injected as identical literals
+into both engines, and every float expression is written in the same
+association order on both sides.
+
+Scale posture (100 TB corpus, 1000 executors)
+---------------------------------------------
+* One corpus scan feeds tokenize → explode; the exploded stream is
+  semi-joined against the **broadcast** distinct query-term set *before*
+  any aggregation, so the (doc, term) shuffle carries only postings of
+  query terms — O(matching postings), never O(corpus tokens).
+* Document length ``dl`` is computed in the same scan projection
+  (``size(tokens)`` beside the explode) — no second tokenize pass.
+* Corpus stats (N, total token count) are a separate scan-speed
+  aggregate reduced to one row and broadcast; df-per-term is an
+  aggregate over the already-filtered postings (≤ |query terms| rows).
+* Final ranking is a per-query row_number window; query count is the
+  small side by construction. If one query matches a skewed share of
+  the corpus, pre-aggregate with the two-stage top-k in q11's pattern.
+
+Reference scope note: the reference plugin (cgivre/drill-logfile-plugin)
+exposes parsed logs to Drill SQL and inherits no ranking functions; this
+module is part of the LLM-pipeline extension tier (SURVEY.md §2 Tier C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import TOKS_DUCK, TOKS_SPARK
+
+#: Score scale: contributions are floored to millionths before summing so
+#: the aggregate is an exact integer sum (order-free in any engine).
+SCORE_SCALE = 1_000_000
+
+
+def query_set(spark: SparkSession, queries: dict[str, str]) -> DataFrame:
+    """Build a (query_id, term) DataFrame from {query_id: "free text"}.
+
+    Terms are whitespace-split and de-duplicated per query (BM25 here
+    treats the query as a term *set*; repeated query terms do not
+    re-weight — the common simplification, stated rather than implied).
+    """
+    rows = sorted(
+        {(qid, t) for qid, text in queries.items() for t in text.split()}
+    )
+    return spark.createDataFrame(rows, "query_id string, term string")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf: str = "sqrt",
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25.
+
+    Returns (query_id, doc_id, score_scaled, rank): ``score_scaled`` is
+    the integer-scaled BM25 score (exact sum of per-term
+    ``floor(contribution * 1e6)``), ``rank`` a deterministic dense
+    ordering (score DESC, doc_id ASC — ties never flap across engines).
+
+    ``idf="sqrt"`` (default) is the cross-engine-exact form; ``"ln"``
+    is the textbook form (module docstring: the portability trade).
+    """
+    if idf not in ("sqrt", "ln"):
+        raise ValueError(f"idf must be 'sqrt' or 'ln', got {idf!r}")
+    from pyspark.sql import Window
+
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    # One scan projection: per-token rows + the doc length beside them.
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    qterms = query_terms.select("term").distinct()
+    # Early semi-filter: only query-term postings survive into the shuffle.
+    matched = exploded.join(F.broadcast(qterms), "term")
+    tf = matched.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    # Corpus stats: one row, broadcast. avgdl stays a (BIGINT, BIGINT)
+    # pair until the single double division inside the score expression.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(TOKS_SPARK.format(c=text_col)))).alias("total_toks"),
+    )
+    # df per term over the filtered postings (one row per (doc, term)).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib_scaled",
+            _contrib_scaled_col(k1=k1, b=b, idf=idf),
+        )
+    )
+    per_query = (
+        scored.join(F.broadcast(query_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib_scaled").alias("score_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_scaled", "rank")
+    )
+
+
+def _contrib_scaled_col(k1: float, b: float, idf: str):
+    """The per-(doc, term) integer contribution, association order fixed.
+
+    Mirrored verbatim by :func:`bm25_sql_duck`; any edit here must edit
+    both (the pytest cross-engine fixture will catch drift).
+    """
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
+    idf_core = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    idf_col = F.sqrt(idf_core) if idf == "sqrt" else F.log(idf_core + F.lit(1.0))
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(one_minus_b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = idf_col * ((F.col("tf").cast("double") * F.lit(k1p1)) / denom)
+    return F.floor(contrib * F.lit(float(SCORE_SCALE))).cast("long")
+
+
+def bm25_sql_duck(
+    queries: dict[str, str],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle SQL computing the identical sqrt-idf BM25 top-k.
+
+    Constants are injected via ``repr`` of the same Python floats the
+    Spark side uses, and every expression mirrors the Spark association
+    order, so the scaled scores are bit-identical by construction.
+    """
+    k1p1 = repr(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    toks = TOKS_DUCK.format(c=text_col)
+    qvals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, t in sorted(
+            {(q, t) for q, text in queries.items() for t in text.split()}
+        )
+    )
+    return f"""
+    WITH qt(query_id, term) AS (VALUES
+      {qvals}
+    ),
+    exploded AS (
+      SELECT {id_col} AS doc_id, len({toks}) AS dl, unnest({toks}) AS term
+      FROM {table}
+    ),
+    tf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf
+      FROM exploded
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term, dl
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({toks})) AS BIGINT) AS total_toks
+      FROM {table}
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(
+               sqrt((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {k1p1})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {k1!r} * ({one_minus_b}
+                                 + {b!r} * (CAST(tf.dl AS DOUBLE)
+                                            / (CAST(s.total_toks AS DOUBLE)
+                                               / CAST(s.n_docs AS DOUBLE))))))
+               * {float(SCORE_SCALE)!r}
+             ) AS BIGINT) AS contrib_scaled
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    per_query AS (
+      SELECT qt.query_id, scored.doc_id,
+             CAST(SUM(contrib_scaled) AS BIGINT) AS score_scaled
+      FROM scored JOIN qt USING (term)
+      GROUP BY qt.query_id, scored.doc_id
+    )
+    SELECT query_id, doc_id, score_scaled, rank FROM (
+      SELECT query_id, doc_id, score_scaled,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, doc_id) AS rank
+      FROM per_query) t
+    WHERE rank <= {k}
+    """

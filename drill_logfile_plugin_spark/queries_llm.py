@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import multimodal as M
+from .operators import retrieval as R
 from .operators import similarity as S
 from .operators import text as T
 from .operators.asof import asof_join
@@ -673,6 +674,17 @@ def q42(spark, sf):
 # =========================================================================
 
 
+#: BM25 demo query set for q50's retrieval arm — terms drawn from the
+#: synthetic corpus vocabulary so every query has real matches.
+_BM25_QUERIES = {
+    "qa": "hash join table",
+    "qb": "window agg",
+    "qc": "customer order data",
+}
+
+_BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
+
+
 @query(
     "q50_top_terms",
     f"""
@@ -680,32 +692,66 @@ def q42(spark, sf):
       SELECT lang, unnest({_TOKS}) AS token FROM documents
     ), counts AS (
       SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
-    )
-    SELECT lang, token, n, rk FROM (
-      SELECT lang, token, n,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
-      FROM counts
-    ) WHERE rk <= 5
+    ), terms AS (
+      SELECT lang, token, n, rk FROM (
+        SELECT lang, token, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+        FROM counts
+      ) WHERE rk <= 5
+    ), bm25 AS ({_BM25_ORACLE})
+    SELECT 'terms' AS part, lang AS grp, token, n, rk,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score
+    FROM terms
+    UNION ALL
+    SELECT 'bm25' AS part, query_id AS grp, CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS n, rank AS rk, doc_id, score_scaled AS score
+    FROM bm25
     """,
-    doc="Top-5 terms per language: explode (lateral/unnest shape) -> "
-    "frequency count -> per-group top-k. The explode is a one-to-many "
-    "flatMap with no shuffle; the (lang, token) count gets map-side "
-    "partial agg so the shuffle carries one row per distinct term per "
-    "partition, not one per token occurrence; top-k is the q11 "
-    "row_number pattern with a (n DESC, token) tie-break making the "
-    "result deterministic across engines. At 100 TB the same plan "
-    "holds; if a single lang skews, salt the count's first stage "
+    doc="Corpus term exploration + lexical retrieval, union-merged "
+    "(driver query-budget policy). Terms arm: top-5 terms per language — "
+    "explode (lateral/unnest shape) -> frequency count with map-side "
+    "partial agg (shuffle carries one row per distinct term per "
+    "partition, not one per occurrence) -> per-group top-k with a "
+    "(n DESC, token) tie-break. BM25 arm (operators/retrieval.py): "
+    "3-query top-5 lexical retrieval with the sqrt-idf cross-engine-"
+    "exact form and integer-scaled order-free score sums — a hash MATCH "
+    "certifies the full ranking bit-for-bit against the independent "
+    "engine. Both arms explode the same scan; the BM25 postings are "
+    "broadcast-semi-filtered to query terms before any shuffle, so at "
+    "100 TB the shuffle volume is O(query-term postings), not O(tokens). "
+    "If a single lang/query skews, salt the first-stage count "
     "(functions/skew.py) and re-aggregate.",
 )
 def q50(spark, sf):
     from pyspark.sql import Window
 
-    toks = _t(spark, sf, "documents").select(
-        "lang", F.explode(T.tokens("text")).alias("token")
-    )
+    d = _t(spark, sf, "documents")
+    toks = d.select("lang", F.explode(T.tokens("text")).alias("token"))
     counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
-    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    terms = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.lit("terms").alias("part"),
+            F.col("lang").alias("grp"),
+            "token",
+            "n",
+            "rk",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("score"),
+        )
+    )
+    bm25 = R.bm25_topk(d, R.query_set(spark, _BM25_QUERIES), k=5).select(
+        F.lit("bm25").alias("part"),
+        F.col("query_id").alias("grp"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("rank").alias("rk"),
+        "doc_id",
+        F.col("score_scaled").alias("score"),
+    )
+    return terms.unionByName(bm25)
 
 
 @query(

@@ -306,6 +306,7 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
         "q31_ann_lsh",  # 1-row in-band recall flag broadcast (scalar shape)
         "q40_embedding_neardup",  # nblocks² block-pair join, bounded input
         "q41_ann_ivf",  # 1-row in-band recall flag broadcast (scalar shape)
+        "q50_top_terms",  # 1-row corpus-stats broadcast into BM25 scores
         "q55_split_mix",  # one-row global-min scalar broadcast into rates
     }
     for name, fn in queries.items():
