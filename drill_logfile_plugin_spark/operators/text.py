@@ -273,3 +273,121 @@ def fingerprint_udf(shingle_n: int = 5):
         return pd.Series(out)
 
     return fp
+
+
+# --- corpus-rarity scoring (frequency-rank quality signal) ----------------
+
+
+def corpus_rarity(
+    df: DataFrame,
+    vocab_size: int = 16,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rarity signals from corpus-wide token frequency ranks.
+
+    The heuristic quality bands above are *local* (one document at a
+    time); this operator adds the *global* signal quality filters built
+    on corpus statistics use: a document dominated by tokens that are
+    rare in the corpus is likely noise (OCR garbage, codedumps, wrong
+    language), while one made of very common tokens only is likely
+    boilerplate. The standard formulation is an n-gram LM cross-entropy,
+    but ``ln``/``exp`` are libm-dependent (not correctly rounded) and
+    would break the engine's cross-engine-exact contract — so the signal
+    is expressed in RANK space instead: integer frequency ranks, integer
+    sums, and exactly two final divisions (correctly-rounded IEEE ops).
+    Same monotone intent — high mean rank = rare-heavy, low = common-only
+    — with driver-hashable bit-exactness.
+
+    Two passes, both scan-speed:
+
+    1. Vocabulary: explode tokens -> (term, n) counts (map-side partial
+       agg) -> keep ``n >= min_count`` -> rank by ``ROW_NUMBER`` over
+       (n DESC, term ASC) -> keep rank <= ``vocab_size``. The ranked
+       vocab is a bounded broadcast (``vocab_size`` rows). The rank
+       window is a single partition over the *filtered vocabulary*, not
+       the corpus; at 100 TB raise ``min_count`` so the post-filter
+       candidate set stays executor-sized (the count agg itself shuffles
+       one row per distinct term per partition).
+    2. Scoring: re-explode, left-broadcast-join the vocab, OOV tokens
+       (rank NULL or below the cut) coalesce to ``vocab_size + 1``;
+       per-doc integer sums; the only doubles are the final
+       ``mean_rank = sum_rank / n_toks`` and ``oov_frac = n_oov / n_toks``.
+
+    Returns (doc_id, n_toks, sum_rank, n_oov, mean_rank, oov_frac).
+    Documents whose text yields zero tokens are absent from the output
+    (no tokens -> no rows to aggregate), mirrored by the oracle.
+    """
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    from pyspark.sql import Window
+
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        counts.filter(F.col("n") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .select("term", "rank")
+    )
+    oov = vocab_size + 1
+    ranked = exploded.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        F.coalesce(F.col("rank"), F.lit(oov)).alias("rank"),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("rank").cast("long")).alias("sum_rank"),
+            F.sum((F.col("rank") == oov).cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_rank",
+            "n_oov",
+            (F.col("sum_rank").cast("double") / F.col("n_toks").cast("double")).alias(
+                "mean_rank"
+            ),
+            (F.col("n_oov").cast("double") / F.col("n_toks").cast("double")).alias(
+                "oov_frac"
+            ),
+        )
+    )
+
+
+def corpus_rarity_sql_duck(
+    vocab_size: int = 16,
+    min_count: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`corpus_rarity` (same ranks, sums, divisions)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    oov = vocab_size + 1
+    return f"""
+    WITH exploded AS (
+      SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM exploded GROUP BY term
+    ), vocab AS (
+      SELECT term, rank FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+        FROM counts WHERE n >= {min_count}
+      ) WHERE rank <= {vocab_size}
+    ), ranked AS (
+      SELECT e.doc_id, COALESCE(v.rank, {oov}) AS rank
+      FROM exploded e LEFT JOIN vocab v USING (term)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_toks,
+           CAST(SUM(rank) AS BIGINT) AS sum_rank,
+           CAST(SUM(CASE WHEN rank = {oov} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(rank) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rank,
+           CAST(SUM(CASE WHEN rank = {oov} THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+    FROM ranked GROUP BY doc_id
+    """

@@ -236,26 +236,57 @@ def q23(spark, sf):
 @query(
     "q24_quality_score",
     f"""
-    SELECT {T.quality_bucket_sql_duck('text')} AS quality,
+    WITH rarity AS ({T.corpus_rarity_sql_duck(vocab_size=16)})
+    SELECT 'quality' AS part,
+           {T.quality_bucket_sql_duck('text')} AS bucket,
            COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS measure,
            MIN(doc_id) AS min_doc_id
-    FROM documents GROUP BY quality
+    FROM documents GROUP BY bucket
+    UNION ALL
+    SELECT 'rarity' AS part,
+           CAST(CAST(FLOOR(mean_rank) AS BIGINT) AS VARCHAR) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_oov) AS BIGINT) AS measure,
+           MIN(doc_id) AS min_doc_id
+    FROM rarity GROUP BY bucket
     """,
-    doc="Heuristic quality bands (length / type-token ratio / stopword "
-    "ratio); all signals are int/int double divisions vs literals.",
+    doc="Document quality, union-merged (driver query-budget policy). "
+    "Quality arm: heuristic per-document bands (length / type-token "
+    "ratio / stopword ratio) — all signals int/int double divisions vs "
+    "literals, scan-speed. Rarity arm (operators/text.py corpus_rarity): "
+    "the GLOBAL corpus-statistics signal — per-document mean corpus-"
+    "frequency rank + OOV fraction, banded by floor(mean_rank). The "
+    "standard form is LM cross-entropy, but ln/exp are libm-dependent; "
+    "rank space keeps the same monotone signal in integer sums + two "
+    "final divisions, so the driver hash checks it bit-for-bit. measure "
+    "= total_chars (quality arm) / total OOV tokens (rarity arm).",
 )
 def q24(spark, sf):
     d = _t(spark, sf, "documents")
-    return (
-        d.select("doc_id", "text", T.quality_bucket("text").alias("quality"))
-        .groupBy("quality")
+    quality = (
+        d.select("doc_id", "text", T.quality_bucket("text").alias("bucket"))
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.length("text")).alias("measure"),
             F.min("doc_id").alias("min_doc_id"),
         )
+        .select(F.lit("quality").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
     )
+    rarity = (
+        T.corpus_rarity(d, vocab_size=16)
+        .groupBy(
+            F.floor(F.col("mean_rank")).cast("long").cast("string").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_oov").alias("measure"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .select(F.lit("rarity").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
+    )
+    return quality.unionByName(rarity)
 
 
 # =========================================================================

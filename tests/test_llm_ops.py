@@ -823,3 +823,73 @@ def test_redact_is_scan_speed(spark, documents):
     assert "Exchange" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+# --- corpus rarity (frequency-rank quality signal) ------------------------
+
+
+def test_corpus_rarity_hand_computed(spark):
+    """Ranks, OOV fold, and the two divisions verified on a corpus small
+    enough to compute by hand. vocab_size=2: 'a' (5 occurrences) ranks 1,
+    'b' (3) ranks 2, everything else folds to rank 3 (OOV)."""
+    from drill_logfile_plugin_spark.operators.text import corpus_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b b"),         # ranks 1,1,1,2,2 -> sum 7, oov 0
+            (1, "a b x"),             # ranks 1,2,3     -> sum 6, oov 1
+            (2, "x y z"),             # ranks 3,3,3     -> sum 9, oov 3
+            (3, "a a"),               # ranks 1,1       -> sum 2, oov 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_toks"], r["sum_rank"], r["n_oov"], r["mean_rank"], r["oov_frac"]
+        )
+        for r in corpus_rarity(docs, vocab_size=2).collect()
+    }
+    assert got == {
+        0: (5, 7, 0, 7 / 5, 0.0),
+        1: (3, 6, 1, 2.0, 1 / 3),
+        2: (3, 9, 3, 3.0, 1.0),
+        3: (2, 2, 0, 1.0, 0.0),
+    }
+
+
+def test_corpus_rarity_rank_tiebreak_deterministic(spark):
+    """Equal-count terms rank by term ASC — the cross-engine tie-break; a
+    count-threshold prefilter must not disturb ranks above it."""
+    from drill_logfile_plugin_spark.operators.text import corpus_rarity
+
+    docs = spark.createDataFrame(
+        [(0, "m m q q z z"), (1, "m q z")], "doc_id long, text string"
+    )
+    # all three terms have count 3: ranks must be m=1, q=2, z=3
+    r = {
+        row["doc_id"]: row["sum_rank"]
+        for row in corpus_rarity(docs, vocab_size=2).collect()
+    }
+    # doc0: m,m(1,1) q,q(2,2) z,z(3,3->oov rank 3) => 1+1+2+2+3+3 = 12
+    assert r[0] == 12
+    assert r[1] == 6
+
+
+def test_corpus_rarity_oracle_parity(spark, documents):
+    """Spark vs DuckDB bit-exact on the real table (the q24 rarity arm's
+    per-document precursor, checked at full resolution, not just banded)."""
+    import duckdb
+
+    from drill_logfile_plugin_spark.operators.text import (
+        corpus_rarity,
+        corpus_rarity_sql_duck,
+    )
+
+    got = sorted(tuple(r) for r in corpus_rarity(documents, vocab_size=16).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(con.sql(corpus_rarity_sql_duck(vocab_size=16)).fetchall())
+    assert got == want
