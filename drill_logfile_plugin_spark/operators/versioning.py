@@ -1,0 +1,93 @@
+"""Corpus snapshot diff: CDC-style delta between two corpus versions.
+
+Training corpora are rebuilt continuously (recrawls, license takedowns,
+re-filtering); every downstream consumer — incremental dedup, embedding
+refresh, eval-set freezes — needs to know *what changed* between
+snapshot N and snapshot N+1 without re-reading either corpus's text. The
+standard shape is a content-fingerprint diff: one full-outer equi join on
+the document key comparing 16-byte fingerprints, classifying every key as
+
+* ``added``     — in the new snapshot only,
+* ``removed``   — in the old snapshot only,
+* ``changed``   — in both, fingerprints differ,
+* ``unchanged`` — in both, fingerprints equal.
+
+Scale posture (100 TB per snapshot, 1000 executors)
+---------------------------------------------------
+The join input is pre-projected to (key, md5(text)) — 8-byte ids plus
+32-hex-char fingerprints — so the shuffle moves ~40 bytes/doc regardless
+of document size; text never enters an exchange (the same discipline as
+exact dedup, tests/test_plans.py:238). The join is a plain hash-
+partitioned full-outer equi join: both sides scale, neither is
+broadcast, AQE handles the (id-distributed, hence unskewed) partitions.
+Persisting each snapshot's fingerprint projection bucketed by the key
+turns tomorrow's diff into a zero-shuffle co-located join
+(sources/sinks.py write_bucketed).
+
+``unchanged`` rows dominate real diffs; callers that only consume the
+delta should pass ``include_unchanged=False`` (the default) so the
+operator emits O(delta) rows, not O(corpus) — the report aggregate in
+q51's diff arm still counts unchanged docs from the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two corpus snapshots by content fingerprint.
+
+    Returns (doc_id, status, old_fp, new_fp); ``status`` in
+    {'added','removed','changed'} plus 'unchanged' when
+    ``include_unchanged=True``. ``fingerprint_col`` names a precomputed
+    fingerprint column (skips hashing — the bucketed-snapshot fast
+    path); otherwise ``md5(text_col)`` is computed on each side.
+
+    Precondition: ``id_col`` is unique per snapshot (it is the diff
+    key). Duplicate ids would fan out the join; dedup first (q21) if the
+    corpus keys on content rather than id.
+    """
+    fp = F.col(fingerprint_col) if fingerprint_col else F.md5(F.col(text_col))
+    o = old.select(F.col(id_col).alias("doc_id"), fp.alias("old_fp"))
+    n = new.select(F.col(id_col).alias("doc_id"), fp.alias("new_fp"))
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select("doc_id", status.alias("status"), "old_fp", "new_fp")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def snapshot_diff_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-status counts of the full diff (unchanged included): the
+    one-line health check a nightly rebuild publishes. Returns
+    (status, n_docs, min_doc_id)."""
+    return (
+        snapshot_diff(
+            old, new, id_col=id_col, text_col=text_col, include_unchanged=True
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -796,29 +796,53 @@ def q50(spark, sf):
       SELECT h, MIN(source) AS source, MIN(doc_id) AS keep_id,
              COUNT(*) AS n_copies
       FROM d WHERE doc_id % 10 >= 8 GROUP BY h
+    ), snap_old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 9
+    ), snap_new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+      FROM documents WHERE doc_id % 13 != 3
+    ), diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp != n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
     )
-    SELECT inc.source,
-           COUNT(*) AS n_new_groups,
-           CAST(SUM(inc.n_copies) AS BIGINT) AS n_incoming_rows,
-           MIN(inc.keep_id) AS min_keep_id
+    SELECT 'inc' AS part, inc.source AS grp,
+           COUNT(*) AS n_groups,
+           CAST(SUM(inc.n_copies) AS BIGINT) AS n_rows,
+           MIN(inc.keep_id) AS min_id
     FROM inc LEFT JOIN corpus ON inc.h = corpus.h
     WHERE corpus.h IS NULL
     GROUP BY inc.source
+    UNION ALL
+    SELECT 'diff' AS part, status AS grp,
+           COUNT(*) AS n_groups,
+           CAST(NULL AS BIGINT) AS n_rows,
+           MIN(doc_id) AS min_id
+    FROM diff GROUP BY status
     """,
-    doc="Incremental exact dedup — the production shape where a new batch "
-    "(doc_id%10>=8 stands in for today's crawl) is deduped first within "
-    "itself, then anti-joined against the historical corpus hash set. "
-    "Hashing to md5 first makes every shuffle key 32 bytes regardless of "
-    "document size; the anti join is a plain equi shuffle join on that "
-    "hash (AQE picks broadcast only if the corpus side is genuinely "
-    "small — never forced). At 100 TB the corpus hash set is a compact "
-    "side table you'd persist and bucket by h so tomorrow's batch "
-    "anti-joins without re-reading corpus text.",
+    doc="Incremental corpus maintenance, union-merged (driver "
+    "query-budget policy). Inc arm: incremental exact dedup — a new "
+    "batch (doc_id%10>=8 stands in for today's crawl) deduped within "
+    "itself then anti-joined against the historical corpus hash set; "
+    "md5-first makes every shuffle key 32 bytes regardless of document "
+    "size, and AQE picks broadcast only if the corpus side is genuinely "
+    "small. Diff arm (operators/versioning.py snapshot_diff): CDC-style "
+    "delta between two snapshot projections (deterministically derived "
+    "here: last decile added, doc_id%13=3 removed, doc_id%7=0 edited) — "
+    "one full-outer equi join on the id carrying ~40 bytes/doc, text "
+    "never in an exchange. At 100 TB both arms persist their hash "
+    "projections bucketed by key so the daily run is a zero-shuffle "
+    "co-located join (sources/sinks.py write_bucketed).",
 )
 def q51(spark, sf):
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "source", F.md5("text").alias("h")
-    )
+    from .operators.versioning import snapshot_diff_report
+
+    docs = _t(spark, sf, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("h"))
     corpus = d.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
     inc = (
         d.filter(F.col("doc_id") % 10 >= 8)
@@ -830,11 +854,29 @@ def q51(spark, sf):
         )
     )
     new = inc.join(corpus, "h", "left_anti")
-    return new.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_new_groups"),
-        F.sum("n_copies").alias("n_incoming_rows"),
-        F.min("keep_id").alias("min_keep_id"),
+    inc_report = (
+        new.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_copies").alias("n_rows"),
+            F.min("keep_id").alias("min_id"),
+        )
+        .select(F.lit("inc").alias("part"), F.col("source").alias("grp"),
+                "n_groups", "n_rows", "min_id")
     )
+    snap_old = docs.filter(F.col("doc_id") % 10 < 9)
+    snap_new = docs.filter(F.col("doc_id") % 13 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    diff_report = snapshot_diff_report(snap_old, snap_new).select(
+        F.lit("diff").alias("part"),
+        F.col("status").alias("grp"),
+        F.col("n_docs").alias("n_groups"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.col("min_doc_id").alias("min_id"),
+    )
+    return inc_report.unionByName(diff_report)
 
 
 @query(

@@ -893,3 +893,62 @@ def test_corpus_rarity_oracle_parity(spark, documents):
     )
     want = sorted(con.sql(corpus_rarity_sql_duck(vocab_size=16)).fetchall())
     assert got == want
+
+
+# --- snapshot diff (corpus versioning) ------------------------------------
+
+
+def test_snapshot_diff_planted_statuses(spark):
+    from drill_logfile_plugin_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    full = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 4
+
+
+def test_snapshot_diff_fingerprint_fast_path(spark):
+    """A precomputed fingerprint column short-circuits hashing — the
+    bucketed-snapshot path; results must agree with the hashed path."""
+    from drill_logfile_plugin_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).withColumn("fp", F.md5("text"))
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA")], "doc_id long, text string"
+    ).withColumn("fp", F.md5("text"))
+    a = sorted(
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(old, new, fingerprint_col="fp").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()
+    )
+    assert a == b == [(2, "changed")]
+
+
+def test_snapshot_diff_never_shuffles_text(spark, documents):
+    """The diff's exchanges carry (id, fp) only — the exact-dedup shuffle
+    discipline applied to versioning."""
+    from drill_logfile_plugin_spark.operators.versioning import snapshot_diff
+
+    plan = (
+        snapshot_diff(documents, documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan[m.start() : m.start() + 200]
