@@ -139,3 +139,49 @@ def shuffle_deterministic(
     else:
         out = out.repartitionByRange("__shuffle_key")
     return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+
+
+def stratified_sample(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep EXACTLY ``min(n_stratum, cap)`` rows per stratum, deterministically.
+
+    :func:`temperature_mix` keeps an *expected* fraction per source (a
+    per-document hash threshold — scan-speed, but the kept count varies
+    with the draw); eval-set construction and per-source quota contracts
+    need the other guarantee: an exact per-stratum count. The selector is
+    a rank over the deterministic order ``(md5(salt || id), id)`` — a
+    uniform pseudo-random permutation that is a pure function of
+    (salt, id), so the sample is reproducible across engines, runs, and
+    cluster layouts, and a document's membership never changes when
+    OTHER documents are added to its stratum (its own rank can only be
+    displaced by new docs hashing ahead of it — the unavoidable price of
+    exact counts; use the hash-threshold mix when immunity to corpus
+    growth matters more than exactness).
+
+    The md5-hex sort key compares lexicographically over ASCII hex in
+    both engines; the ``id`` tie-break makes the permutation total even
+    if two ids ever collided on the full 32-hex digest.
+
+    Scale posture: one shuffle partitioned by the stratum column and a
+    per-stratum rank — shuffle volume O(corpus rows), key width = the
+    stratum value. A stratum holding half the corpus serializes through
+    one task; for such skew, pre-thin with ``temperature_mix`` (or a
+    coarse hash-threshold filter at rate ~2·cap/n_stratum) before
+    ranking, which preserves the final exact-cap semantics while the
+    rank input stays executor-sized. Strata counts themselves are never
+    needed in advance — the cap filter IS the count.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -913,6 +913,18 @@ def q51(spark, sf):
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(mix_thr) AS mix_thr
     FROM kept GROUP BY source
+    UNION ALL
+    SELECT source, 'strat' AS part, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(NULL AS BIGINT) AS mix_thr
+    FROM (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    GROUP BY source
     """,
     doc="The two deterministic corpus-subset operators, union-merged "
     "(driver query-budget policy). Split branch: 80/10/10 "
@@ -928,7 +940,12 @@ def q51(spark, sf):
     "bit-identical thresholds AND identical per-document keep/drop "
     "decisions against the independent engine. Both branches are "
     "scan-speed with dim-sized aggregates/broadcasts only — no "
-    "corpus-sized shuffle at 100 TB.",
+    "corpus-sized shuffle at 100 TB. Strat branch (operators/sampling.py "
+    "stratified_sample): EXACT per-source caps (min(n, 15) kept) via a "
+    "per-stratum rank over the deterministic (md5(id), id) permutation — "
+    "the complement to mix's expected-rate thresholds; its one shuffle "
+    "partitions by source, with the documented pre-thinning escape for "
+    "skewed strata.",
 )
 def q55(spark, sf):
     from .operators.sampling import temperature_mix
@@ -967,7 +984,24 @@ def q55(spark, sf):
             "mix_thr",
         )
     )
-    return split_report.unionByName(mix_report)
+    from .operators.sampling import stratified_sample
+
+    strat_report = (
+        stratified_sample(d, cap=15)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.lit("strat").alias("part"),
+            "n_docs",
+            "total_chars",
+            F.lit(None).cast("long").alias("mix_thr"),
+        )
+    )
+    return split_report.unionByName(mix_report).unionByName(strat_report)
 
 
 @query(

@@ -952,3 +952,55 @@ def test_snapshot_diff_never_shuffles_text(spark, documents):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan[m.start() : m.start() + 200]
+
+
+# --- stratified exact sampling --------------------------------------------
+
+
+def test_stratified_sample_exact_caps_and_determinism(spark, documents):
+    from drill_logfile_plugin_spark.operators.sampling import stratified_sample
+
+    totals = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cap = 10
+    kept = stratified_sample(documents, cap=cap)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {s: min(n, cap) for s, n in totals.items()}
+    # determinism: identical membership on a re-run
+    ids_a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents, cap=cap).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+    # a different salt draws a different sample (overwhelmingly)
+    ids_c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents, cap=cap, salt="epoch2")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids_a != ids_c
+
+
+def test_stratified_sample_membership_stable_under_repartition(spark, documents):
+    """The sample is a pure function of the data — input layout must not
+    matter (the df.sample() failure mode this operator exists to avoid)."""
+    from drill_logfile_plugin_spark.operators.sampling import stratified_sample
+
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents, cap=10).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents.repartition(17), cap=10)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b

@@ -254,8 +254,11 @@ def test_deterministic_split_shuffles_only_reports(spark, queries):
     assert "BroadcastHashJoin" in plan
     # split report + mix report + the source-count subplan twice (once
     # feeding thresholds, once the global min — not exchange-reusable) =
-    # 4 dim-sized agg exchanges; more means a corpus shuffle crept in.
-    assert plan.count("Exchange hashpartitioning") <= 4
+    # 4 dim-sized agg exchanges, plus the strat arm's single documented
+    # corpus exchange (the per-stratum rank window partitions by source;
+    # its report agg rides the same partitioning). More than 5 means an
+    # undocumented corpus shuffle crept in.
+    assert plan.count("Exchange hashpartitioning") <= 5
     assert "partial_" in plan
 
 
