@@ -1,0 +1,160 @@
+"""Table profiler: per-column null / distinct / range statistics in one pass.
+
+Every ingestion step of a large pipeline wants the same pre-flight check:
+did this snapshot's columns suddenly go null-heavy, lose cardinality, or
+shift range? (A upstream schema drift usually shows up here first, long
+before a query fails.) The profiler computes, per column:
+
+* ``n_rows``      — table row count (repeated per row for self-containment),
+* ``n_nulls``     — NULL count,
+* ``n_distinct``  — exact distinct count (see the scale note),
+* ``d_min/d_max`` — numeric/timestamp range (doubles; timestamps profile
+  as epoch microseconds — exact in a double far beyond any real date),
+* ``s_min/s_max`` — string range (varchar columns only).
+
+Ranges deliberately stay in their own type lanes instead of casting
+everything to varchar: float-to-string formatting differs between
+engines (1.0 vs 1, exponent styles), which would break the engine's
+cross-engine-exact contract; int/timestamp-to-double conversion and
+string min/max are exact everywhere.
+
+Scale posture: the whole profile is ONE aggregation pass — each metric
+is an aggregate expression over the same scan, fused by codegen; the
+final unpivot (an Expand over the 1-row aggregate) is free. The
+exception is exact ``n_distinct`` on many columns at once: Spark plans
+multiple DISTINCT aggregates as an Expand of the *input* (one duplicate
+of every row per distinct column), multiplying shuffle volume by the
+column count. At 100 TB pass ``approx=True`` — approx_count_distinct is
+HLL++ (fixed mergeable state, no input expansion, map-side combine) and
+the profile's job is drift *detection*, where 2% error is immaterial.
+The suite registers the exact form because the driver hash-checks it
+(q52's profile arm); the approx form is the production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Profile ``cols`` (default: all supported columns) of ``df``.
+
+    Returns one row per column:
+    (col_name, n_rows, n_nulls, n_distinct, d_min, d_max, s_min, s_max).
+    Unsupported types (arrays, structs, binary) raise ValueError — name
+    the columns explicitly to skip them.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [
+            n
+            for n, t in fields.items()
+            if isinstance(
+                t, _NUMERIC + (StringType, TimestampType, TimestampNTZType, DateType)
+            )
+        ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        t = fields.get(c)
+        if t is None:
+            raise ValueError(f"no such column: {c}")
+        nd = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+        )
+        aggs.append(nd.alias(f"__nd_{c}"))
+        if isinstance(t, _NUMERIC):
+            lo = F.min(F.col(c)).cast("double")
+            hi = F.max(F.col(c)).cast("double")
+        elif isinstance(t, (TimestampType, TimestampNTZType)):
+            # NTZ casts to TimestampType in the session zone; the engine
+            # pins spark.sql.session.timeZone=UTC (sources/tables.py:44),
+            # matching DuckDB's naive epoch_us.
+            lo = F.unix_micros(F.min(F.col(c)).cast("timestamp")).cast("double")
+            hi = F.unix_micros(F.max(F.col(c)).cast("timestamp")).cast("double")
+        elif isinstance(t, DateType):
+            lo = F.datediff(F.min(F.col(c)), F.lit("1970-01-01")).cast("double")
+            hi = F.datediff(F.max(F.col(c)), F.lit("1970-01-01")).cast("double")
+        elif isinstance(t, StringType):
+            lo = hi = None
+        else:
+            raise ValueError(f"unsupported column type for profile: {c}: {t}")
+        if lo is None:
+            aggs.append(F.lit(None).cast("double").alias(f"__dmin_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__dmax_{c}"))
+            aggs.append(F.min(F.col(c)).alias(f"__smin_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__smax_{c}"))
+        else:
+            aggs.append(lo.alias(f"__dmin_{c}"))
+            aggs.append(hi.alias(f"__dmax_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__smin_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__smax_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __dmin_{c}, __dmax_{c}, __smin_{c}, __smax_{c}"
+        for c in cols
+    )
+    stacked = one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, d_min, d_max, s_min, s_max)"
+        ),
+    )
+    return stacked.select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "d_min", "d_max", "s_min", "s_max"
+    )
+
+
+def profile_sql_duck(table: str, col_types: dict[str, str]) -> str:
+    """DuckDB mirror: ``col_types`` maps column -> one of
+    'num' | 'ts' | 'date' | 'str' (the caller states the lane, keeping
+    this helper engine-schema-agnostic)."""
+    parts = []
+    for c, kind in col_types.items():
+        if kind == "num":
+            dmin, dmax = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            smin = smax = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            dmin = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+            dmax = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+            smin = smax = "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            dmin = f"CAST(MIN({c}) - DATE '1970-01-01' AS DOUBLE)"
+            dmax = f"CAST(MAX({c}) - DATE '1970-01-01' AS DOUBLE)"
+            smin = smax = "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            dmin = dmax = "CAST(NULL AS DOUBLE)"
+            smin, smax = f"MIN({c})", f"MAX({c})"
+        else:
+            raise ValueError(f"unknown kind {kind!r} for column {c}")
+        parts.append(
+            f"""
+      SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             COUNT(DISTINCT {c}) AS n_distinct,
+             {dmin} AS d_min, {dmax} AS d_max,
+             {smin} AS s_min, {smax} AS s_max
+      FROM {table}"""
+        )
+    return " UNION ALL ".join(parts)

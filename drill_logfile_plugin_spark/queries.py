@@ -29,9 +29,20 @@ from .functions.exprs import (
     dsum_sql,
     revenue_dec,
 )
+from .operators.profiler import profile_sql_duck
 from .registry import _t, query
 
 REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
+
+#: Column lanes for q52's profile arm over the events table.
+_EVENTS_PROFILE_COLS = {
+    "event_id": "num",
+    "ts": "ts",
+    "user_id": "num",
+    "event_type": "str",
+    "value": "num",
+    "props": "str",
+}
 
 
 # =========================================================================
@@ -741,13 +752,21 @@ def q48(spark, sf):
 @query(
     "q52_sketch_checks",
     """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS n_users_exact,
-           TRUE AS sketch_within_5pct,
-           quantile_cont(value, 0.5) AS p50_exact,
-           TRUE AS sketch_within_band
+    SELECT 'sketch' AS part, event_type AS key,
+           COUNT(DISTINCT user_id) AS n_a,
+           CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_c,
+           TRUE AS flag_a, TRUE AS flag_b,
+           quantile_cont(value, 0.5) AS d_min,
+           CAST(NULL AS DOUBLE) AS d_max,
+           CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
     FROM events GROUP BY event_type
-    """,
+    UNION ALL
+    SELECT 'profile' AS part, col_name AS key,
+           n_distinct AS n_a, n_nulls AS n_b, n_rows AS n_c,
+           CAST(NULL AS BOOLEAN) AS flag_a, CAST(NULL AS BOOLEAN) AS flag_b,
+           d_min, d_max, s_min, s_max
+    FROM ({profile}) p
+    """.format(profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS)),
     doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
     "lanes (count_distinct — full shuffle of distinct keys; exact "
     "interpolated median) AND the sketch lanes (approx_count_distinct — "
@@ -760,9 +779,17 @@ def q48(spark, sf):
     "is a hash MISMATCH, not a silent pass — the same invariant-check "
     "pattern as the ANN recall tests, but driver-visible. At 100 TB the "
     "sketch lane is the only viable one; this query certifies its error "
-    "stays in band. (Merged q52+q53 for the driver's correctness budget.)",
+    "stays in band. (Merged q52+q53 for the driver's correctness budget.) "
+    "Profile arm (operators/profiler.py): the ingestion pre-flight — "
+    "per-column null/distinct/range stats over events in one fused "
+    "aggregation pass, type-laned ranges (doubles for numerics/epoch-"
+    "micros timestamps, varchar min/max for strings) so no float-to-"
+    "string formatting enters the hash. Registered exact; approx=True "
+    "(HLL++, no input Expand) is the production default at scale.",
 )
 def q52(spark, sf):
+    from .operators.profiler import profile_columns
+
     e = _t(spark, sf, "events")
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact"),
@@ -779,10 +806,30 @@ def q52(spark, sf):
         F.abs(F.col("p50_approx") - F.col("p50_exact"))
         <= 0.02 * F.col("rng") + F.lit(1e-9)
     )
-    return agg.select(
-        "event_type",
-        "n_users_exact",
-        within_d.alias("sketch_within_5pct"),
-        "p50_exact",
-        within_p.alias("sketch_within_band"),
+    sketch = agg.select(
+        F.lit("sketch").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("n_users_exact").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        within_d.alias("flag_a"),
+        within_p.alias("flag_b"),
+        F.col("p50_exact").alias("d_min"),
+        F.lit(None).cast("double").alias("d_max"),
+        F.lit(None).cast("string").alias("s_min"),
+        F.lit(None).cast("string").alias("s_max"),
     )
+    profile = profile_columns(e, list(_EVENTS_PROFILE_COLS)).select(
+        F.lit("profile").alias("part"),
+        F.col("col_name").alias("key"),
+        F.col("n_distinct").alias("n_a"),
+        F.col("n_nulls").alias("n_b"),
+        F.col("n_rows").alias("n_c"),
+        F.lit(None).cast("boolean").alias("flag_a"),
+        F.lit(None).cast("boolean").alias("flag_b"),
+        "d_min",
+        "d_max",
+        "s_min",
+        "s_max",
+    )
+    return sketch.unionByName(profile)

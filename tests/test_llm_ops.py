@@ -1004,3 +1004,79 @@ def test_stratified_sample_membership_stable_under_repartition(spark, documents)
         .collect()
     )
     assert a == b
+
+
+# --- table profiler -------------------------------------------------------
+
+
+def test_profile_columns_hand_computed(spark):
+    from drill_logfile_plugin_spark.operators.profiler import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (2, None, 10.0)],
+        "id long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert rows["id"]["n_rows"] == 3
+    assert (rows["id"]["n_nulls"], rows["id"]["n_distinct"]) == (0, 2)
+    assert (rows["id"]["d_min"], rows["id"]["d_max"]) == (1.0, 2.0)
+    assert rows["id"]["s_min"] is None
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["s"]["s_min"], rows["s"]["s_max"]) == ("a", "b")
+    assert rows["s"]["d_min"] is None
+    assert (rows["v"]["n_nulls"], rows["v"]["d_min"], rows["v"]["d_max"]) == (
+        1, 2.5, 10.0,
+    )
+
+
+def test_profile_columns_single_pass_plan(spark, documents):
+    """The profile must stay ONE aggregation over one scan — column count
+    must not multiply scans (the reason it's an agg+unpivot, not a loop)."""
+    from drill_logfile_plugin_spark.operators.profiler import profile_columns
+
+    plan = (
+        profile_columns(documents, ["doc_id", "lang", "source"], approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan  # map-side combine before the 1-row agg
+
+
+def test_profile_columns_approx_has_no_input_expand(spark, documents):
+    """approx=True is the scale lane: HLL++ sketches must not trigger the
+    multi-DISTINCT input Expand (which multiplies shuffle volume by the
+    profiled column count)."""
+    from drill_logfile_plugin_spark.operators.profiler import profile_columns
+
+    exact_plan = (
+        profile_columns(documents, ["doc_id", "lang", "source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    approx_plan = (
+        profile_columns(documents, ["doc_id", "lang", "source"], approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the documented exact-lane cost
+    # the approx lane's only Expand is the final 1-row unpivot (stack),
+    # never an expand of the scan feeding the aggregate
+    pre_agg = approx_plan.split("HashAggregate", 1)[-1]
+    assert "Expand" not in pre_agg.split("FileScan")[-1]
+
+
+def test_profile_columns_rejects_unknown_and_nested(spark, embeddings):
+    from drill_logfile_plugin_spark.operators.profiler import profile_columns
+
+    with pytest.raises(ValueError):
+        profile_columns(embeddings, ["nope"])
+    with pytest.raises(ValueError):
+        profile_columns(embeddings, ["embedding"])  # array column
+    # default column selection silently skips the array column
+    cols = {r["col_name"] for r in profile_columns(embeddings).collect()}
+    assert cols == {"vec_id", "label"}
