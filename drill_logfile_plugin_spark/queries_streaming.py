@@ -171,15 +171,64 @@ def _grain_select(grain: str) -> str:
     """
 
 
+#: Funnel stage sequence + conversion window for q46's behavior arms.
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+_FUNNEL_WITHIN_S = 86_400
+
+
+def _behavior_arms_sql() -> str:
+    from .operators.behavior import cohort_retention_sql_duck, funnel_sql_duck
+
+    f = funnel_sql_duck(_FUNNEL_STAGES, within_seconds=_FUNNEL_WITHIN_S)
+    c = cohort_retention_sql_duck(granularity="week")
+    return f"""
+    SELECT 'funnel' AS grain, CAST(NULL AS TIMESTAMP) AS bucket,
+           stage AS event_type, n_users AS n_events, conversion AS sum_value
+    FROM ({f}) f
+    UNION ALL
+    SELECT 'cohort' AS grain, CAST(cohort AS TIMESTAMP) AS bucket,
+           CAST(period_offset AS VARCHAR) AS event_type,
+           n_active AS n_events, retention AS sum_value
+    FROM ({c}) c
+    """
+
+
 @query(
     "q46_rollup_cascade",
-    " UNION ALL ".join(_grain_select(g) for g in ("hour", "day", "month")),
-    doc="Hypertable-style rollup cascade: hour/day/month aggregates where "
-    "each coarser grain RE-AGGREGATES the finer one (reaggregable stats "
-    "only: counts + exact decimal sums). Spark's exchange reuse collapses "
-    "the shared subtrees to ONE fact scan (plan-pinned); the oracle "
-    "computes every grain directly from the raw events, so a MATCH "
-    "certifies the reaggregation property, not just the plumbing.",
+    " UNION ALL ".join(_grain_select(g) for g in ("hour", "day", "month"))
+    + " UNION ALL "
+    + _behavior_arms_sql(),
+    doc="Event-time analytics, union-merged (driver query-budget policy). "
+    "Rollup arms: hypertable-style hour/day/month cascade where each "
+    "coarser grain RE-AGGREGATES the finer one (reaggregable stats only: "
+    "counts + exact decimal sums); Spark's exchange reuse collapses the "
+    "shared subtrees to ONE fact scan (plan-pinned), while the oracle "
+    "computes every grain from raw events — a MATCH certifies the "
+    "reaggregation property. Behavior arms (operators/behavior.py): "
+    "strictly-ordered view->click->purchase funnel with a 1-day "
+    "conversion window (first-touch MIN chaining — per-user aggregates "
+    "+ equi joins, no window sort) and weekly cohort retention (first-"
+    "activity cohorts x period offsets; two aggregates + one join). All "
+    "arithmetic is COUNT/MIN/date-trunc + single int/int divisions — "
+    "bit-exact cross-engine.",
 )
 def q46(spark, sf):
-    return rollup_cascade(_t(spark, sf, "events"))
+    from .operators.behavior import cohort_retention, funnel
+
+    e = _t(spark, sf, "events")
+    roll = rollup_cascade(e)
+    fun = funnel(e, _FUNNEL_STAGES, within_seconds=_FUNNEL_WITHIN_S).select(
+        F.lit("funnel").alias("grain"),
+        F.lit(None).cast("timestamp").alias("bucket"),
+        F.col("stage").alias("event_type"),
+        F.col("n_users").alias("n_events"),
+        F.col("conversion").alias("sum_value"),
+    )
+    coh = cohort_retention(e, granularity="week").select(
+        F.lit("cohort").alias("grain"),
+        F.col("cohort").cast("timestamp").alias("bucket"),
+        F.col("period_offset").cast("string").alias("event_type"),
+        F.col("n_active").alias("n_events"),
+        F.col("retention").alias("sum_value"),
+    )
+    return roll.unionByName(fun).unionByName(coh)

@@ -1080,3 +1080,103 @@ def test_profile_columns_rejects_unknown_and_nested(spark, embeddings):
     # default column selection silently skips the array column
     cols = {r["col_name"] for r in profile_columns(embeddings).collect()}
     assert cols == {"vec_id", "label"}
+
+
+# --- event-behavior analytics (funnel / cohort retention) -----------------
+
+
+def test_funnel_strict_ordering_hand_computed(spark):
+    """Planted users covering each funnel outcome:
+    u1 completes in order; u2 clicks BEFORE viewing (click must not
+    count, and the later click does); u3 views only; u4 purchases
+    without clicking (must not reach stage 2)."""
+    from drill_logfile_plugin_spark.operators.behavior import funnel
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        (2, "click", "2024-01-01 09:00:00"),   # before first view: ignored
+        (2, "view", "2024-01-01 09:30:00"),
+        (2, "click", "2024-01-01 09:45:00"),   # counts
+        (3, "view", "2024-01-01 08:00:00"),
+        (4, "view", "2024-01-01 07:00:00"),
+        (4, "purchase", "2024-01-01 07:30:00"),  # skipped click: no stage 2/3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["stage"]: (r["n_users"], r["conversion"])
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        "view": (4, 1.0),
+        "click": (2, 0.5),
+        "purchase": (1, 0.25),
+    }
+
+
+def test_funnel_conversion_window_bounds(spark):
+    """within_seconds excludes conversions later than the window."""
+    from drill_logfile_plugin_spark.operators.behavior import funnel
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:30:00"),   # within 1h
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 12:00:00"),   # outside 1h
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, s string").select(
+        "user_id", "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel(ev, ["view", "click"], within_seconds=3600).collect()
+    }
+    assert got == {"view": 2, "click": 1}
+    with pytest.raises(ValueError):
+        funnel(ev, ["view"])
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two weekly cohorts: u1/u2 first active week of Jan 1 (Monday),
+    u3 the next week. u1 active both weeks, u2 only the first."""
+    from drill_logfile_plugin_spark.operators.behavior import cohort_retention
+    import datetime
+
+    rows = [
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        (3, "2024-01-10 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, s string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort"], r["period_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(ev).collect()
+    }
+    w1, w2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 8)
+    assert got == {
+        (w1, 0): (2, 1.0),
+        (w1, 1): (1, 0.5),
+        (w2, 0): (1, 1.0),
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(ev, granularity="month")
+
+
+def test_funnel_counts_monotone_on_real_events(spark):
+    from drill_logfile_plugin_spark.operators.behavior import funnel
+    from drill_logfile_plugin_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = sorted(
+        funnel(ev, ["view", "click", "purchase"], within_seconds=86_400).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conversion"] == 1.0

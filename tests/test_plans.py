@@ -309,6 +309,7 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
         "q31_ann_lsh",  # 1-row in-band recall flag broadcast (scalar shape)
         "q40_embedding_neardup",  # nblocks² block-pair join, bounded input
         "q41_ann_ivf",  # 1-row in-band recall flag broadcast (scalar shape)
+        "q46_rollup_cascade",  # 1-row funnel-base count broadcast into rates
         "q50_top_terms",  # 1-row corpus-stats broadcast into BM25 scores
         "q55_split_mix",  # one-row global-min scalar broadcast into rates
     }
