@@ -391,3 +391,112 @@ def corpus_rarity_sql_duck(
              / CAST(COUNT(*) AS DOUBLE) AS oov_frac
     FROM ranked GROUP BY doc_id
     """
+
+
+# --- n-gram language model (bigram conditional distribution) --------------
+
+
+def bigram_model(
+    df: DataFrame,
+    top_k: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a bigram LM table: top-``top_k`` continuations per context.
+
+    The corpus-level n-gram distribution is the classic lightweight
+    "language model" of data pipelines — used for quality scoring,
+    domain drift detection, and cheap generation sanity checks. This
+    operator materializes its bigram table: for every context token w1,
+    the ``top_k`` most frequent next tokens w2 with the conditional
+    probability p(w2|w1) = count(w1 w2) / count(w1 ·).
+
+    The probability is a single int/int double division (exact in both
+    engines); the q50 bigram arm ships it integer-scaled
+    (``floor(p * 1e6)``) so the driver hash pins the model bit-for-bit.
+    Ranking ties break on w2 ASC — total order, engine-stable.
+
+    Returns (w1, w2, n_pair, n_ctx, p_scaled, rk): ``n_ctx`` is the
+    total count of bigrams with context w1 (the denominator).
+    ``min_count`` drops rare pairs BEFORE ranking (noise floor; the
+    denominator still counts them — the model's mass stays honest).
+
+    Scale posture: one scan + pair explode (flatMap, no shuffle), a
+    partial-agg'd (w1, w2) count — the shuffle carries one row per
+    distinct pair per partition — then a per-context window over the
+    *pair-count table* (vocab², not corpus, rows). At web scale the
+    pair table itself gets big; ``min_count`` applied pre-window (as
+    here) and a context-frequency floor keep the windowed set bounded.
+    """
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(toks.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    w = Window.partitionBy("w1").orderBy(F.desc("n_pair"), F.asc("w2"))
+    return (
+        counts.filter(F.col("n_pair") >= min_count)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .join(totals, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_ctx",
+            F.floor(
+                (F.col("n_pair").cast("double") / F.col("n_ctx").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("p_scaled"),
+            "rk",
+        )
+    )
+
+
+def bigram_model_sql_duck(
+    top_k: int = 3,
+    min_count: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bigram_model` (same counts, floor, ties)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    return f"""
+    WITH tk AS (
+      SELECT {toks} AS tk FROM {table} WHERE len({toks}) >= 2
+    ), pairs AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) AS t(i)
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+    ), totals AS (
+      SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM counts GROUP BY w1
+    ), ranked AS (
+      SELECT w1, w2, n_pair,
+             ROW_NUMBER() OVER (PARTITION BY w1
+                                ORDER BY n_pair DESC, w2) AS rk
+      FROM counts WHERE n_pair >= {min_count}
+    )
+    SELECT r.w1, r.w2, r.n_pair, t.n_ctx,
+           CAST(FLOOR((CAST(r.n_pair AS DOUBLE) / CAST(t.n_ctx AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS p_scaled,
+           r.rk
+    FROM ranked r JOIN totals t USING (w1)
+    WHERE r.rk <= {top_k}
+    """

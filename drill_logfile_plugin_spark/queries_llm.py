@@ -729,7 +729,7 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
         FROM counts
       ) WHERE rk <= 5
-    ), bm25 AS ({_BM25_ORACLE})
+    ), bm25 AS ({_BM25_ORACLE}), bigram AS ({T.bigram_model_sql_duck()})
     SELECT 'terms' AS part, lang AS grp, token, n, rk,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score
     FROM terms
@@ -737,6 +737,10 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     SELECT 'bm25' AS part, query_id AS grp, CAST(NULL AS VARCHAR) AS token,
            CAST(NULL AS BIGINT) AS n, rank AS rk, doc_id, score_scaled AS score
     FROM bm25
+    UNION ALL
+    SELECT 'bigram' AS part, w1 AS grp, w2 AS token, n_pair AS n, rk,
+           CAST(NULL AS BIGINT) AS doc_id, p_scaled AS score
+    FROM bigram
     """,
     doc="Corpus term exploration + lexical retrieval, union-merged "
     "(driver query-budget policy). Terms arm: top-5 terms per language — "
@@ -750,8 +754,13 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     "engine. Both arms explode the same scan; the BM25 postings are "
     "broadcast-semi-filtered to query terms before any shuffle, so at "
     "100 TB the shuffle volume is O(query-term postings), not O(tokens). "
-    "If a single lang/query skews, salt the first-stage count "
-    "(functions/skew.py) and re-aggregate.",
+    "Bigram arm (operators/text.py bigram_model): the corpus bigram LM "
+    "table — top-3 continuations per context with integer-scaled "
+    "conditional probabilities (floor(1e6*n_pair/n_ctx)), so the driver "
+    "hash pins the trained model bit-for-bit; pair counts partial-agg "
+    "map-side, the rank window runs over the pair-count table (vocab^2), "
+    "never the corpus. If a single lang/query skews, salt the "
+    "first-stage count (functions/skew.py) and re-aggregate.",
 )
 def q50(spark, sf):
     from pyspark.sql import Window
@@ -782,7 +791,16 @@ def q50(spark, sf):
         "doc_id",
         F.col("score_scaled").alias("score"),
     )
-    return terms.unionByName(bm25)
+    bigram = T.bigram_model(d).select(
+        F.lit("bigram").alias("part"),
+        F.col("w1").alias("grp"),
+        F.col("w2").alias("token"),
+        F.col("n_pair").alias("n"),
+        "rk",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("p_scaled").alias("score"),
+    )
+    return terms.unionByName(bm25).unionByName(bigram)
 
 
 @query(

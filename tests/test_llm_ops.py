@@ -1180,3 +1180,36 @@ def test_funnel_counts_monotone_on_real_events(spark):
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert rows[0]["conversion"] == 1.0
+
+
+# --- bigram language model ------------------------------------------------
+
+
+def test_bigram_model_hand_computed(spark):
+    """'a b a b a c': bigrams ab, ba, ab, ba... verify counts, denominators
+    (which include below-min_count pairs), scaled probabilities, and ties."""
+    from drill_logfile_plugin_spark.operators.text import bigram_model
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b x")], "doc_id long, text string"
+    )
+    rows = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_ctx"], r["p_scaled"], r["rk"])
+        for r in bigram_model(docs, top_k=3, min_count=2).collect()
+    }
+    # contexts: a -> b(3), c(1); b -> a(2), x(1); min_count=2 drops (a,c),(b,x)
+    # but denominators keep them: n_ctx(a)=4, n_ctx(b)=3
+    assert rows == {
+        ("a", "b"): (3, 4, 750000, 1),
+        ("b", "a"): (2, 3, 666666, 1),
+    }
+
+
+def test_bigram_model_single_token_docs_contribute_nothing(spark):
+    from drill_logfile_plugin_spark.operators.text import bigram_model
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = bigram_model(docs, min_count=1).collect()
+    assert {(r["w1"], r["w2"]) for r in rows} == {("a", "b")}

@@ -185,3 +185,32 @@ def test_chunking_conserves_tokens(spark, texts, chunk_tokens):
         assert 1 <= chunks[-1]["n_chunk_tokens"] <= chunk_tokens
         rejoined = " ".join(c["chunk_text"] for c in chunks).split(" ")
         assert rejoined == toks
+
+
+# --- BM25 retrieval vs from-scratch reference on random corpora ------------
+
+word_st = st.sampled_from(["hash", "join", "scan", "agg", "row", "zz"])
+doc_st = st.lists(word_st, min_size=1, max_size=8).map(" ".join)
+
+
+@given(
+    texts=st.lists(doc_st, min_size=1, max_size=10),
+    qwords=st.lists(word_st, min_size=1, max_size=3, unique=True),
+)
+@SETTINGS
+def test_bm25_matches_reference_on_random_corpora(spark, texts, qwords):
+    """For ANY corpus and query over the small vocabulary, the DataFrame
+    BM25 produces exactly the reference's integer-scaled scores (union of
+    matched (query, doc) pairs and their values) — the engine-vs-Python
+    parity complement to the fixed-corpus unit test."""
+    from tests.test_retrieval import bm25_reference
+    from drill_logfile_plugin_spark.operators.retrieval import bm25_topk, query_set
+
+    docs_rows = list(enumerate(texts))
+    queries = {"q": " ".join(qwords)}
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_scaled"]
+        for r in bm25_topk(docs, query_set(spark, queries), k=len(texts)).collect()
+    }
+    assert got == bm25_reference(docs_rows, queries)
