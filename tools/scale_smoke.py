@@ -211,6 +211,68 @@ def main() -> None:
     timed.append(("sim_ann_lsh", sim_lane(ann_lsh_topk)))
     timed.append(("sim_ann_ivf", sim_lane(ivf_topk)))
 
+    # Round-4 operator lanes over the same 10× documents fixture. The
+    # Caesar-shifted replicas share no tokens with replica 0, so the BM25
+    # query-term posting volume stays CONSTANT while the corpus grows 10×
+    # — its factor should approach the bare scan ratio, demonstrating the
+    # broadcast-semi-filter claim with data. Rarity/bigram vocab grows
+    # 10× (shifted alphabets are distinct tokens): linear pair/count
+    # tables, never corpus-quadratic. Diff and strat are single-join /
+    # single-window linear shapes.
+    from drill_logfile_plugin_spark.operators.retrieval import (
+        bm25_topk,
+        query_set,
+    )
+    from drill_logfile_plugin_spark.operators.sampling import stratified_sample
+    from drill_logfile_plugin_spark.operators.text import (
+        bigram_model,
+        corpus_rarity,
+    )
+    from drill_logfile_plugin_spark.operators.versioning import snapshot_diff
+
+    _BM25_Q = {"qa": "hash join table", "qb": "window agg", "qc": "customer order data"}
+
+    def bm25_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bm25_topk(docs, query_set(spark, _BM25_Q), k=5)
+
+    def rarity_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            corpus_rarity(docs, vocab_size=16)
+            .groupBy((F.floor(F.col("mean_rank"))).alias("band"))
+            .count()
+        )
+
+    def bigram_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bigram_model(docs)
+
+    def diff_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = docs.filter(F.col("doc_id") % 10 < 9)
+        new = docs.filter(F.col("doc_id") % 13 != 3).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        return (
+            snapshot_diff(old, new, include_unchanged=True)
+            .groupBy("status")
+            .count()
+        )
+
+    def strat_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_sample(docs, cap=15).groupBy("source").count()
+
+    timed.append(("bm25_topk", bm25_lane))
+    timed.append(("corpus_rarity", rarity_lane))
+    timed.append(("bigram_model", bigram_lane))
+    timed.append(("snapshot_diff", diff_lane))
+    timed.append(("stratified_sample", strat_lane))
+
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
         times = {}
