@@ -214,3 +214,86 @@ def test_bm25_matches_reference_on_random_corpora(spark, texts, qwords):
         for r in bm25_topk(docs, query_set(spark, queries), k=len(texts)).collect()
     }
     assert got == bm25_reference(docs_rows, queries)
+
+
+# --- funnel / cohort vs from-scratch references on random event streams ----
+
+ts_st = st.integers(min_value=0, max_value=50)
+etype_st = st.sampled_from(["view", "click", "purchase"])
+event_st = st.tuples(st.integers(min_value=0, max_value=4), etype_st, ts_st)
+
+
+def _funnel_reference(events, stages, within=None):
+    """Brute-force first-touch funnel over (user, type, t) tuples."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, t in events:
+        by_user[u].append((e, t))
+    counts = [0] * len(stages)
+    for u, evs in by_user.items():
+        prev_t = None
+        for i, stage in enumerate(stages):
+            cands = [
+                t
+                for e, t in evs
+                if e == stage
+                and (i == 0 or (t > prev_t and (within is None or t <= prev_t + within)))
+            ]
+            if not cands:
+                break
+            prev_t = min(cands)
+            counts[i] += 1
+    return counts
+
+
+@given(events=st.lists(event_st, min_size=1, max_size=30))
+@SETTINGS
+def test_funnel_matches_reference_on_random_streams(spark, events):
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.behavior import funnel
+
+    stages = ["view", "click", "purchase"]
+    ev = spark.createDataFrame(
+        events, "user_id long, event_type string, t long"
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds(F.col("t")).alias("ts")
+    )
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in funnel(ev, stages, within_seconds=10).collect()
+    }
+    want = _funnel_reference(events, stages, within=10)
+    assert [got.get(i, 0) for i in range(3)] == want
+
+
+@given(events=st.lists(st.tuples(st.integers(0, 4), ts_st), min_size=1, max_size=30))
+@SETTINGS
+def test_cohort_retention_matches_reference(spark, events):
+    """Random (user, day-offset) activity vs a brute-force cohort triangle
+    (granularity=day keeps the reference arithmetic trivial)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.behavior import cohort_retention
+
+    ev = spark.createDataFrame(events, "user_id long, d long").select(
+        "user_id",
+        F.timestamp_seconds(F.col("d") * 86400 + 3600).alias("ts"),
+    )
+    got = {
+        (r["cohort"].toordinal(), r["period_offset"]): r["n_active"]
+        for r in cohort_retention(ev, granularity="day").collect()
+    }
+    days = defaultdict(set)
+    for u, d in events:
+        days[u].add(d)
+    want = defaultdict(int)
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    for u, ds in days.items():
+        first = min(ds)
+        for d in ds:
+            want[(epoch + first, d - first)] += 1
+    assert got == dict(want)
