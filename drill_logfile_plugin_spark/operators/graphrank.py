@@ -1,0 +1,164 @@
+"""Integer-exact PageRank over document graphs (fixed-iteration).
+
+`dup_clusters` (dedup.py) answers *membership* — which documents form one
+duplicate family; PageRank answers *centrality* — which member is the
+hub. On a near-dup graph the hub is the canonical variant (the one most
+others resemble), a better survivor-election key than MIN(id) when the
+corpus keeps revision chains; on citation/link graphs it is the standard
+importance prior for sampling weights.
+
+Why fixed-iteration and integer-scaled: the textbook power iteration
+sums doubles in engine-chosen order and stops on an epsilon — both
+non-portable. Here every rank is a scaled BIGINT (initial mass
+``SCALE = 1e6`` per node) and one iteration is
+
+    rank'(v) = BASE + floor(damping * S(v)),
+    S(v)     = sum over in-edges (u, v) of  rank(u) DIV out_degree(u)
+
+with ``BASE = round((1 - damping) * SCALE)`` precomputed in Python and
+injected into both engines. ``DIV`` is integer division (exact), ``S``
+is an order-free BIGINT sum, and ``damping * S`` is one correctly-
+rounded double multiply + floor — so after any fixed number of
+iterations the rank table is bit-identical across engines and the
+driver hash-checks the whole thing (q63's pagerank arm). Rank mass
+leaks through the floors (≤ 1 unit per edge per iteration) — fine for a
+*ranking*; this is deliberately not a stochastic-matrix solver.
+
+Scale posture: one iteration = one equi join (edges ⨝ ranks on an
+8-byte id) + one partial-agg'd sum + one left join back onto nodes —
+identical plan shape to dup_clusters' contraction rounds, O(edges)
+shuffle per round. The iteration count is a constant (default 3), so
+lineage stays shallow — no checkpoint barrier needed; for deep
+iteration counts reuse the `_barrier` pattern from dedup.py. The graph
+here is the *pair* graph (duplicates only), orders of magnitude smaller
+than the corpus.
+
+Restricted to nodes that appear in the edge list (the induced
+subgraph): every node has degree >= 1, so there is no dangling-mass
+redistribution — stated, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Initial per-node rank mass (scaled integer).
+SCALE = 1_000_000
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-``iterations`` integer PageRank over an edge list.
+
+    ``pairs`` rows are edges (``src_col``, ``dst_col``); with
+    ``symmetric=True`` (the near-dup-pair case) each pair contributes
+    both directions. Returns (doc_id, rank_scaled) for every node in the
+    edge list — bit-identical across engines by construction (module
+    docstring).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    base = round((1.0 - damping) * SCALE)
+    e = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if symmetric:
+        e = e.unionByName(
+            pairs.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+    e = e.distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("doc_id"))
+    ranks = nodes.select("doc_id", F.lit(SCALE).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(
+                ranks.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("rank_scaled").alias("r_src"),
+                ),
+                "src",
+            )
+            .select("dst", F.expr("r_src DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("doc_id"), "s"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+        )
+    return ranks
+
+
+def pagerank_sql_duck(
+    pairs_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> str:
+    """DuckDB mirror: unrolled-iteration PageRank over ``pairs_cte``
+    (a SQL fragment producing the symmetric-input pair rows). Returns a
+    full query; embed it as a subselect/CTE body."""
+    base = round((1.0 - damping) * SCALE)
+    ctes = [
+        f"""__pr_pairs AS ({pairs_cte}),
+    __pr_edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT {src_col} AS src, {dst_col} AS dst FROM __pr_pairs
+        UNION ALL
+        SELECT {dst_col} AS src, {src_col} AS dst FROM __pr_pairs
+      )
+    ),
+    __pr_deg AS (
+      SELECT src, COUNT(*) AS deg FROM __pr_edges GROUP BY src
+    ),
+    __pr_r0 AS (
+      SELECT src AS doc_id, CAST({SCALE} AS BIGINT) AS rank_scaled
+      FROM __pr_deg
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""__pr_r{i} AS (
+      SELECT n.src AS doc_id,
+             CAST({base} + FLOOR({damping!r} *
+                  CAST(COALESCE(c.s, 0) AS DOUBLE)) AS BIGINT) AS rank_scaled
+      FROM __pr_deg n LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r.rank_scaled // d.deg) AS BIGINT) AS s
+        FROM __pr_edges e
+        JOIN __pr_deg d ON e.src = d.src
+        JOIN __pr_r{i - 1} r ON e.src = r.doc_id
+        GROUP BY e.dst
+      ) c ON n.src = c.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT doc_id, rank_scaled FROM __pr_r{iterations}"
+    )

@@ -1173,6 +1173,15 @@ def q59(spark, sf):
 # =========================================================================
 
 
+from .operators.graphrank import pagerank_sql_duck as _pagerank_sql_duck
+
+#: Nested-WITH PageRank oracle over the recursive query's `pairs` CTE
+#: (DuckDB resolves outer CTE names inside a CTE body's own WITH).
+_PAGERANK_ORACLE_BODY = _pagerank_sql_duck(
+    "SELECT doc_a, doc_b FROM pairs", iterations=3
+)
+
+
 @query(
     "q63_dup_clusters",
     f"""
@@ -1190,32 +1199,56 @@ def q59(spark, sf):
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), pr AS (
+      {_PAGERANK_ORACLE_BODY}
     )
-    SELECT cluster_id, COUNT(*) AS n_members FROM (
+    SELECT 'clusters' AS part, cluster_id AS key,
+           CAST(COUNT(*) AS BIGINT) AS val
+    FROM (
       SELECT a, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
     ) GROUP BY cluster_id
+    UNION ALL
+    SELECT 'pagerank' AS part, doc_id AS key, rank_scaled AS val FROM pr
     """,
-    doc="Duplicate CLUSTERS from the near-dup pair graph — the step every "
-    "real dedup pass needs between pair generation and survivor election: "
-    "near-dup similarity is not transitive, so keep-one-per-PAIR "
-    "over-deletes chains (A~B, B~C: dropping B's pair partners twice) "
-    "while keep-one-per-CLUSTER is the correct policy. Spark side is "
-    "min-label star contraction over the LSH pair graph (operators/"
-    "dedup.py dup_clusters): O(log diameter) rounds of 8-byte equi "
-    "joins, edge set only shrinks, convergence driven by scalar counts. "
-    "The oracle recomputes components via exact all-pairs Jaccard + a "
-    "recursive transitive closure — a MATCH certifies both the pair "
-    "graph AND the clustering against an independent engine.",
+    doc="Near-dup graph analytics, union-merged (driver query-budget "
+    "policy). Clusters arm: duplicate CLUSTERS from the pair graph — the "
+    "step every real dedup pass needs between pair generation and "
+    "survivor election: near-dup similarity is not transitive, so "
+    "keep-one-per-PAIR over-deletes chains while keep-one-per-CLUSTER "
+    "is the correct policy; Spark side is min-label star contraction "
+    "(operators/dedup.py dup_clusters): O(log diameter) rounds of "
+    "8-byte equi joins, edge set only shrinks. Pagerank arm (operators/"
+    "graphrank.py): fixed-3-iteration integer-exact PageRank over the "
+    "same pair graph — centrality elects the canonical variant of a "
+    "revision chain; every iteration is an O(edges) equi join + "
+    "partial-agg'd BIGINT sum, ranks integer-scaled so the driver hash "
+    "pins the full rank table. The oracle recomputes components via "
+    "exact all-pairs Jaccard + recursive transitive closure and the "
+    "ranks via unrolled iterations — a MATCH certifies the pair graph, "
+    "the clustering, AND the centrality against an independent engine.",
 )
 def q63(spark, sf):
+    from .operators.graphrank import pagerank
+
     pairs = D.lsh_candidate_pairs(
         _t(spark, sf, "documents"), jaccard_threshold=0.6
     )
-    return (
+    clusters = (
         D.dup_clusters(pairs)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.lit("clusters").alias("part"),
+            F.col("cluster_id").alias("key"),
+            F.col("n_members").alias("val"),
+        )
     )
+    ranks = pagerank(pairs.select("doc_a", "doc_b"), iterations=3).select(
+        F.lit("pagerank").alias("part"),
+        F.col("doc_id").alias("key"),
+        F.col("rank_scaled").alias("val"),
+    )
+    return clusters.unionByName(ranks)
 
 
 # =========================================================================

@@ -1213,3 +1213,69 @@ def test_bigram_model_single_token_docs_contribute_nothing(spark):
     )
     rows = bigram_model(docs, min_count=1).collect()
     assert {(r["w1"], r["w2"]) for r in rows} == {("a", "b")}
+
+
+# --- integer-exact PageRank -----------------------------------------------
+
+
+def test_pagerank_hand_computed_chain(spark):
+    """Path graph 1-2-3-4 (+chord 1-3): node 3 has the highest centrality
+    (degree 3), leaf 4 the lowest; symmetric nodes 1,2 tie exactly."""
+    from drill_logfile_plugin_spark.operators.graphrank import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "doc_a long, doc_b long"
+    )
+    r = {row["doc_id"]: row["rank_scaled"] for row in pagerank(df).collect()}
+    assert r == {1: 945131, 2: 945131, 3: 1606153, 4: 503575}
+
+
+def test_pagerank_matches_python_reference_random_graph(spark):
+    """Exact (not approximate) agreement with a from-scratch integer
+    power iteration on a deterministic pseudo-random graph."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from drill_logfile_plugin_spark.operators.graphrank import SCALE, pagerank
+
+    edges = []
+    for i in range(60):
+        h = hashlib.md5(f"e{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 20, int(h[4:8], 16) % 20
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank_scaled"] for r in pagerank(df, iterations=4).collect()}
+
+    E = set()
+    for a, b in edges:
+        E.add((a, b))
+        E.add((b, a))
+    deg = defaultdict(int)
+    for s, d in E:
+        deg[s] += 1
+    base = round(0.15 * SCALE)
+    r = {n: SCALE for n in deg}
+    for _ in range(4):
+        s = defaultdict(int)
+        for u, v in E:
+            s[v] += r[u] // deg[u]
+        r = {n: base + math.floor(0.85 * float(s.get(n, 0))) for n in deg}
+    assert got == r
+
+
+def test_pagerank_conserves_order_free_determinism(spark):
+    """Repartitioning the edge list must not change a single rank — the
+    integer-sum construction's whole point."""
+    from drill_logfile_plugin_spark.operators.graphrank import pagerank
+
+    edges = [(i, (i * 7 + 3) % 15) for i in range(15) if i != (i * 7 + 3) % 15]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(tuple(r) for r in pagerank(df).collect())
+    b = sorted(tuple(r) for r in pagerank(df.repartition(13)).collect())
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, iterations=0)
