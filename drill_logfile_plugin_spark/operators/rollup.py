@@ -73,3 +73,53 @@ def rollup_cascade(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def gapfill(
+    agg: DataFrame,
+    grain: str = "hour",
+    bucket_col: str = "bucket",
+    group_cols: Sequence[str] = ("event_type",),
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Fill missing time buckets per group — the hypertable
+    ``time_bucket_gapfill`` shape.
+
+    ``agg`` is an already-bucketed frame (e.g. one level of
+    :func:`rollup_cascade`); for every group the operator generates the
+    COMPLETE bucket sequence between that group's min and max bucket and
+    left-joins the data onto it, so downstream chart/window consumers see
+    an unbroken time axis. ``fill`` maps column -> constant for gap rows
+    (unmapped columns stay NULL — locf/interpolation are window functions
+    the caller can layer on the filled frame).
+
+    Exactness: bucket generation is ``sequence(min, max, interval 1
+    <grain>)`` over timestamps — pure integer microsecond arithmetic,
+    identical in DuckDB's ``generate_series``; fills are literals. The
+    driver hash-checks the filled frame (q46 gapfill arm).
+
+    Scale posture: bounds are one partial-agg'd aggregate per group
+    (group-cardinality rows); the explode generates (span/grain) rows per
+    group — output-sized, not scan-sized — and the join back is an equi
+    join on (group, bucket). A group spanning years at second grain
+    would explode ~3e7 rows; choose the grain to match the span, same as
+    any gapfill implementation.
+    """
+    if grain not in ("hour", "day", "minute", "second", "week", "month"):
+        raise ValueError(f"unsupported grain: {grain}")
+    gcols = list(group_cols)
+    bounds = agg.groupBy(*gcols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *gcols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL 1 {grain.upper()}")
+            )
+        ).alias(bucket_col),
+    )
+    out = spine.join(agg, gcols + [bucket_col], "left")
+    for col, v in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out

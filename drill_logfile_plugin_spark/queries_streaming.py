@@ -176,6 +176,11 @@ _FUNNEL_STAGES = ["view", "click", "purchase"]
 _FUNNEL_WITHIN_S = 86_400
 
 
+#: Sparse slice for q46's gapfill arm: rare high-value purchases leave
+#: empty hours at every SF, so the zero-fill path is really exercised.
+_GAPFILL_FILTER = "event_type = 'purchase' AND value > 150"
+
+
 def _behavior_arms_sql() -> str:
     from .operators.behavior import cohort_retention_sql_duck, funnel_sql_duck
 
@@ -190,6 +195,25 @@ def _behavior_arms_sql() -> str:
            CAST(period_offset AS VARCHAR) AS event_type,
            n_active AS n_events, retention AS sum_value
     FROM ({c}) c
+    UNION ALL
+    SELECT 'gapfill' AS grain, s.bucket, s.event_type,
+           COALESCE(g.n_events, 0) AS n_events, g.sum_value
+    FROM (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM (
+          SELECT date_trunc('hour', ts) AS bucket, event_type
+          FROM events WHERE {_GAPFILL_FILTER}
+        ) GROUP BY event_type
+      )
+    ) s LEFT JOIN (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+      FROM events WHERE {_GAPFILL_FILTER}
+      GROUP BY bucket, event_type
+    ) g ON s.event_type = g.event_type AND s.bucket = g.bucket
     """
 
 
@@ -210,7 +234,11 @@ def _behavior_arms_sql() -> str:
     "+ equi joins, no window sort) and weekly cohort retention (first-"
     "activity cohorts x period offsets; two aggregates + one join). All "
     "arithmetic is COUNT/MIN/date-trunc + single int/int divisions — "
-    "bit-exact cross-engine.",
+    "bit-exact cross-engine. Gapfill arm (operators/rollup.py gapfill): "
+    "time_bucket_gapfill over a sparse high-value-purchase slice — "
+    "per-group sequence() spine between min/max bucket, left join + "
+    "zero-fill, so chart/window consumers see an unbroken hourly axis; "
+    "spine generation is integer microsecond arithmetic, output-sized."
 )
 def q46(spark, sf):
     from .operators.behavior import cohort_retention, funnel
@@ -231,4 +259,24 @@ def q46(spark, sf):
         F.col("n_active").alias("n_events"),
         F.col("retention").alias("sum_value"),
     )
-    return roll.unionByName(fun).unionByName(coh)
+    from .functions.exprs import dsum
+    from .operators.rollup import gapfill
+
+    sparse = (
+        e.filter(F.expr(_GAPFILL_FILTER))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+    gf = gapfill(sparse, grain="hour", fill={"n_events": 0}).select(
+        F.lit("gapfill").alias("grain"),
+        "bucket",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return roll.unionByName(fun).unionByName(coh).unionByName(gf)

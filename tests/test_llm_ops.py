@@ -1279,3 +1279,47 @@ def test_pagerank_conserves_order_free_determinism(spark):
 
     with _pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+# --- time-bucket gapfill --------------------------------------------------
+
+
+def test_gapfill_fills_missing_buckets_exactly(spark):
+    from drill_logfile_plugin_spark.operators.rollup import gapfill
+
+    agg = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 5),
+            ("a", "2024-01-01 03:00:00", 2),
+            ("b", "2024-01-01 01:00:00", 1),
+        ],
+        "event_type string, s string, n_events long",
+    ).select("event_type", F.col("s").cast("timestamp").alias("bucket"), "n_events")
+    rows = {
+        (r["event_type"], r["bucket"].hour): r["n_events"]
+        for r in gapfill(agg, grain="hour", fill={"n_events": 0}).collect()
+    }
+    # group a spans 00..03 => 4 buckets, gaps 01,02 zero-filled;
+    # group b spans exactly one bucket
+    assert rows == {("a", 0): 5, ("a", 1): 0, ("a", 2): 0, ("a", 3): 2, ("b", 1): 1}
+
+
+def test_gapfill_unfilled_columns_stay_null_and_bad_grain_raises(spark):
+    from drill_logfile_plugin_spark.operators.rollup import gapfill
+
+    agg = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 5, 1.5), ("a", "2024-01-01 02:00:00", 1, 0.5)],
+        "event_type string, s string, n_events long, sum_value double",
+    ).select(
+        "event_type",
+        F.col("s").cast("timestamp").alias("bucket"),
+        "n_events",
+        "sum_value",
+    )
+    out = {
+        r["bucket"].hour: (r["n_events"], r["sum_value"])
+        for r in gapfill(agg, grain="hour", fill={"n_events": 0}).collect()
+    }
+    assert out[1] == (0, None)  # count filled, sum left NULL
+    with pytest.raises(ValueError):
+        gapfill(agg, grain="fortnight")
