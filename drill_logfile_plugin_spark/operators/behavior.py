@@ -29,11 +29,17 @@ Scale posture (10^12 events, 1000 executors)
 * Neither uses a window function: per-user ROW_NUMBER-style
   sessionization would sort within user partitions for no benefit —
   MIN/GROUP BY express the same thing shuffle-cheaper.
+
+The module also carries the window-shaped behavior operators — batch
+:func:`sessionize` (+ :func:`session_stats`), where the per-user sort IS
+the semantics (gap detection needs adjacent-event order), and
+:func:`rolling_time_sum` (trailing time-RANGE aggregates). Both cost
+exactly one shuffle on their partition key.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -231,3 +237,160 @@ def cohort_retention_sql_duck(
              AS retention
     FROM grid g JOIN sizes s USING (cohort)
     """
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: assign a per-user session index to every event.
+
+    The batch complement of ``streaming/windows.py sessionize_stateful``:
+    a new session starts at a user's first event and whenever the gap to
+    the previous event exceeds ``gap_seconds``. Output = input columns +
+    ``session_idx`` (1-based per user) — the event-level assignment that
+    session_window/stateful streaming cannot give you retroactively over
+    historical data.
+
+    Two classic window steps over ONE partitioning: (1) ``lag`` of the
+    event time marks session starts (integer microsecond comparison —
+    engine-exact); (2) a running SUM of the start flags numbers the
+    sessions. Both windows share (user, ts, id) partitioning+ordering, so
+    Spark plans one exchange and one sort; ``id_col`` tiebreaks equal
+    timestamps for a total, engine-stable order.
+
+    Scale posture (10^12 events): one shuffle on user_id; per-user event
+    counts bound the sort. No driver collects, no Python. State is nothing
+    — unlike the streaming path there is no watermark horizon, the whole
+    history is visible.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # cast: unix_micros requires TIMESTAMP; parquet NTZ timestamps
+    # reinterpret exactly under the engine's pinned UTC session zone.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    # gap in Python-int microseconds: a Spark-side INT*INT product would
+    # silently wrap past 2^31 (86400s * 1e6 us does).
+    gap_us = int(gap_seconds) * 1_000_000
+    is_new = (
+        F.when(prev.isNull() | (us - prev > F.lit(gap_us)), 1)
+        .otherwise(0)
+        .alias("is_new")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("_is_new", is_new)
+        .withColumn("session_idx", F.sum("_is_new").over(run))
+        .drop("_is_new")
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup of a :func:`sessionize` output.
+
+    Returns (user_id, session_idx, n_events, start_ts, end_ts,
+    duration_s). Duration is an integer microsecond difference divided by
+    1e6 — both steps correctly-rounded IEEE ops, so the double is
+    bit-identical cross-engine.
+
+    The groupBy keys (user, session_idx) are a superset of sessionize's
+    window partitioning (user), so the aggregation reuses the existing
+    hash partitioning — no second exchange (plan-pinned in
+    tests/test_plans.py).
+    """
+    return (
+        sessions.groupBy(
+            F.col(user_col).alias("user_id"), F.col("session_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .withColumn(
+            "duration_s",
+            (
+                F.unix_micros(F.col("end_ts").cast("timestamp"))
+                - F.unix_micros(F.col("start_ts").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1000000.0),
+        )
+    )
+
+
+def session_stats_sql_duck(
+    gap_seconds: int = 1800,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror of ``session_stats(sessionize(...))``."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+    WITH tagged AS (
+      SELECT {user_col} AS user_id, {id_col} AS event_id, {ts_col} AS ts,
+             CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                       OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                          > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM {table}
+      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM tagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
+             AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    """
+
+
+def rolling_time_sum(
+    df: DataFrame,
+    part_col: str,
+    date_col: str,
+    value_col: str,
+    days: int = 30,
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """Rolling time-RANGE sum: per-key trailing-``days`` window aggregate.
+
+    The moving-aggregate shape ROWS frames cannot express: "spend over
+    the last 30 days" must include every row whose date falls in the
+    interval, however many rows that is, and rows sharing the current
+    date are peers (all included). Implemented as a RANGE frame over the
+    integer day number (``unix_date``), bounds [-days, 0] — identical
+    semantics to SQL's ``RANGE BETWEEN INTERVAL n DAYS PRECEDING AND
+    CURRENT ROW``.
+
+    The sum accumulates in DECIMAL(18,2) (order-independent — stable
+    under any partial ordering) and lands as a double.
+
+    Scale posture: one shuffle on ``part_col``, one sort per partition;
+    Spark evaluates RANGE frames with a sliding two-pointer pass, O(rows)
+    per key, state bounded by the widest in-window peer set.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.unix_date(F.col(date_col).cast("date")))
+        .rangeBetween(-days, 0)
+    )
+    return df.withColumn(
+        out_col,
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double"),
+    )

@@ -29,6 +29,7 @@ from .functions.exprs import (
     dsum_sql,
     revenue_dec,
 )
+from .operators import behavior as B
 from .operators.profiler import profile_sql_duck
 from .registry import _t, query
 
@@ -393,39 +394,85 @@ def q11(spark, sf):
     )
 
 
+#: Session gap for q12's session arm. The synthetic events table spreads
+#: ~67 events/user over 30 days, so a web-style 30-minute gap degenerates
+#: to singleton sessions; 1 day gives ~8-event sessions — a meaningful
+#: fixture. Real clickstreams dial this to 30 minutes.
+_SESSION_GAP_S = 86400
+
+
 @query(
     "q12_window_running_lag",
-    """
-    SELECT o_custkey, o_orderkey,
+    f"""
+    SELECT 'orders' AS part, o_custkey AS k1, o_orderkey AS k2,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend,
+             AS v1,
            o_totalprice - LAG(o_totalprice) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             AS delta_price
+             AS v2,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS v3
     FROM orders
+    UNION ALL
+    SELECT 'session' AS part, user_id AS k1, session_idx AS k2,
+           CAST(n_events AS DOUBLE) AS v1, duration_s AS v2,
+           CAST(NULL AS DOUBLE) AS v3
+    FROM ({B.session_stats_sql_duck(gap_seconds=_SESSION_GAP_S)})
     """,
-    doc="Running total (frame-bounded SUM, decimal accumulate for "
-    "cross-engine bit-stability) and LAG delta (per-row double arithmetic "
-    "— order-independent) per customer over one ordered window; Spark "
-    "computes both in a single Window node, one shuffle. (Merged q12+q13 "
-    "for the driver's correctness budget.)",
+    doc="Ordered-window analytics, union-merged (driver query-budget "
+    "policy). Orders arm: running total (frame-bounded SUM, decimal "
+    "accumulate for cross-engine bit-stability), LAG delta (per-row "
+    "double arithmetic — order-independent), and a trailing-30-day "
+    "time-RANGE sum (operators/behavior.py rolling_time_sum — the "
+    "moving-aggregate frame ROWS cannot express; integer day-number "
+    "ordering makes Spark's rangeBetween and SQL's RANGE INTERVAL "
+    "identical); all three windows share one o_custkey exchange. Session "
+    "arm (operators/behavior.py sessionize + session_stats): gap-based "
+    "batch sessionization — lag marks session starts, a running sum "
+    "numbers them, then per-session stats reuse the window's hash "
+    "partitioning (no second exchange; plan-pinned). Integer microsecond "
+    "arithmetic end-to-end. (Merged q12+q13 for the driver's "
+    "correctness budget.)",
 )
 def q12(spark, sf):
+    from .operators.behavior import rolling_time_sum, session_stats, sessionize
+
     order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return _t(spark, sf, "orders").select(
-        "o_custkey",
-        "o_orderkey",
+    orders_arm = rolling_time_sum(
+        _t(spark, sf, "orders"),
+        part_col="o_custkey",
+        date_col="o_orderdate",
+        value_col="o_totalprice",
+        days=30,
+        out_col="_roll",
+    ).select(
+        F.lit("orders").alias("part"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w_run)
         .cast("double")
-        .alias("running_spend"),
-        (F.col("o_totalprice") - F.lag("o_totalprice").over(order)).alias(
-            "delta_price"
-        ),
+        .alias("v1"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(order)).alias("v2"),
+        F.col("_roll").alias("v3"),
     )
+    sess = session_stats(
+        sessionize(_t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S)
+    ).select(
+        F.lit("session").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.col("session_idx").alias("k2"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("duration_s").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return orders_arm.unionByName(sess)
 
 
 # =========================================================================
