@@ -30,6 +30,7 @@ from .functions.exprs import (
     revenue_dec,
 )
 from .operators import behavior as B
+from .operators.anomaly import spike_sql_duck
 from .operators.profiler import profile_sql_duck
 from .registry import _t, query
 
@@ -423,6 +424,15 @@ _SESSION_GAP_S = 86400
            CAST(n_events AS DOUBLE) AS v1, duration_s AS v2,
            CAST(NULL AS DOUBLE) AS v3
     FROM ({B.session_stats_sql_duck(gap_seconds=_SESSION_GAP_S)})
+    UNION ALL
+    SELECT 'anomaly_' || event_type AS part,
+           epoch_us(bucket) // 3600000000 AS k1,
+           cnt AS k2,
+           CAST(z_num AS DOUBLE) AS v1,
+           CAST(z_den2 AS DOUBLE) AS v2,
+           CASE WHEN spike THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS v3
+    FROM ({spike_sql_duck("SELECT ts, event_type FROM events")}) an
     """,
     doc="Ordered-window analytics, union-merged (driver query-budget "
     "policy). Orders arm: running total (frame-bounded SUM, decimal "
@@ -436,8 +446,13 @@ _SESSION_GAP_S = 86400
     "batch sessionization — lag marks session starts, a running sum "
     "numbers them, then per-session stats reuse the window's hash "
     "partitioning (no second exchange; plan-pinned). Integer microsecond "
-    "arithmetic end-to-end. (Merged q12+q13 for the driver's "
-    "correctness budget.)",
+    "arithmetic end-to-end. Anomaly arm (operators/anomaly.py "
+    "spike_flags): trailing-window z-score burst detection over gap-"
+    "filled hourly event counts — the integer-exact form n*c-S vs "
+    "k^2*(n*SS-S^2) needs no division/sqrt/float, so the spike verdicts "
+    "hash bit-identically cross-engine; composes the gapfill operator "
+    "so quiet hours drag the mean down instead of vanishing. (Merged "
+    "q12+q13 for the driver's correctness budget.)",
 )
 def q12(spark, sf):
     from .operators.behavior import rolling_time_sum, session_stats, sessionize
@@ -472,7 +487,22 @@ def q12(spark, sf):
         F.col("duration_s").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    return orders_arm.unionByName(sess)
+    from .operators.anomaly import spike_flags
+
+    anom = spike_flags(
+        _t(spark, sf, "events").select("ts", "event_type"),
+        ts_col="ts",
+        group_cols=("event_type",),
+        grain="hour",
+    ).select(
+        F.concat(F.lit("anomaly_"), F.col("event_type")).alias("part"),
+        F.expr("unix_micros(bucket) div 3600000000").alias("k1"),
+        F.col("cnt").alias("k2"),
+        F.col("z_num").cast("double").alias("v1"),
+        F.col("z_den2").cast("double").alias("v2"),
+        F.when(F.col("spike"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("v3"),
+    )
+    return orders_arm.unionByName(sess).unionByName(anom)
 
 
 # =========================================================================

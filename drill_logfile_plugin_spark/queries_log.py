@@ -82,31 +82,83 @@ def _duck_parsed(path: str) -> str:
     """
 
 
+def _q34_template_oracle() -> str:
+    from .operators.templates import n_params_sql_duck, template_masks_sql_duck
+
+    return f"""
+    tpl AS (
+      SELECT {template_masks_sql_duck('sql_text')} AS template,
+             substr(sql_text, 1, 256) AS ex
+      FROM parsed WHERE sql_text IS NOT NULL
+    ),
+    tplagg AS (
+      SELECT template, COUNT(*) AS n_lines, MIN(ex) AS example
+      FROM tpl GROUP BY template
+    ),
+    tplout AS (
+      SELECT 'templates' AS part, template AS key, n_lines AS n1,
+             {n_params_sql_duck('template')} AS n2,
+             CAST(NULL AS BIGINT) AS n3, CAST(NULL AS DATE) AS d1,
+             CAST(NULL AS DATE) AS d2, example AS s1
+      FROM tplagg
+    )"""
+
+
 @query(
     "q34_log_actions",
     f"""
-    WITH {_duck_parsed(LOG_PATH)}
-    SELECT action,
-           COUNT(*) AS n_events,
-           COUNT(DISTINCT pid) AS n_pids,
-           MIN(log_date) AS min_date,
-           MAX(log_date) AS max_date,
-           MAX(log_time) AS max_time_ms
+    WITH {_duck_parsed(LOG_PATH)},
+    {_q34_template_oracle()}
+    SELECT 'actions' AS part, action AS key,
+           COUNT(*) AS n1,
+           COUNT(DISTINCT pid) AS n2,
+           CAST(MAX(log_time) AS BIGINT) AS n3,
+           MIN(log_date) AS d1,
+           MAX(log_date) AS d2,
+           CAST(NULL AS VARCHAR) AS s1
     FROM parsed GROUP BY action
+    UNION ALL SELECT * FROM tplout
     """,
-    doc="The reference README workload (actions histogram over the MySQL "
-    "log) through read_log: DATE/TIME/INT coercion, unmatched rows as the "
-    "NULL-action group, unanchored find() on prefix-junk lines.",
+    doc="Log-payload analytics, union-merged (driver query-budget policy). "
+    "'actions' arm: the reference README workload (actions histogram over "
+    "the MySQL log) through read_log — DATE/TIME/INT coercion, unmatched "
+    "rows as the NULL-action group, unanchored find() on prefix-junk "
+    "lines. 'templates' arm (operators/templates.py mine_templates): "
+    "Drain-style template mining over the free-text sql_text payload — "
+    "variables masked to placeholders by a fixed JVM regexp chain fused "
+    "into the scan, grouped on xxhash64(template) (8-byte shuffle key, "
+    "q59 posture) with partial-agg'd representative + bounded example. "
+    "The oracle replays the exact mask chain in DuckDB, so a MATCH "
+    "certifies the masking semantics, the grouping, and the per-template "
+    "parameter counts cross-engine.",
 )
 def q34(spark, sf):
+    from .operators.templates import mine_templates
+
     df = read_log(spark, LOG_PATH, MYSQL_CFG)
-    return df.groupBy("action").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("pid").alias("n_pids"),
-        F.min("log_date").alias("min_date"),
-        F.max("log_date").alias("max_date"),
-        F.max("log_time").alias("max_time_ms"),
+    actions = df.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("pid").alias("n2"),
+        F.max("log_time").cast("long").alias("n3"),
+        F.min("log_date").alias("d1"),
+        F.max("log_date").alias("d2"),
+    ).select(
+        F.lit("actions").alias("part"),
+        F.col("action").alias("key"),
+        "n1", "n2", "n3", "d1", "d2",
+        F.lit(None).cast("string").alias("s1"),
     )
+    tpl = mine_templates(df, "sql_text").select(
+        F.lit("templates").alias("part"),
+        F.col("template").alias("key"),
+        F.col("n_lines").alias("n1"),
+        F.col("n_params").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("date").alias("d1"),
+        F.lit(None).cast("date").alias("d2"),
+        F.col("example").alias("s1"),
+    )
+    return actions.unionByName(tpl)
 
 
 @query(

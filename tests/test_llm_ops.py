@@ -1323,3 +1323,117 @@ def test_gapfill_unfilled_columns_stay_null_and_bad_grain_raises(spark):
     assert out[1] == (0, None)  # count filled, sum left NULL
     with pytest.raises(ValueError):
         gapfill(agg, grain="fortnight")
+
+
+# --- log template mining (operators/templates.py) -------------------------
+
+
+def test_mine_templates_hand_computed(spark):
+    from drill_logfile_plugin_spark.operators.templates import mine_templates
+
+    lines = [
+        "SELECT c7 FROM t2 WHERE id = 968",
+        "SELECT c9  FROM t2 WHERE id = 12",  # ws run collapses -> same tpl
+        "conn from 10.0.0.1 failed err 0xdeadBEEF",
+        "req 550e8400-e29b-41d4-a716-446655440000  done",
+        None,  # NULL messages have no template
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "message string")
+    got = {
+        r["template"]: (r["n_lines"], r["n_params"], r["example"])
+        for r in mine_templates(df, "message").collect()
+    }
+    assert got == {
+        "SELECT c<NUM> FROM t<NUM> WHERE id = <NUM>": (
+            2, 3, "SELECT c7 FROM t2 WHERE id = 968",
+        ),
+        "conn from <IP> failed err <HEX>": (
+            1, 2, "conn from 10.0.0.1 failed err 0xdeadBEEF",
+        ),
+        "req <UUID> done": (
+            1, 1, "req 550e8400-e29b-41d4-a716-446655440000  done",
+        ),
+    }
+
+
+def test_mine_templates_example_truncates_and_min_count_filters(spark):
+    from drill_logfile_plugin_spark.operators.templates import mine_templates
+
+    long = "x" * 500 + " 1"
+    df = spark.createDataFrame(
+        [(long,), (long,), ("rare 7",)], "message string"
+    )
+    out = mine_templates(df, "message", example_len=100, min_count=2).collect()
+    assert len(out) == 1
+    assert len(out[0]["example"]) == 100
+    assert out[0]["n_lines"] == 2
+
+
+def test_mine_templates_is_hashed_key_single_exchange(spark):
+    """Scale contract: the group-by shuffles xxhash64(template), and the
+    whole mine is scan -> one exchange -> template-cardinality output."""
+    from drill_logfile_plugin_spark.operators.templates import mine_templates
+
+    df = spark.createDataFrame([("a 1",), ("a 2",)], "message string")
+    p = mine_templates(df, "message")._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in p
+    assert p.count("Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# --- anomaly detection (operators/anomaly.py) -----------------------------
+
+
+def _brute_spikes(counts, trailing=6, k=2, min_trailing=3):
+    """Python reference for the integer z-test over a dense count list."""
+    flags = []
+    for i, c in enumerate(counts):
+        w = counts[max(0, i - trailing): i]
+        n, s, ss = len(w), sum(w), sum(x * x for x in w)
+        z_num = n * c - s
+        z_den2 = n * ss - s * s
+        flags.append(
+            n >= min_trailing and z_num > 0 and z_num * z_num > k * k * z_den2
+        )
+    return flags
+
+
+def test_spike_flags_matches_python_reference(spark):
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+
+    # Dense hourly series with a planted burst at hour 10 and a quiet
+    # stretch; plus an absent hour (6) that gapfill must zero-fill.
+    counts = {0: 5, 1: 6, 2: 5, 3: 4, 4: 6, 5: 5, 7: 5, 8: 6, 9: 5, 10: 40,
+              11: 5, 12: 4, 13: 5}
+    rows = [
+        ("e", f"2024-01-01 {h:02d}:{i:02d}:00")
+        for h, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["bucket"].hour: (r["cnt"], r["spike"])
+        for r in spike_flags(df, group_cols=("event_type",)).collect()
+    }
+    dense = [counts.get(h, 0) for h in range(14)]
+    expect = _brute_spikes(dense)
+    assert [got[h][0] for h in range(14)] == dense  # gap zero-filled
+    assert [got[h][1] for h in range(14)] == expect
+    assert got[10][1] is True  # the planted burst is flagged
+    assert not any(got[h][1] for h in range(3))  # warmup never flags
+
+
+def test_spike_flags_no_fill_uses_observed_buckets_only(spark):
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+
+    rows = [("e", f"2024-01-01 {h:02d}:00:00") for h in (0, 1, 2, 5)]
+    df = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    hours = sorted(
+        r["bucket"].hour
+        for r in spike_flags(df, fill_gaps=False).collect()
+    )
+    assert hours == [0, 1, 2, 5]  # gaps 3,4 absent without gapfill
