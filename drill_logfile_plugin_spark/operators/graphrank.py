@@ -75,7 +75,16 @@ def pagerank(
                 F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
-    e = e.distinct()
+    # One eager barrier on the edge list: ``deg``, ``nodes``, and every
+    # iteration's contrib join all reference it, and when ``pairs`` is an
+    # expensive subtree (e.g. LSH candidate generation + exact re-rank)
+    # each un-materialized reference re-plans that whole pipeline —
+    # ReuseExchange cannot dedup the differently-shaped subplans. The
+    # barrier is O(edges) — pair-graph-sized, tiny at any corpus scale —
+    # and honors the reliable-checkpoint knob (see dedup._barrier).
+    from .dedup import _barrier
+
+    e = _barrier(e.distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("doc_id"))
     ranks = nodes.select("doc_id", F.lit(SCALE).cast("long").alias("rank_scaled"))

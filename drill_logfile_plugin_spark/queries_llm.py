@@ -1230,8 +1230,14 @@ _PAGERANK_ORACLE_BODY = _pagerank_sql_duck(
 def q63(spark, sf):
     from .operators.graphrank import pagerank
 
-    pairs = D.lsh_candidate_pairs(
-        _t(spark, sf, "documents"), jaccard_threshold=0.6
+    # One eager barrier on the pair graph: both arms (clusters, pagerank)
+    # internally barrier their inputs, and materializing the O(dup-pairs)
+    # frame here means the LSH candidate pipeline — whose exact re-rank
+    # must semi-scan the corpus — runs ONCE, not once per arm.
+    pairs = D._barrier(
+        D.lsh_candidate_pairs(
+            _t(spark, sf, "documents"), jaccard_threshold=0.6
+        )
     )
     clusters = (
         D.dup_clusters(pairs)
