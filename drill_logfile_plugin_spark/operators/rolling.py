@@ -1,0 +1,144 @@
+"""Sliding-window distinct cardinality via mergeable HLL sketches.
+
+"Distinct users in the trailing 24 h, every hour" is the observability
+query exact methods cannot survive at scale: windows overlap, so an
+exact rolling COUNT(DISTINCT) re-shuffles every key once *per window it
+participates in*. Sketches fix the asymptotics because HyperLogLog
+state is MERGEABLE: each (group, bucket) reduces to a fixed-size sketch
+once, and a window is the union of its buckets' sketches — kilobytes
+through the shuffle per window, regardless of key volume. This is the
+same partial-aggregate property q52's sketch lanes certify, lifted from
+"one global number" to "one number per sliding window". No reference
+counterpart (SURVEY.md §2 Tier C).
+
+Shape: both lanes are offset-explodes — a bucket row is replicated once
+per window-end it belongs to (``trailing`` copies) and re-aggregated on
+(group, window_end). No window-function state, no sort: plain partial-
+agg'd shuffles that AQE can size. The approx lane replicates *sketches*
+(fixed bytes × trailing per bucket); the exact lane replicates the
+per-bucket DISTINCT KEY SET (the expensive check lane — it exists to be
+the oracle, production runs the sketch lane alone). Window ends are
+restricted to observed buckets via one last equi join onto the bucket
+spine.
+
+In-band contract (the q52 pattern): the emitted ``in_band`` boolean
+asserts |approx − exact| ≤ max(abs_tol, rel_tol · exact) per window;
+the DuckDB oracle recomputes the exact lane and asserts TRUE, so a
+sketch drifting out of tolerance is a driver hash MISMATCH, not a
+silent pass. Default tolerance 5% mirrors HLL++'s ~2.5% standard error
+at lgConfigK=12 with slack for small-range windows (near-exact sparse
+mode plus integer rounding).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    group_cols: Sequence[str] = ("event_type",),
+    grain: str = "hour",
+    trailing: int = 24,
+    rel_tol: float = 0.05,
+    abs_tol: int = 2,
+    exact_lane: bool = True,
+) -> DataFrame:
+    """Per (group, window-end-bucket) trailing-``trailing``-bucket
+    distinct-``key_col`` counts.
+
+    Returns the group columns plus ``bucket`` (window end, inclusive),
+    ``n_approx`` (HLL union estimate) and — when ``exact_lane=True`` —
+    ``n_exact`` and ``in_band``. Production at scale runs
+    ``exact_lane=False`` (sketch lane only); the exact lane is the
+    oracle-checkable certification (module docstring).
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    gcols = list(group_cols)
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    offs = F.explode(
+        F.sequence(F.lit(0), F.lit(int(trailing) - 1))
+    ).alias("_off")
+    wend = F.expr(f"timestampadd({grain}, _off, bucket)").alias("wend")
+
+    per_bucket = (
+        df.select(*gcols, bucket, F.col(key_col).alias("_k"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.hll_sketch_agg("_k").alias("_sk"))
+    )
+    spine = per_bucket.select(*gcols, "bucket")
+    approx = (
+        per_bucket.select(*gcols, "bucket", "_sk", offs)
+        .select(*gcols, wend, "_sk")
+        .groupBy(*gcols, "wend")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_approx"))
+    )
+    # Only window ends that are themselves observed buckets (offsets past
+    # a group's last bucket otherwise invent trailing ghost windows).
+    approx = approx.join(
+        spine,
+        [approx[c].eqNullSafe(spine[c]) for c in gcols]
+        + [approx["wend"] == spine["bucket"]],
+        "left_semi",
+    ).withColumnRenamed("wend", "bucket")
+    if not exact_lane:
+        return approx
+
+    exact = (
+        df.select(*gcols, bucket, F.col(key_col).alias("_k"))
+        .distinct()
+        .select(*gcols, "bucket", "_k", offs)
+        .select(*gcols, wend, "_k")
+        .groupBy(*gcols, "wend")
+        .agg(F.count_distinct("_k").alias("n_exact"))
+        .withColumnRenamed("wend", "bucket")
+    )
+    out = approx.join(exact, gcols + ["bucket"])
+    return out.withColumn(
+        "in_band",
+        F.abs(F.col("n_approx") - F.col("n_exact"))
+        <= F.greatest(
+            F.lit(int(abs_tol)).cast("double"),
+            F.lit(float(rel_tol)) * F.col("n_exact"),
+        ),
+    )
+
+
+def rolling_exact_sql_duck(
+    source_sql: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    grain: str = "hour",
+    trailing: int = 24,
+) -> str:
+    """DuckDB replay of the exact lane (single group column), for oracle
+    checks — the identical offset-explode, so window semantics (trailing
+    N observed-end buckets, inclusive) match by construction."""
+    return f"""
+    SELECT d.{group_col}, d.wend AS bucket,
+           COUNT(DISTINCT d.k) AS n_exact
+    FROM (
+      SELECT b.{group_col}, b.k,
+             b.bucket + o.off * INTERVAL 1 {grain.upper()} AS wend
+      FROM (
+        SELECT DISTINCT {group_col},
+               date_trunc('{grain}', {ts_col}) AS bucket,
+               {key_col} AS k
+        FROM ({source_sql})
+      ) b CROSS JOIN (
+        SELECT unnest(range({int(trailing)})) AS off
+      ) o
+    ) d
+    JOIN (
+      SELECT DISTINCT {group_col}, date_trunc('{grain}', {ts_col}) AS bucket
+      FROM ({source_sql})
+    ) s ON d.{group_col} = s.{group_col} AND d.wend = s.bucket
+    GROUP BY d.{group_col}, d.wend
+    """

@@ -32,6 +32,7 @@ from .functions.exprs import (
 from .operators import behavior as B
 from .operators.anomaly import spike_sql_duck
 from .operators.profiler import profile_sql_duck
+from .operators.rolling import rolling_exact_sql_duck
 from .registry import _t, query
 
 REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
@@ -843,7 +844,21 @@ def q48(spark, sf):
            CAST(NULL AS BOOLEAN) AS flag_a, CAST(NULL AS BOOLEAN) AS flag_b,
            d_min, d_max, s_min, s_max
     FROM ({profile}) p
-    """.format(profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS)),
+    UNION ALL
+    SELECT 'rolling' AS part, event_type AS key,
+           n_exact AS n_a,
+           epoch_us(bucket) // 3600000000 AS n_b,
+           CAST(NULL AS BIGINT) AS n_c,
+           TRUE AS flag_a, CAST(NULL AS BOOLEAN) AS flag_b,
+           CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
+           CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
+    FROM ({rolling}) r
+    """.format(
+        profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS),
+        rolling=rolling_exact_sql_duck(
+            "SELECT ts, event_type, user_id FROM events"
+        ),
+    ),
     doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
     "lanes (count_distinct — full shuffle of distinct keys; exact "
     "interpolated median) AND the sketch lanes (approx_count_distinct — "
@@ -862,7 +877,13 @@ def q48(spark, sf):
     "aggregation pass, type-laned ranges (doubles for numerics/epoch-"
     "micros timestamps, varchar min/max for strings) so no float-to-"
     "string formatting enters the hash. Registered exact; approx=True "
-    "(HLL++, no input Expand) is the production default at scale.",
+    "(HLL++, no input Expand) is the production default at scale. "
+    "Rolling arm (operators/rolling.py rolling_distinct): trailing-24h "
+    "distinct users per hour via MERGEABLE HLL sketches — each bucket "
+    "reduces to fixed-size state once, windows union sketches (bytes "
+    "through the shuffle) instead of re-shuffling keys per overlapping "
+    "window; the exact offset-explode lane + in_band flag certify the "
+    "estimate per window (oracle asserts TRUE).",
 )
 def q52(spark, sf):
     from .operators.profiler import profile_columns
@@ -909,4 +930,21 @@ def q52(spark, sf):
         "s_min",
         "s_max",
     )
-    return sketch.unionByName(profile)
+    from .operators.rolling import rolling_distinct
+
+    rolling = rolling_distinct(
+        e.select("event_type", "ts", "user_id")
+    ).select(
+        F.lit("rolling").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("n_exact").alias("n_a"),
+        F.expr("unix_micros(bucket) div 3600000000").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        F.col("in_band").alias("flag_a"),
+        F.lit(None).cast("boolean").alias("flag_b"),
+        F.lit(None).cast("double").alias("d_min"),
+        F.lit(None).cast("double").alias("d_max"),
+        F.lit(None).cast("string").alias("s_min"),
+        F.lit(None).cast("string").alias("s_max"),
+    )
+    return sketch.unionByName(profile).unionByName(rolling)

@@ -1437,3 +1437,60 @@ def test_spike_flags_no_fill_uses_observed_buckets_only(spark):
         for r in spike_flags(df, fill_gaps=False).collect()
     )
     assert hours == [0, 1, 2, 5]  # gaps 3,4 absent without gapfill
+
+
+# --- rolling distinct via mergeable sketches (operators/rolling.py) -------
+
+
+def test_rolling_distinct_matches_brute_force(spark):
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+
+    # Two groups; group 'a' has a gap (hour 2 missing) and overlapping
+    # membership across hours; trailing window = 3 observed-axis hours.
+    rows = [
+        ("a", 0, 1), ("a", 0, 2), ("a", 1, 2), ("a", 1, 3),
+        ("a", 3, 1), ("a", 4, 9),
+        ("b", 0, 1), ("b", 1, 1), ("b", 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(g, f"2024-01-01 {h:02d}:00:00", u) for g, h, u in rows],
+        "event_type string, s string, user_id long",
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"), "user_id")
+    got = {
+        (r["event_type"], r["bucket"].hour): (r["n_exact"], r["in_band"])
+        for r in rolling_distinct(df, trailing=3).collect()
+    }
+    # brute force: distinct users in buckets [h-2, h] for OBSERVED ends h
+    by_bucket = {}
+    for g, h, u in rows:
+        by_bucket.setdefault((g, h), set()).add(u)
+    expect = {
+        (g, h): len(
+            set().union(
+                *(by_bucket.get((g, x), set()) for x in range(h - 2, h + 1))
+            )
+        )
+        for (g, h) in by_bucket
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    # HLL is exact at these cardinalities -> every window in band
+    assert all(v[1] for v in got.values())
+
+
+def test_rolling_distinct_sketch_lane_has_no_distinct_expand(spark):
+    """Production lane (exact_lane=False): the plan must contain HLL
+    sketch aggregates and NO count_distinct key shuffle (that asymmetry
+    is the operator's reason to exist)."""
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1)],
+        "event_type string, s string, user_id long",
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"), "user_id")
+    out = rolling_distinct(df, exact_lane=False)
+    assert "n_exact" not in out.columns
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "hll_union_agg" in p or "HllUnionAgg" in p.replace(" ", "")
+    assert "distinct" not in p.lower().replace("hll_sketch", "")
+    with pytest.raises(ValueError):
+        rolling_distinct(df, trailing=0)
