@@ -32,7 +32,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -934,6 +934,7 @@ def dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.6,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """End-to-end corpus dedup: exact → near-dup pairs → clusters → keep.
 
@@ -946,24 +947,52 @@ def dedup_corpus(
     3. transitivity — connected components over the pair graph
        (:func:`dup_clusters`), because near-dup is not transitive and
        per-pair dropping over- or under-deletes chains;
-    4. survivor election — keep the min-id member of every cluster,
-       i.e. drop exactly the nodes whose cluster label differs from
-       their own id.
+    4. survivor election per cluster, by ``survivor`` policy:
+       ``"min_id"`` (default) keeps the min-id member — pure id
+       arithmetic, no second graph pass; ``"pagerank"`` keeps the
+       most-central member (:func:`~.graphrank.pagerank` over the pair
+       graph, ties → min id) — on revision chains the hub is the
+       canonical variant the others drift from, where min-id keeps
+       whichever revision happened to be ingested first.
 
     Returns the surviving rows of ``df`` with their original columns.
-    Deterministic end to end (min-id policies throughout); each stage is
-    the documented 100 TB-shaped operator above.
+    Deterministic end to end (min-id tie-breaks throughout; pagerank is
+    integer-exact); each stage is the documented 100 TB-shaped operator
+    above. Exactly one survivor per cluster under either policy, so the
+    kept-set SIZE is policy-independent — only membership shifts.
     """
+    if survivor not in ("min_id", "pagerank"):
+        raise ValueError(f"unknown survivor policy: {survivor!r}")
     keep_exact = exact_dedup_survivors(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
     uniq = df.join(keep_exact, id_col, "left_semi")
-    pairs = lsh_candidate_pairs(
-        uniq, text_col, id_col, jaccard_threshold=jaccard_threshold
+    pairs = _barrier(
+        lsh_candidate_pairs(
+            uniq, text_col, id_col, jaccard_threshold=jaccard_threshold
+        )
     )
-    losers = (
-        dup_clusters(pairs)
-        .where(F.col("cluster_id") != F.col("node"))
-        .select(F.col("node").alias(id_col))
-    )
+    clusters = dup_clusters(pairs)
+    if survivor == "min_id":
+        losers = clusters.where(
+            F.col("cluster_id") != F.col("node")
+        ).select(F.col("node").alias(id_col))
+    else:
+        from .graphrank import pagerank
+
+        ranks = pagerank(pairs.select("doc_a", "doc_b"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("rank_scaled"), F.asc("node")
+        )
+        losers = (
+            clusters.join(
+                ranks.select(
+                    F.col("doc_id").alias("node"), "rank_scaled"
+                ),
+                "node",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
     return uniq.join(losers, id_col, "left_anti")

@@ -1494,3 +1494,40 @@ def test_rolling_distinct_sketch_lane_has_no_distinct_expand(spark):
     assert "distinct" not in p.lower().replace("hll_sketch", "")
     with pytest.raises(ValueError):
         rolling_distinct(df, trailing=0)
+
+
+def test_dedup_corpus_pagerank_survivor_elects_the_hub(spark):
+    """survivor='pagerank': a star-shaped near-dup family (hub resembles
+    every leaf, leaves do not resemble each other) keeps the HUB even
+    when its id is not the minimum; kept-set SIZE equals the min_id
+    policy's (one survivor per cluster either way); unknown policies
+    raise. Fixture Jaccards (3-shingles): hub-leaf 0.588-0.688, leaf-leaf
+    0.385-0.459 -- threshold 0.5 splits them."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    runs = ["p1 p2 p3 p4 p5", "q1 q2 q3 q4 q5", "r1 r2 r3 r4 r5"]
+    hub = base + " ".join(runs)
+    leaves = []
+    for i in range(3):
+        rr = list(runs)
+        rr[i] = " ".join(f"x{i}{k}" for k in range(5))
+        leaves.append(base + " ".join(rr))
+    rows = [(50, hub), (10, leaves[0]), (20, leaves[1]), (30, leaves[2]),
+            (90, "totally unrelated words " + "9" * 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_pr = sorted(
+        r["doc_id"]
+        for r in D.dedup_corpus(
+            df, jaccard_threshold=0.5, survivor="pagerank"
+        ).collect()
+    )
+    kept_min = sorted(
+        r["doc_id"]
+        for r in D.dedup_corpus(
+            df, jaccard_threshold=0.5, survivor="min_id"
+        ).collect()
+    )
+    assert len(kept_pr) == len(kept_min) == 2
+    assert kept_min == [10, 90]
+    assert kept_pr == [50, 90]  # the hub, not the min id
+    with pytest.raises(ValueError):
+        D.dedup_corpus(df, survivor="median")
