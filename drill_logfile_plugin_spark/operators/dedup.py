@@ -548,15 +548,8 @@ def simhash_pairs(
     the 64-bit signature separates docs the coarser 32-bit form may
     alias.
     """
-    if max_hamming > 3:
-        raise ValueError(
-            "4-band banding is only lossless for max_hamming <= 3; "
-            "use more/narrower bands for larger radii"
-        )
     if bits not in (32, 64):
         raise ValueError("simhash bits must be 32 or 64")
-    band_bits = bits // 4
-    band_mask = (1 << band_bits) - 1
     df = _spread(df)
     sig_udf = _simhash_udf(bits)
     sigs = df.select(
@@ -566,12 +559,36 @@ def simhash_pairs(
         "doc_id",
         sig_udf(F.col("toks")).alias("sig"),
     )
+    return hamming_band_pairs(sigs, max_hamming=max_hamming, bits=bits)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Pairs within Hamming ``max_hamming`` of any int signature column.
+
+    The banding engine under :func:`simhash_pairs` (and the perceptual-
+    hash media lane, multimodal.phash_neardup), factored over a
+    ``(doc_id, sig)`` frame: 4 equal bands, equi self-join per band,
+    exact ``bit_count(xor)`` re-rank — pigeonhole-lossless for
+    ``max_hamming <= 3``. See simhash_pairs' docstring for the
+    bucket-headroom rule governing the 32- vs 64-bit choice.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band banding is only lossless for max_hamming <= 3; "
+            "use more/narrower bands for larger radii"
+        )
+    if bits not in (32, 64):
+        raise ValueError("signature bits must be 32 or 64")
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
     # Both sides of the candidate self-join read this; materialize the
-    # tokenize+md5+signature pipeline once (4×n small rows; see _barrier
-    # for the local-vs-reliable knob). A groupBy+collect_list pair
-    # expansion was tried and is slower: this corpus is dup-heavy, so
-    # in-bucket pair volume is large and the interpreted lambda expansion
-    # (bit_count per pair) loses to the codegen'd hash join + filter.
+    # signature pipeline once (4×n small rows; see _barrier for the
+    # local-vs-reliable knob). A groupBy+collect_list pair expansion was
+    # tried and is slower: dup-heavy corpora have large in-bucket pair
+    # volume and the interpreted lambda expansion (bit_count per pair)
+    # loses to the codegen'd hash join + filter.
     banded = _barrier(
         sigs.select(
             "doc_id",

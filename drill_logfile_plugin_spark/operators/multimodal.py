@@ -254,3 +254,83 @@ def resize_plan(
             F.floor(F.col("height") * scale).cast("int"), F.lit(1)
         ).alias("target_height"),
     )
+
+
+# --- perceptual-hash media near-dup --------------------------------------
+
+def _ahash64(payload: bytes) -> int:
+    """64-bit average-hash of a byte payload (signed int64).
+
+    The aHash shape on real images (downscale to an 8x8 grid, threshold
+    each cell against the global mean) applied to the payload byte
+    stream: 64 equal-span cells via integer cumulative-sum boundaries,
+    bit i set iff cell i's mean exceeds the global mean. All-integer
+    cross-multiplied comparisons (sum_i * n > total * len_i) — no float,
+    so the signature is a pure function of the bytes on any platform.
+
+    Robustness contract (what the near-dup lane relies on): a k-byte
+    SUBSTITUTION touches at most k cells directly, so two payloads
+    differing in k < max_hamming bytes band together unless a marginal
+    cell elsewhere sits exactly on the shifted global mean. Insertions
+    and deletions reframe every downstream cell (position-based cells;
+    same limitation as real aHash under crop/scale) — that is the text
+    tier's job, not this lane's.
+    """
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)
+    if a.size == 0:
+        return 0
+    idx = (np.arange(65, dtype=np.int64) * a.size) // 64
+    cs = np.concatenate(([0], np.cumsum(a, dtype=np.int64)))
+    sums = cs[idx[1:]] - cs[idx[:-1]]
+    lens = idx[1:] - idx[:-1]
+    total, n = int(cs[-1]), int(a.size)
+    bits = (lens > 0) & (sums * n > total * lens)
+    val = int(bits.astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash_signatures(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig) perceptual signatures via an Arrow-batched UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def ahash_udf(payloads: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_ahash64(p) for p in payloads], dtype="int64"
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ahash_udf(F.col(payload_col)).alias("sig"),
+    )
+
+
+def phash_neardup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Media near-duplicate pairs by perceptual hash: the multimodal →
+    dedup bridge. Signatures are Arrow-batched numpy (:func:`_ahash64`);
+    candidate generation and the exact bit_count re-rank reuse the
+    SimHash 4x16-bit banding engine (dedup.hamming_band_pairs) —
+    pigeonhole-lossless at Hamming <= 3, equi-join-only, O(near-dups)
+    shuffle. Returns (doc_a, doc_b, hamming).
+
+    With a real image codec the signature input would be decoded 8x8
+    luma cells instead of raw payload bytes; everything from the cell
+    means down — thresholding, banding, re-rank, scale shape — is
+    codec-independent and is what this lane proves.
+    """
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        phash_signatures(df, payload_col, id_col),
+        max_hamming=max_hamming,
+        bits=64,
+    )

@@ -1531,3 +1531,50 @@ def test_dedup_corpus_pagerank_survivor_elects_the_hub(spark):
     assert kept_pr == [50, 90]  # the hub, not the min id
     with pytest.raises(ValueError):
         D.dedup_corpus(df, survivor="median")
+
+
+# --- perceptual-hash media near-dup (operators/multimodal.py) -------------
+
+
+def test_ahash64_is_deterministic_and_integer_exact():
+    from drill_logfile_plugin_spark.operators.multimodal import _ahash64
+
+    payload = bytes((i * 37 + 11) % 256 for i in range(1000))
+    h1, h2 = _ahash64(payload), _ahash64(payload)
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+    assert _ahash64(b"") == 0
+    # a single-byte substitution flips at most a few signature bits
+    mutated = bytearray(payload)
+    mutated[500] = (mutated[500] + 128) % 256
+    assert bin((h1 ^ _ahash64(bytes(mutated))) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_phash_neardup_finds_planted_media_pair(spark):
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        attach_payload,
+        phash_neardup,
+    )
+
+    # Blocky high-contrast payloads (the shape real image bytes have):
+    # cells sit far from the global mean, so one substituted byte moves
+    # no cell across threshold — hamming(base, mutated) stays small by a
+    # wide margin, while the phase-inverted payload lands far away.
+    base = "".join(
+        ("z" if (i // 125) % 2 == 0 else "a") for i in range(2000)
+    )
+    mutated = base[:777] + "#" + base[778:]  # same-length substitution
+    unrelated = "".join(
+        ("a" if (i // 125) % 2 == 0 else "z") for i in range(2000)
+    )
+    df = attach_payload(
+        spark.createDataFrame(
+            [(1, base), (2, mutated), (3, unrelated)], ["doc_id", "text"]
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_neardup(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(k == (1, 2) for k in pairs)  # unrelated doc pairs with nobody

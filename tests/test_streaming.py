@@ -393,3 +393,30 @@ def test_event_followups_stream_equals_batch(
     }
     assert batch, "fixture must produce at least one followup pair"
     assert stream == batch
+
+
+def test_streaming_template_mining_equals_batch(spark, tmp_path):
+    """The live "patterns view": log parse → template mining over a file
+    stream, complete mode, equals the batch mine on the same data. The
+    operator is one groupBy over pure projections, so incremental
+    execution maintains the template histogram with partial-agg'd state
+    — no replanning, no stream-specific code path."""
+    from drill_logfile_plugin_spark.operators.templates import mine_templates
+
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["log_date", "log_time", "pid", "action", "sql_text"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    import shutil
+
+    shutil.copy("/root/repo/fixtures/mysql.log", d / "a.log")
+    sdf = mine_templates(read_log_stream(spark, str(d), cfg), "sql_text")
+    _run_to_memory(sdf, "tpl_mem", "complete")
+    got = _rows(spark.table("tpl_mem"))
+    want = _rows(mine_templates(read_log(spark, str(d), cfg), "sql_text"))
+    assert got == want
+    assert any("<NUM>" in r[0] for r in got)

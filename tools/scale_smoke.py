@@ -100,6 +100,40 @@ def gen_sf1_embeddings(spark, regen: bool) -> None:
     df.repartition(8).write.mode("overwrite").parquet(str(out))
 
 
+def gen_sf1_events(spark, regen: bool) -> None:
+    """10× events: replica r offsets user_id/event_id into a disjoint id
+    space, keeping the SAME time range — per-bucket volume and per-bucket
+    distinct users grow 10× while the bucket spine stays constant, which
+    is exactly the axis the anomaly/rolling lanes claim to be robust on
+    (scan-sized count agg; sketch state constant per bucket)."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.sources.tables import load_table
+
+    out = Path(SF1_DIR) / "events.parquet"
+    if out.exists() and not regen and (out / "_SUCCESS").exists():
+        return
+    if out.exists():
+        shutil.rmtree(out)
+    src = load_table(spark, SRC_SF, "events")
+    reps = []
+    for r in range(10):
+        reps.append(
+            src.select(
+                (F.col("event_id") + F.lit(r * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    df = reps[0]
+    for rep in reps[1:]:
+        df = df.unionByName(rep)
+    df.repartition(8).write.mode("overwrite").parquet(str(out))
+
+
 def gen_sf1(spark, regen: bool) -> None:
     out = Path(SF1_DIR) / "documents.parquet"
     meta = Path(SF1_DIR) / "_source_fingerprint"
@@ -161,6 +195,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     gen_sf1(spark, args.regen)
     gen_sf1_embeddings(spark, args.regen)
+    gen_sf1_events(spark, args.regen)
 
     qs = entry.queries()
     # Warm the Python worker pool once (numpy import cold start, see
@@ -272,6 +307,41 @@ def main() -> None:
     timed.append(("bigram_model", bigram_lane))
     timed.append(("snapshot_diff", diff_lane))
     timed.append(("stratified_sample", strat_lane))
+
+    # Round-4 late additions. Templates over documents.text is the
+    # worst case for the operator (word-soup docs barely collapse, so
+    # template cardinality tracks the corpus — a real log stream
+    # collapses thousands-to-one); the lane should bend linearly, which
+    # certifies the partial-agg'd min/count shuffle, and the output is
+    # folded to a histogram so collect() stays output-sized. The events
+    # lanes run on the 10×-volume/constant-spine fixture (gen_sf1_events)
+    # — spike_flags should ride the scan; rolling's sketch lane should
+    # bend far below its exact lane (fixed sketch bytes per bucket vs a
+    # 10× distinct-key shuffle), which is the operator's entire claim.
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+    from drill_logfile_plugin_spark.operators.templates import mine_templates
+    from drill_logfile_plugin_spark.sources.tables import load_table
+
+    def templates_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return mine_templates(docs, "text").groupBy("n_params").count()
+
+    def spike_lane(spark, sf_dir):
+        return spike_flags(load_table(spark, sf_dir, "events"))
+
+    def rolling_sketch_lane(spark, sf_dir):
+        return rolling_distinct(
+            load_table(spark, sf_dir, "events"), exact_lane=False
+        )
+
+    def rolling_exact_lane(spark, sf_dir):
+        return rolling_distinct(load_table(spark, sf_dir, "events"))
+
+    timed.append(("log_templates", templates_lane))
+    timed.append(("anomaly_spikes", spike_lane))
+    timed.append(("rolling_hll_sketch", rolling_sketch_lane))
+    timed.append(("rolling_with_exact_lane", rolling_exact_lane))
 
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
