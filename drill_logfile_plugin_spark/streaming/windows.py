@@ -30,7 +30,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -430,4 +433,162 @@ def event_followups(
             F.unix_micros(F.col("then_ts").cast(TimestampType()))
             - F.unix_micros(F.col("first_ts").cast(TimestampType()))
         ).alias("lag_us"),
+    )
+
+
+# --- streaming burst detection (stateful spike_flags) ---------------------
+
+SPIKE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("cnt", LongType()),
+        StructField("n_trail", LongType()),
+        StructField("z_num", LongType()),
+        StructField("z_den2", LongType()),
+        StructField("spike", BooleanType()),
+    ]
+)
+
+#: last_closed = epoch-grain index of the newest finalized bucket
+#: (LAST_CLOSED_NONE before any); trail = counts of the most recent
+#: closed buckets, oldest -> newest, len <= trailing; open_b/open_c =
+#: parallel arrays of still-open bucket indices and their running counts.
+SPIKE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_closed", LongType()),
+        StructField("trail", ArrayType(LongType())),
+        StructField("open_b", ArrayType(LongType())),
+        StructField("open_c", ArrayType(LongType())),
+    ]
+)
+
+LAST_CLOSED_NONE = -(1 << 62)
+
+
+def spike_flags_stateful(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    grain: str = "hour",
+    trailing: int = 6,
+    k: int = 2,
+    min_trailing: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming counterpart of :func:`~..operators.anomaly.spike_flags`:
+    trailing-window integer z-score burst verdicts, emitted as the
+    watermark FINALIZES each bucket — the alerting shape, where batch
+    recomputation would mean the page arrives a day late.
+
+    Mechanics (the sessionize_stateful pattern): keyed by ``group_col``
+    via ``applyInPandasWithState`` + EventTimeTimeout. State per key is
+    the trailing verdict context (≤ ``trailing`` closed counts), the
+    newest finalized bucket index, and the open buckets still inside the
+    watermark horizon — O(trailing + horizon/grain) longs per group
+    regardless of event volume. A bucket finalizes when the watermark
+    passes its end (via a later event for the key or the event-time
+    timeout); interior empty buckets finalize as zero-count rows, so the
+    verdict math sees the same gap-filled axis as the batch operator —
+    which is exactly what the stream==batch test pins (identical
+    z_num/z_den2/spike per finalized bucket).
+
+    Late-data contract: an event later than the watermark horizon for an
+    already-finalized bucket is dropped by the watermark (standard
+    append-mode semantics); verdicts are never retracted.
+    """
+    grain_ns = int(pd.Timedelta(f"1 {grain}").value)
+    grain_ms = grain_ns // 1_000_000
+    k2 = int(k) * int(k)
+    trailing = int(trailing)
+
+    def _verdict(trail: list, cnt: int):
+        n = len(trail)
+        if n == 0:
+            return 0, None, None, False
+        s = sum(trail)
+        ss = sum(x * x for x in trail)
+        z_num = n * cnt - s
+        z_den2 = n * ss - s * s
+        spike = (
+            n >= int(min_trailing) and z_num > 0 and z_num * z_num > k2 * z_den2
+        )
+        return n, z_num, z_den2, spike
+
+    def _close(gname, last_closed, trail, to_close):
+        """Finalize buckets (ascending), zero-filling interior gaps."""
+        out_rows = []
+        for b, cnt in to_close:
+            fill_from = (
+                b if last_closed == LAST_CLOSED_NONE else last_closed + 1
+            )
+            for g in range(fill_from, b + 1):
+                c = cnt if g == b else 0
+                n, z_num, z_den2, spike = _verdict(trail, c)
+                out_rows.append((gname, pd.Timestamp(g * grain_ns), c, n,
+                                 z_num, z_den2, spike))
+                trail.append(c)
+                del trail[:-trailing]
+            last_closed = b
+        return last_closed, trail, out_rows
+
+    def update(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        (gname,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            last_closed, trail, open_b, open_c = state.get
+            trail = list(trail)
+            opens = dict(zip(open_b, open_c))
+        else:
+            last_closed, trail, opens = LAST_CLOSED_NONE, [], {}
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            b = (
+                rows[ts_col].astype("datetime64[ns]").astype("int64")
+                // grain_ns
+            ).to_numpy()
+            import numpy as np
+
+            uniq, counts = np.unique(b, return_counts=True)
+            for bi, ci in zip(uniq.tolist(), counts.tolist()):
+                if bi > last_closed:  # late-beyond-horizon rows drop
+                    opens[bi] = opens.get(bi, 0) + ci
+
+        to_close = sorted(
+            (b, c) for b, c in opens.items() if (b + 1) * grain_ms <= wm_ms
+        )
+        for b, _ in to_close:
+            del opens[b]
+        last_closed, trail, out_rows = _close(
+            gname, last_closed, trail, to_close
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "event_type", "bucket", "cnt", "n_trail",
+                    "z_num", "z_den2", "spike",
+                ],
+            )
+        state.update((
+            last_closed,
+            trail,
+            sorted(opens),
+            [opens[b] for b in sorted(opens)],
+        ))
+        if opens:
+            state.setTimeoutTimestamp((min(opens) + 1) * grain_ms)
+
+    return (
+        _with_watermark(events, ts_col, watermark)
+        .select(F.col(group_col).alias("event_type"), ts_col)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SPIKE_OUTPUT_SCHEMA,
+            stateStructType=SPIKE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )

@@ -14,6 +14,8 @@ tests validate the Structured Streaming extension tier:
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -420,3 +422,60 @@ def test_streaming_template_mining_equals_batch(spark, tmp_path):
     want = _rows(mine_templates(read_log(spark, str(d), cfg), "sql_text"))
     assert got == want
     assert any("<NUM>" in r[0] for r in got)
+
+
+def test_stateful_spike_flags_matches_batch(
+    spark, events_batch, events_stream_dir
+):
+    """Streaming burst detection == batch spike_flags on every bucket the
+    watermark finalized: identical cnt/n_trail/z_num/z_den2/spike per
+    (group, bucket) — the integer z-test plus gap-filled axis reproduced
+    incrementally with bounded state."""
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+    from drill_logfile_plugin_spark.streaming.windows import (
+        spike_flags_stateful,
+    )
+
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    _run_to_memory(
+        spike_flags_stateful(sdf, watermark="2 hours"),
+        "spike_state_mem",
+        "append",
+    )
+    emitted = set(_rows(spark.table("spike_state_mem")))
+    batch_all = set(_rows(spike_flags(events_batch)))
+    assert emitted, "stateful spike detector emitted nothing"
+    assert emitted <= batch_all
+    # Finalization is contiguous per group: up to each group's emitted
+    # frontier, the stream's verdicts must equal the batch rows EXACTLY
+    # (a trailing interior gap past the frontier only materializes when
+    # a later observed bucket closes — that's watermark semantics, and
+    # the frontier itself must at least reach watermark - one grain).
+    frontier: dict = {}
+    for r in emitted:
+        if r[0] not in frontier or r[1] > frontier[r[0]]:
+            frontier[r[0]] = r[1]
+    expected = {
+        r for r in batch_all if r[0] in frontier and r[1] <= frontier[r[0]]
+    }
+    assert expected == emitted
+    # The frontier must reach every OBSERVED bucket whose end precedes
+    # the final watermark (max_ts - 2h); gaps past the last observed
+    # closeable bucket cannot close — that is watermark semantics, not
+    # operator lag. 60s slack for ms-boundary rounding.
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    observed = (
+        events_batch.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("b")
+        )
+        .count()
+        .collect()
+    )
+    for r in observed:
+        end_plus_wm = r["b"] + datetime.timedelta(hours=3)
+        if (max_ts - end_plus_wm).total_seconds() > 60:
+            assert r["event_type"] in frontier
+            assert frontier[r["event_type"]] >= r["b"], (
+                f"{r['event_type']} frontier {frontier[r['event_type']]} "
+                f"lags closeable observed bucket {r['b']}"
+            )
