@@ -11,15 +11,19 @@ same partial-aggregate property q52's sketch lanes certify, lifted from
 "one global number" to "one number per sliding window". No reference
 counterpart (SURVEY.md §2 Tier C).
 
-Shape: both lanes are offset-explodes — a bucket row is replicated once
-per window-end it belongs to (``trailing`` copies) and re-aggregated on
-(group, window_end). No window-function state, no sort: plain partial-
-agg'd shuffles that AQE can size. The approx lane replicates *sketches*
-(fixed bytes × trailing per bucket); the exact lane replicates the
-per-bucket DISTINCT KEY SET (the expensive check lane — it exists to be
-the oracle, production runs the sketch lane alone). Window ends are
-restricted to observed buckets via one last equi join onto the bucket
-spine.
+Shape: the approx lane is an offset-explode — each bucket's sketch is
+replicated once per window-end it belongs to (``trailing`` fixed-size
+copies) and union-aggregated on (group, window_end); no window-function
+state, no sort. The exact certification lane uses CONTRIBUTION
+INTERVALS instead of a windowed count-distinct: a key's appearance in
+bucket b is "the" occurrence for every window end up to its next
+appearance (capped at ``trailing``), so exploding that range and
+COUNTING rows yields the exact distinct count as a plain map-side-
+combined sum — no Expand, no per-window key re-shuffle. The DuckDB
+oracle recomputes the exact lane by the *other* algorithm
+(offset-explode + COUNT(DISTINCT)), so a MATCH certifies two
+independent formulations agree. Window ends are restricted to observed
+buckets via one last equi join onto the bucket spine.
 
 In-band contract (the q52 pattern): the emitted ``in_band`` boolean
 asserts |approx − exact| ≤ max(abs_tol, rel_tol · exact) per window;
@@ -90,13 +94,37 @@ def rolling_distinct(
     if not exact_lane:
         return approx
 
+    # Exact lane via CONTRIBUTION INTERVALS, not a windowed
+    # count-distinct: a key appearing in bucket b is "the" occurrence for
+    # every window end in [b, min(next_appearance - 1, b + trailing - 1)]
+    # — so exploding that (≤ trailing-long) range and COUNTING rows gives
+    # the distinct count per window with a plain partial-agg'd sum: no
+    # Expand, no distinct-key re-shuffle per window. Shuffles:
+    # appearance-dedup, one (group, key) window, one map-side-combined
+    # count — each O(appearances), never O(appearances × trailing).
+    from pyspark.sql import Window
+
+    w_next = Window.partitionBy(*gcols, "_k").orderBy("bucket")
+    span = F.least(
+        F.lit(int(trailing) - 1),
+        F.coalesce(
+            F.expr(
+                f"timestampdiff({grain}, bucket, _next) - 1"
+            ).cast("int"),
+            F.lit(int(trailing) - 1),
+        ),
+    )
     exact = (
         df.select(*gcols, bucket, F.col(key_col).alias("_k"))
         .distinct()
-        .select(*gcols, "bucket", "_k", offs)
-        .select(*gcols, wend, "_k")
+        .withColumn("_next", F.lead("bucket").over(w_next))
+        .select(
+            *gcols, "bucket",
+            F.explode(F.sequence(F.lit(0), span)).alias("_off"),
+        )
+        .select(*gcols, wend)
         .groupBy(*gcols, "wend")
-        .agg(F.count_distinct("_k").alias("n_exact"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
         .withColumnRenamed("wend", "bucket")
     )
     out = approx.join(exact, gcols + ["bucket"])

@@ -15,6 +15,7 @@ the same plan shape, so deadline is disabled (Spark job latency dwarfs it).
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from drill_logfile_plugin_spark.config import LogFormatConfig
 from drill_logfile_plugin_spark.sources.log_reader import parse_lines
@@ -297,3 +298,47 @@ def test_cohort_retention_matches_reference(spark, events):
         for d in ds:
             want[(epoch + first, d - first)] += 1
     assert got == dict(want)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=24),
+    trailing=st.sampled_from([2, 4, 6]),
+    k=st.sampled_from([1, 2, 3]),
+)
+@SETTINGS
+def test_spike_flags_matches_reference_on_any_series(spark, counts, trailing, k):
+    """For ANY dense hourly count series and (trailing, k): the integer
+    z-test verdicts equal an independent Python reference computed from
+    the float definition's algebra — including warmup rows and all-zero
+    windows (variance 0: any positive deviation is a spike)."""
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+
+    rows = [
+        ("g", f"2024-01-0{1 + h // 24} {h % 24:02d}:{m:02d}:00")
+        for h, c in enumerate(counts)
+        for m in range(c)
+    ]
+    if not rows:  # all-zero series has no events to bucket
+        return
+    df = spark.createDataFrame(
+        rows, "event_type string, s string"
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"))
+    got = {
+        r["bucket"]: (r["cnt"], r["n_trail"], r["spike"])
+        for r in spike_flags(
+            df, trailing=trailing, k=k, min_trailing=2
+        ).collect()
+    }
+    # the observed axis spans min..max event hour; gapfill completes it
+    hours = [h for h, c in enumerate(counts) if c > 0]
+    lo, hi = min(hours), max(hours)
+    dense = counts[lo : hi + 1]
+    assert len(got) == len(dense)
+    by_hour = sorted(got)
+    for i, b in enumerate(by_hour):
+        c = dense[i]
+        w = dense[max(0, i - trailing) : i]
+        n, s, ss = len(w), sum(w), sum(x * x for x in w)
+        z_num, z_den2 = n * c - s, n * ss - s * s
+        expect = n >= 2 and z_num > 0 and z_num * z_num > k * k * z_den2
+        assert got[b] == (c, n, expect), (i, b, dense)
