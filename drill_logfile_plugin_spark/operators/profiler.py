@@ -158,3 +158,75 @@ def profile_sql_duck(table: str, col_types: dict[str, str]) -> str:
       FROM {table}"""
         )
     return " UNION ALL ".join(parts)
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_jump: float = 0.05,
+    distinct_swing: float = 0.5,
+) -> DataFrame:
+    """Drift report between two :func:`profile_columns` outputs — the
+    second half of the ingestion pre-flight: yesterday's profile is the
+    contract, today's batch either honors it or this report says where
+    it broke before anything lands in the lake.
+
+    One row per column in either profile, with the verdict columns a
+    gating job switches on:
+
+    * ``status`` — ``added`` / ``removed`` / ``present``;
+    * ``null_rate_drifted`` — |null-rate delta| > ``null_rate_jump``
+      (a silent upstream outage usually shows up here first);
+    * ``distinct_drifted`` — distinct-count ratio outside
+      [1-s, 1/(1-s)] for s = ``distinct_swing`` (key-space collapse or
+      explosion — a join-key deduplication bug or an id-format change);
+    * ``range_expanded`` — new [min, max] escapes the old envelope on
+      either laned representation (numeric/epoch doubles or varchar) —
+      out-of-domain values, clock skew, schema-on-read type drift.
+
+    Scale posture: inputs are column-cardinality-sized (one row per
+    column), so this is driver-trivial arithmetic expressed as one
+    full-outer equi join — it composes with profiles computed on any
+    corpus size; the expensive pass is profile_columns itself, already
+    one fused aggregation.
+    """
+    o = old.select(
+        F.col("col_name"),
+        *[F.col(c).alias(f"o_{c}") for c in old.columns if c != "col_name"],
+    )
+    n = new.select(
+        F.col("col_name"),
+        *[F.col(c).alias(f"n_{c}") for c in new.columns if c != "col_name"],
+    )
+    j = o.join(n, "col_name", "full_outer")
+    in_old = F.col("o_n_rows").isNotNull()
+    in_new = F.col("n_n_rows").isNotNull()
+    o_nullrate = F.col("o_n_nulls") / F.col("o_n_rows")
+    n_nullrate = F.col("n_n_nulls") / F.col("n_n_rows")
+    ratio = F.col("n_n_distinct") / F.col("o_n_distinct")
+    lo_s = 1.0 - float(distinct_swing)
+    hi_s = 1.0 / lo_s if lo_s > 0 else float("inf")
+    range_expanded = (
+        (F.col("n_d_min") < F.col("o_d_min"))
+        | (F.col("n_d_max") > F.col("o_d_max"))
+        | (F.col("n_s_min") < F.col("o_s_min"))
+        | (F.col("n_s_max") > F.col("o_s_max"))
+    )
+    return j.select(
+        "col_name",
+        F.when(in_old & in_new, "present")
+        .when(in_new, "added")
+        .otherwise("removed")
+        .alias("status"),
+        (
+            in_old & in_new
+            & (F.abs(n_nullrate - o_nullrate) > F.lit(float(null_rate_jump)))
+        ).alias("null_rate_drifted"),
+        (
+            in_old & in_new & (F.col("o_n_distinct") > 0)
+            & ((ratio < F.lit(lo_s)) | (ratio > F.lit(hi_s)))
+        ).alias("distinct_drifted"),
+        (in_old & in_new & F.coalesce(range_expanded, F.lit(False))).alias(
+            "range_expanded"
+        ),
+    )

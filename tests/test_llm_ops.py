@@ -1578,3 +1578,52 @@ def test_phash_neardup_finds_planted_media_pair(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert all(k == (1, 2) for k in pairs)  # unrelated doc pairs with nobody
+
+
+def test_profile_drift_hand_computed(spark):
+    """added/removed columns, a null-rate jump, a distinct collapse, and
+    a range escape each raise exactly their own flag."""
+    from drill_logfile_plugin_spark.operators.profiler import (
+        profile_columns,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(i, float(i % 50), f"u{i % 100}") for i in range(100)],
+        "a long, b double, c string",
+    )
+    # b: every value NULL'd 20% of the time (null-rate 0 -> 0.2);
+    # c: distinct collapses 100 -> 2; a: range escapes upward; d: added.
+    new = spark.createDataFrame(
+        [
+            (
+                i + 50,  # a: max escapes old envelope
+                None if i % 5 == 0 else float(i % 50),
+                f"u{i % 2}",
+                i,
+            )
+            for i in range(100)
+        ],
+        "a long, b double, c string, d long",
+    )
+    drift = {
+        r["col_name"]: r
+        for r in profile_drift(
+            profile_columns(old), profile_columns(new)
+        ).collect()
+    }
+    assert drift["d"]["status"] == "added"
+    assert drift["a"]["status"] == "present"
+    assert drift["a"]["range_expanded"] is True
+    assert drift["b"]["null_rate_drifted"] is True
+    assert drift["c"]["distinct_drifted"] is True
+    assert drift["b"]["distinct_drifted"] is False
+    assert drift["c"]["range_expanded"] is False  # u0..u99 envelope holds u0,u1
+    # removed: profile old against a narrower new
+    gone = {
+        r["col_name"]: r["status"]
+        for r in profile_drift(
+            profile_columns(old), profile_columns(new.select("a", "b"))
+        ).collect()
+    }
+    assert gone["c"] == "removed"
