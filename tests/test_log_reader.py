@@ -456,3 +456,91 @@ class TestJvmRegexValidation:
         cfg = LogFormatConfig(pattern="(unclosed", field_names=["a"])
         with pytest.raises(ValueError, match="java.util.regex"):
             read_log(spark, str(p), cfg)
+
+
+# --- JSONL corpus source (sources/jsonl.py) -------------------------------
+
+
+def test_read_jsonl_routes_corrupt_and_skips_blanks(spark, tmp_path):
+    from drill_logfile_plugin_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        "\n"
+        "   \n"
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "{broken json!\n"
+        '{"doc_id": 3, "text": null, "lang": 7}\n'  # valid JSON, lenient fields
+    )
+    rows = read_jsonl(
+        spark, str(p), "doc_id long, text string, lang string"
+    ).collect()
+    assert len(rows) == 4  # blanks skipped entirely
+    by_corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(by_corrupt) == 1
+    assert by_corrupt[0]["_corrupt_record"] == "{broken json!"
+    assert by_corrupt[0]["doc_id"] is None
+    ok = {r["doc_id"]: r for r in rows if r["_corrupt_record"] is None}
+    assert ok[1]["text"] == "hello world" and ok[2]["lang"] == "fr"
+    # lenient: valid JSON with a type-mismatched field is NOT corrupt
+    assert ok[3]["text"] is None and ok[3]["lang"] == "7"
+
+
+def test_read_jsonl_strict_aborts_with_file_and_line(spark, tmp_path):
+    from drill_logfile_plugin_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"doc_id": 1}\n'
+        '{"doc_id": 2}\n'
+        "NOT JSON\n"
+    )
+    with pytest.raises(Exception) as ei:
+        read_jsonl(spark, str(p), "doc_id long", strict=True).collect()
+    msg = str(ei.value)
+    assert "bad.jsonl" in msg and "at line 3" in msg and "NOT JSON" in msg
+
+
+def test_read_jsonl_gzip_and_field_pruning(spark, tmp_path):
+    import gzip as _gzip
+
+    from drill_logfile_plugin_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl.gz"
+    with _gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 1, "text": "abc"}\n{"doc_id": 2, "text": "xy"}\n')
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    assert [r["doc_id"] for r in sorted(df.collect(), key=lambda r: r[0])] == [1, 2]
+    # The parse stays a single codegen projection — no Python anywhere.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_read_jsonl_stream_equals_batch(spark, tmp_path):
+    from drill_logfile_plugin_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_stream,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "a"}\nbroken\n{"doc_id": 2, "text": "b"}\n'
+    )
+    sdf = read_jsonl_stream(spark, str(d), "doc_id long, text string")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("jsonl_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.table("jsonl_mem").collect()), key=str)
+    want = sorted(
+        map(tuple, read_jsonl(spark, str(d), "doc_id long, text string").collect()),
+        key=str,
+    )
+    assert got == want and len(got) == 3
