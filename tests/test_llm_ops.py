@@ -1627,3 +1627,45 @@ def test_profile_drift_hand_computed(spark):
         ).collect()
     }
     assert gone["c"] == "removed"
+
+
+def test_rolling_distinct_global_no_group(spark):
+    """group_cols=() — one global series — works and matches brute force."""
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+
+    rows = [(h, u) for h, us in {0: [1, 2], 1: [2], 3: [1, 9]}.items() for u in us]
+    df = spark.createDataFrame(
+        [(f"2024-01-01 {h:02d}:00:00", u) for h, u in rows],
+        "s string, user_id long",
+    ).select(F.col("s").cast("timestamp").alias("ts"), "user_id")
+    got = {
+        r["bucket"].hour: r["n_exact"]
+        for r in rolling_distinct(df, group_cols=(), trailing=3).collect()
+    }
+    assert got == {0: 2, 1: 2, 3: 3}  # window at 3 = hours 1..3 -> {2,1,9}
+
+
+def test_template_burst_composition(spark):
+    """The log-observability composition: mine templates per line, then
+    spike-flag per template — 'which error shape burst, when'. A planted
+    burst of one template at hour 9 is the only spike."""
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+    from drill_logfile_plugin_spark.operators.templates import template_expr
+
+    lines = []
+    for h in range(12):
+        for i in range(3):
+            lines.append((f"2024-01-01 {h:02d}:{i:02d}:00", f"timeout on conn {h * 10 + i}"))
+        lines.append((f"2024-01-01 {h:02d}:30:00", f"disk full on /dev/sd{h}"))
+    for i in range(40):  # the burst: one template floods hour 9
+        lines.append((f"2024-01-01 09:{i % 60:02d}:30", f"timeout on conn {900 + i}"))
+    df = spark.createDataFrame(lines, "s string, message string").select(
+        F.col("s").cast("timestamp").alias("ts"),
+        template_expr("message").alias("template"),
+    )
+    spikes = [
+        (r["template"], r["bucket"].hour)
+        for r in spike_flags(df, group_cols=("template",)).collect()
+        if r["spike"]
+    ]
+    assert spikes == [("timeout on conn <NUM>", 9)]
