@@ -593,3 +593,36 @@ def int8_err_given_scale_sql(vec: str, scale: str, spark: bool) -> str:
         f"CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
         f"ELSE {err} END"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: drop corpus rows whose embedding lands
+    within cosine ``tau`` of ANY benchmark vector — the embedding-space
+    complement to the lexical shingle-overlap pass (q58): paraphrased or
+    reformatted eval items that share no 8-grams still sit next to their
+    source in embedding space.
+
+    Returns the KEPT corpus rows (original columns). Shape: benchmark
+    sets are small by nature (thousands of eval items), so the benchmark
+    side broadcasts and the corpus is scanned once — a broadcast
+    nested-loop semi join in plan terms, bounded by the documented
+    small-side rule (the q30 posture), with an early ANY-match exit per
+    corpus row and no shuffle at all. For benchmark sets too large to
+    broadcast, block through ``cosine_neardup_lsh``'s sign-bucket lane
+    instead.
+    """
+    b = benchmark.select(F.col(vec_col).alias("be"))
+    hits = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("ce"))
+        .join(F.broadcast(b), cosine("ce", "be") >= F.lit(float(tau)), "left_semi")
+        .select("_cid")
+    )
+    return corpus.join(
+        hits, corpus[id_col] == hits["_cid"], "left_anti"
+    )

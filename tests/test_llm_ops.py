@@ -1669,3 +1669,30 @@ def test_template_burst_composition(spark):
         if r["spike"]
     ]
     assert spikes == [("timeout on conn <NUM>", 9)]
+
+
+def test_embedding_decontaminate_drops_planted_neighbors(spark, embeddings):
+    """Corpus vectors planted near benchmark items are dropped; the rest
+    of the corpus passes; the plan broadcasts the benchmark side only."""
+    from drill_logfile_plugin_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    bench = embeddings.where(F.col("vec_id") % 97 == 0).select(
+        "vec_id", "embedding"
+    )
+    n_bench = bench.count()
+    # Plant: corpus = embeddings + exact copies of benchmark vectors
+    plants = bench.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(plants)
+    kept = embedding_decontaminate(corpus, bench, tau=0.98)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every plant is gone (cos=1 with its source), originals too (self)
+    assert not any(v >= 1_000_000 for v in kept_ids)
+    assert not any(v % 97 == 0 for v in kept_ids)
+    # near-uniform random corpus: nothing else sits at cos >= 0.98
+    assert len(kept_ids) == corpus.count() - 2 * n_bench
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
