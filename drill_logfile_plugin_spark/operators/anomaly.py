@@ -146,7 +146,8 @@ def spike_sql_duck(
           SELECT {group_col}, date_trunc('{grain}', {ts_col}) AS bucket,
                  COUNT(*) AS cnt
           FROM ({source_sql}) GROUP BY {group_col}, bucket
-        ) g ON s.{group_col} = g.{group_col} AND s.bucket = g.bucket
+        ) g ON s.{group_col} IS NOT DISTINCT FROM g.{group_col}
+           AND s.bucket = g.bucket
       )
       WINDOW w AS (PARTITION BY {group_col} ORDER BY bucket
                    ROWS BETWEEN {int(trailing)} PRECEDING

@@ -984,11 +984,14 @@ def dedup_corpus(
         F.col("keep_id").alias(id_col)
     )
     uniq = df.join(keep_exact, id_col, "left_semi")
-    pairs = _barrier(
-        lsh_candidate_pairs(
-            uniq, text_col, id_col, jaccard_threshold=jaccard_threshold
-        )
+    pairs = lsh_candidate_pairs(
+        uniq, text_col, id_col, jaccard_threshold=jaccard_threshold
     )
+    if survivor == "pagerank":
+        # Two consumers (clusters + centrality) re-plan the LSH re-rank's
+        # corpus semi-scan without this O(dup-pairs) barrier; the min_id
+        # path has one consumer, which applies its own barrier.
+        pairs = _barrier(pairs)
     clusters = dup_clusters(pairs)
     if survivor == "min_id":
         losers = clusters.where(

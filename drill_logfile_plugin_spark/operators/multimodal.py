@@ -294,7 +294,12 @@ def _ahash64(payload: bytes) -> int:
 def phash_signatures(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, sig) perceptual signatures via an Arrow-batched UDF."""
+    """(doc_id, sig) perceptual signatures via an Arrow-batched UDF.
+
+    NULL payloads are filtered before the UDF — a payloadless row has no
+    signature and can near-duplicate nothing (np.frombuffer would
+    otherwise fail the whole Arrow batch on the first NULL).
+    """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
@@ -303,7 +308,7 @@ def phash_signatures(
             [_ahash64(p) for p in payloads], dtype="int64"
         )
 
-    return df.select(
+    return df.where(F.col(payload_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         ahash_udf(F.col(payload_col)).alias("sig"),
     )

@@ -85,12 +85,23 @@ def rolling_distinct(
     )
     # Only window ends that are themselves observed buckets (offsets past
     # a group's last bucket otherwise invent trailing ghost windows).
-    approx = approx.join(
-        spine,
-        [approx[c].eqNullSafe(spine[c]) for c in gcols]
-        + [approx["wend"] == spine["bucket"]],
-        "left_semi",
-    ).withColumnRenamed("wend", "bucket")
+    # Aliased refs, not approx[c]/spine[c]: both frames share the
+    # per_bucket lineage, so unaliased column refs resolve to the SAME
+    # attribute and the group predicate folds to trivially-true —
+    # cross-group bucket leakage on non-identical spines.
+    ap0, sp = approx.alias("ap0"), spine.alias("sp")
+    approx = (
+        ap0.join(
+            sp,
+            [
+                F.col(f"ap0.{c}").eqNullSafe(F.col(f"sp.{c}"))
+                for c in gcols
+            ]
+            + [F.col("ap0.wend") == F.col("sp.bucket")],
+            "left_semi",
+        )
+        .withColumnRenamed("wend", "bucket")
+    )
     if not exact_lane:
         return approx
 
@@ -116,6 +127,10 @@ def rolling_distinct(
     )
     exact = (
         df.select(*gcols, bucket, F.col(key_col).alias("_k"))
+        # NULL keys are not values under COUNT(DISTINCT) semantics (the
+        # HLL lane and the DuckDB oracle both skip them) — exclude them
+        # here or n_exact overcounts by one per window.
+        .where(F.col("_k").isNotNull())
         .distinct()
         .withColumn("_next", F.lead("bucket").over(w_next))
         .select(
@@ -127,7 +142,20 @@ def rolling_distinct(
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .withColumnRenamed("wend", "bucket")
     )
-    out = approx.join(exact, gcols + ["bucket"])
+    # Null-SAFE group equality (same reason as the semi join above: a
+    # NULL group is a real group) and a LEFT join from the approx lane:
+    # a group whose every key is NULL has windows with no exact rows at
+    # all — those windows keep n_exact = 0 rather than vanishing.
+    ap, ex = approx.alias("ap"), exact.alias("ex")
+    cond = [
+        F.col(f"ap.{c}").eqNullSafe(F.col(f"ex.{c}")) for c in gcols
+    ] + [F.col("ap.bucket") == F.col("ex.bucket")]
+    out = ap.join(ex, cond, "left").select(
+        *[F.col(f"ap.{c}") for c in gcols],
+        F.col("ap.bucket").alias("bucket"),
+        F.col("ap.n_approx").alias("n_approx"),
+        F.coalesce(F.col("ex.n_exact"), F.lit(0)).alias("n_exact"),
+    )
     return out.withColumn(
         "in_band",
         F.abs(F.col("n_approx") - F.col("n_exact"))
@@ -167,6 +195,7 @@ def rolling_exact_sql_duck(
     JOIN (
       SELECT DISTINCT {group_col}, date_trunc('{grain}', {ts_col}) AS bucket
       FROM ({source_sql})
-    ) s ON d.{group_col} = s.{group_col} AND d.wend = s.bucket
+    ) s ON d.{group_col} IS NOT DISTINCT FROM s.{group_col}
+       AND d.wend = s.bucket
     GROUP BY d.{group_col}, d.wend
     """

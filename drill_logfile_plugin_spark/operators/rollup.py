@@ -119,7 +119,21 @@ def gapfill(
             )
         ).alias(bucket_col),
     )
-    out = spine.join(agg, gcols + [bucket_col], "left")
+    # Null-SAFE group equality: a NULL group key is a real group (e.g.
+    # events with no event_type); a plain equi join would never match the
+    # spine back onto it and silently zero-fill the whole group.
+    sp, ag = spine.alias("sp"), agg.alias("ag")
+    cond = [
+        F.col(f"sp.{c}").eqNullSafe(F.col(f"ag.{c}")) for c in gcols
+    ] + [F.col(f"sp.{bucket_col}") == F.col(f"ag.{bucket_col}")]
+    value_cols = [
+        c for c in agg.columns if c not in gcols and c != bucket_col
+    ]
+    out = sp.join(ag, cond, "left").select(
+        *[F.col(f"sp.{c}") for c in gcols],
+        F.col(f"sp.{bucket_col}").alias(bucket_col),
+        *[F.col(f"ag.{c}").alias(c) for c in value_cols],
+    )
     for col, v in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
     return out

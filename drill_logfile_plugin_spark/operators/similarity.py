@@ -618,11 +618,8 @@ def embedding_decontaminate(
     instead.
     """
     b = benchmark.select(F.col(vec_col).alias("be"))
-    hits = (
-        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("ce"))
-        .join(F.broadcast(b), cosine("ce", "be") >= F.lit(float(tau)), "left_semi")
-        .select("_cid")
-    )
     return corpus.join(
-        hits, corpus[id_col] == hits["_cid"], "left_anti"
+        F.broadcast(b),
+        cosine(vec_col, "be") >= F.lit(float(tau)),
+        "left_anti",
     )

@@ -48,10 +48,14 @@ def parse_jsonl_lines(
     """Pure-projection JSONL parse of a raw-lines frame (batch or stream).
 
     Output: one column per schema field plus ``_corrupt_record`` (the raw
-    line on parse failure, NULL otherwise). ``from_json`` yields a NULL
-    struct for malformed JSON — that is the corrupt signal; a VALID JSON
-    object with type-mismatched or missing fields yields per-field NULLs
-    (schema-on-read leniency), not corruption.
+    line on parse failure, NULL otherwise). Corrupt means what Spark's
+    PERMISSIVE JSON reader means: malformed JSON, or a field value the
+    declared type cannot represent (``"doc_id": "abc"`` as long).
+    Missing fields, JSON ``null``s, and coercible values (``7`` as
+    string) are leniency, not corruption. A corrupt row carries the raw
+    line and NULL for every schema field; ``strict=True`` aborts on the
+    first corrupt row with file + line context (FAILFAST's role, plus
+    the reference's error message shape).
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
@@ -91,7 +95,10 @@ def parse_jsonl_lines(
             ~ok,
             F.raise_error(
                 F.concat(
-                    F.lit("jsonl scan: malformed JSON in file '"),
+                    F.lit(
+                        "jsonl scan: malformed or schema-incompatible "
+                        "JSON in file '"
+                    ),
                     fname,
                     at_line,
                     line,

@@ -497,7 +497,23 @@ def spike_flags_stateful(
     already-finalized bucket is dropped by the watermark (standard
     append-mode semantics); verdicts are never retracted.
     """
-    grain_ns = int(pd.Timedelta(f"1 {grain}").value)
+    # Fixed-length grains only: bucket identity is integer division of
+    # the epoch, so variable-length months (and pandas-rejected weeks,
+    # which also misalign with date_trunc's Monday start) cannot be
+    # expressed — the batch operator covers those via date_trunc/gapfill.
+    fixed_ns = {
+        "second": 1_000_000_000,
+        "minute": 60 * 1_000_000_000,
+        "hour": 3_600 * 1_000_000_000,
+        "day": 86_400 * 1_000_000_000,
+    }
+    if grain not in fixed_ns:
+        raise ValueError(
+            f"spike_flags_stateful supports fixed-length grains "
+            f"{sorted(fixed_ns)}; got {grain!r} (use the batch operator "
+            "for week/month)"
+        )
+    grain_ns = fixed_ns[grain]
     grain_ms = grain_ns // 1_000_000
     k2 = int(k) * int(k)
     trailing = int(trailing)

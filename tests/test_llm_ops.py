@@ -1695,4 +1695,69 @@ def test_embedding_decontaminate_drops_planted_neighbors(spark, embeddings):
     # near-uniform random corpus: nothing else sits at cos >= 0.98
     assert len(kept_ids) == corpus.count() - 2 * n_bench
     plan = kept._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+    # anti join only — no semi+anti id round-trip re-scanning the corpus
+    # (Catalyst may replicate the anti join through this fixture's union)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" not in plan
+
+
+def test_spike_flags_null_group_is_a_real_group(spark):
+    """A NULL group key keeps its true counts through gapfill (null-safe
+    spine join) — a planted burst in the NULL group is flagged."""
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+
+    counts = {h: 4 for h in range(8)}
+    counts[7] = 40
+    rows = [
+        (None, f"2024-01-01 {h:02d}:{i:02d}:00")
+        for h, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["bucket"].hour: (r["cnt"], r["spike"])
+        for r in spike_flags(df).collect()
+    }
+    assert got[0][0] == 4 and got[7] == (40, True)
+
+
+def test_rolling_distinct_null_keys_not_counted(spark):
+    """NULL keys follow COUNT(DISTINCT) semantics (skipped) in the exact
+    lane, matching the HLL lane and the SQL oracle; NULL group keys keep
+    their windows in BOTH lanes."""
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1),
+            ("a", "2024-01-01 00:30:00", None),
+            (None, "2024-01-01 00:00:00", 7),
+        ],
+        "event_type string, s string, user_id long",
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"), "user_id")
+    out = {
+        r["event_type"]: (r["n_exact"], r["n_approx"])
+        for r in rolling_distinct(df, trailing=3).collect()
+    }
+    assert out["a"] == (1, 1)  # the NULL key is not a second value
+    assert out[None][0] == 1 and out[None][1] == 1  # NULL group survives
+
+
+def test_rolling_distinct_no_cross_group_spine_leakage(spark):
+    """Group 'a' observes only hour 0; group 'b' only hour 2. Group a's
+    offset-explode reaches hour 2, but that window end is only on B's
+    spine — a null-UNSAFE or self-resolving semi join would leak it into
+    group a as a ghost window."""
+    from drill_logfile_plugin_spark.operators.rolling import rolling_distinct
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1), ("b", "2024-01-01 02:00:00", 2)],
+        "event_type string, s string, user_id long",
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"), "user_id")
+    got = sorted(
+        (r["event_type"], r["bucket"].hour)
+        for r in rolling_distinct(df, trailing=3).collect()
+    )
+    assert got == [("a", 0), ("b", 2)]

@@ -471,19 +471,28 @@ def test_read_jsonl_routes_corrupt_and_skips_blanks(spark, tmp_path):
         "   \n"
         '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
         "{broken json!\n"
-        '{"doc_id": 3, "text": null, "lang": 7}\n'  # valid JSON, lenient fields
+        '{"doc_id": 3, "text": null, "lang": 7}\n'  # coercible -> lenient
+        '{"doc_id": "abc", "text": "x", "lang": "en"}\n'  # uncoercible
     )
     rows = read_jsonl(
         spark, str(p), "doc_id long, text string, lang string"
     ).collect()
-    assert len(rows) == 4  # blanks skipped entirely
-    by_corrupt = [r for r in rows if r["_corrupt_record"] is not None]
-    assert len(by_corrupt) == 1
-    assert by_corrupt[0]["_corrupt_record"] == "{broken json!"
-    assert by_corrupt[0]["doc_id"] is None
+    assert len(rows) == 5  # blanks skipped entirely
+    corrupt = sorted(
+        r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None
+    )
+    # PERMISSIVE semantics: malformed JSON AND uncoercible field values
+    # are corrupt; every schema field of a corrupt row is NULL.
+    assert corrupt == ['{"doc_id": "abc", "text": "x", "lang": "en"}',
+                       "{broken json!"]
+    assert all(
+        r["doc_id"] is None
+        for r in rows
+        if r["_corrupt_record"] is not None
+    )
     ok = {r["doc_id"]: r for r in rows if r["_corrupt_record"] is None}
     assert ok[1]["text"] == "hello world" and ok[2]["lang"] == "fr"
-    # lenient: valid JSON with a type-mismatched field is NOT corrupt
+    # lenient: JSON null and a coercible type mismatch are NOT corrupt
     assert ok[3]["text"] is None and ok[3]["lang"] == "7"
 
 
