@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import money
@@ -136,4 +136,33 @@ def gapfill(
     )
     for col, v in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out
+
+
+def locf(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    bucket_col: str = "bucket",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Last-observation-carried-forward over a (gap-filled) time axis —
+    the hypertable ``locf()`` companion to :func:`gapfill`: gap rows
+    inherit the most recent non-NULL value per group; leading gaps (no
+    prior observation) stay NULL, the standard locf contract.
+
+    One window per call, partitioned on the group columns and ordered by
+    bucket — the same exchange the gapfill join already produced, so on
+    a filled frame Catalyst adds a sort but no extra shuffle. Values are
+    carried verbatim (``last(ignorenulls)``), never interpolated —
+    interpolation is a different statement about the data and a caller
+    choice.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out

@@ -196,24 +196,38 @@ def _behavior_arms_sql() -> str:
            n_active AS n_events, retention AS sum_value
     FROM ({c}) c
     UNION ALL
-    SELECT 'gapfill' AS grain, s.bucket, s.event_type,
-           COALESCE(g.n_events, 0) AS n_events, g.sum_value
-    FROM (
-      SELECT event_type,
-             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    SELECT 'gapfill' AS grain, bucket, event_type, n_events, sum_value
+    FROM ({_gapfill_subquery()}) gfd
+    UNION ALL
+    SELECT 'locf' AS grain, bucket, event_type, n_events,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value
+    FROM ({_gapfill_subquery()}) lfd
+    """
+
+
+def _gapfill_subquery() -> str:
+    return f"""
+      SELECT s.bucket, s.event_type,
+             COALESCE(g.n_events, 0) AS n_events, g.sum_value
       FROM (
-        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
         FROM (
-          SELECT date_trunc('hour', ts) AS bucket, event_type
-          FROM events WHERE {_GAPFILL_FILTER}
-        ) GROUP BY event_type
-      )
-    ) s LEFT JOIN (
-      SELECT date_trunc('hour', ts) AS bucket, event_type,
-             COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
-      FROM events WHERE {_GAPFILL_FILTER}
-      GROUP BY bucket, event_type
-    ) g ON s.event_type = g.event_type AND s.bucket = g.bucket
+          SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM (
+            SELECT date_trunc('hour', ts) AS bucket, event_type
+            FROM events WHERE {_GAPFILL_FILTER}
+          ) GROUP BY event_type
+        )
+      ) s LEFT JOIN (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+        FROM events WHERE {_GAPFILL_FILTER}
+        GROUP BY bucket, event_type
+      ) g ON s.event_type = g.event_type AND s.bucket = g.bucket
     """
 
 
@@ -238,7 +252,12 @@ def _behavior_arms_sql() -> str:
     "time_bucket_gapfill over a sparse high-value-purchase slice — "
     "per-group sequence() spine between min/max bucket, left join + "
     "zero-fill, so chart/window consumers see an unbroken hourly axis; "
-    "spine generation is integer microsecond arithmetic, output-sized."
+    "spine generation is integer microsecond arithmetic, output-sized. "
+    "Locf arm (operators/rollup.py locf): last-observation-carried-"
+    "forward layered on the filled axis — values carried verbatim "
+    "(last ignorenulls window, one sort on the gapfill exchange, no "
+    "extra shuffle), leading gaps stay NULL; the hypertable locf() "
+    "companion, hash-pinned because carried values are bit-copies.",
 )
 def q46(spark, sf):
     from .operators.behavior import cohort_retention, funnel
@@ -272,11 +291,21 @@ def q46(spark, sf):
             dsum(F.col("value")).alias("sum_value"),
         )
     )
-    gf = gapfill(sparse, grain="hour", fill={"n_events": 0}).select(
+    from .operators.rollup import locf
+
+    filled = gapfill(sparse, grain="hour", fill={"n_events": 0})
+    gf = filled.select(
         F.lit("gapfill").alias("grain"),
         "bucket",
         "event_type",
         "n_events",
         "sum_value",
     )
-    return roll.unionByName(fun).unionByName(coh).unionByName(gf)
+    lf = locf(filled, ["sum_value"]).select(
+        F.lit("locf").alias("grain"),
+        "bucket",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return roll.unionByName(fun).unionByName(coh).unionByName(gf).unionByName(lf)

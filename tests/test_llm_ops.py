@@ -1761,3 +1761,35 @@ def test_rolling_distinct_no_cross_group_spine_leakage(spark):
         for r in rolling_distinct(df, trailing=3).collect()
     )
     assert got == [("a", 0), ("b", 2)]
+
+
+def test_locf_carries_forward_and_leading_gaps_stay_null(spark):
+    from drill_logfile_plugin_spark.operators.rollup import gapfill, locf
+
+    agg = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 01:00:00", 1.5),
+            ("a", "2024-01-01 04:00:00", 7.0),
+            ("b", "2024-01-01 00:00:00", 2.0),
+        ],
+        "event_type string, s string, v double",
+    ).select("event_type", F.col("s").cast("timestamp").alias("bucket"), "v")
+    # plant a leading gap: group a's axis starts one hour before its
+    # first observation via an explicit NULL row
+    agg = agg.unionByName(
+        spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", None)],
+            "event_type string, s string, v double",
+        ).select(
+            "event_type", F.col("s").cast("timestamp").alias("bucket"), "v"
+        )
+    )
+    out = {
+        (r["event_type"], r["bucket"].hour): r["v"]
+        for r in locf(gapfill(agg), ["v"]).collect()
+    }
+    assert out[("a", 0)] is None          # leading gap: nothing to carry
+    assert out[("a", 1)] == 1.5
+    assert out[("a", 2)] == 1.5 and out[("a", 3)] == 1.5  # carried
+    assert out[("a", 4)] == 7.0           # new observation wins
+    assert out[("b", 0)] == 2.0
