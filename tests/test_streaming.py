@@ -479,3 +479,50 @@ def test_stateful_spike_flags_matches_batch(
                 f"{r['event_type']} frontier {frontier[r['event_type']]} "
                 f"lags closeable observed bucket {r['b']}"
             )
+
+
+def test_streaming_jsonl_scrub_pipeline_equals_batch(spark, tmp_path):
+    """Corpus-ingestion composition, stream vs batch: JSONL parse (with
+    corrupt routing) → PII scrub → per-lang aggregation. The jsonl
+    parse is a pure projection, so the identical function runs in both
+    modes; corrupt rows survive into the report as the NULL-lang group
+    — an ingestion pipeline counts what it rejected."""
+    from drill_logfile_plugin_spark.operators.redact import redact_text
+    from drill_logfile_plugin_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_stream,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "mail admin@corp.example now", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "ping 10.1.2.3 ok", "lang": "en"}\n'
+        "NOT JSON AT ALL\n"
+        '{"doc_id": 3, "text": "bonjour", "lang": "fr"}\n'
+    )
+    schema = "doc_id long, text string, lang string"
+
+    def scrubbed(df):
+        return (
+            df.select(
+                "lang",
+                redact_text("text").alias("clean"),
+                F.col("_corrupt_record").isNotNull().alias("rejected"),
+            )
+            .groupBy("lang", "rejected")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("clean").contains("<EMAIL>").cast("long")).alias(
+                    "n_email"
+                ),
+            )
+        )
+
+    sdf = scrubbed(read_jsonl_stream(spark, str(d), schema))
+    _run_to_memory(sdf, "jsonl_scrub_mem", "complete")
+    got = set(_rows(spark.table("jsonl_scrub_mem")))
+    want = set(_rows(scrubbed(read_jsonl(spark, str(d), schema))))
+    assert got == want
+    assert (None, True, 1, None) in got  # the rejected row is counted
+    assert ("en", False, 2, 1) in got    # and the email was scrubbed
