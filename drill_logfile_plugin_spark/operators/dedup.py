@@ -1016,3 +1016,80 @@ def dedup_corpus(
             .select(F.col("node").alias(id_col))
         )
     return uniq.join(losers, id_col, "left_anti")
+
+
+# --- winnowing fingerprints (MOSS) ----------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed document fingerprints (the MOSS algorithm's selection).
+
+    Guarantee-bearing LOCAL fingerprinting: hash every word ``k``-gram,
+    slide a ``w``-wide window over the hash sequence, keep each window's
+    minimum — any token run of length >= ``w + k - 1`` shared by two
+    documents spans a full window in both, whose identical minimum is
+    selected by both, so the match is DETECTED with certainty while only
+    ~2/(w+1) of the grams are kept (density bound). The sparse,
+    guaranteed complement to q59's keep-every-8-gram boilerplate scan;
+    the per-document fingerprint SET is position-free (a window's min
+    VALUE, not its offset), which keeps the whole computation a pure
+    array expression both engines replay bit-for-bit (md5 grams, string
+    min).
+
+    Returns (doc_id, fp) — one exploded row per selected fingerprint.
+    Scale: per-row JVM array lambdas fused into the scan (no Python, no
+    shuffle); the output is the density-bounded fingerprint stream that
+    feeds an inverted-index group-by/join exactly like the shingle
+    operators. Docs shorter than ``w + k - 1`` tokens yield no
+    fingerprints (no full window exists).
+    """
+    toks = TOKS_SPARK.format(c=text_col)
+    grams = (
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"i -> md5(array_join(slice({toks}, i + 1, {k}), ' ')))"
+    )
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN size({toks}) >= {k} THEN {grams} "
+            "ELSE array() END"
+        ).alias("_grams"),
+    )
+    sel = (
+        f"array_distinct(transform(sequence(0, size(_grams) - {w}), "
+        f"j -> array_min(slice(_grams, j + 1, {w}))))"
+    )
+    return g.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_grams) >= {w} THEN {sel} "
+                "ELSE array() END"
+            )
+        ).alias("fp"),
+    )
+
+
+def winnow_sql_duck(k: int = 4, w: int = 4, col: str = "text") -> str:
+    """DuckDB CTE body replaying winnow_fingerprints over ``documents``:
+    SELECT doc_id, fp rows (same md5 grams, same window-min selection)."""
+    toks = TOKS_DUCK.format(c=col)
+    return f"""
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(len(_grams) - {w - 1}),
+               j -> list_min(_grams[j + 1 : j + {w}])
+             ))) AS fp
+      FROM (
+        SELECT doc_id,
+               list_transform(range(len({toks}) - {k - 1}),
+                 i -> md5(array_to_string({toks}[i + 1 : i + {k}], ' ')))
+                 AS _grams
+        FROM documents
+      )
+    """

@@ -154,22 +154,52 @@ def q29(spark, sf):
              list_min(list_transform({D.shingles_sql_duck('text', 5)},
                                      s -> md5(s))) AS fingerprint
       FROM documents
+    ), wsel AS (
+      {D.winnow_sql_duck(k=4, w=4)}
     )
-    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    SELECT 'minhash' AS part, fingerprint, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
     FROM fp GROUP BY fingerprint
+    UNION ALL
+    SELECT 'winnow' AS part, fp AS fingerprint, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM wsel GROUP BY fp HAVING COUNT(*) >= 2
     """,
-    doc="Document fingerprint: min-hash over rolling 5-word shingles "
-    "(k=1 MinHash). Grouping by fingerprint clusters near-identical docs.",
+    doc="Document fingerprinting, union-merged (driver query-budget "
+    "policy). Minhash arm: min-hash over rolling 5-word shingles (k=1 "
+    "MinHash) — grouping by it clusters near-identical docs. Winnow arm "
+    "(operators/dedup.py winnow_fingerprints): the MOSS winnowing "
+    "selection — every k-gram hashed, each w-window's MINIMUM kept, so "
+    "any shared token run >= w+k-1 is detected with certainty at ~2/"
+    "(w+1) fingerprint density; the position-free window-min set keeps "
+    "the whole computation pure array expressions both engines replay "
+    "bit-for-bit (md5 grams, string min). Reported: fingerprints shared "
+    "by >= 2 docs — the cross-document span index at guaranteed recall, "
+    "the sparse complement to q59's dense 8-gram scan.",
 )
 def q26(spark, sf):
     d = _t(spark, sf, "documents")
     fp = T.fingerprint_udf(shingle_n=5)
-    return (
+    minhash = (
         d.select("doc_id", F.expr(T.TOKS_SPARK.format(c="text")).alias("toks"))
         .select("doc_id", fp(F.col("toks")).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .select(F.lit("minhash").alias("part"), "fingerprint", "n_docs", "keep_id")
     )
+    winnow = (
+        D.winnow_fingerprints(d, k=4, w=4)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.lit("winnow").alias("part"),
+            F.col("fp").alias("fingerprint"),
+            "n_docs",
+            "keep_id",
+        )
+    )
+    return minhash.unionByName(winnow)
 
 
 # =========================================================================

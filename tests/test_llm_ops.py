@@ -1793,3 +1793,38 @@ def test_locf_carries_forward_and_leading_gaps_stay_null(spark):
     assert out[("a", 2)] == 1.5 and out[("a", 3)] == 1.5  # carried
     assert out[("a", 4)] == 7.0           # new observation wins
     assert out[("b", 0)] == 2.0
+
+
+def test_winnow_guarantee_and_density(spark):
+    """MOSS winnowing contract at (k=4, w=4): any shared token run of
+    length >= w+k-1 = 7 IS detected (a full window of identical grams
+    exists in both docs, and both keep its minimum); fingerprint density
+    on random text sits near 2/(w+1); docs shorter than w+k-1 tokens
+    yield no fingerprints."""
+    import random
+
+    rng = random.Random(7)
+    shared = "alpha beta gamma delta epsilon zeta eta"  # exactly 7 tokens
+    noise = lambda n: " ".join(
+        f"w{rng.randrange(10**6)}" for _ in range(n)
+    )
+    rows = [
+        (1, noise(40) + " " + shared + " " + noise(40)),
+        (2, noise(35) + " " + shared + " " + noise(45)),
+        (3, noise(120)),
+        (4, "too short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = D.winnow_fingerprints(df, k=4, w=4)
+    by_doc: dict = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 7-token run must be detected"
+    assert not (by_doc[3] & by_doc[1])  # random docs share nothing
+    assert 4 not in by_doc  # no full window exists
+    # density: selected/grams ~ 2/(w+1) = 0.4 on random text
+    n_grams = 120 - 4 + 1
+    assert len(by_doc[3]) <= 0.6 * n_grams
+    # pure JVM expressions — no Python in the plan
+    p = fps._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
