@@ -1026,6 +1026,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 4,
     w: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Winnowed document fingerprints (the MOSS algorithm's selection).
 
@@ -1049,30 +1050,80 @@ def winnow_fingerprints(
     fingerprints (no full window exists).
     """
     toks = TOKS_SPARK.format(c=text_col)
-    grams = (
-        f"transform(sequence(0, size({toks}) - {k}), "
-        f"i -> md5(array_join(slice({toks}, i + 1, {k}), ' ')))"
-    )
-    g = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
-            f"CASE WHEN size({toks}) >= {k} THEN {grams} "
-            "ELSE array() END"
-        ).alias("_grams"),
-    )
-    sel = (
-        f"array_distinct(transform(sequence(0, size(_grams) - {w}), "
-        f"j -> array_min(slice(_grams, j + 1, {w}))))"
-    )
-    return g.select(
-        "doc_id",
-        F.explode(
+    if engine == "sql":
+        # Reference formulation: literally the oracle's expression tree.
+        # ~4x slower than the UDF path at sf0.1 (interpreted HOF lambdas
+        # around 30M md5 calls); kept for the cross-engine equality pin.
+        grams = (
+            f"transform(sequence(0, size({toks}) - {k}), "
+            f"i -> md5(array_join(slice({toks}, i + 1, {k}), ' ')))"
+        )
+        g = df.select(
+            F.col(id_col).alias("doc_id"),
             F.expr(
-                f"CASE WHEN size(_grams) >= {w} THEN {sel} "
+                f"CASE WHEN size({toks}) >= {k} THEN {grams} "
                 "ELSE array() END"
+            ).alias("_grams"),
+        )
+        sel = (
+            f"array_distinct(transform(sequence(0, size(_grams) - {w}), "
+            f"j -> array_min(slice(_grams, j + 1, {w}))))"
+        )
+        return g.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_grams) >= {w} THEN {sel} "
+                    "ELSE array() END"
+                )
+            ).alias("fp"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown engine: {engine!r}")
+    # Arrow path, bit-identical to the SQL form (pinned in pytest):
+    # hashlib md5 == SQL md5 on the same " ".join'd shingle bytes, and
+    # numpy min over fixed-width ASCII-hex byte strings is the same
+    # lexicographic order as SQL's string min. Sliding-window min via a
+    # stride view — one vectorized pass per doc instead of w interpreted
+    # lambda traversals per window.
+    sel_udf = _winnow_udf(k, w)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(toks).alias("_toks"),
+    ).select("doc_id", F.explode(sel_udf(F.col("_toks"))).alias("fp"))
+
+
+def _winnow_udf(k: int, w: int):
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def winnow(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            m = len(arr) - k + 1
+            if m < w:
+                out.append([])
+                continue
+            grams = np.array(
+                [
+                    hashlib.md5(
+                        " ".join(arr[i : i + k]).encode()
+                    ).hexdigest()
+                    for i in range(m)
+                ],
+                dtype="S32",
             )
-        ).alias("fp"),
-    )
+            # min has no ufunc loop for byte strings; rank space does:
+            # np.unique sorts S32 lexicographically (== SQL string order
+            # on ASCII hex), so window-min over the inverse ranks selects
+            # the same hashes.
+            uniq, inv = np.unique(grams, return_inverse=True)
+            wins = np.lib.stride_tricks.sliding_window_view(inv, w)
+            sel = np.unique(wins.min(axis=1))
+            out.append([uniq[i].decode() for i in sel])
+        return pd.Series(out)
+
+    return winnow
 
 
 def winnow_sql_duck(k: int = 4, w: int = 4, col: str = "text") -> str:

@@ -1825,6 +1825,23 @@ def test_winnow_guarantee_and_density(spark):
     # density: selected/grams ~ 2/(w+1) = 0.4 on random text
     n_grams = 120 - 4 + 1
     assert len(by_doc[3]) <= 0.6 * n_grams
-    # pure JVM expressions — no Python in the plan
-    p = fps._jdf.queryExecution().executedPlan().toString()
+    # the default engine is Arrow-batched (one vectorized pass per doc);
+    # the SQL reference engine is pure JVM expressions — no row Python
+    p = (
+        D.winnow_fingerprints(df, engine="sql")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_winnow_arrow_engine_equals_sql_engine(spark, documents):
+    """The Arrow winnow path is bit-identical to the SQL-expression
+    reference formulation (the oracle's tree) on real corpus docs."""
+    d = documents.limit(80).select("doc_id", "text")
+    a = sorted(map(tuple, D.winnow_fingerprints(d, engine="arrow").collect()))
+    b = sorted(map(tuple, D.winnow_fingerprints(d, engine="sql").collect()))
+    assert a == b and a
+    with pytest.raises(ValueError):
+        D.winnow_fingerprints(d, engine="numpy")
