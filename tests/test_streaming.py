@@ -526,3 +526,39 @@ def test_streaming_jsonl_scrub_pipeline_equals_batch(spark, tmp_path):
     assert got == want
     assert (None, True, 1, None) in got  # the rejected row is counted
     assert ("en", False, 2, 1) in got    # and the email was scrubbed
+
+
+def test_sliding_unique_users_stream_equals_batch(
+    spark, events_batch, events_stream_dir
+):
+    """HLL sliding-window uniques: the stream's incremental sketch state
+    converges to exactly the batch run of the same function (complete
+    mode — same merges, same estimate), and the estimate sits within 5%
+    of exact per window."""
+    from drill_logfile_plugin_spark.streaming.windows import (
+        sliding_unique_users,
+    )
+
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    _run_to_memory(
+        sliding_unique_users(sdf, window="6 hours", slide="2 hours",
+                             watermark=None),
+        "slide_uniq_mem",
+        "complete",
+    )
+    got = _rows(spark.table("slide_uniq_mem"))
+    want = _rows(
+        sliding_unique_users(events_batch, window="6 hours", slide="2 hours")
+    )
+    assert got == want and got
+    exact = {
+        (r["event_type"], r["w"]["start"]): r["n"]
+        for r in events_batch.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, ws, _, approx in got:
+        ex = exact[(etype, ws)]
+        assert abs(approx - ex) <= max(2, 0.05 * ex)
