@@ -500,3 +500,52 @@ def bigram_model_sql_duck(
     FROM ranked r JOIN totals t USING (w1)
     WHERE r.rk <= {top_k}
     """
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] | None = None,
+    quality_keep: tuple[str, ...] = ("good",),
+    drop_repetitive: bool = True,
+    with_reasons: bool = False,
+) -> DataFrame:
+    """One-call corpus cleaning: the C4/Gopher-style filter pass composing
+    the oracle-checked text signals — language gate (:func:`lang_id`),
+    quality bands (:func:`quality_bucket`), and the duplicate-n-gram
+    repetition verdict (:func:`repetition_signals`'s CASE) — into a
+    single scan-fused projection + filter.
+
+    ``with_reasons=False`` (production) returns the kept rows with their
+    original columns; ``with_reasons=True`` returns EVERY row plus
+    ``(lang_pred, quality, rep_verdict, keep)`` — the audit frame a
+    pipeline aggregates into its rejection report before committing to
+    the filter.
+
+    Scale posture: every signal is pure column expressions over one
+    tokenize pass — a map-only stage fused into the scan, no shuffle, no
+    Python; composition adds selectivity, not passes. Each constituent
+    signal is individually driver-oracle-checked (q23/q24/q62), so the
+    composition needs no oracle of its own — it is one boolean over
+    certified columns.
+    """
+    toks = TOKS_SPARK.format(c=text_col)
+    t2, d2 = dup_ngram_counts_sql_spark("_toks", 2)
+    base = df.select(
+        "*",
+        F.expr(toks).alias("_toks"),
+        lang_id(text_col).alias("lang_pred"),
+        quality_bucket(text_col).alias("quality"),
+    ).select(
+        "*",
+        F.expr(repetition_verdict_case(t2, d2)).alias("rep_verdict"),
+    )
+    keep = F.col("quality").isin(*quality_keep)
+    if langs is not None:
+        keep = keep & F.col("lang_pred").isin(*langs)
+    if drop_repetitive:
+        keep = keep & (F.col("rep_verdict") != F.lit("drop"))
+    if with_reasons:
+        return base.drop("_toks").withColumn("keep", keep)
+    return base.where(keep).select(*df.columns)

@@ -1845,3 +1845,56 @@ def test_winnow_arrow_engine_equals_sql_engine(spark, documents):
     assert a == b and a
     with pytest.raises(ValueError):
         D.winnow_fingerprints(d, engine="numpy")
+
+
+def test_clean_corpus_composition(spark, documents):
+    """The one-call cleaning pass agrees with applying its constituent
+    (individually oracle-checked) signals by hand, audit mode carries
+    per-row reasons, and the plan stays shuffle-free Python-free."""
+    from drill_logfile_plugin_spark.operators import text as TT
+
+    d = documents.limit(200).select("doc_id", "text", "lang", "source",
+                                    "n_chars")
+    kept = TT.clean_corpus(d, quality_keep=("good", "stopword_heavy"))
+    audit = TT.clean_corpus(
+        d, quality_keep=("good", "stopword_heavy"), with_reasons=True
+    )
+    by_hand = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id",
+            TT.quality_bucket("text").alias("q"),
+        ).collect()
+        if r["q"] in ("good", "stopword_heavy")
+    }
+    rep_drop = {
+        r["doc_id"]
+        for r in TT.repetition_signals(d.select("doc_id", "text")).collect()
+        if r["verdict"] == "drop"
+    }
+    assert {r["doc_id"] for r in kept.collect()} == by_hand - rep_drop
+    assert kept.columns == d.columns  # original shape in production mode
+    arows = {r["doc_id"]: r for r in audit.collect()}
+    assert len(arows) == 200  # audit keeps every row
+    assert all(
+        arows[i]["keep"] == (i in (by_hand - rep_drop)) for i in arows
+    )
+    # lang gate composes
+    en_only = TT.clean_corpus(
+        d, langs=("en",), quality_keep=("good", "stopword_heavy")
+    )
+    en_pred = {
+        r["doc_id"]
+        for r in d.select("doc_id", TT.lang_id("text").alias("l")).collect()
+        if r["l"] == "en"
+    }
+    assert {r["doc_id"] for r in en_only.collect()} == (
+        by_hand - rep_drop
+    ) & en_pred
+    p = (
+        TT.clean_corpus(documents)  # un-limited frame: no limit exchange
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p and "BatchEvalPython" not in p

@@ -40,6 +40,7 @@ QUERIES = (
     "q27_minhash_lsh",
     "q28_simhash_pairs",
     "q29_ngram_jaccard",
+    "q26_fingerprint",
     "q57_edit_distance_neardup",
     "q59_boilerplate_spans",
     "q62_repetition_filter",
