@@ -57,6 +57,44 @@ def parse_jsonl_lines(
     first corrupt row with file + line context (FAILFAST's role, plus
     the reference's error message shape).
     """
+    return _parse_structured_lines(
+        lines, schema, strict, line_col, _mk_json_parser, "jsonl", "JSON"
+    )
+
+
+def _mk_json_parser(line, parse_schema):
+    # PERMISSIVE from_json yields an all-null struct for malformed input
+    # (indistinguishable from a JSON object of nulls); the corrupt-record
+    # column channel is the unambiguous signal: present and non-null IFF
+    # the line failed to parse.
+    return F.from_json(
+        line, parse_schema, {"columnNameOfCorruptRecord": CORRUPT_COLUMN}
+    )
+
+
+def _mk_csv_parser(sep):
+    def mk(line, parse_schema):
+        return F.from_csv(
+            line,
+            parse_schema.simpleString(),
+            {"columnNameOfCorruptRecord": CORRUPT_COLUMN, "sep": sep},
+        )
+
+    return mk
+
+
+def _parse_structured_lines(
+    lines: DataFrame,
+    schema: StructType | str,
+    strict: bool,
+    line_col: str,
+    mk_parser,
+    fmt: str,
+    what: str,
+) -> DataFrame:
+    """Shared error-channel core for line-structured formats (JSONL,
+    CSV): empty-line skip, corrupt-record routing with all-NULL schema
+    fields, strict abort naming file + line (module docstring)."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     line = _java_trim(F.col(line_col))
@@ -67,16 +105,10 @@ def parse_jsonl_lines(
             lines = numbered
             line_no = F.col("__line_no")
     df = lines.where(F.length(line) > 0)
-    # PERMISSIVE from_json yields an all-null struct for malformed input
-    # (indistinguishable from a JSON object of nulls); the corrupt-record
-    # column channel is the unambiguous signal: present and non-null IFF
-    # the line failed to parse.
     parse_schema = StructType(
         list(schema.fields)
     ).add(CORRUPT_COLUMN, "string")
-    parsed = F.from_json(
-        line, parse_schema, {"columnNameOfCorruptRecord": CORRUPT_COLUMN}
-    )
+    parsed = mk_parser(line, parse_schema)
     ok = parsed.getField(CORRUPT_COLUMN).isNull()
     cols = [
         F.when(ok, parsed.getField(f.name)).alias(f.name)
@@ -96,8 +128,8 @@ def parse_jsonl_lines(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "jsonl scan: malformed or schema-incompatible "
-                        "JSON in file '"
+                        f"{fmt} scan: malformed or schema-incompatible "
+                        f"{what} in file '"
                     ),
                     fname,
                     at_line,
@@ -133,4 +165,47 @@ def read_jsonl_stream(
     lacks the metadata column)."""
     return parse_jsonl_lines(
         spark.readStream.text(path), schema, strict
+    )
+
+
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: StructType | str,
+    strict: bool = False,
+    line_col: str = "value",
+    sep: str = ",",
+) -> DataFrame:
+    """CSV sibling of :func:`parse_jsonl_lines` — same error contract
+    (corrupt routing / strict abort / blank-skip) over ``from_csv``.
+    Corruption means a malformed row, a column-count mismatch (CSV is
+    positional — a missing column is structural, unlike JSON's named
+    fields), or an uncoercible field value; headerless by design (a
+    declared schema IS the header — skip a physical header row with a
+    filter on the raw line before parsing)."""
+    return _parse_structured_lines(
+        lines, schema, strict, line_col, _mk_csv_parser(sep), "csv", "row"
+    )
+
+
+def read_csv_lines(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    strict: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """Batch CSV reader under the log scan's error contract."""
+    return parse_csv_lines(spark.read.text(path), schema, strict, sep=sep)
+
+
+def read_csv_lines_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    strict: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """Streaming CSV reader — identical parse projection."""
+    return parse_csv_lines(
+        spark.readStream.text(path), schema, strict, sep=sep
     )

@@ -553,3 +553,81 @@ def test_read_jsonl_stream_equals_batch(spark, tmp_path):
         key=str,
     )
     assert got == want and len(got) == 3
+
+
+def test_read_csv_lines_error_contract(spark, tmp_path):
+    """CSV under the same contract: corrupt routing (short row AND
+    uncoercible value — CSV is positional, so a column-count mismatch is
+    structural corruption, unlike JSON's named fields), blank-skip,
+    strict abort with file+line, custom separator."""
+    from drill_logfile_plugin_spark.sources.jsonl import read_csv_lines
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "1,alpha,2.5\n"
+        "\n"
+        "2,beta\n"          # short row: column-count mismatch -> corrupt
+        "zzz,gamma,1.0\n"   # uncoercible long -> corrupt
+        "3,delta,7.25\n"
+    )
+    rows = read_csv_lines(
+        spark, str(p), "id long, name string, score double"
+    ).collect()
+    assert len(rows) == 4
+    corrupt = sorted(
+        r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None
+    )
+    assert corrupt == ["2,beta", "zzz,gamma,1.0"]
+    assert all(
+        r["id"] is None
+        for r in rows
+        if r["_corrupt_record"] is not None
+    )
+    ok = {r["id"]: r for r in rows if r["_corrupt_record"] is None}
+    assert ok[3]["score"] == 7.25
+    # strict abort names file and line
+    with pytest.raises(Exception) as ei:
+        read_csv_lines(
+            spark, str(p), "id long, name string, score double", strict=True
+        ).collect()
+    assert "t.csv" in str(ei.value) and "at line 3: 2,beta" in str(ei.value)
+    # custom separator
+    p2 = tmp_path / "t2.csv"
+    p2.write_text("1|x\n2|y\n")
+    got = sorted(
+        (r["id"], r["name"])
+        for r in read_csv_lines(
+            spark, str(p2), "id long, name string", sep="|"
+        ).collect()
+    )
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_read_csv_lines_stream_equals_batch(spark, tmp_path):
+    from drill_logfile_plugin_spark.sources.jsonl import (
+        read_csv_lines,
+        read_csv_lines_stream,
+    )
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "a.csv").write_text("1,x\nbad,row,extra\n2,y\n")
+    sdf = read_csv_lines_stream(spark, str(d), "id long, name string")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("csv_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.table("csv_mem").collect()), key=str)
+    want = sorted(
+        map(
+            tuple,
+            read_csv_lines(spark, str(d), "id long, name string").collect(),
+        ),
+        key=str,
+    )
+    assert got == want and len(got) == 3
