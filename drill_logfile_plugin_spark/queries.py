@@ -333,14 +333,45 @@ def q06(spark, sf):
       SELECT o_orderkey, COUNT(l_orderkey) AS n_items
       FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY o_orderkey
+    ), ca AS (
+      SELECT o_orderkey AS key, COUNT(*) AS n FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey
+    ), cb AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+    ), per AS (
+      SELECT ca.key, ca.n * cb.n AS n_out
+      FROM ca JOIN cb ON ca.key = cb.key
     )
-    SELECT n_items, COUNT(*) AS n_orders
+    SELECT 'histogram' AS part, n_items AS key, COUNT(*) AS n_out,
+           CAST(NULL AS BIGINT) AS extra
     FROM per_order GROUP BY n_items
+    UNION ALL
+    SELECT 'total' AS part, CAST(NULL AS BIGINT) AS key,
+           CAST(COALESCE(SUM(n_out), 0) AS BIGINT) AS n_out,
+           COUNT(*) AS extra
+    FROM per
+    UNION ALL
+    SELECT 'skew' AS part, key, n_out, CAST(rnk AS BIGINT) AS extra
+    FROM (
+      SELECT key, n_out,
+             ROW_NUMBER() OVER (ORDER BY n_out DESC, key) AS rnk
+      FROM per
+    ) WHERE rnk <= 5
     """,
-    doc="Left-outer join preserving empty orders, then re-aggregation "
-    "(order-size histogram).",
+    doc="Join analytics, union-merged (driver query-budget policy). "
+    "Histogram arm: left-outer join preserving empty orders, then "
+    "re-aggregation (order-size histogram). Preflight arm (operators/"
+    "joinstats.py join_preflight_report): EXACT equi-join output "
+    "cardinality + top skew keys computed BEFORE the join from per-key "
+    "counts (|A join B| = sum over k of cntA*cntB) — distinct-key-sized "
+    "work that catches multiplying-key join explosions before they run, "
+    "and hands salted_join its hot-key list. A MATCH certifies the "
+    "identity against the oracle's independent formulation.",
 )
 def q07(spark, sf):
+    from .operators.joinstats import join_preflight_report
+
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     per_order = (
@@ -348,7 +379,16 @@ def q07(spark, sf):
         .groupBy("o_orderkey")
         .agg(F.count("l_orderkey").alias("n_items"))
     )
-    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+    hist = per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    ).select(
+        F.lit("histogram").alias("part"),
+        F.col("n_items").alias("key"),
+        F.col("n_orders").alias("n_out"),
+        F.lit(None).cast("long").alias("extra"),
+    )
+    pre = join_preflight_report(o, l, "o_orderkey", "l_orderkey", top=5)
+    return hist.unionByName(pre)
 
 
 # =========================================================================

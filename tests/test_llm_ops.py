@@ -1898,3 +1898,34 @@ def test_clean_corpus_composition(spark, documents):
         .toString()
     )
     assert "Exchange" not in p and "BatchEvalPython" not in p
+
+
+def test_join_preflight_predicts_exact_cardinality(spark):
+    """The pre-flight's total equals the actual inner-join row count on
+    dup-keyed sides (the multiplying case it exists to catch); NULL keys
+    don't count; skew ranks are deterministic."""
+    from drill_logfile_plugin_spark.operators.joinstats import (
+        join_cardinality,
+        join_preflight_report,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,), (None,)], "k long"
+    )
+    actual = left.join(right, "k").count()
+    rep = {r["part"]: r for r in join_preflight_report(
+        left, right, "k", "k", top=2
+    ).collect() if r["part"] == "total"}
+    assert rep["total"]["n_out"] == actual == 7  # 3*2 + 1*1
+    assert rep["total"]["extra"] == 2  # matching keys: {1, 2}
+    per = {r["key"]: r for r in join_cardinality(left, right, "k", "k").collect()}
+    assert per[1]["n_out"] == 6 and per[2]["n_out"] == 1
+    skew = [
+        (r["key"], r["extra"])
+        for r in join_preflight_report(left, right, "k", "k", top=2).collect()
+        if r["part"] == "skew"
+    ]
+    assert skew == [(1, 1), (2, 2)]
