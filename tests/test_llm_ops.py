@@ -1929,3 +1929,31 @@ def test_join_preflight_predicts_exact_cardinality(spark):
         if r["part"] == "skew"
     ]
     assert skew == [(1, 1), (2, 2)]
+
+
+def test_preflight_feeds_salted_join_composition(spark):
+    """The skew-mitigation handoff: preflight identifies the hot key, and
+    salted_join over the same inputs returns exactly the rows (and count)
+    the preflight predicted — the diagnose-then-mitigate pair agrees."""
+    from drill_logfile_plugin_spark.functions.skew import salted_join
+    from drill_logfile_plugin_spark.operators.joinstats import (
+        join_preflight_report,
+    )
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 0), (3, 1)], "k long, payload long"
+    )
+    right = spark.createDataFrame(
+        [(1, 9), (1, 8), (2, 7), (9, 6)], "k long, r long"
+    )
+    rep = join_preflight_report(left, right, "k", "k", top=1).collect()
+    total = next(r for r in rep if r["part"] == "total")
+    hot = next(r for r in rep if r["part"] == "skew")
+    assert hot["key"] == 1 and hot["n_out"] == 400
+    assert total["n_out"] == 401
+    salted = salted_join(left, right, ["k"], salt=8)
+    assert salted.count() == total["n_out"]
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
