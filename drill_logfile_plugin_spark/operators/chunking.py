@@ -38,6 +38,8 @@ has no such surface; this is the LLM-pipeline extension tier
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -134,3 +136,138 @@ def pack_sequences(
     return chunks.withColumn("__cume", cume).withColumn(
         "bin_id", F.expr(f"__cume DIV CAST({budget} AS BIGINT)")
     ).drop("__cume")
+
+
+# --- content-defined chunking (CDC) ---------------------------------------
+
+#: Rolling-hash window (bytes) for boundary detection.
+CDC_WINDOW = 48
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_size: int = 256,
+    min_size: int | None = None,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Content-defined chunking: split documents at positions the CONTENT
+    chooses (Karp-Rabin rolling hash hitting a boundary condition), so an
+    insertion or deletion only reframes the chunk it touches — every
+    other chunk keeps its bytes and therefore its hash. The property
+    fixed-size/fixed-token chunking cannot have (one inserted byte
+    shifts every later window), and the reason storage dedup and
+    long-document near-dup pipelines chunk this way.
+
+    Returns (doc_id, chunk_idx, start, length, chunk_hash) — chunk_hash
+    is md5 of the chunk bytes, so identical content anywhere in the
+    corpus yields identical hashes; a group-by on chunk_hash IS the
+    chunk-level dedup (32-byte keys, the exact-dedup posture).
+
+    Mechanics: boundary after byte i when the window hash
+    ``h(bytes[i-47..i]) % avg_size == 0`` — expected chunk length
+    ``avg_size``; ``min_size`` (default avg/4) suppresses boundary
+    clusters, ``max_size`` (default avg*4) force-cuts pathological
+    content (constant bytes never hit the condition). The rolling hash
+    is one vectorized uint64 sliding-window dot product per doc
+    (wraparound multiply = mod 2^64), Arrow-batched — no Python loops
+    over bytes; md5 only per CHUNK, not per byte. Deterministic: a pure
+    function of the bytes, reproducible across runs/partitions/engines.
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    lo = int(min_size if min_size is not None else max(avg_size // 4, CDC_WINDOW))
+    hi = int(max_size if max_size is not None else avg_size * 4)
+    if not (CDC_WINDOW <= lo < hi):
+        raise ValueError("need window <= min_size < max_size")
+    mod = int(avg_size)
+
+    p = np.uint64(1099511628211)  # FNV prime; any odd multiplier works
+    powers = p ** np.arange(CDC_WINDOW - 1, -1, -1, dtype=np.uint64)
+
+    out_schema = ArrayType(
+        StructType(
+            [
+                StructField("start", IntegerType()),
+                StructField("length", IntegerType()),
+                StructField("chunk_hash", StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_schema)
+    def cut(texts: pd.Series) -> pd.Series:
+        res = []
+        for t in texts:
+            if t is None:
+                res.append([])
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            n = int(b.size)
+            if n == 0:
+                res.append([])
+                continue
+            cuts = [0]
+            if n > CDC_WINDOW:
+                h = (
+                    np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+                    .astype(np.uint64)
+                    @ powers
+                )
+                # h[j] covers bytes [j, j+W); a boundary CUT at position
+                # j+W (chunk ends with the window). Enforce min/max
+                # sequentially — boundaries depend on the previous cut.
+                marks = np.flatnonzero(h % np.uint64(mod) == 0) + CDC_WINDOW
+                last = 0
+                for mpos in marks.tolist():
+                    if mpos - last >= hi:
+                        # force cuts for the stretch the content skipped
+                        while mpos - last >= hi:
+                            last += hi
+                            cuts.append(last)
+                    if mpos - last >= lo and mpos < n:
+                        cuts.append(mpos)
+                        last = mpos
+                while n - last > hi:
+                    last += hi
+                    cuts.append(last)
+            else:
+                last = 0
+                while n - last > hi:
+                    last += hi
+                    cuts.append(last)
+            cuts.append(n)
+            raw = t.encode("utf-8")
+            res.append(
+                [
+                    (
+                        int(s),
+                        int(e - s),
+                        hashlib.md5(raw[s:e]).hexdigest(),
+                    )
+                    for s, e in zip(cuts[:-1], cuts[1:])
+                ]
+            )
+        return pd.Series(res)
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .select("doc_id", F.posexplode(cut(F.col("_t"))).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.start").alias("start"),
+            F.col("c.length").alias("length"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )

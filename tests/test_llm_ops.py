@@ -1957,3 +1957,74 @@ def test_preflight_feeds_salted_join_composition(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# --- content-defined chunking (operators/chunking.py) ---------------------
+
+
+def test_cdc_chunks_conservation_and_determinism(spark):
+    from drill_logfile_plugin_spark.operators.chunking import cdc_chunks
+
+    import random
+    rng = random.Random(11)
+    text = "".join(chr(32 + rng.randrange(90)) for _ in range(5000))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        cdc_chunks(df, avg_size=256).collect(), key=lambda r: r["chunk_idx"]
+    )
+    # chunks tile the byte range exactly, in order, within [min, max]
+    assert rows[0]["start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start"] == a["start"] + a["length"]
+    assert sum(r["length"] for r in rows) == len(text.encode())
+    assert all(64 <= r["length"] <= 1024 for r in rows[:-1])
+    # deterministic across invocations
+    again = sorted(
+        cdc_chunks(df, avg_size=256).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_cdc_chunks_insertion_preserves_most_chunk_hashes(spark):
+    """THE content-defined property: inserting bytes mid-document only
+    reframes the chunk containing the insertion — chunks elsewhere keep
+    their content and hashes. Fixed-size chunking of the same pair shares
+    (near) nothing after the insertion point."""
+    from drill_logfile_plugin_spark.operators.chunking import cdc_chunks
+
+    import random
+    rng = random.Random(23)
+    base = "".join(chr(32 + rng.randrange(90)) for _ in range(8000))
+    mutated = base[:4000] + "INSERTED PAYLOAD HERE " + base[4000:]
+    df = spark.createDataFrame([(1, base), (2, mutated)], ["doc_id", "text"])
+    by_doc: dict = {}
+    for r in cdc_chunks(df, avg_size=256).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
+    shared = by_doc[1] & by_doc[2]
+    assert len(shared) >= 0.7 * len(by_doc[1])
+    # contrast: fixed 256-byte slicing shares only the prefix chunks
+    def fixed_hashes(t):
+        import hashlib
+        bb = t.encode()
+        return {
+            hashlib.md5(bb[i : i + 256]).hexdigest()
+            for i in range(0, len(bb), 256)
+        }
+    f_shared = fixed_hashes(base) & fixed_hashes(mutated)
+    assert len(f_shared) <= 4000 // 256 + 1  # nothing past the insertion
+    assert len(shared) > len(f_shared)
+
+
+def test_cdc_chunks_pathological_constant_input_respects_max(spark):
+    """Constant bytes never satisfy the hash condition; max_size force-
+    cuts so chunk sizes stay bounded (no unbounded chunk on adversarial
+    content); empty/None docs yield nothing."""
+    from drill_logfile_plugin_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a" * 5000), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, avg_size=128).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(r["length"] <= 512 for r in rows)
+    assert sum(r["length"] for r in rows) == 5000
