@@ -33,6 +33,7 @@ from .operators import behavior as B
 from .operators.anomaly import spike_sql_duck
 from .operators.profiler import profile_sql_duck
 from .operators.rolling import rolling_exact_sql_duck
+from .operators.segments import segment_overlap_exact_sql_duck
 from .registry import _t, query
 
 REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
@@ -893,10 +894,20 @@ def q48(spark, sf):
            CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
            CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
     FROM ({rolling}) r
+    UNION ALL
+    SELECT 'overlap' AS part, seg_a || '|' || seg_b AS key,
+           exact_inter AS n_a, n_a AS n_b, n_b AS n_c,
+           TRUE AS flag_a, CAST(NULL AS BOOLEAN) AS flag_b,
+           CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
+           CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
+    FROM ({overlap}) ov
     """.format(
         profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS),
         rolling=rolling_exact_sql_duck(
             "SELECT ts, event_type, user_id FROM events"
+        ),
+        overlap=segment_overlap_exact_sql_duck(
+            "SELECT event_type, user_id FROM events"
         ),
     ),
     doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
@@ -987,4 +998,30 @@ def q52(spark, sf):
         F.lit(None).cast("string").alias("s_min"),
         F.lit(None).cast("string").alias("s_max"),
     )
-    return sketch.unionByName(profile).unionByName(rolling)
+    from .operators.segments import segment_overlap
+
+    overlap = segment_overlap(e.select("event_type", "user_id")).select(
+        F.lit("overlap").alias("part"),
+        F.concat_ws("|", "seg_a", "seg_b").alias("key"),
+        F.col("exact_inter").alias("_na"),
+        F.col("n_a").alias("_nb"),
+        F.col("n_b").alias("_nc"),
+        F.col("in_band").alias("_fa"),
+    ).select(
+        "part",
+        "key",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_nc").alias("n_c"),
+        F.col("_fa").alias("flag_a"),
+        F.lit(None).cast("boolean").alias("flag_b"),
+        F.lit(None).cast("double").alias("d_min"),
+        F.lit(None).cast("double").alias("d_max"),
+        F.lit(None).cast("string").alias("s_min"),
+        F.lit(None).cast("string").alias("s_max"),
+    )
+    return (
+        sketch.unionByName(profile)
+        .unionByName(rolling)
+        .unionByName(overlap)
+    )

@@ -2028,3 +2028,30 @@ def test_cdc_chunks_pathological_constant_input_respects_max(spark):
     assert {r["doc_id"] for r in rows} == {1}
     assert all(r["length"] <= 512 for r in rows)
     assert sum(r["length"] for r in rows) == 5000
+
+
+def test_segment_overlap_hand_computed_and_sketch_lane(spark):
+    """Exact intersections on planted segments; estimates in band; the
+    production lane has NO distinct-key shuffle (all-sketch)."""
+    from drill_logfile_plugin_spark.operators.segments import segment_overlap
+
+    rows = (
+        [("a", u) for u in range(50)]
+        + [("b", u) for u in range(25, 60)]   # |a∩b| = 25
+        + [("c", u) for u in range(200, 210)]  # disjoint from a, b
+        + [(None, 1), ("a", None)]             # excluded
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in segment_overlap(df).collect()
+    }
+    assert out[("a", "b")]["exact_inter"] == 25
+    assert out[("a", "c")]["exact_inter"] == 0
+    assert out[("b", "c")]["exact_inter"] == 0
+    assert all(r["in_band"] for r in out.values())
+    assert out[("a", "b")]["n_a"] == 50 and out[("a", "b")]["n_b"] == 35
+    sketch_only = segment_overlap(df, exact_lane=False)
+    assert "exact_inter" not in sketch_only.columns
+    p = sketch_only._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in p.lower().replace("hll_sketch", "")

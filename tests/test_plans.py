@@ -311,6 +311,9 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
         "q41_ann_ivf",  # 1-row in-band recall flag broadcast (scalar shape)
         "q46_rollup_cascade",  # 1-row funnel-base count broadcast into rates
         "q50_top_terms",  # 1-row corpus-stats broadcast into BM25 scores
+        "q52_sketch_checks",  # segment-overlap pairwise seg_a<seg_b join:
+        #   segment-cardinality-sized both sides (a handful of sketch
+        #   rows), the documented bounded-broadcast shape
         "q55_split_mix",  # one-row global-min scalar broadcast into rates
     }
     for name, fn in queries.items():
