@@ -342,3 +342,36 @@ def test_spike_flags_matches_reference_on_any_series(spark, counts, trailing, k)
         z_num, z_den2 = n * c - s, n * ss - s * s
         expect = n >= 2 and z_num > 0 and z_num * z_num > k * k * z_den2
         assert got[b] == (c, n, expect), (i, b, dense)
+
+
+@given(
+    n_bytes=st.integers(min_value=0, max_value=3000),
+    avg=st.sampled_from([64, 128, 256]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@SETTINGS
+def test_cdc_chunks_tile_exactly_for_any_input(spark, n_bytes, avg, seed):
+    """For ANY content and average size: chunks tile the byte range
+    exactly in order, sizes respect [min, max] (except a possibly-short
+    final chunk), and the split is a pure function of the bytes."""
+    import random
+
+    from drill_logfile_plugin_spark.operators.chunking import cdc_chunks
+
+    rng = random.Random(seed)
+    text = "".join(chr(32 + rng.randrange(95)) for _ in range(n_bytes))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        cdc_chunks(df, avg_size=avg).collect(), key=lambda r: r["chunk_idx"]
+    )
+    if n_bytes == 0:
+        assert rows == []
+        return
+    assert rows[0]["start"] == 0
+    for x, y in zip(rows, rows[1:]):
+        assert y["start"] == x["start"] + x["length"]
+    assert sum(r["length"] for r in rows) == len(text.encode())
+    hi = avg * 4
+    assert all(r["length"] <= hi for r in rows)
+    lo = max(avg // 4, 48)
+    assert all(r["length"] >= lo for r in rows[:-1]) or len(rows) == 1
