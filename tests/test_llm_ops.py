@@ -2055,3 +2055,23 @@ def test_segment_overlap_hand_computed_and_sketch_lane(spark):
     assert "exact_inter" not in sketch_only.columns
     p = sketch_only._jdf.queryExecution().executedPlan().toString()
     assert "distinct" not in p.lower().replace("hll_sketch", "")
+
+
+def test_spike_flags_global_no_group(spark):
+    """group_cols=() — one global series — flags its planted burst."""
+    from drill_logfile_plugin_spark.operators.anomaly import spike_flags
+
+    rows = [
+        (f"2024-01-01 {h:02d}:{i:02d}:00",)
+        for h in range(8)
+        for i in range(3 if h != 7 else 30)
+    ]
+    df = spark.createDataFrame(rows, "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        (r["bucket"].hour, r["spike"])
+        for r in spike_flags(df, group_cols=()).collect()
+    )
+    assert len(out) == 8 and out[-1] == (7, True)
+    assert not any(s for _, s in out[:-1])
