@@ -1164,38 +1164,80 @@ def q58(spark, sf):
     f"""
     WITH s AS (
       SELECT doc_id, unnest({_SH8_DUCK}) AS g FROM documents
+    ), d1 AS (
+      SELECT DISTINCT doc_id, g FROM s
     ), freq AS (
-      SELECT g, COUNT(DISTINCT doc_id) AS n_docs
-      FROM s GROUP BY g
+      SELECT g, COUNT(*) AS n_docs FROM d1 GROUP BY g
+    ), boiler AS (
+      SELECT g FROM freq WHERE n_docs >= 3
     )
-    SELECT g AS span, n_docs FROM freq WHERE n_docs >= 3
+    SELECT 'spans' AS part, g AS key_s, n_docs AS n1,
+           CAST(NULL AS BIGINT) AS n2
+    FROM freq WHERE n_docs >= 3
+    UNION ALL
+    SELECT 'docfrac' AS part, CAST(d1.doc_id AS VARCHAR) AS key_s,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+           COUNT(*) AS n2
+    FROM d1 LEFT JOIN boiler b ON d1.g = b.g
+    GROUP BY d1.doc_id
     """,
-    doc="Boilerplate-span detection: word 8-grams appearing in >= 3 "
-    "distinct documents (nav menus, license headers, template text — "
-    "what quality filters strip before training; this corpus has no "
-    "newline/sentence structure, so the span unit is the word n-gram). "
-    "Explode to shingles, then shuffle on xxhash64(span) — an 8-byte "
-    "key — instead of the raw 8-gram string (the q29 trick), carrying "
-    "MIN(span) alongside for reporting: the count-distinct expand and "
-    "both shuffle stages move fixed-width keys, and the string appears "
-    "once per (partition, distinct span) in the partial agg, not once "
-    "per occurrence. A 64-bit cross-span collision (~2^-64, same "
-    "accepted trade-off as q29) would merge two spans' doc counts. "
-    "The removal pass is then a broadcast anti-join of these spans "
-    "against the corpus's shingles.",
+    doc="Boilerplate tier, union-merged (driver query-budget policy). "
+    "Spans arm: word 8-grams appearing in >= 3 distinct documents (nav "
+    "menus, license headers, template text — what quality filters strip "
+    "before training). Explode to shingles, then shuffle on "
+    "xxhash64(span) — an 8-byte key — instead of the raw 8-gram string "
+    "(the q29 trick), carrying MIN(span) alongside for reporting; a "
+    "64-bit cross-span collision (~2^-64) would merge two spans' "
+    "counts. Docfrac arm: the FILTER consuming that index — per-doc "
+    "(boilerplate shingles, total shingles) counts, i.e. the fraction "
+    "of a document that is corpus boilerplate (the C4-style removal "
+    "signal), via one per-doc-distinct shingle frame joined against "
+    "its own >= 3 frequency table on the 8-byte hash. Every exchange "
+    "in both arms moves fixed-width hashed keys (the raw 8-gram string "
+    "only rides as a partial-agg'd MIN, plan-pinned); the docfrac "
+    "exchanges are all post-distinct span-cardinality-sized. Exact "
+    "integer pairs, no floats.",
 )
 def q59(spark, sf):
     d = _t(spark, sf, "documents")
     s = d.select("doc_id", F.explode(F.expr(_SH8_SPARK)).alias("g"))
-    return (
+    spans = (
         s.groupBy(F.xxhash64("g").alias("gh"))
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.min("g").alias("span"),
         )
         .where(F.col("n_docs") >= 3)
-        .select("span", "n_docs")
+        .select(
+            F.lit("spans").alias("part"),
+            F.col("span").alias("key_s"),
+            F.col("n_docs").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+        )
     )
+    sh = s.select("doc_id", F.xxhash64("g").alias("gh")).distinct()
+    boiler = (
+        sh.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 3)
+        .select("gh")
+    )
+    docfrac = (
+        sh.join(boiler.withColumn("_b", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n1"),
+            F.count(F.lit(1)).alias("n2"),
+        )
+        .select(
+            F.lit("docfrac").alias("part"),
+            F.col("doc_id").cast("string").alias("key_s"),
+            F.col("n1").cast("long").alias("n1"),
+            "n2",
+        )
+    )
+    return spans.unionByName(docfrac)
 
 
 # =========================================================================

@@ -263,12 +263,19 @@ def test_deterministic_split_shuffles_only_reports(spark, queries):
 
 
 def test_boilerplate_spans_shuffles_hashed_keys(spark, queries):
-    """q59: both shuffle stages key on xxhash64(span) — 8-byte keys, never
-    the raw 8-gram strings (the strings appear once per distinct span in
-    the partial agg, not once per occurrence)."""
+    """q59 (spans + docfrac arms): every shuffle keys on xxhash64 /
+    doc_id — fixed-width keys, never the raw 8-gram strings (the string
+    appears once per distinct span as a partial-agg'd MIN, not once per
+    occurrence): no hashpartitioning on the exploded string column."""
     plan = plan_of(queries["q59_boilerplate_spans"](spark, SF_DIR))
     assert "xxhash64" in plan
-    assert plan.count("Exchange") == 2  # expand (count-distinct) + final
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        key = chunk.split(",")[0]
+        # _groupingexpression#NL is the inlined xxhash64(g) (bigint)
+        assert key.startswith(
+            ("gh", "doc_id", "xxhash64", "part", "_groupingexpression")
+        ), f"q59 shuffles a non-hashed key: {key}"
+    assert plan.count("Exchange") <= 7
 
 
 def test_scan_speed_text_ops_single_exchange(spark, queries):
