@@ -2075,3 +2075,33 @@ def test_spike_flags_global_no_group(spark):
     )
     assert len(out) == 8 and out[-1] == (7, True)
     assert not any(s for _, s in out[:-1])
+
+
+def test_cross_source_duplication_matrix_composition(spark, documents):
+    """segment_overlap composed over (source, md5(text)) measures
+    inter-source CONTENT duplication — the corpus-provenance overlap
+    matrix. Exact lane vs a hand-computed pair on the real corpus."""
+    from drill_logfile_plugin_spark.operators.segments import segment_overlap
+
+    keyed = documents.select(
+        "source", F.md5("text").alias("content")
+    )
+    out = {
+        (r["seg_a"], r["seg_b"]): r["exact_inter"]
+        for r in segment_overlap(
+            keyed, seg_col="source", key_col="content"
+        ).collect()
+    }
+    assert out  # every source pair present
+    # hand-compute one pair
+    pairs = sorted(out)
+    sa, sb = pairs[0]
+    A = {
+        r["content"]
+        for r in keyed.where(F.col("source") == sa).distinct().collect()
+    }
+    B = {
+        r["content"]
+        for r in keyed.where(F.col("source") == sb).distinct().collect()
+    }
+    assert out[(sa, sb)] == len(A & B)
