@@ -344,6 +344,16 @@ def main() -> None:
     timed.append(("rolling_hll_sketch", rolling_sketch_lane))
     timed.append(("rolling_with_exact_lane", rolling_exact_lane))
 
+    from drill_logfile_plugin_spark.operators.segments import segment_overlap
+
+    def overlap_sketch_lane(spark, sf_dir):
+        return segment_overlap(
+            load_table(spark, sf_dir, "events").select("event_type", "user_id"),
+            exact_lane=False,
+        )
+
+    timed.append(("segment_overlap_sketch", overlap_sketch_lane))
+
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
         times = {}
