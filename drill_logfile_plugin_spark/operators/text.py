@@ -549,3 +549,168 @@ def clean_corpus(
     if with_reasons:
         return base.drop("_toks").withColumn("keep", keep)
     return base.where(keep).select(*df.columns)
+
+
+# --- contextual LM surprisal (CCNet-style perplexity bucketing) -----------
+
+
+def lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contextual surprisal under the corpus's own bigram LM.
+
+    The CCNet pipeline buckets Common Crawl into head/middle/tail by
+    document perplexity under a KenLM n-gram model; the signal that does
+    the work is "how surprising is each next token given its context,
+    averaged over the document". This operator computes that signal
+    self-trained (model = the corpus's own bigram counts), which is the
+    standard novelty/outlier form: boilerplate-heavy documents score low
+    (their bigrams are corpus-frequent), garbled or off-distribution
+    documents score high.
+
+    Cross-engine exactness: true perplexity is exp(mean -ln p), and
+    ``ln``/``exp`` are libm-dependent (retrieval.py module docstring).
+    The suite's substitute is the same one BM25 uses for idf — ``sqrt``
+    in place of ``ln`` — giving per-bigram add-one-smoothed dampened
+    inverse probability
+
+        s(w1,w2) = floor(1e6 * sqrt((n_ctx + V) / (n_pair + 1)))
+
+    with ``n_pair`` the corpus count of the bigram, ``n_ctx`` the count
+    of bigrams with context w1, and ``V`` the corpus vocabulary size.
+    Every op in that expression (integer adds, double division, sqrt,
+    multiply, floor) is correctly rounded by IEEE-754, so both engines
+    produce the identical integer, and per-document aggregation is an
+    order-free BIGINT sum. Same monotone-per-term shape as perplexity,
+    bit-checkable by the driver; callers needing calibrated perplexity
+    values plug a real LM and accept the libm trade.
+
+    Returns (doc_id, n_bi, sum_s, n_rare, mean_s):
+
+    * ``n_bi`` — bigram positions in the doc (tokens - 1),
+    * ``sum_s`` — exact integer sum of per-position s(w1,w2),
+    * ``n_rare`` — positions whose bigram is a corpus hapax (n_pair = 1;
+      the self-trained analogue of OOV — all-novel text maximizes it),
+    * ``mean_s`` — sum_s / n_bi (one int/int double division).
+
+    Documents with < 2 tokens have no bigram context and are excluded
+    (no rows), mirroring ``bigram_model``'s filter.
+
+    Scale posture (100 TB): one tokenize + pair-explode pass feeds BOTH
+    the per-doc pair counts and (re-aggregated from them, partial-agg
+    map-side) the corpus model — the explode is barriered so it runs
+    once. Joins are equi joins on (w1, w2) / (w1) token keys with the
+    model side partial-agg'd to distinct pairs (vocab-squared, not
+    corpus, rows); V is a 1-row broadcast. Nothing is collected; no
+    Python in the plan.
+
+    Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C);
+    the reference plugin has no ranking/scoring surface.
+    """
+    from .dedup import _barrier
+
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    pairs = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    # Per-doc distinct-pair counts: the only pass over the exploded
+    # stream. Barriered because the corpus model below re-aggregates it
+    # (without the barrier Spark would re-run tokenize+explode per branch).
+    dp = _barrier(
+        pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    )
+    counts = dp.groupBy("w1", "w2").agg(F.sum("k").alias("n_pair"))
+    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    vocab = df.select(
+        F.explode(F.expr(TOKS_SPARK.format(c=text_col))).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+
+    s_scaled = (
+        F.floor(
+            F.sqrt(
+                (F.col("n_ctx") + F.col("v")).cast("double")
+                / (F.col("n_pair") + F.lit(1)).cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("s_scaled")
+    )
+    scored = (
+        dp.join(counts, ["w1", "w2"])  # self-trained: every pair matches
+        .join(totals, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "k", "n_pair", s_scaled)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bi"),
+        F.sum(F.col("k") * F.col("s_scaled")).alias("sum_s"),
+        F.sum(F.when(F.col("n_pair") == 1, F.col("k")).otherwise(F.lit(0))).alias(
+            "n_rare"
+        ),
+        (
+            F.sum(F.col("k") * F.col("s_scaled")).cast("double")
+            / F.sum("k").cast("double")
+        ).alias("mean_s"),
+    )
+
+
+def lm_surprisal_sql_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`lm_surprisal` (same smoothing, floor,
+    association order — scaled integers are bit-identical)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    return f"""
+    WITH tk AS (
+      SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+      WHERE len({toks}) >= 2
+    ), pairs AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) AS t(i)
+    ), dp AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM pairs GROUP BY doc_id, w1, w2
+    ), counts AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS n_pair FROM dp GROUP BY w1, w2
+    ), totals AS (
+      SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM counts GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT term) AS v
+      FROM (SELECT unnest({toks}) AS term FROM {table})
+    ), scored AS (
+      SELECT dp.doc_id, dp.k, c.n_pair,
+             CAST(FLOOR(
+               sqrt(CAST(t.n_ctx + vocab.v AS DOUBLE)
+                    / CAST(c.n_pair + 1 AS DOUBLE))
+               * 1000000.0
+             ) AS BIGINT) AS s_scaled
+      FROM dp
+      JOIN counts c USING (w1, w2)
+      JOIN totals t USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bi,
+           CAST(SUM(k * s_scaled) AS BIGINT) AS sum_s,
+           CAST(SUM(CASE WHEN n_pair = 1 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(k * s_scaled) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+             AS mean_s
+    FROM scored GROUP BY doc_id
+    """

@@ -266,7 +266,8 @@ def q23(spark, sf):
 @query(
     "q24_quality_score",
     f"""
-    WITH rarity AS ({T.corpus_rarity_sql_duck(vocab_size=16)})
+    WITH rarity AS ({T.corpus_rarity_sql_duck(vocab_size=16)}),
+    lm AS ({T.lm_surprisal_sql_duck()})
     SELECT 'quality' AS part,
            {T.quality_bucket_sql_duck('text')} AS bucket,
            COUNT(*) AS n_docs,
@@ -280,6 +281,13 @@ def q23(spark, sf):
            CAST(SUM(n_oov) AS BIGINT) AS measure,
            MIN(doc_id) AS min_doc_id
     FROM rarity GROUP BY bucket
+    UNION ALL
+    SELECT 'lm' AS part,
+           CAST(CAST(FLOOR(mean_s / 250000.0) AS BIGINT) AS VARCHAR) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_rare) AS BIGINT) AS measure,
+           MIN(doc_id) AS min_doc_id
+    FROM lm GROUP BY bucket
     """,
     doc="Document quality, union-merged (driver query-budget policy). "
     "Quality arm: heuristic per-document bands (length / type-token "
@@ -289,8 +297,13 @@ def q23(spark, sf):
     "frequency rank + OOV fraction, banded by floor(mean_rank). The "
     "standard form is LM cross-entropy, but ln/exp are libm-dependent; "
     "rank space keeps the same monotone signal in integer sums + two "
-    "final divisions, so the driver hash checks it bit-for-bit. measure "
-    "= total_chars (quality arm) / total OOV tokens (rarity arm).",
+    "final divisions, so the driver hash checks it bit-for-bit. LM arm "
+    "(operators/text.py lm_surprisal): the CONTEXTUAL signal — CCNet-"
+    "style perplexity bucketing under the corpus's own bigram LM, with "
+    "sqrt-dampened add-one-smoothed inverse probability in place of ln "
+    "(the BM25 idf trade) so per-bigram scores are scaled integers and "
+    "the bucket hash is engine-exact. measure = total_chars (quality) / "
+    "total OOV tokens (rarity) / corpus-hapax bigram positions (lm).",
 )
 def q24(spark, sf):
     d = _t(spark, sf, "documents")
@@ -316,7 +329,22 @@ def q24(spark, sf):
         )
         .select(F.lit("rarity").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
     )
-    return quality.unionByName(rarity)
+    lm = (
+        T.lm_surprisal(d)
+        .groupBy(
+            F.floor(F.col("mean_s") / F.lit(250000.0))
+            .cast("long")
+            .cast("string")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_rare").alias("measure"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .select(F.lit("lm").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
+    )
+    return quality.unionByName(rarity).unionByName(lm)
 
 
 # =========================================================================

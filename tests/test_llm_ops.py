@@ -2105,3 +2105,27 @@ def test_cross_source_duplication_matrix_composition(spark, documents):
         for r in keyed.where(F.col("source") == sb).distinct().collect()
     }
     assert out[(sa, sb)] == len(A & B)
+
+
+def test_lm_surprisal_hand_computed(spark):
+    """Tiny corpus where the bigram LM and every floor'd score is done by
+    hand: corpus pairs (a,b)x3 (b,a)x1 (b,c)x1, totals a:3 b:2, V=4
+    (d3's lone 'x' counts toward vocab but yields no bigram rows).
+
+        s(a,b) = floor(1e6*sqrt((3+4)/(3+1))) = 1322875
+        s(b,a) = s(b,c) = floor(1e6*sqrt((2+4)/(1+1))) = 1732050
+    """
+    from drill_logfile_plugin_spark.operators.text import lm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in lm_surprisal(df).collect()}
+    assert set(rows) == {1, 2}  # d3 has no bigram context
+    d1, d2 = rows[1], rows[2]
+    assert (d1.n_bi, d1.sum_s, d1.n_rare) == (3, 2 * 1322875 + 1732050, 1)
+    assert (d2.n_bi, d2.sum_s, d2.n_rare) == (2, 1322875 + 1732050, 1)
+    assert d1.mean_s == d1.sum_s / 3
+    # boilerplate-ish d1 (repeated corpus-frequent bigram) scores LOWER
+    # than the more novel d2 — the CCNet head/tail ordering.
+    assert d1.mean_s < d2.mean_s

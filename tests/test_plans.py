@@ -312,6 +312,7 @@ def test_all_queries_no_row_python_no_surprise_cartesians(spark, queries):
     """
     bnl_allowed = {
         "q06_nonequi_join",  # theta join IS the query's point
+        "q24_quality_score",  # 1-row vocab-size broadcast into LM surprisal
         "q30_embedding_topk",  # brute-force scoring vs the BROADCAST query set
         "q31_ann_lsh",  # 1-row in-band recall flag broadcast (scalar shape)
         "q40_embedding_neardup",  # nblocks² block-pair join, bounded input
