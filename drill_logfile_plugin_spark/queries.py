@@ -34,7 +34,11 @@ from .operators.anomaly import spike_sql_duck
 from .operators.profiler import profile_sql_duck
 from .operators.rolling import rolling_exact_sql_duck
 from .operators.segments import segment_overlap_exact_sql_duck
+from .operators.text import TOKS_DUCK
 from .registry import _t, query
+
+#: DuckDB token stream for q52's cms arm (documents.text occurrences).
+_TOKS_DUCK_TEXT = TOKS_DUCK.format(c="text")
 
 REV_SUM_SQL = f"CAST(SUM({REVENUE_DEC_SQL}) AS DOUBLE)"
 
@@ -901,6 +905,18 @@ def q48(spark, sf):
            CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
            CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
     FROM ({overlap}) ov
+    UNION ALL
+    SELECT 'cms' AS part, term AS key,
+           cnt AS n_a, rk AS n_b, CAST(NULL AS BIGINT) AS n_c,
+           TRUE AS flag_a, TRUE AS flag_b,
+           CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
+           CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
+    FROM (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+      FROM (SELECT unnest({cms_toks}) AS term FROM documents)
+      GROUP BY term
+    ) hh WHERE rk <= 20
     """.format(
         profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS),
         rolling=rolling_exact_sql_duck(
@@ -909,6 +925,7 @@ def q48(spark, sf):
         overlap=segment_overlap_exact_sql_duck(
             "SELECT event_type, user_id FROM events"
         ),
+        cms_toks=_TOKS_DUCK_TEXT,
     ),
     doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
     "lanes (count_distinct — full shuffle of distinct keys; exact "
@@ -934,7 +951,12 @@ def q48(spark, sf):
     "reduces to fixed-size state once, windows union sketches (bytes "
     "through the shuffle) instead of re-shuffling keys per overlapping "
     "window; the exact offset-explode lane + in_band flag certify the "
-    "estimate per window (oracle asserts TRUE).",
+    "estimate per window (oracle asserts TRUE). Cms arm (operators/"
+    "freqsketch.py): FREQUENCY completes the mergeable-sketch trio — a "
+    "DataFrame-native count-min grid (d x w counters, partial-agg'd to "
+    "fixed size before the shuffle) point-queried for the exact top-20 "
+    "document tokens; flags assert the two CMS guarantees (never under-"
+    "counts; within eps*N over-count), oracle asserts TRUE.",
 )
 def q52(spark, sf):
     from .operators.profiler import profile_columns
@@ -1020,8 +1042,28 @@ def q52(spark, sf):
         F.lit(None).cast("string").alias("s_min"),
         F.lit(None).cast("string").alias("s_max"),
     )
+    from .operators.freqsketch import heavy_hitters_certified
+    from .operators.text import TOKS_SPARK
+
+    occ = _t(spark, sf, "documents").select(
+        F.explode(F.expr(TOKS_SPARK.format(c="text"))).alias("term")
+    )
+    cms = heavy_hitters_certified(occ, "term", k=20).select(
+        F.lit("cms").alias("part"),
+        F.col("key"),
+        F.col("exact").alias("n_a"),
+        F.col("rk").alias("n_b"),
+        F.lit(None).cast("long").alias("n_c"),
+        F.col("never_under").alias("flag_a"),
+        F.col("within_eps").alias("flag_b"),
+        F.lit(None).cast("double").alias("d_min"),
+        F.lit(None).cast("double").alias("d_max"),
+        F.lit(None).cast("string").alias("s_min"),
+        F.lit(None).cast("string").alias("s_max"),
+    )
     return (
         sketch.unionByName(profile)
         .unionByName(rolling)
         .unionByName(overlap)
+        .unionByName(cms)
     )

@@ -2129,3 +2129,37 @@ def test_lm_surprisal_hand_computed(spark):
     # boilerplate-ish d1 (repeated corpus-frequent bigram) scores LOWER
     # than the more novel d2 — the CCNet head/tail ordering.
     assert d1.mean_s < d2.mean_s
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """With w >> distinct keys the grid has no collisions, so every CMS
+    estimate equals the exact count and both guarantee flags hold."""
+    from drill_logfile_plugin_spark.operators.freqsketch import (
+        heavy_hitters_certified,
+    )
+
+    rows = [("a",)] * 7 + [("b",)] * 4 + [("c",)] * 2 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "t string")
+    out = {r.key: r for r in heavy_hitters_certified(df, "t", k=4, w=4096, d=3).collect()}
+    assert {k: r.exact for k, r in out.items()} == {"a": 7, "b": 4, "c": 2, "d": 1}
+    assert [out[k].rk for k in ("a", "b", "c", "d")] == [1, 2, 3, 4]
+    for r in out.values():
+        assert r.cms_est == r.exact
+        assert r.never_under and r.within_eps
+
+
+def test_cms_collision_overcounts_but_never_undercounts(spark):
+    """w=1, d=1 forces total collision: every estimate is N (=9). The
+    structural guarantee (never under) survives; the eps bound correctly
+    FAILS for the small keys — the flag detects a sketch out of band."""
+    from drill_logfile_plugin_spark.operators.freqsketch import (
+        heavy_hitters_certified,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "t string")
+    out = {r.key: r for r in heavy_hitters_certified(df, "t", k=3, w=1, d=1, eps=0.01).collect()}
+    assert all(r.cms_est == 9 for r in out.values())
+    assert all(r.never_under for r in out.values())
+    # bound = max(1, floor(0.01*9)) = 1: a(5)+1 < 9, so within_eps False
+    assert not any(r.within_eps for r in out.values())

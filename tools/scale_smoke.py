@@ -354,6 +354,40 @@ def main() -> None:
 
     timed.append(("segment_overlap_sketch", overlap_sketch_lane))
 
+    # LM surprisal over the 10× documents fixture: one barriered
+    # pair-explode + three token-key equi joins. The shifted-alphabet
+    # replicas grow the pair table linearly with the corpus (each
+    # replica brings its own vocabulary), so the lane should bend
+    # linearly — a super-linear factor would mean the per-doc stream is
+    # joining against something corpus-quadratic.
+    from drill_logfile_plugin_spark.operators.text import lm_surprisal
+
+    def lm_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            lm_surprisal(docs)
+            .groupBy(F.floor(F.col("mean_s") / F.lit(250000.0)).alias("bucket"))
+            .count()
+        )
+
+    timed.append(("lm_surprisal", lm_lane))
+
+    # Count-min grid over the 10× token stream: the certified lane's
+    # exact top-k pays the distinct-token shuffle, but the grid build
+    # itself shuffles at most d·w fixed-size counters regardless of
+    # corpus size — the lane should ride the scan like the other
+    # mergeable sketches.
+    from drill_logfile_plugin_spark.operators.freqsketch import cms_table
+
+    def cms_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        occ = docs.select(
+            F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("t")
+        )
+        return cms_table(occ, "t")
+
+    timed.append(("cms_grid", cms_lane))
+
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
         times = {}
