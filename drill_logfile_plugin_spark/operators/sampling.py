@@ -185,3 +185,108 @@ def stratified_sample(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def plan_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Allocate a training token budget across sources (α=0.5 weights).
+
+    The planning step that precedes :func:`temperature_mix` in a real
+    run: given "we will train on B tokens total", decide how many tokens
+    each source contributes and how many EPOCHS of that source the
+    allocation implies (allocation / available — >1e6 scaled means the
+    source repeats, the signal data teams watch for small high-quality
+    sources). Weights are temperature α=0.5: w_s ∝ sqrt(available_s),
+    the same exponent family as ``temperature_mix`` and for the same
+    cross-engine reason — sqrt is IEEE-correctly-rounded where pow(x, α)
+    is libm-dependent.
+
+    Exactness: per-source weights are integer-scaled BEFORE the global
+    normalization sum (``floor(1e6*sqrt(avail))``), so the denominator
+    is an exact order-free BIGINT sum; the allocation and epoch numbers
+    are then single fixed-association double expressions over integers —
+    bit-identical in any engine.
+
+    Returns (source, n_docs, avail_tokens, w_scaled, alloc_tokens,
+    epochs_scaled): ``alloc_tokens = floor(B * w_s / Σw)``;
+    ``epochs_scaled = floor(1e6 * alloc / avail)``.
+
+    Scale posture: one scan computing ``size(split(text))`` beside the
+    source key, a dim-sized groupBy, and a 1-row broadcast of the weight
+    sum — the corpus is read once, nothing else grows with it.
+    """
+    from .text import TOKS_SPARK
+
+    nt = F.size(F.expr(TOKS_SPARK.format(c=text_col)))
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).alias("avail_tokens"),
+    )
+    w = (
+        F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("w_scaled")
+    )
+    weighted = per_src.select("*", w)
+    total_w = weighted.agg(F.sum("w_scaled").alias("sum_w"))
+    alloc = F.floor(
+        (F.lit(float(budget_tokens)) * F.col("w_scaled").cast("double"))
+        / F.col("sum_w").cast("double")
+    ).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(total_w))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "w_scaled",
+            alloc.alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_scaled",
+            F.floor(
+                (F.col("alloc_tokens").cast("double") * F.lit(1000000.0))
+                / F.col("avail_tokens").cast("double")
+            ).cast("long"),
+        )
+    )
+
+
+def plan_token_budget_sql_duck(
+    budget_tokens: int,
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB mirror of :func:`plan_token_budget` (same scaling, floors,
+    association order)."""
+    from .text import TOKS_DUCK
+
+    toks = TOKS_DUCK.format(c=text_col)
+    return f"""
+    WITH per_src AS (
+      SELECT {source_col} AS source, COUNT(*) AS n_docs,
+             CAST(SUM(len({toks})) AS BIGINT) AS avail_tokens
+      FROM {table} GROUP BY {source_col}
+    ), weighted AS (
+      SELECT *, CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS w_scaled
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(w_scaled) AS BIGINT) AS sum_w FROM weighted
+    ), alloc AS (
+      SELECT w.source, w.n_docs, w.avail_tokens, w.w_scaled,
+             CAST(FLOOR(({float(budget_tokens)!r} * CAST(w.w_scaled AS DOUBLE))
+                        / CAST(t.sum_w AS DOUBLE)) AS BIGINT) AS alloc_tokens
+      FROM weighted w CROSS JOIN tot t
+    )
+    SELECT source, n_docs, avail_tokens, w_scaled, alloc_tokens,
+           CAST(FLOOR((CAST(alloc_tokens AS DOUBLE) * 1000000.0)
+                      / CAST(avail_tokens AS DOUBLE)) AS BIGINT)
+             AS epochs_scaled
+    FROM alloc
+    """

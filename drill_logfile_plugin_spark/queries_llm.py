@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import retrieval as R
+from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators import text as T
 from .operators.asof import asof_join
@@ -955,6 +956,12 @@ def q51(spark, sf):
     return inc_report.unionByName(diff_report)
 
 
+#: q55 budget arm: the training token budget being allocated (10M —
+#: larger than any single source at test scale so epoch numbers exercise
+#: both the <1 and >1 regimes).
+_Q55_BUDGET = 10_000_000
+
+
 @query(
     "q55_split_mix",
     f"""
@@ -1001,6 +1008,10 @@ def q51(spark, sf):
       FROM documents
     ) WHERE rk <= 15
     GROUP BY source
+    UNION ALL
+    SELECT source, 'budget' AS part, n_docs,
+           alloc_tokens AS total_chars, epochs_scaled AS mix_thr
+    FROM ({SAMP.plan_token_budget_sql_duck(10_000_000)}) b
     """,
     doc="The two deterministic corpus-subset operators, union-merged "
     "(driver query-budget policy). Split branch: 80/10/10 "
@@ -1021,7 +1032,13 @@ def q51(spark, sf):
     "per-stratum rank over the deterministic (md5(id), id) permutation — "
     "the complement to mix's expected-rate thresholds; its one shuffle "
     "partitions by source, with the documented pre-thinning escape for "
-    "skewed strata.",
+    "skewed strata. Budget arm (operators/sampling.py "
+    "plan_token_budget): the planning step preceding the mix — allocate "
+    "a 10M-token training budget across sources with alpha=0.5 weights "
+    "(integer-scaled sqrt weights summed exactly before the one "
+    "normalization division) and report implied epochs per source "
+    "(floor(1e6*alloc/avail); >1e6 = the source repeats). In this arm "
+    "total_chars carries alloc_tokens and mix_thr carries epochs_scaled.",
 )
 def q55(spark, sf):
     from .operators.sampling import temperature_mix
@@ -1077,7 +1094,20 @@ def q55(spark, sf):
             F.lit(None).cast("long").alias("mix_thr"),
         )
     )
-    return split_report.unionByName(mix_report).unionByName(strat_report)
+    from .operators.sampling import plan_token_budget
+
+    budget_report = plan_token_budget(d, _Q55_BUDGET).select(
+        "source",
+        F.lit("budget").alias("part"),
+        "n_docs",
+        F.col("alloc_tokens").alias("total_chars"),
+        F.col("epochs_scaled").alias("mix_thr"),
+    )
+    return (
+        split_report.unionByName(mix_report)
+        .unionByName(strat_report)
+        .unionByName(budget_report)
+    )
 
 
 @query(

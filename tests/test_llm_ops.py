@@ -2163,3 +2163,29 @@ def test_cms_collision_overcounts_but_never_undercounts(spark):
     assert all(r.never_under for r in out.values())
     # bound = max(1, floor(0.01*9)) = 1: a(5)+1 < 9, so within_eps False
     assert not any(r.within_eps for r in out.values())
+
+
+def test_plan_token_budget_invariants(spark):
+    """Allocation preserves the alpha=0.5 ordering without erasing it
+    (sqrt-compressed, monotone), never exceeds the budget in sum, and
+    the epoch number crosses 1e6 exactly when alloc > avail."""
+    from drill_logfile_plugin_spark.operators.sampling import plan_token_budget
+
+    rows = (
+        [(i, "w " * 50, "big") for i in range(40)]
+        + [(100 + i, "w " * 50, "mid") for i in range(10)]
+        + [(200 + i, "w " * 50, "tiny") for i in range(2)]
+    )
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = {r.source: r for r in plan_token_budget(df, 5_000).collect()}
+    assert set(out) == {"big", "mid", "tiny"}
+    # availability ordering preserved in allocation
+    assert out["big"].alloc_tokens > out["mid"].alloc_tokens > out["tiny"].alloc_tokens
+    # sqrt compression: big has 20x tiny's tokens but < 20x its allocation
+    assert out["big"].alloc_tokens < 20 * out["tiny"].alloc_tokens
+    # floor'd allocations never exceed the budget
+    assert sum(r.alloc_tokens for r in out.values()) <= 5_000
+    for r in out.values():
+        assert (r.epochs_scaled > 1_000_000) == (r.alloc_tokens > r.avail_tokens)
