@@ -714,3 +714,54 @@ def lm_surprisal_sql_duck(
              AS mean_s
     FROM scored GROUP BY doc_id
     """
+
+
+# --- text normalization (pre-dedup/tokenize scrub) ------------------------
+
+#: Characters normalization deletes outright: C0 controls except
+#: tab/newline/CR (kept — they are whitespace, collapsed below), DEL, the
+#: zero-width joiners/space, and the BOM. Class syntax (\xNN and \x{NNNN})
+#: parses identically in Java regex and RE2.
+NORM_STRIP_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+
+#: Whitespace run → single space. An EXPLICIT class, not \s: Java's \s
+#: includes vertical tab where RE2's does not — the one place the two
+#: engines' regex dialects disagree on whitespace, excluded on purpose
+#: (\x0B is already deleted by NORM_STRIP_RE).
+NORM_WS_RE = r"[ \t\n\r\f]+"
+
+
+def normalize_text(col) -> Column:
+    """Normalize raw text: strip control/zero-width characters, collapse
+    whitespace runs to single spaces, trim.
+
+    The standard pre-dedup/pre-tokenize scrub — without it, byte-level
+    junk (BOMs, zero-width joiners, stray C0 controls, inconsistent
+    whitespace) defeats exact dedup (hashes differ on invisible bytes)
+    and pollutes token statistics. Runs as three nested JVM string
+    expressions fused into the scan: no shuffle, no Python, scan-speed
+    at any scale.
+
+    Cross-engine exactness: both regexes are written in the common
+    subset of Java regex and RE2 (explicit classes, no \\s, no
+    lookaround), so DuckDB's ``regexp_replace(..., 'g')`` produces
+    byte-identical output — certified by the q60 'norm' arm against a
+    planted-mess fixture.
+
+    Unicode canonicalization (NFC/NFKC) is deliberately out of scope:
+    it needs ICU tables, is not expressible as a regex, and its
+    engine-portability story is exactly the libm problem again. Plug a
+    pandas UDF with ``unicodedata.normalize`` where true NFC is needed
+    (documented trade, same pattern as the multimodal codec stubs).
+    """
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(col, NORM_STRIP_RE, ""), NORM_WS_RE, " ")
+    )
+
+
+def normalize_text_sql_duck(expr: str) -> str:
+    """DuckDB mirror of :func:`normalize_text` (same two patterns, 'g')."""
+    return (
+        f"trim(regexp_replace(regexp_replace({expr}, "
+        f"'{NORM_STRIP_RE}', '', 'g'), '{NORM_WS_RE}', ' ', 'g'))"
+    )

@@ -301,6 +301,16 @@ def q54(spark, sf):
 _SCRUB_PLANT = " contact a.user@dom10.example or 10.1.2.3 ssn 123-45-6789"
 _SCRUB_KINDS = ("email", "ipv4", "ssn")
 
+#: q60 norm arm: deterministic byte-level mess (leading/trailing/double
+#: spaces, tab, zero-width space, BEL) planted on every 7th document so
+#: the normalization chain does real, countable work. Mirrored in the
+#: oracle via chr() concatenation.
+_NORM_PLANT = "  messy\ttext\u200bhidden\x07bell  "
+
+from .operators.text import normalize_text, normalize_text_sql_duck  # noqa: E402
+
+_NORM_DUCK = normalize_text_sql_duck("text")
+
 
 def _scrub_oracle_cols() -> str:
     from .operators.redact import PII_PATTERNS
@@ -342,6 +352,13 @@ def _scrub_oracle_cols() -> str:
     scrub AS (
       SELECT {_scrub_oracle_cols()}
       FROM planted
+    ),
+    normsrc AS (
+      SELECT text || CASE WHEN doc_id % 7 = 0
+                          THEN '  messy' || chr(9) || 'text' || chr(8203)
+                               || 'hidden' || chr(7) || 'bell  '
+                          ELSE '' END AS text
+      FROM documents
     )
     SELECT 'access' AS part, CAST(status // 100 AS BIGINT) AS k,
            COUNT(*) AS n1, COUNT(DISTINCT ip) AS n2,
@@ -350,6 +367,12 @@ def _scrub_oracle_cols() -> str:
     UNION ALL SELECT 'scrub', 0, n_docs, w_email, d_email FROM scrub
     UNION ALL SELECT 'scrub', 1, n_docs, w_ipv4, d_ipv4 FROM scrub
     UNION ALL SELECT 'scrub', 2, n_docs, w_ssn, d_ssn FROM scrub
+    UNION ALL
+    SELECT 'norm', 0, COUNT(*),
+           CAST(SUM(CASE WHEN {_NORM_DUCK} != text THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(length(text) - length({_NORM_DUCK})) AS BIGINT)
+    FROM normsrc
     """,
     doc="PII tier, both arms driver-checked. 'access': classic last-octet "
     "IP anonymization over the parsed log (the GDPR-era Apache/nginx "
@@ -361,6 +384,12 @@ def _scrub_oracle_cols() -> str:
     "semantics of each RE2-expressible pattern (email/ipv4/ssn; the "
     "phone lookbehind is beyond RE2 and stays pytest-pinned). All "
     "expressions JVM-side at scan speed; one tiny agg exchange per arm. "
+    "'norm' arm (operators/text.py normalize_text): the byte-level text "
+    "normalization scrub (strip C0 controls/zero-width/BOM, collapse "
+    "whitespace runs, trim) over documents with a deterministic planted "
+    "mess on every 7th doc — docs-changed and chars-removed counts, so "
+    "a MATCH certifies byte-identical normalization across the Java and "
+    "RE2 regex engines (patterns written in their common subset). "
     "(Union-merged for the driver's 50-registration budget.)",
 )
 def q60(spark, sf):
@@ -405,4 +434,25 @@ def q60(spark, sf):
         F.expr(f"stack(3, {stack_args}) AS (k, n2, n3)"),
         F.col("n_docs").alias("n1"),
     ).select("part", "k", "n1", "n2", "n3")
-    return access.unionByName(scrub)
+
+    normsrc = _t(spark, sf, "documents").select(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_NORM_PLANT)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text")
+    )
+    normed = normalize_text(F.col("text"))
+    norm = normsrc.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum((normed != F.col("text")).cast("long")).alias("n2"),
+        F.sum(F.length("text") - F.length(normed)).alias("n3"),
+    ).select(
+        F.lit("norm").alias("part"),
+        F.lit(0).cast("long").alias("k"),
+        "n1",
+        "n2",
+        "n3",
+    )
+    return access.unionByName(scrub).unionByName(norm)

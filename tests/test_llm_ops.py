@@ -2189,3 +2189,54 @@ def test_plan_token_budget_invariants(spark):
     assert sum(r.alloc_tokens for r in out.values()) <= 5_000
     for r in out.values():
         assert (r.epochs_scaled > 1_000_000) == (r.alloc_tokens > r.avail_tokens)
+
+
+def test_normalize_text_semantics(spark):
+    """Byte-level normalization: C0/zero-width/BOM deleted, whitespace
+    runs (including tab/newline) collapsed to one space, ends trimmed,
+    and vertical tab (the Java-vs-RE2 \\s divergence) handled via the
+    strip class, never the whitespace class."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.text import normalize_text
+
+    cases = [
+        ("  a  b  ", "a b"),
+        ("a\tb\nc\rd", "a b c d"),
+        ("a​b‌‍c﻿d", "abcd"),
+        ("\x00x\x07y\x1fz\x7f", "xyz"),
+        ("a\x0bb", "ab"),  # vertical tab DELETED, not collapsed
+        ("clean text", "clean text"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, t string")
+    got = {r.i: r.n for r in df.select("i", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_normalize_text_cross_engine(spark):
+    """The DuckDB mirror produces byte-identical output on adversarial
+    inputs (the q60 norm arm's exactness claim, pinned directly)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.text import (
+        normalize_text,
+        normalize_text_sql_duck,
+    )
+
+    samples = [
+        "hello world  messy\ttext​hidden\x07bell  ",
+        "﻿bom lead", "tab\t\ttab", "nl\n\n\nnl", "\x01\x02\x03",
+        "mixed \x0b\x0c ws", "unicode café ok",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    sp = [r.n for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    du = [
+        duckdb.sql(
+            f"SELECT {normalize_text_sql_duck('?')}", params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert sp == du
