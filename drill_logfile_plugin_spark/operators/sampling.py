@@ -290,3 +290,51 @@ def plan_token_budget_sql_duck(
              AS epochs_scaled
     FROM alloc
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    member_col: str = "node",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates.
+
+    The naive deterministic split (q55: md5-bucket of doc_id) has a
+    quiet leak: near-duplicate documents get independent buckets, so a
+    training document's twin lands in the test set and the eval measures
+    memorization. The dedup-aware fix is standard but usually skipped:
+    hash the CLUSTER, not the document — every member of a near-dup
+    cluster (from :func:`..dedup.dup_clusters`) shares its
+    representative's bucket, so a cluster lands in exactly one split.
+    Singleton documents (no cluster row) fall back to their own id,
+    which IS the naive assignment — the two splits differ only where
+    duplicates exist.
+
+    Same bucket function as the q55 split (md5 prefix mod 100 — a pure
+    function of the key: reproducible across engines, runs, cluster
+    sizes, corpus growth), so existing split semantics carry over
+    unchanged for clean corpora.
+
+    Returns ``df`` plus a ``split`` column. Scale posture: one left
+    equi join against the cluster map (O(clustered docs) — duplicate-
+    sized, not corpus-sized, typically broadcast) and a scan-speed
+    hash; no corpus shuffle.
+    """
+    cl = clusters.select(
+        F.col(member_col).alias("__lid"), F.col("cluster_id").alias("__cid")
+    )
+    out = df.join(cl, df[id_col] == F.col("__lid"), "left")
+    key = F.coalesce(F.col("__cid"), df[id_col]).cast("string")
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100
+    return (
+        out.withColumn(
+            "split",
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+        .drop("__lid", "__cid")
+    )

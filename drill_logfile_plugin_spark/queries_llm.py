@@ -1332,6 +1332,26 @@ _PAGERANK_ORACLE_BODY = _pagerank_sql_duck(
     ), pr AS (
       {_PAGERANK_ORACLE_BODY}
     )
+    , clust AS (
+      SELECT a AS doc_id, least(a, MIN(b)) AS cid FROM reach GROUP BY a
+    ), lab AS (
+      SELECT d.doc_id,
+             CASE WHEN {_duck_hex2int("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)")} % 100 < 80 THEN 'train'
+                  WHEN {_duck_hex2int("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS nsp,
+             CASE WHEN {_duck_hex2int("substr(md5(CAST(COALESCE(c.cid, d.doc_id) AS VARCHAR)), 1, 4)")} % 100 < 80 THEN 'train'
+                  WHEN {_duck_hex2int("substr(md5(CAST(COALESCE(c.cid, d.doc_id) AS VARCHAR)), 1, 4)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS ssp
+      FROM documents d LEFT JOIN clust c USING (doc_id)
+    ), crosses AS (
+      SELECT CAST(SUM(CASE WHEN a.nsp != b.nsp THEN 1 ELSE 0 END) AS BIGINT)
+               AS ncross,
+             CAST(SUM(CASE WHEN a.ssp != b.ssp THEN 1 ELSE 0 END) AS BIGINT)
+               AS scross
+      FROM pairs p
+      JOIN lab a ON p.doc_a = a.doc_id
+      JOIN lab b ON p.doc_b = b.doc_id
+    )
     SELECT 'clusters' AS part, cluster_id AS key,
            CAST(COUNT(*) AS BIGINT) AS val
     FROM (
@@ -1339,6 +1359,13 @@ _PAGERANK_ORACLE_BODY = _pagerank_sql_duck(
     ) GROUP BY cluster_id
     UNION ALL
     SELECT 'pagerank' AS part, doc_id AS key, rank_scaled AS val FROM pr
+    UNION ALL SELECT 'leakage', 0, ncross FROM crosses
+    UNION ALL SELECT 'leakage', 1, scross FROM crosses
+    UNION ALL
+    SELECT 'leakage',
+           CASE ssp WHEN 'train' THEN 2 WHEN 'val' THEN 3 ELSE 4 END,
+           CAST(COUNT(*) AS BIGINT)
+    FROM lab GROUP BY ssp
     """,
     doc="Near-dup graph analytics, union-merged (driver query-budget "
     "policy). Clusters arm: duplicate CLUSTERS from the pair graph — the "
@@ -1355,7 +1382,13 @@ _PAGERANK_ORACLE_BODY = _pagerank_sql_duck(
     "pins the full rank table. The oracle recomputes components via "
     "exact all-pairs Jaccard + recursive transitive closure and the "
     "ranks via unrolled iterations — a MATCH certifies the pair graph, "
-    "the clustering, AND the centrality against an independent engine.",
+    "the clustering, AND the centrality against an independent engine. "
+    "Leakage arm (operators/sampling.py leakage_safe_split): dedup-"
+    "aware train/val/test assignment — hash the CLUSTER representative "
+    "instead of the doc id so near-duplicates never straddle splits; "
+    "keys 0/1 = cross-split duplicate-pair counts under the naive vs "
+    "safe assignment (safe is 0 by construction — the oracle proves "
+    "it), keys 2/3/4 = safe train/val/test sizes.",
 )
 def q63(spark, sf):
     from .operators.graphrank import pagerank
@@ -1369,9 +1402,9 @@ def q63(spark, sf):
             _t(spark, sf, "documents"), jaccard_threshold=0.6
         )
     )
+    clmap = D.dup_clusters(pairs)
     clusters = (
-        D.dup_clusters(pairs)
-        .groupBy("cluster_id")
+        clmap.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .select(
             F.lit("clusters").alias("part"),
@@ -1384,7 +1417,58 @@ def q63(spark, sf):
         F.col("doc_id").alias("key"),
         F.col("rank_scaled").alias("val"),
     )
-    return clusters.unionByName(ranks)
+
+    from .operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    naive_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    lab = leakage_safe_split(docs, clmap).withColumn(
+        "naive",
+        F.when(naive_bucket < 80, "train")
+        .when(naive_bucket < 90, "val")
+        .otherwise("test"),
+    )
+    la = lab.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("sa"),
+        F.col("naive").alias("na"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("sb"),
+        F.col("naive").alias("nb"),
+    )
+    crosses = (
+        pairs.select("doc_a", "doc_b")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .agg(
+            F.sum((F.col("na") != F.col("nb")).cast("long")).alias("ncross"),
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("scross"),
+        )
+    )
+    cross_rows = crosses.select(
+        F.lit("leakage").alias("part"),
+        F.expr("stack(2, 0L, ncross, 1L, scross) AS (key, val)"),
+    ).select("part", "key", "val")
+    size_rows = lab.groupBy("split").agg(F.count(F.lit(1)).alias("val")).select(
+        F.lit("leakage").alias("part"),
+        F.when(F.col("split") == "train", F.lit(2))
+        .when(F.col("split") == "val", F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+        .alias("key"),
+        "val",
+    )
+    return (
+        clusters.unionByName(ranks)
+        .unionByName(cross_rows)
+        .unionByName(size_rows)
+    )
 
 
 # =========================================================================

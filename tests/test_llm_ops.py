@@ -2240,3 +2240,37 @@ def test_normalize_text_cross_engine(spark):
         for s in samples
     ]
     assert sp == du
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster gets the representative's
+    split; singletons keep their naive (own-id) assignment; no pair in
+    the cluster map straddles splits."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # two clusters: {3, 77, 150} and {10, 42}
+    clusters = spark.createDataFrame(
+        [(3, 3), (77, 3), (150, 3), (10, 10), (42, 10)],
+        "node long, cluster_id long",
+    )
+    out = leakage_safe_split(docs, clusters)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert rows[3] == rows[77] == rows[150]
+    assert rows[10] == rows[42]
+    # singletons match the naive md5(doc_id) assignment exactly
+    naive = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, spark.createDataFrame([], "node long, cluster_id long")
+        ).collect()
+    }
+    clustered = {3, 77, 150, 10, 42}
+    for i in range(200):
+        if i not in clustered:
+            assert rows[i] == naive[i]
+    # deterministic across invocations
+    again = {r.doc_id: r.split for r in leakage_safe_split(docs, clusters).collect()}
+    assert again == rows
