@@ -765,3 +765,133 @@ def normalize_text_sql_duck(expr: str) -> str:
         f"trim(regexp_replace(regexp_replace({expr}, "
         f"'{NORM_STRIP_RE}', '', 'g'), '{NORM_WS_RE}', ' ', 'g'))"
     )
+
+
+# --- boilerplate-span removal (the rewrite consuming the q59 index) -------
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove corpus-boilerplate spans from documents (the C4-style fix).
+
+    The boilerplate tier's third stage: q59's spans arm DETECTS word
+    n-grams shared by >= ``min_docs`` documents and its docfrac arm
+    SCORES documents by boilerplate fraction; this operator performs the
+    REMOVAL — every token position covered by any boilerplate n-gram
+    occurrence is dropped and the document re-joined from the surviving
+    tokens. Nav menus, license headers, and template text vanish from
+    every document at once; unique content is untouched.
+
+    Returns (``id_col``, text_clean, n_tokens, n_removed).
+
+    Plan shape (one corpus pass + span-sized joins):
+
+    1. positional n-gram starts — scan-fused ``transform(sequence(...))``
+       explode, shuffled on ``xxhash64(gram)`` (8-byte keys, the q59
+       posture; the gram string never enters an exchange),
+    2. the span index — distinct (doc, hash) → docs-per-hash >= min_docs
+       (span-cardinality-sized; barriered because the start stream feeds
+       both the index build and the cover join),
+    3. per-doc covered-start lists — an equi join against the index then
+       ``collect_list`` (bounded by the doc's own shingle count),
+    4. the rewrite — pure JVM array lambdas: token j survives unless a
+       covered start s satisfies s <= j <= s+n-1 (an O(tokens x covered
+       starts) per-doc loop, executor-local, no Python).
+
+    Cross-engine exactness: every step is integer positions and string
+    equality — no floats anywhere — so the DuckDB mirror (q59 strip arm)
+    reproduces the rewritten documents byte-for-byte.
+    """
+    from .dedup import _barrier
+
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    st = _barrier(
+        base.where(F.size("tk") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {n}), "
+                    f"i -> struct(i AS i, array_join(slice(tk, i + 1, {n}), ' ') AS g))"
+                )
+            ).alias("sg"),
+        )
+        .select("doc_id", F.col("sg.i").alias("i"), F.xxhash64("sg.g").alias("gh"))
+    )
+    boiler = (
+        st.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        st.join(boiler, "gh")
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    out = base.join(covered, "doc_id", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.expr("array()"))
+    )
+    surv = F.filter(
+        F.col("tk"),
+        lambda t, j: ~F.exists(
+            F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))
+        ),
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(surv, " ").alias("text_clean"),
+        F.size("tk").alias("n_tokens"),
+        (F.size("tk") - F.size(surv)).alias("n_removed"),
+    )
+
+
+def strip_boilerplate_sql_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`strip_boilerplate` (string-equality span
+    index, 0-based positions, identical cover predicate)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    return f"""
+    WITH tkb AS (
+      SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+    ), stb AS (
+      SELECT doc_id, i - 1 AS i,
+             array_to_string(tk[i : i + {n - 1}], ' ') AS g
+      FROM tkb, UNNEST(range(1, len(tk) - {n - 2})) AS t(i)
+      WHERE len(tk) >= {n}
+    ), boilb AS (
+      SELECT g FROM (
+        SELECT g, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, g FROM stb)
+        GROUP BY g
+      ) WHERE nd >= {min_docs}
+    ), covb AS (
+      SELECT doc_id, list(i) AS starts
+      FROM stb JOIN boilb USING (g) GROUP BY doc_id
+    ), outb AS (
+      SELECT t.doc_id, t.tk,
+             list_filter(t.tk, (x, j) ->
+               len(list_filter(COALESCE(c.starts, []),
+                               s -> s <= j - 1 AND j - 1 <= s + {n - 1})) = 0
+             ) AS surv
+      FROM tkb t LEFT JOIN covb c USING (doc_id)
+    )
+    -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '');
+    -- coalesce pins the fully-stripped-document case to the empty string.
+    SELECT doc_id, COALESCE(array_to_string(surv, ' '), '') AS text_clean,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - len(surv) AS BIGINT) AS n_removed
+    FROM outb
+    """

@@ -1239,6 +1239,10 @@ def q58(spark, sf):
            COUNT(*) AS n2
     FROM d1 LEFT JOIN boiler b ON d1.g = b.g
     GROUP BY d1.doc_id
+    UNION ALL
+    SELECT 'strip' AS part, CAST(doc_id AS VARCHAR) AS key_s,
+           n_removed AS n1, CAST(length(text_clean) AS BIGINT) AS n2
+    FROM ({T.strip_boilerplate_sql_duck()}) sb
     """,
     doc="Boilerplate tier, union-merged (driver query-budget policy). "
     "Spans arm: word 8-grams appearing in >= 3 distinct documents (nav "
@@ -1255,7 +1259,12 @@ def q58(spark, sf):
     "in both arms moves fixed-width hashed keys (the raw 8-gram string "
     "only rides as a partial-agg'd MIN, plan-pinned); the docfrac "
     "exchanges are all post-distinct span-cardinality-sized. Exact "
-    "integer pairs, no floats.",
+    "integer pairs, no floats. Strip arm (operators/text.py "
+    "strip_boilerplate): the REMOVAL completing the tier — every token "
+    "position covered by a >= 3-doc span is dropped and the document "
+    "re-joined from survivors, all integer positions + string equality "
+    "(no floats), so per-doc removed-token counts AND rewritten-text "
+    "lengths hash bit-identically against the DuckDB rewrite.",
 )
 def q59(spark, sf):
     d = _t(spark, sf, "documents")
@@ -1295,7 +1304,13 @@ def q59(spark, sf):
             "n2",
         )
     )
-    return spans.unionByName(docfrac)
+    strip = T.strip_boilerplate(d).select(
+        F.lit("strip").alias("part"),
+        F.col("doc_id").cast("string").alias("key_s"),
+        F.col("n_removed").cast("long").alias("n1"),
+        F.length("text_clean").cast("long").alias("n2"),
+    )
+    return spans.unionByName(docfrac).unionByName(strip)
 
 
 # =========================================================================

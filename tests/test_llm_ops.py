@@ -2274,3 +2274,35 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # deterministic across invocations
     again = {r.doc_id: r.split for r in leakage_safe_split(docs, clusters).collect()}
     assert again == rows
+
+
+def test_strip_boilerplate_removes_shared_spans_only(spark):
+    """Docs sharing a long span lose every covered token; the fully
+    unique doc is untouched; counts are exact."""
+    from drill_logfile_plugin_spark.operators.text import strip_boilerplate
+
+    bp = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [(i, f"u{i} " + bp + f" v{i}") for i in range(3)]
+    rows.append((9, "an entirely different text with no span shared anywhere"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_boilerplate(df, min_docs=3).collect()}
+    # the 8-gram 'one..eight' occurs in 3 docs -> covered; u{i}/v{i}
+    # neighbors survive because every gram containing them is unique
+    for i in range(3):
+        assert out[i].text_clean == f"u{i} v{i}"
+        assert (out[i].n_tokens, out[i].n_removed) == (10, 8)
+    assert out[9].n_removed == 0
+    assert out[9].text_clean == rows[3][1]
+
+
+def test_strip_boilerplate_full_strip_yields_empty_string(spark):
+    """A document that is pure boilerplate rewrites to '' (not NULL) —
+    the case that diverges between engines without the oracle coalesce."""
+    from drill_logfile_plugin_spark.operators.text import strip_boilerplate
+
+    bp = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(i, bp) for i in range(3)], "doc_id long, text string"
+    )
+    out = strip_boilerplate(df, min_docs=3).collect()
+    assert all(r.text_clean == "" and r.n_removed == 8 for r in out)
