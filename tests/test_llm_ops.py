@@ -2306,3 +2306,25 @@ def test_strip_boilerplate_full_strip_yields_empty_string(spark):
     )
     out = strip_boilerplate(df, min_docs=3).collect()
     assert all(r.text_clean == "" and r.n_removed == 8 for r in out)
+
+
+def test_cms_grids_merge_by_cell_addition(spark):
+    """Mergeability — the property that makes a sketch a sketch: the
+    grid of a union stream equals the cell-wise SUM of the halves'
+    grids, so partial grids from different executors/days combine
+    without re-reading data."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.freqsketch import cms_table
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(50)], "t string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(70)], "t string")
+    full = cms_table(a.unionAll(b), "t")
+    merged = (
+        cms_table(a, "t")
+        .unionByName(cms_table(b, "t"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    as_map = lambda df: {(r.row, r.bucket): r.c for r in df.collect()}
+    assert as_map(full) == as_map(merged)

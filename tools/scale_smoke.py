@@ -388,6 +388,21 @@ def main() -> None:
 
     timed.append(("cms_grid", cms_lane))
 
+    # Boilerplate removal at 10×: the rewrite's joins are keyed on
+    # xxhash64(gram)/doc_id and the covered-start lists are bounded by
+    # each doc's own shingle count, so the lane should track the shingle
+    # volume (linear), not the span-pair product.
+    from drill_logfile_plugin_spark.operators.text import strip_boilerplate
+
+    def strip_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return strip_boilerplate(docs).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_removed").alias("removed"),
+        )
+
+    timed.append(("strip_boilerplate", strip_lane))
+
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
         times = {}
