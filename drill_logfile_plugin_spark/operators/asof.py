@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
+_RTS = "__asof_right_ts"
 
 
 def asof_join(
@@ -44,6 +45,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the largest
     ``right_ts <= left_ts`` for the same key.
@@ -51,6 +53,16 @@ def asof_join(
     Output = all left columns + the right side's non-key, non-ts payload
     columns (nullable). ``how='inner'`` drops left rows with no prior
     right row; ``how='left'`` keeps them with null payload.
+
+    ``tolerance`` (optional, a SQL interval string like ``'30 minutes'``)
+    is the max staleness pandas ``merge_asof``/kdb ``wj`` users expect: a
+    prior right row older than ``left_ts - tolerance`` is treated as NO
+    match (null payload / dropped under inner), not a stale one — a
+    quote from last week should not price today's trade. Implemented as
+    a post-window predicate on the matched right timestamp, so it adds
+    zero exchanges. DuckDB's ASOF JOIN has no tolerance clause, so the
+    knob is pytest-pinned rather than oracle-checked (q44 runs the
+    default tolerance=None, which IS the DuckDB semantics).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports inner or left, not {how!r}")
@@ -74,6 +86,7 @@ def asof_join(
         # non-null marker rides along so `inner` can distinguish "no prior
         # right row" from "prior right row whose payload is all null"
         .withColumn(matched, F.lit(True))
+        .withColumn(_RTS, F.col(_TS))
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -81,12 +94,24 @@ def asof_join(
         .orderBy(_TS, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = [*payload_cols, matched]
+    fill_cols = [*payload_cols, matched, _RTS]
     filled = u.select(
         *[c for c in u.columns if c not in fill_cols],
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
     )
     out = filled.where(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        ok = F.col(matched) & (
+            F.col(_RTS) >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in (*payload_cols, matched)],
+            *[
+                F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in payload_cols
+            ],
+            ok.alias(matched),
+        )
     if how == "inner":
         out = out.where(F.col(matched))
-    return out.drop(_SIDE, _TS, matched)
+    return out.drop(_SIDE, _TS, matched, _RTS)

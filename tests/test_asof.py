@@ -93,3 +93,44 @@ def test_asof_rejects_column_collision_and_bad_how(spark, quotes_trades):
         asof_join(
             trades, quotes, on=["k"], left_ts="tts", right_ts="qts", how="full"
         )
+
+
+def test_asof_tolerance_rejects_stale_matches(spark):
+    """A prior right row older than the tolerance is a NON-match: null
+    payload under how='left', dropped under how='inner'; rows with a
+    fresh prior match are unaffected."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 10:00:00", 1),   # prior quote 09:59 -> fresh
+            ("k", "2024-01-01 12:00:00", 2),   # prior quote 09:59 -> stale
+            ("k", "2024-01-01 08:00:00", 3),   # no prior quote at all
+        ],
+        "key string, trade_ts string, trade_id int",
+    )
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 09:59:00", 100.0)],
+        "key string, quote_ts string, px double",
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="trade_ts", right_ts="quote_ts",
+        how="left", tolerance="30 minutes",
+    )
+    rows = {r.trade_id: r.px for r in out.collect()}
+    assert rows == {1: 100.0, 2: None, 3: None}
+    inner = asof_join(
+        left, right, on=["key"], left_ts="trade_ts", right_ts="quote_ts",
+        how="inner", tolerance="30 minutes",
+    )
+    assert [r.trade_id for r in inner.collect()] == [1]
+    # tolerance=None keeps the stale match (the DuckDB ASOF semantics)
+    default = asof_join(
+        left, right, on=["key"], left_ts="trade_ts", right_ts="quote_ts",
+        how="left",
+    )
+    assert {r.trade_id: r.px for r in default.collect()} == {
+        1: 100.0, 2: 100.0, 3: None,
+    }
