@@ -164,11 +164,21 @@ def _probed_barrier(df: DataFrame, metric):
 
 
 def shingles_sql_spark(col: str, n: int) -> str:
-    """Distinct word n-gram strings of a text column (Spark SQL fragment)."""
+    """Distinct word n-gram strings of a text column (Spark SQL fragment).
+
+    Guarded for documents shorter than ``n`` tokens (an empty shingle
+    set): Spark's ``sequence(0, negative)`` generates a DESCENDING range,
+    whose -1 index then crashes ``slice`` under ANSI — short documents
+    are routine after cleaning/stripping stages, so the guard is
+    correctness, not pedantry. DuckDB's ``range`` clamps to empty on its
+    own (the mirror needs no guard).
+    """
     toks = TOKS_SPARK.format(c=col)
     return (
+        f"IF(size({toks}) >= {n}, "
         f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')))"
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))), "
+        f"array())"
     )
 
 
@@ -313,10 +323,15 @@ def lsh_candidate_pairs(
     while doing no all-pairs work.
     """
     df = _spread(df)
+    # Documents with fewer than shingle_n tokens have an EMPTY shingle
+    # set: every such doc gets the identical empty-set MinHash signature,
+    # so they all collide in every band and the re-rank hits 0/0 Jaccard.
+    # They carry no content at this granularity (exact dedup owns them) —
+    # excluded from near-dup outright. Routine after cleaning/stripping.
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
-    )
+    ).where(F.size("toks") >= shingle_n)
     # Candidate generation hashes each TOKEN once (xxhash64, a bigint JVM
     # intrinsic — n interpreted ops per doc, vs n_shingles × n string ops
     # for per-shingle hashing; no array_join/slice string allocation, no

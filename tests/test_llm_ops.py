@@ -2328,3 +2328,97 @@ def test_cms_grids_merge_by_cell_addition(spark):
     )
     as_map = lambda df: {(r.row, r.bucket): r.c for r in df.collect()}
     assert as_map(full) == as_map(merged)
+
+
+def test_full_training_pipeline_composition(spark):
+    """The whole pre-training pass composes on real column contracts:
+    normalize -> clean_corpus -> strip_boilerplate -> dedup_corpus ->
+    leakage_safe_split -> chunk_docs -> pack_sequences. Each stage is
+    individually oracle-/pytest-checked; this pins that their schemas
+    and semantics actually chain, with planted mess at every stage."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.chunking import (
+        chunk_docs,
+        pack_sequences,
+    )
+    from drill_logfile_plugin_spark.operators.dedup import (
+        dedup_corpus,
+        dup_clusters,
+        lsh_candidate_pairs,
+    )
+    from drill_logfile_plugin_spark.operators.sampling import leakage_safe_split
+    from drill_logfile_plugin_spark.operators.text import (
+        clean_corpus,
+        normalize_text,
+        strip_boilerplate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    bp = "subscribe to our newsletter for updates terms apply"
+    rows = []
+    for i in range(6):
+        # messy whitespace + shared boilerplate suffix; docs 0/1 are
+        # near-identical after normalization (exact dup once collapsed)
+        body = base if i < 2 else base + f" variant {i} with extra words {i}"
+        rows.append((i, "en", "web", f"  {body}\t {bp}  "))
+    rows.append((100, "en", "web", "zz qq " * 3))  # junk: fails quality
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+
+    normed = df.withColumn("text", normalize_text(F.col("text")))
+    cleaned = clean_corpus(normed, quality_keep=("good", "short"))
+    assert 100 not in {r.doc_id for r in cleaned.select("doc_id").collect()}
+
+    stripped = cleaned.drop("text").join(
+        strip_boilerplate(cleaned).withColumnRenamed("text_clean", "text"),
+        "doc_id",
+    )
+    texts = {r.doc_id: r.text for r in stripped.collect()}
+    assert all(bp not in t for t in texts.values())  # boilerplate gone
+
+    kept = dedup_corpus(stripped, jaccard_threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 1 not in kept_ids  # exact-dup pair collapsed
+
+    pairs = lsh_candidate_pairs(stripped, jaccard_threshold=0.5)
+    split = leakage_safe_split(
+        stripped.select("doc_id", "source", "text"), dup_clusters(pairs)
+    )
+    chunks = chunk_docs(split.where(F.col("split") == "train"), chunk_tokens=8)
+    packed = pack_sequences(chunks, budget=32, shard_col="source")
+    total_chunk_tokens = packed.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    train_tokens = (
+        split.where(F.col("split") == "train")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))))
+        .collect()[0][0]
+    )
+    assert total_chunk_tokens == train_tokens  # token conservation end-to-end
+
+
+def test_pair_operators_tolerate_short_and_empty_docs(spark):
+    """Documents shorter than the shingle width (routine after cleaning/
+    stripping) must not crash or flood candidate generation: empty
+    shingle sets share one MinHash signature, so unfiltered they collide
+    in every band and 0/0 the Jaccard re-rank."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.dedup import (
+        dedup_corpus,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"),
+         (4, "a b c d e f g h i j k"), (5, "a b c d e f g h i j k")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    got = {(r.doc_a, r.doc_b) for r in
+           lsh_candidate_pairs(df, jaccard_threshold=0.5).collect()}
+    assert got == {(4, 5)}  # short docs excluded, real pair found
+    assert sorted(
+        r.doc_id for r in dedup_corpus(df, jaccard_threshold=0.5).collect()
+    ) == [1, 2, 3, 4]
+    assert ngram_jaccard_pairs(df).count() == 1
+    assert simhash_pairs(df).count() >= 1
