@@ -1,0 +1,261 @@
+"""Distributed BPE tokenizer training + application.
+
+A training-data pipeline does not just COUNT tokens (operators/text.py
+``n_bpe_tokens``) — it *induces* the tokenizer from the corpus. This
+module implements the classic byte-pair-encoding merge induction
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units" — public) Spark-first:
+
+* **Corpus-sized work happens exactly once**: one scan tokenizes and
+  builds the word-TYPE frequency table (the shuffle carries one row per
+  distinct word per partition, map-side partial agg). Everything after
+  runs on the vocabulary, which is orders of magnitude smaller than the
+  corpus (Heaps' law) — the property that makes BPE trainable at 100 TB.
+* **Each merge round is vocab-sized**: adjacent-pair explode over the
+  word types (weighted by word frequency), one partial-agg'd count
+  shuffle, and a 1-row argmax ``collect`` — a model artifact, the same
+  bounded driver-side collect shape as the IVF centroids
+  (similarity.py) and z-order cutpoints (sinks.py). Merge application
+  is a narrow JVM ``replace`` on the symbol string — no shuffle.
+* **Deterministic end to end**: ties break on (freq DESC, a ASC, b ASC)
+  under binary string order (Spark UTF8String and DuckDB both compare
+  UTF-8 bytes = codepoint order), so the full merge trajectory — where
+  every selection depends on all prior merges — is reproducible across
+  runs, cluster sizes, and engines. The q50 ``bpe`` arm hash-pins it
+  against an independently-computed DuckDB chain.
+
+Symbol-sequence representation: a word's symbols are kept as a single
+space-delimited string (``" a b c"``); tokens never contain whitespace
+(they come from a whitespace split), so the delimiter is unambiguous.
+Merge application is a left fold over the symbol array with a string
+accumulator: if the accumulator ends with ``" a"`` and the next symbol
+is ``b``, the tail symbol is rewritten to ``ab``, else the symbol is
+appended. The fold IS greedy left-to-right non-overlapping merging —
+``aaaa`` under (a,a) becomes ``(aa)(aa)`` and ``aaa`` becomes
+``(aa)(a)``, exactly like reference BPE (a delimited string *replace*
+would get runs of 4+ wrong: the pattern consumes the shared delimiter,
+yielding ``(aa)(a)(a)``). Spark's ``aggregate`` and DuckDB's
+``list_reduce`` evaluate the identical CASE, so the trajectory is
+engine-exact.
+
+Deviation from Sennrich: no ``</w>`` end-of-word marker — merges are
+word-internal only (the word types are already whitespace-delimited and
+the marker would double every oracle expression for no extra operator
+coverage). Documented, not accidental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _barrier
+from .text import TOKS_DUCK, TOKS_SPARK
+
+#: Spaced initial symbol string of one token: "abc" -> " a b c ".
+_SPACED_SPARK = "' ' || regexp_replace({t}, '(.)', '$1 ')"
+_SPACED_DUCK = r"' ' || regexp_replace({t}, '(.)', '\1 ', 'g')"
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(s, freq): spaced symbol string + corpus frequency per word TYPE."""
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    return (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr(_SPACED_SPARK.format(t="w")).alias("s"), "freq")
+    )
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, freq): corpus-weighted adjacent symbol-pair counts.
+
+    Counts every adjacent POSITION (overlapping runs included — "aaa"
+    contributes (a,a) twice), exactly as reference BPE does; greedy
+    application then merges non-overlapping left-to-right, so a run's
+    realized merge count may be lower than its counted frequency. Both
+    engines replicate the same count-then-replace pair, so the quirk is
+    bit-reproducible.
+    """
+    arr = F.split(F.trim("s"), " ")
+    return (
+        words.where(F.size(arr) >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_freq: int = 1,
+    barrier_every: int = 8,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Induce ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, words)``: ``merges`` is the ordered merge table
+    ``[(sym_a, sym_b, freq), ...]`` (the model artifact — k tuples on the
+    driver, like IVF centroids), ``words`` the post-merge word-type
+    frequency table ``(s, freq)`` with ``s`` the spaced symbol string —
+    aggregate ``freq * n_symbols`` over it for the corpus's encoded
+    token count.
+
+    Stops early when no pair reaches ``min_freq``. The word-type table
+    is barriered up front (it anchors every round) and re-barriered
+    every ``barrier_every`` merges to cap the chained-``replace``
+    lineage; the barrier honors the dedup tier's local-vs-reliable
+    checkpoint knob (dedup.py ``_barrier``).
+    """
+    words = _barrier(_word_types(df, text_col))
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        best = (
+            _adjacent_pair_counts(words)
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < min_freq:
+            break
+        a, b, freq = best[0]["a"], best[0]["b"], int(best[0]["freq"])
+        merges.append((a, b, freq))
+        words = words.withColumn("s", _merge_fold(F.col("s"), a, b))
+        if (r + 1) % barrier_every == 0:
+            words = _barrier(words)
+    return merges, words
+
+
+def _merge_fold(s: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of one merge (a, b) to a
+    space-delimited symbol string — the fold described in the module
+    docstring. Pure Column API: the pair strings ride as literals, so
+    symbols containing quotes or regex metacharacters are safe (no SQL
+    text is built from data)."""
+    tail = F.lit(" " + a)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = acc.endswith(tail) & (x == F.lit(b))
+        return F.when(
+            hit,
+            F.concat(
+                F.substr(acc, F.lit(1), F.length(acc) - F.lit(len(a) + 1)),
+                F.lit(" " + a + b),
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.aggregate(F.split(F.trim(s), " "), F.lit(""), step)
+
+
+def _apply_merges(spaced: Column, merges: list[tuple[str, str, int]]) -> Column:
+    for a, b, _ in merges:
+        spaced = _merge_fold(spaced, a, b)
+    return spaced
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge table: adds ``out_col`` =
+    array<string> of subword symbols (word boundaries not preserved,
+    matching the flat id stream a trainer consumes).
+
+    Pure JVM column expressions — per word: space the characters, apply
+    the k merges in rank order (chained literal ``replace``, the same
+    greedy semantics training used), split. Scan-speed at any corpus
+    size; the merge table rides the plan as literals (no join, no UDF).
+    Concatenating a word's subwords always reconstructs the word
+    (merges only ever join adjacent symbols — pinned in pytest).
+    """
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    per_word = F.transform(
+        toks,
+        lambda t: F.split(
+            F.trim(
+                _apply_merges(
+                    F.concat(F.lit(" "), F.regexp_replace(t, "(.)", "$1 ")),
+                    merges,
+                )
+            ),
+            " ",
+        ),
+    )
+    return df.withColumn(out_col, F.flatten(per_word))
+
+
+def bpe_merges_sql_duck(
+    n_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`'s full trajectory, as a chained
+    CTE: stage ``i`` recounts pairs over the stage-``i-1`` word table,
+    picks the same (freq DESC, a, b) argmax, and applies the same greedy
+    merge fold (``list_reduce`` of the CASE the Spark ``aggregate``
+    evaluates; the merge pair rides in via a 1-row cross join because
+    DuckDB lambdas cannot contain subqueries). Every stage is
+    ``MATERIALIZED`` — inlined CTEs would re-expand the chain
+    exponentially. Emits one row per merge (rk 1..k) plus
+    the rk-0 summary row — the corpus's total encoded symbol count after
+    all merges (``SUM(freq * n_symbols)``), which certifies application
+    semantics in-band, not just selection.
+    """
+    toks = TOKS_DUCK.format(c=text_col)
+    spaced = _SPACED_DUCK.format(t="w")
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT {spaced} AS s, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM {prev}),
+           UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY a, b
+    )"""
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT a, b, freq FROM p{i} "
+            f"ORDER BY freq DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend('', string_split(trim(w.s), ' ')),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, ' ' || m.a) AND x = m.b
+                 THEN left(acc, len(acc) - len(m.a) - 1) || ' ' || m.a || m.b
+                 ELSE acc || ' ' || x END) AS s,
+             w.freq
+      FROM {prev} w CROSS JOIN b{i} m
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rk, a, b, freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    selects.append(
+        f"SELECT CAST(0 AS BIGINT) AS rk, '<corpus>' AS a, "
+        f"CAST(NULL AS VARCHAR) AS b, "
+        f"CAST((SELECT SUM(freq * len(string_split(trim(s), ' '))) "
+        f"FROM w{n_merges}) AS BIGINT) AS freq"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators import bpe as BPE
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import retrieval as R
@@ -800,6 +801,10 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     SELECT 'bigram' AS part, w1 AS grp, w2 AS token, n_pair AS n, rk,
            CAST(NULL AS BIGINT) AS doc_id, p_scaled AS score
     FROM bigram
+    UNION ALL
+    SELECT 'bpe' AS part, a AS grp, b AS token, freq AS n, rk,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score
+    FROM ({BPE.bpe_merges_sql_duck(8)}) bpe_arm
     """,
     doc="Corpus term exploration + lexical retrieval, union-merged "
     "(driver query-budget policy). Terms arm: top-5 terms per language — "
@@ -819,7 +824,17 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     "hash pins the trained model bit-for-bit; pair counts partial-agg "
     "map-side, the rank window runs over the pair-count table (vocab^2), "
     "never the corpus. If a single lang/query skews, salt the "
-    "first-stage count (functions/skew.py) and re-aggregate.",
+    "first-stage count (functions/skew.py) and re-aggregate. BPE arm "
+    "(operators/bpe.py bpe_train): distributed BPE tokenizer INDUCTION — "
+    "8 greedy merges trained on the corpus word-type table (corpus-sized "
+    "work once, vocab-sized work per merge, 1-row argmax collects as "
+    "model artifacts) with a (freq DESC, a, b) binary-order tie-break; "
+    "rows rk 1..8 are the merge table with selection-time frequencies, "
+    "row rk 0 the corpus's total encoded symbol count after applying all "
+    "8 merges (certifying greedy application, not just selection). The "
+    "oracle recomputes the whole trajectory independently as a chained "
+    "materialized-CTE pipeline, so the hash MATCH pins every sequential "
+    "selection AND the final encoding bit-for-bit.",
 )
 def q50(spark, sf):
     from pyspark.sql import Window
@@ -859,7 +874,30 @@ def q50(spark, sf):
         F.lit(None).cast("long").alias("doc_id"),
         F.col("p_scaled").alias("score"),
     )
-    return terms.unionByName(bm25).unionByName(bigram)
+    bmerges, bwords = BPE.bpe_train(d, n_merges=8)
+    bpe_table = spark.createDataFrame(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(bmerges)],
+        "rk long, grp string, token string, n long",
+    ).unionByName(
+        bwords.agg(
+            F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " "))).alias("n")
+        ).select(
+            F.lit(0).cast("long").alias("rk"),
+            F.lit("<corpus>").alias("grp"),
+            F.lit(None).cast("string").alias("token"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    bpe = bpe_table.select(
+        F.lit("bpe").alias("part"),
+        "grp",
+        "token",
+        "n",
+        "rk",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("score"),
+    )
+    return terms.unionByName(bm25).unionByName(bigram).unionByName(bpe)
 
 
 @query(

@@ -2422,3 +2422,109 @@ def test_pair_operators_tolerate_short_and_empty_docs(spark):
     ) == [1, 2, 3, 4]
     assert ngram_jaccard_pairs(df).count() == 1
     assert simhash_pairs(df).count() >= 1
+
+
+# --- BPE tokenizer training ------------------------------------------------
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """From-scratch Sennrich-style BPE: count all adjacent positions,
+    argmax with (freq DESC, pair ASC) tie-break, greedy left-to-right
+    merge application. Independent of the Spark/SQL implementations."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        mf = max(counts.values())
+        a, b = sorted(p for p, c in counts.items() if c == mf)[0]
+        merges.append((a, b, mf))
+        out = {}
+        for syms, f in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            out[key] = out.get(key, 0) + f
+        words = out
+    return merges, words
+
+
+def test_bpe_train_matches_from_scratch_reference(spark):
+    """The distributed trainer's full merge trajectory — where every
+    selection depends on all prior merges and greedy application — must
+    equal an independent pure-Python BPE, including overlapping-run
+    counting ('aaaa' counts 3 (a,a) positions but merges only 2)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.bpe import bpe_train
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new newer"),
+        (3, "wide wider widest new low"),
+        (4, "aaaa aaaa baaab low newer"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, words = bpe_train(df, n_merges=10, barrier_every=4)
+
+    wf = Counter(w for _, t in corpus for w in t.split())
+    ref_merges, ref_words = _bpe_reference(wf, 10)
+    assert merges == ref_merges
+    got_words = {
+        tuple(r["s"].split()): r["freq"]
+        for r in words.select("s", "freq").collect()
+    }
+    assert got_words == {
+        tuple(k): f for k, f in ref_words.items()
+    }
+
+
+def test_bpe_encode_applies_merges_and_reconstructs(spark):
+    """bpe_encode applies the trained table with training's greedy
+    semantics (per-word subwords match the reference's final word
+    segmentation) and concatenating subwords reconstructs the text's
+    tokens exactly — no characters invented or dropped."""
+    from collections import Counter
+
+    from drill_logfile_plugin_spark.operators.bpe import bpe_encode, bpe_train
+
+    corpus = [
+        (1, "hugging bugging tugging hug bug"),
+        (2, "tug tug hug bugging hugging"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, _ = bpe_train(df, n_merges=6)
+    wf = Counter(w for _, t in corpus for w in t.split())
+    _, ref_words = _bpe_reference(wf, 6)
+    seg = {"".join(k): list(k) for k in ref_words}
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in corpus:
+        want = [s for w in text.split() for s in seg[w]]
+        assert enc[doc_id] == want
+        assert "".join(enc[doc_id]) == text.replace(" ", "")
+
+
+def test_bpe_train_early_stop_on_min_freq(spark):
+    """min_freq stops induction when the best pair is too rare: with every
+    pair unique (freq 1), min_freq=2 trains zero merges and encode is the
+    identity character segmentation."""
+    from drill_logfile_plugin_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    merges, _ = bpe_train(df, n_merges=5, min_freq=2)
+    assert merges == []
+    enc = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
+    assert list(enc) == ["a", "b", "c", "d", "e", "f"]
