@@ -102,6 +102,7 @@ def bpe_train(
     n_merges: int = 8,
     min_freq: int = 1,
     barrier_every: int = 8,
+    round_partitions: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Induce ``n_merges`` BPE merges from the corpus.
 
@@ -114,11 +115,23 @@ def bpe_train(
 
     Stops early when no pair reaches ``min_freq``. The word-type table
     is barriered up front (it anchors every round) and re-barriered
-    every ``barrier_every`` merges to cap the chained-``replace``
-    lineage; the barrier honors the dedup tier's local-vs-reliable
-    checkpoint knob (dedup.py ``_barrier``).
+    every ``barrier_every`` merges to cap the chained-fold lineage; the
+    barrier honors the dedup tier's local-vs-reliable checkpoint knob
+    (dedup.py ``_barrier``).
+
+    ``round_partitions`` sizes the vocabulary table for the iterative
+    phase (default ``max(4, defaultParallelism // 4)``): the k merge
+    rounds are LATENCY-bound sequential jobs over a table orders of
+    magnitude smaller than the corpus, so fewer, fuller partitions cut
+    per-round task overhead while the one corpus-sized count before the
+    barrier keeps full parallelism. Scales with the cluster, not a
+    constant.
     """
-    words = _barrier(_word_types(df, text_col))
+    if round_partitions is None:
+        round_partitions = max(
+            4, df.sparkSession.sparkContext.defaultParallelism // 4
+        )
+    words = _barrier(_word_types(df, text_col).repartition(round_partitions))
     merges: list[tuple[str, str, int]] = []
     for r in range(n_merges):
         best = (

@@ -375,3 +375,40 @@ def test_cdc_chunks_tile_exactly_for_any_input(spark, n_bytes, avg, seed):
     assert all(r["length"] <= hi for r in rows)
     lo = max(avg // 4, 48)
     assert all(r["length"] >= lo for r in rows[:-1]) or len(rows) == 1
+
+
+# --- BPE induction parity (operators/bpe.py) -------------------------------
+
+word_st = st.text(alphabet=st.sampled_from(list("abc")), min_size=1, max_size=6)
+
+
+@given(words=st.lists(word_st, min_size=1, max_size=25))
+@settings(
+    max_examples=8,  # each example is ~6 sequential Spark jobs
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_bpe_trajectory_matches_reference_on_random_corpora(spark, words):
+    """For ANY corpus over a tiny alphabet — where ties, overlapping runs
+    ('aaaa'), and single-char words are all common — the distributed
+    trainer's merge trajectory and final word segmentation must equal the
+    from-scratch Python reference. This is the adversarial surface for
+    the greedy fold: a delimited string *replace* would pass easy
+    corpora and diverge exactly here."""
+    from collections import Counter
+
+    from drill_logfile_plugin_spark.operators.bpe import bpe_train
+    from tests.test_llm_ops import _bpe_reference
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges, final_words = bpe_train(df, n_merges=5, barrier_every=2)
+    ref_merges, ref_words = _bpe_reference(Counter(words), 5)
+    assert merges == ref_merges
+    got = {
+        tuple(r["s"].split()): r["freq"]
+        for r in final_words.select("s", "freq").collect()
+    }
+    assert got == {tuple(k): f for k, f in ref_words.items()}

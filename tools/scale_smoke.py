@@ -403,6 +403,24 @@ def main() -> None:
 
     timed.append(("strip_boilerplate", strip_lane))
 
+    # BPE induction at 10×: corpus-sized work is the ONE word-type count
+    # feeding the barrier; the 8 merge rounds run on the vocabulary,
+    # which grows sublinearly (Heaps' law) — though the Caesar-shifted
+    # replicas are the worst case (each replica brings a disjoint
+    # alphabet, so vocab grows ~10×). The lane should still bend well
+    # under 10× because round latency is job overhead, not data volume.
+    from drill_logfile_plugin_spark.operators.bpe import bpe_train
+
+    def bpe_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges, words = bpe_train(docs, n_merges=8)
+        assert len(merges) == 8
+        return words.agg(
+            F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " "))).alias("n")
+        )
+
+    timed.append(("bpe_train", bpe_lane))
+
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
         times = {}
