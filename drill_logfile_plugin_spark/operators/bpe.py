@@ -210,6 +210,24 @@ def bpe_encode(
     return df.withColumn(out_col, F.flatten(per_word))
 
 
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """Vocabulary table ``(symbol, freq)`` of a trained tokenizer state —
+    the companion artifact to the merge table (a tokenizer ships as
+    vocab + merges). Explodes the post-merge word-type symbols weighted
+    by word frequency; one partial-agg'd count shuffle over the
+    vocabulary, never the corpus. ``SUM(freq)`` over it equals the
+    corpus's total encoded symbol count (the q50 bpe arm's rk-0 row),
+    and every symbol :func:`bpe_encode` can emit for in-vocabulary text
+    appears in it — both pinned in pytest."""
+    return (
+        words.select(
+            "freq", F.explode(F.split(F.trim("s"), " ")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
 def bpe_merges_sql_duck(
     n_merges: int = 8,
     table: str = "documents",
@@ -222,7 +240,12 @@ def bpe_merges_sql_duck(
     evaluates; the merge pair rides in via a 1-row cross join because
     DuckDB lambdas cannot contain subqueries). Every stage is
     ``MATERIALIZED`` — inlined CTEs would re-expand the chain
-    exponentially. Emits one row per merge (rk 1..k) plus
+    exponentially. Degenerate-corpus caveat: with ZERO mergeable pairs
+    anywhere (every word a single symbol) each ``b{{i}}`` is empty, the
+    cross join empties the word chain, and the summary diverges from the
+    trainer's early-stop; the mirror targets real corpora, where every
+    stage has an argmax by construction. Emits one row per merge
+    (rk 1..k) plus
     the rk-0 summary row — the corpus's total encoded symbol count after
     all merges (``SUM(freq * n_symbols)``), which certifies application
     semantics in-band, not just selection.

@@ -2528,3 +2528,38 @@ def test_bpe_train_early_stop_on_min_freq(spark):
     assert merges == []
     enc = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
     assert list(enc) == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_bpe_vocab_is_consistent_with_encode_and_summary(spark):
+    """The vocabulary artifact agrees with the other two outputs: its
+    freq total equals the corpus's encoded symbol count (the q50 rk-0
+    row), and encoding the SAME corpus emits only in-vocabulary symbols
+    with exactly the vocabulary's frequencies."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the bat and the rat sat"),
+        (3, "a cat a bat a mat"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, words = bpe_train(df, n_merges=5)
+    vocab = {r.symbol: r.freq for r in bpe_vocab(words).collect()}
+    total = words.agg(
+        F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " ")))
+    ).collect()[0][0]
+    assert sum(vocab.values()) == total
+    emitted = Counter(
+        s
+        for r in bpe_encode(df, merges).collect()
+        for s in r.bpe_tokens
+    )
+    assert emitted == Counter(vocab)
