@@ -2394,6 +2394,27 @@ def test_full_training_pipeline_composition(spark):
     )
     assert total_chunk_tokens == train_tokens  # token conservation end-to-end
 
+    # Final stage: induce the tokenizer on the train split and encode it —
+    # the artifact hand-off a real pre-training pipeline ends with.
+    from pyspark.sql import functions as SF
+
+    from drill_logfile_plugin_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    train = split.where(F.col("split") == "train")
+    bmerges, bwords = bpe_train(train, n_merges=4)
+    assert len(bmerges) == 4
+    vocab_total = bpe_vocab(bwords).agg(SF.sum("freq")).collect()[0][0]
+    encoded_total = (
+        bpe_encode(train, bmerges)
+        .agg(SF.sum(SF.size("bpe_tokens")))
+        .collect()[0][0]
+    )
+    assert vocab_total == encoded_total  # train-state and encode agree
+
 
 def test_pair_operators_tolerate_short_and_empty_docs(spark):
     """Documents shorter than the shingle width (routine after cleaning/
