@@ -52,19 +52,37 @@ from pyspark.sql import functions as F
 from .dedup import _barrier
 from .text import TOKS_DUCK, TOKS_SPARK
 
-#: Spaced initial symbol string of one token: "abc" -> " a b c ".
-_SPACED_SPARK = "' ' || regexp_replace({t}, '(.)', '$1 ')"
+#: Spaced initial symbol string of one token (DuckDB): "abc" -> " a b c ".
 _SPACED_DUCK = r"' ' || regexp_replace({t}, '(.)', '\1 ', 'g')"
 
 
+def _spaced(t: Column) -> Column:
+    """Spaced initial symbol string of one token: "abc" -> " a b c ".
+
+    The ONE definition of the character-segmentation scheme on the Spark
+    side — training (:func:`_word_types`) and application
+    (:func:`bpe_encode`) must space identically or the merge table stops
+    applying to what was trained; ``_SPACED_DUCK`` is its SQL mirror.
+    """
+    return F.concat(F.lit(" "), F.regexp_replace(t, "(.)", "$1 "))
+
+
 def _word_types(df: DataFrame, text_col: str) -> DataFrame:
-    """(s, freq): spaced symbol string + corpus frequency per word TYPE."""
+    """(s, freq): spaced symbol string + corpus frequency per word TYPE.
+
+    Empty/whitespace-only documents are dropped here: Spark's
+    ``split(trim(''), '\\s+')`` yields ``['']``, and without the filter
+    that phantom empty word would put a ``''`` symbol into the trained
+    state and the vocabulary (mirrored by ``WHERE w != ''`` in the
+    oracle's w0 and the token filter in :func:`bpe_encode`).
+    """
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     return (
         df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.expr(_SPACED_SPARK.format(t="w")).alias("s"), "freq")
+        .select(_spaced(F.col("w")).alias("s"), "freq")
     )
 
 
@@ -187,25 +205,21 @@ def bpe_encode(
     array<string> of subword symbols (word boundaries not preserved,
     matching the flat id stream a trainer consumes).
 
-    Pure JVM column expressions — per word: space the characters, apply
-    the k merges in rank order (chained literal ``replace``, the same
-    greedy semantics training used), split. Scan-speed at any corpus
-    size; the merge table rides the plan as literals (no join, no UDF).
+    Pure JVM column expressions — per word: space the characters
+    (:func:`_spaced`, the same segmentation training used), apply the k
+    merges in rank order as chained greedy folds (:func:`_merge_fold` —
+    the same fold training applied, NOT a string ``replace``, which the
+    module docstring shows diverges on runs of 4+), split. Scan-speed at
+    any corpus size; the merge table rides the plan as literals (no
+    join, no UDF). Empty/whitespace-only documents encode to ``[]``
+    (the tokenizer was trained with the same phantom-empty-word filter).
     Concatenating a word's subwords always reconstructs the word
     (merges only ever join adjacent symbols — pinned in pytest).
     """
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     per_word = F.transform(
-        toks,
-        lambda t: F.split(
-            F.trim(
-                _apply_merges(
-                    F.concat(F.lit(" "), F.regexp_replace(t, "(.)", "$1 ")),
-                    merges,
-                )
-            ),
-            " ",
-        ),
+        F.filter(toks, lambda t: t != F.lit("")),
+        lambda t: F.split(F.trim(_apply_merges(_spaced(t), merges)), " "),
     )
     return df.withColumn(out_col, F.flatten(per_word))
 
@@ -237,25 +251,28 @@ def bpe_merges_sql_duck(
     CTE: stage ``i`` recounts pairs over the stage-``i-1`` word table,
     picks the same (freq DESC, a, b) argmax, and applies the same greedy
     merge fold (``list_reduce`` of the CASE the Spark ``aggregate``
-    evaluates; the merge pair rides in via a 1-row cross join because
-    DuckDB lambdas cannot contain subqueries). Every stage is
-    ``MATERIALIZED`` — inlined CTEs would re-expand the chain
-    exponentially. Degenerate-corpus caveat: with ZERO mergeable pairs
-    anywhere (every word a single symbol) each ``b{{i}}`` is empty, the
-    cross join empties the word chain, and the summary diverges from the
-    trainer's early-stop; the mirror targets real corpora, where every
-    stage has an argmax by construction. Emits one row per merge
-    (rk 1..k) plus
-    the rk-0 summary row — the corpus's total encoded symbol count after
-    all merges (``SUM(freq * n_symbols)``), which certifies application
-    semantics in-band, not just selection.
+    evaluates; the merge pair rides in via a 1-row ``LEFT JOIN ON TRUE``
+    because DuckDB lambdas cannot contain subqueries — LEFT, not CROSS,
+    so when the pair supply is exhausted before ``n_merges`` rounds
+    (the trainer's early stop) the empty ``b{{i}}`` passes words through
+    unchanged instead of emptying the chain: post-stop stages emit no
+    merge row and the rk-0 summary reflects the stopped state, exactly
+    like :func:`bpe_train`. Every stage is ``MATERIALIZED`` — inlined
+    CTEs would re-expand the chain exponentially. The mirror certifies
+    ``min_freq=1`` trainings (it has no frequency floor; with a higher
+    floor the trainer stops earlier than the mirror). Emits one row per
+    executed merge (rk 1..k) plus the rk-0 summary row — the corpus's
+    total encoded symbol count after all merges
+    (``SUM(freq * n_symbols)``), which certifies application semantics
+    in-band, not just selection.
     """
     toks = TOKS_DUCK.format(c=text_col)
     spaced = _SPACED_DUCK.format(t="w")
     parts = [
         f"""w0 AS MATERIALIZED (
       SELECT {spaced} AS s, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY w
+      FROM (SELECT unnest({toks}) AS w FROM {table})
+      WHERE w != '' GROUP BY w
     )"""
     ]
     for i in range(1, n_merges + 1):
@@ -274,14 +291,14 @@ def bpe_merges_sql_duck(
         )
         parts.append(
             f"""w{i} AS MATERIALIZED (
-      SELECT list_reduce(
+      SELECT CASE WHEN m.a IS NULL THEN w.s ELSE list_reduce(
                list_prepend('', string_split(trim(w.s), ' ')),
                (acc, x) -> CASE
                  WHEN ends_with(acc, ' ' || m.a) AND x = m.b
                  THEN left(acc, len(acc) - len(m.a) - 1) || ' ' || m.a || m.b
-                 ELSE acc || ' ' || x END) AS s,
+                 ELSE acc || ' ' || x END) END AS s,
              w.freq
-      FROM {prev} w CROSS JOIN b{i} m
+      FROM {prev} w LEFT JOIN b{i} m ON TRUE
     )"""
         )
     selects = [

@@ -2584,3 +2584,49 @@ def test_bpe_vocab_is_consistent_with_encode_and_summary(spark):
         for s in r.bpe_tokens
     )
     assert emitted == Counter(vocab)
+
+
+def test_bpe_oracle_survives_early_stop_and_empty_docs(spark):
+    """Two review findings pinned: (1) when the pair supply exhausts
+    before n_merges ('aaaaaaa' fully merges in 4 rounds), the DuckDB
+    mirror's post-stop stages must pass words through (LEFT JOIN ON
+    TRUE), emit no merge rows, and produce the same rk-0 summary as the
+    trainer's early stop — not an empty chain and a NULL summary;
+    (2) empty/whitespace-only documents must not inject a phantom ''
+    word type into either engine's trained state, and must encode to []."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges_sql_duck,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    corpus = [(1, "aaaaaaa"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, words = bpe_train(df, n_merges=6)
+    assert len(merges) == 4  # aaaaaaa -> aa aa aa a -> aaaa aa a -> aaaa aaa -> aaaaaaa
+    total = words.agg(
+        F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " ")))
+    ).collect()[0][0]
+    assert total == 1
+    spark_rows = sorted(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)]
+        + [(0, "<corpus>", None, total)]
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in corpus)
+        + ") AS t(doc_id, text)"
+    )
+    oracle_rows = sorted(con.sql(bpe_merges_sql_duck(6)).fetchall())
+    assert spark_rows == oracle_rows
+
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, merges).collect()}
+    assert enc[2] == [] and enc[3] == []
+    assert "" not in {r.symbol for r in bpe_vocab(words).collect()}
