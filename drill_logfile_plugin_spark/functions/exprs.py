@@ -78,3 +78,31 @@ def charge_dec() -> Column:
 
 
 CHARGE_DEC_SQL = f"({REVENUE_DEC_SQL}) * CAST(1 + l_tax AS DECIMAL(12,2))"
+
+
+def nullsafe_group_cond(
+    left_alias: str,
+    right_alias: str,
+    gcols: list[str] | tuple[str, ...],
+    extra: list[Column] | tuple[Column, ...] = (),
+) -> list[Column]:
+    """Null-safe group-equality join conditions between two ALIASED frames.
+
+    The one definition of a subtle pattern needed by every grouped
+    spine/lane join (rolling.py, rollup.py):
+
+    * ``eqNullSafe``, not ``==`` — a NULL group key is a REAL group
+      (e.g. events with no event_type); plain SQL equality would never
+      match it back and silently drop or zero-fill the whole group.
+    * ALIASED column refs, not ``df[c]`` — when both frames share a
+      lineage (spine derived from the aggregate's own subtree), unaliased
+      refs resolve to the SAME attribute and the predicate folds to
+      trivially-true, leaking rows across groups. Callers must
+      ``df.alias(...)`` both sides with the names passed here.
+
+    ``extra`` appends further conditions (e.g. the bucket equality).
+    """
+    return [
+        F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
+        for c in gcols
+    ] + list(extra)

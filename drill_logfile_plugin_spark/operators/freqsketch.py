@@ -120,6 +120,13 @@ def heavy_hitters_certified(
       expected collision mass N/w is ~10× inside it, so the flag is stable
       under testdata regeneration, not a knife-edge).
 
+    NULL keys are excluded from BOTH lanes up front: SQL equality would
+    silently drop a NULL row at the exact↔estimate join (yielding k-1
+    rows and a skipped rank while NULL still consumed a top-k slot), and
+    a CMS cell address of NULL is meaningless. NULL *frequency* is the
+    profiler's job (profiler.py ``profile_columns`` null counts);
+    heavy-hitter analysis is over values.
+
     The input stream feeds both lanes (two scans: exact counts, grid
     build — at sketch-relevant scale the exact lane exists only for
     certification; production calls :func:`cms_table` alone). The total
@@ -130,7 +137,7 @@ def heavy_hitters_certified(
     """
     from .dedup import _barrier
 
-    occ = df.select(F.col(col).alias("key"))
+    occ = df.select(F.col(col).alias("key")).where(F.col("key").isNotNull())
     # Global top-k via sort-limit (TakeOrderedAndProject: O(k) state per
     # partition, no single-partition window over the full key table); the
     # rank window then runs over the k surviving rows only.

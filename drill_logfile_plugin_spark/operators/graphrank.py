@@ -60,8 +60,11 @@ def pagerank(
     ``pairs`` rows are edges (``src_col``, ``dst_col``); with
     ``symmetric=True`` (the near-dup-pair case) each pair contributes
     both directions. Returns (doc_id, rank_scaled) for every node in the
-    edge list — bit-identical across engines by construction (module
-    docstring).
+    edge list — src AND dst sides, so directed sinks are ranked — bit-
+    identical across engines by construction (module docstring). The
+    DuckDB mirror (:func:`pagerank_sql_duck`) certifies the symmetric
+    form; directed runs are covered by pytest, with dangling-node mass
+    dropped rather than redistributed (see the nodes comment below).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -86,7 +89,18 @@ def pagerank(
 
     e = _barrier(e.distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("doc_id"))
+    # Nodes = src ∪ dst: under symmetric=True the two sets coincide, but
+    # a DIRECTED graph has destination-only (dangling) nodes — they must
+    # receive rank mass and appear in the output (they are often the
+    # highest-centrality nodes). They contribute nothing onward (their
+    # inflow mass is dropped, not redistributed — the bounded-iteration
+    # integer scheme has no uniform-redistribution term; documented
+    # deviation from the textbook dangling-mass handling).
+    nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
     ranks = nodes.select("doc_id", F.lit(SCALE).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
         contrib = (
@@ -131,8 +145,14 @@ def pagerank_sql_duck(
     dst_col: str = "doc_b",
 ) -> str:
     """DuckDB mirror: unrolled-iteration PageRank over ``pairs_cte``
-    (a SQL fragment producing the symmetric-input pair rows). Returns a
-    full query; embed it as a subselect/CTE body."""
+    (a SQL fragment producing the symmetric-input pair rows — this
+    mirror always symmetrizes, i.e. it certifies the ``symmetric=True``
+    form). Returns a full query; embed it as a subselect/CTE body.
+    Rejects ``iterations < 1`` exactly like the Spark side, so an
+    invalid configuration cannot silently return the uniform initial
+    ranks."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     base = round((1.0 - damping) * SCALE)
     ctes = [
         f"""__pr_pairs AS ({pairs_cte}),

@@ -41,6 +41,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import nullsafe_group_cond
+
 
 def rolling_distinct(
     df: DataFrame,
@@ -85,19 +87,18 @@ def rolling_distinct(
     )
     # Only window ends that are themselves observed buckets (offsets past
     # a group's last bucket otherwise invent trailing ghost windows).
-    # Aliased refs, not approx[c]/spine[c]: both frames share the
-    # per_bucket lineage, so unaliased column refs resolve to the SAME
-    # attribute and the group predicate folds to trivially-true —
-    # cross-group bucket leakage on non-identical spines.
+    # Shared-lineage frames need the aliased null-safe condition helper
+    # (see functions/exprs.py nullsafe_group_cond for both whys).
     ap0, sp = approx.alias("ap0"), spine.alias("sp")
     approx = (
         ap0.join(
             sp,
-            [
-                F.col(f"ap0.{c}").eqNullSafe(F.col(f"sp.{c}"))
-                for c in gcols
-            ]
-            + [F.col("ap0.wend") == F.col("sp.bucket")],
+            nullsafe_group_cond(
+                "ap0",
+                "sp",
+                gcols,
+                [F.col("ap0.wend") == F.col("sp.bucket")],
+            ),
             "left_semi",
         )
         .withColumnRenamed("wend", "bucket")
@@ -142,14 +143,13 @@ def rolling_distinct(
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .withColumnRenamed("wend", "bucket")
     )
-    # Null-SAFE group equality (same reason as the semi join above: a
-    # NULL group is a real group) and a LEFT join from the approx lane:
-    # a group whose every key is NULL has windows with no exact rows at
-    # all — those windows keep n_exact = 0 rather than vanishing.
+    # LEFT join from the approx lane: a group whose every key is NULL
+    # has windows with no exact rows at all — those windows keep
+    # n_exact = 0 rather than vanishing.
     ap, ex = approx.alias("ap"), exact.alias("ex")
-    cond = [
-        F.col(f"ap.{c}").eqNullSafe(F.col(f"ex.{c}")) for c in gcols
-    ] + [F.col("ap.bucket") == F.col("ex.bucket")]
+    cond = nullsafe_group_cond(
+        "ap", "ex", gcols, [F.col("ap.bucket") == F.col("ex.bucket")]
+    )
     out = ap.join(ex, cond, "left").select(
         *[F.col(f"ap.{c}") for c in gcols],
         F.col("ap.bucket").alias("bucket"),

@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exprs import money
+from ..functions.exprs import money, nullsafe_group_cond
 
 
 def rollup_cascade(
@@ -123,9 +123,12 @@ def gapfill(
     # events with no event_type); a plain equi join would never match the
     # spine back onto it and silently zero-fill the whole group.
     sp, ag = spine.alias("sp"), agg.alias("ag")
-    cond = [
-        F.col(f"sp.{c}").eqNullSafe(F.col(f"ag.{c}")) for c in gcols
-    ] + [F.col(f"sp.{bucket_col}") == F.col(f"ag.{bucket_col}")]
+    cond = nullsafe_group_cond(
+        "sp",
+        "ag",
+        gcols,
+        [F.col(f"sp.{bucket_col}") == F.col(f"ag.{bucket_col}")],
+    )
     value_cols = [
         c for c in agg.columns if c not in gcols and c != bucket_col
     ]

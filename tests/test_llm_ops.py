@@ -2630,3 +2630,40 @@ def test_bpe_oracle_survives_early_stop_and_empty_docs(spark):
     enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, merges).collect()}
     assert enc[2] == [] and enc[3] == []
     assert "" not in {r.symbol for r in bpe_vocab(words).collect()}
+
+
+def test_pagerank_directed_includes_sink_nodes(spark):
+    """Review finding pinned: a DIRECTED graph's destination-only nodes
+    (sinks) must appear in the output with the rank mass flowing into
+    them — they are often the highest-centrality nodes. A->B, C->B: B
+    must rank strictly above its two pointers."""
+    from drill_logfile_plugin_spark.operators.graphrank import pagerank
+
+    edges = spark.createDataFrame(
+        [(10, 20), (30, 20)], "doc_a long, doc_b long"
+    )
+    ranks = {
+        r.doc_id: r.rank_scaled
+        for r in pagerank(edges, symmetric=False, iterations=3).collect()
+    }
+    assert set(ranks) == {10, 20, 30}
+    assert ranks[20] > ranks[10] == ranks[30]
+
+
+def test_heavy_hitters_tolerates_null_keys(spark):
+    """Review finding pinned: NULL keys (routine in optional log fields)
+    are excluded from BOTH lanes up front — previously a NULL frequent
+    enough for the top-k consumed a slot in the exact lane, then
+    vanished at the estimate equi join, returning k-1 rows with a
+    skipped rank."""
+    from drill_logfile_plugin_spark.operators.freqsketch import (
+        heavy_hitters_certified,
+    )
+
+    rows = [("a",)] * 5 + [(None,)] * 4 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = heavy_hitters_certified(df, "k", k=3).orderBy("rk").collect()
+    assert [(r.key, r.exact, r.rk) for r in got] == [
+        ("a", 5, 1), ("b", 3, 2), ("c", 1, 3)
+    ]
+    assert all(r.never_under and r.within_eps for r in got)
