@@ -103,13 +103,18 @@ def funnel(
     first = counts.filter(F.col("stage_idx") == 0).select(
         F.col("n_users").alias("n_first")
     )
+    # NULL conversion when nobody reached stage 0: a bare division would
+    # crash under Spark's default ANSI mode (DIVIDE_BY_ZERO) for library
+    # consumers outside this repo's configure_session; the oracle mirrors
+    # the same CASE, so both engines emit NULL.
     return counts.crossJoin(F.broadcast(first)).select(
         "stage_idx",
         "stage",
         "n_users",
-        (F.col("n_users").cast("double") / F.col("n_first").cast("double")).alias(
-            "conversion"
-        ),
+        F.when(
+            F.col("n_first") > 0,
+            F.col("n_users").cast("double") / F.col("n_first").cast("double"),
+        ).alias("conversion"),
     )
 
 
@@ -121,11 +126,15 @@ def funnel_sql_duck(
     type_col: str = "event_type",
     within_seconds: int | None = None,
 ) -> str:
-    """DuckDB mirror of :func:`funnel` (same chaining, same division)."""
+    """DuckDB mirror of :func:`funnel` (same chaining, same guarded
+    division). Stage names are escaped into the SQL literals (an
+    apostrophe in an event-type name must not truncate the string —
+    the template_masks_sql_duck escape convention)."""
+    esc = [s.replace("'", "''") for s in stages]
     ctes = [
         f"""r0 AS (
       SELECT {user_col} AS user_id, MIN({ts_col}) AS t FROM {table}
-      WHERE {type_col} = '{stages[0]}' GROUP BY {user_col}
+      WHERE {type_col} = '{esc[0]}' GROUP BY {user_col}
     )"""
     ]
     win = (
@@ -133,7 +142,7 @@ def funnel_sql_duck(
         if within_seconds is not None
         else ""
     )
-    for i, stage in enumerate(stages[1:], start=1):
+    for i, stage in enumerate(esc[1:], start=1):
         ctes.append(
             f"""r{i} AS (
       SELECT e.{user_col} AS user_id, MIN(e.{ts_col}) AS t
@@ -143,16 +152,18 @@ def funnel_sql_duck(
     )"""
         )
     selects = " UNION ALL ".join(
-        f"SELECT {i} AS stage_idx, '{s}' AS stage, COUNT(*) AS n_users FROM r{i}"
-        for i, s in enumerate(stages)
+        f"SELECT {i} AS stage_idx, '{es}' AS stage, COUNT(*) AS n_users FROM r{i}"
+        for i, es in enumerate(esc)
     )
     return f"""
     WITH {", ".join(ctes)},
     counts AS ({selects})
     SELECT stage_idx, stage, n_users,
-           CAST(n_users AS DOUBLE) /
-             CAST((SELECT n_users FROM counts WHERE stage_idx = 0) AS DOUBLE)
-             AS conversion
+           CASE WHEN (SELECT n_users FROM counts WHERE stage_idx = 0) > 0
+                THEN CAST(n_users AS DOUBLE) /
+                     CAST((SELECT n_users FROM counts WHERE stage_idx = 0)
+                          AS DOUBLE)
+           END AS conversion
     FROM counts
     """
 

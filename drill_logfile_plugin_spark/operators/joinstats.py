@@ -59,34 +59,45 @@ def join_preflight_report(
     right_on: str,
     top: int = 5,
 ) -> DataFrame:
-    """Two-part report: one ``total`` row (exact output rows, matching
-    key count, max single-key contribution) and the ``top`` skew keys
-    ranked by contribution (ties → key order, fully deterministic).
+    """Two-part report: one ``total`` row (exact output rows + matching
+    key count) and the ``top`` skew keys ranked by contribution
+    (ties → key order, fully deterministic; the max single-key
+    contribution is the rank-1 skew row).
 
     Columns: part, key, n_out, extra — ``total`` uses key=NULL,
     n_out=Σ, extra=matching-key count; ``skew`` rows carry their rank in
     extra. The skew keys are what :func:`~..functions.skew.salted_join`
-    wants as its hot-key list.
+    wants as its hot-key list, and they keep the join key's ORIGINAL
+    type — a cast would crash (ANSI) or silently NULL every skew row
+    (non-ANSI) on string-keyed joins.
+
+    The top-k is sort-limit (TakeOrderedAndProject: O(top) state per
+    partition + driver merge), never a global no-partition window — the
+    pre-flight must not itself funnel a billion-distinct-key table
+    through one task; the rank window then runs over the ``top``
+    surviving rows only.
     """
     per = join_cardinality(left, right, left_on, right_on)
+    key_type = per.schema["key"].dataType
     total = per.agg(
         F.coalesce(F.sum("n_out"), F.lit(0)).alias("n_out"),
         F.count(F.lit(1)).alias("extra"),
     ).select(
         F.lit("total").alias("part"),
-        F.lit(None).cast("long").alias("key"),
+        F.lit(None).cast(key_type).alias("key"),
         "n_out",
         "extra",
     )
     w = Window.orderBy(F.desc("n_out"), F.asc("key"))
     topk = (
-        per.select(
+        per.orderBy(F.desc("n_out"), F.asc("key"))
+        .limit(int(top))
+        .select(
             "key", "n_out", F.row_number().over(w).cast("long").alias("extra")
         )
-        .where(F.col("extra") <= int(top))
         .select(
             F.lit("skew").alias("part"),
-            F.col("key").cast("long").alias("key"),
+            "key",
             "n_out",
             "extra",
         )

@@ -109,8 +109,24 @@ def profile_columns(
             aggs.append(F.lit(None).cast("string").alias(f"__smin_{c}"))
             aggs.append(F.lit(None).cast("string").alias(f"__smax_{c}"))
     one = df.agg(*aggs)
+
+    # The stack() expr is the one SQL-string surface in the profiler, and
+    # schema-on-read log data routinely has non-identifier column names
+    # ("event-id", "user name"): backtick-quote every generated alias
+    # (else `__nn_event-id` parses as a subtraction) and escape the label
+    # literal.
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _slit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __dmin_{c}, __dmax_{c}, __smin_{c}, __smax_{c}"
+        f"{_slit(c)}, "
+        + ", ".join(
+            _ident(f"__{k}_{c}")
+            for k in ("nn", "nd", "dmin", "dmax", "smin", "smax")
+        )
         for c in cols
     )
     stacked = one.select(
@@ -218,9 +234,19 @@ def profile_drift(
         .when(in_new, "added")
         .otherwise("removed")
         .alias("status"),
+        # Verdicts must be non-NULL booleans: an EMPTY snapshot makes the
+        # null-rate division NULL, and true AND NULL = NULL would make
+        # the gating flag silently vanish for the most catastrophic
+        # drift there is (a truncated batch). One side empty, other not
+        # -> drifted; both empty -> not drifted; else the rate test.
         (
             in_old & in_new
-            & (F.abs(n_nullrate - o_nullrate) > F.lit(float(null_rate_jump)))
+            & F.when(
+                (F.col("o_n_rows") == 0) | (F.col("n_n_rows") == 0),
+                (F.col("o_n_rows") == 0) != (F.col("n_n_rows") == 0),
+            ).otherwise(
+                F.abs(n_nullrate - o_nullrate) > F.lit(float(null_rate_jump))
+            )
         ).alias("null_rate_drifted"),
         (
             in_old & in_new & (F.col("o_n_distinct") > 0)

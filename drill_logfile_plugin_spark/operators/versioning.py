@@ -55,15 +55,33 @@ def snapshot_diff(
     Precondition: ``id_col`` is unique per snapshot (it is the diff
     key). Duplicate ids would fan out the join; dedup first (q21) if the
     corpus keys on content rather than id.
+
+    Presence is carried by EXPLICIT flags, not fingerprint nullness: a
+    document with NULL text has a NULL md5, and classifying on fp
+    nullness would call a present-in-both doc 'added' (or a removed one
+    'added') whenever its text is NULL. Fingerprint comparison is
+    null-safe for the same reason: NULL text -> NULL fp is a real
+    content state ('changed' when the other side has text, 'unchanged'
+    when both are NULL).
     """
     fp = F.col(fingerprint_col) if fingerprint_col else F.md5(F.col(text_col))
-    o = old.select(F.col(id_col).alias("doc_id"), fp.alias("old_fp"))
-    n = new.select(F.col(id_col).alias("doc_id"), fp.alias("new_fp"))
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
     joined = o.join(n, "doc_id", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     out = joined.select("doc_id", status.alias("status"), "old_fp", "new_fp")

@@ -2667,3 +2667,101 @@ def test_heavy_hitters_tolerates_null_keys(spark):
         ("a", 5, 1), ("b", 3, 2), ("c", 1, 3)
     ]
     assert all(r.never_under and r.within_eps for r in got)
+
+
+def test_snapshot_diff_classifies_null_text_by_presence(spark):
+    """Review finding pinned: presence must come from explicit join
+    flags, not fingerprint nullness — a NULL-text doc present in both
+    snapshots is 'changed'/'unchanged', and a removed NULL-text doc is
+    'removed', never 'added'."""
+    from drill_logfile_plugin_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, None), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now-has-text"), (4, None), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",   # NULL -> text is a content change
+        3: "removed",   # not 'added'
+        4: "unchanged", # NULL == NULL null-safely
+        5: "added",
+    }
+
+
+def test_join_preflight_keeps_string_keys(spark):
+    """Review finding pinned: the skew rows carry the join key's ORIGINAL
+    type — a cast to long crashed (ANSI) or NULLed every hot key
+    (non-ANSI) on string-keyed joins."""
+    from drill_logfile_plugin_spark.operators.joinstats import (
+        join_preflight_report,
+    )
+
+    l = spark.createDataFrame(
+        [("u1",)] * 3 + [("u2",)] * 1, "k string"
+    )
+    r = spark.createDataFrame([("u1",)] * 2 + [("u2",)] * 5, "k string")
+    rows = join_preflight_report(l, r, "k", "k", top=2).collect()
+    skew = {x.key: (x.n_out, x.extra) for x in rows if x.part == "skew"}
+    assert skew == {"u1": (6, 1), "u2": (5, 2)}
+    total = [x for x in rows if x.part == "total"][0]
+    assert total.n_out == 11 and total.extra == 2 and total.key is None
+
+
+def test_profiler_quotes_non_identifier_columns(spark):
+    """Review finding pinned: schema-on-read log columns like 'event-id'
+    must profile — the generated stack() expr quotes every alias."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.profiler import profile_columns
+
+    df = spark.range(5).select(
+        F.col("id").alias("event-id"),
+        F.concat(F.lit("u"), F.col("id")).alias("user name"),
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["event-id", "user name"]).collect()}
+    assert got["event-id"].n_distinct == 5 and got["event-id"].d_max == 4.0
+    assert got["user name"].s_min == "u0"
+
+
+def test_profile_drift_flags_empty_snapshot(spark):
+    """Review finding pinned: an empty/truncated batch is the loudest
+    drift there is — the null-rate verdict must be TRUE (not NULL) when
+    one side is empty, and False when both are."""
+    from drill_logfile_plugin_spark.operators.profiler import (
+        profile_columns,
+        profile_drift,
+    )
+
+    full = spark.createDataFrame([(1, "a"), (2, None)], "x long, s string")
+    empty = full.where("x < 0")
+    p_full = profile_columns(full, ["x", "s"])
+    p_empty = profile_columns(empty, ["x", "s"])
+    drifted = {r.col_name: r.null_rate_drifted
+               for r in profile_drift(p_full, p_empty).collect()}
+    assert drifted == {"x": True, "s": True}
+    same = {r.col_name: r.null_rate_drifted
+            for r in profile_drift(p_empty, p_empty).collect()}
+    assert same == {"x": False, "s": False}
+
+
+def test_funnel_no_stage_zero_users_yields_null_conversion(spark):
+    """Review finding pinned: when nobody performed stage 0 the division
+    is guarded (NULL conversion) instead of crashing under ANSI."""
+    from drill_logfile_plugin_spark.operators.behavior import funnel
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click")],
+        "user_id long, ts string, event_type string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    rows = funnel(events, ["view", "click"]).orderBy("stage_idx").collect()
+    assert [r.n_users for r in rows] == [0, 0]
+    assert all(r.conversion is None for r in rows)
