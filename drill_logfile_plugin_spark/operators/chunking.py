@@ -49,7 +49,6 @@ from .text import TOKS_SPARK
 def chunk_docs(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     chunk_tokens: int = 64,
     with_text: bool = False,
 ) -> DataFrame:
@@ -58,9 +57,14 @@ def chunk_docs(
     Returns one row per chunk: every input column except ``text_col``,
     plus ``chunk_id`` (0-based, in document order) and ``n_chunk_tokens``
     (= ``chunk_tokens`` for all but the ragged last chunk). A document
-    always yields >= 1 chunk (the tokenizer never returns an empty
-    array: whitespace-split of an empty string is ``[""]``, matching the
-    q22/q25 token-count semantics the DuckDB oracle mirrors).
+    with non-NULL text always yields >= 1 chunk (the tokenizer never
+    returns an empty array: whitespace-split of an empty string is
+    ``[""]``, matching the q22/q25 token-count semantics the DuckDB
+    oracle mirrors). NULL-text documents are dropped EXPLICITLY —
+    without the filter, ``size(NULL)`` silently vanishes the row on
+    Spark 4 and emits corrupting negative chunk ids under the 3.x
+    ``sizeOfNull`` legacy default; clean the corpus first (text.py
+    ``clean_corpus``) if NULL text must be surfaced instead.
 
     ``with_text=True`` additionally materializes ``chunk_text`` (the
     space-joined token window) — off by default so the common
@@ -71,6 +75,7 @@ def chunk_docs(
         raise ValueError("chunk_tokens must be >= 1")
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     passthrough = [c for c in df.columns if c != text_col]
+    df = df.where(F.col(text_col).isNotNull())
     staged = df.select(*passthrough, toks.alias("__toks")).select(
         *passthrough,
         F.size("__toks").alias("__nt"),
@@ -231,8 +236,14 @@ def cdc_chunks(
                 last = 0
                 for mpos in marks.tolist():
                     if mpos - last >= hi:
-                        # force cuts for the stretch the content skipped
-                        while mpos - last >= hi:
+                        # Force cuts for the stretch the content skipped.
+                        # `last + hi < n` guards the end-of-document mark
+                        # (mpos == n): without it the force walk can land
+                        # exactly on n and the trailing cuts.append(n)
+                        # then emits a ZERO-length chunk whose empty-md5
+                        # chunk_hash would cluster unrelated documents.
+                        # Mid-document (mpos < n) the guard is vacuous.
+                        while mpos - last >= hi and last + hi < n:
                             last += hi
                             cuts.append(last)
                     if mpos - last >= lo and mpos < n:

@@ -73,17 +73,24 @@ def redact_report(
     text_col: str = "text",
     kinds: tuple[str, ...] = DEFAULT_KINDS,
 ) -> DataFrame:
-    """One-row audit: total docs + per-kind count of documents hit.
+    """One-row audit: total docs + per-kind count of documents in which
+    the sequential pass actually replaced that kind.
 
-    The number a scrub job logs next to its output; rlike per kind is
-    evaluated in the same scan as the redaction would be.
+    Each kind's rlike runs against the PROGRESSIVELY-redacted text (all
+    earlier kinds already replaced), mirroring the load-bearing order
+    the scrub applies — counting against raw text would report spans an
+    earlier pattern consumes (the IP inside ``root@10.0.0.1`` redacts as
+    part of one EMAIL; it must not also count as an IP hit, or the
+    logged audit disagrees with the emitted placeholders). Still one
+    fused scan + one partial-agg'd aggregate: the chained replaces are
+    column expressions, not extra passes.
     """
     aggs = [F.count(F.lit(1)).alias("n_docs")]
+    staged = F.col(text_col)
     for k in kinds:
-        pattern, _ = PII_PATTERNS[k]
+        pattern, token = PII_PATTERNS[k]
         aggs.append(
-            F.sum(F.col(text_col).rlike(pattern).cast("long")).alias(
-                f"docs_with_{k}"
-            )
+            F.sum(staged.rlike(pattern).cast("long")).alias(f"docs_with_{k}")
         )
+        staged = F.regexp_replace(staged, pattern, token)
     return df.agg(*aggs)

@@ -183,11 +183,16 @@ def bm25_sql_duck(
     Spark side uses, and every expression mirrors the Spark association
     order, so the scaled scores are bit-identical by construction.
     """
+    if not queries:
+        raise ValueError("queries must be non-empty (VALUES needs >= 1 row)")
     k1p1 = repr(k1 + 1.0)
     one_minus_b = repr(1.0 - b)
     toks = TOKS_DUCK.format(c=text_col)
+    # ''-double the literals: an apostrophe in natural-language query
+    # text must not truncate the SQL string (the funnel/templates escape
+    # convention).
     qvals = ",\n      ".join(
-        f"('{qid}', '{t}')"
+        f"""('{qid.replace("'", "''")}', '{t.replace("'", "''")}')"""
         for qid, t in sorted(
             {(q, t) for q, text in queries.items() for t in text.split()}
         )

@@ -73,17 +73,25 @@ def temperature_mix(
 
     Edge semantics (deliberate, shared with the DuckDB oracle):
 
-    * rows with a NULL ``source_col`` are DROPPED — NULL groups to its own
-      count row, but the threshold join back onto the corpus is an inner
-      equi join and SQL equality never matches NULL. Coalesce the column
-      to a sentinel source first if NULL-source rows must participate;
+    * rows with a NULL ``source_col`` are DROPPED — and excluded from the
+      normalization entirely: the count table filters NULLs BEFORE the
+      min, else a handful of NULL-source rows would become n_min and
+      silently collapse every real source's keep rate (a 1-row NULL
+      group against two 1000-doc sources would keep ~3% of the corpus).
+      The threshold join back is an inner equi join, so the NULL rows
+      themselves never survive either way. Coalesce the column to a
+      sentinel source first if NULL-source rows must participate;
     * a source so large that ``floor(MIX_BUCKETS * rate) == 0`` (rate
       below 1/MIX_BUCKETS, i.e. > MIX_BUCKETS² times the smallest source
       at alpha=0.5) is dropped entirely — the integer threshold cannot
       represent rates below one bucket. Raise ``MIX_BUCKETS`` resolution
       if such extreme ratios are real.
     """
-    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    cnt = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
     n_min = cnt.agg(F.min("n_s").alias("n_min"))
     if alpha == 0.5:
         rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_s"))

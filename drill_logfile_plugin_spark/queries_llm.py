@@ -1012,7 +1012,8 @@ _Q55_BUDGET = 10_000_000
                   ELSE 'test' END AS split
       FROM documents
     ), cnt AS (
-      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+      SELECT source, COUNT(*) AS n_s FROM documents
+      WHERE source IS NOT NULL GROUP BY source
     ), thr AS (
       SELECT source,
              CAST(FLOOR(1000000.0 * sqrt(

@@ -256,7 +256,7 @@ ACCESS_PATTERN = ACCESS_CFG.pattern
              THEN CAST(regexp_extract(line, '{ACCESS_PATTERN}', 6) AS INT)
         END AS status,
         CASE WHEN regexp_matches(line, '{ACCESS_PATTERN}')
-             THEN CAST(regexp_extract(line, '{ACCESS_PATTERN}', 7) AS INT)
+             THEN TRY_CAST(regexp_extract(line, '{ACCESS_PATTERN}', 7) AS INT)
         END AS nbytes,
         CASE WHEN NOT regexp_matches(line, '{ACCESS_PATTERN}') THEN line
         END AS unmatched_lines

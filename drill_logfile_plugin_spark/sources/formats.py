@@ -30,11 +30,15 @@ MYSQL_LOG = LogFormatConfig(
 
 #: Apache/nginx combined access log with a fixed +0000 zone (the offset
 #: stays OUTSIDE the capture group: both Spark and an oracle engine then
-#: parse a zone-free local datetime; see queries_log.py q54).
+#: parse a zone-free local datetime; see queries_log.py q54). The byte
+#: count matches "-" too — Apache writes it for body-less responses
+#: (304s), a routine fraction of real logs; INT coercion turns it into
+#: the documented NULL-on-failure, so those lines parse instead of
+#: routing to unmatched_lines.
 APACHE_COMBINED = LogFormatConfig(
     pattern=(
         r'(\S+) \S+ (\S+) \[(\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}) \+0000\] '
-        r'"(\w+) (\S+) HTTP/[\d.]+" (\d{3}) (\d+)'
+        r'"(\w+) (\S+) HTTP/[\d.]+" (\d{3}) (\d+|-)'
     ),
     field_names=["ip", "user", "ts", "method", "path", "status", "nbytes"],
     data_types=[
@@ -47,11 +51,14 @@ APACHE_COMBINED = LogFormatConfig(
 #: The pid group is optional — a CRON-style line without ``[pid]`` yields
 #: "" for the unparticipating group, which coerces to NULL INT (the
 #: reference's null->"" rule composed with numeric NULL-on-failure).
+#: RFC3164 space-pads single-digit days ("Aug  3"); the reader's
+#: temporal whitespace normalization (log_reader._ws) parses them. The
+#: proc tag admits hyphens/dots (systemd-logind, kernel.daemon).
 #: Year-less timestamps land in 1970; overlay the ingest year downstream.
 SYSLOG = LogFormatConfig(
     pattern=(
         r"(\w{3}\s+\d+\s\d{2}:\d{2}:\d{2})\s(\S+)\s"
-        r"(\w+)(?:\[(\d+)\])?:\s(.+)"
+        r"([\w.-]+)(?:\[(\d+)\])?:\s(.+)"
     ),
     field_names=["ts", "host", "proc", "pid", "msg"],
     data_types=["TIMESTAMP", "VARCHAR", "VARCHAR", "INT", "VARCHAR"],

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .log_reader import _java_trim, _with_line_numbers
+from .log_reader import _java_trim, _with_line_numbers, _strict_error_channel
 
 CORRUPT_COLUMN = "_corrupt_record"
 
@@ -115,28 +115,12 @@ def _parse_structured_lines(
         for f in schema.fields
     ]
     if strict:
-        if line_no is not None:
-            fname = F.col("__file")
-            at_line = F.concat(
-                F.lit("' at line "), line_no.cast("string"), F.lit(": ")
-            )
-        else:
-            fname = F.input_file_name()
-            at_line = F.lit("': ")
-        corrupt = F.when(
-            ~ok,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"{fmt} scan: malformed or schema-incompatible "
-                        f"{what} in file '"
-                    ),
-                    fname,
-                    at_line,
-                    line,
-                )
-            ).cast("string"),
-        ).otherwise(F.lit(None).cast("string"))
+        corrupt = _strict_error_channel(
+            ok,
+            line,
+            line_no,
+            f"{fmt} scan: malformed or schema-incompatible {what} in file",
+        )
     else:
         corrupt = F.when(~ok, line).otherwise(F.lit(None).cast("string"))
     cols.append(corrupt.alias(CORRUPT_COLUMN))

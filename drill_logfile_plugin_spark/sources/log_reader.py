@@ -83,11 +83,25 @@ def _try_cast(col: Column, to: str) -> Column:
     return col.try_cast(to)
 
 
+def _ws(raw: Column) -> Column:
+    """Collapse whitespace runs in a temporal capture before parsing.
+
+    RFC3164 syslog space-pads single-digit days ("Aug  3"), which Spark's
+    strict DateTimeFormatter rejects for the "MMM d" pattern — silently
+    NULLing ~9 days of every month. The reference's SimpleDateFormat is
+    LENIENT by default and parses the padding, so normalizing here tracks
+    reference behavior, not a deviation. Formats with meaningful single
+    spaces are unaffected (runs collapse TO one space).
+    """
+    return F.regexp_replace(raw, r"\s+", " ")
+
+
 def _coerce(raw: Column, type_tag: str, cfg: LogFormatConfig, name: str) -> Column:
     """Coerce one extracted capture group to its declared type.
 
     Mirrors the dispatch at LogRecordReader.java:238-281 with the error
-    semantics of SURVEY.md §1.4 (see module docstring).
+    semantics of SURVEY.md §1.4 (see module docstring); temporal fields
+    are whitespace-normalized first (see :func:`_ws`).
     """
     if type_tag == INT:
         out = _try_cast(raw, "int")
@@ -99,15 +113,17 @@ def _coerce(raw: Column, type_tag: str, cfg: LogFormatConfig, name: str) -> Colu
         out = _try_cast(raw, "float")
         fatal = cfg.strict_numeric
     elif type_tag == DATE:
-        out = F.try_to_timestamp(raw, F.lit(cfg.date_format)).cast("date")
+        out = F.try_to_timestamp(_ws(raw), F.lit(cfg.date_format)).cast("date")
         fatal = cfg.error_on_mismatch
     elif type_tag == TIMESTAMP:
-        out = F.try_to_timestamp(raw, F.lit(cfg.effective_timestamp_format()))
+        out = F.try_to_timestamp(
+            _ws(raw), F.lit(cfg.effective_timestamp_format())
+        )
         fatal = cfg.error_on_mismatch
     elif type_tag == TIME:
         # Spark has no TIME type; reference materializes millis-of-day
         # (LogRecordReader.java:268-275, fractional seconds dropped).
-        ts = F.try_to_timestamp(raw, F.lit(cfg.time_format))
+        ts = F.try_to_timestamp(_ws(raw), F.lit(cfg.time_format))
         out = (
             (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)) * 1000
         ).cast("int")
@@ -126,6 +142,31 @@ def _coerce(raw: Column, type_tag: str, cfg: LogFormatConfig, name: str) -> Colu
         )
         return F.when(raw.isNotNull() & out.isNull(), err).otherwise(out)
     return out
+
+
+def _strict_error_channel(
+    ok: Column, line: Column, line_no: Column | None, prefix: str
+) -> Column:
+    """Abort-on-first-bad-row channel column, shared by the log scan and
+    the structured line sources (jsonl.py): with line numbers available
+    (:func:`_with_line_numbers`, file sources) the abort carries file +
+    line number — the reference's full context (LogRecordReader.java:
+    283-285); otherwise file + line text. One definition so the
+    fallback logic cannot drift between formats."""
+    if line_no is not None:
+        fname = F.col("__file")
+        at_line = F.concat(
+            F.lit("' at line "), line_no.cast("string"), F.lit(": ")
+        )
+    else:
+        fname = F.input_file_name()
+        at_line = F.lit("': ")
+    return F.when(
+        ~ok,
+        F.raise_error(
+            F.concat(F.lit(prefix + " '"), fname, at_line, line)
+        ).cast("string"),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def _with_line_numbers(lines: DataFrame) -> DataFrame | None:
@@ -227,30 +268,16 @@ def parse_lines(lines: DataFrame, cfg: LogFormatConfig, line_col: str = "value")
         cols.append(_coerce(raw, type_tag, cfg, name).alias(name))
 
     if cfg.error_on_mismatch:
-        # Abort on first unmatched line with the reference's full error
-        # context — file AND line number (UserException,
-        # LogRecordReader.java:283-285) — derived per _with_line_numbers
-        # (file sources); in-memory frames fall back to file + line text.
-        # input_file_name() is "" for non-file sources — harmless.
-        if line_no is not None:
-            fname = F.col("__file")
-            at_line = F.concat(
-                F.lit("' at line "), line_no.cast("string"), F.lit(": ")
-            )
-        else:
-            fname = F.input_file_name()
-            at_line = F.lit("': ")
-        unmatched = F.when(
-            ~matched,
-            F.raise_error(
-                F.concat(
-                    F.lit("log scan: line does not match pattern in file '"),
-                    fname,
-                    at_line,
-                    line,
-                )
-            ).cast("string"),
-        ).otherwise(F.lit(None).cast("string"))
+        # Abort on first unmatched line (_strict_error_channel:
+        # file + line number on file sources, file + line text
+        # otherwise; input_file_name() is "" for non-file sources —
+        # harmless).
+        unmatched = _strict_error_channel(
+            matched,
+            line,
+            line_no,
+            "log scan: line does not match pattern in file",
+        )
     else:
         unmatched = F.when(~matched, line).otherwise(F.lit(None).cast("string"))
     cols.append(unmatched.alias(UNMATCHED_COLUMN))

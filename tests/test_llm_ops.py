@@ -2765,3 +2765,114 @@ def test_funnel_no_stage_zero_users_yields_null_conversion(spark):
     rows = funnel(events, ["view", "click"]).orderBy("stage_idx").collect()
     assert [r.n_users for r in rows] == [0, 0]
     assert all(r.conversion is None for r in rows)
+
+
+def test_temperature_mix_null_source_does_not_collapse_rates(spark):
+    """Review finding pinned: a handful of NULL-source rows must not
+    become n_min and silently collapse every real source's keep rate —
+    with two equal real sources plus one NULL row, both sources keep
+    everything (rate 1.0)."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "A") for i in range(200)] + [
+        (1000 + i, "B") for i in range(200)
+    ] + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df, alpha=0.5)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"A": 200, "B": 200}
+
+
+def test_cdc_chunks_never_emits_zero_length_chunks(spark):
+    """Review finding pinned: a content boundary landing exactly at the
+    end of a force-cut stretch must not produce a (start=n, length=0)
+    chunk — every chunk has length >= 1 and lengths sum to the byte
+    length."""
+    from drill_logfile_plugin_spark.operators.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, ("x" * (37 + 13 * i)) + "abcdef" * (20 + i)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, avg_size=2, min_size=48, max_size=49).collect()
+    assert rows and all(r.length >= 1 for r in rows)
+    import collections
+    tot = collections.Counter()
+    for r in rows:
+        tot[r.doc_id] += r.length
+    for d in docs.collect():
+        assert tot[d.doc_id] == len(d.text.encode("utf-8"))
+
+
+def test_chunk_docs_drops_null_text_explicitly(spark):
+    """Review finding pinned: NULL-text documents are filtered (not
+    silently vanished by size(NULL) semantics) and every surviving doc
+    still yields >= 1 chunk."""
+    from drill_logfile_plugin_spark.operators.chunking import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = chunk_docs(df, chunk_tokens=8).collect()
+    ids = sorted({r.doc_id for r in got})
+    assert ids == [2, 3]
+    assert all(r.chunk_id >= 0 and r.n_chunk_tokens >= 1 for r in got)
+
+
+def test_redact_report_counts_what_the_pass_actually_redacts(spark):
+    """Review finding pinned: the audit counts each kind against the
+    progressively-redacted text — an IP inside an email redacts as one
+    EMAIL, so it must not also count as an IP hit."""
+    from drill_logfile_plugin_spark.operators.redact import (
+        redact_corpus,
+        redact_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "contact root@10.0.0.1 now"), (2, "server 10.0.0.2 up")],
+        "doc_id long, text string",
+    )
+    rep = redact_report(df).collect()[0]
+    assert rep.docs_with_email == 1
+    assert rep.docs_with_ipv4 == 1  # only doc 2; doc 1's IP was the email
+    scrubbed = {r.doc_id: r.text for r in redact_corpus(df).collect()}
+    assert scrubbed[1] == "contact <EMAIL> now"
+    assert scrubbed[2] == "server <IP> up"
+
+
+def test_syslog_preset_parses_padded_days_and_hyphenated_tags(spark, tmp_path):
+    """Review findings pinned: RFC3164 space-padded single-digit days
+    ('Aug  3') parse to a real timestamp, and hyphenated daemon tags
+    (systemd-logind) match instead of routing to unmatched_lines."""
+    from drill_logfile_plugin_spark import SYSLOG, read_log
+
+    p = tmp_path / "sys.log"
+    p.write_text(
+        "Aug  3 04:05:06 host1 systemd-logind[123]: New session\n"
+        "Aug 13 23:01:02 host2 sshd[4123]: Accepted publickey\n"
+    )
+    rows = {r.host: r for r in read_log(spark, str(p), SYSLOG).collect()}
+    assert rows["host1"].unmatched_lines is None
+    assert rows["host1"].proc == "systemd-logind"
+    assert rows["host1"].ts is not None and rows["host1"].ts.day == 3
+    assert rows["host2"].ts.day == 13
+
+
+def test_apache_preset_parses_dash_byte_count(spark, tmp_path):
+    """Review finding pinned: Apache writes '-' for body-less responses
+    (304s); those lines must parse with NULL nbytes, not route to
+    unmatched_lines."""
+    from drill_logfile_plugin_spark import APACHE_COMBINED, read_log
+
+    p = tmp_path / "acc.log"
+    p.write_text(
+        '1.2.3.4 - alice [10/Oct/2023:13:55:36 +0000] "GET /x HTTP/1.1" 304 -\n'
+        '1.2.3.5 - bob [10/Oct/2023:13:55:37 +0000] "GET /y HTTP/1.1" 200 512\n'
+    )
+    rows = {r.ip: r for r in read_log(spark, str(p), APACHE_COMBINED).collect()}
+    assert rows["1.2.3.4"].unmatched_lines is None
+    assert rows["1.2.3.4"].nbytes is None and rows["1.2.3.4"].status == 304
+    assert rows["1.2.3.5"].nbytes == 512
