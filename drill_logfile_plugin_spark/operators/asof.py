@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
 _RTS = "__asof_right_ts"
+_PAY = "__asof_payload"
 
 
 def asof_join(
@@ -74,19 +75,39 @@ def asof_join(
         raise ValueError(
             f"right payload columns collide with left: {sorted(overlap)}"
         )
-    matched = "__asof_matched"
     l_tagged = left.withColumn(
         _TS, F.col(left_ts).cast("timestamp")
     ).withColumn(_SIDE, F.lit(1))
+    # The right side's payload rides as ONE struct, so the fill picks the
+    # whole latest right ROW atomically. Filling each column separately
+    # (last(c, ignorenulls) per column) would compose the match from
+    # DIFFERENT right rows whenever the true as-of row has a NULL field —
+    # fabricating a row that never existed and letting a stale field slip
+    # past the tolerance check (the tolerance predicate sees the newer
+    # row's timestamp). The struct itself is non-null for every right row
+    # (even all-NULL payloads), which is also the matched marker.
+    #
+    # Right rows with a NULL (or uncastable) right_ts are dropped: they
+    # have no position on the as-of axis, but NULLS-FIRST window order
+    # would make one a universal "oldest" match for every left row with
+    # no real prior row (pandas merge_asof raises on null keys; dropping
+    # is the declarative equivalent).
     r_tagged = (
         right.select(
             *on, F.col(right_ts).cast("timestamp").alias(_TS), *payload_cols
         )
+        .where(F.col(_TS).isNotNull())
         .withColumn(_SIDE, F.lit(0))
-        # non-null marker rides along so `inner` can distinguish "no prior
-        # right row" from "prior right row whose payload is all null"
-        .withColumn(matched, F.lit(True))
-        .withColumn(_RTS, F.col(_TS))
+        .withColumn(
+            _PAY,
+            F.struct(
+                F.col(_TS).alias(_RTS),
+                *[F.col(c) for c in payload_cols],
+            ),
+        )
+        # the bare payload columns now live inside the struct only — a
+        # duplicate top-level name would shadow the extracted fields
+        .drop(*payload_cols)
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -94,24 +115,24 @@ def asof_join(
         .orderBy(_TS, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = [*payload_cols, matched, _RTS]
     filled = u.select(
-        *[c for c in u.columns if c not in fill_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
-    )
-    out = filled.where(F.col(_SIDE) == 1)
+        *[c for c in u.columns if c != _PAY],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+    ).where(F.col(_SIDE) == 1)
+    ok = F.col(_PAY).isNotNull()
     if tolerance is not None:
-        ok = F.col(matched) & (
-            F.col(_RTS) >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}")
+        ok = ok & (
+            F.col(_PAY)[_RTS]
+            >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}")
         )
-        out = out.select(
-            *[c for c in out.columns if c not in (*payload_cols, matched)],
-            *[
-                F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c)
-                for c in payload_cols
-            ],
-            ok.alias(matched),
-        )
+    out = filled.select(
+        *[c for c in filled.columns if c not in (_SIDE, _TS, _PAY)],
+        *[
+            F.when(ok, F.col(_PAY)[c]).alias(c)
+            for c in payload_cols
+        ],
+        ok.alias("__asof_ok"),
+    )
     if how == "inner":
-        out = out.where(F.col(matched))
-    return out.drop(_SIDE, _TS, matched, _RTS)
+        out = out.where(F.col("__asof_ok"))
+    return out.drop("__asof_ok")

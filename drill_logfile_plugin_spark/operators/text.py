@@ -89,24 +89,33 @@ def lang_id(col: str = "text") -> Column:
     return F.expr(lang_id_sql_spark(col))
 
 
-def _lang_case(scores: dict[str, str]) -> str:
+def _lang_case(col: str, scores: dict[str, str]) -> str:
+    # The explicit NULL branch keeps the engines aligned BY CONSTRUCTION:
+    # without it, Spark's non-ANSI size(NULL) = -1 makes every score -1
+    # and the first `>= greatest(...)` branch fires ('en'), while
+    # DuckDB's len(NULL) = NULL falls through to ELSE ('und').
     all_scores = ", ".join(scores.values())
     branches = "\n".join(
         f"WHEN {s} >= greatest({all_scores}) THEN '{lang}'"
         for lang, s in scores.items()
     )
     return (
-        f"CASE WHEN greatest({all_scores}) = 0 THEN 'und'\n{branches}\n"
+        f"CASE WHEN {col} IS NULL THEN 'und'\n"
+        f"WHEN greatest({all_scores}) = 0 THEN 'und'\n{branches}\n"
         "ELSE 'und' END"
     )
 
 
 def lang_id_sql_spark(col: str = "text") -> str:
-    return _lang_case({k: _score_spark(col, v) for k, v in LANG_MARKERS.items()})
+    return _lang_case(
+        col, {k: _score_spark(col, v) for k, v in LANG_MARKERS.items()}
+    )
 
 
 def lang_id_sql_duck(col: str = "text") -> str:
-    return _lang_case({k: _score_duck(col, v) for k, v in LANG_MARKERS.items()})
+    return _lang_case(
+        col, {k: _score_duck(col, v) for k, v in LANG_MARKERS.items()}
+    )
 
 
 # --- quality scoring ------------------------------------------------------
@@ -124,8 +133,13 @@ def quality_bucket(col: str = "text") -> Column:
     return F.expr(quality_bucket_sql_spark(col))
 
 
-def _quality_case(n_tok: str, n_distinct: str, n_stop: str, n_chars: str) -> str:
+def _quality_case(
+    col: str, n_tok: str, n_distinct: str, n_stop: str, n_chars: str
+) -> str:
+    # NULL text is 'too_short' in BOTH engines — see _lang_case for why
+    # the guard must be explicit (size(NULL) = -1 vs len(NULL) = NULL).
     return f"""CASE
+      WHEN {col} IS NULL THEN 'too_short'
       WHEN {n_tok} < 20 THEN 'too_short'
       WHEN ({n_chars}) / ({n_tok}) > 12.0 THEN 'long_tokens'
       WHEN ({n_distinct}) / ({n_tok}) < 0.35 THEN 'repetitive'
@@ -137,6 +151,7 @@ def quality_bucket_sql_spark(col: str = "text") -> str:
     toks = TOKS_SPARK.format(c=col)
     stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     return _quality_case(
+        col,
         f"size({toks})",
         f"size(array_distinct({toks}))",
         f"size(filter({toks}, t -> t IN ({stop})))",
@@ -148,6 +163,7 @@ def quality_bucket_sql_duck(col: str = "text") -> str:
     toks = TOKS_DUCK.format(c=col)
     stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     return _quality_case(
+        col,
         f"len({toks})",
         f"len(list_distinct({toks}))",
         f"len(list_filter({toks}, t -> t IN ({stop})))",
@@ -792,9 +808,14 @@ def strip_boilerplate(
     Plan shape (one corpus pass + span-sized joins):
 
     1. positional n-gram starts — scan-fused ``transform(sequence(...))``
-       explode, shuffled on ``xxhash64(gram)`` (8-byte keys, the q59
-       posture; the gram string never enters an exchange),
-    2. the span index — distinct (doc, hash) → docs-per-hash >= min_docs
+       explode, shuffled on TWO independent xxhash64 lanes of the gram
+       (16-byte composite key ≈ a 128-bit hash, the md5 exact-dedup
+       posture; the gram string never enters an exchange). One 64-bit
+       lane would see expected birthday collisions at web-scale distinct
+       grams (~0.4 at 4e9), and a collision both deletes unique content
+       and breaks parity with the string-keyed oracle — at 128 bits the
+       probability is negligible at any real corpus size,
+    2. the span index — distinct (doc, hashes) → docs-per-key >= min_docs
        (span-cardinality-sized; barriered because the start stream feeds
        both the index build and the cover join),
     3. per-doc covered-start lists — an equi join against the index then
@@ -822,18 +843,23 @@ def strip_boilerplate(
                 )
             ).alias("sg"),
         )
-        .select("doc_id", F.col("sg.i").alias("i"), F.xxhash64("sg.g").alias("gh"))
+        .select(
+            "doc_id",
+            F.col("sg.i").alias("i"),
+            F.xxhash64("sg.g").alias("gh"),
+            F.xxhash64("sg.g", F.lit(1)).alias("gh2"),
+        )
     )
     boiler = (
-        st.select("doc_id", "gh")
+        st.select("doc_id", "gh", "gh2")
         .distinct()
-        .groupBy("gh")
+        .groupBy("gh", "gh2")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= min_docs)
-        .select("gh")
+        .select("gh", "gh2")
     )
     covered = (
-        st.join(boiler, "gh")
+        st.join(boiler, ["gh", "gh2"])
         .groupBy("doc_id")
         .agg(F.collect_list("i").alias("starts"))
     )

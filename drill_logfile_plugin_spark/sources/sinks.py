@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -140,7 +141,19 @@ def compact_table(
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
     tmp = path.rstrip("/") + ".compact"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        # Repartition ON the partition columns: each output directory is
+        # then written by the task(s) owning that key. A round-robin
+        # repartition(n_files) would spread every partition value across
+        # every task, emitting up to n_files files PER directory — more
+        # small files than before compaction. (A single hive-partition
+        # value heavier than one task's comfort spills to the next
+        # compaction cycle; callers with one giant partition should
+        # compact it unpartitioned.)
+        staged = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        staged = df.repartition(n_files)
+    writer = staged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

@@ -134,3 +134,50 @@ def test_asof_tolerance_rejects_stale_matches(spark):
     assert {r.trade_id: r.px for r in default.collect()} == {
         1: 100.0, 2: 100.0, 3: None,
     }
+
+
+def test_asof_payload_is_atomic_per_row(spark):
+    """Review finding pinned: the as-of payload comes from THE latest
+    right row as a unit — a NULL field in that row stays NULL instead of
+    being back-filled from an older row (which would fabricate a row
+    that never existed and let stale fields bypass the tolerance)."""
+    from drill_logfile_plugin_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, "09:00:01", 10.0, 11.0), (1, "09:00:02", 12.0, None)],
+        "k long, qts string, bid double, ask double",
+    ).selectExpr("k", "CAST('2024-01-01 ' || qts AS TIMESTAMP) AS qts", "bid", "ask")
+    trades = spark.createDataFrame(
+        [(1, "09:00:03")], "k long, tts string"
+    ).selectExpr("k", "CAST('2024-01-01 ' || tts AS TIMESTAMP) AS tts")
+    row = asof_join(trades, quotes, on=["k"], left_ts="tts", right_ts="qts").collect()[0]
+    assert row.bid == 12.0 and row.ask is None  # the ts=2 row, atomically
+
+    # With tolerance, the stale older row must not leak its field either.
+    row = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        tolerance="2 seconds",
+    ).collect()[0]
+    assert row.bid == 12.0 and row.ask is None
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """Review finding pinned: a right row with NULL right_ts has no
+    position on the as-of axis — it must not become a universal 'oldest'
+    match (NULLS-FIRST window order would otherwise hand its payload to
+    every left row with no real prior row)."""
+    from drill_logfile_plugin_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, None, 5.0)], "k long, qts timestamp, price double"
+    )
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "k long, tts string"
+    ).selectExpr("k", "CAST(tts AS TIMESTAMP) AS tts")
+    assert asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts"
+    ).count() == 0
+    left = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts", how="left"
+    ).collect()
+    assert len(left) == 1 and left[0].price is None

@@ -2876,3 +2876,30 @@ def test_apache_preset_parses_dash_byte_count(spark, tmp_path):
     assert rows["1.2.3.4"].unmatched_lines is None
     assert rows["1.2.3.4"].nbytes is None and rows["1.2.3.4"].status == 304
     assert rows["1.2.3.5"].nbytes == 512
+
+
+def test_lang_and_quality_handle_null_text_identically_to_oracle(spark):
+    """Review finding pinned: NULL text classifies as 'und'/'too_short'
+    in BOTH engines by an explicit CASE branch — without it Spark's
+    non-ANSI size(NULL) = -1 picks 'en'/'too_short' while DuckDB's
+    len(NULL) = NULL falls to 'und'/'good'."""
+    import duckdb
+
+    from drill_logfile_plugin_spark.operators.text import (
+        lang_id,
+        lang_id_sql_duck,
+        quality_bucket,
+        quality_bucket_sql_duck,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = df.select(
+        lang_id("text").alias("lang"), quality_bucket("text").alias("q")
+    ).collect()[0]
+    assert (row.lang, row.q) == ("und", "too_short")
+    got = duckdb.sql(
+        f"SELECT {lang_id_sql_duck('text')} AS lang, "
+        f"{quality_bucket_sql_duck('text')} AS q "
+        "FROM (SELECT CAST(NULL AS VARCHAR) AS text)"
+    ).fetchone()
+    assert got == ("und", "too_short")

@@ -324,3 +324,37 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert files_touched(spath, 200, 250) == 16
     assert files_touched(zpath, 100, 150) == 4
     assert files_touched(zpath, 200, 250) == 4
+
+
+def test_compact_table_partitioned_emits_one_file_per_directory(spark, tmp_path):
+    """Review finding pinned: with partition_by, compaction repartitions
+    ON the partition columns so each hive directory is written by its
+    owning task — a round-robin repartition would emit n_files files per
+    directory, MORE small files than before."""
+    import os
+
+    from drill_logfile_plugin_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "t")
+    (
+        spark.range(1000)
+        .selectExpr("id", "CAST(id % 5 AS STRING) AS dt")
+        .repartition(8)
+        .write.partitionBy("dt")
+        .parquet(path)
+    )
+    before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert before >= 20  # genuinely fragmented
+    n_after = compact_table(
+        spark, path, target_file_bytes=1 << 30, partition_by=["dt"]
+    )
+    per_dir = {
+        root: sum(1 for f in fs if f.endswith(".parquet"))
+        for root, _, fs in os.walk(path)
+        if any(f.endswith(".parquet") for f in fs)
+    }
+    assert n_after == 5 and all(v == 1 for v in per_dir.values())
+    total = spark.read.parquet(path).count()
+    assert total == 1000
