@@ -64,6 +64,11 @@ def salted_join(
     over — use this ONLY when ``other`` is far smaller than the skewed
     side (else the replication dominates) yet too big to broadcast.
     """
+    if isinstance(on, str):
+        # A bare string IS a Sequence[str]: without this, `c not in on`
+        # becomes substring matching and [*on, SALT] splats the key into
+        # per-character join columns — accept the common habit instead.
+        on = [on]
     if salt < 2:
         raise ValueError("salt must be >= 2 to spread anything")
     if how not in ("inner", "left", "leftouter", "left_outer",

@@ -203,15 +203,30 @@ def exact_dedup_survivors(
     """One row per distinct content: (content_hash, keep_id, n_copies).
 
     keep_id = MIN(id) is the canonical deterministic survivor policy.
+
+    NULL text is NOT content: ``md5(NULL)`` is NULL, and grouping it
+    would fold every unfetched/failed-extraction row into one "content"
+    group and silently delete all but the minimum id. NULL-text rows
+    each survive as their own singleton (keep_id = own id, n_copies = 1,
+    content_hash NULL) — "text missing" is not provably duplicate.
     """
-    return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    base = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    grouped = (
+        base.where(F.col("content_hash").isNotNull())
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+    nulls = base.where(F.col("content_hash").isNull()).select(
+        "content_hash",
+        F.col(id_col).alias("keep_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+    )
+    return grouped.unionByName(nulls)
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -322,6 +337,13 @@ def lsh_candidate_pairs(
     output matches an exact all-pairs computation on any realistic data
     while doing no all-pairs work.
     """
+    if num_hashes % bands != 0 or bands > num_hashes:
+        # Caught at plan-build time: inside the executors the lane
+        # reshape would throw an opaque ValueError after the tokenize/
+        # hash work has already run.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     df = _spread(df)
     # Documents with fewer than shingle_n tokens have an EMPTY shingle
     # set: every such doc gets the identical empty-set MinHash signature,
@@ -567,12 +589,24 @@ def simhash_pairs(
         raise ValueError("simhash bits must be 32 or 64")
     df = _spread(df)
     sig_udf = _simhash_udf(bits)
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
-    ).select(
-        "doc_id",
-        sig_udf(F.col("toks")).alias("sig"),
+    # NULL/whitespace-only docs are excluded, parallel to the LSH lane's
+    # sub-shingle-width guard: a NULL token array arrives as None in the
+    # Arrow batch (TypeError in the UDF), and every empty doc shares one
+    # signature — a Hamming-0 clique whose band buckets go quadratic.
+    # They carry no token-level signal; exact dedup owns them.
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
+        )
+        .where(
+            F.col("toks").isNotNull()
+            & (F.array_join(F.col("toks"), "") != "")
+        )
+        .select(
+            "doc_id",
+            sig_udf(F.col("toks")).alias("sig"),
+        )
     )
     return hamming_band_pairs(sigs, max_hamming=max_hamming, bits=bits)
 
@@ -763,7 +797,11 @@ def edit_distance_pairs(
     uniform over 64 chars, both-ends clustering is rare). The DuckDB
     oracle recomputes the identical blocked semantics, so a MATCH
     certifies engine parity (blocking + distance), while recall bounds are
-    the documented contract.
+    the documented contract. Second documented recall bound: documents
+    shorter than ``2 * probe_len`` chars (32 at the defaults) cannot fill
+    both probe regions and are excluded from blocking entirely — for a
+    corpus of very short records, shrink ``probe_len`` (the blocking
+    keys stay 8-byte hashes at any probe width).
 
     Scale posture: shuffle keys are (probe-id, xxhash64(probe)) — 9 bytes
     regardless of document size; the expensive levenshtein runs only on
@@ -1115,6 +1153,13 @@ def _winnow_udf(k: int, w: int):
     def winnow(toks: pd.Series) -> pd.Series:
         out = []
         for arr in toks:
+            if arr is None:
+                # NULL text -> NULL token array -> None in the Arrow
+                # batch; the SQL engine emits no fingerprints for it
+                # (size(NULL) never >= k), so the arrow lane must not
+                # crash on len(None) — both engines agree on "nothing".
+                out.append([])
+                continue
             m = len(arr) - k + 1
             if m < w:
                 out.append([])

@@ -28,6 +28,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        if name in QUERIES:
+            # A silent overwrite would invisibly shrink the driver's
+            # 50-registration surface: the shadowed query's oracle check
+            # simply never runs. Fail at import time instead.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = QuerySpec(name, _prepped(fn), oracle, doc)
         return fn
 

@@ -2903,3 +2903,80 @@ def test_lang_and_quality_handle_null_text_identically_to_oracle(spark):
         "FROM (SELECT CAST(NULL AS VARCHAR) AS text)"
     ).fetchone()
     assert got == ("und", "too_short")
+
+
+def test_dedup_tier_tolerates_null_text(spark):
+    """Review findings pinned: NULL text must neither crash the Arrow
+    lanes (simhash signature, winnow fingerprints) nor be treated as
+    shared content (exact dedup folding every NULL row into one group
+    and deleting all but one)."""
+    from drill_logfile_plugin_spark.operators.dedup import (
+        exact_dedup_survivors,
+        simhash_pairs,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c d e f g h i j"),
+         (4, "a b c d e f g h i j"), (5, "   ")],
+        "doc_id long, text string",
+    )
+    surv = exact_dedup_survivors(df)
+    keep = sorted(r.keep_id for r in surv.collect())
+    assert keep == [1, 2, 3, 5]  # both NULL rows survive; 4 deduped into 3
+
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(df).collect()}
+    assert pairs == {(3, 4)}  # NULL/whitespace docs: no crash, no clique
+
+    fps_arrow = winnow_fingerprints(df, engine="arrow")
+    fps_sql = winnow_fingerprints(df, engine="sql")
+    a = sorted((r.doc_id, r.fp) for r in fps_arrow.collect())
+    b = sorted((r.doc_id, r.fp) for r in fps_sql.collect())
+    assert a == b and all(d in (3, 4) for d, _ in a)
+
+
+def test_lsh_rejects_indivisible_band_config(spark):
+    """Review finding pinned: an invalid (num_hashes, bands) pair fails
+    at plan-build time with a clear message, not mid-job inside the
+    executors' lane reshape."""
+    import pytest as _pytest
+
+    from drill_logfile_plugin_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, num_hashes=100, bands=64)
+
+
+def test_salted_join_accepts_bare_string_key(spark):
+    """Review finding pinned: on='user_id' (a str IS a Sequence[str])
+    must behave as on=['user_id'], not iterate character-wise."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], "user_id long, v long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "user_id long, label string")
+    out = salted_join(big, dim, on="user_id", salt=4)
+    got = {r.label: r.n for r in out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"hot": 50, "cold": 1}
+
+
+def test_registry_rejects_duplicate_registration():
+    """Review finding pinned: a duplicate @query name raises at import
+    time instead of silently shadowing a budgeted registration."""
+    import pytest as _pytest
+
+    from drill_logfile_plugin_spark.registry import QUERIES, query
+
+    name = "q00_test_duplicate_guard"
+    assert name not in QUERIES
+    try:
+        query(name, None)(lambda spark, sf: None)
+        with _pytest.raises(ValueError, match="duplicate query registration"):
+            query(name, None)(lambda spark, sf: None)
+    finally:
+        QUERIES.pop(name, None)
