@@ -144,7 +144,18 @@ def main() -> None:
                 and runs < MAX_RUNS
                 and extra_budget_s > best
             ):
-                t = run_once(name)
+                # A transient failure on a CONFIRMATION re-run must not
+                # discard the valid first measurement (or flip the exit
+                # code): keep the best timing already in hand.
+                try:
+                    t = run_once(name)
+                except Exception as e:
+                    print(
+                        f"bench: {name} re-run failed (keeping "
+                        f"{best:.2f}s): {e}",
+                        file=sys.stderr,
+                    )
+                    break
                 runs += 1
                 extra_budget_s -= t
                 best = min(best, t)

@@ -97,9 +97,13 @@ def decode_media(
             f"available in this environment; supported: {SUPPORTED_CODECS}"
         )
 
+    # NULL payloads are filtered up front (the phash_signatures posture):
+    # hashlib/len over None raises inside the Arrow batch, failing the
+    # whole job; a missing payload has nothing to decode. Mirrored by the
+    # oracle's text IS NOT NULL guard.
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    ).where(F.col("payload").isNotNull())
 
     def decode_batches(
         batches: Iterable[pd.DataFrame],
@@ -161,7 +165,7 @@ def extract_features(
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    ).where(F.col("payload").isNotNull())
 
     def feature_batches(
         batches: Iterable[pd.DataFrame],
@@ -205,10 +209,14 @@ def frame_sample(
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(f"codec {codec!r} not available")
+    if every_n < 1:
+        # plan-build-time guard: range(0, n, 0) would ValueError inside
+        # every executor task; a negative step silently emits no frames
+        raise ValueError("every_n must be >= 1")
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    ).where(F.col("payload").isNotNull())
 
     def frame_batches(
         batches: Iterable[pd.DataFrame],

@@ -677,7 +677,7 @@ def q45(spark, sf):
              octet_length(encode(text)) AS n_bytes,
              {_duck_hex2int('substr(md5(text), 1, 2)')} / 255.0 AS f0,
              {_duck_hex2int('substr(md5(text), 31, 2)')} / 255.0 AS f15
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT media_format,
            COUNT(*) AS n_media,
@@ -732,7 +732,7 @@ def q33(spark, sf):
     WITH d AS (
       SELECT doc_id,
              1 + {_duck_hex2int('substr(md5(text), 10, 3)')} % 8 AS n_frames
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     frames AS (
       SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx

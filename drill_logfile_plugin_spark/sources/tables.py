@@ -63,7 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every testdata table as a temp view; return the DataFrames."""
+    """Register every testdata table as a temp view; return the DataFrames.
+
+    Applies :func:`configure_session` first — the nanosAsLong conf this
+    module's own loader notes as required must hold on ANY session that
+    reads the tables, not only ones that came through the registry.
+    """
+    configure_session(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)

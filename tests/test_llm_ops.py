@@ -2980,3 +2980,30 @@ def test_registry_rejects_duplicate_registration():
             query(name, None)(lambda spark, sf: None)
     finally:
         QUERIES.pop(name, None)
+
+
+def test_multimodal_operators_tolerate_null_payload(spark):
+    """Review finding pinned: a NULL payload (NULL-text doc through
+    attach_payload) is filtered before the Arrow batch — hashlib/len
+    over None previously crashed the whole decode/features/frames job."""
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        attach_payload,
+        decode_media,
+        extract_features,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real content here"), (2, None)], "doc_id long, text string"
+    )
+    media = attach_payload(docs)
+    assert decode_media(media).count() == 1
+    assert extract_features(media).count() == 1
+    frames = frame_sample(media)
+    assert frames.count() >= 1
+    assert {r.doc_id for r in frames.collect()} == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n"):
+        frame_sample(media, every_n=0)

@@ -23,9 +23,10 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# The one table list lives in the package (sources/tables.py); importing
+# it means an 11th table cannot land Spark-side while the oracle views
+# silently lag behind.
+from drill_logfile_plugin_spark.sources.tables import TABLES  # noqa: E402
 
 
 def normalize(v):
@@ -82,6 +83,17 @@ def driver_divergence_lints(spark_df, rel):
     return problems
 
 
+def _num_tag(v):
+    """bool/int/float class of a normalized cell (None for non-numeric)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return None
+
+
 def compare(name, spark_df, con, sql):
     cols_s = list(spark_df.columns)
     t0 = time.time()
@@ -102,6 +114,18 @@ def compare(name, spark_df, con, sql):
         perm_o = [cols_o.index(c) for c in sorted(cols_o)]
         rs = sorted((tuple(r[i] for i in perm_s) for r in rows_s), key=row_key)
         ro = sorted((tuple(r[i] for i in perm_o) for r in rows_o), key=row_key)
+        # Numeric-dtype lint: Python compares 5 == 5.0, but the driver's
+        # pandas canonicalizer is type-sensitive (int64 vs float64 hash
+        # differently) — an int-vs-float column divergence must MISMATCH
+        # here too, or this mirror passes what the driver fails.
+        for ci, cname in enumerate(sorted(cols_s)):
+            ts = next((_num_tag(r[ci]) for r in rs if r[ci] is not None), None)
+            to = next((_num_tag(r[ci]) for r in ro if r[ci] is not None), None)
+            if ts != to:
+                problems.append(
+                    f"dtype: column {cname!r} spark={ts} oracle={to} "
+                    "(driver pandas hash is type-sensitive)"
+                )
         for i, (a, b) in enumerate(zip(rs, ro)):
             if a != b:
                 # float-tolerant diagnosis
@@ -167,9 +191,13 @@ def main():
             fail += 1
             continue
         if name not in oracles:
-            n = df.count()
-            print(f"[ROWS-ONLY] {name} rows={n} (no oracle)")
-            weak += 1
+            try:
+                n = df.count()
+                print(f"[ROWS-ONLY] {name} rows={n} (no oracle)")
+                weak += 1
+            except Exception as e:
+                print(f"[ERROR] {name}: rows-only count raised: {e}")
+                fail += 1
             continue
         try:
             if compare(name, df, con, oracles[name]):
