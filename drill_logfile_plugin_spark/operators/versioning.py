@@ -32,8 +32,86 @@ q51's diff arm still counts unchanged docs from the join itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from a change log.
+
+    The dimension-history counterpart of :func:`snapshot_diff`: where the
+    diff compares two full snapshots, this consumes an append-only change
+    log (one row per observed state) and produces one row per *distinct
+    consecutive state* per key, with its validity interval:
+
+    ``(key, attrs..., valid_from, valid_to, version_n, is_current)``
+
+    * **Change compression** — consecutive rows whose tracked attributes
+      are unchanged collapse into the earlier row's interval (a change
+      log re-observes unchanged state all the time; emitting a version
+      per observation would make history size O(observations) instead of
+      O(changes)). Comparison is null-safe per attribute: NULL -> 'x' and
+      'x' -> NULL are both real transitions, NULL -> NULL is not.
+    * ``valid_from`` = the change's timestamp; ``valid_to`` = the NEXT
+      change's timestamp (half-open intervals, so ``ts >= valid_from AND
+      (valid_to IS NULL OR ts < valid_to)`` is a point-in-time lookup);
+      NULL ``valid_to`` = the open current version.
+    * Ordering within a key is (``ts_col``, ``tiebreak_col``) — the
+      tiebreak (a unique event id) makes the whole history deterministic
+      when one key changes twice in the same timestamp grain.
+
+    Scale posture: one hash shuffle on the key, then two window passes
+    over the SAME (key, ts, tiebreak) sort order — the second runs on the
+    already-compressed change rows (O(changes), not O(observations)), and
+    Catalyst reuses the exchange since the partitioning is identical.
+    NULL keys form their own partition in both engines (window PARTITION
+    BY groups NULLs together); NULL timestamps sort engine-dependently
+    (Spark NULLS FIRST vs DuckDB NULLS LAST) — filter them out upstream
+    if the log can contain them, as q51's scd2 arm does.
+    """
+    attrs = [F.col(c) for c in attr_cols]
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_obs = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w_obs))
+    first_row = F.row_number().over(w_obs) == 1
+    compressed = changes.select(
+        key_col, ts_col, tiebreak_col, *attr_cols
+    ).withColumn("__keep", first_row | changed).where(F.col("__keep"))
+    w_chg = Window.partitionBy(key_col).orderBy(*order)
+    return compressed.select(
+        F.col(key_col),
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w_chg).alias("valid_to"),
+        F.row_number().over(w_chg).alias("version_n"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_report(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-attribute-state history summary: how many versions ever held
+    each state, how many keys hold it NOW, and the smallest such key.
+    Returns (state..., n_versions, n_current, min_key) — the shape a
+    nightly dimension build publishes for drift eyeballing."""
+    hist = scd2_history(changes, key_col, ts_col, attr_cols, tiebreak_col)
+    return hist.groupBy(*attr_cols).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.min(key_col).alias("min_key"),
+    )
 
 
 def snapshot_diff(

@@ -924,6 +924,18 @@ def q50(spark, sf):
                   WHEN o.fp != n.fp THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+    ), scd_obs AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ), scd_chg AS (
+      SELECT user_id, event_type,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, rn) AS valid_to
+      FROM scd_obs WHERE rn = 1 OR (event_type IS DISTINCT FROM prev)
     )
     SELECT 'inc' AS part, inc.source AS grp,
            COUNT(*) AS n_groups,
@@ -938,6 +950,13 @@ def q50(spark, sf):
            CAST(NULL AS BIGINT) AS n_rows,
            MIN(doc_id) AS min_id
     FROM diff GROUP BY status
+    UNION ALL
+    SELECT 'scd2' AS part, event_type AS grp,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows,
+           MIN(user_id) AS min_id
+    FROM scd_chg GROUP BY event_type
     """,
     doc="Incremental corpus maintenance, union-merged (driver "
     "query-budget policy). Inc arm: incremental exact dedup — a new "
@@ -951,7 +970,15 @@ def q50(spark, sf):
     "one full-outer equi join on the id carrying ~40 bytes/doc, text "
     "never in an exchange. At 100 TB both arms persist their hash "
     "projections bucketed by key so the daily run is a zero-shuffle "
-    "co-located join (sources/sinks.py write_bucketed).",
+    "co-located join (sources/sinks.py write_bucketed). Scd2 arm "
+    "(operators/versioning.py scd2_history): SCD type-2 validity "
+    "intervals from the events change log — null-safe change "
+    "compression (consecutive unchanged observations collapse), then "
+    "valid_from/valid_to half-open intervals via lead(ts); one key "
+    "shuffle, two window passes sharing the sort order, the second over "
+    "O(changes) rows only. The report counts versions + currently-open "
+    "rows per state; (ts, event_id) ordering makes the whole history "
+    "deterministic cross-engine.",
 )
 def q51(spark, sf):
     from .operators.versioning import snapshot_diff_report
@@ -991,7 +1018,18 @@ def q51(spark, sf):
         F.lit(None).cast("long").alias("n_rows"),
         F.col("min_doc_id").alias("min_id"),
     )
-    return inc_report.unionByName(diff_report)
+    from .operators.versioning import scd2_report
+
+    scd2 = scd2_report(
+        _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    ).select(
+        F.lit("scd2").alias("part"),
+        F.col("event_type").alias("grp"),
+        F.col("n_versions").alias("n_groups"),
+        F.col("n_current").alias("n_rows"),
+        F.col("min_key").alias("min_id"),
+    )
+    return inc_report.unionByName(diff_report).unionByName(scd2)
 
 
 #: q55 budget arm: the training token budget being allocated (10M —

@@ -937,6 +937,50 @@ def test_snapshot_diff_fingerprint_fast_path(spark):
     assert a == b == [(2, "changed")]
 
 
+def test_scd2_history_compression_and_intervals(spark):
+    """Change compression, null-safe transitions, half-open intervals,
+    version numbering, and same-timestamp tie-break determinism."""
+    from datetime import datetime
+
+    from drill_logfile_plugin_spark.operators.versioning import scd2_history
+
+    t = lambda s: datetime(2024, 1, s)
+    rows = [
+        # key 1: a->a (compressed) ->b ->NULL ->NULL (compressed) ->a
+        (1, t(1), 10, "a"),
+        (1, t(2), 11, "a"),
+        (1, t(3), 12, "b"),
+        (1, t(4), 13, None),
+        (1, t(5), 14, None),
+        (1, t(6), 15, "a"),
+        # key 2: two different states at the SAME timestamp — event_id
+        # breaks the tie, so 20 ("x") precedes 21 ("y") deterministically
+        (2, t(1), 20, "x"),
+        (2, t(1), 21, "y"),
+    ]
+    hist = scd2_history(
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+    ).collect()
+    k1 = sorted(
+        (r.version_n, r.event_type, r.valid_from.day,
+         r.valid_to.day if r.valid_to else None, r.is_current)
+        for r in hist if r.user_id == 1
+    )
+    assert k1 == [
+        (1, "a", 1, 3, False),
+        (2, "b", 3, 4, False),
+        (3, None, 4, 6, False),
+        (4, "a", 6, None, True),
+    ]
+    k2 = sorted(
+        (r.version_n, r.event_type, r.is_current)
+        for r in hist if r.user_id == 2
+    )
+    assert k2 == [(1, "x", False), (2, "y", True)]
+
+
 def test_snapshot_diff_never_shuffles_text(spark, documents):
     """The diff's exchanges carry (id, fp) only — the exact-dedup shuffle
     discipline applied to versioning."""
