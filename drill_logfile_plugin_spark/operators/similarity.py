@@ -365,8 +365,14 @@ def cosine_dup_pairs(
     block_size: int = 1024,
     eps: float = 1e-6,
     n_rows: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: (id_a, id_b, sim) with sim >= t.
+
+    ``group_col`` (integral ids) restricts pairing to rows sharing the
+    group — the blocking hook for cluster-scoped dedup (see
+    :func:`semantic_dup_pairs`): the n² arithmetic drops to Σ|group|²
+    and the block-pair join becomes an equi join on the group key.
 
     Two phases, both distributed:
 
@@ -399,7 +405,18 @@ def cosine_dup_pairs(
     """
     n = n_rows if n_rows is not None else df.count()
     nblocks = max(1, -(-n // block_size))
+    if group_col is not None:
+        gtype = df.schema[group_col].dataType.typeName()
+        if gtype not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"group_col {group_col!r} must be integral (got {gtype}); "
+                "hash non-integral group keys to long explicitly"
+            )
+    grp = (
+        F.col(group_col).cast("long") if group_col is not None else F.lit(0)
+    )
     vecs = df.select(
+        grp.alias("grp"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).alias("blk"),
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -408,26 +425,40 @@ def cosine_dup_pairs(
     def pack(key, pdf):
         return pd.DataFrame(
             {
-                "blk": [key[0]],
+                "grp": [key[0]],
+                "blk": [key[1]],
                 "ids": [pdf["vid"].tolist()],
                 "vecs": [[list(v) for v in pdf["vec"]]],
             }
         )
 
-    packed = vecs.groupBy("blk").applyInPandas(
-        pack, schema="blk long, ids array<long>, vecs array<array<double>>"
+    packed = vecs.groupBy("grp", "blk").applyInPandas(
+        pack,
+        schema="grp long, blk long, ids array<long>, vecs array<array<double>>",
     )
     pa = packed.select(
+        F.col("grp").alias("grp_a"),
         F.col("blk").alias("blk_a"),
         F.col("ids").alias("ids_a"),
         F.col("vecs").alias("vecs_a"),
     )
     pb = packed.select(
+        F.col("grp").alias("grp_b"),
         F.col("blk").alias("blk_b"),
         F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"),
     )
-    block_pairs = pa.join(pb, F.col("blk_a") <= F.col("blk_b"))
+    # Grouped: equi-join on the group key (AQE broadcasts the small packed
+    # side) with the triangular blk filter. Ungrouped: keep the original
+    # pure-inequality join over the tiny nblocks²/2 pair space — adding a
+    # constant-key equality would change the certified plan for nothing.
+    if group_col is not None:
+        cond = (F.col("grp_a") == F.col("grp_b")) & (
+            F.col("blk_a") <= F.col("blk_b")
+        )
+    else:
+        cond = F.col("blk_a") <= F.col("blk_b")
+    block_pairs = pa.join(pb, cond)
     lo = threshold - eps
 
     def gen(batches):
@@ -463,6 +494,115 @@ def cosine_dup_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
         .where(F.col("sim") >= threshold)
+    )
+
+
+# --- semantic dedup (cluster-then-neardup) --------------------------------
+
+
+def seed_clusters(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its nearest of ``k`` deterministic seed vectors.
+
+    Returns ``df`` plus a ``cluster_id`` column (1-based seed index). The
+    seeds are the ``k`` corpus rows with the smallest
+    ``(md5(id), id)`` — a deterministic, engine-reproducible draw (the
+    same hash-permutation idiom as q55's stratified sample, never
+    ``.sample()``), fetched with a distributed top-k (``orderBy.limit``,
+    partial per partition — no single-partition sort) and collected as a
+    model artifact (k rows — the IVF-centroid pattern).
+
+    The assignment itself is ONE pure JVM column expression: the k seed
+    embeddings are inlined as double literals (``repr`` round-trips
+    binary64 exactly and Spark's parser is correctly rounded), each
+    cosine is the module's sequential fold, the row's self-dot is staged
+    once (``__nsq``), each seed's self-dot is pre-folded in Python with
+    the same binary64 op sequence, and ``array_position(sims,
+    array_max(sims))`` takes the first maximum — ties break to the
+    lowest seed index. No shuffle, no UDF, no join: assignment rides the
+    scan at any corpus size, and an independent engine re-deriving the
+    seeds computes bit-identical similarities and therefore identical
+    assignments (certified by q40's sem/semsize arms).
+
+    Caveat: a zero-norm vector yields NaN similarities (0/0); this
+    module's corpora are unit-ish embeddings where that cannot occur —
+    pre-filter degenerate vectors if yours can be all-zero.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    seed_rows = (
+        df.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("se"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("seed_clusters: input corpus is empty")
+    sims = []
+    for r in seed_rows:
+        vals = [float(x) for x in r["se"]]
+        nsq = 0.0
+        for v in vals:
+            nsq = nsq + v * v  # the engines' fold, op for op
+        lit = "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+        dot = (
+            f"aggregate(zip_with(__v, {lit}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        sims.append(f"(({dot}) / sqrt(__nsq * {nsq!r}D))")
+    sims_arr = "array(" + ",".join(sims) + ")"
+    staged = df.withColumn("__v", F.col(vec_col)).withColumn(
+        "__nsq", F.expr(dot_sql_spark("__v", "__v"))
+    )
+    return (
+        staged.withColumn(
+            "cluster_id",
+            F.expr(
+                f"array_position({sims_arr}, array_max({sims_arr}))"
+            ).cast("long"),
+        )
+        .drop("__v", "__nsq")
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then exact pairs in-cluster.
+
+    The production recipe for embedding dedup at corpus scale: partition
+    the space into k clusters (here the deterministic seed assignment of
+    :func:`seed_clusters`; swap in Lloyd centroids via ``ivf`` machinery
+    when clusters should track data structure), then run the exact
+    blocked-matmul near-dup ONLY within each cluster —
+    Σ|cluster|² ≈ n²/k arithmetic instead of n², and the loss relative
+    to exact all-pairs is precisely the cross-cluster pairs (measurable:
+    q40 emits both lanes side by side). Block sizing targets the average
+    cluster (n/k), so per-cluster block counts stay proportionate.
+
+    Returns (id_a, id_b, sim), both members in the same cluster,
+    sim >= threshold, exact fold arithmetic.
+    """
+    n = n_rows if n_rows is not None else df.count()
+    clustered = seed_clusters(df, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_dup_pairs(
+        clustered,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_size=block_size,
+        n_rows=max(1, n // k),
+        group_col="cluster_id",
     )
 
 

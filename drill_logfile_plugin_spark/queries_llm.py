@@ -477,19 +477,81 @@ def q41(spark, sf):
 @query(
     "q40_embedding_neardup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seed_idx,
+             embedding AS se
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 8
+    ), asg AS (
+      SELECT vec_id, embedding, seed_idx,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, seed_idx) AS rk
+      FROM (
+        SELECT e.vec_id, e.embedding, s.seed_idx,
+               {S.cosine_sql_duck('e.embedding', 's.se', 64)} AS sim
+        FROM embeddings e CROSS JOIN seeds s
+      )
+    ), clus AS (
+      SELECT vec_id, embedding, seed_idx AS cluster_id FROM asg WHERE rk = 1
+    )
+    SELECT 'exact' AS part, a.vec_id AS id_a, b.vec_id AS id_b,
            {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} >= 0.4
+    UNION ALL
+    SELECT 'sem' AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} AS sim
+    FROM clus a JOIN clus b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} >= 0.4
+    UNION ALL
+    SELECT 'semsize' AS part, CAST(cluster_id AS BIGINT) AS id_a,
+           COUNT(*) AS id_b, CAST(NULL AS DOUBLE) AS sim
+    FROM clus GROUP BY cluster_id
     """,
-    doc="Embedding-cosine near-dup pairs (exact upper-triangle baseline at "
-    "threshold 0.4 — the corpus is near-uniform, max pairwise sim ~0.45). "
-    "Scale path = ann_lsh_topk's bucketed candidate gen + this exact "
-    "re-rank; see cosine_dup_pairs docstring for why cosine thresholds "
-    "have no lossless banding.",
+    doc="Embedding near-dup, three certified lanes (driver query-budget "
+    "policy). Exact arm: upper-triangle all-pairs baseline at threshold "
+    "0.4 (near-uniform corpus, max pairwise sim ~0.45) via the 2D-blocked "
+    "matmul + fold re-rank. Sem arm (operators/similarity.py "
+    "seed_clusters + cosine_dup_pairs group_col): SemDeDup-style "
+    "cluster-then-neardup — every vector assigned its nearest of 8 "
+    "deterministic md5-drawn seeds by a pure JVM fold expression (no "
+    "shuffle, no UDF; seed self-dots pre-folded with the same binary64 "
+    "op sequence), then the exact blocked matmul runs within clusters "
+    "only: Σ|cluster|² ≈ n²/k arithmetic. The oracle re-derives seeds, "
+    "assignments, and in-cluster pairs independently — a MATCH certifies "
+    "bit-identical similarities, identical argmax assignments, and that "
+    "the cluster blocking's recall vs the exact arm is exactly the "
+    "visible sem/exact row difference. Semsize arm: per-cluster "
+    "membership counts (id_a=cluster, id_b=count) pin every assignment, "
+    "not just the ones that form pairs.",
 )
 def q40(spark, sf):
-    return S.cosine_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    exact = S.cosine_dup_pairs(e, threshold=0.4, n_rows=n).select(
+        F.lit("exact").alias("part"), "id_a", "id_b", "sim"
+    )
+    clustered = S.seed_clusters(e, k=8)
+    sem = S.cosine_dup_pairs(
+        clustered,
+        threshold=0.4,
+        n_rows=max(1, n // 8),
+        group_col="cluster_id",
+    ).select(F.lit("sem").alias("part"), "id_a", "id_b", "sim")
+    semsize = (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.lit("semsize").alias("part"),
+            F.col("cluster_id").alias("id_a"),
+            F.col("n_members").alias("id_b"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+    return exact.unionByName(sem).unionByName(semsize)
 
 
 @query(

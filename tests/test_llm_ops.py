@@ -494,6 +494,78 @@ def test_cosine_neardup_lsh_recall_on_planted_pairs(spark, embeddings):
     assert recall >= 0.95, f"recall = {recall}"
 
 
+def test_semantic_dup_pairs_on_planted_clusters(spark):
+    """SemDeDup lane: on data whose duplicates live INSIDE well-separated
+    clusters, cluster-then-neardup recovers exactly the all-pairs result
+    (zero loss), assignments are deterministic, and the grouped pairing
+    never emits a cross-cluster pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    dim = 16
+    # 4 well-separated centers; 30 points each = center + tiny noise, so
+    # in-cluster sims ~1.0 and cross-cluster sims ~0 (orthogonal axes).
+    for c in range(4):
+        center = np.zeros(dim)
+        center[4 * c : 4 * c + 4] = 1.0
+        for i in range(30):
+            v = center + rng.normal(0.0, 0.01, dim)
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(df, threshold=0.9).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in S.semantic_dup_pairs(df, threshold=0.9, k=8).collect()
+    }
+    assert len(exact) > 0
+    assert sem <= exact  # precision: same fold arithmetic, same threshold
+    # All exact pairs are within a planted group (cross-group sims ~0).
+    assert all(x // 1000 == y // 1000 for x, y in exact)
+    # The honest recall contract: a planted group holding EXACTLY ONE
+    # seed keeps ALL its pairs (every member's sim to the in-group seed
+    # ~1 vs ~0 elsewhere, so the whole group assigns together). A group
+    # with 2+ seeds partitions internally (noise decides between near-
+    # tied in-group seeds) and a seedless group scatters to foreign
+    # seeds — both losses are the documented SemDeDup trade. Re-derive
+    # the seed draw (k smallest (md5(id), id) — the operator's rule) to
+    # find the one-seed groups.
+    import hashlib
+    from collections import Counter
+
+    ids = [i for i, _ in rows]
+    seeds = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:8]
+    seed_count = Counter(i // 1000 for i in seeds)
+    solo = {g for g, c in seed_count.items() if c == 1}
+    assert solo  # fixture sanity: the assertion below has teeth
+    want = {p for p in exact if p[0] // 1000 in solo}
+    assert {p for p in sem if p[0] // 1000 in solo} == want
+
+    clustered = S.seed_clusters(df, k=8)
+    a = {r.vec_id: r.cluster_id for r in clustered.collect()}
+    b = {r.vec_id: r.cluster_id for r in S.seed_clusters(df, k=8).collect()}
+    assert a == b  # deterministic across invocations
+    # every emitted pair is same-cluster
+    for x, y in sem:
+        assert a[x] == a[y]
+
+
+def test_cosine_dup_pairs_rejects_non_integral_group(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "g")], "vec_id long, embedding array<double>, g string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        S.cosine_dup_pairs(df, threshold=0.5, group_col="g")
+
+
 # --- repetition signals (q62 operator) ------------------------------------
 
 
