@@ -372,6 +372,120 @@ def sessionize_stateful(
     )
 
 
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+        StructField("version_n", LongType()),
+    ]
+)
+
+#: (attr, attr_is_null, open_from_ns, last_ns, last_eid, version_n)
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("attr", StringType()),
+        StructField("attr_is_null", BooleanType()),
+        StructField("open_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("version_n", LongType()),
+    ]
+)
+
+
+def scd2_stateful(
+    changes: DataFrame,
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Incremental SCD type-2: the streaming lane of
+    ``operators/versioning.py scd2_history``.
+
+    Grouped by user_id with ``applyInPandasWithState``; per-key state is
+    the ONE open version (attr + a NULL flag, its open timestamp, the
+    last processed (ts, event_id), version counter — six scalars
+    regardless of history length). Each micro-batch's rows fold in
+    (ts, event_id) order with the batch operator's exact change rule:
+    null-safe attr comparison, unchanged observations compressed away, a
+    change closing the open version. CLOSED versions are emitted
+    (append mode); the open version stays in state, exactly as the batch
+    history's ``valid_to IS NULL`` row — so after draining any prefix of
+    the log, emitted rows == ``scd2_history(prefix).where(valid_to IS
+    NOT NULL)`` (the stream==batch pytest contract).
+
+    Late-data contract: a row at or before the per-key high-water mark
+    (ts, event_id) is DROPPED — an SCD2 history is an ordered fold, and
+    retro-inserting a version would mean retracting already-emitted
+    rows, which append-mode streaming cannot do. Feed late-tolerant
+    rebuilds through the batch operator instead; the state keeps the
+    high-water mark per key precisely so the drop is deterministic, not
+    racy. Within a micro-batch, arrival order is irrelevant (rows are
+    sorted before folding).
+
+    Scale posture: one shuffle on user_id; state size tracks keys, not
+    observations; no timeout — a dimension key's open version must
+    outlive any watermark horizon (pass ``watermark`` only to bound
+    OTHER stateful ops composed downstream; it does not evict here).
+    """
+
+    def update(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            attr, attr_null, open_ns, last_ns, last_eid, ver = state.get
+        else:
+            attr, attr_null, open_ns, last_ns, last_eid, ver = (
+                None, True, None, None, None, 0,
+            )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, tiebreak_col])
+        out_attr, out_from, out_to, out_ver = [], [], [], []
+        for ts, eid, a in zip(
+            rows[ts_col].astype("int64").to_numpy(),
+            rows[tiebreak_col].to_numpy(),
+            rows[attr_col],
+        ):
+            ts, eid = int(ts), int(eid)
+            if last_ns is not None and (ts, eid) <= (last_ns, last_eid):
+                continue  # late or duplicate: the fold is append-only
+            a_null = a is None or (isinstance(a, float) and pd.isna(a))
+            a_val = None if a_null else str(a)
+            if ver == 0:
+                open_ns, ver = ts, 1
+                attr, attr_null = a_val, a_null
+            elif (a_null != attr_null) or (not a_null and a_val != attr):
+                out_attr.append(attr)
+                out_from.append(pd.Timestamp(open_ns))
+                out_to.append(pd.Timestamp(ts))
+                out_ver.append(ver)
+                open_ns, ver = ts, ver + 1
+                attr, attr_null = a_val, a_null
+            last_ns, last_eid = ts, eid
+        state.update((attr, attr_null, open_ns, last_ns, last_eid, ver))
+        if out_ver:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ver),
+                    "event_type": out_attr,
+                    "valid_from": out_from,
+                    "valid_to": out_to,
+                    "version_n": out_ver,
+                }
+            )
+
+    src = _with_watermark(changes, ts_col, watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def event_followups(
     df: DataFrame,
     first_type: str = "view",

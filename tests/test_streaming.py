@@ -172,6 +172,26 @@ def test_stateful_running_totals(spark, events_batch, events_stream_dir):
     assert _rows(final) == _rows(want)
 
 
+def test_scd2_stateful_stream_equals_batch(
+    spark, events_batch, events_stream_dir
+):
+    """Incremental SCD2 over 4 micro-batches emits exactly the batch
+    operator's CLOSED versions (valid_to NOT NULL); the open version per
+    key lives in state, mirroring the batch row with valid_to NULL."""
+    from drill_logfile_plugin_spark.operators.versioning import scd2_history
+    from drill_logfile_plugin_spark.streaming.windows import scd2_stateful
+
+    sdf = _read_events_stream(spark, events_stream_dir, events_batch.schema)
+    _run_to_memory(scd2_stateful(sdf), "scd2_mem", "append")
+    got = _rows(spark.table("scd2_mem"))
+    want = _rows(
+        scd2_history(events_batch)
+        .where(F.col("valid_to").isNotNull())
+        .select("user_id", "event_type", "valid_from", "valid_to", "version_n")
+    )
+    assert got == want
+
+
 def test_stateful_sessionize_matches_session_window(
     spark, events_batch, events_stream_dir
 ):

@@ -180,6 +180,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated lane names; others are skipped (full run "
+        "is ~15 min — use this when re-measuring one operator)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -420,6 +426,45 @@ def main() -> None:
         )
 
     timed.append(("bpe_train", bpe_lane))
+
+    # SCD2 history at 10× observations (constant user spine): change
+    # compression makes history size O(changes); both window passes ride
+    # ONE key shuffle, so the lane should bend linearly with observation
+    # volume — a super-linear factor would mean the second window is
+    # re-shuffling instead of reusing the partitioning.
+    from drill_logfile_plugin_spark.operators.versioning import scd2_report
+
+    def scd2_lane(spark, sf_dir):
+        return scd2_report(
+            load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+        )
+
+    timed.append(("scd2_history", scd2_lane))
+
+    # Semantic dedup at 10× embeddings: assignment is a pure scan (one
+    # fold expression, no shuffle), and the in-cluster blocked matmul
+    # does Σ|cluster|² work — on the sign-flipped replica fixture the
+    # replicas decorrelate, so cluster populations grow ~linearly and
+    # the lane should bend closer to the ~10× arithmetic growth of
+    # within-cluster pairs than to the 100× all-pairs blowup.
+    from drill_logfile_plugin_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    def semdedup_lane(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dup_pairs(emb, threshold=0.4, k=8).agg(
+            F.count(F.lit(1)).alias("pairs")
+        )
+
+    timed.append(("semantic_dup_pairs", semdedup_lane))
+
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",")}
+        unknown = keep - {name for name, _ in timed}
+        if unknown:
+            raise SystemExit(f"--only: unknown lanes {sorted(unknown)}")
+        timed = [(name, fn) for name, fn in timed if name in keep]
 
     summary: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.1", SRC_SF), ("sf1", SF1_DIR)):
