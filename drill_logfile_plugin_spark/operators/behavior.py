@@ -371,6 +371,113 @@ def session_stats_sql_duck(
     """
 
 
+def session_journeys(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mine per-session event-type journeys and their frequencies.
+
+    The "common paths" view every product-analytics stack publishes —
+    and, for an LLM pipeline, the step that turns raw interaction logs
+    into ordered training traces: each session becomes its ordered
+    event-type string (``view>view>purchase``), then identical journeys
+    aggregate. Returns (journey, n_sessions, n_users, min_user).
+
+    Ordering is engine-exact: events sort by (ts, id) INSIDE the
+    aggregation via ``array_sort`` over (ts, id, type) structs (collect
+    order is nondeterministic in a distributed engine — sorting the
+    collected array is the portable idiom; the DuckDB mirror's
+    ``string_agg(... ORDER BY ts, id)`` is the same total order). NULL
+    event types map to a sentinel ('∅') BEFORE joining — both engines'
+    aggregators would otherwise silently skip the element, which is a
+    data bug masquerading as a shorter journey.
+
+    Scale posture: composes :func:`sessionize` (one user_id shuffle);
+    the per-session collect reuses that partitioning (grouping keys ⊇
+    window partition key — no second exchange); the journey count then
+    shuffles one bounded string per SESSION (length ≤ events-per-session
+    × type width), partial-agg'd map-side. At truly web-scale journey
+    cardinality, shuffle 2×xxhash64(journey) keys and carry
+    ``min(journey)`` as the representative — the strip_boilerplate key
+    discipline; at this corpus's cardinality the plain string key is the
+    honest, simpler plan.
+    """
+    s = sessionize(
+        events, gap_seconds=gap_seconds, user_col=user_col,
+        ts_col=ts_col, id_col=id_col,
+    )
+    per_session = s.groupBy(
+        F.col(user_col).alias("user_id"), F.col("session_idx")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("ts"),
+                            F.col(id_col).alias("eid"),
+                            F.coalesce(
+                                F.col(type_col), F.lit("∅")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return per_session.groupBy("journey").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+    )
+
+
+def session_journeys_sql_duck(
+    gap_seconds: int = 1800,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB mirror of :func:`session_journeys`."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+    WITH tagged AS (
+      SELECT {user_col} AS user_id, {id_col} AS event_id, {ts_col} AS ts,
+             COALESCE({type_col}, '∅') AS etype,
+             CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                       OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                          > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM {table}
+      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+    ), sess AS (
+      SELECT user_id, event_id, ts, etype,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM tagged
+    ), j AS (
+      SELECT user_id, session_idx,
+             string_agg(etype, '>' ORDER BY ts, event_id) AS journey
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT journey, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(user_id) AS min_user
+    FROM j GROUP BY journey
+    """
+
+
 def rolling_time_sum(
     df: DataFrame,
     part_col: str,

@@ -479,6 +479,12 @@ _SESSION_GAP_S = 86400
            CASE WHEN spike THEN CAST(1 AS DOUBLE)
                 ELSE CAST(0 AS DOUBLE) END AS v3
     FROM ({spike_sql_duck("SELECT ts, event_type FROM events")}) an
+    UNION ALL
+    SELECT 'journey:' || journey AS part,
+           n_sessions AS k1, n_users AS k2,
+           CAST(min_user AS DOUBLE) AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+    FROM ({B.session_journeys_sql_duck(gap_seconds=_SESSION_GAP_S)}) jn
     """,
     doc="Ordered-window analytics, union-merged (driver query-budget "
     "policy). Orders arm: running total (frame-bounded SUM, decimal "
@@ -497,8 +503,14 @@ _SESSION_GAP_S = 86400
     "filled hourly event counts — the integer-exact form n*c-S vs "
     "k^2*(n*SS-S^2) needs no division/sqrt/float, so the spike verdicts "
     "hash bit-identically cross-engine; composes the gapfill operator "
-    "so quiet hours drag the mean down instead of vanishing. (Merged "
-    "q12+q13 for the driver's correctness budget.)",
+    "so quiet hours drag the mean down instead of vanishing. Journey "
+    "arm (operators/behavior.py session_journeys): per-session ordered "
+    "event-type paths mined into (journey, n_sessions, n_users) — "
+    "array_sort over (ts, id, type) structs makes the collect order "
+    "engine-exact, NULL types map to a sentinel before joining, and the "
+    "per-session collect reuses sessionize's user partitioning (no "
+    "second exchange). (Merged q12+q13 for the driver's correctness "
+    "budget.)",
 )
 def q12(spark, sf):
     from .operators.behavior import rolling_time_sum, session_stats, sessionize
@@ -548,7 +560,21 @@ def q12(spark, sf):
         F.col("z_den2").cast("double").alias("v2"),
         F.when(F.col("spike"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("v3"),
     )
-    return orders_arm.unionByName(sess).unionByName(anom)
+    from .operators.behavior import session_journeys
+
+    journeys = session_journeys(
+        _t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S
+    ).select(
+        F.concat(F.lit("journey:"), F.col("journey")).alias("part"),
+        F.col("n_sessions").alias("k1"),
+        F.col("n_users").alias("k2"),
+        F.col("min_user").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return (
+        orders_arm.unionByName(sess).unionByName(anom).unionByName(journeys)
+    )
 
 
 # =========================================================================

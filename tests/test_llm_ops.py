@@ -1298,6 +1298,43 @@ def test_funnel_counts_monotone_on_real_events(spark):
     assert rows[0]["conversion"] == 1.0
 
 
+def test_session_journeys_ordering_nulls_and_gaps(spark):
+    """Journey strings honor (ts, event_id) order (including same-ts
+    tie-break), sessions split on the gap, NULL types become the sentinel
+    (not a silently shorter journey), and identical journeys aggregate
+    across users."""
+    from drill_logfile_plugin_spark.operators.behavior import session_journeys
+
+    rows = [
+        # u1 session 1: same ts for b/c — event_id orders them (2 then 3)
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (1, "2024-01-01 10:00:05", 2, "b"),
+        (1, "2024-01-01 10:00:05", 3, "c"),
+        # u1 session 2 (gap > 30 min), with a NULL type in the middle
+        (1, "2024-01-01 12:00:00", 4, "a"),
+        (1, "2024-01-01 12:00:10", 5, None),
+        (1, "2024-01-01 12:00:20", 6, "c"),
+        # u2: same journey as u1 session 1
+        (2, "2024-01-01 09:00:00", 7, "a"),
+        (2, "2024-01-01 09:00:01", 8, "b"),
+        (2, "2024-01-01 09:00:02", 9, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, s string, event_id long, event_type string"
+    ).select(
+        "user_id", F.col("s").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    got = {
+        r["journey"]: (r["n_sessions"], r["n_users"], r["min_user"])
+        for r in session_journeys(ev, gap_seconds=1800).collect()
+    }
+    assert got == {
+        "a>b>c": (2, 2, 1),
+        "a>∅>c": (1, 1, 1),
+    }
+
+
 # --- bigram language model ------------------------------------------------
 
 
