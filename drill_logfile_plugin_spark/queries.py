@@ -494,7 +494,8 @@ _SESSION_GAP_S = 86400
     "moving-aggregate frame ROWS cannot express; integer day-number "
     "ordering makes Spark's rangeBetween and SQL's RANGE INTERVAL "
     "identical); all three windows share one o_custkey exchange. Session "
-    "arm (operators/behavior.py sessionize + session_stats): gap-based "
+    "arm (operators/behavior.py sessionize + session_stats semantics): "
+    "gap-based "
     "batch sessionization — lag marks session starts, a running sum "
     "numbers them, then per-session stats reuse the window's hash "
     "partitioning (no second exchange; plan-pinned). Integer microsecond "
@@ -509,11 +510,15 @@ _SESSION_GAP_S = 86400
     "array_sort over (ts, id, type) structs makes the collect order "
     "engine-exact, NULL types map to a sentinel before joining, and the "
     "per-session collect reuses sessionize's user partitioning (no "
-    "second exchange). (Merged q12+q13 for the driver's correctness "
-    "budget.)",
+    "second exchange). The session and journey arms share ONE "
+    "sessionize + per-session aggregate, barriered so divergent column "
+    "pruning cannot defeat exchange reuse and shuffle events twice — "
+    "the materialized frame is the session-count-sized 'sessions "
+    "table' a production pipeline persists anyway. (Merged q12+q13 for "
+    "the driver's correctness budget.)",
 )
 def q12(spark, sf):
-    from .operators.behavior import rolling_time_sum, session_stats, sessionize
+    from .operators.behavior import rolling_time_sum, sessionize
 
     order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -535,14 +540,51 @@ def q12(spark, sf):
         (F.col("o_totalprice") - F.lag("o_totalprice").over(order)).alias("v2"),
         F.col("_roll").alias("v3"),
     )
-    sess = session_stats(
-        sessionize(_t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S)
-    ).select(
+    # The session and journey arms share ONE sessionize + ONE per-session
+    # aggregate (stats and the ordered journey computed in the same pass),
+    # barriered because the two arms' divergent column pruning would
+    # otherwise defeat ReuseExchange and shuffle events twice. The
+    # materialized frame is session-count-sized — the "sessions table"
+    # a production pipeline would persist anyway.
+    from .operators.dedup import _barrier
+
+    s = sessionize(_t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S)
+    per_session = _barrier(
+        s.groupBy(F.col("user_id"), F.col("session_idx")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id").alias("eid"),
+                                F.coalesce(
+                                    F.col("event_type"), F.lit("∅")
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                ">",
+            ).alias("journey"),
+        )
+    )
+    sess = per_session.select(
         F.lit("session").alias("part"),
         F.col("user_id").alias("k1"),
         F.col("session_idx").alias("k2"),
         F.col("n_events").cast("double").alias("v1"),
-        F.col("duration_s").alias("v2"),
+        (
+            (
+                F.unix_micros(F.col("end_ts").cast("timestamp"))
+                - F.unix_micros(F.col("start_ts").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
     from .operators.anomaly import spike_flags
@@ -560,17 +602,21 @@ def q12(spark, sf):
         F.col("z_den2").cast("double").alias("v2"),
         F.when(F.col("spike"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("v3"),
     )
-    from .operators.behavior import session_journeys
-
-    journeys = session_journeys(
-        _t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S
-    ).select(
-        F.concat(F.lit("journey:"), F.col("journey")).alias("part"),
-        F.col("n_sessions").alias("k1"),
-        F.col("n_users").alias("k2"),
-        F.col("min_user").cast("double").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
-        F.lit(None).cast("double").alias("v3"),
+    journeys = (
+        per_session.groupBy("journey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+        )
+        .select(
+            F.concat(F.lit("journey:"), F.col("journey")).alias("part"),
+            F.col("n_sessions").alias("k1"),
+            F.col("n_users").alias("k2"),
+            F.col("min_user").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+        )
     )
     return (
         orders_arm.unionByName(sess).unionByName(anom).unionByName(journeys)
