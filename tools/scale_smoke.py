@@ -441,6 +441,23 @@ def main() -> None:
 
     timed.append(("scd2_history", scd2_lane))
 
+    # Session journeys at 10× observations: one user shuffle
+    # (sessionize), per-session collect on the reused partitioning,
+    # then a session-count-sized string group-by — linear in events.
+    from drill_logfile_plugin_spark.operators.behavior import (
+        session_journeys,
+    )
+
+    def journeys_lane(spark, sf_dir):
+        return session_journeys(
+            load_table(spark, sf_dir, "events"), gap_seconds=86400
+        ).agg(
+            F.count(F.lit(1)).alias("n_journeys"),
+            F.sum("n_sessions").alias("n_sessions"),
+        )
+
+    timed.append(("session_journeys", journeys_lane))
+
     # Semantic dedup at 10× embeddings: assignment is a pure scan (one
     # fold expression, no shuffle), and the in-cluster blocked matmul
     # does Σ|cluster|² work — on the sign-flipped replica fixture the
