@@ -7,7 +7,7 @@ physical plan:
 
 1. tag both inputs and ``unionByName`` them (right rows carry the payload
    columns, left rows carry null there),
-2. one window per key, ordered by (event time, side), running
+2. one window per key, ordered by (event time, side, payload), running
    ``last(payload, ignorenulls=True)`` — each left row sees the latest
    right payload with ``right_ts <= left_ts`` (right sorts before left on
    ties, giving <= semantics),
@@ -110,9 +110,18 @@ def asof_join(
         .drop(*payload_cols)
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # _PAY as the final sort key makes duplicate (key, right_ts) right rows
+    # resolve DETERMINISTICALLY: last() picks the struct-largest payload
+    # (field-lexicographic), stable across runs and partitionings instead
+    # of whichever row the sort happened to emit last. Left rows order NULL
+    # there (NULLS FIRST), which is irrelevant — they contribute no payload.
+    # The unique-right_ts contract above remains the portable semantics
+    # (DuckDB ASOF/pandas merge_asof break ties their own ways); this pin
+    # is about run-to-run reproducibility, and requires payload columns to
+    # be orderable types (true of every Spark atomic/array type).
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE)
+        .orderBy(_TS, _SIDE, _PAY)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -229,7 +229,13 @@ def plan_token_budget(
     """
     from .text import TOKS_SPARK
 
-    nt = F.size(F.expr(TOKS_SPARK.format(c=text_col)))
+    # NULL-text guard: under non-ANSI configs size(split(NULL)) = -1, which
+    # would silently SUBTRACT from avail_tokens; count NULL docs as 0 tokens
+    # (the DuckDB mirror's SUM skips NULLs, coalesced to the same 0).
+    nt = F.when(
+        F.col(text_col).isNotNull(),
+        F.size(F.expr(TOKS_SPARK.format(c=text_col))),
+    ).otherwise(F.lit(0))
     per_src = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(nt).alias("avail_tokens"),
@@ -278,7 +284,7 @@ def plan_token_budget_sql_duck(
     return f"""
     WITH per_src AS (
       SELECT {source_col} AS source, COUNT(*) AS n_docs,
-             CAST(SUM(len({toks})) AS BIGINT) AS avail_tokens
+             CAST(COALESCE(SUM(len({toks})), 0) AS BIGINT) AS avail_tokens
       FROM {table} GROUP BY {source_col}
     ), weighted AS (
       SELECT *, CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000.0)

@@ -830,7 +830,12 @@ def strip_boilerplate(
     """
     from .dedup import _barrier
 
-    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    # NULL-text docs tokenize to NULL; coalesce to array() so they flow
+    # through as (text_clean='', n_tokens=0, n_removed=0) instead of the
+    # non-ANSI size(NULL) = -1 nonsense (mirrored in the DuckDB SQL).
+    toks = F.coalesce(
+        F.expr(TOKS_SPARK.format(c=text_col)), F.expr("array()")
+    )
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
     st = _barrier(
         base.where(F.size("tk") >= n)
@@ -892,7 +897,7 @@ def strip_boilerplate_sql_duck(
     toks = TOKS_DUCK.format(c=text_col)
     return f"""
     WITH tkb AS (
-      SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+      SELECT {id_col} AS doc_id, COALESCE({toks}, []) AS tk FROM {table}
     ), stb AS (
       SELECT doc_id, i - 1 AS i,
              array_to_string(tk[i : i + {n - 1}], ' ') AS g

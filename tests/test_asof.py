@@ -181,3 +181,27 @@ def test_asof_null_right_ts_never_matches(spark):
         trades, quotes, on=["k"], left_ts="tts", right_ts="qts", how="left"
     ).collect()
     assert len(left) == 1 and left[0].price is None
+
+
+def test_asof_duplicate_right_ts_tie_is_deterministic(spark):
+    """Advisor finding pinned: when two right rows share (key, right_ts),
+    the window's final _PAY sort key makes last() pick the struct-LARGEST
+    payload — a stable, documented tie-break instead of whichever row the
+    shuffle happened to emit last."""
+    from drill_logfile_plugin_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0), (1, "2024-01-01 09:00:00", 2.0)],
+        "k long, qts string, price double",
+    ).selectExpr("k", "CAST(qts AS TIMESTAMP) AS qts", "price")
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:05")], "k long, tts string"
+    ).selectExpr("k", "CAST(tts AS TIMESTAMP) AS tts")
+    got = [
+        asof_join(
+            trades, quotes.repartition(r + 2), on=["k"],
+            left_ts="tts", right_ts="qts",
+        ).collect()[0].price
+        for r in range(4)
+    ]
+    assert got == [2.0] * 4

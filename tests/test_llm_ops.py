@@ -2344,6 +2344,36 @@ def test_plan_token_budget_invariants(spark):
         assert (r.epochs_scaled > 1_000_000) == (r.alloc_tokens > r.avail_tokens)
 
 
+def test_plan_token_budget_null_text_counts_zero(spark):
+    """NULL-text docs contribute 0 tokens (not size(NULL) = -1 under the
+    suite's non-ANSI config), and the DuckDB mirror agrees row-for-row."""
+    import duckdb
+
+    from drill_logfile_plugin_spark.operators.sampling import (
+        plan_token_budget,
+        plan_token_budget_sql_duck,
+    )
+
+    rows = [
+        (0, "a b c", "s1"),
+        (1, None, "s1"),  # without the guard this would make s1 avail 2
+        (2, "d e", "s2"),
+        (3, None, "s3"),
+        (4, "x", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in plan_token_budget(df, 1000).collect()}
+    assert got["s1"].avail_tokens == 3
+    assert got["s3"].avail_tokens == 1
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    du = {r[0]: r for r in con.execute(plan_token_budget_sql_duck(1000)).fetchall()}
+    for s, r in got.items():
+        assert (
+            r.n_docs, r.avail_tokens, r.w_scaled, r.alloc_tokens, r.epochs_scaled
+        ) == du[s][1:], s
+
+
 def test_normalize_text_semantics(spark):
     """Byte-level normalization: C0/zero-width/BOM deleted, whitespace
     runs (including tab/newline) collapsed to one space, ends trimmed,
@@ -2459,6 +2489,31 @@ def test_strip_boilerplate_full_strip_yields_empty_string(spark):
     )
     out = strip_boilerplate(df, min_docs=3).collect()
     assert all(r.text_clean == "" and r.n_removed == 8 for r in out)
+
+
+def test_strip_boilerplate_null_text_yields_empty(spark):
+    """NULL-text docs rewrite to ('', 0, 0) — not (NULL, -1, 0) — and the
+    DuckDB mirror emits the identical row."""
+    import duckdb
+
+    from drill_logfile_plugin_spark.operators.text import (
+        strip_boilerplate,
+        strip_boilerplate_sql_duck,
+    )
+
+    bp = "a b c d e f g h"
+    rows = [(i, bp) for i in range(3)] + [(9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert (out[9].text_clean, out[9].n_tokens, out[9].n_removed) == ("", 0, 0)
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    du = {
+        r[0]: r[1:]
+        for r in con.execute(strip_boilerplate_sql_duck()).fetchall()
+    }
+    for i, r in out.items():
+        assert (r.text_clean, r.n_tokens, r.n_removed) == du[i], i
 
 
 def test_cms_grids_merge_by_cell_addition(spark):
