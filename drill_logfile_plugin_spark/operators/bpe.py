@@ -119,7 +119,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     min_freq: int = 1,
-    barrier_every: int = 8,
+    barrier_every: int = 4,
     round_partitions: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Induce ``n_merges`` BPE merges from the corpus.
@@ -132,10 +132,19 @@ def bpe_train(
     token count.
 
     Stops early when no pair reaches ``min_freq``. The word-type table
-    is barriered up front (it anchors every round) and re-barriered
-    every ``barrier_every`` merges to cap the chained-fold lineage; the
-    barrier honors the dedup tier's local-vs-reliable checkpoint knob
-    (dedup.py ``_barrier``).
+    is barriered up front (it anchors every round); after that, each
+    round's folded state is ``persist()``-ed and the NEXT round's argmax
+    job materializes it — one job per merge, and every round's plan is a
+    depth-1 fold over cached vocab partitions (Spark swaps persisted
+    frames for their InMemoryRelation at analysis time). The pre-r5 form
+    chained the folds instead: round r re-evaluated r nested
+    ``aggregate`` folds with a codegen tree that grew with the
+    trajectory, which a contended host amplified 5x (the r4 driver
+    bench). ``barrier_every`` is the HARD lineage cut on top of the
+    per-round pins — an eager checkpoint honoring the dedup tier's
+    local-vs-reliable knob (dedup.py ``_barrier``) that bounds the
+    recompute cascade a lost executor / evicted cache partition can
+    trigger to at most ``barrier_every`` fold re-applications.
 
     ``round_partitions`` sizes the vocabulary table for the iterative
     phase (default ``max(4, defaultParallelism // 4)``): the k merge
@@ -151,6 +160,16 @@ def bpe_train(
         )
     words = _barrier(_word_types(df, text_col).repartition(round_partitions))
     merges: list[tuple[str, str, int]] = []
+    # One job per merge round: the argmax action over round r's pair
+    # counts is ALSO what materializes round r's persisted fold (Spark
+    # swaps a persisted frame for its InMemoryRelation at analysis time,
+    # so round r+1's plan is always a depth-1 fold over cached vocab
+    # partitions — never a re-evaluated fold chain, and never a second
+    # materialization job per round). ``barrier_every`` keeps its
+    # meaning as the HARD lineage cut (eager checkpoint honoring the
+    # local-vs-reliable knob), bounding the recompute cascade an evicted
+    # cache partition / lost executor could trigger.
+    pinned: list[DataFrame] = []
     for r in range(n_merges):
         best = (
             _adjacent_pair_counts(words)
@@ -158,6 +177,10 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the argmax just materialized `words`; its predecessor's cache
+        # partitions are now dead weight
+        if len(pinned) > 1:
+            pinned.pop(0).unpersist()
         if not best or best[0]["freq"] < min_freq:
             break
         a, b, freq = best[0]["a"], best[0]["b"], int(best[0]["freq"])
@@ -165,6 +188,13 @@ def bpe_train(
         words = words.withColumn("s", _merge_fold(F.col("s"), a, b))
         if (r + 1) % barrier_every == 0:
             words = _barrier(words)
+        else:
+            words = words.persist()
+            pinned.append(words)
+    # leave the final state materialized for the caller (vocab/sum reads),
+    # but drop intermediate pins
+    for p in pinned[:-1]:
+        p.unpersist()
     return merges, words
 
 

@@ -504,6 +504,61 @@ def simhash32(col: str = "text") -> Column:
     return F.expr(simhash_sql_spark(col))
 
 
+def simhash64_sigs_sql_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`simhash_pairs`'s 64-bit signature lane: a
+    full ``(doc_id, sig)`` SELECT (CTE-structured so each token's md5 is
+    computed once, not once per bit).
+
+    The 64-bit token hash is md5's first 16 hex chars; DuckDB BIGINT
+    arithmetic is checked (no wrap-around), so the hash is folded as TWO
+    32-bit halves and bit ``j`` reads half ``j // 32``. The signature's
+    bit 63 cannot ride the ``2^63`` weight either — its term adds
+    ``-2^63`` instead, which IS the two's-complement reinterpretation the
+    Spark UDF performs (uint64 bit math viewed as int64;
+    ``_simhash_udf``'s docstring). NULL/whitespace-only docs are filtered
+    exactly as the Spark side does (they carry no token signal and would
+    form a Hamming-0 clique)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    fold = (
+        "list_reduce(list_transform(string_split_regex({s}, ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    hh = f"list_transform(hx, m -> {fold.format(s='substr(m, 1, 8)')})"
+    hl = f"list_transform(hx, m -> {fold.format(s='substr(m, 9, 8)')})"
+    terms = []
+    for j in range(64):
+        src, sh = ("hl", j) if j < 32 else ("hh", j - 32)
+        sb = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({src}, h -> CASE WHEN ((h >> {sh}) & 1) = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+            f"(a, b) -> a + b)"
+        )
+        w = "-9223372036854775808" if j == 63 else str(1 << j)
+        terms.append(
+            f"(CASE WHEN ({sb}) >= 0 THEN CAST({w} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+    SELECT doc_id, {sig} AS sig
+    FROM (
+      SELECT doc_id, {hh} AS hh, {hl} AS hl
+      FROM (
+        SELECT {id_col} AS doc_id,
+               list_transform({toks}, t -> md5(t)) AS hx
+        FROM {table}
+        WHERE {toks} IS NOT NULL
+          AND array_to_string({toks}, '') != ''
+      )
+    )"""
+
+
 def _simhash_udf(bits: int = SIMHASH_BITS):
     """Pandas UDF: whitespace-token array -> ``bits``-wide SimHash signature.
 

@@ -102,6 +102,8 @@ def bm25_topk(
         raise ValueError(f"idf must be 'sqrt' or 'ln', got {idf!r}")
     from pyspark.sql import Window
 
+    from .dedup import _barrier
+
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     # One scan projection: per-token rows + the doc length beside them.
     exploded = docs.select(
@@ -112,8 +114,15 @@ def bm25_topk(
     qterms = query_terms.select("term").distinct()
     # Early semi-filter: only query-term postings survive into the shuffle.
     matched = exploded.join(F.broadcast(qterms), "term")
-    tf = matched.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+    # Barrier the filtered postings: they feed BOTH the df-per-term
+    # broadcast (whose build job would otherwise re-run the corpus
+    # tokenize+explode on its own) and the scored main plan — without the
+    # barrier the corpus is scanned once per consumer. The materialized
+    # frame is O(query-term postings), the small thing by construction.
+    tf = _barrier(
+        matched.groupBy("doc_id", "term", "dl").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
 
     # Corpus stats: one row, broadcast. avgdl stays a (BIGINT, BIGINT)

@@ -217,6 +217,44 @@ def test_simhash64_matches_python_reference(spark, documents):
     assert eng == sigs
 
 
+def test_simhash_duck_mirrors_match_spark(spark):
+    """Both DuckDB signature mirrors — the 32-bit expression form
+    (simhash_sql_duck) and the 64-bit CTE form backing the q28 oracle
+    (simhash64_sigs_sql_duck) — reproduce the engine's signatures
+    bit-for-bit, including bit 63's two's-complement reinterpretation."""
+    import duckdb
+
+    texts = [
+        "hello world foo", "a b c d e f", "the quick brown fox",
+        "x", "lorem ipsum dolor sit amet", "hash join table window",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    s32 = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", D._simhash_udf(32)(F.expr(D.TOKS_SPARK.format(c="text"))).alias("sig")
+        ).collect()
+    }
+    d32 = dict(
+        con.execute(
+            f"SELECT doc_id, ({D.simhash_sql_duck('text')}) AS sig FROM documents"
+        ).fetchall()
+    )
+    assert s32 == d32
+    s64 = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", D._simhash_udf(64)(F.expr(D.TOKS_SPARK.format(c="text"))).alias("sig")
+        ).collect()
+    }
+    d64 = dict(con.execute(D.simhash64_sigs_sql_duck()).fetchall())
+    assert s64 == d64
+
+
 def test_simhash_rejects_bad_width(spark, documents):
     with pytest.raises(ValueError, match="bits"):
         D.simhash_pairs(documents, bits=48)
