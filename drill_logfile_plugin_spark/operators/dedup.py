@@ -916,6 +916,12 @@ def edit_distance_pairs(
 
 # --- pair graph -> duplicate clusters (connected components) ---------------
 
+#: Frontier row-count threshold under which dup_clusters' iteration joins
+#: broadcast the contraction map instead of sort-merging (16-byte rows ->
+#: ~16 MB at the limit, inside the default 8 GB broadcast-table ceiling
+#: and any sane executor memory). See dup_clusters._maybe_broadcast.
+BROADCAST_FRONTIER_ROWS = 1_000_000
+
 
 def dup_clusters(
     pairs: DataFrame,
@@ -986,7 +992,28 @@ def dup_clusters(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    def _shortcut(m: DataFrame) -> DataFrame:
+
+    def _maybe_broadcast(m: DataFrame, frontier_rows: int) -> DataFrame:
+        """Size-triggered broadcast hint for the shrinking frontier.
+
+        Checkpointed frames report no size statistics, so AQE never
+        converts the iteration's joins to broadcast on its own — every
+        round would sort-merge even once contraction has shrunk the
+        frontier to a handful of labels. The convergence probes already
+        COUNT the frontier each round for free (observed metrics riding
+        the barrier jobs), so the hint costs nothing: under
+        ``BROADCAST_FRONTIER_ROWS`` (16-byte rows -> low tens of MB,
+        inside any executor's broadcast budget) the map side of every
+        hook/shortcut/rewrite join ships to executors and the round runs
+        shuffle-free. Large early-round graphs keep the SMJ path.
+        """
+        return (
+            F.broadcast(m)
+            if frontier_rows <= BROADCAST_FRONTIER_ROWS
+            else m
+        )
+
+    def _shortcut(m: DataFrame, frontier_rows: int) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint.
 
         One Spark job per composition: the "did anything move" probe
@@ -995,7 +1022,7 @@ def dup_clusters(
         action), halving the operator's driver-loop job count.
         """
         for _ in range(64):  # 2^64 jump distance; effectively unbounded
-            a, b = m.alias("a"), m.alias("b")
+            a, b = m.alias("a"), _maybe_broadcast(m, frontier_rows).alias("b")
             hop = a.join(b, F.col("a.new") == F.col("b.old"), "left").select(
                 F.col("a.old").alias("old"),
                 F.coalesce(F.col("b.new"), F.col("a.new")).alias("new"),
@@ -1019,6 +1046,9 @@ def dup_clusters(
                 "(adversarial graph topology; raise max_iter)"
             )
         rounds += 1
+        # The hook map has at most one row per distinct label-graph node,
+        # bounded by twice the surviving edge count.
+        frontier = 2 * n_edges
         # Hook: min neighbor label per label-node, over both edge
         # directions; shortcut: collapse hook chains by pointer jumping.
         nbr_min = _shortcut(
@@ -1026,11 +1056,16 @@ def dup_clusters(
             .union(e.select(F.col("dst"), F.col("src")))
             .groupBy(F.col("src").alias("old"))
             .agg(F.min("dst").alias("nbr"))
-            .select("old", F.least("old", "nbr").alias("new"))
+            .select("old", F.least("old", "nbr").alias("new")),
+            frontier,
         )
         # Relabel nodes through the contraction map...
         labels = _barrier(
-            labels.join(nbr_min, labels["label"] == nbr_min["old"], "left")
+            labels.join(
+                _maybe_broadcast(nbr_min, frontier),
+                labels["label"] == nbr_min["old"],
+                "left",
+            )
             .select(
                 "node",
                 F.coalesce("new", "label").alias("label"),
@@ -1041,8 +1076,8 @@ def dup_clusters(
         ma = nbr_min.select(F.col("old").alias("src"), F.col("new").alias("ns"))
         mb = nbr_min.select(F.col("old").alias("dst"), F.col("new").alias("nd"))
         e, n_edges = _probed_barrier(
-            e.join(ma, "src", "left")
-            .join(mb, "dst", "left")
+            e.join(_maybe_broadcast(ma, frontier), "src", "left")
+            .join(_maybe_broadcast(mb, frontier), "dst", "left")
             .select(
                 F.coalesce("ns", "src").alias("src"),
                 F.coalesce("nd", "dst").alias("dst"),
