@@ -916,11 +916,27 @@ def edit_distance_pairs(
 
 # --- pair graph -> duplicate clusters (connected components) ---------------
 
-#: Frontier row-count threshold under which dup_clusters' iteration joins
-#: broadcast the contraction map instead of sort-merging (16-byte rows ->
-#: ~16 MB at the limit, inside the default 8 GB broadcast-table ceiling
-#: and any sane executor memory). See dup_clusters._maybe_broadcast.
+#: Frontier row-count threshold under which the iterative graph operators
+#: (dup_clusters, graphrank.pagerank, the q63 leakage joins) broadcast
+#: their pair-graph-derived frames instead of sort-merging (16-byte rows
+#: -> ~16 MB at the limit, inside the default 8 GB broadcast-table
+#: ceiling and any sane executor memory). See :func:`_maybe_broadcast`.
 BROADCAST_FRONTIER_ROWS = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, rows: int) -> DataFrame:
+    """Size-triggered broadcast hint for known-small iteration frames.
+
+    Checkpointed frames report no size statistics, so AQE never converts
+    an iteration's joins to broadcast on its own — every round would
+    sort-merge even once contraction has shrunk the frontier to a
+    handful of labels. The operators' convergence probes already COUNT
+    these frames for free (observed metrics riding the barrier jobs), so
+    the hint costs nothing: under :data:`BROADCAST_FRONTIER_ROWS` the
+    frame ships to executors and its joins run shuffle-free; larger
+    frames keep the SMJ path.
+    """
+    return F.broadcast(df) if rows <= BROADCAST_FRONTIER_ROWS else df
 
 
 def dup_clusters(
@@ -992,26 +1008,6 @@ def dup_clusters(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-
-    def _maybe_broadcast(m: DataFrame, frontier_rows: int) -> DataFrame:
-        """Size-triggered broadcast hint for the shrinking frontier.
-
-        Checkpointed frames report no size statistics, so AQE never
-        converts the iteration's joins to broadcast on its own — every
-        round would sort-merge even once contraction has shrunk the
-        frontier to a handful of labels. The convergence probes already
-        COUNT the frontier each round for free (observed metrics riding
-        the barrier jobs), so the hint costs nothing: under
-        ``BROADCAST_FRONTIER_ROWS`` (16-byte rows -> low tens of MB,
-        inside any executor's broadcast budget) the map side of every
-        hook/shortcut/rewrite join ships to executors and the round runs
-        shuffle-free. Large early-round graphs keep the SMJ path.
-        """
-        return (
-            F.broadcast(m)
-            if frontier_rows <= BROADCAST_FRONTIER_ROWS
-            else m
-        )
 
     def _shortcut(m: DataFrame, frontier_rows: int) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint.

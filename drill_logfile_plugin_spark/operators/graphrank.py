@@ -27,11 +27,14 @@ leaks through the floors (≤ 1 unit per edge per iteration) — fine for a
 Scale posture: one iteration = one equi join (edges ⨝ ranks on an
 8-byte id) + one partial-agg'd sum + one left join back onto nodes —
 identical plan shape to dup_clusters' contraction rounds, O(edges)
-shuffle per round. The iteration count is a constant (default 3), so
-lineage stays shallow — no checkpoint barrier needed; for deep
-iteration counts reuse the `_barrier` pattern from dedup.py. The graph
-here is the *pair* graph (duplicates only), orders of magnitude smaller
-than the corpus.
+shuffle per round. Below the dedup tier's frontier threshold the
+node-sized frames (out-degrees, the rank table) broadcast instead —
+each iteration then streams the checkpointed edges shuffle-free, with
+intermediate rank tables barriered so broadcast builds never re-execute
+the unrolled prior-iteration chain. Larger graphs keep the SMJ path
+with shallow unrolled lineage (constant iteration count, default 3).
+The graph here is the *pair* graph (duplicates only), orders of
+magnitude smaller than the corpus.
 
 Restricted to nodes that appear in the edge list (the induced
 subgraph): every node has degree >= 1, so there is no dangling-mass
@@ -85,10 +88,23 @@ def pagerank(
     # ReuseExchange cannot dedup the differently-shaped subplans. The
     # barrier is O(edges) — pair-graph-sized, tiny at any corpus scale —
     # and honors the reliable-checkpoint knob (see dedup._barrier).
-    from .dedup import _barrier
+    from .dedup import (
+        BROADCAST_FRONTIER_ROWS,
+        _barrier,
+        _maybe_broadcast,
+        _probed_barrier,
+    )
 
-    e = _barrier(e.distinct())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e, n_edges = _probed_barrier(e.distinct(), F.count(F.lit(1)).alias("n"))
+    # deg and the per-iteration rank tables are node-sized (<= 2x edges);
+    # below the frontier threshold they broadcast, so each iteration's
+    # contrib join streams the checkpointed edge partitions shuffle-free
+    # (checkpointed frames have no stats — AQE cannot make this call; the
+    # probe riding the barrier job makes it free). deg's broadcast build
+    # runs once and ReuseExchange shares it across all iterations.
+    deg = _maybe_broadcast(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), 2 * n_edges
+    )
     # Nodes = src ∪ dst: under symmetric=True the two sets coincide, but
     # a DIRECTED graph has destination-only (dangling) nodes — they must
     # receive rank mass and appear in the output (they are often the
@@ -102,13 +118,17 @@ def pagerank(
         .distinct()
     )
     ranks = nodes.select("doc_id", F.lit(SCALE).cast("long").alias("rank_scaled"))
-    for _ in range(iterations):
+    small = 2 * n_edges <= BROADCAST_FRONTIER_ROWS
+    for i in range(iterations):
         contrib = (
             e.join(deg, "src")
             .join(
-                ranks.select(
-                    F.col("doc_id").alias("src"),
-                    F.col("rank_scaled").alias("r_src"),
+                _maybe_broadcast(
+                    ranks.select(
+                        F.col("doc_id").alias("src"),
+                        F.col("rank_scaled").alias("r_src"),
+                    ),
+                    2 * n_edges,
                 ),
                 "src",
             )
@@ -134,6 +154,12 @@ def pagerank(
                 .alias("rank_scaled"),
             )
         )
+        # When broadcasting, barrier the intermediate rank tables so each
+        # broadcast build reads a materialized node-sized frame instead of
+        # re-executing the unrolled prior-iteration chain once per build.
+        # The final iteration stays lazy — it feeds the caller's plan.
+        if small and i < iterations - 1:
+            ranks = _barrier(ranks)
     return ranks
 
 

@@ -1556,11 +1556,14 @@ def q63(spark, sf):
     # One eager barrier on the pair graph: both arms (clusters, pagerank)
     # internally barrier their inputs, and materializing the O(dup-pairs)
     # frame here means the LSH candidate pipeline — whose exact re-rank
-    # must semi-scan the corpus — runs ONCE, not once per arm.
-    pairs = D._barrier(
+    # must semi-scan the corpus — runs ONCE, not once per arm. The row
+    # count rides the barrier job as an observed metric; it drives the
+    # leakage arm's broadcast decision below.
+    pairs, n_pairs = D._probed_barrier(
         D.lsh_candidate_pairs(
             _t(spark, sf, "documents"), jaccard_threshold=0.6
-        )
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
     clmap = D.dup_clusters(pairs)
     clusters = (
@@ -1602,14 +1605,17 @@ def q63(spark, sf):
         F.col("split").alias("sb"),
         F.col("naive").alias("nb"),
     )
-    crosses = (
-        pairs.select("doc_a", "doc_b")
-        .join(la, "doc_a")
-        .join(lb, "doc_b")
-        .agg(
-            F.sum((F.col("na") != F.col("nb")).cast("long")).alias("ncross"),
-            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("scross"),
-        )
+    # The pair list is the tiny side against the document-sized label
+    # frames: broadcasting it (and the pair-sized first-join result)
+    # streams la and lb once each instead of shuffling the full label
+    # tables into two sort-merge joins. Size-triggered on the probed
+    # pair count — a huge pair graph falls back to SMJ.
+    half = la.join(
+        D._maybe_broadcast(pairs.select("doc_a", "doc_b"), n_pairs), "doc_a"
+    )
+    crosses = lb.join(D._maybe_broadcast(half, n_pairs), "doc_b").agg(
+        F.sum((F.col("na") != F.col("nb")).cast("long")).alias("ncross"),
+        F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("scross"),
     )
     cross_rows = crosses.select(
         F.lit("leakage").alias("part"),
