@@ -1414,29 +1414,28 @@ def q58(spark, sf):
 def q59(spark, sf):
     d = _t(spark, sf, "documents")
     s = d.select("doc_id", F.explode(F.expr(_SH8_SPARK)).alias("g"))
-    spans = (
-        s.groupBy(F.xxhash64("g").alias("gh"))
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.min("g").alias("span"),
-        )
-        .where(F.col("n_docs") >= 3)
-        .select(
-            F.lit("spans").alias("part"),
-            F.col("span").alias("key_s"),
-            F.col("n_docs").alias("n1"),
-            F.lit(None).cast("long").alias("n2"),
-        )
+    # ONE corpus-sized shuffle for the spans AND docfrac arms: the
+    # per-(gram-hash, doc) distinct frame — built once, consumed three
+    # times from identical subplans so ReuseExchange dedups the exchange
+    # (the pre-r5 form shuffled the exploded stream separately for the
+    # count_distinct and the doc-level distinct). The raw 8-gram string
+    # rides only as a partial-agg'd MIN beside the 8-byte hash key.
+    dg = s.groupBy(F.xxhash64("g").alias("gh"), F.col("doc_id")).agg(
+        F.min("g").alias("g")
     )
-    sh = s.select("doc_id", F.xxhash64("g").alias("gh")).distinct()
-    boiler = (
-        sh.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 3)
-        .select("gh")
+    ghagg = dg.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("g").alias("span")
     )
+    spans = ghagg.where(F.col("n_docs") >= 3).select(
+        F.lit("spans").alias("part"),
+        F.col("span").alias("key_s"),
+        F.col("n_docs").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    boiler = ghagg.where(F.col("n_docs") >= 3).select("gh")
     docfrac = (
-        sh.join(boiler.withColumn("_b", F.lit(1)), "gh", "left")
+        dg.select("doc_id", "gh")
+        .join(boiler.withColumn("_b", F.lit(1)), "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n1"),
