@@ -163,6 +163,24 @@ def _probed_barrier(df: DataFrame, metric):
 # --- shingling ------------------------------------------------------------
 
 
+def bind_once_sql_spark(arr_sql: str, body: str, var: str = "tk") -> str:
+    """Bind an array expression to a lambda variable so the BODY can
+    reference it many times while it is evaluated ONCE.
+
+    The trap this exists for: a SQL fragment like
+    ``transform(sequence(...), i -> slice({toks}, i + 1, n))`` re-inlines
+    ``{toks}`` — a regex ``split`` over the document — INSIDE the lambda,
+    and Spark evaluates lambda bodies per element with no common-
+    subexpression elimination across the boundary, so the split runs once
+    per position: O(tokens²) per document. Measured at sf0.1 on the
+    8-gram explode: 2.6 s inlined vs 0.55 s bound (4.7x). Wrapping the
+    expression as the sole element of an array and binding it via an
+    outer ``transform`` evaluates it once; ``element_at(..., 1)``
+    unwraps under both ANSI modes.
+    """
+    return f"element_at(transform(array({arr_sql}), {var} -> {body}), 1)"
+
+
 def shingles_sql_spark(col: str, n: int) -> str:
     """Distinct word n-gram strings of a text column (Spark SQL fragment).
 
@@ -171,14 +189,17 @@ def shingles_sql_spark(col: str, n: int) -> str:
     whose -1 index then crashes ``slice`` under ANSI — short documents
     are routine after cleaning/stripping stages, so the guard is
     correctness, not pedantry. DuckDB's ``range`` clamps to empty on its
-    own (the mirror needs no guard).
+    own (the mirror needs no guard). The token array is bound once via
+    :func:`bind_once_sql_spark` — inlining it would re-run the regex
+    split per shingle position (the O(tokens²) trap measured 4.7x).
     """
     toks = TOKS_SPARK.format(c=col)
-    return (
-        f"IF(size({toks}) >= {n}, "
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))), "
-        f"array())"
+    return bind_once_sql_spark(
+        toks,
+        f"IF(size(tk) >= {n}, "
+        f"array_distinct(transform(sequence(0, size(tk) - {n}), "
+        f"i -> array_join(slice(tk, i + 1, {n}), ' '))), "
+        f"array())",
     )
 
 
@@ -1193,15 +1214,20 @@ def winnow_fingerprints(
         # Reference formulation: literally the oracle's expression tree.
         # ~4x slower than the UDF path at sf0.1 (interpreted HOF lambdas
         # around 30M md5 calls); kept for the cross-engine equality pin.
+        # token array bound once (bind_once_sql_spark): inlined, the
+        # regex split would re-run per gram position — O(tokens^2)
         grams = (
-            f"transform(sequence(0, size({toks}) - {k}), "
-            f"i -> md5(array_join(slice({toks}, i + 1, {k}), ' ')))"
+            f"transform(sequence(0, size(tk) - {k}), "
+            f"i -> md5(array_join(slice(tk, i + 1, {k}), ' ')))"
         )
         g = df.select(
             F.col(id_col).alias("doc_id"),
             F.expr(
-                f"CASE WHEN size({toks}) >= {k} THEN {grams} "
-                "ELSE array() END"
+                bind_once_sql_spark(
+                    toks,
+                    f"CASE WHEN size(tk) >= {k} THEN {grams} "
+                    "ELSE array() END",
+                )
             ).alias("_grams"),
         )
         sel = (
