@@ -12,6 +12,7 @@ designed for 1000-executor / 100 TB deployments while remaining testable on
 
 from .config import LogFormatConfig, normalize_type
 from .sources.formats import APACHE_COMBINED, MYSQL_LOG, SYSLOG
+from .sources.log_datasource import register_log_datasource
 from .sources.log_reader import (
     UNMATCHED_COLUMN,
     parse_lines,
@@ -26,6 +27,7 @@ __all__ = [
     "parse_lines",
     "read_log",
     "read_log_stream",
+    "register_log_datasource",
     "MYSQL_LOG",
     "APACHE_COMBINED",
     "SYSLOG",

@@ -1,0 +1,423 @@
+"""``spark.read.format("log")`` — the reference's registration affordance.
+
+The reference plugin is *registered* into its host engine under the name
+``log`` (``@JsonTypeName("log")``, LogFormatPlugin.java:86-88;
+drill-module.conf:1), so users write ``SELECT ... FROM dfs.`x.log``` and
+the engine dispatches by extension. Spark's equivalent affordance is a
+named data source: this module registers one via the Spark 4 Python
+DataSource API so that
+
+    register_log_datasource(spark)
+    df = (spark.read.format("log")
+          .option("pattern", r"...")
+          .option("fieldNames", "date,time,pid,action,query")
+          .option("dataTypes", "DATE,TIME,INT,VARCHAR,VARCHAR")
+          .option("dateFormat", "yyMMdd")
+          .load(path))
+
+round-trips the reference's README workflow verbatim.
+
+**This is the ergonomics shim, not the performance path.** Python
+DataSource readers execute in Python workers: every line crosses the
+Arrow boundary and the regex runs under Python ``re`` instead of
+``java.util.regex`` (the engine-divergence class the package's config
+validation guards against — see log_reader.py's design note, which is
+why ``read_log`` deliberately plans the parse as JVM expressions
+instead). The shim keeps the overhead bounded — per-file readers emit
+Arrow RecordBatches, not per-row pickled tuples — and its output is
+pinned row-for-row against ``read_log`` on the reference fixtures
+(tests/test_log_datasource.py), but large scans should use
+``read_log``: same config surface, whole-stage codegen, splittable
+files. Patterns valid only under ``java.util.regex`` (possessive
+quantifiers, ``\\p{javaLowerCase}``) are rejected here rather than
+silently reinterpreted.
+
+Semantics mirrored from the reference scan (same contract as
+``parse_lines``, log_reader.py):
+
+* unanchored ``find()`` matching (``re.search``),
+* Java-``trim`` empty-line skip (every char <= U+0020),
+* null capture group -> ``""``,
+* unmatched line -> ``unmatched_lines`` column, or — with
+  ``errorOnMismatch=true`` — an abort naming file and line number,
+* type coercion INT/DOUBLE/FLOAT/DATE/TIME/TIMESTAMP/VARCHAR with the
+  package's error semantics (bad numerics NULL unless ``strictNumeric``;
+  bad temporals NULL unless ``errorOnMismatch``; TIME as millis-of-day),
+* extension dispatch over directories (``extensions`` option, default
+  ``log``) with gzip/bz2/xz twins decoded by suffix — one reader per
+  file, exactly the reference's non-splittable model
+  (LogFormatPlugin.java:56).
+
+Date formats are the same Java ``SimpleDateFormat`` strings the JSON
+config uses, translated to ``strptime`` for the supported token subset
+(yy(yy), MM(M), dd(d), HH(H), mm(m), ss(s), SSS, MMM + literals); an
+unsupported token raises at setup rather than mis-parsing.
+"""
+
+from __future__ import annotations
+
+import bz2
+import glob as _glob
+import gzip
+import lzma
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import (
+    DATE,
+    DOUBLE,
+    FLOAT,
+    INT,
+    TIME,
+    TIMESTAMP,
+    VARCHAR,
+    LogFormatConfig,
+)
+from .log_reader import UNMATCHED_COLUMN, _CODEC_SUFFIXES
+
+_SPARK_TYPES = {
+    INT: IntegerType(),
+    DOUBLE: DoubleType(),
+    FLOAT: FloatType(),
+    DATE: DateType(),
+    TIMESTAMP: TimestampType(),
+    TIME: IntegerType(),
+    VARCHAR: StringType(),
+}
+
+#: Java SimpleDateFormat -> strptime, longest tokens first. %f on SSS
+#: accepts 1-6 fractional digits (strptime leniency, matching lenient
+#: SimpleDateFormat); MMM assumes the C/English locale both runtimes
+#: default to here.
+_JAVA_STRPTIME = [
+    ("yyyy", "%Y"),
+    ("yy", "%y"),
+    ("MMM", "%b"),
+    ("MM", "%m"),
+    ("M", "%m"),
+    ("dd", "%d"),
+    ("d", "%d"),
+    ("HH", "%H"),
+    ("H", "%H"),
+    ("mm", "%M"),
+    ("m", "%M"),
+    ("ss", "%S"),
+    ("s", "%S"),
+    ("SSS", "%f"),
+]
+
+#: Java String.trim() strips every char <= U+0020 (log_reader.JAVA_TRIM_RE).
+_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
+_WS_RUN = re.compile(r"\s+")
+
+
+def java_format_to_strptime(fmt: str) -> str:
+    """Translate the supported SimpleDateFormat token subset; raise on
+    tokens the shim cannot honor (better a setup error than a silent
+    mis-parse — the reference's own setup-failure posture)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":  # SimpleDateFormat literal quoting
+            j = fmt.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"unterminated quote in date format: {fmt!r}")
+            lit = fmt[i + 1 : j] or "'"
+            out.append(lit.replace("%", "%%"))
+            i = j + 1
+            continue
+        if ch.isalpha():
+            run = 1
+            while i + run < len(fmt) and fmt[i + run] == ch:
+                run += 1
+            py = dict(_JAVA_STRPTIME).get(ch * run)
+            if py is None:
+                raise ValueError(
+                    f"unsupported date format token {ch * run!r} in "
+                    f"{fmt!r} (use read_log for the full SimpleDateFormat "
+                    "surface)"
+                )
+            out.append(py)
+            i += run
+            continue
+        out.append(ch.replace("%", "%%"))
+        i += 1
+    return "".join(out)
+
+
+def _cfg_from_options(options) -> LogFormatConfig:
+    def opt(name, default=None):
+        # DataSource options arrive lower-cased from .option() calls
+        return options.get(name.lower(), default)
+
+    pattern = opt("pattern")
+    if not pattern:
+        raise ValueError("format('log') requires .option('pattern', ...)")
+    fields = opt("fieldNames")
+    if not fields:
+        raise ValueError("format('log') requires .option('fieldNames', ...)")
+    field_names = [f.strip() for f in fields.split(",")]
+    dt = opt("dataTypes")
+    data_types = [t.strip() for t in dt.split(",")] if dt else None
+    exts = opt("extensions")
+    cfg = LogFormatConfig(
+        pattern=pattern,
+        field_names=field_names,
+        data_types=data_types,
+        date_format=opt("dateFormat", ""),
+        time_format=opt("timeFormat", "HH:mm:ss"),
+        error_on_mismatch=str(opt("errorOnMismatch", "false")).lower()
+        == "true",
+        extensions=(
+            [e.strip() for e in exts.split(",") if e.strip()]
+            if exts is not None
+            else ["log"]
+        ),
+        strict_numeric=str(opt("strictNumeric", "false")).lower() == "true",
+        timestamp_format=opt("timestampFormat") or None,
+    )
+    if cfg.group_count == -1:
+        raise ValueError(
+            "format('log'): pattern is not valid under Python re; "
+            "java.util.regex-only patterns require read_log (JVM parse)"
+        )
+    # Pre-translate every temporal format so unsupported tokens fail at
+    # setup on the driver, not mid-scan on an executor.
+    types = cfg.resolved_types()
+    if DATE in types:
+        java_format_to_strptime(cfg.date_format)
+    if TIMESTAMP in types:
+        java_format_to_strptime(cfg.effective_timestamp_format())
+    if TIME in types:
+        java_format_to_strptime(cfg.time_format)
+    return cfg
+
+
+def _expand_paths(path: str, extensions: list[str]) -> list[str]:
+    """Reference extension dispatch (LogFormatPlugin.java:88,96-104) over
+    a local path: directories parse only registered extensions (plus
+    their compression twins); explicit files and globs parse as given."""
+    if os.path.isdir(path):
+        exts = [e.lstrip(".") for e in extensions if e and e.lstrip(".")]
+        if not exts:
+            return sorted(
+                p
+                for p in _glob.glob(os.path.join(path, "*"))
+                if os.path.isfile(p)
+            )
+        alts = [
+            x for e in exts for x in (e, *(f"{e}.{c}" for c in _CODEC_SUFFIXES))
+        ]
+        out: list[str] = []
+        for a in alts:
+            out.extend(_glob.glob(os.path.join(path, f"*.{a}")))
+        return sorted(set(out))
+    hits = sorted(_glob.glob(path))
+    return hits if hits else [path]
+
+
+def _open_lines(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rt", encoding="utf-8", errors="replace")
+    if path.endswith((".xz", ".lzma")):
+        return lzma.open(path, "rt", encoding="utf-8", errors="replace")
+    for suf in _CODEC_SUFFIXES:
+        if path.endswith("." + suf):
+            raise NotImplementedError(
+                f"format('log') shim cannot decode .{suf}; use read_log "
+                "(Hadoop codec factory) for this compression"
+            )
+    return open(path, encoding="utf-8", errors="replace")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LogDataSourceReader(DataSourceReader):
+    _BATCH_ROWS = 4096
+
+    def __init__(self, options):
+        self.cfg = _cfg_from_options(options)
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('log') requires .load(path)")
+
+    def partitions(self):
+        return [
+            _FilePartition(p)
+            for p in _expand_paths(self.path, self.cfg.extensions)
+        ]
+
+    def read(self, partition):
+        import datetime as _dt
+
+        import pyarrow as pa
+
+        cfg = self.cfg
+        rx = re.compile(cfg.pattern)
+        types = cfg.resolved_types()
+        fmts = {
+            DATE: java_format_to_strptime(cfg.date_format)
+            if DATE in types
+            else None,
+            TIMESTAMP: java_format_to_strptime(cfg.effective_timestamp_format())
+            if TIMESTAMP in types
+            else None,
+            TIME: java_format_to_strptime(cfg.time_format)
+            if TIME in types
+            else None,
+        }
+
+        def temporal(raw, fmt):
+            try:
+                return _dt.datetime.strptime(_WS_RUN.sub(" ", raw), fmt)
+            except ValueError:
+                return None
+
+        def coerce(raw, tag, name, where):
+            if tag == VARCHAR:
+                return raw
+            if tag in (INT, DOUBLE, FLOAT):
+                try:
+                    return int(raw) if tag == INT else float(raw)
+                except ValueError:
+                    if cfg.strict_numeric:
+                        raise ValueError(
+                            f"log scan: cannot parse value '{raw}' for "
+                            f"{tag} field '{name}'{where}"
+                        ) from None
+                    return None
+            ts = temporal(raw, fmts[tag])
+            if ts is None:
+                if tag == TIME:
+                    if cfg.strict_numeric:
+                        raise ValueError(
+                            f"log scan: cannot parse value '{raw}' for "
+                            f"TIME field '{name}'{where}"
+                        )
+                elif cfg.error_on_mismatch:
+                    raise ValueError(
+                        f"log scan: cannot parse value '{raw}' for "
+                        f"{tag} field '{name}'{where}"
+                    )
+                return None
+            if tag == DATE:
+                return ts.date()
+            if tag == TIME:
+                return (ts.hour * 3600 + ts.minute * 60 + ts.second) * 1000
+            return ts
+
+        arrow_schema = pa.schema(
+            [
+                (n, _ARROW_TYPES[t])
+                for n, t in zip(cfg.field_names, types)
+            ]
+            + [(UNMATCHED_COLUMN, pa.string())]
+        )
+        ncols = len(cfg.field_names)
+        cols: list[list] = [[] for _ in range(ncols + 1)]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+                schema=arrow_schema,
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
+        with _open_lines(partition.path) as fh:
+            for line_no, line in enumerate(fh, start=1):
+                line = line.strip(_JAVA_TRIM_CHARS)
+                if not line:
+                    continue  # Java-trim empty-line skip
+                m = rx.search(line)  # Matcher.find() semantics
+                if m is None:
+                    if cfg.error_on_mismatch:
+                        raise ValueError(
+                            "log scan: line does not match pattern in file "
+                            f"'{partition.path}' at line {line_no}: {line}"
+                        )
+                    for c in cols[:-1]:
+                        c.append(None)
+                    cols[-1].append(line)
+                else:
+                    where = f" (file '{partition.path}' line {line_no})"
+                    for i, (name, tag) in enumerate(
+                        zip(cfg.field_names, types)
+                    ):
+                        raw = m.group(i + 1)
+                        raw = "" if raw is None else raw  # null group -> ""
+                        cols[i].append(coerce(raw, tag, name, where))
+                    cols[-1].append(None)
+                if len(cols[-1]) >= self._BATCH_ROWS:
+                    yield flush()
+        if cols[-1]:
+            yield flush()
+
+
+class LogDataSource(DataSource):
+    """The ``format("log")`` registration object (module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "log"
+
+    def schema(self) -> StructType:
+        cfg = _cfg_from_options(self.options)
+        return StructType(
+            [
+                StructField(n, _SPARK_TYPES[t], True)
+                for n, t in zip(cfg.field_names, cfg.resolved_types())
+            ]
+            + [StructField(UNMATCHED_COLUMN, StringType(), True)]
+        )
+
+    def reader(self, schema: StructType) -> LogDataSourceReader:
+        return LogDataSourceReader(self.options)
+
+
+def register_log_datasource(spark) -> None:
+    """Install ``format("log")`` on a session (idempotent)."""
+    spark.dataSource.register(LogDataSource)
+
+
+def _arrow_types():
+    import pyarrow as pa
+
+    return {
+        INT: pa.int32(),
+        DOUBLE: pa.float64(),
+        FLOAT: pa.float32(),
+        DATE: pa.date32(),
+        TIMESTAMP: pa.timestamp("us"),
+        TIME: pa.int32(),
+        VARCHAR: pa.string(),
+    }
+
+
+class _LazyArrowTypes(dict):
+    def __missing__(self, key):
+        self.update(_arrow_types())
+        return self[key]
+
+
+_ARROW_TYPES = _LazyArrowTypes()

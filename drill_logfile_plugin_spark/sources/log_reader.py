@@ -35,17 +35,21 @@ Scale notes (100 TB posture):
     gzip falls back to file-granular parallelism exactly like the
     reference's one-reader-per-file model.
 
-Design decision — no ``spark.read.format("log")`` registration: Spark 4's
-Python DataSource API would give the reference's extension-dispatch
-ergonomics (LogFormatPlugin.java:88, ``@JsonTypeName("log")`` :86), but its
-readers execute IN PYTHON — every line would cross the Arrow boundary and
-be parsed by Python ``re``, forfeiting whole-stage codegen (10-100× slower)
-and silently swapping regex engines (``java.util.regex`` vs ``re`` diverge
-on possessive quantifiers, named groups, \\p classes — the exact divergence
-class config validation now guards against by probing the JVM engine).
-``read_log(spark, path, cfg)`` IS the format registration, Spark-first:
-the config dataclass plays the role of the JSON format block, and the parse
-stays a JVM expression tree.
+Design decision — ``read_log`` is the performance path, not a Python
+DataSource: Spark 4's Python DataSource API gives the reference's
+``format("log")`` ergonomics (LogFormatPlugin.java:88,
+``@JsonTypeName("log")`` :86), but its readers execute IN PYTHON — every
+line crosses the Arrow boundary and the regex runs under Python ``re``,
+forfeiting whole-stage codegen and silently swapping regex engines
+(``java.util.regex`` vs ``re`` diverge on possessive quantifiers, named
+groups, \\p classes — the exact divergence class config validation guards
+against by probing the JVM engine). ``read_log(spark, path, cfg)`` is
+therefore the format registration Spark-first: the config dataclass plays
+the role of the JSON format block, and the parse stays a JVM expression
+tree. For users who specifically want ``spark.read.format("log")``,
+``log_datasource.register_log_datasource`` installs a parity-pinned
+Arrow-batched shim with the documented Python-engine trade (see that
+module's docstring).
 """
 
 from __future__ import annotations
