@@ -213,11 +213,12 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # q28's registered form is the 32-bit SimHash the DuckDB oracle pins
-    # bit-for-bit; its 256-buckets-per-band posting lists go quadratic
-    # around ~50k docs BY DESIGN (documented headroom rule). The 64-bit
-    # banding is the scale lane — timed here alongside to show the rule
-    # holds with data, not just in the docstring.
+    # Since r5 q28's REGISTERED form is this 64-bit SimHash (the DuckDB
+    # oracle mirrors it via simhash64_sigs_sql_duck); the 32-bit form —
+    # whose 256-buckets-per-band posting lists go quadratic around ~50k
+    # docs (documented headroom rule, measured 7.9x at 10x in r4) — is
+    # demoted to a pytest cross-engine check. This lane keeps measuring
+    # the 64-bit banding so the headroom rule stays shown with data.
     from drill_logfile_plugin_spark.operators.dedup import simhash_pairs
 
     def simhash64_lane(spark, sf_dir):
