@@ -83,9 +83,14 @@ def profile_columns(
             aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
         else:
             # exact mode: one single-distinct branch per column (see the
-            # module docstring for why this beats the fused-Expand form)
+            # module docstring for why this beats the fused-Expand form);
+            # the branches are UNIONED into one (col_name, n_distinct)
+            # side table so they evaluate as parallel stages of a single
+            # broadcast build, not K sequential jobs
             distinct_branches.append(
-                df.agg(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+                df.agg(F.count_distinct(F.col(c)).alias("n_distinct")).select(
+                    F.lit(c).alias("col_name"), "n_distinct"
+                )
             )
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
@@ -117,8 +122,6 @@ def profile_columns(
             aggs.append(F.lit(None).cast("string").alias(f"__smin_{c}"))
             aggs.append(F.lit(None).cast("string").alias(f"__smax_{c}"))
     one = df.agg(*aggs)
-    for b in distinct_branches:
-        one = one.crossJoin(F.broadcast(b))
 
     # The stack() expr is the one SQL-string surface in the profiler, and
     # schema-on-read log data routinely has non-identifier column names
@@ -131,21 +134,29 @@ def profile_columns(
     def _slit(name: str) -> str:
         return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    keys = (
+        ("nn", "nd", "dmin", "dmax", "smin", "smax")
+        if approx
+        else ("nn", "dmin", "dmax", "smin", "smax")
+    )
+    names = (
+        "(col_name, n_nulls, n_distinct, d_min, d_max, s_min, s_max)"
+        if approx
+        else "(col_name, n_nulls, d_min, d_max, s_min, s_max)"
+    )
     stack_args = ", ".join(
-        f"{_slit(c)}, "
-        + ", ".join(
-            _ident(f"__{k}_{c}")
-            for k in ("nn", "nd", "dmin", "dmax", "smin", "smax")
-        )
+        f"{_slit(c)}, " + ", ".join(_ident(f"__{k}_{c}") for k in keys)
         for c in cols
     )
     stacked = one.select(
         "n_rows",
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, d_min, d_max, s_min, s_max)"
-        ),
+        F.expr(f"stack({len(cols)}, {stack_args}) AS {names}"),
     )
+    if not approx:
+        nd_tbl = distinct_branches[0]
+        for b in distinct_branches[1:]:
+            nd_tbl = nd_tbl.unionByName(b)
+        stacked = stacked.join(F.broadcast(nd_tbl), "col_name")
     return stacked.select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "d_min", "d_max", "s_min", "s_max"
     )

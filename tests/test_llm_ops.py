@@ -1221,8 +1221,10 @@ def test_profile_columns_has_no_input_expand(spark, documents):
     )
     assert "Expand" not in exact_plan
     assert "Expand" not in approx_plan
-    # the exact lane's distinct branches ride 1-row broadcasts only
-    assert exact_plan.count("BroadcastNestedLoopJoin") == 3
+    # the exact lane's distinct branches union into ONE broadcast side
+    # table (parallel stages of a single build, not K sequential jobs)
+    assert exact_plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in exact_plan
 
 
 def test_profile_columns_rejects_unknown_and_nested(spark, embeddings):
