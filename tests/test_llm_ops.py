@@ -217,6 +217,36 @@ def test_simhash64_matches_python_reference(spark, documents):
     assert eng == sigs
 
 
+def test_bind_once_sql_spark_semantics(spark):
+    """The bind-once wrapper is semantically transparent (same results as
+    inlining the array expression) while evaluating the bound expression
+    once — including NULL arrays flowing through the lambda unchanged."""
+    from drill_logfile_plugin_spark.operators.dedup import (
+        bind_once_sql_spark,
+        shingles_sql_spark,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    bound = df.selectExpr(
+        "doc_id", f"{shingles_sql_spark('text', 2)} AS sh"
+    ).collect()
+    got = {r.doc_id: r.sh for r in bound}
+    assert got[1] == ["a b", "b c", "c d"]
+    assert got[2] == []
+    # NULL text: size(NULL) = -1 under the suite's non-ANSI config, so the
+    # short-doc guard routes to array() — same as the pre-bind-once form
+    assert got[3] == []
+    # identity body returns the bound array itself
+    split_expr = "split(text, ' ')"
+    ident = df.selectExpr(
+        f"{bind_once_sql_spark(split_expr, 'tk')} AS t"
+    ).collect()
+    assert ident[0].t == ["a", "b", "c", "d"]
+
+
 def test_simhash_duck_mirrors_match_spark(spark):
     """Both DuckDB signature mirrors — the 32-bit expression form
     (simhash_sql_duck) and the 64-bit CTE form backing the q28 oracle
