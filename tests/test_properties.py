@@ -412,3 +412,70 @@ def test_bpe_trajectory_matches_reference_on_random_corpora(spark, words):
         for r in final_words.select("s", "freq").collect()
     }
     assert got == {tuple(k): f for k, f in ref_words.items()}
+
+
+#: Texts mixing multi-char words, repeats, and odd whitespace so shingle
+#: windows, duplicate grams, and short-doc guards all fire.
+_shingle_text_st = st.text(
+    alphabet=st.sampled_from(list("ab c d\t")), min_size=0, max_size=40
+)
+
+
+@given(texts=st.lists(_shingle_text_st, min_size=1, max_size=12))
+@SETTINGS
+def test_bind_once_shingles_equal_inline_form(spark, texts):
+    """The r5 bind-once rewrite of shingles_sql_spark is semantically
+    IDENTICAL to the pre-r5 inline form (which re-evaluated the split per
+    shingle position) on arbitrary text — whitespace runs, short docs,
+    duplicate grams, empty strings included."""
+    from drill_logfile_plugin_spark.operators.dedup import shingles_sql_spark
+    from drill_logfile_plugin_spark.operators.text import TOKS_SPARK
+
+    n = 2
+    toks = TOKS_SPARK.format(c="text")
+    inline = (
+        f"IF(size({toks}) >= {n}, "
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))), array())"
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.selectExpr(
+        "i",
+        f"{shingles_sql_spark('text', n)} AS bound",
+        f"{inline} AS old",
+    ).collect()
+    for r in rows:
+        assert r.bound == r.old, (texts[r.i], r.bound, r.old)
+
+
+@given(texts=st.lists(_shingle_text_st, min_size=1, max_size=8))
+@SETTINGS
+def test_simhash64_duck_mirror_on_random_texts(spark, texts):
+    """The 64-bit DuckDB signature mirror (q28's oracle since r5) equals
+    the engine's pandas-UDF signatures on arbitrary text, including the
+    NULL/whitespace-only exclusion both sides apply."""
+    import duckdb
+    import pandas as pd
+
+    from drill_logfile_plugin_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.expr(D.TOKS_SPARK.format(c="text"))
+    eng = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", toks.alias("tk"))
+        .where(F.col("tk").isNotNull() & (F.array_join("tk", "") != ""))
+        .select("doc_id", D._simhash_udf(64)(F.col("tk")).alias("sig"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    duck = dict(con.execute(D.simhash64_sigs_sql_duck()).fetchall())
+    assert eng == duck
