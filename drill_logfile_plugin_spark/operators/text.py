@@ -70,9 +70,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _score_spark(col: str, markers: tuple[str, ...]) -> str:
+def _score_spark(arr: str, markers: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{m}'" for m in markers)
-    return f"size(filter({TOKS_SPARK.format(c=col)}, t -> t IN ({lst})))"
+    return f"size(filter({arr}, t -> t IN ({lst})))"
 
 
 def _score_duck(col: str, markers: tuple[str, ...]) -> str:
@@ -107,8 +107,31 @@ def _lang_case(col: str, scores: dict[str, str]) -> str:
 
 
 def lang_id_sql_spark(col: str = "text") -> str:
-    return _lang_case(
-        col, {k: _score_spark(col, v) for k, v in LANG_MARKERS.items()}
+    # Two nested bind-once levels (dedup.bind_once_sql_spark's trap note):
+    # the CASE references every score in its own WHEN *and* inside
+    # greatest(...) per branch — inlined, that re-ran the regex split
+    # ~35x per document and each marker filter ~7x. Binding the token
+    # array once and the 5 computed scores once makes the whole argmax
+    # one split + 5 filters per document; the DuckDB mirror keeps the
+    # inline shape (values are identical by construction; the oracle
+    # compares values, not plans).
+    from .dedup import bind_once_sql_spark
+
+    scores = {
+        k: _score_spark("tk", v) for k, v in LANG_MARKERS.items()
+    }
+    case = _lang_case(
+        col,
+        {
+            k: f"element_at(sc, {i + 1})"
+            for i, k in enumerate(scores)
+        },
+    )
+    bound_scores = bind_once_sql_spark(
+        "array(" + ", ".join(scores.values()) + ")", case, var="sc"
+    )
+    return bind_once_sql_spark(
+        TOKS_SPARK.format(c=col), bound_scores, var="tk"
     )
 
 
@@ -148,14 +171,28 @@ def _quality_case(
 
 
 def quality_bucket_sql_spark(col: str = "text") -> str:
-    toks = TOKS_SPARK.format(c=col)
+    # Same two-level binding as lang_id_sql_spark: the CASE reuses each
+    # signal across branches, so the token array binds once and the three
+    # token-derived counts bind once (the split would otherwise re-run
+    # per signal per branch).
+    from .dedup import bind_once_sql_spark
+
     stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
-    return _quality_case(
+    case = _quality_case(
         col,
-        f"size({toks})",
-        f"size(array_distinct({toks}))",
-        f"size(filter({toks}, t -> t IN ({stop})))",
+        "element_at(qm, 1)",
+        "element_at(qm, 2)",
+        "element_at(qm, 3)",
         f"length({col})",
+    )
+    bound_metrics = bind_once_sql_spark(
+        "array(size(tk), size(array_distinct(tk)), "
+        f"size(filter(tk, t -> t IN ({stop}))))",
+        case,
+        var="qm",
+    )
+    return bind_once_sql_spark(
+        TOKS_SPARK.format(c=col), bound_metrics, var="tk"
     )
 
 
