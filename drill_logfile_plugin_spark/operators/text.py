@@ -274,13 +274,19 @@ def repetition_signals(
     )
     t2, d2 = dup_ngram_counts_sql_spark("toks", 2)
     t3, d3 = dup_ngram_counts_sql_spark("toks", 3)
-    return d.select(
+    counted = d.select(
         *[c for c in d.columns if c != "toks"],
         F.expr(t2).alias("total2"),
         F.expr(d2).alias("dist2"),
         F.expr(t3).alias("total3"),
         F.expr(d3).alias("dist3"),
-        F.expr(repetition_verdict_case(t2, d2)).alias("verdict"),
+    )
+    # The verdict CASE references the 2-gram counts in several branches;
+    # deriving it from the already-computed COLUMNS (multi-use non-cheap
+    # aliases, which CollapseProject leaves staged) runs each n-gram scan
+    # once per document instead of once per branch.
+    return counted.select(
+        "*", F.expr(repetition_verdict_case("total2", "dist2")).alias("verdict")
     )
 
 
