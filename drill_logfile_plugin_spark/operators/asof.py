@@ -39,6 +39,21 @@ _RTS = "__asof_right_ts"
 _PAY = "__asof_payload"
 
 
+def _orderable(dt) -> bool:
+    """Whether a window can ORDER BY a column of this type. Maps are the
+    one unorderable family (AnalysisException at plan time); arrays and
+    structs are orderable iff their element/field types are."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -118,10 +133,15 @@ def asof_join(
     # The unique-right_ts contract above remains the portable semantics
     # (DuckDB ASOF/pandas merge_asof break ties their own ways); this pin
     # is about run-to-run reproducibility, and requires payload columns to
-    # be orderable types (true of every Spark atomic/array type).
+    # be orderable types (true of every Spark atomic/array/struct type but
+    # NOT maps) — an unorderable payload falls back to the (_TS, _SIDE)
+    # ordering, keeping such joins working at the cost of the tie pin.
+    order_keys = [F.col(_TS), F.col(_SIDE)]
+    if all(_orderable(right.schema[c].dataType) for c in payload_cols):
+        order_keys.append(F.col(_PAY))
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE, _PAY)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

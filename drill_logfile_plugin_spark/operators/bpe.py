@@ -187,14 +187,23 @@ def bpe_train(
         merges.append((a, b, freq))
         words = words.withColumn("s", _merge_fold(F.col("s"), a, b))
         if (r + 1) % barrier_every == 0:
+            # the eager checkpoint materializes NOW, through the pinned
+            # predecessors — after it they are all dead weight
             words = _barrier(words)
+            for p in pinned:
+                p.unpersist()
+            pinned.clear()
         else:
             words = words.persist()
             pinned.append(words)
     # leave the final state materialized for the caller (vocab/sum reads),
-    # but drop intermediate pins
-    for p in pinned[:-1]:
-        p.unpersist()
+    # but drop every other pin. `p is not words` (not `pinned[:-1]`):
+    # when the last executed round took the barrier branch or the loop
+    # broke early, the tail of `pinned` is NOT the returned frame, and
+    # slicing would leak its cache partitions for the session lifetime.
+    for p in pinned:
+        if p is not words:
+            p.unpersist()
     return merges, words
 
 

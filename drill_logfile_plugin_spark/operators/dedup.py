@@ -147,11 +147,16 @@ def _probed_barrier(df: DataFrame, metric):
     ``df.observe`` metrics fire on the eager checkpoint action itself, so
     the probe is free. Returns (checkpointed df, metric value).
 
-    Contract: callers may rely on the metric ONLY as a zero/nonzero
-    convergence signal. Under reliable-mode cache eviction the subplan
-    (metrics node included) can partially re-execute, inflating the
-    accumulated value; zero-vs-nonzero is unaffected (re-execution of an
-    all-false/empty frame accumulates zero).
+    Contract: under reliable-mode cache eviction the subplan (metrics
+    node included) can partially re-execute, INFLATING the accumulated
+    value — it never undercounts. Callers may therefore rely on it as
+    (a) a zero/nonzero convergence signal (re-execution of an
+    all-false/empty frame accumulates zero), or (b) an UPPER bound fed to
+    a size-triggered perf hint such as :func:`_maybe_broadcast` — an
+    inflated count can only SUPPRESS a broadcast, degrading that run to
+    the shuffle path it would otherwise take, never mis-planning a
+    too-large broadcast. Any use where an overcount could change
+    *results* (not plans) needs a real count instead.
     """
     from pyspark.sql import Observation
 
@@ -506,19 +511,32 @@ def simhash_sql_spark(col: str = "text") -> str:
     return simhash_from_hashes(token_hashes_sql_spark(col))
 
 
+def _duck_bit_term(hs: str, shift: int, weight: str) -> str:
+    """One DuckDB SimHash bit term over hash-list expression ``hs``:
+    sum ±1 by bit ``shift``, sign >= 0 contributes ``weight``.
+
+    The single home of the sign/tie convention (``>= 0 →`` weight set)
+    for BOTH DuckDB mirrors — the 32-bit oracle lane and the 64-bit
+    signature lane must never drift from each other or from
+    :func:`simhash_from_hashes` / ``_simhash_udf`` on the Spark side."""
+    sb = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({hs}, h -> CASE WHEN ((h >> {shift}) & 1) = 1 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+        f"(a, b) -> a + b)"
+    )
+    return (
+        f"(CASE WHEN ({sb}) >= 0 THEN CAST({weight} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
 def simhash_sql_duck(col: str = "text") -> str:
     toks = TOKS_DUCK.format(c=col)
     hs = f"list_transform({toks}, t -> {_hash32_duck('t')})"
-    bits = []
-    for j in range(SIMHASH_BITS):
-        sb = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform({hs}, h -> CASE WHEN ((h >> {j}) & 1) = 1 "
-            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
-            f"(a, b) -> a + b)"
-        )
-        bits.append(f"(CASE WHEN ({sb}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-    return " + ".join(bits)
+    return " + ".join(
+        _duck_bit_term(hs, j, str(1 << j)) for j in range(SIMHASH_BITS)
+    )
 
 
 def simhash32(col: str = "text") -> Column:
@@ -554,17 +572,8 @@ def simhash64_sigs_sql_duck(
     terms = []
     for j in range(64):
         src, sh = ("hl", j) if j < 32 else ("hh", j - 32)
-        sb = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform({src}, h -> CASE WHEN ((h >> {sh}) & 1) = 1 "
-            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
-            f"(a, b) -> a + b)"
-        )
         w = "-9223372036854775808" if j == 63 else str(1 << j)
-        terms.append(
-            f"(CASE WHEN ({sb}) >= 0 THEN CAST({w} AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END)"
-        )
+        terms.append(_duck_bit_term(src, sh, w))
     sig = " + ".join(terms)
     return f"""
     SELECT doc_id, {sig} AS sig

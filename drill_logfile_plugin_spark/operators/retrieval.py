@@ -76,15 +76,27 @@ SCORE_SCALE = 1_000_000
 _PREFILTER_MAX_TERMS = 1_000
 
 
-def _bounded_term_count(query_terms: DataFrame) -> int:
-    """Distinct-term count, capped: limit(N+1).count() so a huge term
-    table costs one small scan, never a full aggregate."""
-    return (
+def _bounded_terms(query_terms: DataFrame) -> list[str] | None:
+    """Distinct non-NULL terms if there are at most
+    :data:`_PREFILTER_MAX_TERMS` of them, else ``None``.
+
+    One bounded driver job (limit(N+1).collect()) answers both the size
+    check and supplies the list — a separate capped count() would
+    re-execute the distinct from scratch, doubling the per-call driver
+    latency the prefilter exists to cut. NULL terms are dropped here
+    because the join fallback drops them implicitly (an equi join never
+    matches NULL) and the literal-array path must agree — and a None in
+    the list would break the deterministic sort below."""
+    rows = (
         query_terms.select("term")
+        .where(F.col("term").isNotNull())
         .distinct()
         .limit(_PREFILTER_MAX_TERMS + 1)
-        .count()
+        .collect()
     )
+    if len(rows) > _PREFILTER_MAX_TERMS:
+        return None
+    return sorted(r.term for r in rows)
 
 
 def query_set(spark: SparkSession, queries: dict[str, str]) -> DataFrame:
@@ -135,14 +147,9 @@ def bm25_topk(
     # explode-then-broadcast-join form). A pathologically large term set
     # (> _PREFILTER_MAX_TERMS) falls back to that join form, which needs
     # no driver-side term list.
-    qterms = query_terms.select("term").distinct()
-    term_list = (
-        [r.term for r in qterms.collect()]
-        if _bounded_term_count(query_terms) <= _PREFILTER_MAX_TERMS
-        else None
-    )
+    term_list = _bounded_terms(query_terms)
     if term_list is not None:
-        tl = F.array(*[F.lit(t) for t in sorted(term_list)])
+        tl = F.array(*[F.lit(t) for t in term_list])
         matched = docs.select(
             F.col(id_col).alias("doc_id"),
             F.size(toks).alias("dl"),
@@ -156,7 +163,9 @@ def bm25_topk(
             F.size(toks).alias("dl"),
             F.explode(toks).alias("term"),
         )
-        matched = exploded.join(F.broadcast(qterms), "term")
+        matched = exploded.join(
+            F.broadcast(query_terms.select("term").distinct()), "term"
+        )
     tf = matched.groupBy("doc_id", "term", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )

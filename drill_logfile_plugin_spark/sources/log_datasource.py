@@ -261,12 +261,20 @@ class LogDataSourceReader(DataSourceReader):
             raise ValueError("format('log') requires .load(path)")
 
     def partitions(self):
-        return [
-            _FilePartition(p)
-            for p in _expand_paths(self.path, self.cfg.extensions)
-        ]
+        # Never return an empty list: PySpark substitutes [None] for an
+        # empty partitions() result and read(None) would crash on
+        # partition.path (plan_data_source_read). A directory with zero
+        # matching files must yield an empty DataFrame, so it plans as
+        # one sentinel partition that read() recognizes and skips.
+        paths = _expand_paths(self.path, self.cfg.extensions)
+        return [_FilePartition(p) for p in paths] or [_FilePartition(None)]
 
     def read(self, partition):
+        if partition is None or partition.path is None:
+            # sentinel for a zero-file load (see partitions()) — and a
+            # guard against harness versions that pass None outright
+            return
+
         import datetime as _dt
 
         import pyarrow as pa
@@ -297,7 +305,16 @@ class LogDataSourceReader(DataSourceReader):
                 return raw
             if tag in (INT, DOUBLE, FLOAT):
                 try:
-                    return int(raw) if tag == INT else float(raw)
+                    v = int(raw) if tag == INT else float(raw)
+                    # Python ints never overflow but the Arrow column is
+                    # int32; read_log's try_cast(raw, 'int') NULLs an
+                    # out-of-range value (raising under strict), and the
+                    # shim's row-for-row parity contract must match —
+                    # without this check pa.array(..., int32()) would
+                    # abort the whole scan with ArrowInvalid instead.
+                    if tag == INT and not (-(2**31) <= v < 2**31):
+                        raise ValueError(f"int32 overflow: {raw}")
+                    return v
                 except ValueError:
                     if cfg.strict_numeric:
                         raise ValueError(

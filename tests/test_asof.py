@@ -205,3 +205,27 @@ def test_asof_duplicate_right_ts_tie_is_deterministic(spark):
         for r in range(4)
     ]
     assert got == [2.0] * 4
+
+
+def test_asof_map_payload_skips_tie_pin(spark):
+    """A map-typed payload column is unorderable — the window must fall
+    back to the (_TS, _SIDE) ordering instead of raising AnalysisException
+    on the payload-struct sort key (the r5 tie pin's documented limit)."""
+    from drill_logfile_plugin_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (1, "2024-01-01 10:00:00")],
+        "k long, qts string",
+    ).selectExpr(
+        "k",
+        "CAST(qts AS TIMESTAMP) AS qts",
+        "map('src', CAST(qts AS STRING)) AS attrs",
+    )
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "k long, tts string"
+    ).selectExpr("k", "CAST(tts AS TIMESTAMP) AS tts")
+    rows = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].attrs == {"src": "2024-01-01 10:00:00"}

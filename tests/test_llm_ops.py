@@ -3286,3 +3286,43 @@ def test_multimodal_operators_tolerate_null_payload(spark):
 
     with _pytest.raises(ValueError, match="every_n"):
         frame_sample(media, every_n=0)
+
+
+def test_bpe_train_pin_lifecycle_balanced(spark, monkeypatch):
+    """Every intermediate persist() in bpe_train is matched by an
+    unpersist() before return — including when the FINAL executed round
+    takes the barrier branch, where the pre-fix `pinned[:-1]` cleanup
+    left the last pinned vocab frame cached for the session lifetime."""
+    from pyspark.sql import DataFrame
+
+    from drill_logfile_plugin_spark.operators.bpe import bpe_train
+
+    live = []
+    orig_persist = DataFrame.persist
+    orig_unpersist = DataFrame.unpersist
+
+    def persist(self, *a, **k):
+        live.append(self)
+        return orig_persist(self, *a, **k)
+
+    def unpersist(self, *a, **k):
+        for i, p in enumerate(live):
+            if p is self:
+                del live[i]
+                break
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", persist)
+    monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    # final round (r=3) hits the barrier branch: nothing may stay pinned
+    _, words = bpe_train(df, n_merges=4, barrier_every=4)
+    words.count()
+    assert live == []
+    # final round does NOT barrier: only the returned frame stays pinned
+    _, words2 = bpe_train(df, n_merges=2, barrier_every=4)
+    words2.count()
+    assert all(p is words2 for p in live)

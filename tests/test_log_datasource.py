@@ -121,3 +121,34 @@ def test_java_format_translation_table():
     assert java_format_to_strptime("yyyy'T'HH") == "%YT%H"
     with pytest.raises(ValueError, match="unsupported"):
         java_format_to_strptime("yyyy EEE")
+
+
+def test_format_log_empty_directory_yields_empty_frame(spark, tmp_path):
+    """Zero matching files must plan as an empty DataFrame with the full
+    configured schema — not crash read(None) (PySpark substitutes [None]
+    for an empty partitions() list)."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    df = _mysql_reader(spark).load(str(d))
+    assert df.count() == 0
+    assert df.columns == MYSQL_FIELDS + ["unmatched_lines"]
+
+
+def test_format_log_int_overflow_nulls_like_read_log(spark, tmp_path):
+    """An INT capture group beyond int32 coerces to NULL (read_log's
+    try_cast semantics) instead of aborting the scan with ArrowInvalid,
+    and strict mode raises like read_log's error channel."""
+    p = tmp_path / "big.log"
+    p.write_text("070823 21:00:32       5000000000 Connect\n")
+    reader = (
+        spark.read.format("log")
+        .option("pattern", r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)")
+        .option("fieldNames", "date,time,pid,action")
+        .option("dataTypes", "DATE,TIME,INT,VARCHAR")
+        .option("dateFormat", "yyMMdd")
+    )
+    rows = reader.load(str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].pid is None and rows[0].action == "Connect"
+    with pytest.raises(Exception, match="cannot parse value '5000000000'"):
+        reader.option("strictNumeric", "true").load(str(p)).collect()

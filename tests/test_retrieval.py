@@ -136,3 +136,24 @@ def test_bm25_ln_idf_ranks_like_sqrt_on_separated_corpus(spark):
         for r in bm25_topk(docs, qs, k=3, idf="ln").collect()
     }
     assert set(a) == set(b)
+
+
+def test_bm25_null_query_term_dropped_both_paths(spark):
+    """A NULL term in query_terms is a no-op on BOTH candidate paths:
+    the join fallback never equi-matches NULL, and the literal-array
+    prefilter must agree (pre-fix it crashed the driver sorting a list
+    containing None)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    clean = query_set(spark, QUERIES)
+    dirty = clean.unionByName(
+        spark.createDataFrame([("qa", None)], "query_id string, term string")
+    )
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_scaled"]
+        for r in bm25_topk(docs, clean, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_scaled"]
+        for r in bm25_topk(docs, dirty, k=3).collect()
+    }
+    assert got == want
