@@ -479,3 +479,44 @@ def test_simhash64_duck_mirror_on_random_texts(spark, texts):
     )
     duck = dict(con.execute(D.simhash64_sigs_sql_duck()).fetchall())
     assert eng == duck
+
+
+@given(lines=st.lists(line_st, min_size=0, max_size=20))
+@SETTINGS
+def test_format_log_shim_matches_read_log_on_random_lines(spark, lines):
+    """The format('log') Python DataSource shim is row-for-row identical
+    to the JVM-expression path (read_log) on arbitrary line soup —
+    matches, mismatches routed to unmatched_lines, Java-trim skips, and
+    INT capture groups beyond int32 (which the '1'-runs in the alphabet
+    produce naturally: both sides must NULL them, not abort)."""
+    import tempfile
+
+    from drill_logfile_plugin_spark import (
+        read_log,
+        register_log_datasource,
+    )
+
+    register_log_datasource(spark)
+    cfg = LogFormatConfig(
+        pattern=PATTERN,
+        field_names=["k", "v"],
+        data_types=["VARCHAR", "INT"],
+    )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".log", delete=False
+    ) as fh:
+        fh.write("".join(ln.replace("\n", " ") + "\n" for ln in lines))
+        path = fh.name
+    ref = read_log(spark, path, cfg)
+    shim = (
+        spark.read.format("log")
+        .option("pattern", PATTERN)
+        .option("fieldNames", "k,v")
+        .option("dataTypes", "VARCHAR,INT")
+        .load(path)
+    )
+    assert shim.schema == ref.schema
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    assert sorted(map(key, shim.collect())) == sorted(
+        map(key, ref.collect())
+    )
