@@ -188,6 +188,16 @@ def test_grouping_sets_is_one_expand_one_shuffle(spark, queries):
     assert "partial_" in plan
 
 
+def test_sketch_checks_no_expand(spark, queries):
+    """q52: exact COUNT(DISTINCT) must ride its own two-level aggregation
+    (group+key partial-agg, then per-group count) broadcast-joined back —
+    never fused beside the sketch aggregates, where Catalyst plans an
+    Expand that doubles the scan output before the shuffle (measured 6x
+    the arm cost at sf0.1). Zero Expand nodes anywhere in the query."""
+    plan = plan_of(queries["q52_sketch_checks"](spark, SF_DIR))
+    assert plan.count("Expand") == 0
+
+
 def test_top_terms_partial_aggs_before_shuffle(spark, queries):
     """q50: the (lang, token) frequency count must partial-aggregate
     map-side — the shuffle carries distinct terms per partition, not one
