@@ -477,6 +477,33 @@ def main() -> None:
 
     timed.append(("semantic_dup_pairs", semdedup_lane))
 
+    # q52 sketch arm (r5 reshape) at 10× events: the exact
+    # COUNT(DISTINCT) rides a two-level aggregation (group+key
+    # partial-agg, then per-group count) broadcast-joined back to the
+    # sketch aggregates — no Expand, so the scan output is never
+    # doubled. Both levels partial-agg map-side; the lane should bend
+    # linearly with event volume (the distinct (group,key) frame grows
+    # linearly on the offset-replica fixture).
+    def sketch_arm_lane(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        main = ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias(
+                "p50_approx"
+            ),
+            (F.max("value") - F.min("value")).alias("rng"),
+        )
+        exact_d = (
+            ev.groupBy("event_type", "user_id")
+            .agg(F.lit(1).alias("_one"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users_exact"))
+        )
+        return main.join(F.broadcast(exact_d), "event_type")
+
+    timed.append(("sketch_exact_distinct_arm", sketch_arm_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
