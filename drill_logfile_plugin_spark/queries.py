@@ -1047,13 +1047,30 @@ def q52(spark, sf):
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         (F.max("value") - F.min("value")).alias("rng"),
     )
+    # COUNT(DISTINCT) semantics at the seams (NULL-free fixture can't
+    # catch either): NULL keys are not values (filter, or the two-level
+    # count tallies the NULL group as one "user"), and a NULL event_type
+    # group must survive the join (null-safe equality + left/coalesce —
+    # plain equi-join keys drop NULL, losing the group the fused form
+    # kept).
     exact_d = (
-        e.groupBy("event_type", "user_id")
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
         .agg(F.lit(1).alias("_one"))
-        .groupBy("event_type")
+        .groupBy(F.col("event_type").alias("_et"))
         .agg(F.count(F.lit(1)).alias("n_users_exact"))
     )
-    agg = main.join(F.broadcast(exact_d), "event_type")
+    agg = (
+        main.join(
+            F.broadcast(exact_d),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+            "left",
+        )
+        .drop("_et")
+        .withColumn(
+            "n_users_exact", F.coalesce("n_users_exact", F.lit(0).cast("long"))
+        )
+    )
     within_d = (
         F.abs(F.col("n_approx") - F.col("n_users_exact"))
         <= 0.05 * F.col("n_users_exact")

@@ -3326,3 +3326,53 @@ def test_bpe_train_pin_lifecycle_balanced(spark, monkeypatch):
     _, words2 = bpe_train(df, n_merges=2, barrier_every=4)
     words2.count()
     assert all(p is words2 for p in live)
+
+
+def test_q52_exact_distinct_split_matches_fused_on_nulls(spark, tmp_path):
+    """The r5 two-level COUNT(DISTINCT) reshape must keep count_distinct
+    semantics at the NULL seams the oracle fixture cannot exercise:
+    NULL user_id is not a value (the NULL group must not tally as one
+    "user"), and an all-NULL-key group still emits n_users_exact = 0;
+    a NULL event_type group survives the null-safe join. Pinned by
+    running the registered q52 sketch part against the fused
+    count_distinct form on a frame with both NULL kinds planted."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    for i in range(40):
+        rows.append((i, "click", ts, i % 7, float(i)))        # normal group
+    rows.append((100, "click", ts, None, 99.0))               # NULL key
+    for i in range(5):
+        rows.append((200 + i, None, ts, i % 2, float(i)))     # NULL group
+    rows.append((300, "ghost", ts, None, 1.0))                # all-NULL keys
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, "
+        "user_id long, value double",
+    ).withColumn("props", F.lit('{"k": 1}'))
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    import __spark_entry__ as entry
+
+    got = {
+        r["key"]: r["n_a"]
+        for r in entry.queries()["q52_sketch_checks"](spark, sf_dir)
+        .where(F.col("part") == "sketch")
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want  # {'click': 7+? ...} incl. None key and ghost=0
+    assert got["ghost"] == 0
+    assert None in got
