@@ -255,6 +255,10 @@ def _ivf_centroids(
         .limit(max(sample_size, n_cells))
         .collect()
     )
+    if not rows:
+        # Empty corpus slice: no index to fit — callers short-circuit
+        # to an empty result (len(Cn) == 0).
+        return np.zeros((0, 1), dtype=np.float64)
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = Xn[:n_cells].copy()
@@ -319,6 +323,23 @@ def ivf_topk(
     Cn = _ivf_centroids(
         corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
     )
+    if len(Cn) == 0:
+        # Empty corpus: no neighbors exist. Emit the contract schema
+        # (q_id, neighbor_id, rank, sim) empty rather than failing —
+        # empty slices are normal events in a partitioned pipeline.
+        return (
+            queries.select(F.col(id_col).alias("q_id"))
+            .limit(0)
+            .crossJoin(
+                corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+            )
+            .select(
+                "q_id",
+                "neighbor_id",
+                F.lit(1).cast("int").alias("rank"),
+                F.lit(0.0).alias("sim"),
+            )
+        )
     nprobe_eff = min(nprobe, len(Cn))
 
     @F.pandas_udf(IntegerType())
@@ -541,7 +562,10 @@ def seed_clusters(
         .collect()
     )
     if not seed_rows:
-        raise ValueError("seed_clusters: input corpus is empty")
+        # Empty corpus: no seeds exist, but an empty SLICE is a normal
+        # event in a partitioned pipeline — emit the empty frame with
+        # the contract schema instead of failing the whole job.
+        return df.withColumn("cluster_id", F.lit(1).cast("long"))
     sims = []
     for r in seed_rows:
         vals = [float(x) for x in r["se"]]

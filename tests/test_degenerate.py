@@ -1,0 +1,42 @@
+"""Degenerate-input robustness: every registered query must survive
+EMPTY tables (schema-correct, zero rows).
+
+At 100 TB an empty slice is a normal event — a partition with no
+matching files, a date range with no data, a tenant with no documents.
+An operator that crashes on it (driver-side ``collect()[0]``,
+``np.stack([])``, seed draws from an empty corpus) fails the whole job
+for a state the pipeline will certainly reach. The r5 sweep found two:
+IVF centroid fitting (np.stack on an empty sample) and the semantic
+dedup seed draw (hard ValueError) — both now return the contract
+schema empty, pinned here for all 50 queries at once.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_empty")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            fn(spark, empty_sf_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
