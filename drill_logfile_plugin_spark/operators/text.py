@@ -317,6 +317,11 @@ def fingerprint_udf(shingle_n: int = 5):
     def fp(toks: pd.Series) -> pd.Series:
         out = []
         for arr in toks:
+            # NULL text splits to a NULL array (not []): same NULL
+            # fingerprint as an under-length doc in both engines.
+            if arr is None:
+                out.append(None)
+                continue
             m = len(arr) - shingle_n + 1
             if m <= 0:
                 out.append(None)

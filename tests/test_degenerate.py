@@ -30,13 +30,63 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(dst)
 
 
-def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+#: Columns NULLed out in the NULL-heavy fixture (nullable payloads only —
+#: keys stay, so joins still resolve and the NULLs flow through operators).
+_NULL_COLS = {
+    "documents": ["text", "source", "lang"],
+    "events": ["event_type", "user_id", "value", "props"],
+}
+
+
+@pytest.fixture(scope="module")
+def onerow_sf_dir(spark, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_onerow")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(spark, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        types = dict(df.dtypes)
+        for c in _NULL_COLS.get(t, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        df.limit(50).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def _sweep(spark, sf_dir):
     import __spark_entry__ as entry
 
     failures = []
     for name, fn in sorted(entry.queries().items()):
         try:
-            fn(spark, empty_sf_dir).collect()
+            fn(spark, sf_dir).collect()
         except Exception as ex:  # noqa: BLE001 — collecting a report
             failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    _sweep(spark, empty_sf_dir)
+
+
+def test_every_query_survives_onerow_tables(spark, onerow_sf_dir):
+    """Singleton groups: percentile of one value, stddev NULL, windows
+    with a single row, self-joins with no second member."""
+    _sweep(spark, onerow_sf_dir)
+
+
+def test_every_query_survives_null_payloads(spark, nulls_sf_dir):
+    """All-NULL text/event payloads (the ADVICE size(NULL) = -1 class):
+    every operator must treat NULL as absent, not as a phantom value —
+    the r5 sweep caught fingerprint_udf calling len(None)."""
+    _sweep(spark, nulls_sf_dir)
