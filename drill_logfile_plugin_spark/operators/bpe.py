@@ -64,7 +64,13 @@ def _spaced(t: Column) -> Column:
     (:func:`bpe_encode`) must space identically or the merge table stops
     applying to what was trained; ``_SPACED_DUCK`` is its SQL mirror.
     """
-    return F.concat(F.lit(" "), F.regexp_replace(t, "(.)", "$1 "))
+    # (?s): Java '.' otherwise skips line terminators (U+2028 U+2029
+    # U+0085 -- which CAN sit inside a token, since \\s+ splits neither
+    # engine on them) while RE2's '.' spaces them, silently fusing a
+    # 2-char symbol on the Spark side only. DOTALL closes the gap
+    # exactly: \\n never reaches a token, so the only characters it adds
+    # are ones RE2's '.' already matched.
+    return F.concat(F.lit(" "), F.regexp_replace(t, "(?s)(.)", "$1 "))
 
 
 def _word_types(df: DataFrame, text_col: str) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Cross-engine robustness on adversarial text.
+
+The driver fixture's documents are benign prose; real corpora carry
+emoji, CJK/RTL scripts, combining marks, astral-plane codepoints,
+regex metacharacters, control characters, giant tokens, and Unicode
+line separators. This suite rebuilds the sf0.001 tables with such a
+documents corpus and re-runs the Spark-vs-DuckDB comparison for the
+text-heavy queries — the same oracle contract the driver checks, on
+inputs it never exercises.
+
+The r5 sweep this test pins caught a real divergence: Java's ``.``
+(no DOTALL) skips line terminators U+2028/U+2029/U+0085, which CAN sit
+inside a token (neither engine's ``\\s`` splits on them), so the BPE
+character spacing fused a 2-char symbol Spark-side while RE2 spaced
+it — fixed with ``(?s)`` in ``bpe._spaced``.
+
+Deliberately excluded: embedded NUL (U+0000). DuckDB's ORDER BY is
+internally inconsistent on NUL-embedded VARCHARs (its sort can place
+``'\\x00'`` before ``''`` in one query shape and after it in another,
+against its own scalar ``<``), so rank-tie results are unstable on the
+ORACLE side — an oracle-engine limitation, not an engine contract we
+can pin. NUL-bearing text is still covered by the crash-only sweeps in
+test_degenerate.py via the control-character doc there.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: Text-heavy queries whose results depend on documents.text.
+QUERIES = [
+    "q21_exact_dedup",
+    "q22_text_stats",
+    "q23_language_id",
+    "q24_quality_score",
+    "q26_fingerprint",
+    "q50_top_terms",
+    "q59_boilerplate_spans",
+    "q60_ip_anonymize",
+    "q62_repetition_filter",
+]
+
+NASTY = [
+    "emoji \U0001f389\U0001f389 mixed with ASCII and 中文 and עברית rtl",
+    "tab\tand\nnewline and \r carriage",
+    "regex specials .*+?()[]{}|\\^$ and quotes ' \" `` ",
+    "bell \x07 and escape \x1b control chars",
+    "a" * 5000,
+    ("word " * 2000).strip(),
+    "ümlaut ÅåÆæ ß Türkçe İı",
+    "\U0001d518\U0001d52b\U0001d526\U0001d520\U0001d52c\U0001d521\U0001d522 astral plane",
+    "combining z̴̢͑a̷̛̦l̶g̸o̴ marks",
+    "  leading and trailing spaces  ",
+    "",
+    "single",
+    "कॉपी हिन्दी テキスト 한국어",
+    " line sep para sep nbspnel",
+    "duplicate words duplicate words duplicate words duplicate words",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(spark, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_adv")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            rows = df.limit(len(NASTY)).collect()
+            new = [
+                tuple(
+                    NASTY[i % len(NASTY)] if c == "text" else r[c]
+                    for c in df.columns
+                )
+                for i, r in enumerate(rows)
+            ]
+            df = spark.createDataFrame(new, df.schema)
+        # single file per table so DuckDB's read_parquet('.../t.parquet')
+        # glob (the checker's registration shape) resolves
+        df.toPandas().to_parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def test_text_queries_match_oracle_on_adversarial_corpus(
+    spark, adversarial_sf_dir
+):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name in QUERIES:
+        df = qs[name](spark, adversarial_sf_dir)
+        if not compare(name, df, con, oracles[name]):
+            failures.append(name)
+    assert not failures, f"oracle mismatch on adversarial corpus: {failures}"
