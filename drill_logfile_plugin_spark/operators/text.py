@@ -28,15 +28,22 @@ from pyspark.sql.types import StringType
 
 # --- tokenization ---------------------------------------------------------
 
-#: Spark-SQL fragment: whitespace tokens of a text column.
-TOKS_SPARK = "split(trim({c}), '\\\\s+')"
-#: DuckDB fragment with identical semantics.
-TOKS_DUCK = r"string_split_regex(trim({c}), '\s+')"
+#: Spark-SQL fragment: whitespace tokens of a text column. The
+#: whitespace class is written OUT, not as ``\s``: Java's ``\s``
+#: includes vertical tab (U+000B) while RE2's (DuckDB) does not, so the
+#: shorthand silently tokenizes VT-bearing text differently per engine.
+#: The explicit class is exactly Java's set, in both engines.
+TOKS_SPARK = "split(trim({c}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
+#: DuckDB fragment with identical semantics (\\x0B = \\v = Java's VT).
+TOKS_DUCK = r"string_split_regex(trim({c}), '[ \t\n\x0B\f\r]+')"
 
 #: BPE-ish pre-token pattern: letter runs, digit runs, single other glyphs.
 #: (The classic GPT-2 pre-tokenizer splits on letter/digit/other boundaries;
-#: this is the regex-only approximation of that pass.)
-BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+#: this is the regex-only approximation of that pass.) The whitespace
+#: class is written out for the same reason as ``TOKS_SPARK``: Java's
+#: ``\s`` contains U+000B, RE2's does not, and this pattern runs
+#: verbatim in both engines.
+BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def tokens(col: str = "text") -> Column:

@@ -47,7 +47,7 @@ QUERIES = [
 
 NASTY = [
     "emoji \U0001f389\U0001f389 mixed with ASCII and 中文 and עברית rtl",
-    "tab\tand\nnewline and \r carriage",
+    "tab\tand\nnewline and \r carriage and \x0b vertical tab",
     "regex specials .*+?()[]{}|\\^$ and quotes ' \" `` ",
     "bell \x07 and escape \x1b control chars",
     "a" * 5000,

@@ -268,6 +268,7 @@ def main() -> None:
     )
     from drill_logfile_plugin_spark.operators.sampling import stratified_sample
     from drill_logfile_plugin_spark.operators.text import (
+        TOKS_SPARK,
         bigram_model,
         corpus_rarity,
     )
@@ -389,7 +390,7 @@ def main() -> None:
     def cms_lane(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         occ = docs.select(
-            F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("t")
+            F.explode(F.expr(TOKS_SPARK.format(c="text"))).alias("t")
         )
         return cms_table(occ, "t")
 
