@@ -90,3 +90,40 @@ def test_every_query_survives_null_payloads(spark, nulls_sf_dir):
     every operator must treat NULL as absent, not as a phantom value —
     the r5 sweep caught fingerprint_udf calling len(None)."""
     _sweep(spark, nulls_sf_dir)
+
+
+@pytest.fixture(scope="module")
+def nanf_sf_dir(spark, tmp_path_factory):
+    """NaN/±Inf event values and zero-/NaN-component embeddings."""
+    dst = tmp_path_factory.mktemp("sf_nanf")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 1000 == 0, F.lit(float("nan")))
+                .when(F.col("event_id") % 1000 == 1, F.lit(float("inf")))
+                .when(F.col("event_id") % 1000 == 2, F.lit(float("-inf")))
+                .otherwise(F.col("value")),
+            )
+        elif t == "embeddings":
+            zero = F.transform("embedding", lambda x: F.lit(0.0))
+            nanv = F.transform("embedding", lambda x: F.lit(float("nan")))
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 500 == 0, zero)
+                .when(F.col("vec_id") % 500 == 1, nanv)
+                .otherwise(F.col("embedding")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def test_every_query_survives_nan_inf(spark, nanf_sf_dir):
+    """NaN/±Inf measures and degenerate (all-zero / NaN-component)
+    embedding vectors: aggregates, percentiles, sketches, and every
+    similarity lane must complete — NaN similarities from zero-norm
+    vectors flow through threshold filters (the documented pre-filter
+    contract), they must not abort the job."""
+    _sweep(spark, nanf_sf_dir)
