@@ -120,6 +120,42 @@ def nanf_sf_dir(spark, tmp_path_factory):
     return str(dst)
 
 
+@pytest.fixture(scope="module")
+def skew_sf_dir(spark, tmp_path_factory):
+    """Pathological skew: every document identical (the dedup tier's
+    max-clique case), every event on one (user_id, event_type) hot key,
+    every embedding the same vector."""
+    dst = tmp_path_factory.mktemp("sf_skew")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.lit(
+                    "the same duplicated document text appears everywhere"
+                ),
+            )
+        elif t == "events":
+            df = df.withColumn("user_id", F.lit(7).cast("long")).withColumn(
+                "event_type", F.lit("click")
+            )
+        elif t == "embeddings":
+            first = df.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+            df = df.withColumn(
+                "embedding", F.array(*[F.lit(float(x)) for x in first])
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def test_every_query_survives_pathological_skew(spark, skew_sf_dir):
+    """All-duplicate corpora and single-hot-key streams: candidate
+    generators face their max-clique bound, salting and AQE face one
+    key owning every row — jobs must complete, not crash or hang."""
+    _sweep(spark, skew_sf_dir)
+
+
 def test_every_query_survives_nan_inf(spark, nanf_sf_dir):
     """NaN/±Inf measures and degenerate (all-zero / NaN-component)
     embedding vectors: aggregates, percentiles, sketches, and every
