@@ -55,6 +55,7 @@ def spike_flags(
     k: int = 2,
     min_trailing: int = 3,
     fill_gaps: bool = True,
+    max_buckets: int | None = 2_000_000,
 ) -> DataFrame:
     """Per-bucket spike verdicts over event counts.
 
@@ -76,7 +77,7 @@ def spike_flags(
     if fill_gaps:
         counts = gapfill(
             counts, grain=grain, bucket_col="bucket",
-            group_cols=gcols, fill={"cnt": 0},
+            group_cols=gcols, fill={"cnt": 0}, max_buckets=max_buckets,
         )
     w = (
         Window.partitionBy(*gcols)

@@ -81,6 +81,7 @@ def gapfill(
     bucket_col: str = "bucket",
     group_cols: Sequence[str] = ("event_type",),
     fill: dict[str, object] | None = None,
+    max_buckets: int | None = 2_000_000,
 ) -> DataFrame:
     """Fill missing time buckets per group — the hypertable
     ``time_bucket_gapfill`` shape.
@@ -104,6 +105,16 @@ def gapfill(
     join on (group, bucket). A group spanning years at second grain
     would explode ~3e7 rows; choose the grain to match the span, same as
     any gapfill implementation.
+
+    ``max_buckets`` guards the spine per group: ONE epoch-zero or
+    far-future outlier timestamp (ubiquitous in real ingests) stretches
+    min..max to centuries and the dense spine to millions of rows per
+    group — at hour grain, 1900..2262 is ~3.2M buckets, which at r5
+    measured an executor OOM, the worst possible failure mode. The
+    guard raises a loud, actionable error (group bounds in the message)
+    BEFORE generating the sequence; fix the data (filter outliers),
+    widen the grain, or raise/disable the cap (``None``). The check is
+    one integer comparison per group row — free.
     """
     if grain not in ("hour", "day", "minute", "second", "week", "month"):
         raise ValueError(f"unsupported grain: {grain}")
@@ -111,14 +122,33 @@ def gapfill(
     bounds = agg.groupBy(*gcols).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
-    spine = bounds.select(
-        *gcols,
-        F.explode(
-            F.sequence(
-                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL 1 {grain.upper()}")
-            )
-        ).alias(bucket_col),
+    seq = F.sequence(
+        F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL 1 {grain.upper()}")
     )
+    if max_buckets is not None:
+        n_buckets = (
+            F.expr(f"timestampdiff({grain}, _lo, _hi)").cast("long") + 1
+        )
+        guard = F.assert_true(
+            n_buckets <= F.lit(int(max_buckets)),
+            F.concat(
+                F.lit(
+                    f"gapfill: a group's bucket spine exceeds "
+                    f"max_buckets={int(max_buckets)} at grain '{grain}' ("
+                ),
+                F.col("_lo").cast("string"),
+                F.lit(" .. "),
+                F.col("_hi").cast("string"),
+                F.lit(
+                    "); filter outlier timestamps, widen the grain, or "
+                    "raise max_buckets"
+                ),
+            ),
+        )
+        # assert_true returns NULL on pass — the when() forces it to
+        # evaluate per group row before the sequence materializes.
+        seq = F.when(guard.isNull(), seq)
+    spine = bounds.select(*gcols, F.explode(seq).alias(bucket_col))
     # Null-SAFE group equality: a NULL group key is a real group (e.g.
     # events with no event_type); a plain equi join would never match the
     # spine back onto it and silently zero-fill the whole group.

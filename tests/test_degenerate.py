@@ -163,3 +163,57 @@ def test_every_query_survives_nan_inf(spark, nanf_sf_dir):
     vectors flow through threshold filters (the documented pre-filter
     contract), they must not abort the job."""
     _sweep(spark, nanf_sf_dir)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_sf_dir(spark, tmp_path_factory):
+    """Events with epoch-zero, year-1900 and year-2262 outlier
+    timestamps plus NULL ts — the dirty-ingest timestamps every real
+    pipeline sees."""
+    dst = tmp_path_factory.mktemp("sf_time")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "ts",
+                F.when(
+                    F.col("event_id") % 100 == 0,
+                    F.to_timestamp(F.lit("1900-01-01 00:00:00")),
+                )
+                .when(
+                    F.col("event_id") % 100 == 1,
+                    F.to_timestamp(F.lit("2262-04-11 00:00:00")),
+                )
+                .when(
+                    F.col("event_id") % 100 == 2,
+                    F.to_timestamp(F.lit("1970-01-01 00:00:00")),
+                )
+                .when(
+                    F.col("event_id") % 100 == 3,
+                    F.lit(None).cast("timestamp"),
+                )
+                .otherwise(F.col("ts")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return str(dst)
+
+
+def test_every_query_survives_extreme_timestamps(spark, extreme_ts_sf_dir):
+    """A 362-year timestamp span must never OOM an executor: queries
+    either complete, or (the gapfill-composed anomaly arm, whose dense
+    hourly spine is genuinely centuries wide here) fail with the
+    spine guard's actionable message — the loud error the r5 sweep
+    added in place of the Java-heap OOM it measured."""
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            fn(spark, extreme_ts_sf_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a report
+            msg = str(ex)
+            if "gapfill:" in msg and "max_buckets" in msg:
+                continue  # the guard doing its job
+            failures.append(f"{name}: {msg.splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)

@@ -3376,3 +3376,29 @@ def test_q52_exact_distinct_split_matches_fused_on_nulls(spark, tmp_path):
     assert got == want  # {'click': 7+? ...} incl. None key and ghost=0
     assert got["ghost"] == 0
     assert None in got
+
+
+def test_gapfill_spine_guard_raises_loud_not_oom(spark):
+    """One epoch-zero or far-future outlier timestamp stretches a
+    group's min..max spine to centuries — millions of dense buckets per
+    group, which at r5 measured an executor OOM inside q12's anomaly
+    arm. The guard must raise a clear, actionable error BEFORE the
+    sequence materializes; a tight max_buckets proves the check fires,
+    max_buckets=None disables it."""
+    from drill_logfile_plugin_spark.operators.rollup import gapfill
+
+    agg = spark.createDataFrame(
+        [("a", "1900-01-01 00:00:00", 1), ("a", "2262-01-01 00:00:00", 2)],
+        "event_type string, s string, n_events long",
+    ).select(
+        "event_type", F.col("s").cast("timestamp").alias("bucket"), "n_events"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="gapfill: .*max_buckets"):
+        gapfill(agg, grain="hour", fill={"n_events": 0}).collect()
+    # same frame, cap disabled: completes (bounded by the century span)
+    n = gapfill(
+        agg, grain="month", fill={"n_events": 0}, max_buckets=None
+    ).count()
+    assert n == 4345  # months between 1900-01 and 2262-01 inclusive
