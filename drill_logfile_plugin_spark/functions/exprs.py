@@ -37,7 +37,14 @@ def money(col: Column) -> Column:
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent SUM of a 2-decimal double column."""
+    """Order-independent SUM of a 2-decimal double column.
+
+    Domain contract: values must fit DECIMAL(12,2) (|v| < 1e10). Outside
+    it the engines diverge in failure MODE, not in in-domain results:
+    Spark under this engine's non-ANSI session casts the stray value to
+    NULL (it silently leaves the sum), DuckDB raises a conversion error.
+    Money columns satisfy the domain by construction; do not reach for
+    this policy on unbounded measurements without a range check."""
     return F.sum(money(col)).cast("double")
 
 

@@ -23,6 +23,8 @@ can pin. NUL-bearing text is still covered by the crash-only sweeps in
 test_degenerate.py via the control-character doc there.
 """
 
+import shutil
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -108,3 +110,81 @@ def test_text_queries_match_oracle_on_adversarial_corpus(
         if not compare(name, df, con, oracles[name]):
             failures.append(name)
     assert not failures, f"oracle mismatch on adversarial corpus: {failures}"
+
+
+EVENT_QUERIES = [
+    "q08_distinct_agg",
+    "q12_window_running_lag",
+    "q37_stream_windows",
+    "q44_asof_join",
+    "q45_range_join",
+    "q46_rollup_cascade",
+    "q47_percentiles_json",
+    "q52_sketch_checks",
+]
+
+EVENT_TYPES = ["普通点击", "café-view", "ZA̷LGO", "🛒purchase", "view"]
+
+
+@pytest.fixture(scope="module")
+def dirty_events_sf_dir(spark, tmp_path_factory):
+    """Unicode/emoji/combining-mark group keys and negative /
+    money-domain-boundary values (dsum's DECIMAL(12,2) contract:
+    |v| < 1e10 — see functions/exprs.py; beyond it the engines diverge
+    in failure MODE by design, Spark NULLing under non-ANSI where
+    DuckDB raises)."""
+    dst = tmp_path_factory.mktemp("sf_devents")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "event_type",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in EVENT_TYPES]),
+                    (F.col("event_id") % 5 + 1).cast("int"),
+                ),
+            ).withColumn(
+                "value",
+                F.when(F.col("event_id") % 97 == 0, F.lit(-99999.99))
+                .when(F.col("event_id") % 97 == 1, F.lit(88888.88))
+                .otherwise(-F.col("value")),
+            )
+        # Spark writes (schema-faithful: pandas would widen DATE to
+        # timestamp), then DuckDB flattens the directory to the single
+        # file its read_parquet('.../t.parquet') registration expects.
+        df.coalesce(1).write.parquet(f"{dst}/{t}_dir.parquet")
+        duckdb.connect().sql(
+            f"COPY (SELECT * FROM read_parquet('{dst}/{t}_dir.parquet/"
+            f"*.parquet')) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        shutil.rmtree(f"{dst}/{t}_dir.parquet")
+    return str(dst)
+
+
+def test_event_queries_match_oracle_on_dirty_events(
+    spark, dirty_events_sf_dir
+):
+    """Cross-engine agreement on the events axis: unicode group keys
+    survive grouping/windows/joins identically in both engines, and
+    negative + domain-boundary values keep the decimal-sum policy
+    bit-stable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_events_sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name in EVENT_QUERIES:
+        df = qs[name](spark, dirty_events_sf_dir)
+        if not compare(name, df, con, oracles[name]):
+            failures.append(name)
+    assert not failures, f"oracle mismatch on dirty events: {failures}"
