@@ -582,3 +582,49 @@ def test_sliding_unique_users_stream_equals_batch(
     for etype, ws, _, approx in got:
         ex = exact[(etype, ws)]
         assert abs(approx - ex) <= max(2, 0.05 * ex)
+
+
+def test_every_streaming_operator_survives_empty_stream(spark, tmp_path):
+    """A stream that has produced zero rows is the FIRST state every
+    production stream is in: all ten operators must plan, run one
+    availableNow pass, and emit an empty (not failed) result."""
+    import drill_logfile_plugin_spark.streaming.windows as W
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame([], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    ops = {
+        "tumbling": W.tumbling_event_counts,
+        "sliding": W.sliding_event_counts,
+        "session": W.session_event_windows,
+        "dedup": W.dedup_events,
+        "running": W.user_running_totals,
+        "sessionize_stateful": W.sessionize_stateful,
+        "scd2_stateful": W.scd2_stateful,
+        "followups": W.event_followups,
+        "spike_stateful": W.spike_flags_stateful,
+        "sliding_uniques": W.sliding_unique_users,
+    }
+    for name, fn in ops.items():
+        out = fn(stream)
+        started = None
+        for mode in ("append", "update", "complete"):
+            try:
+                started = (
+                    out.writeStream.format("memory")
+                    .queryName(f"empty_{name}")
+                    .outputMode(mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                break
+            except Exception:  # noqa: BLE001 — mode unsupported by op
+                continue
+        assert started is not None, f"{name}: no output mode accepted"
+        started.awaitTermination(120)
+        n = spark.sql(f"SELECT COUNT(*) FROM empty_{name}").collect()[0][0]
+        assert n == 0, f"{name}: expected empty result, got {n} rows"
