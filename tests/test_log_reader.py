@@ -631,3 +631,39 @@ def test_read_csv_lines_stream_equals_batch(spark, tmp_path):
         key=str,
     )
     assert got == want and len(got) == 3
+
+
+def test_read_log_survives_adversarial_files(spark, tmp_path):
+    """Dirty real-world log files: UTF-8 BOM (the unanchored find()
+    still matches past it — reference Matcher.find() parity), invalid
+    UTF-8 bytes (replacement chars land in VARCHAR fields or the
+    unmatched channel, never a crash), a 10 MB single line, CRLF and
+    lone-CR line endings, and a missing trailing newline."""
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["date", "time", "pid", "action", "query"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    line = b"070823 21:00:32  1 Connect root@localhost"
+    cases = {
+        "bom": (b"\xef\xbb\xbf" + line + b"\n", 1, 0),
+        "bad_utf8": (
+            line[:-4] + b"\xff\xfe\x80h\nGARBAGE \xc3\x28 x\n", 1, 1,
+        ),
+        "huge_line": (
+            b"070823 21:00:32  1 Query " + b"x" * (2 * 1024 * 1024) + b"\n",
+            1, 0,
+        ),
+        "crlf": (line + b"\r\n070823 21:00:33  2 Quit bye\r\n", 2, 0),
+        "no_trailing_nl": (line, 1, 0),
+        "cr_only": (line + b"\r070823 21:00:33  2 Quit bye\r", 2, 0),
+    }
+    for name, (data, want_m, want_u) in cases.items():
+        p = str(tmp_path / f"{name}.log")
+        with open(p, "wb") as f:
+            f.write(data)
+        rows = read_log(spark, p, cfg).collect()
+        matched = sum(1 for r in rows if r["action"] is not None)
+        unmatched = sum(1 for r in rows if r["unmatched_lines"] is not None)
+        assert (matched, unmatched) == (want_m, want_u), name
