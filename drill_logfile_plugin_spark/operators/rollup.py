@@ -129,8 +129,15 @@ def gapfill(
         n_buckets = (
             F.expr(f"timestampdiff({grain}, _lo, _hi)").cast("long") + 1
         )
+        # NULL-tolerate: a group whose every bucket is NULL has NULL
+        # bounds — the pre-guard behavior (sequence(NULL, NULL) → NULL →
+        # explode drops the group) must survive, and assert_true treats
+        # a NULL condition as failure (with a NULL, non-actionable
+        # message, since the concat of NULL bounds is NULL).
         guard = F.assert_true(
-            n_buckets <= F.lit(int(max_buckets)),
+            F.coalesce(
+                n_buckets <= F.lit(int(max_buckets)), F.lit(True)
+            ),
             F.concat(
                 F.lit(
                     f"gapfill: a group's bucket spine exceeds "

@@ -944,6 +944,51 @@ def q48(spark, sf):
 # =========================================================================
 
 
+def sketch_arm_agg(e):
+    """q52's sketch arm: per-event_type sketch aggregates next to the
+    exact lanes, with the exact COUNT(DISTINCT) on its own two-level
+    aggregation (group+key partial-agg, then a count per group)
+    broadcast-joined back instead of fused into the main agg — a fused
+    count_distinct beside other aggregates plans an Expand (input ×2)
+    and funnels every value through the distinct path; measured 2.4 s
+    vs 0.4 s for this shape at sf0.1. Both levels partial-agg map-side;
+    the join side is one row per event_type (broadcast).
+
+    COUNT(DISTINCT) semantics at the seams (the NULL-free fixture can't
+    catch either): NULL keys are not values (filter, or the two-level
+    count tallies the NULL group as one "user"), and a NULL event_type
+    group must survive the join (null-safe equality + left/coalesce —
+    plain equi-join keys drop NULL, losing the group the fused form
+    kept). Module-level so the scale smoke measures THIS plan, not a
+    re-implementation (tools/scale_smoke.py sketch_exact_distinct_arm).
+    """
+    main = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    exact_d = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(F.col("event_type").alias("_et"))
+        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+    )
+    return (
+        main.join(
+            F.broadcast(exact_d),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+            "left",
+        )
+        .drop("_et")
+        .withColumn(
+            "n_users_exact", F.coalesce("n_users_exact", F.lit(0).cast("long"))
+        )
+    )
+
+
+
 @query(
     "q52_sketch_checks",
     """
@@ -1034,43 +1079,7 @@ def q52(spark, sf):
     from .operators.profiler import profile_columns
 
     e = _t(spark, sf, "events")
-    # Exact COUNT(DISTINCT) rides its own two-level aggregation
-    # (group+key partial-agg, then a count per group) broadcast-joined
-    # back, instead of fusing into the main agg: a fused count_distinct
-    # next to other aggregates plans an Expand (input ×2) and funnels
-    # every value through the distinct path — measured 2.4 s vs 0.4 s
-    # for this shape at sf0.1. Both levels partial-agg map-side, and the
-    # join side is one row per event_type (broadcast).
-    main = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
-        F.expr("percentile(value, 0.5)").alias("p50_exact"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-        (F.max("value") - F.min("value")).alias("rng"),
-    )
-    # COUNT(DISTINCT) semantics at the seams (NULL-free fixture can't
-    # catch either): NULL keys are not values (filter, or the two-level
-    # count tallies the NULL group as one "user"), and a NULL event_type
-    # group must survive the join (null-safe equality + left/coalesce —
-    # plain equi-join keys drop NULL, losing the group the fused form
-    # kept).
-    exact_d = (
-        e.where(F.col("user_id").isNotNull())
-        .groupBy("event_type", "user_id")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy(F.col("event_type").alias("_et"))
-        .agg(F.count(F.lit(1)).alias("n_users_exact"))
-    )
-    agg = (
-        main.join(
-            F.broadcast(exact_d),
-            F.col("event_type").eqNullSafe(F.col("_et")),
-            "left",
-        )
-        .drop("_et")
-        .withColumn(
-            "n_users_exact", F.coalesce("n_users_exact", F.lit(0).cast("long"))
-        )
-    )
+    agg = sketch_arm_agg(e)
     within_d = (
         F.abs(F.col("n_approx") - F.col("n_users_exact"))
         <= 0.05 * F.col("n_users_exact")

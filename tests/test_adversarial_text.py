@@ -82,9 +82,16 @@ def adversarial_sf_dir(spark, tmp_path_factory):
                 for i, r in enumerate(rows)
             ]
             df = spark.createDataFrame(new, df.schema)
-        # single file per table so DuckDB's read_parquet('.../t.parquet')
-        # glob (the checker's registration shape) resolves
-        df.toPandas().to_parquet(f"{dst}/{t}.parquet")
+        # Spark writes (schema-faithful: pandas would widen DATE to
+        # timestamp and nullable ints to float), then DuckDB flattens
+        # the directory to the single file its read_parquet glob (the
+        # checker's registration shape) expects.
+        df.coalesce(1).write.parquet(f"{dst}/{t}_dir.parquet")
+        duckdb.connect().sql(
+            f"COPY (SELECT * FROM read_parquet('{dst}/{t}_dir.parquet/"
+            f"*.parquet')) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        shutil.rmtree(f"{dst}/{t}_dir.parquet")
     return str(dst)
 
 

@@ -3402,3 +3402,21 @@ def test_gapfill_spine_guard_raises_loud_not_oom(spark):
         agg, grain="month", fill={"n_events": 0}, max_buckets=None
     ).count()
     assert n == 4345  # months between 1900-01 and 2262-01 inclusive
+
+
+def test_gapfill_guard_tolerates_all_null_bucket_group(spark):
+    """A group whose every bucket is NULL has NULL bounds: the spine
+    guard's condition is then NULL, which assert_true would treat as a
+    FAILURE with a NULL (non-actionable) message — the coalesce keeps
+    the pre-guard behavior (sequence(NULL, NULL) drops the group
+    silently) instead of aborting the job."""
+    from drill_logfile_plugin_spark.operators.rollup import gapfill
+
+    agg = spark.createDataFrame(
+        [("a", None, 5), ("b", "2024-01-01 00:00:00", 1)],
+        "event_type string, s string, n_events long",
+    ).select(
+        "event_type", F.col("s").cast("timestamp").alias("bucket"), "n_events"
+    )
+    rows = gapfill(agg, grain="hour", fill={"n_events": 0}).collect()
+    assert [(r["event_type"], r["n_events"]) for r in rows] == [("b", 1)]

@@ -637,7 +637,7 @@ def test_read_log_survives_adversarial_files(spark, tmp_path):
     """Dirty real-world log files: UTF-8 BOM (the unanchored find()
     still matches past it — reference Matcher.find() parity), invalid
     UTF-8 bytes (replacement chars land in VARCHAR fields or the
-    unmatched channel, never a crash), a 10 MB single line, CRLF and
+    unmatched channel, never a crash), a 2 MiB single line, CRLF and
     lone-CR line endings, and a missing trailing newline."""
     cfg = LogFormatConfig(
         pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",

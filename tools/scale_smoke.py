@@ -482,26 +482,15 @@ def main() -> None:
     # COUNT(DISTINCT) rides a two-level aggregation (group+key
     # partial-agg, then per-group count) broadcast-joined back to the
     # sketch aggregates — no Expand, so the scan output is never
-    # doubled. Both levels partial-agg map-side; the lane should bend
-    # linearly with event volume (the distinct (group,key) frame grows
-    # linearly on the offset-replica fixture).
+    # doubled. The lane runs the SHIPPED arm builder (queries.py
+    # sketch_arm_agg — same null-safe left-join plan the driver
+    # benches), and should bend linearly with event volume (the
+    # distinct (group,key) frame grows linearly on the offset-replica
+    # fixture).
+    from drill_logfile_plugin_spark.queries import sketch_arm_agg
+
     def sketch_arm_lane(spark, sf_dir):
-        ev = load_table(spark, sf_dir, "events")
-        main = ev.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
-            F.expr("percentile(value, 0.5)").alias("p50_exact"),
-            F.expr("approx_percentile(value, 0.5, 10000)").alias(
-                "p50_approx"
-            ),
-            (F.max("value") - F.min("value")).alias("rng"),
-        )
-        exact_d = (
-            ev.groupBy("event_type", "user_id")
-            .agg(F.lit(1).alias("_one"))
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_users_exact"))
-        )
-        return main.join(F.broadcast(exact_d), "event_type")
+        return sketch_arm_agg(load_table(spark, sf_dir, "events"))
 
     timed.append(("sketch_exact_distinct_arm", sketch_arm_lane))
 
