@@ -520,3 +520,48 @@ def test_format_log_shim_matches_read_log_on_random_lines(spark, lines):
     assert sorted(map(key, shim.collect())) == sorted(
         map(key, ref.collect())
     )
+
+
+# --- cross-engine parity: the tokenizer itself (every text operator) ------
+
+#: Arbitrary unicode text — control chars, separators, emoji, combining
+#: marks — EXCLUDING U+0000 (DuckDB's VARCHAR sort/compare is internally
+#: inconsistent on embedded NUL; documented in test_adversarial_text.py).
+unicode_text_st = st.text(max_size=40).filter(lambda s: "\x00" not in s)
+
+
+@given(texts=st.lists(unicode_text_st, min_size=1, max_size=16))
+@SETTINGS
+def test_tokenizer_cross_engine_on_arbitrary_unicode(spark, texts):
+    """TOKS_SPARK and TOKS_DUCK produce IDENTICAL token arrays on
+    arbitrary unicode — the generalization of the adversarial-corpus
+    findings (Java \\s containing U+000B where RE2's does not; Unicode
+    line separators inside tokens). Every text operator and its oracle
+    mirror stand on this agreement."""
+    import duckdb
+    import pandas as pd
+
+    from drill_logfile_plugin_spark.operators.text import (
+        TOKS_DUCK,
+        TOKS_SPARK,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", F.expr(TOKS_SPARK.format(c="text")).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {TOKS_DUCK.format(c='text')} FROM docs"
+        ).fetchall()
+    )
+    assert got == want
