@@ -565,3 +565,38 @@ def test_tokenizer_cross_engine_on_arbitrary_unicode(spark, texts):
         ).fetchall()
     )
     assert got == want
+
+
+@given(texts=st.lists(unicode_text_st, min_size=1, max_size=12))
+@SETTINGS
+def test_bpe_spacing_cross_engine_on_arbitrary_unicode(spark, texts):
+    """The BPE character segmentation (_spaced / _SPACED_DUCK) agrees
+    per token on arbitrary unicode — pins the (?s) fix: without DOTALL
+    Java's '.' skips U+2028/U+2029/U+0085 inside tokens, fusing a
+    2-char symbol Spark-side only and diverging the trained merge
+    trajectory."""
+    import duckdb
+    import pandas as pd
+
+    from drill_logfile_plugin_spark.operators.bpe import (
+        _SPACED_DUCK,
+        _spaced,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", _spaced(F.col("text")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_SPACED_DUCK.format(t='text')} FROM docs"
+        ).fetchall()
+    )
+    assert got == want
