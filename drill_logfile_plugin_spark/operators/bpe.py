@@ -325,7 +325,7 @@ def bpe_merges_sql_duck(
         parts.append(
             f"""p{i} AS MATERIALIZED (
       SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS freq
-      FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM {prev}),
+      FROM (SELECT string_split(trim(s, ' '), ' ') AS syms, freq FROM {prev}),
            UNNEST(range(1, len(syms))) AS t(i)
       GROUP BY a, b
     )"""
@@ -337,7 +337,7 @@ def bpe_merges_sql_duck(
         parts.append(
             f"""w{i} AS MATERIALIZED (
       SELECT CASE WHEN m.a IS NULL THEN w.s ELSE list_reduce(
-               list_prepend('', string_split(trim(w.s), ' ')),
+               list_prepend('', string_split(trim(w.s, ' '), ' ')),
                (acc, x) -> CASE
                  WHEN ends_with(acc, ' ' || m.a) AND x = m.b
                  THEN left(acc, len(acc) - len(m.a) - 1) || ' ' || m.a || m.b
@@ -353,7 +353,7 @@ def bpe_merges_sql_duck(
     selects.append(
         f"SELECT CAST(0 AS BIGINT) AS rk, '<corpus>' AS a, "
         f"CAST(NULL AS VARCHAR) AS b, "
-        f"CAST((SELECT SUM(freq * len(string_split(trim(s), ' '))) "
+        f"CAST((SELECT SUM(freq * len(string_split(trim(s, ' '), ' '))) "
         f"FROM w{n_merges}) AS BIGINT) AS freq"
     )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

@@ -141,7 +141,7 @@ def template_masks_sql_duck(
     for _, pattern, token in masks:
         p = pattern.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
-    return f"trim({out})"
+    return f"trim({out}, ' ')"
 
 
 def n_params_sql_duck(template_col: str) -> str:

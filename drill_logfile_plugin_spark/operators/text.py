@@ -35,7 +35,7 @@ from pyspark.sql.types import StringType
 #: The explicit class is exactly Java's set, in both engines.
 TOKS_SPARK = "split(trim({c}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
 #: DuckDB fragment with identical semantics (\\x0B = \\v = Java's VT).
-TOKS_DUCK = r"string_split_regex(trim({c}), '[ \t\n\x0B\f\r]+')"
+TOKS_DUCK = r"string_split_regex(trim({c}, ' '), '[ \t\n\x0B\f\r]+')"
 
 #: BPE-ish pre-token pattern: letter runs, digit runs, single other glyphs.
 #: (The classic GPT-2 pre-tokenizer splits on letter/digit/other boundaries;
@@ -834,7 +834,7 @@ def normalize_text_sql_duck(expr: str) -> str:
     """DuckDB mirror of :func:`normalize_text` (same two patterns, 'g')."""
     return (
         f"trim(regexp_replace(regexp_replace({expr}, "
-        f"'{NORM_STRIP_RE}', '', 'g'), '{NORM_WS_RE}', ' ', 'g'))"
+        f"'{NORM_STRIP_RE}', '', 'g'), '{NORM_WS_RE}', ' ', 'g'), ' ')"
     )
 
 

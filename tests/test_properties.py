@@ -567,11 +567,22 @@ def test_tokenizer_cross_engine_on_arbitrary_unicode(spark, texts):
     assert got == want
 
 
-@given(texts=st.lists(unicode_text_st, min_size=1, max_size=12))
+#: TOKEN-domain strings: _spaced's inputs come from the \s+ split, so
+#: they can never contain the whitespace class (nor NUL, excluded for
+#: the DuckDB sort quirk). On raw '\n' the engines genuinely differ
+#: ((?s) lets Java '.' match it, RE2's never does) — but no token can
+#: carry one, which is exactly why (?s) closes the gap on the
+#: characters that CAN appear (U+2028/U+2029/U+0085).
+token_text_st = st.text(max_size=24).filter(
+    lambda s: not set(s) & set(" \t\n\x0b\f\r\x00")
+)
+
+
+@given(texts=st.lists(token_text_st, min_size=1, max_size=12))
 @SETTINGS
 def test_bpe_spacing_cross_engine_on_arbitrary_unicode(spark, texts):
     """The BPE character segmentation (_spaced / _SPACED_DUCK) agrees
-    per token on arbitrary unicode — pins the (?s) fix: without DOTALL
+    per TOKEN on arbitrary unicode — pins the (?s) fix: without DOTALL
     Java's '.' skips U+2028/U+2029/U+0085 inside tokens, fusing a
     2-char symbol Spark-side only and diverging the trained merge
     trajectory."""
