@@ -330,11 +330,23 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
                     sh = np.zeros(m, dtype=np.int64)
                     for j in range(shingle_n):
                         sh = sh * fnv + t[j : j + m]
-                lanes = (
-                    mix64(sh.astype(np.uint64)[:, None] ^ seeds)
-                    .min(axis=0)
-                    .astype(np.int64)
+                # Blocked lane min: the (m, num_hashes) scramble matrix
+                # is ~1 GB for a 1M-shingle document (and splitmix64's
+                # temporaries multiply that), which turns one giant doc
+                # into an allocation-bound 80 s row. Running the min
+                # over 64k-shingle blocks bounds peak memory at
+                # ~64 MB/doc with identical output (min is associative);
+                # typical docs fit one block and take the same path.
+                shu = sh.astype(np.uint64)
+                mins = np.full(
+                    num_hashes, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64
                 )
+                for s0 in range(0, shu.size, 65536):
+                    blk = mix64(
+                        shu[s0 : s0 + 65536, None] ^ seeds
+                    ).min(axis=0)
+                    np.minimum(mins, blk, out=mins)
+                lanes = mins.astype(np.int64)
                 bl = lanes.reshape(bands, rows)
                 acc = np.zeros(bands, dtype=np.int64)
                 for r in range(rows):
