@@ -643,9 +643,16 @@ def _simhash_udf(bits: int = SIMHASH_BITS):
                 dtype=np.uint64,
                 count=len(arr),
             )
-            sb = (2 * ((h[:, None] >> js) & np.uint64(1)).astype(np.int64) - 1).sum(
-                axis=0
-            )
+            # Blocked bit-sum accumulation (the lane-min fix's additive
+            # sibling): the full (m, bits) expansion plus its ±1
+            # temporaries is ~1.5 GB for a 1M-token document; per-block
+            # partial sums bound peak memory with identical arithmetic.
+            sb = np.zeros(bits, dtype=np.int64)
+            for s0 in range(0, h.size, 65536):
+                blk = h[s0 : s0 + 65536, None]
+                sb += (
+                    2 * ((blk >> js) & np.uint64(1)).astype(np.int64) - 1
+                ).sum(axis=0)
             out[i] = ((sb >= 0) * weights).sum(dtype=np.uint64)
         return pd.Series(out.view(np.int64))
 
