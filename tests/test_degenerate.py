@@ -217,3 +217,22 @@ def test_every_query_survives_extreme_timestamps(spark, extreme_ts_sf_dir):
                 continue  # the guard doing its job
             failures.append(f"{name}: {msg.splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_giant_document_takes_blocked_paths(spark):
+    """One multi-hundred-k-token document must stream through the
+    blocked per-doc numpy paths (MinHash lane min, SimHash bit sums)
+    instead of materializing the full (shingles x lanes) scramble
+    matrix — the r5 sweep measured 84 s / ~1 GB for a single 1M-token
+    row before blocking. 200k tokens crosses the 64k block size three
+    times over; identical results are guaranteed by min/sum
+    associativity and pinned by the cross-engine suites."""
+    from drill_logfile_plugin_spark.operators import dedup as D
+
+    words = " ".join(f"w{i % 5000}" for i in range(200_000))
+    docs = spark.createDataFrame(
+        [(0, words)] + [(i, f"doc {i} text") for i in range(1, 20)],
+        "doc_id long, text string",
+    )
+    assert D.lsh_candidate_pairs(docs).count() == 0
+    assert D.simhash_pairs(docs, bits=64).count() == 0
