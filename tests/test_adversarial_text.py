@@ -41,9 +41,16 @@ QUERIES = [
     "q23_language_id",
     "q24_quality_score",
     "q26_fingerprint",
+    "q27_minhash_lsh",
+    "q28_simhash_pairs",
+    "q29_ngram_jaccard",
     "q50_top_terms",
+    "q55_split_mix",
+    "q57_edit_distance_neardup",
+    "q58_contamination",
     "q59_boilerplate_spans",
     "q60_ip_anonymize",
+    "q61_chunk_pack",
     "q62_repetition_filter",
 ]
 
