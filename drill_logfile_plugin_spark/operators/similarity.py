@@ -71,6 +71,26 @@ def cosine(a: str, b: str) -> Column:
     return F.expr(cosine_sql_spark(a, b))
 
 
+def _stack_vectors(vals, what: str) -> np.ndarray:
+    """``np.stack`` with an actionable dirty-data error.
+
+    A ragged embedding column (mixed dimensions within one Arrow batch —
+    the classic corrupted-ingest shape) otherwise dies with numpy's
+    opaque "all input arrays must have the same shape" deep inside an
+    executor. NULL embeddings never reach here: every numpy-lane
+    operator filters them at its input (NULL is not a vector, the same
+    absent-value semantics SQL aggregates use)."""
+    try:
+        return np.stack(vals)
+    except (ValueError, TypeError) as ex:
+        dims = sorted({len(v) for v in vals if v is not None})
+        raise ValueError(
+            f"{what}: embedding column is ragged within a batch "
+            f"(dimensions seen: {dims}); enforce one dimension at ingest "
+            "or filter malformed vectors upstream"
+        ) from ex
+
+
 # --- brute-force top-k ----------------------------------------------------
 
 
@@ -151,7 +171,7 @@ def _bucket_udf(planes: np.ndarray):
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def buckets(col: pd.Series) -> pd.Series:
-        mat = np.stack(col.to_numpy())  # (batch, dim)
+        mat = _stack_vectors(col.to_numpy(), "ann_lsh_topk")  # (batch, dim)
         signs = (mat @ flat.T) > 0  # (batch, n_tables*n_bits)
         ints = (signs.reshape(len(mat), n_tables, n_bits) * weights).sum(
             axis=2
@@ -190,7 +210,9 @@ def ann_lsh_topk(
     to_buckets = _bucket_udf(planes)
 
     def banded(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        return df.select(
+        # NULL embedding = absent vector (SQL aggregate semantics): it
+        # can neither bucket nor be a neighbor.
+        return df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(vecname),
             F.posexplode(to_buckets(F.col(vec_col))).alias(
@@ -246,7 +268,8 @@ def _ivf_centroids(
     fit is bit-reproducible across sessions and cluster layouts.
     """
     rows = (
-        corpus.select(
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(vec_col),
             F.xxhash64(F.col(id_col)).alias("h"),
             F.col(id_col).alias("tie"),
@@ -259,7 +282,10 @@ def _ivf_centroids(
         # Empty corpus slice: no index to fit — callers short-circuit
         # to an empty result (len(Cn) == 0).
         return np.zeros((0, 1), dtype=np.float64)
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = _stack_vectors(
+        [np.asarray(r[0], dtype=np.float64) for r in rows],
+        "ivf_topk centroid fit",
+    )
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = Xn[:n_cells].copy()
     for _ in range(lloyd_iters):
@@ -344,21 +370,21 @@ def ivf_topk(
 
     @F.pandas_udf(IntegerType())
     def assign_cell(col: pd.Series) -> pd.Series:
-        mat = np.stack(col.to_numpy())
+        mat = _stack_vectors(col.to_numpy(), "ivf_topk assign")
         return pd.Series((mat @ Cn.T).argmax(axis=1).astype("int32"))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(col: pd.Series) -> pd.Series:
-        mat = np.stack(col.to_numpy())
+        mat = _stack_vectors(col.to_numpy(), "ivf_topk probe")
         order = np.argsort(-(mat @ Cn.T), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe_eff].astype("int32")))
 
-    cb = corpus.select(
+    cb = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ce"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
-    qb = queries.select(
+    qb = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qe"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
@@ -436,7 +462,7 @@ def cosine_dup_pairs(
     grp = (
         F.col(group_col).cast("long") if group_col is not None else F.lit(0)
     )
-    vecs = df.select(
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
         grp.alias("grp"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).alias("blk"),
         F.col(id_col).alias("vid"),
@@ -488,8 +514,12 @@ def cosine_dup_pairs(
             for r in pdf.itertuples(index=False):
                 ia = np.asarray(r.ids_a, dtype=np.int64)
                 ib = np.asarray(r.ids_b, dtype=np.int64)
-                A = np.stack([np.asarray(v) for v in r.vecs_a])
-                B = np.stack([np.asarray(v) for v in r.vecs_b])
+                A = _stack_vectors(
+                    [np.asarray(v) for v in r.vecs_a], "cosine_dup_pairs"
+                )
+                B = _stack_vectors(
+                    [np.asarray(v) for v in r.vecs_b], "cosine_dup_pairs"
+                )
                 An = A / np.linalg.norm(A, axis=1, keepdims=True)
                 Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
                 mask = (An @ Bn.T) >= lo
@@ -556,7 +586,8 @@ def seed_clusters(
     if k < 1:
         raise ValueError("k must be >= 1")
     seed_rows = (
-        df.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("se"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("se"))
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(k)
         .collect()

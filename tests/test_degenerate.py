@@ -236,3 +236,42 @@ def test_giant_document_takes_blocked_paths(spark):
     )
     assert D.lsh_candidate_pairs(docs).count() == 0
     assert D.simhash_pairs(docs, bits=64).count() == 0
+
+
+def test_embedding_ops_handle_null_and_ragged_vectors(spark):
+    """NULL embeddings are absent values (filtered at every numpy-lane
+    operator's input — SQL aggregate semantics), and a RAGGED embedding
+    column (mixed dimensions, the corrupted-ingest shape) fails with an
+    actionable error naming the dimensions seen, not numpy's opaque
+    shape complaint from inside an executor."""
+    import pytest as _pytest
+
+    from drill_logfile_plugin_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_dup_pairs,
+        ivf_topk,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(base.select("embedding").head()[0])
+    em_null = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 97 == 1, F.lit(None).cast("array<double>")
+        ).otherwise(F.col("embedding")),
+    )
+    em_ragged = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 97 == 0, F.slice("embedding", 1, dim // 2)
+        ).otherwise(F.col("embedding")),
+    )
+    # NULLs: complete, never crash
+    assert ann_lsh_topk(em_null.limit(10), em_null).count() > 0
+    assert ivf_topk(em_null.limit(10), em_null).count() > 0
+    cosine_dup_pairs(em_null, 0.99).count()
+    # ragged: the loud contract error, in both executor and driver lanes
+    with _pytest.raises(Exception, match="ragged"):
+        ann_lsh_topk(em_ragged.limit(10), em_ragged).count()
+    with _pytest.raises(Exception, match="ragged"):
+        ivf_topk(em_ragged.limit(10), em_ragged).count()
