@@ -152,3 +152,41 @@ def test_format_log_int_overflow_nulls_like_read_log(spark, tmp_path):
     assert rows[0].pid is None and rows[0].action == "Connect"
     with pytest.raises(Exception, match="cannot parse value '5000000000'"):
         reader.option("strictNumeric", "true").load(str(p)).collect()
+
+
+def test_format_log_matches_read_log_on_dirty_bytes(spark, tmp_path):
+    """Byte-level dirt the text-based hypothesis property cannot
+    generate: UTF-8 BOM, invalid UTF-8 sequences, CRLF / lone-CR line
+    endings, missing trailing newline — the shim and read_log must
+    agree row for row."""
+    cfg = LogFormatConfig(
+        pattern=r"(\d{6})\s(\d{2}:\d{2}:\d{2})\s+(\d+)\s(\w+)\s+(.+)",
+        field_names=["date", "time", "pid", "action", "query"],
+        data_types=["DATE", "TIME", "INT", "VARCHAR", "VARCHAR"],
+        date_format="yyMMdd",
+    )
+    line = b"070823 21:00:32  1 Connect root@localhost"
+    cases = {
+        "bom": b"\xef\xbb\xbf" + line + b"\n",
+        "bad_utf8": line[:-4] + b"\xff\xfe\x80h\nGARBAGE \xc3\x28 x\n",
+        "crlf": line + b"\r\n070823 21:00:33  2 Quit bye\r\n",
+        "cr_only": line + b"\r070823 21:00:33  2 Quit bye\r",
+        "no_nl": line,
+    }
+    for name, data in cases.items():
+        p = tmp_path / f"{name}.log"
+        p.write_bytes(data)
+        want = sorted(map(str, read_log(spark, str(p), cfg).collect()))
+        got = sorted(
+            map(
+                str,
+                spark.read.format("log")
+                .option("pattern", cfg.pattern)
+                .option("fieldNames", ",".join(cfg.field_names))
+                .option("dataTypes", ",".join(cfg.data_types))
+                .option("dateFormat", cfg.date_format)
+                .load(str(p))
+                .collect(),
+            )
+        )
+        assert got == want, name
