@@ -1,0 +1,244 @@
+"""Model-artifact persistence: train once, apply many times.
+
+Several operators in the similarity / tokenizer / sketch tiers fit a small
+deterministic MODEL before the distributed apply phase — IVF centroids
+(similarity.ivf_fit), LSH hyperplanes (similarity.hyperplanes), the BPE
+merge table (bpe.bpe_train), the count-min-sketch counter grid
+(freqsketch.cms_table). At 100 TB the fit itself is a job you run ONCE:
+the centroid sample scan, the 8 sequential merge rounds, the grid build
+each cost a corpus pass (or a bounded sample of one), and every
+re-invocation that silently refits burns that pass again — worse, a refit
+on a *grown* corpus yields a *different* model, so yesterday's cell
+assignments / token ids stop being comparable with today's. A real
+pipeline therefore persists the artifact and applies it unchanged until a
+deliberate re-train.
+
+This module is that save/load surface. Design rules:
+
+* **One artifact = one JSON file.** Every artifact here is driver-sized
+  by construction (centroids: ``n_cells x dim`` doubles; planes:
+  ``n_tables x n_bits x dim``; merges: k tuples; CMS grid: <= d*w counter
+  rows — each a few KB to a few MB). JSON keeps the artifact
+  inspectable, diffable, and engine-independent; there is no pickle
+  anywhere (a pickle artifact is a code-execution surface and ties the
+  file to Python object layout).
+* **Bit-exact numpy round-trips.** Arrays are stored as base64 of the
+  C-order raw bytes plus dtype/shape, so ``load(save(x)) == x`` at the
+  bit level — the apply phase (matmuls inside pandas UDFs) produces
+  IDENTICAL results from a loaded model as from the in-session one,
+  pinned in tests/test_artifacts.py by comparing collected outputs.
+* **Kind-tagged with a format version.** ``load_artifact`` verifies the
+  format marker and (optionally) the expected kind, so pointing the IVF
+  loader at a BPE file is a setup error, not a shape crash mid-job.
+* **DataFrame artifacts stay DataFrames.** The CMS grid is saved from /
+  loaded to a DataFrame (the shape ``cms_estimate`` consumes); the JSON
+  payload carries the exact int64 counters plus the (w, d) geometry so a
+  loaded grid cannot be queried with mismatched hashing parameters.
+
+No reference counterpart: the reference plugin is a stateless scan
+(LogRecordReader.java holds no model state); this is part of the
+LLM-pipeline extension tier's production surface (SURVEY.md §2 Tier C).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+_FORMAT = "drill-logfile-plugin-spark-artifact"
+_VERSION = 1
+
+#: Artifact kinds with first-class helpers.
+KIND_IVF = "ivf-centroids"
+KIND_LSH = "lsh-hyperplanes"
+KIND_BPE = "bpe-merges"
+KIND_CMS = "cms-grid"
+
+
+def _encode_ndarray(arr: np.ndarray) -> dict:
+    a = np.ascontiguousarray(arr)
+    return {
+        "__ndarray__": True,
+        "dtype": str(a.dtype),
+        "shape": list(a.shape),
+        "data": base64.b64encode(a.tobytes()).decode("ascii"),
+    }
+
+
+def _decode_ndarray(obj: dict) -> np.ndarray:
+    raw = base64.b64decode(obj["data"])
+    return np.frombuffer(raw, dtype=np.dtype(obj["dtype"])).reshape(
+        obj["shape"]
+    ).copy()
+
+
+def _encode(obj):
+    if isinstance(obj, np.ndarray):
+        return _encode_ndarray(obj)
+    if isinstance(obj, (list, tuple)):
+        return [_encode(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _encode(v) for k, v in obj.items()}
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def _decode(obj):
+    if isinstance(obj, dict):
+        if obj.get("__ndarray__"):
+            return _decode_ndarray(obj)
+        return {k: _decode(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_decode(x) for x in obj]
+    return obj
+
+
+def save_artifact(path: str, kind: str, payload, meta: dict | None = None) -> str:
+    """Write ``payload`` (numpy arrays / lists / dicts / scalars) as a
+    kind-tagged JSON artifact. Returns ``path``. Writes via a temp file +
+    rename so a crashed save never leaves a half-written artifact behind
+    for the next pipeline run to load."""
+    doc = {
+        "format": _FORMAT,
+        "version": _VERSION,
+        "kind": kind,
+        "meta": meta or {},
+        "payload": _encode(payload),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, separators=(",", ":"))
+    os.replace(tmp, path)
+    return path
+
+
+def load_artifact(path: str, expect_kind: str | None = None):
+    """Load an artifact; returns ``(kind, payload, meta)``.
+
+    Raises ``ValueError`` on a non-artifact file, an unknown format
+    version, or — when ``expect_kind`` is given — a kind mismatch
+    (pointing the IVF loader at a BPE file should fail at setup, not as
+    a shape error inside an executor UDF)."""
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if not isinstance(doc, dict) or doc.get("format") != _FORMAT:
+        raise ValueError(f"not a {_FORMAT} file: {path}")
+    if doc.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported artifact version {doc.get('version')!r} in {path}"
+        )
+    kind = doc.get("kind")
+    if expect_kind is not None and kind != expect_kind:
+        raise ValueError(
+            f"artifact kind mismatch: {path} holds {kind!r}, "
+            f"expected {expect_kind!r}"
+        )
+    return kind, _decode(doc.get("payload")), doc.get("meta", {})
+
+
+# --- typed wrappers ---------------------------------------------------------
+
+
+def save_ivf_model(path: str, centroids: np.ndarray) -> str:
+    """Persist IVF centroids (similarity.ivf_fit). ``ivf_topk(...,
+    centroids=load_ivf_model(path))`` then applies the index with zero
+    fit cost and stable cell ids across corpus growth."""
+    return save_artifact(
+        path,
+        KIND_IVF,
+        centroids,
+        {"n_cells": int(centroids.shape[0]), "dim": int(centroids.shape[1])},
+    )
+
+
+def load_ivf_model(path: str) -> np.ndarray:
+    _, payload, _ = load_artifact(path, KIND_IVF)
+    return payload
+
+
+def save_lsh_model(path: str, planes: np.ndarray) -> str:
+    """Persist LSH hyperplanes (similarity.hyperplanes), shape
+    (n_tables, n_bits, dim). The default planes are seed-deterministic
+    anyway; persisting pins the geometry explicitly so a config drift
+    (someone changes n_bits) cannot silently re-bucket a stored index."""
+    n_tables, n_bits, dim = planes.shape
+    return save_artifact(
+        path,
+        KIND_LSH,
+        planes,
+        {"n_tables": int(n_tables), "n_bits": int(n_bits), "dim": int(dim)},
+    )
+
+
+def load_lsh_model(path: str) -> np.ndarray:
+    _, payload, _ = load_artifact(path, KIND_LSH)
+    return payload
+
+
+def save_bpe_model(path: str, merges: list[tuple[str, str, int]]) -> str:
+    """Persist a BPE merge table (bpe.bpe_train's first return): ordered
+    (sym_a, sym_b, freq) tuples. ``bpe_encode(df, load_bpe_model(path))``
+    tokenizes any future corpus with the frozen vocabulary — token ids
+    stay comparable across corpus versions, which is the whole point of
+    training a tokenizer once."""
+    for m in merges:
+        if len(m) != 3:
+            raise ValueError(f"malformed merge tuple: {m!r}")
+    return save_artifact(
+        path,
+        KIND_BPE,
+        [[a, b, int(f)] for a, b, f in merges],
+        {"n_merges": len(merges)},
+    )
+
+
+def load_bpe_model(path: str) -> list[tuple[str, str, int]]:
+    _, payload, _ = load_artifact(path, KIND_BPE)
+    return [(a, b, int(f)) for a, b, f in payload]
+
+
+def save_cms_model(path: str, grid, w: int, d: int) -> str:
+    """Persist a count-min-sketch grid (freqsketch.cms_table output)
+    together with its (w, d) geometry. The grid is <= d*w rows by
+    construction (bounded, the mergeable-sketch property), so the
+    collect here is a model artifact, not a data-sized collect."""
+    rows = grid.select("row", "bucket", "c").collect()
+    payload = {
+        "w": int(w),
+        "d": int(d),
+        "cells": [[int(r["row"]), int(r["bucket"]), int(r["c"])] for r in rows],
+    }
+    if len(payload["cells"]) > w * d:
+        raise ValueError(
+            f"grid has {len(payload['cells'])} cells > w*d = {w * d}; "
+            "not a CMS grid for this geometry"
+        )
+    return save_artifact(path, KIND_CMS, payload, {"w": int(w), "d": int(d)})
+
+
+def load_cms_model(spark, path: str):
+    """Load a CMS grid; returns ``(grid_df, w, d)`` ready for
+    ``cms_estimate(keys, grid_df, key_col, w, d)``."""
+    _, payload, _ = load_artifact(path, KIND_CMS)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # Schema matches cms_table's output exactly (row: int from the lit
+    # seed, bucket: long from pmod(xxhash64), c: long from count) so the
+    # estimate join needs no implicit casts on either side.
+    schema = StructType(
+        [
+            StructField("row", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("c", LongType(), False),
+        ]
+    )
+    grid = spark.createDataFrame(
+        [(r, b, c) for r, b, c in payload["cells"]], schema
+    )
+    return grid, int(payload["w"]), int(payload["d"])

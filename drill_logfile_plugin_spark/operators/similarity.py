@@ -190,6 +190,7 @@ def ann_lsh_topk(
     n_tables: int = 16,
     n_bits: int = 4,
     dim: int = 64,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + exact re-rank.
 
@@ -205,8 +206,14 @@ def ann_lsh_topk(
     near-uniform random, the hardest case for LSH (true neighbors are
     barely closer than strangers); clustered real-world embeddings sit well
     above that at the same cost. Tested in tests/test_llm_ops.py.
+
+    ``planes`` (train-once/apply-many): a persisted hyperplane model
+    (artifacts.load_lsh_model) to apply instead of rebuilding; its shape
+    overrides ``n_tables``/``n_bits``/``dim``, so a stored index's
+    bucketing cannot drift under a config change.
     """
-    planes = hyperplanes(n_tables, n_bits, dim)
+    if planes is None:
+        planes = hyperplanes(n_tables, n_bits, dim)
     to_buckets = _bucket_udf(planes)
 
     def banded(df: DataFrame, idname: str, vecname: str) -> DataFrame:
@@ -298,6 +305,25 @@ def _ivf_centroids(
     return C
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 128,
+    lloyd_iters: int = 4,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer and return its centroid matrix — the
+    public train-once entry point. Persist with artifacts.save_ivf_model
+    and pass to :func:`ivf_topk` via ``centroids=`` to apply the same
+    index across runs/corpus versions: at 100 TB the Lloyd fit is a job
+    you run once, and a silently refit index on a grown corpus would
+    re-assign every stored cell id."""
+    return _ivf_centroids(
+        corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -308,6 +334,7 @@ def ivf_topk(
     nprobe: int = 32,
     lloyd_iters: int = 4,
     sample_size: int = 4096,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF-flat index: coarse cells + probe.
 
@@ -345,9 +372,18 @@ def ivf_topk(
     candidate volume per query ≈ n × nprobe / n_cells is the explicit
     cost dial. When recall matters more than cost on unclustered data,
     prefer :func:`ann_lsh_topk` (0.92 @ 16 tables) or raise ``nprobe``.
+
+    ``centroids`` (train-once/apply-many): a fitted quantizer from
+    :func:`ivf_fit` / artifacts.load_ivf_model to apply as-is, skipping
+    the fit scan entirely; cell ids then stay stable across invocations
+    and corpus growth.
     """
-    Cn = _ivf_centroids(
-        corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
+    Cn = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(
+            corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
+        )
     )
     if len(Cn) == 0:
         # Empty corpus: no neighbors exist. Emit the contract schema

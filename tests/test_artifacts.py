@@ -1,0 +1,127 @@
+"""Round-trip contracts for the model-artifact persistence surface
+(drill_logfile_plugin_spark/artifacts.py).
+
+The production claim under test: train -> save -> load -> apply is
+IDENTICAL to train -> apply (bit-exact model, hash-equal query output),
+so a 100 TB pipeline can fit its models once and apply them forever.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark import artifacts as A
+from drill_logfile_plugin_spark.operators import bpe as B
+from drill_logfile_plugin_spark.operators import freqsketch as FS
+from drill_logfile_plugin_spark.operators import similarity as S
+from drill_logfile_plugin_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").limit(300)
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").limit(120)
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_ivf_roundtrip_bit_exact_and_apply_equal(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivf.json")
+    C = S.ivf_fit(embeddings, n_cells=16, lloyd_iters=2, sample_size=128)
+    A.save_ivf_model(path, C)
+    C2 = A.load_ivf_model(path)
+    assert C2.dtype == C.dtype and C2.shape == C.shape
+    assert np.array_equal(C, C2)  # bit-exact, not allclose
+
+    q = embeddings.where(F.col("vec_id") % 50 == 0)
+    fresh = S.ivf_topk(
+        q, embeddings, k=3, n_cells=16, lloyd_iters=2, sample_size=128
+    )
+    loaded = S.ivf_topk(q, embeddings, k=3, centroids=C2)
+    assert _rows(fresh) == _rows(loaded)
+
+
+def test_lsh_roundtrip_bit_exact_and_apply_equal(spark, embeddings, tmp_path):
+    path = str(tmp_path / "lsh.json")
+    planes = S.hyperplanes(4, 4, 64)
+    A.save_lsh_model(path, planes)
+    p2 = A.load_lsh_model(path)
+    assert np.array_equal(planes, p2)
+
+    q = embeddings.where(F.col("vec_id") % 50 == 0)
+    fresh = S.ann_lsh_topk(q, embeddings, k=3, n_tables=4, n_bits=4, dim=64)
+    loaded = S.ann_lsh_topk(q, embeddings, k=3, planes=p2)
+    assert _rows(fresh) == _rows(loaded)
+
+
+def test_lsh_planes_shape_overrides_params(spark, embeddings, tmp_path):
+    """A loaded model's geometry wins over (stale) keyword args — config
+    drift cannot re-bucket a stored index."""
+    planes = S.hyperplanes(2, 3, 64)
+    q = embeddings.where(F.col("vec_id") % 50 == 0)
+    with_model = S.ann_lsh_topk(
+        q, embeddings, k=3, n_tables=16, n_bits=4, planes=planes
+    )
+    explicit = S.ann_lsh_topk(q, embeddings, k=3, n_tables=2, n_bits=3)
+    assert _rows(with_model) == _rows(explicit)
+
+
+def test_bpe_roundtrip_and_apply_equal(spark, documents, tmp_path):
+    path = str(tmp_path / "bpe.json")
+    merges, words = B.bpe_train(documents, n_merges=3)
+    words.unpersist()
+    A.save_bpe_model(path, merges)
+    m2 = A.load_bpe_model(path)
+    assert m2 == merges  # exact tuples, ints stay ints
+
+    sample = documents.limit(20)
+    fresh = B.bpe_encode(sample, merges).select("doc_id", "bpe_tokens")
+    loaded = B.bpe_encode(sample, m2).select("doc_id", "bpe_tokens")
+    assert _rows(fresh) == _rows(loaded)
+
+
+def test_cms_roundtrip_and_estimate_equal(spark, documents, tmp_path):
+    path = str(tmp_path / "cms.json")
+    occ = documents.select(F.col("source").alias("key")).where(
+        F.col("key").isNotNull()
+    )
+    grid = FS.cms_table(occ, "key", w=64, d=3)
+    A.save_cms_model(path, grid, w=64, d=3)
+    grid2, w2, d2 = A.load_cms_model(spark, path)
+    assert (w2, d2) == (64, 3)
+    assert _rows(grid) == _rows(grid2)  # same cells, same counts
+    assert grid2.dtypes == grid.dtypes  # same column types (nullability may differ)
+
+    keys = occ.distinct()
+    fresh = FS.cms_estimate(keys, grid, "key", w=64, d=3)
+    loaded = FS.cms_estimate(keys, grid2, "key", w=64, d=3)
+    assert _rows(fresh) == _rows(loaded)
+
+
+def test_kind_mismatch_is_setup_error(tmp_path):
+    path = str(tmp_path / "x.json")
+    A.save_bpe_model(path, [("a", "b", 3)])
+    with pytest.raises(ValueError, match="kind mismatch"):
+        A.load_ivf_model(path)
+
+
+def test_non_artifact_file_rejected(tmp_path):
+    path = tmp_path / "junk.json"
+    path.write_text('{"hello": 1}')
+    with pytest.raises(ValueError, match="not a"):
+        A.load_artifact(str(path))
+
+
+def test_malformed_merge_rejected_at_save(tmp_path):
+    with pytest.raises(ValueError, match="malformed"):
+        A.save_bpe_model(str(tmp_path / "m.json"), [("a", "b")])
