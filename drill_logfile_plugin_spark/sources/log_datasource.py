@@ -44,9 +44,12 @@ Semantics mirrored from the reference scan (same contract as
   package's error semantics (bad numerics NULL unless ``strictNumeric``;
   bad temporals NULL unless ``errorOnMismatch``; TIME as millis-of-day),
 * extension dispatch over directories (``extensions`` option, default
-  ``log``) with gzip/bz2/xz twins decoded by suffix — one reader per
-  file, exactly the reference's non-splittable model
-  (LogFormatPlugin.java:56).
+  ``log``) with gzip/bz2/xz twins decoded by suffix. Uncompressed files
+  larger than ``splitSize`` (option, default 64 MiB) split into
+  line-aligned byte-range partitions so one big file scans in parallel
+  — an improvement over the reference's one-reader-per-file model
+  (LogFormatPlugin.java:56), which compressed input and the strict
+  error modes (whose aborts must name exact global line numbers) keep.
 
 Date formats are the same Java ``SimpleDateFormat`` strings the JSON
 config uses, translated to ``strptime`` for the supported token subset
@@ -247,8 +250,59 @@ def _open_lines(path: str):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One scan task: a whole file (``start``/``end`` None — the
+    compressed / strict-mode / small-file path) or a byte range
+    [start, end) of an uncompressed file (the splittable path)."""
+
+    def __init__(self, path: str, start: int | None = None, end: int | None = None):
         self.path = path
+        self.start = start
+        self.end = end
+
+
+#: Default byte-range split size for uncompressed files (matches the
+#: order of Spark's files.maxPartitionBytes default).
+_DEFAULT_SPLIT_SIZE = 64 * 1024 * 1024
+
+
+def _iter_partition_lines(partition):
+    """Yield ``(line_no, line_text)`` for a partition.
+
+    Whole-file partitions iterate in text mode: universal newlines (the
+    CR/LF/CRLF line model Hadoop's LineReader gives ``read_log``) and
+    exact global line numbers for the strict error paths.
+
+    Byte-range partitions read binary with the classic split-ownership
+    rule: a physical (LF-terminated) line belongs to the split containing
+    its FIRST byte. A reader starting mid-file probes the byte before
+    ``start`` — if it is not LF the reader began mid-line, so the partial
+    first line is discarded (the previous split owns it and reads past
+    its own ``end`` to finish it); if it IS LF the line starting exactly
+    at ``start`` is ours. UTF-8 is safe under byte probing: a multi-byte
+    sequence's continuation bytes are never 0x0A. Decoded content then
+    splits on bare CR so classic-Mac separators yield the same logical
+    lines text mode produces. Line numbers are split-relative — which is
+    why :meth:`LogDataSourceReader._splittable` refuses to split under
+    the strict modes whose aborts must name exact global line numbers.
+    """
+    if partition.start is None:
+        with _open_lines(partition.path) as fh:
+            yield from enumerate(fh, start=1)
+        return
+    start, end = partition.start, partition.end
+    with open(partition.path, "rb") as fh:
+        if start > 0:
+            fh.seek(start - 1)
+            if fh.read(1) != b"\n":
+                fh.readline()  # began mid-line: the previous split owns it
+        n = 0
+        while fh.tell() < end:
+            raw = fh.readline()
+            if not raw:
+                break
+            for sub in raw.decode("utf-8", errors="replace").split("\r"):
+                n += 1
+                yield n, sub
 
 
 class LogDataSourceReader(DataSourceReader):
@@ -259,6 +313,28 @@ class LogDataSourceReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('log') requires .load(path)")
+        try:
+            self.split_size = int(
+                options.get("splitsize", _DEFAULT_SPLIT_SIZE)
+            )
+        except ValueError:
+            raise ValueError(
+                "format('log'): splitSize must be an integer byte count"
+            ) from None
+        if self.split_size < 1:
+            raise ValueError("format('log'): splitSize must be >= 1")
+
+    def _splittable(self, path: str) -> bool:
+        """Byte-range splits apply to plain files only: compressed input
+        keeps the reference's one-reader-per-file model
+        (LogFormatPlugin.java:56 — a codec stream has no random access),
+        and the strict error modes keep it too because their abort
+        messages name exact line numbers (a byte-range reader knows its
+        offset, not its global line number — better an unsplit scan than
+        a wrong diagnostic)."""
+        if self.cfg.error_on_mismatch or self.cfg.strict_numeric:
+            return False
+        return not any(path.endswith("." + s) for s in _CODEC_SUFFIXES)
 
     def partitions(self):
         # Never return an empty list: PySpark substitutes [None] for an
@@ -267,7 +343,17 @@ class LogDataSourceReader(DataSourceReader):
         # matching files must yield an empty DataFrame, so it plans as
         # one sentinel partition that read() recognizes and skips.
         paths = _expand_paths(self.path, self.cfg.extensions)
-        return [_FilePartition(p) for p in paths] or [_FilePartition(None)]
+        parts: list[_FilePartition] = []
+        for p in paths:
+            size = os.path.getsize(p) if os.path.isfile(p) else 0
+            if size > self.split_size and self._splittable(p):
+                parts.extend(
+                    _FilePartition(p, s, min(s + self.split_size, size))
+                    for s in range(0, size, self.split_size)
+                )
+            else:
+                parts.append(_FilePartition(p))
+        return parts or [_FilePartition(None)]
 
     def read(self, partition):
         if partition is None or partition.path is None:
@@ -361,32 +447,31 @@ class LogDataSourceReader(DataSourceReader):
                 c.clear()
             return batch
 
-        with _open_lines(partition.path) as fh:
-            for line_no, line in enumerate(fh, start=1):
-                line = line.strip(_JAVA_TRIM_CHARS)
-                if not line:
-                    continue  # Java-trim empty-line skip
-                m = rx.search(line)  # Matcher.find() semantics
-                if m is None:
-                    if cfg.error_on_mismatch:
-                        raise ValueError(
-                            "log scan: line does not match pattern in file "
-                            f"'{partition.path}' at line {line_no}: {line}"
-                        )
-                    for c in cols[:-1]:
-                        c.append(None)
-                    cols[-1].append(line)
-                else:
-                    where = f" (file '{partition.path}' line {line_no})"
-                    for i, (name, tag) in enumerate(
-                        zip(cfg.field_names, types)
-                    ):
-                        raw = m.group(i + 1)
-                        raw = "" if raw is None else raw  # null group -> ""
-                        cols[i].append(coerce(raw, tag, name, where))
-                    cols[-1].append(None)
-                if len(cols[-1]) >= self._BATCH_ROWS:
-                    yield flush()
+        for line_no, line in _iter_partition_lines(partition):
+            line = line.strip(_JAVA_TRIM_CHARS)
+            if not line:
+                continue  # Java-trim empty-line skip
+            m = rx.search(line)  # Matcher.find() semantics
+            if m is None:
+                if cfg.error_on_mismatch:
+                    raise ValueError(
+                        "log scan: line does not match pattern in file "
+                        f"'{partition.path}' at line {line_no}: {line}"
+                    )
+                for c in cols[:-1]:
+                    c.append(None)
+                cols[-1].append(line)
+            else:
+                where = f" (file '{partition.path}' line {line_no})"
+                for i, (name, tag) in enumerate(
+                    zip(cfg.field_names, types)
+                ):
+                    raw = m.group(i + 1)
+                    raw = "" if raw is None else raw  # null group -> ""
+                    cols[i].append(coerce(raw, tag, name, where))
+                cols[-1].append(None)
+            if len(cols[-1]) >= self._BATCH_ROWS:
+                yield flush()
         if cols[-1]:
             yield flush()
 

@@ -190,3 +190,81 @@ def test_format_log_matches_read_log_on_dirty_bytes(spark, tmp_path):
             )
         )
         assert got == want, name
+
+
+def test_format_log_splits_large_uncompressed_file(spark, tmp_path):
+    """Byte-range splitting: a file scanned with a small splitSize plans
+    >1 input partition yet returns row-for-row what read_log returns —
+    including lines straddling split boundaries (the ownership rule:
+    a line belongs to the split containing its first byte)."""
+    p = tmp_path / "big.log"
+    lines = [
+        f"0708{i % 28 + 1:02d} 21:00:{i % 60:02d}  {i} Query  select col_{i} from t_{i % 7}"
+        for i in range(500)
+    ]
+    # organic dirt: unmatched lines and empties interleaved
+    body = []
+    for i, ln in enumerate(lines):
+        body.append(ln)
+        if i % 97 == 0:
+            body.append("GARBAGE LINE %d" % i)
+        if i % 61 == 0:
+            body.append("   ")
+    p.write_text("\n".join(body) + "\n")
+
+    reader = _mysql_reader(spark).option("splitSize", "512")
+    df = reader.load(str(p))
+    # planfully >1 partition: the split math on this file must fan out
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts > 1, f"expected a split scan, got {n_parts} partition(s)"
+
+    cfg = LogFormatConfig(
+        pattern=MYSQL_PATTERN,
+        field_names=MYSQL_FIELDS,
+        data_types=MYSQL_TYPES,
+        date_format="yyMMdd",
+    )
+    ref = read_log(spark, str(p), cfg)
+    assert df.schema == ref.schema
+    assert _sorted(df) == _sorted(ref)
+
+
+def test_format_log_split_boundary_sweep(spark, tmp_path):
+    """Every splitSize from 1 byte up: no line lost, duplicated, or torn
+    regardless of where the boundary lands (including exactly on a
+    newline — the probe-byte rule's edge)."""
+    p = tmp_path / "sweep.log"
+    p.write_text("070823 21:00:32  1 Connect root@localhost\n"
+                 "GARBAGE\n"
+                 "070824 22:01:33  2 Query  select 1\n")
+    cfg = LogFormatConfig(
+        pattern=MYSQL_PATTERN,
+        field_names=MYSQL_FIELDS,
+        data_types=MYSQL_TYPES,
+        date_format="yyMMdd",
+    )
+    ref = _sorted(read_log(spark, str(p), cfg))
+    for split in (1, 7, 41, 42, 43, 44, 50, 51, 52, 1000):
+        got = _sorted(
+            _mysql_reader(spark).option("splitSize", str(split)).load(str(p))
+        )
+        assert got == ref, f"splitSize={split}"
+
+
+def test_format_log_strict_modes_stay_unsplit(spark, tmp_path):
+    """errorOnMismatch keeps one partition per file (its abort names the
+    exact global line number, which a byte-range reader cannot know) —
+    and the abort message still carries file + line."""
+    p = tmp_path / "strict.log"
+    p.write_text(
+        "070823 21:00:32  1 Connect root@localhost\n" * 40 + "BAD\n"
+    )
+    reader = (
+        _mysql_reader(spark)
+        .option("splitSize", "64")
+        .option("errorOnMismatch", "true")
+    )
+    df = reader.load(str(p))
+    assert df.rdd.getNumPartitions() == 1
+    with pytest.raises(Exception, match="line 41"):
+        df.collect()
