@@ -6,17 +6,24 @@ layer, and run decode / feature-extraction as **Arrow-batched Pandas
 iterators** (``mapInPandas``) so bytes move executor-side in columnar
 batches — never row-at-a-time through the driver.
 
-The actual media codecs (PIL/ffmpeg/torchaudio) are not available in this
-container, so the decode step is pluggable:
+The decode step is pluggable by codec name:
 
+* ``codec="png"`` — a REAL decoder: a complete stdlib+numpy PNG reader
+  (zlib inflate, chunk parse, all five filter types, color types
+  0/2/3/4/6 at 8-bit depth) producing true dimensions and luma pixels;
+  features are content-derived intensity histograms. Verified in pytest
+  against independently-encoded images (the test writes PNGs with its
+  own spec-following encoder, per-row filter types chosen adversarially).
 * ``codec="fake"`` — a deterministic stand-in that derives (width, height,
   format) from the md5 of the payload bytes. Because Python's hashlib md5
   equals SQL ``md5()``, the fake decoder is *oracle-checkable end to end*:
   the driver's DuckDB SQL reproduces it exactly, which validates the real
   part (schema, batching, partitioning, UDF signature) rather than the
-  stub.
-* any other codec — raises :class:`NotImplementedError` at plan-build
-  time, marking exactly where a real decoder plugs in.
+  stub — the driver fixture lane (q33/q42).
+* any other codec (JPEG, audio, video — the libs aren't in this
+  container) — raises :class:`NotImplementedError` at plan-build time,
+  marking exactly where the next decoder plugs in behind the same
+  Spark-side shape.
 
 No reference counterpart: the reference plugin is text-only
 (LogRecordReader.java:125 hardcodes UTF-8 line decoding); this module is
@@ -53,7 +60,124 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake",)
+SUPPORTED_CODECS = ("fake", "png")
+
+
+# --- real codec: PNG --------------------------------------------------------
+#
+# One real media format proves the plumbing end-to-end without external
+# libraries: PNG's container is stdlib-decodable (zlib + struct), so the
+# decode path below is a complete, spec-correct reader for the common
+# profile — 8-bit depth, color types 0/2/3/4/6, non-interlaced — and a
+# clearly-marked NotImplementedError for the rest (16-bit, Adam7). It is
+# a CORRECTNESS-grade decoder: the per-row unfilter loop is Python, fine
+# for metadata/feature extraction over thumbnails and fixtures; a
+# production image pipeline swaps in a vectorized codec behind the same
+# dispatch without touching any Spark-side shape.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel by PNG color type (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_decode(payload: bytes):
+    """Decode a PNG to ``(width, height, gray)`` — ``gray`` a (h, w)
+    uint8 luma array (integer BT.601 weights for color images; palette
+    resolved first; alpha ignored). Supported profile: 8-bit depth,
+    color types 0/2/3/4/6, interlace 0; anything else raises
+    NotImplementedError (the explicit plug-in point), malformed bytes
+    raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    depth = ctype_num = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, ctype_num, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype_num not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG profile not supported by the built-in decoder: depth="
+            f"{depth} colorType={ctype_num} interlace={interlace} "
+            "(supported: 8-bit, color types 0/2/3/4/6, non-interlaced)"
+        )
+    nch = _PNG_CHANNELS[ctype_num]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, nch)
+    if ctype_num == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = palette[px[:, :, 0]].astype(np.int64)
+        gray = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    elif ctype_num in (2, 6):
+        rgb = px[:, :, :3].astype(np.int64)
+        gray = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    else:  # 0 (gray) / 4 (gray+alpha): first channel IS the luma
+        gray = px[:, :, 0].astype(np.int64)
+    return int(width), int(height), gray.astype(np.uint8)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -93,9 +217,15 @@ def decode_media(
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r}: real media codecs (PIL/ffmpeg) are not "
+            f"codec {codec!r}: further media codecs (JPEG/ffmpeg) are not "
             f"available in this environment; supported: {SUPPORTED_CODECS}"
         )
+    if codec == "png":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            w, h, _gray = _png_decode(p)
+            return "png", w, h
+    else:
+        _decode_one = _fake_decode
 
     # NULL payloads are filtered up front (the phash_signatures posture):
     # hashlib/len over None raises inside the Arrow batch, failing the
@@ -109,7 +239,7 @@ def decode_media(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [_decode_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -156,25 +286,39 @@ def extract_features(
     to [0, 1] by /255 — deterministic, and reproducible in SQL (md5 hex
     pairs → ints), so aggregates over features are oracle-checkable with
     order-independent reducers (MIN/MAX; j/255.0 is IEEE-exact in every
-    engine).
+    engine). PNG codec: a ``dim``-bin normalized luma histogram of the
+    decoded pixels (each feature = fraction of pixels in that intensity
+    band) — a real, content-derived image feature.
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(f"codec {codec!r} not available")
-    if dim > 16:
+    if codec == "fake" and dim > 16:
         raise ValueError("fake codec derives at most 16 features (one md5)")
+    if codec == "png" and not 1 <= dim <= 256:
+        raise ValueError("png histogram features need 1 <= dim <= 256")
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
+    if codec == "png":
+        def _features_one(p: bytes) -> list[float]:
+            import numpy as np
+
+            _w, _h, gray = _png_decode(p)
+            hist = np.bincount(
+                (gray.ravel().astype(np.int64) * dim) // 256, minlength=dim
+            )
+            return (hist / max(1, gray.size)).tolist()
+    else:
+        def _features_one(p: bytes) -> list[float]:
+            return [b / 255.0 for b in hashlib.md5(p).digest()[:dim]]
+
     def feature_batches(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [b / 255.0 for b in hashlib.md5(p).digest()[:dim]]
-                for p in pdf["payload"]
-            ]
+            feats = [_features_one(p) for p in pdf["payload"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return narrow.mapInPandas(feature_batches, FEATURES_SCHEMA)
@@ -224,8 +368,13 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                h = hashlib.md5(p).hexdigest()
-                n_frames = 1 + int(h[9:12], 16) % 8
+                if codec == "png":
+                    # a validated still image is exactly one frame
+                    _png_decode(p)
+                    n_frames = 1
+                else:
+                    h = hashlib.md5(p).hexdigest()
+                    n_frames = 1 + int(h[9:12], 16) % 8
                 for i in range(0, n_frames, every_n):
                     ids.append(doc_id)
                     idxs.append(i)
