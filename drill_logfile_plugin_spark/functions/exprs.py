@@ -113,3 +113,39 @@ def nullsafe_group_cond(
         F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
         for c in gcols
     ] + list(extra)
+
+
+#: Bucket resolution for cert_slice_cond — 1e6 buckets keeps fraction
+#: granularity at one part per million while the modulus stays exact in
+#: int64 arithmetic.
+CERT_BUCKETS = 1_000_000
+
+
+def cert_slice_cond(key: Column, cert_fraction: float) -> Column:
+    """Deterministic key-slice predicate for certification-lane sampling.
+
+    The sketch tier's exact lanes (rolling exact, segment exact, CMS
+    certified, profiler exact-distinct) exist to CERTIFY the sketch, not
+    to serve queries — and at 100 TB they are the cost: each pays a
+    distinct-key-sized shuffle the production sketch lane never pays.
+    ``cert_fraction`` bounds that cost: certify on the keys whose
+    ``xxhash64`` lands in the first ``cert_fraction`` of 1e6 buckets — a
+    deterministic, engine-stable, unbiased-by-construction slice (xxhash64
+    is a fixed published function of the value, so the same keys are
+    sliced on every run, every cluster layout, every corpus growth step).
+
+    Contract: ``cert_fraction=1.0`` must be handled by the CALLER as
+    "no filter" (the driver-oracle surface stays byte-identical); this
+    helper only builds the predicate for fractions < 1.
+    """
+    if not 0.0 < cert_fraction < 1.0:
+        raise ValueError(
+            f"cert_slice_cond is for 0 < fraction < 1, got {cert_fraction}"
+        )
+    thr = int(cert_fraction * CERT_BUCKETS)
+    if thr < 1:
+        raise ValueError(
+            f"cert_fraction={cert_fraction} selects zero of {CERT_BUCKETS} "
+            "buckets; raise it or skip certification outright"
+        )
+    return F.pmod(F.xxhash64(key), F.lit(CERT_BUCKETS)) < F.lit(thr)

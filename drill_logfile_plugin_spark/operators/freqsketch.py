@@ -105,6 +105,7 @@ def heavy_hitters_certified(
     w: int = 1024,
     d: int = 3,
     eps: float = 0.01,
+    cert_fraction: float = 1.0,
 ) -> DataFrame:
     """Exact top-``k`` keys with their CMS estimates and guarantee flags.
 
@@ -134,10 +135,20 @@ def heavy_hitters_certified(
     row 0, so that row sums to N — no third pass. The grid is barriered
     (≤ d·w rows) because the estimate join and the N aggregate both
     consume it.
+
+    ``cert_fraction`` < 1 certifies on a deterministic xxhash64
+    key-slice (functions/exprs.cert_slice_cond): the exact top-k lane's
+    distinct-key shuffle is the certification's scale cost; both lanes
+    (grid AND exact) see the sliced population, so the never_under /
+    within_eps guarantees are judged on a consistent stream. Default
+    1.0 = full exactness — the q52 driver arm, unchanged.
     """
+    from ..functions.exprs import cert_slice_cond
     from .dedup import _barrier
 
     occ = df.select(F.col(col).alias("key")).where(F.col("key").isNotNull())
+    if cert_fraction != 1.0:
+        occ = occ.where(cert_slice_cond(F.col("key"), cert_fraction))
     # Global top-k via sort-limit (TakeOrderedAndProject: O(k) state per
     # partition, no single-partition window over the full key table); the
     # rank window then runs over the k surviving rows only.

@@ -55,7 +55,10 @@ _NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 
 
 def profile_columns(
-    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+    cert_fraction: float = 1.0,
 ) -> DataFrame:
     """Profile ``cols`` (default: all supported columns) of ``df``.
 
@@ -63,6 +66,18 @@ def profile_columns(
     (col_name, n_rows, n_nulls, n_distinct, d_min, d_max, s_min, s_max).
     Unsupported types (arrays, structs, binary) raise ValueError — name
     the columns explicitly to skip them.
+
+    ``cert_fraction`` < 1 (exact mode only) bounds the exact-distinct
+    branches — the profiler's only distinct-key shuffles — to a
+    deterministic xxhash64 VALUE-slice per column
+    (functions/exprs.cert_slice_cond): ``n_distinct`` then counts the
+    slice's distinct values exactly. Because the slice is a fixed
+    function of the value, the number is reproducible run-over-run and
+    comparable snapshot-over-snapshot — which is all drift detection
+    (profile_drift's ratio test) needs — at ``cert_fraction`` of the
+    shuffle. Row-level metrics (n_rows, n_nulls, ranges) stay full-table.
+    Default 1.0 = full exact counts (the q52 profile arm, unchanged);
+    with ``approx=True`` the knob is ignored (HLL++ is already bounded).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
@@ -87,10 +102,15 @@ def profile_columns(
             # the branches are UNIONED into one (col_name, n_distinct)
             # side table so they evaluate as parallel stages of a single
             # broadcast build, not K sequential jobs
+            branch = df
+            if cert_fraction != 1.0:
+                from ..functions.exprs import cert_slice_cond
+
+                branch = df.where(cert_slice_cond(F.col(c), cert_fraction))
             distinct_branches.append(
-                df.agg(F.count_distinct(F.col(c)).alias("n_distinct")).select(
-                    F.lit(c).alias("col_name"), "n_distinct"
-                )
+                branch.agg(
+                    F.count_distinct(F.col(c)).alias("n_distinct")
+                ).select(F.lit(c).alias("col_name"), "n_distinct")
             )
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")

@@ -41,7 +41,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exprs import nullsafe_group_cond
+from ..functions.exprs import cert_slice_cond, nullsafe_group_cond
 
 
 def rolling_distinct(
@@ -54,6 +54,7 @@ def rolling_distinct(
     rel_tol: float = 0.05,
     abs_tol: int = 2,
     exact_lane: bool = True,
+    cert_fraction: float = 1.0,
 ) -> DataFrame:
     """Per (group, window-end-bucket) trailing-``trailing``-bucket
     distinct-``key_col`` counts.
@@ -63,9 +64,19 @@ def rolling_distinct(
     ``n_exact`` and ``in_band``. Production at scale runs
     ``exact_lane=False`` (sketch lane only); the exact lane is the
     oracle-checkable certification (module docstring).
+
+    ``cert_fraction`` < 1 restricts the whole certification run (both
+    lanes — they must see the same population for ``in_band`` to mean
+    anything) to a deterministic xxhash64 key-slice
+    (functions/exprs.cert_slice_cond): at 100 TB the exact lane's
+    appearance-level shuffles are the certification's cost, and a 1%
+    slice certifies the sketch machinery at 1% of it. Default 1.0 =
+    full exactness — the driver-oracle surface, byte-identical.
     """
     if trailing < 1:
         raise ValueError("trailing must be >= 1")
+    if cert_fraction != 1.0:
+        df = df.where(cert_slice_cond(F.col(key_col), cert_fraction))
     gcols = list(group_cols)
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
     offs = F.explode(

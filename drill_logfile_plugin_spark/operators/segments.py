@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import cert_slice_cond
+
 
 def segment_overlap(
     df: DataFrame,
@@ -33,6 +35,7 @@ def segment_overlap(
     rel_tol: float = 0.05,
     abs_tol: int = 5,
     exact_lane: bool = True,
+    cert_fraction: float = 1.0,
 ) -> DataFrame:
     """Pairwise segment overlap estimates (seg_a < seg_b).
 
@@ -41,10 +44,19 @@ def segment_overlap(
     keys are excluded (a NULL segment is a data-quality question for
     profile_drift, not an audience); NULL member keys are skipped by
     both HLL and COUNT(DISTINCT), consistently.
+
+    ``cert_fraction`` < 1 runs the whole certification (sketch AND exact
+    lanes, same population) on a deterministic xxhash64 member-key slice
+    (functions/exprs.cert_slice_cond) — the exact lane's distinct-key
+    self-join is the certification's cost at scale, and a uniform hash
+    slice of members preserves every overlap's *rate* in expectation.
+    Default 1.0 = full exactness (the driver-oracle surface, unchanged).
     """
     base = df.where(
         F.col(seg_col).isNotNull() & F.col(key_col).isNotNull()
     ).select(F.col(seg_col).alias("seg"), F.col(key_col).alias("_k"))
+    if cert_fraction != 1.0:
+        base = base.where(cert_slice_cond(F.col("_k"), cert_fraction))
     # Production (exact_lane=False) is ALL-sketch: per-segment sizes come
     # from the same HLL state, so no distinct-key shuffle exists anywhere
     # in the lane. The certification lane pays exact count_distinct so

@@ -347,10 +347,20 @@ def main() -> None:
     def rolling_exact_lane(spark, sf_dir):
         return rolling_distinct(load_table(spark, sf_dir, "events"))
 
+    # cert_fraction: the certified arm on a 10% deterministic key slice
+    # should bend TOWARD the sketch lane's factor (the exact lane's
+    # appearance-level shuffles shrink with the slice while the fixed
+    # per-bucket sketch state dominates) — the knob's whole claim.
+    def rolling_cert_slice_lane(spark, sf_dir):
+        return rolling_distinct(
+            load_table(spark, sf_dir, "events"), cert_fraction=0.1
+        )
+
     timed.append(("log_templates", templates_lane))
     timed.append(("anomaly_spikes", spike_lane))
     timed.append(("rolling_hll_sketch", rolling_sketch_lane))
     timed.append(("rolling_with_exact_lane", rolling_exact_lane))
+    timed.append(("rolling_cert_slice_10pct", rolling_cert_slice_lane))
 
     from drill_logfile_plugin_spark.operators.segments import segment_overlap
 
@@ -360,7 +370,14 @@ def main() -> None:
             exact_lane=False,
         )
 
+    def overlap_cert_slice_lane(spark, sf_dir):
+        return segment_overlap(
+            load_table(spark, sf_dir, "events").select("event_type", "user_id"),
+            cert_fraction=0.1,
+        )
+
     timed.append(("segment_overlap_sketch", overlap_sketch_lane))
+    timed.append(("segment_overlap_cert_slice", overlap_cert_slice_lane))
 
     # LM surprisal over the 10× documents fixture: one barriered
     # pair-explode + three token-key equi joins. The shifted-alphabet
