@@ -1,0 +1,154 @@
+"""End-to-end incremental ingestion: the operators, composed.
+
+The repo's LLM-pipeline tier ships as individually certified operators;
+this module is the documented composition a corpus team actually runs
+when a new crawl/batch arrives against a standing corpus:
+
+    snapshot delta  ->  incremental content dedup  ->  quality filter
+    ->  per-document split assignment  ->  token chunking  ->  sequence
+    packing
+
+each stage the already-oracle-certified operator (q51's diff + inc-dedup
+shapes, q23/q24/q62 via clean_corpus, q55's split construction, q61's
+chunk/pack), glued so that **document text never rides a shuffle**:
+
+* the delta and dedup lanes operate on (id, md5-fingerprint)
+  projections — ~40 bytes/doc through every exchange regardless of
+  document size (the snapshot_diff / exact-dedup discipline);
+* the ONE join that brings text its keep-verdict is a left-semi equi
+  join against the winner-id set — delta-sized, hence broadcast in any
+  realistic increment (AQE decides; the plan contract in
+  tests/test_pipeline.py pins that no exchange carries the text column);
+* everything after that join is map-only (clean_corpus: fused scan
+  expressions; split: a hash of the id; chunk_docs: explode that DROPS
+  text) until pack_sequences' per-shard window, which shuffles token
+  counts only.
+
+Scale posture at 100 TB: the expensive paths are the two fingerprint
+shuffles (O(increment) + O(corpus) fixed-width rows) and the packing
+window (O(chunks of the *kept delta*), partitioned by shard — never a
+global sort). Persisting the standing corpus's fingerprint projection
+bucketed by id (sources/sinks.write_bucketed) turns tomorrow's diff into
+a zero-shuffle co-located join.
+
+No reference counterpart (the reference is a scan plugin); this is the
+LLM-pipeline extension tier's composition surface (SURVEY.md §2 Tier C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.chunking import chunk_docs, pack_sequences
+from .operators.sampling import leakage_safe_split
+from .operators.text import clean_corpus
+from .operators.versioning import snapshot_diff
+
+
+def ingest_increment(
+    existing: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    langs: tuple[str, ...] | None = None,
+    quality_keep: tuple[str, ...] = ("good",),
+    drop_repetitive: bool = True,
+    chunk_tokens: int = 64,
+    pack_budget: int = 2048,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Process a corpus increment end to end; returns the packed chunk
+    table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
+    bin_id)`` — one row per training chunk of every NEW document worth
+    keeping.
+
+    Stages (each the certified operator, see module docstring):
+
+    1. **Delta** — :func:`..operators.versioning.snapshot_diff` against
+       the standing corpus: only ``added``/``changed`` ids proceed
+       (re-ingesting unchanged documents would duplicate them downstream
+       and waste the whole pipeline's work).
+    2. **Incremental dedup** — within the delta, exact content dedup
+       keeps the min-id representative per fingerprint; content already
+       present ANYWHERE in the standing corpus (same bytes under a
+       different id — mirrors, reposts) is anti-joined away. Both steps
+       on (id, fingerprint) projections only.
+    3. **Keep-verdict join** — ONE left-semi equi join brings the
+       increment's full rows to their verdict (winner ids are
+       delta-sized; AQE broadcasts them in any realistic increment).
+    4. **Quality filter** — :func:`..operators.text.clean_corpus`
+       (language gate, quality bands, repetition verdict), map-only.
+    5. **Split** — per-document train/val/test via the q55 md5-bucket
+       construction (a pure function of the id: reproducible across
+       engines and corpus versions), assigned BEFORE chunking so every
+       chunk of a document lands in the same split. Pass ``clusters``
+       (a dup_clusters frame) to use
+       :func:`..operators.sampling.leakage_safe_split` instead — near-dup
+       cluster members then share a split, closing the twin-leak.
+    6. **Chunk + pack** — :func:`..operators.chunking.chunk_docs` (drops
+       text) then :func:`..operators.chunking.pack_sequences` per
+       ``source_col`` shard.
+    """
+    # 1. delta ids (snapshot_diff emits its key as 'doc_id')
+    delta_ids = (
+        snapshot_diff(existing, increment, id_col=id_col, text_col=text_col)
+        .where(F.col("status").isin("added", "changed"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+
+    # 2. winner ids: narrow (id, fp) lanes only
+    new_fp = (
+        increment.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
+        ).join(delta_ids, id_col, "left_semi")
+    )
+    existing_fp = existing.select(F.md5(F.col(text_col)).alias("__fp"))
+    winners = (
+        new_fp.join(existing_fp, "__fp", "left_anti")
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+    # 3. the one wide join: text meets its keep-verdict
+    kept = increment.join(winners, id_col, "left_semi")
+
+    # 4. map-only quality filter
+    cleaned = clean_corpus(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        langs=langs,
+        quality_keep=quality_keep,
+        drop_repetitive=drop_repetitive,
+    )
+
+    # 5. per-document split (before chunking: chunks inherit it)
+    if clusters is not None:
+        assigned = leakage_safe_split(
+            cleaned, clusters, id_col=id_col,
+            train_pct=train_pct, val_pct=val_pct,
+        )
+    else:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % 100
+        )
+        assigned = cleaned.withColumn(
+            "split",
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+
+    # 6. chunk (drops text) + pack per shard
+    chunks = chunk_docs(assigned, text_col=text_col, chunk_tokens=chunk_tokens)
+    return pack_sequences(
+        chunks, budget=pack_budget, shard_col=source_col, id_col=id_col
+    )

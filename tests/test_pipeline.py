@@ -1,0 +1,124 @@
+"""End-to-end contract for pipeline.ingest_increment — the documented
+composition of snapshot delta -> incremental dedup -> clean_corpus ->
+split -> chunk -> pack, on a planted fixture where every stage's verdict
+is known in advance, plus the plan contract that document text never
+rides an exchange between stages."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.pipeline import ingest_increment
+
+CHUNK = 10
+BUDGET = 16
+
+
+def _good(tag: str) -> str:
+    """24 distinct short tokens -> 'good' quality, 'en'-agnostic."""
+    return " ".join(f"{tag}w{i}" for i in range(24))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    existing = spark.createDataFrame(
+        [
+            (1, "web", _good("a")),
+            (2, "web", _good("b")),
+            (3, "books", _good("c")),
+            (4, "books", _good("d")),
+        ],
+        "doc_id long, source string, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (2, "web", _good("b")),        # unchanged -> delta drops it
+            (3, "books", _good("c2")),     # changed -> re-ingested
+            (10, "web", _good("n")),       # brand new -> kept
+            (11, "web", _good("n")),       # dup of 10 within delta -> loses to min id
+            (12, "books", _good("a")),     # content already in corpus (doc 1) -> anti-joined
+            (13, "web", "spam " * 30),     # repetitive junk -> clean_corpus drops
+            (14, "books", None),           # NULL text -> quality 'too_short' -> dropped
+        ],
+        "doc_id long, source string, text string",
+    )
+    return existing, increment
+
+
+def _expected_split(doc_id: int, train_pct=80, val_pct=10) -> str:
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+    if b < train_pct:
+        return "train"
+    if b < train_pct + val_pct:
+        return "val"
+    return "test"
+
+
+def test_ingest_increment_survivors_and_chunks(spark, corpus):
+    existing, increment = corpus
+    out = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, pack_budget=BUDGET
+    )
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # exactly the planted survivors: changed doc 3, new doc 10
+    assert set(by_doc) == {3, 10}
+
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # 24 tokens at chunk 10 -> 10, 10, 4
+        assert [c["n_chunk_tokens"] for c in chunks] == [10, 10, 4]
+        assert [c["chunk_id"] for c in chunks] == [0, 1, 2]
+        # split: the q55 md5-bucket construction, same for every chunk
+        splits = {c["split"] for c in chunks}
+        assert splits == {_expected_split(doc_id)}
+
+    # packing: each doc is alone in its source shard here, so bins are
+    # the greedy fill over its own chunks: cume 0,10,20 DIV 16 -> 0,0,1
+    for chunks in by_doc.values():
+        assert [c["bin_id"] for c in chunks] == [0, 0, 1]
+
+
+def test_ingest_increment_deterministic(spark, corpus):
+    existing, increment = corpus
+    a = ingest_increment(existing, increment, chunk_tokens=CHUNK)
+    b = ingest_increment(existing, increment, chunk_tokens=CHUNK)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_ingest_increment_plan_never_shuffles_text(spark, corpus):
+    """The composition contract: every exchange in the executed plan
+    carries ids/fingerprints/counts — never the document text column
+    (the delta and dedup lanes are fingerprint projections; the one
+    text-side join broadcasts the delta-sized winner set; chunking drops
+    text before the packing window's shuffle)."""
+    existing, increment = corpus
+    out = ingest_increment(existing, increment, chunk_tokens=CHUNK)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines, "expected a non-degenerate distributed plan"
+    assert not any("text#" in ln for ln in exchange_lines), (
+        "document text must never ride a shuffle:\n"
+        + "\n".join(exchange_lines)
+    )
+
+
+def test_ingest_increment_leakage_safe_variant(spark, corpus):
+    """With a dup-cluster map, near-dup documents share a split
+    (leakage_safe_split path): planted cluster {3, 10} must land both
+    docs' chunks in one split — the split of the cluster id."""
+    existing, increment = corpus
+    clusters = spark.createDataFrame(
+        [(3, 3), (10, 3)], "node long, cluster_id long"
+    )
+    out = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, clusters=clusters
+    )
+    splits = {r["split"] for r in out.select("split").collect()}
+    assert len(splits) == 1
