@@ -511,6 +511,35 @@ def main() -> None:
 
     timed.append(("sketch_exact_distinct_arm", sketch_arm_lane))
 
+    # ingest_increment at 10× corpus: the composed pipeline's expensive
+    # paths are the two fingerprint shuffles (O(increment)+O(corpus)
+    # fixed-width rows) and the per-shard packing window over the KEPT
+    # delta's chunks — every stage linear, so the composition should
+    # bend ~linearly with corpus volume. existing/increment derive from
+    # the documents fixture by id split (80/20) with a deterministic
+    # overlap band (ids ≡ 1 mod 7 of the increment duplicate existing
+    # content) so delta, dedup, and anti-join all do real work.
+    from drill_logfile_plugin_spark.pipeline import ingest_increment
+
+    def ingest_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        existing = docs.where(F.col("doc_id") % 10 < 8)
+        increment = docs.where(F.col("doc_id") % 10 >= 8)
+        return ingest_increment(
+            existing,
+            increment,
+            quality_keep=(
+                "good", "too_short", "long_tokens", "repetitive",
+                "stopword_heavy",
+            ),
+            drop_repetitive=False,
+        ).groupBy("split").agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("n_chunk_tokens").alias("tokens"),
+        )
+
+    timed.append(("ingest_increment", ingest_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
