@@ -293,6 +293,18 @@ def _ivf_centroids(
         [np.asarray(r[0], dtype=np.float64) for r in rows],
         "ivf_topk centroid fit",
     )
+    # Zero-norm vectors cannot be unit-normalized — one in the sample
+    # would poison its centroid to NaN, and numpy's argmax treats NaN as
+    # maximal, silently funneling EVERY assignment into the poisoned
+    # cell (IVF degenerates to brute force in one bucket). They carry no
+    # direction, so they are dropped from the FIT (queries/corpus rows
+    # keep flowing through the apply phase — a zero vector's cosine is
+    # 0 against everything, matching the exact lane). On data without
+    # zero vectors (any real embedding corpus) this filter is a no-op
+    # and the arithmetic below is bit-identical to the unguarded form.
+    X = X[np.linalg.norm(X, axis=1) > 0]
+    if not len(X):
+        return np.zeros((0, 1), dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = Xn[:n_cells].copy()
     for _ in range(lloyd_iters):
@@ -300,7 +312,11 @@ def _ivf_centroids(
         for c in range(len(C)):
             members = Xn[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                m = members.mean(axis=0)
+                # a cell mean can cancel to exactly zero (antipodal
+                # members); keep the previous direction instead of NaN
+                if np.linalg.norm(m) > 0:
+                    C[c] = m
         C = C / np.linalg.norm(C, axis=1, keepdims=True)
     return C
 

@@ -3420,3 +3420,21 @@ def test_gapfill_guard_tolerates_all_null_bucket_group(spark):
     )
     rows = gapfill(agg, grain="hour", fill={"n_events": 0}).collect()
     assert [(r["event_type"], r["n_events"]) for r in rows] == [("b", 1)]
+
+
+def test_ivf_fit_survives_zero_norm_vectors(spark):
+    """A zero embedding in the fit sample must not poison a centroid to
+    NaN (numpy argmax treats NaN as maximal — every assignment would
+    silently funnel into the poisoned cell). Zero vectors are dropped
+    from the FIT; centroids stay finite and unit-norm."""
+    import numpy as np
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = S.ivf_fit(df, n_cells=4, lloyd_iters=2, sample_size=32)
+    assert len(C) == 4
+    assert np.isfinite(C).all()
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
