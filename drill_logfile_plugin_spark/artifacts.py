@@ -56,6 +56,7 @@ KIND_IVF = "ivf-centroids"
 KIND_LSH = "lsh-hyperplanes"
 KIND_BPE = "bpe-merges"
 KIND_CMS = "cms-grid"
+KIND_SEEDS = "semdedup-seeds"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -178,6 +179,25 @@ def save_lsh_model(path: str, planes: np.ndarray) -> str:
 
 def load_lsh_model(path: str) -> np.ndarray:
     _, payload, _ = load_artifact(path, KIND_LSH)
+    return payload
+
+
+def save_seed_model(path: str, seeds: np.ndarray) -> str:
+    """Persist SemDeDup seed vectors (similarity.seed_fit), shape
+    (k, dim). ``seed_clusters(..., seeds=load_seed_model(path))`` /
+    ``semantic_dup_pairs(..., seeds=...)`` then assign cluster ids that
+    stay stable across corpus versions — a silently re-drawn seed set
+    would re-cluster everything."""
+    return save_artifact(
+        path,
+        KIND_SEEDS,
+        seeds,
+        {"k": int(seeds.shape[0]), "dim": int(seeds.shape[1])},
+    )
+
+
+def load_seed_model(path: str) -> np.ndarray:
+    _, payload, _ = load_artifact(path, KIND_SEEDS)
     return payload
 
 

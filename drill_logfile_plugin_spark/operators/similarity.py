@@ -603,11 +603,40 @@ def cosine_dup_pairs(
 # --- semantic dedup (cluster-then-neardup) --------------------------------
 
 
+def seed_fit(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Draw the ``k`` deterministic SemDeDup seed vectors as a
+    persistable model artifact (shape (k', dim), k' <= k when the corpus
+    is smaller; empty (0, 1) on an empty slice). Same draw
+    :func:`seed_clusters` performs internally — smallest
+    ``(md5(id), id)`` rows, a distributed top-k; persist with
+    artifacts.save_seed_model and pass back via ``seeds=`` so cluster
+    ids stay stable while the corpus grows (a silently re-drawn seed set
+    re-clusters everything)."""
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("se"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return np.zeros((0, 1), dtype=np.float64)
+    return _stack_vectors(
+        [np.asarray(r["se"], dtype=np.float64) for r in rows], "seed_fit"
+    )
+
+
 def seed_clusters(
     df: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign every vector its nearest of ``k`` deterministic seed vectors.
 
@@ -634,24 +663,25 @@ def seed_clusters(
     Caveat: a zero-norm vector yields NaN similarities (0/0); this
     module's corpora are unit-ish embeddings where that cannot occur —
     pre-filter degenerate vectors if yours can be all-zero.
+
+    ``seeds`` (train-once/apply-many): a persisted seed matrix from
+    :func:`seed_fit` / artifacts.load_seed_model, applied as-is instead
+    of re-drawing — cluster ids then stay stable across corpus versions
+    (the values flow through the identical repr/fold path, so a loaded
+    matrix assigns bit-identically to the in-session draw).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    seed_rows = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("se"))
-        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
+    if seeds is None:
+        seeds = seed_fit(df, k=k, id_col=id_col, vec_col=vec_col)
+    if len(seeds) == 0:
         # Empty corpus: no seeds exist, but an empty SLICE is a normal
         # event in a partitioned pipeline — emit the empty frame with
         # the contract schema instead of failing the whole job.
         return df.withColumn("cluster_id", F.lit(1).cast("long"))
     sims = []
-    for r in seed_rows:
-        vals = [float(x) for x in r["se"]]
+    for seed_vec in seeds:
+        vals = [float(x) for x in seed_vec]
         nsq = 0.0
         for v in vals:
             nsq = nsq + v * v  # the engines' fold, op for op
@@ -684,6 +714,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     block_size: int = 1024,
     n_rows: int | None = None,
+    seeds: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then exact pairs in-cluster.
 
@@ -701,7 +732,9 @@ def semantic_dup_pairs(
     sim >= threshold, exact fold arithmetic.
     """
     n = n_rows if n_rows is not None else df.count()
-    clustered = seed_clusters(df, k=k, id_col=id_col, vec_col=vec_col)
+    clustered = seed_clusters(
+        df, k=k, id_col=id_col, vec_col=vec_col, seeds=seeds
+    )
     return cosine_dup_pairs(
         clustered,
         threshold,

@@ -125,3 +125,22 @@ def test_non_artifact_file_rejected(tmp_path):
 def test_malformed_merge_rejected_at_save(tmp_path):
     with pytest.raises(ValueError, match="malformed"):
         A.save_bpe_model(str(tmp_path / "m.json"), [("a", "b")])
+
+
+def test_seed_roundtrip_and_apply_equal(spark, embeddings, tmp_path):
+    path = str(tmp_path / "seeds.json")
+    seeds = S.seed_fit(embeddings, k=6)
+    A.save_seed_model(path, seeds)
+    s2 = A.load_seed_model(path)
+    assert np.array_equal(seeds, s2)
+
+    fresh = S.seed_clusters(embeddings, k=6).select("vec_id", "cluster_id")
+    loaded = S.seed_clusters(embeddings, seeds=s2).select(
+        "vec_id", "cluster_id"
+    )
+    assert _rows(fresh) == _rows(loaded)
+
+    # the composed operator accepts a persisted model too
+    fresh_pairs = S.semantic_dup_pairs(embeddings, threshold=0.8, k=6)
+    loaded_pairs = S.semantic_dup_pairs(embeddings, threshold=0.8, seeds=s2)
+    assert _rows(fresh_pairs) == _rows(loaded_pairs)
