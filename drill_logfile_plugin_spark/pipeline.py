@@ -47,7 +47,7 @@ from .operators.versioning import snapshot_diff
 
 
 def ingest_increment(
-    existing: DataFrame,
+    existing: DataFrame | None,
     increment: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -65,6 +65,11 @@ def ingest_increment(
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
     bin_id)`` — one row per training chunk of every NEW document worth
     keeping.
+
+    ``existing=None`` is the BOOTSTRAP run — no standing corpus yet, so
+    the delta and corpus anti-join stages are skipped and the whole
+    increment proceeds through dedup/clean/split/chunk/pack; the output
+    of run N then serves as ``existing`` for run N+1.
 
     Stages (each the certified operator, see module docstring):
 
@@ -93,23 +98,27 @@ def ingest_increment(
        text) then :func:`..operators.chunking.pack_sequences` per
        ``source_col`` shard.
     """
-    # 1. delta ids (snapshot_diff emits its key as 'doc_id')
-    delta_ids = (
-        snapshot_diff(existing, increment, id_col=id_col, text_col=text_col)
-        .where(F.col("status").isin("added", "changed"))
-        .select(F.col("doc_id").alias(id_col))
+    # 1. delta ids (snapshot_diff emits its key as 'doc_id'); bootstrap
+    # run (existing=None): the whole increment IS the delta
+    new_fp = increment.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
     )
+    if existing is not None:
+        delta_ids = (
+            snapshot_diff(
+                existing, increment, id_col=id_col, text_col=text_col
+            )
+            .where(F.col("status").isin("added", "changed"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        new_fp = new_fp.join(delta_ids, id_col, "left_semi")
 
     # 2. winner ids: narrow (id, fp) lanes only
-    new_fp = (
-        increment.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
-        ).join(delta_ids, id_col, "left_semi")
-    )
-    existing_fp = existing.select(F.md5(F.col(text_col)).alias("__fp"))
+    if existing is not None:
+        existing_fp = existing.select(F.md5(F.col(text_col)).alias("__fp"))
+        new_fp = new_fp.join(existing_fp, "__fp", "left_anti")
     winners = (
-        new_fp.join(existing_fp, "__fp", "left_anti")
-        .groupBy("__fp")
+        new_fp.groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

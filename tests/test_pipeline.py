@@ -122,3 +122,18 @@ def test_ingest_increment_leakage_safe_variant(spark, corpus):
     )
     splits = {r["split"] for r in out.select("split").collect()}
     assert len(splits) == 1
+
+
+def test_ingest_increment_bootstrap_run(spark, corpus):
+    """existing=None (the first run): no delta/anti-join stages — every
+    increment doc flows through dedup/clean/split/chunk/pack. Planted
+    verdicts: 2 (now new), 3, 10 survive; 11 still loses the in-delta
+    dedup to 10; 12 survives (its content twin doc 1 is NOT in any
+    standing corpus on a bootstrap run); 13/14 still cleaned away."""
+    _, increment = corpus
+    out = ingest_increment(None, increment, chunk_tokens=CHUNK)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 10, 12}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert not any("text#" in ln for ln in exchange_lines)
