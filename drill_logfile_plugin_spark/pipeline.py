@@ -46,6 +46,24 @@ from .operators.text import clean_corpus
 from .operators.versioning import snapshot_diff
 
 
+def corpus_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The ``(id, fp)`` projection of a corpus snapshot — the standing
+    state :func:`ingest_increment` actually needs (``existing_fp=``).
+
+    At 100 TB this is THE increment-loop optimization: passing the full
+    snapshot as ``existing`` re-reads and re-hashes every document's
+    text on every run, while this projection is ~40 bytes/doc — write it
+    once per snapshot version (ideally bucketed by the id,
+    sources/sinks.write_bucketed, making the delta join zero-shuffle)
+    and each increment run touches only fingerprints.
+    """
+    return df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fp")
+    )
+
+
 def ingest_increment(
     existing: DataFrame | None,
     increment: DataFrame,
@@ -60,6 +78,7 @@ def ingest_increment(
     train_pct: int = 80,
     val_pct: int = 10,
     clusters: DataFrame | None = None,
+    existing_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
@@ -70,6 +89,13 @@ def ingest_increment(
     the delta and corpus anti-join stages are skipped and the whole
     increment proceeds through dedup/clean/split/chunk/pack; the output
     of run N then serves as ``existing`` for run N+1.
+
+    ``existing_fp`` replaces ``existing`` with its persisted
+    :func:`corpus_fingerprints` projection — the production form: the
+    standing corpus's text is then never read (let alone re-hashed) by
+    an increment run; only ~40 bytes/doc of fingerprints flow through
+    the delta and anti-join. Output is identical to passing the full
+    snapshot (pinned in pytest). Passing both is a setup error.
 
     Stages (each the certified operator, see module docstring):
 
@@ -98,25 +124,43 @@ def ingest_increment(
        text) then :func:`..operators.chunking.pack_sequences` per
        ``source_col`` shard.
     """
-    # 1. delta ids (snapshot_diff emits its key as 'doc_id'); bootstrap
-    # run (existing=None): the whole increment IS the delta
+    if existing is not None and existing_fp is not None:
+        raise ValueError(
+            "pass existing (full snapshot) OR existing_fp (its "
+            "corpus_fingerprints projection), not both"
+        )
+    # Normalize the standing state to one (id, __fp) frame: from the
+    # persisted projection when given (the production form — corpus text
+    # never read), else hashed from the full snapshot; None = bootstrap.
     new_fp = increment.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
     )
-    if existing is not None:
+    if existing_fp is not None:
+        old_fp = existing_fp.select(
+            F.col(id_col), F.col("fp").alias("__fp")
+        )
+    elif existing is not None:
+        old_fp = existing.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
+        )
+    else:
+        old_fp = None
+
+    # 1. delta ids (snapshot_diff emits its key as 'doc_id'); bootstrap
+    # run: the whole increment IS the delta
+    if old_fp is not None:
         delta_ids = (
             snapshot_diff(
-                existing, increment, id_col=id_col, text_col=text_col
+                old_fp, new_fp, id_col=id_col, fingerprint_col="__fp"
             )
             .where(F.col("status").isin("added", "changed"))
             .select(F.col("doc_id").alias(id_col))
         )
         new_fp = new_fp.join(delta_ids, id_col, "left_semi")
+        # 2a. content anywhere in the standing corpus never re-enters
+        new_fp = new_fp.join(old_fp.select("__fp"), "__fp", "left_anti")
 
-    # 2. winner ids: narrow (id, fp) lanes only
-    if existing is not None:
-        existing_fp = existing.select(F.md5(F.col(text_col)).alias("__fp"))
-        new_fp = new_fp.join(existing_fp, "__fp", "left_anti")
+    # 2b. winner ids: min-id representative per fingerprint (narrow lanes)
     winners = (
         new_fp.groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))

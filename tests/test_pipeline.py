@@ -137,3 +137,24 @@ def test_ingest_increment_bootstrap_run(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert not any("text#" in ln for ln in exchange_lines)
+
+
+def test_ingest_increment_fingerprint_projection_equivalent(spark, corpus):
+    """existing_fp (the persisted corpus_fingerprints projection — the
+    production form that never reads corpus text) must produce exactly
+    what passing the full snapshot produces; passing both is a setup
+    error."""
+    from drill_logfile_plugin_spark.pipeline import corpus_fingerprints
+
+    existing, increment = corpus
+    full = ingest_increment(existing, increment, chunk_tokens=CHUNK)
+    fp = corpus_fingerprints(existing)
+    assert fp.columns == ["doc_id", "fp"]
+    via_fp = ingest_increment(
+        None, increment, chunk_tokens=CHUNK, existing_fp=fp
+    )
+    assert sorted(map(str, full.collect())) == sorted(
+        map(str, via_fp.collect())
+    )
+    with pytest.raises(ValueError, match="not both"):
+        ingest_increment(existing, increment, existing_fp=fp)
