@@ -11,6 +11,7 @@ designed for 1000-executor / 100 TB deployments while remaining testable on
 """
 
 from .config import LogFormatConfig, normalize_type
+from .pipeline import corpus_fingerprints, ingest_increment
 from .sources.formats import APACHE_COMBINED, MYSQL_LOG, SYSLOG
 from .sources.log_datasource import register_log_datasource
 from .sources.log_reader import (
@@ -31,6 +32,8 @@ __all__ = [
     "MYSQL_LOG",
     "APACHE_COMBINED",
     "SYSLOG",
+    "ingest_increment",
+    "corpus_fingerprints",
 ]
 
 __version__ = "0.1.0"
