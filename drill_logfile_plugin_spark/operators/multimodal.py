@@ -133,7 +133,12 @@ def _png_decode(payload: bytes):
             "(supported: 8-bit, color types 0/2/3/4/6, non-interlaced)"
         )
     nch = _PNG_CHANNELS[ctype_num]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # malformed bytes are ValueError everywhere in this decoder —
+        # one exception class for "not a decodable PNG"
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     stride = width * nch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")

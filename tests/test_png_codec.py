@@ -210,3 +210,14 @@ def test_resize_plan_accepts_png(spark, png_frame):
     for r in planned:
         assert max(r["target_width"], r["target_height"]) <= 8
         assert min(r["target_width"], r["target_height"]) >= 1
+
+
+def test_png_corrupt_idat_is_value_error():
+    """Malformed bytes raise ValueError uniformly — a truncated/garbled
+    IDAT must not leak zlib.error out of the decoder."""
+    px = _rng(8).integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    good = encode_png(px, 0, [0])
+    idat_at = good.index(b"IDAT")
+    bad = good[: idat_at + 4] + bytes(16) + good[idat_at + 20 :]
+    with pytest.raises(ValueError, match="PNG"):
+        M._png_decode(bad)
