@@ -268,3 +268,32 @@ def test_format_log_strict_modes_stay_unsplit(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 1
     with pytest.raises(Exception, match="line 41"):
         df.collect()
+
+
+def test_format_log_directory_mixes_split_and_whole_file_readers(
+    spark, tmp_path
+):
+    """A directory scan composes both partition kinds: a big plain file
+    fans out into byte-range splits while its gzip sibling keeps one
+    whole-file reader — rows from both arrive exactly once."""
+    lines = [
+        f"0708{i % 28 + 1:02d} 21:00:{i % 60:02d}  {i} Query  select {i}"
+        for i in range(300)
+    ]
+    big = tmp_path / "big.log"
+    big.write_text("\n".join(lines) + "\n")
+    with gzip.open(tmp_path / "twin.log.gz", "wt") as f:
+        f.write("070801 09:00:00  9999 Connect root@gz\n")
+
+    df = (
+        _mysql_reader(spark)
+        .option("splitSize", "1024")
+        .load(str(tmp_path))
+    )
+    assert df.rdd.getNumPartitions() > 2  # splits + the gz reader
+    rows = df.collect()
+    assert len(rows) == 301
+    assert sum(1 for r in rows if r["pid"] == 9999) == 1
+    assert sorted(r["pid"] for r in rows if r["pid"] != 9999) == list(
+        range(300)
+    )
