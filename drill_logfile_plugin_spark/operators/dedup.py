@@ -357,6 +357,63 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
     return buckets
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    spread: bool = True,
+) -> DataFrame:
+    """The ``(doc_id, band_id, bucket)`` MinHash-LSH band table of a
+    corpus — the near-dup INDEX, now a public artifact.
+
+    This is the expensive half of :func:`lsh_candidate_pairs` (tokenize
+    + ``num_hashes`` scrambled lane minima per document); the join that
+    follows is O(duplicates). At 100 TB the index-once/probe-many shape
+    matters: persist this table per snapshot (ideally bucketed on
+    ``(band_id, bucket)`` — sources/sinks.write_bucketed — so probes
+    co-locate) and each increment banding-hashes ONLY its own documents
+    (:func:`incremental_lsh_pairs`); the standing corpus is never
+    re-tokenized. Persist/restore with :func:`save_band_index` /
+    :func:`load_band_index`, which pin the (shingle_n, num_hashes,
+    bands) geometry — probing an index with mismatched geometry would
+    silently miss candidates, so the loader's manifest makes it a setup
+    error instead.
+
+    Documents with fewer than ``shingle_n`` tokens are excluded (empty
+    shingle set — every one would collide with every other in every
+    band and re-rank to 0/0; exact dedup owns them).
+    """
+    if num_hashes % bands != 0 or bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if spread:
+        df = _spread(df)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
+    ).where(F.size("toks") >= shingle_n)
+    # Candidate generation hashes each TOKEN once (xxhash64, a bigint JVM
+    # intrinsic — n interpreted ops per doc, vs n_shingles × n string ops
+    # for per-shingle hashing; no array_join/slice string allocation, no
+    # array_distinct since duplicate shingles cannot change a MIN).
+    # Shingle hashes are derived from consecutive token hashes inside the
+    # banding UDF, vectorized. Only the re-rank needs string shingle sets.
+    bucket_udf = _band_buckets_udf(num_hashes, bands, shingle_n)
+    return (
+        base.select(
+            "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+        )
+        .select(
+            "doc_id",
+            F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -375,44 +432,21 @@ def lsh_candidate_pairs(
     output matches an exact all-pairs computation on any realistic data
     while doing no all-pairs work.
     """
-    if num_hashes % bands != 0 or bands > num_hashes:
-        # Caught at plan-build time: inside the executors the lane
-        # reshape would throw an opaque ValueError after the tokenize/
-        # hash work has already run.
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes})"
-        )
+    # Geometry validated (plan-build time) and banding built by
+    # minhash_bands; the spread happens HERE because the re-rank below
+    # reuses the same spread frame. Empty-shingle docs are excluded in
+    # minhash_bands (see its docstring for both whys).
     df = _spread(df)
-    # Documents with fewer than shingle_n tokens have an EMPTY shingle
-    # set: every such doc gets the identical empty-set MinHash signature,
-    # so they all collide in every band and the re-rank hits 0/0 Jaccard.
-    # They carry no content at this granularity (exact dedup owns them) —
-    # excluded from near-dup outright. Routine after cleaning/stripping.
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(TOKS_SPARK.format(c=text_col)).alias("toks"),
-    ).where(F.size("toks") >= shingle_n)
-    # Candidate generation hashes each TOKEN once (xxhash64, a bigint JVM
-    # intrinsic — n interpreted ops per doc, vs n_shingles × n string ops
-    # for per-shingle hashing; no array_join/slice string allocation, no
-    # array_distinct since duplicate shingles cannot change a MIN).
-    # Shingle hashes are derived from consecutive token hashes inside the
-    # banding UDF, vectorized. Only the re-rank needs string shingle sets.
-    bucket_udf = _band_buckets_udf(num_hashes, bands, shingle_n)
-    banded = (
-        base.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
-        .select(
-            "doc_id",
-            F.posexplode(bucket_udf(F.col("hs"))).alias("band_id", "bucket"),
-        )
-        # Referenced by both sides of the candidate self-join — but both
-        # sides shuffle on the same (band_id, bucket) key, so Catalyst's
-        # ReuseExchange computes the tokenize+hash+band pipeline ONCE and
-        # reads the shuffle twice; no persist/checkpoint needed here.
-        # (Round 2 had an eager localCheckpoint at this spot; with the one
-        # below it serialized the operator into three back-to-back jobs
-        # and tripled exposure to host throttling — 44 s vs ~8 s.)
+    banded = minhash_bands(
+        df, text_col, id_col, shingle_n, num_hashes, bands, spread=False
     )
+    # banded is referenced by both sides of the candidate self-join — but
+    # both sides shuffle on the same (band_id, bucket) key, so Catalyst's
+    # ReuseExchange computes the tokenize+hash+band pipeline ONCE and
+    # reads the shuffle twice; no persist/checkpoint needed here.
+    # (Round 2 had an eager localCheckpoint at this spot; with the one
+    # below it serialized the operator into three back-to-back jobs
+    # and tripled exposure to host throttling — 44 s vs ~8 s.)
     # Candidate pairs via native hash self-join on (band_id, bucket).
     # A groupBy+collect_list pair expansion was tried and is SLOWER here:
     # a near-identical pair collides in all ~64 bands, so the pair space
@@ -467,6 +501,173 @@ def lsh_candidate_pairs(
             "doc_b",
             (inter / union).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+KIND_BAND_INDEX = "minhash-band-index"
+
+
+def save_band_index(
+    bands_df: DataFrame,
+    path: str,
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> str:
+    """Persist a :func:`minhash_bands` table with its geometry manifest.
+
+    The band table is parquet (corpus-band-sized — a TABLE, not a driver
+    artifact); the manifest (artifacts.py format) pins
+    (shingle_n, num_hashes, bands) so :func:`incremental_lsh_pairs` can
+    refuse a geometry-mismatched probe — mismatched banding would
+    silently MISS candidates, the worst failure mode a dedup index can
+    have. Layout: ``path/bands.parquet`` + ``path/manifest.json``.
+    """
+    import os
+
+    from ..artifacts import save_artifact
+
+    os.makedirs(path, exist_ok=True)
+    bands_df.write.mode("overwrite").parquet(os.path.join(path, "bands.parquet"))
+    save_artifact(
+        os.path.join(path, "manifest.json"),
+        KIND_BAND_INDEX,
+        {
+            "shingle_n": int(shingle_n),
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+        },
+    )
+    return path
+
+
+def load_band_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted band index: ``(bands_df, params)``. Pass the
+    tuple straight to :func:`incremental_lsh_pairs` as
+    ``standing_bands`` — the probe validates the geometry."""
+    import os
+
+    from ..artifacts import load_artifact
+
+    _, params, _ = load_artifact(
+        os.path.join(path, "manifest.json"), KIND_BAND_INDEX
+    )
+    bands_df = spark.read.parquet(os.path.join(path, "bands.parquet"))
+    return bands_df, params
+
+
+def incremental_lsh_pairs(
+    increment: DataFrame,
+    standing: DataFrame,
+    standing_bands: DataFrame | tuple[DataFrame, dict] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING an increment: the q51 incremental-dedup
+    shape lifted from exact to MinHash level.
+
+    Returns exactly :func:`lsh_candidate_pairs` over
+    ``standing ∪ increment`` RESTRICTED to pairs with at least one
+    increment member (pinned as an equivalence in pytest) — new-vs-
+    standing and new-vs-new, (doc_a < doc_b, jaccard >= threshold) —
+    while banding-hashing ONLY the increment: the standing corpus
+    contributes via ``standing_bands`` (its persisted
+    :func:`minhash_bands` index; computed here when None). Standing
+    TEXT is read once, left-semi-filtered to candidate-hit documents
+    (O(duplicates)), for the exact re-rank only — never re-tokenized
+    into signatures. That is the index-once/probe-many economics a
+    daily-crawl loop needs: per-increment cost is O(increment) banding
+    + O(pairs touching the increment) join work.
+
+    ``standing_bands`` as the (df, params) tuple from
+    :func:`load_band_index` validates the geometry and raises on
+    mismatch. Precondition: ids unique across both frames; if an id
+    appears in both (a changed document), the INCREMENT's text wins the
+    re-rank and self-pairs (x, x) are excluded.
+    """
+    if isinstance(standing_bands, tuple):
+        bands_df, params = standing_bands
+        want = {
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+        }
+        got = {k: params.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"band-index geometry mismatch: index built with {got}, "
+                f"probe called with {want} — rebuild the index or match "
+                "the parameters (a mismatched probe silently misses "
+                "candidates)"
+            )
+        standing_bands = bands_df
+    elif standing_bands is None:
+        standing_bands = minhash_bands(
+            standing, text_col, id_col, shingle_n, num_hashes, bands
+        )
+    inc_bands = minhash_bands(
+        increment, text_col, id_col, shingle_n, num_hashes, bands
+    )
+
+    a, b = inc_bands.alias("a"), standing_bands.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+    )
+    ia, ib = inc_bands.alias("ia"), inc_bands.alias("ib")
+    self_pairs = (
+        ia.join(
+            ib,
+            (F.col("ia.band_id") == F.col("ib.band_id"))
+            & (F.col("ia.bucket") == F.col("ib.bucket"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .select(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+        )
+    )
+    cand = _barrier(cross.unionByName(self_pairs).distinct())
+
+    # Exact re-rank over candidate-hit docs only. Increment wins an id
+    # collision (a changed doc compares on its NEW text).
+    inc_docs = increment.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    standing_docs = standing.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).join(inc_docs.select("doc_id"), "doc_id", "left_anti")
+    all_docs = inc_docs.unionByName(standing_docs)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = F.expr(shingles_sql_spark("__t", shingle_n))
+    docs = all_docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", sh.alias("sh")
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 

@@ -3438,3 +3438,57 @@ def test_ivf_fit_survives_zero_norm_vectors(spark):
     assert len(C) == 4
     assert np.isfinite(C).all()
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+
+
+def test_incremental_lsh_matches_full_run_restricted(spark, documents):
+    """The incremental probe must return EXACTLY the full corpus-wide
+    lsh_candidate_pairs result restricted to pairs touching at least one
+    increment document — index-once/probe-many with zero semantic
+    drift."""
+    corpus = documents.limit(400)
+    standing = corpus.where(F.col("doc_id") % 5 != 0)
+    increment = corpus.where(F.col("doc_id") % 5 == 0)
+
+    full = D.lsh_candidate_pairs(corpus, jaccard_threshold=0.5).collect()
+    inc_ids = {r["doc_id"] for r in increment.select("doc_id").collect()}
+    expected = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in full
+        if r["doc_a"] in inc_ids or r["doc_b"] in inc_ids
+    )
+    got_df = D.incremental_lsh_pairs(
+        increment, standing, jaccard_threshold=0.5
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in got_df.collect()
+    )
+    assert got == expected
+
+
+def test_band_index_roundtrip_and_geometry_guard(spark, documents, tmp_path):
+    """Persisted band index: probing with the loaded index equals
+    probing with a freshly banded standing corpus; a geometry-mismatched
+    probe is a setup error, not silent candidate loss."""
+    corpus = documents.limit(300)
+    standing = corpus.where(F.col("doc_id") % 4 != 0)
+    increment = corpus.where(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "bandidx")
+
+    bands_df = D.minhash_bands(standing)
+    D.save_band_index(bands_df, path)
+    loaded = D.load_band_index(spark, path)
+
+    fresh = D.incremental_lsh_pairs(increment, standing)
+    via_index = D.incremental_lsh_pairs(
+        increment, standing, standing_bands=loaded
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+    assert sorted(map(key, fresh.collect())) == sorted(
+        map(key, via_index.collect())
+    )
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        D.incremental_lsh_pairs(
+            increment, standing, standing_bands=loaded, bands=32
+        )
