@@ -543,6 +543,26 @@ def main() -> None:
 
     timed.append(("ingest_increment", ingest_lane))
 
+    # Incremental near-dup probe at 10× corpus: the increment is a fixed
+    # 10% id slice at both scales, so banding cost grows with the
+    # increment (10×) while the standing side contributes through the
+    # band join only — the lane should track corpus volume ~linearly
+    # (the candidate join is O(pairs touching the increment)), never
+    # the standing × increment product.
+    from drill_logfile_plugin_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    def inc_neardup_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        standing = docs.where(F.col("doc_id") % 10 != 0)
+        increment = docs.where(F.col("doc_id") % 10 == 0)
+        return incremental_lsh_pairs(
+            increment, standing, jaccard_threshold=0.5
+        )
+
+    timed.append(("incremental_lsh_probe", inc_neardup_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
