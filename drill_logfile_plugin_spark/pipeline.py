@@ -205,3 +205,80 @@ def ingest_increment(
     return pack_sequences(
         chunks, budget=pack_budget, shard_col=source_col, id_col=id_col
     )
+
+
+def ingest_increment_stream(
+    increment_stream: DataFrame,
+    output_path: str,
+    fp_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **pipeline_kwargs,
+):
+    """Continuous corpus ingestion: :func:`ingest_increment` as a
+    Structured Streaming ``foreachBatch`` loop with a PERSISTENT
+    fingerprint store, so deduplication works ACROSS micro-batches and
+    across restarts — batch N+1 never re-ingests content batch N (or
+    any earlier run) already adjudicated.
+
+    Per micro-batch:
+
+    1. read the standing fingerprint store from ``fp_path`` (absent on
+       the very first batch — that batch bootstraps),
+    2. run :func:`ingest_increment` with ``existing_fp=`` (the
+       production projection — only fingerprints flow through the
+       delta/dedup lanes),
+    3. write the packed chunks to ``output_path/epoch=N`` and the
+       batch's NEW fingerprints to ``fp_path/epoch=N`` — both
+       ``overwrite`` of the epoch directory, so a replayed batch (the
+       foreachBatch at-least-once contract after a failure) rewrites
+       its own epoch instead of duplicating rows: the loop is
+       idempotent per epoch, hence exactly-once end to end.
+
+    The store accumulates every fingerprint the loop has ADJUDICATED
+    (each batch's distinct new content, winner id attached), not just
+    what survived cleaning — re-appearing junk is skipped at the
+    fingerprint join instead of being re-cleaned every batch. Read
+    outputs with ``spark.read.parquet(output_path)`` (epoch becomes a
+    partition column).
+
+    Returns the started ``StreamingQuery``; the caller owns its
+    lifecycle. ``pipeline_kwargs`` pass through to
+    :func:`ingest_increment` (langs, quality_keep, chunk_tokens, ...).
+    """
+    from pyspark.sql import functions as _F
+    from pyspark.sql.utils import AnalysisException
+
+    spark = increment_stream.sparkSession
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            store = spark.read.parquet(fp_path).select(id_col, "fp")
+        except AnalysisException:
+            store = None  # first batch: bootstrap
+        packed = ingest_increment(
+            None,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            existing_fp=store,
+            **pipeline_kwargs,
+        )
+        packed.write.mode("overwrite").parquet(
+            f"{output_path}/epoch={int(epoch_id)}"
+        )
+        new_fp = corpus_fingerprints(
+            batch_df, id_col=id_col, text_col=text_col
+        ).groupBy("fp").agg(_F.min(id_col).alias(id_col))
+        if store is not None:
+            new_fp = new_fp.join(store.select("fp"), "fp", "left_anti")
+        new_fp.select(id_col, "fp").write.mode("overwrite").parquet(
+            f"{fp_path}/epoch={int(epoch_id)}"
+        )
+
+    return (
+        increment_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -158,3 +158,58 @@ def test_ingest_increment_fingerprint_projection_equivalent(spark, corpus):
     )
     with pytest.raises(ValueError, match="not both"):
         ingest_increment(existing, increment, existing_fp=fp)
+
+
+def test_ingest_increment_stream_cross_batch_dedup(spark, tmp_path):
+    """The streaming loop dedups ACROSS micro-batches via the persistent
+    fingerprint store: content ingested in batch N never re-enters in
+    batch N+1, and every epoch's output is written to its own idempotent
+    epoch directory."""
+    from drill_logfile_plugin_spark.pipeline import ingest_increment_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, source string, text string"
+    # batch 1: docs 1, 2 — batch 2: doc 3 = content twin of doc 1, doc 4 new
+    spark.createDataFrame(
+        [(1, "web", _good("x")), (2, "web", _good("y"))], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, "web", _good("x")), (4, "web", _good("z"))], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = ingest_increment_stream(
+        stream,
+        output_path=str(tmp_path / "out"),
+        fp_path=str(tmp_path / "fps"),
+        checkpoint=str(tmp_path / "ckpt"),
+        chunk_tokens=CHUNK,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # the content twin pair {1, 3}: exactly ONE member ingested (which
+    # one depends on batch order); 2 and 4 always present
+    assert {2, 4} <= out_ids
+    assert len(out_ids & {1, 3}) == 1
+    fps = spark.read.parquet(str(tmp_path / "fps")).collect()
+    assert len(fps) == 3  # x, y, z — the twin contributed no new fp
+    assert len({r["fp"] for r in fps}) == 3
+    # CROSS-batch proof: two distinct epochs ran, and the second epoch
+    # recorded exactly one NEW fingerprint (the twin was adjudicated
+    # against epoch 0's store, not inside its own batch)
+    by_epoch = {}
+    for r in fps:
+        by_epoch.setdefault(r["epoch"], set()).add(r["fp"])
+    assert len(by_epoch) == 2, f"expected 2 micro-batches, got {by_epoch.keys()}"
+    first, second = (by_epoch[e] for e in sorted(by_epoch))
+    assert len(first) == 2 and len(second) == 1
