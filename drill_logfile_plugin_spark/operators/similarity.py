@@ -784,12 +784,9 @@ def cosine_neardup_lsh(
     as SimHash banding). Vectors travel only to the O(candidates)
     re-rank joins.
     """
-    planes = hyperplanes(n_tables, n_bits, dim)
-    to_buckets = _bucket_udf(planes)
-    banded = df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(to_buckets(F.col(vec_col))).alias("table_id", "bucket"),
-    )
+    banded = embedding_bands(
+        df, id_col, vec_col, n_tables, n_bits, dim
+    ).withColumnRenamed("vec_id", "vid")
     a = banded.select(F.col("vid").alias("id_a"), "table_id", "bucket")
     b = banded.select(F.col("vid").alias("id_b"), "table_id", "bucket")
     cand = (
@@ -800,6 +797,156 @@ def cosine_neardup_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+# --- incremental embedding near-dup (index-once/probe-many) -----------------
+
+EMBEDDING_INDEX_KIND = "embedding-band-index"
+
+
+def embedding_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """The ``(vec_id, table_id, bucket)`` sign-bucket table of an
+    embedding corpus — :func:`cosine_neardup_lsh`'s index half, public
+    and persistable (the MinHash-band-index pattern on the embedding
+    axis). The hyperplanes are seed-deterministic, so the table is a
+    pure function of the vectors and the (n_tables, n_bits, dim)
+    geometry; persist per snapshot (:func:`save_embedding_index`) and
+    each increment buckets ONLY its own vectors
+    (:func:`incremental_embedding_neardup`). NULL embeddings are absent
+    values (the tier's dirty-ingest contract) — filtered here."""
+    if planes is None:
+        planes = hyperplanes(n_tables, n_bits, dim)
+    to_buckets = _bucket_udf(planes)
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(to_buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+
+
+def save_embedding_index(
+    bands_df: DataFrame,
+    path: str,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> str:
+    """Persist an :func:`embedding_bands` table (parquet) with its
+    geometry manifest — a geometry-mismatched probe would silently miss
+    candidates, so :func:`incremental_embedding_neardup` refuses one."""
+    import os
+
+    from ..artifacts import save_artifact
+
+    os.makedirs(path, exist_ok=True)
+    bands_df.write.mode("overwrite").parquet(
+        os.path.join(path, "bands.parquet")
+    )
+    save_artifact(
+        os.path.join(path, "manifest.json"),
+        EMBEDDING_INDEX_KIND,
+        {"n_tables": int(n_tables), "n_bits": int(n_bits), "dim": int(dim)},
+    )
+    return path
+
+
+def load_embedding_index(spark, path: str) -> tuple[DataFrame, dict]:
+    import os
+
+    from ..artifacts import load_artifact
+
+    _, params, _ = load_artifact(
+        os.path.join(path, "manifest.json"), EMBEDDING_INDEX_KIND
+    )
+    return spark.read.parquet(os.path.join(path, "bands.parquet")), params
+
+
+def incremental_embedding_neardup(
+    increment: DataFrame,
+    standing: DataFrame,
+    threshold: float,
+    standing_bands: DataFrame | tuple[DataFrame, dict] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs TOUCHING an increment — completing the
+    index-once/probe-many story across all three dedup modalities
+    (exact: ingest_increment's fingerprint store; text near-dup:
+    dedup.incremental_lsh_pairs; this: the embedding axis).
+
+    Returns exactly :func:`cosine_neardup_lsh` over
+    ``standing ∪ increment`` restricted to pairs with >= 1 increment
+    member (pinned in pytest): (id_a < id_b, sim >= threshold, exact
+    fold cosines). Only the increment is bucketed; the standing corpus
+    contributes through ``standing_bands`` (persisted index — computed
+    here when None) and its vectors join only the O(candidates)
+    re-rank. Precondition: ids unique across both frames; on a
+    collision the INCREMENT's vector wins the re-rank.
+    """
+    if isinstance(standing_bands, tuple):
+        bands_df, params = standing_bands
+        want = {"n_tables": n_tables, "n_bits": n_bits, "dim": dim}
+        got = {k: params.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"embedding-index geometry mismatch: index built with "
+                f"{got}, probe called with {want} — a mismatched probe "
+                "silently misses candidates"
+            )
+        standing_bands = bands_df
+    elif standing_bands is None:
+        standing_bands = embedding_bands(
+            standing, id_col, vec_col, n_tables, n_bits, dim
+        )
+    inc_bands = embedding_bands(
+        increment, id_col, vec_col, n_tables, n_bits, dim
+    )
+    a, b = inc_bands.alias("a"), standing_bands.alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.least("a.vec_id", "b.vec_id").alias("id_a"),
+        F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+    )
+    ia, ib = inc_bands.alias("ia"), inc_bands.alias("ib")
+    self_pairs = ia.join(
+        ib,
+        (F.col("ia.table_id") == F.col("ib.table_id"))
+        & (F.col("ia.bucket") == F.col("ib.bucket"))
+        & (F.col("ia.vec_id") < F.col("ib.vec_id")),
+    ).select(
+        F.col("ia.vec_id").alias("id_a"), F.col("ib.vec_id").alias("id_b")
+    )
+    cand = cross.unionByName(self_pairs).distinct()
+
+    inc_vecs = increment.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    standing_vecs = standing.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).join(inc_vecs.select("__id"), "__id", "left_anti")
+    vecs = inc_vecs.unionByName(standing_vecs)
+    va = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    vb = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -3492,3 +3492,52 @@ def test_band_index_roundtrip_and_geometry_guard(spark, documents, tmp_path):
         D.incremental_lsh_pairs(
             increment, standing, standing_bands=loaded, bands=32
         )
+
+
+def test_incremental_embedding_neardup_matches_full_restricted(
+    spark, embeddings
+):
+    """Embedding-axis incremental probe == the corpus-wide
+    cosine_neardup_lsh result restricted to increment-touching pairs."""
+    corpus = embeddings.limit(300)
+    standing = corpus.where(F.col("vec_id") % 4 != 0)
+    increment = corpus.where(F.col("vec_id") % 4 == 0)
+
+    full = S.cosine_neardup_lsh(corpus, threshold=0.5).collect()
+    inc_ids = {r["vec_id"] for r in increment.select("vec_id").collect()}
+    key = lambda r: (r["id_a"], r["id_b"], round(r["sim"], 9))
+    expected = sorted(
+        key(r) for r in full if r["id_a"] in inc_ids or r["id_b"] in inc_ids
+    )
+    got = sorted(
+        key(r)
+        for r in S.incremental_embedding_neardup(
+            increment, standing, threshold=0.5
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_embedding_index_roundtrip_and_geometry_guard(
+    spark, embeddings, tmp_path
+):
+    corpus = embeddings.limit(200)
+    standing = corpus.where(F.col("vec_id") % 3 != 0)
+    increment = corpus.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "embidx")
+
+    S.save_embedding_index(S.embedding_bands(standing), path)
+    loaded = S.load_embedding_index(spark, path)
+
+    key = lambda r: (r["id_a"], r["id_b"], round(r["sim"], 9))
+    fresh = S.incremental_embedding_neardup(increment, standing, 0.5)
+    via_index = S.incremental_embedding_neardup(
+        increment, standing, 0.5, standing_bands=loaded
+    )
+    assert sorted(map(key, fresh.collect())) == sorted(
+        map(key, via_index.collect())
+    )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        S.incremental_embedding_neardup(
+            increment, standing, 0.5, standing_bands=loaded, n_bits=4
+        )
