@@ -563,6 +563,29 @@ def main() -> None:
 
     timed.append(("incremental_lsh_probe", inc_neardup_lane))
 
+    # Embedding-axis incremental probe, same economics: the increment's
+    # bucketing is 10% of the corpus at both scales; candidates are
+    # O(pairs touching the increment) PROVIDED buckets stay
+    # near-singleton — sign buckets have the same headroom rule as
+    # SimHash banding (measured: at the operator default n_bits=8 /
+    # 256 buckets the 10× corpus saturates posting lists and the lane
+    # goes 5.05×; at n_bits=12 / 4096 buckets, sized for the larger
+    # corpus per the operator docstring, it bends linearly). The lane
+    # runs the sized geometry — the knob a 100 TB deployment would set.
+    from drill_logfile_plugin_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    def inc_emb_neardup_lane(spark, sf_dir):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        standing = vecs.where(F.col("vec_id") % 10 != 0)
+        increment = vecs.where(F.col("vec_id") % 10 == 0)
+        return incremental_embedding_neardup(
+            increment, standing, 0.8, n_bits=12
+        )
+
+    timed.append(("incremental_embedding_probe", inc_emb_neardup_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
