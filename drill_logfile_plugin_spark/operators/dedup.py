@@ -1335,6 +1335,49 @@ def dup_clusters(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def incremental_dup_clusters(
+    standing_clusters: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge NEW duplicate pairs into a standing cluster map without
+    replaying history — the cluster-level leg of the incremental story
+    (pairs come from :func:`incremental_lsh_pairs` /
+    similarity.incremental_embedding_neardup; this folds them in).
+
+    Correctness rests on the star-compression invariant: the standing
+    map's (cluster_id → node) STAR EDGES preserve exactly the
+    connectivity of every pair ever folded in, so connected components
+    over ``stars ∪ new_pairs`` equal components over the full historical
+    pair set — pinned as an equivalence in pytest, including new pairs
+    that BRIDGE two standing clusters. Per-increment cost is
+    O(standing map + new pairs) — the map is one row per clustered doc
+    (duplicate-sized, never corpus-sized), so the fold never re-reads or
+    re-bands anything.
+
+    Cluster ids stay the min reachable doc_id (:func:`dup_clusters`'s
+    policy), which makes them STABLE under growth: an untouched cluster
+    keeps its id verbatim; merged clusters adopt the min of their
+    members' ids — never a fresh surrogate that would re-key downstream
+    survivor tables. Returns the updated full map (node, cluster_id):
+    every standing node plus every node in a new pair.
+    """
+    stars = standing_clusters.select(
+        F.col("cluster_id").alias(id_a), F.col("node").alias(id_b)
+    ).where(F.col(id_a) != F.col(id_b))
+    edges = stars.unionByName(new_pairs.select(id_a, id_b))
+    merged = dup_clusters(edges, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    # A standing SINGLETON-row cluster (possible if a caller folded a
+    # filtered map) emits only a self-loop star edge, which dup_clusters
+    # drops — re-attach any standing node the merge lost.
+    lost = standing_clusters.join(
+        merged.select("node"), "node", "left_anti"
+    )
+    return merged.unionByName(lost)
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",

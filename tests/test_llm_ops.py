@@ -3541,3 +3541,49 @@ def test_embedding_index_roundtrip_and_geometry_guard(
         S.incremental_embedding_neardup(
             increment, standing, 0.5, standing_bands=loaded, n_bits=4
         )
+
+
+def test_incremental_dup_clusters_equals_full_history(spark):
+    """Folding new pairs into a standing cluster map via star edges must
+    equal connected components over the FULL historical pair set —
+    including a new pair that bridges two standing clusters, growth of
+    an existing cluster, a brand-new cluster, and an untouched cluster
+    keeping its id verbatim."""
+    past = spark.createDataFrame(
+        # clusters: {1,2,3}, {10,11}, {20,21} (untouched later)
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    new = spark.createDataFrame(
+        # bridge {1,2,3}<->{10,11}; grow {10,11} with 12; new {30,31}
+        [(3, 10), (11, 12), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    standing = D.dup_clusters(past)
+    got = sorted(
+        (r["node"], r["cluster_id"])
+        for r in D.incremental_dup_clusters(standing, new).collect()
+    )
+    expected = sorted(
+        (r["node"], r["cluster_id"])
+        for r in D.dup_clusters(past.unionByName(new)).collect()
+    )
+    assert got == expected
+    as_map = dict(got)
+    assert as_map[20] == 20 and as_map[21] == 20  # untouched, id verbatim
+    assert as_map[12] == 1  # bridged mega-cluster adopts the global min
+    assert as_map[30] == 30 and as_map[31] == 30
+
+
+def test_incremental_dup_clusters_reattaches_filtered_singletons(spark):
+    """A standing map row whose cluster has been filtered down to one
+    member must survive the fold (star self-loops alone would drop it)."""
+    standing = spark.createDataFrame(
+        [(5, 5)], "node long, cluster_id long"
+    )
+    new = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    got = sorted(
+        (r["node"], r["cluster_id"])
+        for r in D.incremental_dup_clusters(standing, new).collect()
+    )
+    assert got == [(5, 5), (7, 7), (8, 7)]
