@@ -57,6 +57,7 @@ KIND_LSH = "lsh-hyperplanes"
 KIND_BPE = "bpe-merges"
 KIND_CMS = "cms-grid"
 KIND_SEEDS = "semdedup-seeds"
+KIND_VOCAB = "bpe-vocab-ids"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -221,6 +222,42 @@ def save_bpe_model(path: str, merges: list[tuple[str, str, int]]) -> str:
 def load_bpe_model(path: str) -> list[tuple[str, str, int]]:
     _, payload, _ = load_artifact(path, KIND_BPE)
     return [(a, b, int(f)) for a, b, f in payload]
+
+
+def save_vocab_model(path: str, vocab_ids) -> str:
+    """Persist a bpe_vocab_ids table (symbol -> token_id) — the second
+    half of a shipped tokenizer (merges + id map). Vocabulary-sized
+    (bounded by alphabet + one symbol per merge), so the collect is a
+    model artifact like the merge table."""
+    rows = vocab_ids.select("symbol", "token_id").collect()
+    return save_artifact(
+        path,
+        KIND_VOCAB,
+        [[r["symbol"], int(r["token_id"])] for r in rows],
+        {"size": len(rows)},
+    )
+
+
+def load_vocab_model(spark, path: str):
+    """Load a persisted id map back as the (symbol, token_id) DataFrame
+    bpe_encode_ids consumes."""
+    _, payload, _ = load_artifact(path, KIND_VOCAB)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("symbol", StringType(), False),
+            StructField("token_id", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, int(i)) for s, i in payload], schema
+    )
 
 
 def save_cms_model(path: str, grid, w: int, d: int) -> str:

@@ -287,6 +287,87 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
     )
 
 
+def bpe_vocab_ids(
+    vocab: DataFrame, specials: tuple[str, ...] = ("<unk>",)
+) -> DataFrame:
+    """Assign contiguous integer token ids to a :func:`bpe_vocab` table:
+    ``(symbol, token_id)`` — the id map a trainer actually consumes.
+
+    Ids are deterministic and engine-stable: ``specials`` take
+    ``0..len(specials)-1`` in the order given (``<unk>`` = 0 by
+    default), then vocabulary symbols by (freq DESC, symbol ASC) — the
+    same total order every run, every engine, every cluster layout, so
+    a dataset tokenized today and one tokenized next month under the
+    same trained vocab carry identical ids.
+
+    Scale note: the global rank is a single-partition window over the
+    VOCABULARY (model-artifact-sized — bounded by the symbol alphabet
+    plus one entry per merge, never corpus-sized), the same class of
+    bounded state as the merge table itself.
+    """
+    from pyspark.sql import Window
+
+    if len(set(specials)) != len(specials):
+        raise ValueError(f"duplicate special tokens: {specials}")
+    spark = vocab.sparkSession
+    sp = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(specials)],
+        "symbol string, token_id long",
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("symbol"))
+    ranked = vocab.where(~F.col("symbol").isin(*specials) if specials else F.lit(True)).select(
+        "symbol",
+        (F.row_number().over(w) + len(specials) - 1).cast("long").alias(
+            "token_id"
+        ),
+    )
+    return sp.unionByName(ranked)
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    vocab_ids: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenize straight to integer ids: adds ``out_col`` =
+    ``array<long>`` — :func:`bpe_encode`'s symbols mapped through a
+    :func:`bpe_vocab_ids` table, out-of-vocabulary symbols to
+    ``unk_id``.
+
+    Scan-speed by construction: the id map collapses to ONE map value
+    (``map_from_entries(collect_list(...))`` — vocabulary-sized, a model
+    artifact) broadcast onto every row via a 1-row cross join (the
+    bounded-broadcast pattern the stats frames use), and the lookup is
+    a pure ``transform``/``element_at`` expression. No corpus shuffle,
+    no UDF, no per-token explode/re-assemble round trip — the plan
+    contract in pytest pins the absence of any corpus-side exchange.
+    Empty/whitespace documents encode to ``[]`` (same as bpe_encode).
+    """
+    enc = bpe_encode(df, merges, text_col=text_col, out_col="__sym")
+    vmap = vocab_ids.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("symbol", "token_id"))
+        ).alias("__vmap")
+    )
+    return (
+        enc.crossJoin(F.broadcast(vmap))
+        .withColumn(
+            out_col,
+            F.transform(
+                "__sym",
+                lambda s: F.coalesce(
+                    F.element_at(F.col("__vmap"), s),
+                    F.lit(int(unk_id)).cast("long"),
+                ),
+            ),
+        )
+        .drop("__sym", "__vmap")
+    )
+
+
 def bpe_merges_sql_duck(
     n_merges: int = 8,
     table: str = "documents",

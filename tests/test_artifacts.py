@@ -144,3 +144,60 @@ def test_seed_roundtrip_and_apply_equal(spark, embeddings, tmp_path):
     fresh_pairs = S.semantic_dup_pairs(embeddings, threshold=0.8, k=6)
     loaded_pairs = S.semantic_dup_pairs(embeddings, threshold=0.8, seeds=s2)
     assert _rows(fresh_pairs) == _rows(loaded_pairs)
+
+
+def test_bpe_ids_end_to_end(spark, documents, tmp_path):
+    """The full shipped-tokenizer loop: train -> vocab -> contiguous ids
+    (specials reserved, deterministic order) -> persist -> reload ->
+    encode to ids at scan speed; ids invert back to the symbol stream,
+    OOV maps to unk, empty docs encode to []."""
+    from pyspark.sql import functions as F
+
+    merges, words = B.bpe_train(documents, n_merges=3)
+    vocab = B.bpe_vocab(words)
+    words.unpersist()
+    ids = B.bpe_vocab_ids(vocab)
+    rows = sorted(
+        (r["token_id"], r["symbol"]) for r in ids.collect()
+    )
+    # contiguous 0..n-1, "<unk>" holds 0
+    assert [t for t, _ in rows] == list(range(len(rows)))
+    assert rows[0][1] == "<unk>"
+
+    path = str(tmp_path / "vocab.json")
+    A.save_vocab_model(path, ids)
+    ids2 = A.load_vocab_model(spark, path)
+    assert sorted(map(str, ids.collect())) == sorted(map(str, ids2.collect()))
+
+    sample = documents.limit(12).select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(990001, "ßç oovword"), (990002, "   ")],
+            "doc_id long, text string",
+        )
+    )
+    out = B.bpe_encode_ids(sample, merges, ids2)
+    sym = {
+        r["doc_id"]: r["__sym"]
+        for r in B.bpe_encode(sample, merges, out_col="__sym").collect()
+    }
+    id2sym = {r["token_id"]: r["symbol"] for r in ids2.collect()}
+    for r in out.collect():
+        expect = [
+            id2sym[t] if t != 0 else "<unk>" for t in r["token_ids"]
+        ]
+        got_syms = [
+            s if s in {v for v in id2sym.values()} - {"<unk>"} else "<unk>"
+            for s in sym[r["doc_id"]]
+        ]
+        assert expect == got_syms, r["doc_id"]
+        if r["doc_id"] == 990002:
+            assert r["token_ids"] == []
+        if r["doc_id"] == 990001:
+            assert 0 in r["token_ids"]  # OOV chars hit unk
+
+    # scan-speed contract: no corpus-side exchange — the only exchange
+    # feeds the 1-row vocabulary map aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln and "__sym" not in ln, ln
