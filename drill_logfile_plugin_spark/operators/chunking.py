@@ -51,6 +51,7 @@ def chunk_docs(
     text_col: str = "text",
     chunk_tokens: int = 64,
     with_text: bool = False,
+    stride: int | None = None,
 ) -> DataFrame:
     """Explode documents into fixed-size token windows.
 
@@ -70,9 +71,22 @@ def chunk_docs(
     space-joined token window) — off by default so the common
     count/plan/pack pipelines never carry document bytes through a
     shuffle.
+
+    ``stride`` < ``chunk_tokens`` switches to OVERLAPPING windows (the
+    context-window training prep: consecutive chunks share
+    ``chunk_tokens - stride`` tokens): chunk ``i`` starts at token
+    ``i*stride``; the window count is the smallest covering the last
+    token, and every token belongs to >= 1 chunk (pinned in pytest).
+    Default (None, or == chunk_tokens) keeps the exact non-overlapping
+    expressions — the q61 oracle surface, byte-identical.
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
+    if stride is not None and not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride}"
+        )
+    eff_stride = chunk_tokens if stride is None else stride
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     passthrough = [c for c in df.columns if c != text_col]
     df = df.where(F.col(text_col).isNotNull())
@@ -81,7 +95,14 @@ def chunk_docs(
         F.size("__toks").alias("__nt"),
         *( [F.col("__toks")] if with_text else [] ),
     )
-    n_chunks = F.expr(f"CAST(ceil(__nt / {chunk_tokens}.0) AS BIGINT)")
+    if eff_stride == chunk_tokens:
+        n_chunks = F.expr(f"CAST(ceil(__nt / {chunk_tokens}.0) AS BIGINT)")
+    else:
+        # smallest n with (n-1)*stride + chunk_tokens >= nt, at least 1
+        n_chunks = F.expr(
+            f"CAST(greatest(1, ceil((__nt - {chunk_tokens}) / "
+            f"{eff_stride}.0) + 1) AS BIGINT)"
+        )
     exploded = staged.select(
         *passthrough,
         "__nt",
@@ -95,7 +116,7 @@ def chunk_docs(
         "chunk_id",
         F.least(
             F.lit(chunk_tokens).cast("bigint"),
-            F.col("__nt") - F.col("chunk_id") * chunk_tokens,
+            F.col("__nt") - F.col("chunk_id") * eff_stride,
         ).alias("n_chunk_tokens"),
     ]
     if with_text:
@@ -103,7 +124,7 @@ def chunk_docs(
             F.array_join(
                 F.slice(
                     F.col("__toks"),
-                    (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+                    (F.col("chunk_id") * eff_stride + 1).cast("int"),
                     chunk_tokens,
                 ),
                 " ",
@@ -119,6 +140,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     chunk_id_col: str = "chunk_id",
     tokens_col: str = "n_chunk_tokens",
+    with_offset: bool = False,
 ) -> DataFrame:
     """Assign chunks to token-budget bins, independently per shard.
 
@@ -128,6 +150,12 @@ def pack_sequences(
     window partitions on ``shard_col``, never a global sort (a plan
     contract in tests/test_plans.py pins the absence of a
     single-partition exchange).
+
+    ``with_offset=True`` also emits ``bin_offset`` — the chunk's
+    exclusive token offset WITHIN its bin (``cume MOD budget``): the
+    position a trainer writes the chunk at when materializing packed
+    sequences (attention-mask/segment boundaries). Off by default — the
+    q61 oracle surface is unchanged.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
@@ -137,10 +165,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cume = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("bigint"))
-    # integer DIV, not floor(double /): exact at any shard token total
-    return chunks.withColumn("__cume", cume).withColumn(
+    # integer DIV/MOD, not floor(double /): exact at any shard token total
+    out = chunks.withColumn("__cume", cume).withColumn(
         "bin_id", F.expr(f"__cume DIV CAST({budget} AS BIGINT)")
-    ).drop("__cume")
+    )
+    if with_offset:
+        out = out.withColumn(
+            "bin_offset", F.expr(f"__cume % CAST({budget} AS BIGINT)")
+        )
+    return out.drop("__cume")
 
 
 # --- content-defined chunking (CDC) ---------------------------------------

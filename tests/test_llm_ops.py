@@ -3587,3 +3587,73 @@ def test_incremental_dup_clusters_reattaches_filtered_singletons(spark):
         for r in D.incremental_dup_clusters(standing, new).collect()
     )
     assert got == [(5, 5), (7, 7), (8, 7)]
+
+
+def test_chunk_docs_sliding_windows(spark):
+    """stride < chunk_tokens: overlapping context windows — window
+    starts at i*stride, smallest count covering the last token, every
+    token in >= 1 window; stride == chunk_tokens is byte-identical to
+    the default (the q61 surface)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, " ".join(f"u{i}" for i in range(9))),
+         (3, "solo")],
+        "doc_id long, text string",
+    )
+    from drill_logfile_plugin_spark.operators.chunking import chunk_docs
+
+    default = sorted(map(str, chunk_docs(docs, chunk_tokens=4).collect()))
+    explicit = sorted(
+        map(str, chunk_docs(docs, chunk_tokens=4, stride=4).collect())
+    )
+    assert default == explicit
+
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_docs(
+            docs, chunk_tokens=4, stride=2, with_text=True
+        ).collect()
+    }
+    # doc 1: 10 tokens -> starts 0,2,4,6 (4 windows, all full)
+    assert sorted(c for d, c in out if d == 1) == [0, 1, 2, 3]
+    assert out[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    assert out[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"  # overlaps chunk 0
+    # doc 2: 9 tokens, starts 0,2,4 then 6 covers to the end (len 3)
+    assert [out[(2, c)]["n_chunk_tokens"] for c in range(4)] == [4, 4, 4, 3]
+    # doc 3: shorter than one window -> exactly 1 chunk
+    assert sorted(c for d, c in out if d == 3) == [0]
+    # coverage: every token of doc 2 appears in some window
+    covered = set()
+    for (d, c), r in out.items():
+        if d == 2:
+            covered.update(r["chunk_text"].split())
+    assert covered == {f"u{i}" for i in range(9)}
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_docs(docs, chunk_tokens=4, stride=5)
+
+
+def test_pack_sequences_bin_offset(spark):
+    """with_offset: bin_offset = exclusive running tokens MOD budget —
+    the in-bin write position; default output schema unchanged."""
+    from drill_logfile_plugin_spark.operators.chunking import (
+        chunk_docs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web", " ".join(f"w{i}_{j}" for j in range(10)))
+         for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    chunks = chunk_docs(docs, chunk_tokens=4)
+    assert "bin_offset" not in pack_sequences(chunks, budget=8).columns
+    rows = sorted(
+        pack_sequences(chunks, budget=8, with_offset=True).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    cume = 0
+    for r in rows:
+        assert r["bin_id"] == cume // 8
+        assert r["bin_offset"] == cume % 8
+        cume += r["n_chunk_tokens"]
