@@ -247,38 +247,77 @@ def ingest_increment_stream(
     lifecycle. ``pipeline_kwargs`` pass through to
     :func:`ingest_increment` (langs, quality_keep, chunk_tokens, ...).
     """
-    from pyspark.sql import functions as _F
-    from pyspark.sql.utils import AnalysisException
-
     spark = increment_stream.sparkSession
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            store = spark.read.parquet(fp_path).select(id_col, "fp")
-        except AnalysisException:
-            store = None  # first batch: bootstrap
-        packed = ingest_increment(
-            None,
+        _process_increment_batch(
+            spark,
             batch_df,
+            int(epoch_id),
+            output_path,
+            fp_path,
             id_col=id_col,
             text_col=text_col,
-            existing_fp=store,
             **pipeline_kwargs,
-        )
-        packed.write.mode("overwrite").parquet(
-            f"{output_path}/epoch={int(epoch_id)}"
-        )
-        new_fp = corpus_fingerprints(
-            batch_df, id_col=id_col, text_col=text_col
-        ).groupBy("fp").agg(_F.min(id_col).alias(id_col))
-        if store is not None:
-            new_fp = new_fp.join(store.select("fp"), "fp", "left_anti")
-        new_fp.select(id_col, "fp").write.mode("overwrite").parquet(
-            f"{fp_path}/epoch={int(epoch_id)}"
         )
 
     return (
         increment_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def _process_increment_batch(
+    spark,
+    batch_df: DataFrame,
+    epoch_id: int,
+    output_path: str,
+    fp_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **pipeline_kwargs,
+) -> None:
+    """One epoch of :func:`ingest_increment_stream`, module-level so the
+    replay contract is directly testable.
+
+    REPLAY SAFETY (the subtle half of the idempotency claim): the store
+    read excludes the CURRENT epoch's own directory. A batch that
+    crashed after writing its fingerprints but before the checkpoint
+    commit is replayed with the same epoch id — if the store included
+    epoch N's partial fingerprints, the replay would see its own content
+    as "already present", ingest nothing, and OVERWRITE epoch N's output
+    and fingerprints with empty frames (silent data loss). Excluding
+    ``epoch >= epoch_id`` makes a replay see exactly what the first
+    attempt saw, so the overwrite reproduces the same bytes. Epoch ids
+    are monotonically increasing per checkpoint (the foreachBatch
+    contract), so the strict filter is correct for future epochs too.
+    """
+    from pyspark.sql import functions as _F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        store = (
+            spark.read.parquet(fp_path)
+            .where(_F.col("epoch") < epoch_id)
+            .select(id_col, "fp")
+        )
+    except AnalysisException:
+        store = None  # first batch ever: bootstrap
+    packed = ingest_increment(
+        None,
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        existing_fp=store,
+        **pipeline_kwargs,
+    )
+    packed.write.mode("overwrite").parquet(f"{output_path}/epoch={epoch_id}")
+    new_fp = corpus_fingerprints(
+        batch_df, id_col=id_col, text_col=text_col
+    ).groupBy("fp").agg(_F.min(id_col).alias(id_col))
+    if store is not None:
+        new_fp = new_fp.join(store.select("fp"), "fp", "left_anti")
+    new_fp.select(id_col, "fp").write.mode("overwrite").parquet(
+        f"{fp_path}/epoch={epoch_id}"
     )

@@ -213,3 +213,32 @@ def test_ingest_increment_stream_cross_batch_dedup(spark, tmp_path):
     assert len(by_epoch) == 2, f"expected 2 micro-batches, got {by_epoch.keys()}"
     first, second = (by_epoch[e] for e in sorted(by_epoch))
     assert len(first) == 2 and len(second) == 1
+
+
+def test_ingest_increment_stream_replay_is_lossless(spark, tmp_path):
+    """The foreachBatch replay contract: re-running an epoch AFTER its
+    fingerprints were written (crash before checkpoint commit) must
+    reproduce the same output — not see its own fingerprints and
+    overwrite the epoch with empty frames (the silent-loss failure the
+    store's epoch filter exists to prevent)."""
+    from drill_logfile_plugin_spark.pipeline import _process_increment_batch
+
+    schema = "doc_id long, source string, text string"
+    b0 = spark.createDataFrame([(1, "web", _good("x"))], schema)
+    b1 = spark.createDataFrame([(2, "web", _good("y"))], schema)
+    out, fps = str(tmp_path / "out"), str(tmp_path / "fps")
+
+    _process_increment_batch(spark, b0, 0, out, fps, chunk_tokens=CHUNK)
+    first = sorted(map(str, spark.read.parquet(out).collect()))
+    assert first, "epoch 0 must ingest doc 1"
+
+    # replay epoch 0 (its fps are already on disk)
+    _process_increment_batch(spark, b0, 0, out, fps, chunk_tokens=CHUNK)
+    assert sorted(map(str, spark.read.parquet(out).collect())) == first
+    assert spark.read.parquet(fps).count() == 1
+
+    # and the next epoch still dedups against epoch 0
+    _process_increment_batch(spark, b1, 1, out, fps, chunk_tokens=CHUNK)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2}
+    assert spark.read.parquet(fps).count() == 2
