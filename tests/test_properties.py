@@ -481,14 +481,22 @@ def test_simhash64_duck_mirror_on_random_texts(spark, texts):
     assert eng == duck
 
 
-@given(lines=st.lists(line_st, min_size=0, max_size=20))
+@given(
+    lines=st.lists(line_st, min_size=0, max_size=20),
+    split_size=st.one_of(st.none(), st.integers(min_value=1, max_value=64)),
+)
 @SETTINGS
-def test_format_log_shim_matches_read_log_on_random_lines(spark, lines):
+def test_format_log_shim_matches_read_log_on_random_lines(
+    spark, lines, split_size
+):
     """The format('log') Python DataSource shim is row-for-row identical
     to the JVM-expression path (read_log) on arbitrary line soup —
     matches, mismatches routed to unmatched_lines, Java-trim skips, and
     INT capture groups beyond int32 (which the '1'-runs in the alphabet
-    produce naturally: both sides must NULL them, not abort)."""
+    produce naturally: both sides must NULL them, not abort) — AND under
+    arbitrary byte-range splitting (split_size drawn down to 1 byte, so
+    boundaries land inside lines, on newlines, and inside multi-byte
+    UTF-8 sequences)."""
     import tempfile
 
     from drill_logfile_plugin_spark import (
@@ -508,13 +516,15 @@ def test_format_log_shim_matches_read_log_on_random_lines(spark, lines):
         fh.write("".join(ln.replace("\n", " ") + "\n" for ln in lines))
         path = fh.name
     ref = read_log(spark, path, cfg)
-    shim = (
+    reader = (
         spark.read.format("log")
         .option("pattern", PATTERN)
         .option("fieldNames", "k,v")
         .option("dataTypes", "VARCHAR,INT")
-        .load(path)
     )
+    if split_size is not None:
+        reader = reader.option("splitSize", str(split_size))
+    shim = reader.load(path)
     assert shim.schema == ref.schema
     key = lambda r: tuple(str(x) for x in r)  # noqa: E731
     assert sorted(map(key, shim.collect())) == sorted(
