@@ -621,3 +621,37 @@ def test_bpe_spacing_cross_engine_on_arbitrary_unicode(spark, texts):
         ).fetchall()
     )
     assert got == want
+
+
+@given(texts=st.lists(_shingle_text_st, min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None)  # two LSH runs per example
+def test_incremental_lsh_equivalence_property(spark, texts):
+    """incremental_lsh_pairs(increment, standing) == the corpus-wide
+    lsh_candidate_pairs restricted to increment-touching pairs, for
+    ARBITRARY small-alphabet corpora (heavy shingle overlap, so both
+    cross and self pairs occur organically) with a planted exact twin
+    straddling the increment boundary."""
+    from drill_logfile_plugin_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), texts[0]))  # twin straddles the boundary
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    standing = df.where(F.col("doc_id") % 3 != 0)
+    increment = df.where(F.col("doc_id") % 3 == 0)
+
+    inc_ids = {r["doc_id"] for r in increment.select("doc_id").collect()}
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))  # noqa: E731
+    expected = sorted(
+        key(r)
+        for r in D.lsh_candidate_pairs(df, jaccard_threshold=0.3).collect()
+        if r["doc_a"] in inc_ids or r["doc_b"] in inc_ids
+    )
+    got = sorted(
+        map(
+            key,
+            D.incremental_lsh_pairs(
+                increment, standing, jaccard_threshold=0.3
+            ).collect(),
+        )
+    )
+    assert got == expected
