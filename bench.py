@@ -142,7 +142,14 @@ def main() -> None:
             while (
                 best > RERUN_THRESHOLD_S
                 and runs < MAX_RUNS
-                and extra_budget_s > best
+                # Per-query re-run FLOOR (round-6 verdict): every slow query
+                # gets at least ONE confirmation re-run even when an early
+                # stall has drained the shared budget — otherwise a
+                # late-iterated query can have a single ambient-inflated
+                # reading frozen into the round record with no chance of
+                # correction (the q27 r6 case). The budget only gates the
+                # SECOND re-run.
+                and (runs == 1 or extra_budget_s > best)
             ):
                 # A transient failure on a CONFIRMATION re-run must not
                 # discard the valid first measurement (or flip the exit
@@ -163,6 +170,31 @@ def main() -> None:
         except Exception as e:  # keep benching; a broken query shows as -1
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    # Persist per-query floors (round-6 verdict item 8): FLOORS.json maps
+    # sf -> query -> minimum wall-time ever observed, merged across every
+    # bench/isolation run. Regression adjudication ("did q27's floor really
+    # move?") becomes one diff against this file instead of archaeology
+    # through BASELINE.md prose. Best-effort: a read-only checkout must not
+    # break the bench (the one-line-JSON stdout contract is sacred).
+    try:
+        floors_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "FLOORS.json"
+        )
+        floors: dict = {}
+        if os.path.exists(floors_path):
+            with open(floors_path) as fh:
+                floors = json.load(fh)
+        sf_key = str(sf)
+        cur = floors.setdefault(sf_key, {})
+        for q, t in timings.items():
+            if t >= 0:
+                cur[q] = min(cur.get(q, t), t)
+        with open(floors_path, "w") as fh:
+            json.dump(floors, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as e:
+        print(f"bench: floors update failed (continuing): {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

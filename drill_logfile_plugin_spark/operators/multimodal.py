@@ -10,20 +10,32 @@ The decode step is pluggable by codec name:
 
 * ``codec="png"`` — a REAL decoder: a complete stdlib+numpy PNG reader
   (zlib inflate, chunk parse, all five filter types, color types
-  0/2/3/4/6 at 8-bit depth) producing true dimensions and luma pixels;
-  features are content-derived intensity histograms. Verified in pytest
-  against independently-encoded images (the test writes PNGs with its
-  own spec-following encoder, per-row filter types chosen adversarially).
+  0/2/3/4/6 at 8- and 16-bit depth, Adam7 interlace, bounded-inflate
+  bomb guards) producing true dimensions and luma pixels; features are
+  content-derived intensity histograms. Verified in pytest against
+  independently-encoded images (the test writes PNGs with its own
+  spec-following encoder, per-row filter types chosen adversarially).
+* ``codec="jpeg"`` — a REAL baseline-JPEG decoder (:mod:`.jpeg`):
+  stdlib+numpy marker parse, Huffman entropy decode, dequant + IDCT on
+  the luma plane, restart markers, 4:4:4/4:2:2/4:2:0 subsampling.
+  Progressive/arithmetic JPEG raise NotImplementedError — the remaining
+  plug-in point. Verified against an independent in-test encoder at the
+  (lossless) quantized-coefficient layer plus an independently-computed
+  IDCT pixel reference.
 * ``codec="fake"`` — a deterministic stand-in that derives (width, height,
   format) from the md5 of the payload bytes. Because Python's hashlib md5
   equals SQL ``md5()``, the fake decoder is *oracle-checkable end to end*:
   the driver's DuckDB SQL reproduces it exactly, which validates the real
   part (schema, batching, partitioning, UDF signature) rather than the
   stub — the driver fixture lane (q33/q42).
-* any other codec (JPEG, audio, video — the libs aren't in this
-  container) — raises :class:`NotImplementedError` at plan-build time,
-  marking exactly where the next decoder plugs in behind the same
-  Spark-side shape.
+* any other codec (audio, video — the libs aren't in this container) —
+  raises :class:`NotImplementedError` at plan-build time, marking exactly
+  where the next decoder plugs in behind the same Spark-side shape.
+
+Per-row robustness: real codecs take an ``on_error`` mode — ``"null"``
+quarantine (default for the metadata/feature lanes), ``"skip"``, or
+``"strict"`` — so one corrupt payload in a 100-TB corpus marks its row
+instead of failing the job.
 
 No reference counterpart: the reference plugin is text-only
 (LogRecordReader.java:125 hardcodes UTF-8 line decoding); this module is
@@ -60,7 +72,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png")
+SUPPORTED_CODECS = ("fake", "png", "jpeg")
 
 
 # --- real codec: PNG --------------------------------------------------------
@@ -97,13 +109,77 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG missing IEND")
 
 
+#: Hard upper bound on decoded pixel count (~6.7x a 4K frame). IHDR
+#: dimensions are attacker/corruption-controlled; without a bound a
+#: 25-byte crafted payload could demand a multi-GiB allocation (or feed a
+#: zlib decompression bomb) and take down an executor instead of raising
+#: the documented ValueError. Thumbnails/fixtures — this decoder's stated
+#: scope — sit orders of magnitude below it.
+_PNG_MAX_PIXELS = 1 << 26
+
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec 8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering for one (sub-)image of ``h`` rows of
+    ``stride`` bytes, filter unit ``bpp`` bytes (channels x bytes/sample,
+    min 1 — spec 9.2). Returns a (h, stride) uint8 array; consumes
+    ``h * (stride + 1)`` bytes of ``raw`` starting at ``offset``."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[offset + y * (stride + 1)]
+        row = np.frombuffer(
+            raw,
+            dtype=np.uint8,
+            count=stride,
+            offset=offset + y * (stride + 1) + 1,
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def _png_decode(payload: bytes):
     """Decode a PNG to ``(width, height, gray)`` — ``gray`` a (h, w)
     uint8 luma array (integer BT.601 weights for color images; palette
-    resolved first; alpha ignored). Supported profile: 8-bit depth,
-    color types 0/2/3/4/6, interlace 0; anything else raises
-    NotImplementedError (the explicit plug-in point), malformed bytes
-    raise ValueError."""
+    resolved first; alpha ignored; 16-bit samples reduced to their high
+    byte, the spec's fast-path 16->8 scaling). Supported profile: 8- and
+    16-bit depth, color types 0/2/3/4/6 (palette type 3 is 8-bit by its
+    PLTE nature), interlace 0 (progressive) and 1 (Adam7). Sub-byte
+    depths (1/2/4 — rare in crawl data) raise NotImplementedError, the
+    explicit plug-in point; malformed bytes raise ValueError."""
     import struct
     import zlib
 
@@ -126,52 +202,67 @@ def _png_decode(payload: bytes):
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or ctype_num not in _PNG_CHANNELS:
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and ctype_num == 3)
+        or interlace not in (0, 1)
+        or ctype_num not in _PNG_CHANNELS
+    ):
         raise NotImplementedError(
             f"PNG profile not supported by the built-in decoder: depth="
             f"{depth} colorType={ctype_num} interlace={interlace} "
-            "(supported: 8-bit, color types 0/2/3/4/6, non-interlaced)"
+            "(supported: 8/16-bit, color types 0/2/3/4/6, interlace "
+            "0/Adam7; sub-byte depths are the remaining plug-in point)"
+        )
+    # dimension sanity BEFORE any allocation: IHDR is untrusted input
+    if width == 0 or height == 0:
+        raise ValueError("PNG with zero dimension")
+    if width * height > _PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the decoder bound "
+            f"({_PNG_MAX_PIXELS} pixels)"
         )
     nch = _PNG_CHANNELS[ctype_num]
+    bps = depth // 8  # bytes per sample
+    bpp = nch * bps  # filter unit, spec 9.2
+
+    # expected inflated size is fully determined by the header — bound the
+    # inflate to it so a crafted IDAT (decompression bomb) cannot out-
+    # allocate the image it claims to be
+    if interlace == 0:
+        pass_dims = [(width, height, 0, 0, 1, 1)]
+    else:
+        pass_dims = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                pass_dims.append((pw, ph, x0, y0, dx, dy))
+    expected = sum(ph * (pw * bpp + 1) for pw, ph, *_ in pass_dims)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         # malformed bytes are ValueError everywhere in this decoder —
         # one exception class for "not a decodable PNG"
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG IDAT length does not match dimensions")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            cur = row
-        elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = prev[x - nch] if x >= nch else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    px = out.reshape(height, width, nch)
+
+    # unfilter each (sub-)image, then scatter Adam7 passes into place
+    samples = np.zeros((height, width * nch), dtype=np.uint8)
+    offset = 0
+    for pw, ph, x0, y0, dx, dy in pass_dims:
+        sub = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+        offset += ph * (pw * bpp + 1)
+        if bps == 2:  # 16-bit: big-endian high byte (spec 16->8 fast path)
+            sub = sub.reshape(ph, pw * nch, 2)[:, :, 0]
+        sub = sub.reshape(ph, pw, nch)
+        rows = np.arange(y0, height, dy)[:ph]
+        cols = np.arange(x0, width, dx)[:pw]
+        grid = samples.reshape(height, width, nch)
+        grid[np.ix_(rows, cols)] = sub
+    px = samples.reshape(height, width, nch)
     if ctype_num == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -207,11 +298,17 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
+def _check_on_error(on_error: str, allowed=("null", "skip", "strict")) -> None:
+    if on_error not in allowed:
+        raise ValueError(f"on_error must be one of {allowed}, got {on_error!r}")
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     codec: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """Decode binary payloads to typed metadata via mapInPandas.
 
@@ -219,16 +316,33 @@ def decode_media(
     Arrow batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
     regardless of total partition size — the correct shape for multi-MB
     media payloads.
+
+    ``on_error`` governs per-row codec failures (ValueError on malformed
+    bytes, NotImplementedError on unsupported profiles): ``"null"``
+    (default) quarantines the row — doc_id and n_bytes survive, the
+    decoded metadata columns are NULL, so undecodable payloads are
+    countable (``width IS NULL``) without failing a 100-TB job on one
+    corrupt byte; ``"skip"`` drops the row; ``"strict"`` re-raises,
+    aborting the job (the pre-r7 behavior, opt-in for pipelines that
+    treat any corrupt payload as a data bug). The fake codec is total —
+    it never errors — so the driver's oracle lane is mode-independent.
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r}: further media codecs (JPEG/ffmpeg) are not "
+            f"codec {codec!r}: further media codecs (ffmpeg/audio) are not "
             f"available in this environment; supported: {SUPPORTED_CODECS}"
         )
+    _check_on_error(on_error)
     if codec == "png":
         def _decode_one(p: bytes) -> tuple[str, int, int]:
             w, h, _gray = _png_decode(p)
             return "png", w, h
+    elif codec == "jpeg":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .jpeg import _jpeg_decode
+
+            w, h, _gray = _jpeg_decode(p)
+            return "jpeg", w, h
     else:
         _decode_one = _fake_decode
 
@@ -244,23 +358,32 @@ def decode_media(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_one(p) for p in pdf["payload"]]
+            ids, fmts, ws, hs, nbs, nps = [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, w, h = _decode_one(p)
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    fmt, w, h = None, None, None
+                ids.append(doc_id)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                nbs.append(len(p))
+                nps.append(None if w is None else w * h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "media_format": [d[0] for d in decoded],
-                    "width": pd.Series(
-                        [d[1] for d in decoded], dtype="int32"
-                    ),
-                    "height": pd.Series(
-                        [d[2] for d in decoded], dtype="int32"
-                    ),
-                    "n_bytes": pd.Series(
-                        [len(p) for p in pdf["payload"]], dtype="int64"
-                    ),
-                    "n_pixels": pd.Series(
-                        [d[1] * d[2] for d in decoded], dtype="int64"
-                    ),
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_format": pd.Series(fmts, dtype="object"),
+                    # nullable pandas dtypes: quarantined rows carry NULL
+                    # metadata through Arrow without float-upcasting
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                    "n_pixels": pd.Series(nps, dtype="Int64"),
                 }
             )
 
@@ -282,6 +405,7 @@ def extract_features(
     id_col: str = "doc_id",
     dim: int = 16,
     codec: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """Feature-extract binary payloads to a dense vector via mapInPandas.
 
@@ -291,26 +415,36 @@ def extract_features(
     to [0, 1] by /255 — deterministic, and reproducible in SQL (md5 hex
     pairs → ints), so aggregates over features are oracle-checkable with
     order-independent reducers (MIN/MAX; j/255.0 is IEEE-exact in every
-    engine). PNG codec: a ``dim``-bin normalized luma histogram of the
-    decoded pixels (each feature = fraction of pixels in that intensity
-    band) — a real, content-derived image feature.
+    engine). PNG/JPEG codecs: a ``dim``-bin normalized luma histogram of
+    the decoded pixels (each feature = fraction of pixels in that
+    intensity band) — a real, content-derived image feature.
+
+    ``on_error`` (real codecs only — fake is total): ``"null"`` default
+    quarantines undecodable rows with NULL features, ``"skip"`` drops
+    them, ``"strict"`` aborts the job (see :func:`decode_media`).
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(f"codec {codec!r} not available")
+    _check_on_error(on_error)
     if codec == "fake" and dim > 16:
         raise ValueError("fake codec derives at most 16 features (one md5)")
-    if codec == "png" and not 1 <= dim <= 256:
-        raise ValueError("png histogram features need 1 <= dim <= 256")
+    if codec in ("png", "jpeg") and not 1 <= dim <= 256:
+        raise ValueError("pixel histogram features need 1 <= dim <= 256")
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec == "png":
+    if codec in ("png", "jpeg"):
+        if codec == "png":
+            _decode_gray = _png_decode
+        else:
+            from .jpeg import _jpeg_decode as _decode_gray
+
         def _features_one(p: bytes) -> list[float]:
             import numpy as np
 
-            _w, _h, gray = _png_decode(p)
+            _w, _h, gray = _decode_gray(p)
             hist = np.bincount(
                 (gray.ravel().astype(np.int64) * dim) // 256, minlength=dim
             )
@@ -323,8 +457,24 @@ def extract_features(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_features_one(p) for p in pdf["payload"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            ids, feats = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    f = _features_one(p)
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    f = None
+                ids.append(doc_id)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return narrow.mapInPandas(feature_batches, FEATURES_SCHEMA)
 
@@ -345,6 +495,7 @@ def frame_sample(
     id_col: str = "doc_id",
     every_n: int = 2,
     codec: str = "fake",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Sample frames from video-like payloads: one output row per frame.
 
@@ -355,9 +506,14 @@ def frame_sample(
     timestamp. Frame counts are md5-derived, so the exploded row set is
     reproducible in SQL (DuckDB ``unnest(range(...))``) — the driver
     oracle checks the full explode, not just plumbing.
+
+    ``on_error`` (real codecs only): an undecodable payload yields zero
+    frames under ``"skip"`` (default — in a one-to-many explode the
+    natural quarantine is an empty explosion); ``"strict"`` aborts.
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(f"codec {codec!r} not available")
+    _check_on_error(on_error, allowed=("skip", "strict"))
     if every_n < 1:
         # plan-build-time guard: range(0, n, 0) would ValueError inside
         # every executor task; a negative step silently emits no frames
@@ -370,12 +526,19 @@ def frame_sample(
     def frame_batches(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        if codec == "jpeg":
+            from .jpeg import _jpeg_decode
         for pdf in batches:
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                if codec == "png":
+                if codec in ("png", "jpeg"):
                     # a validated still image is exactly one frame
-                    _png_decode(p)
+                    try:
+                        (_png_decode if codec == "png" else _jpeg_decode)(p)
+                    except (ValueError, NotImplementedError):
+                        if on_error == "strict":
+                            raise
+                        continue
                     n_frames = 1
                 else:
                     h = hashlib.md5(p).hexdigest()

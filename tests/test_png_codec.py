@@ -42,25 +42,50 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    px: np.ndarray, color_type: int, filters: list[int], palette=None
-) -> bytes:
-    """Forward-filter + deflate ``px`` (h, w, channels uint8) into a PNG,
-    row y filtered with ``filters[y % len(filters)]``."""
-    h, w, nch = px.shape
-    assert nch == _CHANNELS[color_type]
-    stride = w * nch
-    flat = px.reshape(h, stride).astype(np.int32)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def test_adam7_pass_table_matches_spec_figure():
+    """The encoder's pass table must reproduce the literal 8x8 pass-
+    assignment figure from PNG spec 8.2 — guards against the encoder and
+    decoder agreeing on a wrong-but-self-consistent geometry."""
+    spec_figure = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    got = np.zeros((8, 8), dtype=int)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        got[y0::dy, x0::dx] = p
+    assert np.array_equal(got, spec_figure)
+    # and the package decoder uses the identical table
+    assert tuple(M._ADAM7) == _ADAM7
+
+
+def _filter_subimage(bytes_px: np.ndarray, bpp: int, filters) -> bytearray:
+    """Forward-filter one (sub-)image given as (h, stride) BYTE rows."""
+    h, stride = bytes_px.shape
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
+    flat = bytes_px.astype(np.int32)
     for y in range(h):
         ft = filters[y % len(filters)]
         row = flat[y]
         out = np.zeros(stride, dtype=np.int32)
         for x in range(stride):
-            a = int(row[x - nch]) if x >= nch else 0
+            a = int(row[x - bpp]) if x >= bpp else 0
             b = int(prev[x])
-            c = int(prev[x - nch]) if x >= nch else 0
+            c = int(prev[x - bpp]) if x >= bpp else 0
             if ft == 0:
                 pred = 0
             elif ft == 1:
@@ -75,7 +100,44 @@ def encode_png(
         raw.append(ft)
         raw.extend(out.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def _to_bytes_rows(px: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, nch) samples -> (h, w*nch*depth//8) big-endian byte rows."""
+    h, w, nch = px.shape
+    if depth == 8:
+        return px.astype(np.uint8).reshape(h, w * nch)
+    return (
+        px.astype(">u2").view(np.uint8).reshape(h, w * nch * 2)
+    )
+
+
+def encode_png(
+    px: np.ndarray,
+    color_type: int,
+    filters: list[int],
+    palette=None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Forward-filter + deflate ``px`` (h, w, channels; uint8 for depth 8,
+    uint16 for depth 16) into a PNG, row y of each (sub-)image filtered
+    with ``filters[y % len(filters)]``; Adam7 when ``interlace=1``."""
+    h, w, nch = px.shape
+    assert nch == _CHANNELS[color_type]
+    bpp = nch * depth // 8
+    raw = bytearray()
+    if interlace == 0:
+        raw += _filter_subimage(_to_bytes_rows(px, depth), bpp, filters)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_subimage(
+                    _to_bytes_rows(sub, depth), bpp, filters
+                )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     body = _chunk(b"IHDR", ihdr)
     if color_type == 3:
         body += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -135,20 +197,86 @@ def test_png_bad_signature_and_unsupported_profile():
         M._png_decode(b"JFIF....not a png")
     px = _rng(7).integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
     good = encode_png(px, 0, [0])
-    # flip the IHDR depth byte to 16: spec-valid PNG, unsupported profile
+    # flip the IHDR depth byte to 4: spec-valid PNG, sub-byte depths are
+    # the decoder's remaining descope
     ihdr_at = good.index(b"IHDR") + 4
     bad_depth = bytearray(good)
-    bad_depth[ihdr_at + 8] = 16
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    bad_depth[ihdr_at + 8] = 4
+    with pytest.raises(NotImplementedError, match="depth=4"):
         M._png_decode(bytes(bad_depth))
+
+
+def test_png_decode_16bit_high_byte_luma():
+    """16-bit samples reduce to their high byte (the spec's fast-path
+    16->8 scaling) before the BT.601 luma math — pinned across gray and
+    RGB, all five filters (filter unit = 2 and 6 bytes)."""
+    g16 = _rng(20).integers(0, 1 << 16, size=(11, 6, 1), dtype=np.uint16)
+    w, h, gray = M._png_decode(encode_png(g16, 0, ALL_FILTERS, depth=16))
+    assert (w, h) == (6, 11)
+    assert np.array_equal(gray, (g16[:, :, 0] >> 8).astype(np.uint8))
+    c16 = _rng(21).integers(0, 1 << 16, size=(7, 9, 3), dtype=np.uint16)
+    _, _, gray = M._png_decode(encode_png(c16, 2, ALL_FILTERS, depth=16))
+    rgb = (c16 >> 8).astype(np.int64)
+    expect = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    assert np.array_equal(gray, expect.astype(np.uint8))
+
+
+@pytest.mark.parametrize("size", [(1, 1), (3, 2), (8, 8), (13, 21), (17, 5)])
+def test_png_decode_adam7_exact(size):
+    """Adam7 de-interlacing recovers the exact pixels at awkward sizes
+    (passes that are empty, single-pixel, or partial all occur here)."""
+    hh, ww = size
+    px = _rng(30 + hh).integers(0, 256, size=(hh, ww, 1), dtype=np.uint8)
+    w, h, gray = M._png_decode(
+        encode_png(px, 0, ALL_FILTERS, interlace=1)
+    )
+    assert (w, h) == (ww, hh)
+    assert np.array_equal(gray, px[:, :, 0])
+
+
+def test_png_decode_adam7_rgb_16bit():
+    px = _rng(40).integers(0, 1 << 16, size=(10, 12, 3), dtype=np.uint16)
+    _, _, gray = M._png_decode(
+        encode_png(px, 2, ALL_FILTERS, depth=16, interlace=1)
+    )
+    rgb = (px >> 8).astype(np.int64)
+    expect = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    assert np.array_equal(gray, expect.astype(np.uint8))
+
+
+def test_png_bomb_guards():
+    """IHDR dimensions are untrusted: implausible sizes and over-long
+    inflate streams raise ValueError before any large allocation."""
+    px = _rng(41).integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
+    good = encode_png(px, 0, [0])
+    ihdr_at = good.index(b"IHDR") + 4
+    huge = bytearray(good)
+    huge[ihdr_at : ihdr_at + 8] = struct.pack(">II", 1 << 16, 1 << 16)
+    with pytest.raises(ValueError, match="bound"):
+        M._png_decode(bytes(huge))
+    zero = bytearray(good)
+    zero[ihdr_at : ihdr_at + 8] = struct.pack(">II", 0, 3)
+    with pytest.raises(ValueError, match="zero"):
+        M._png_decode(bytes(zero))
+    # a stream that inflates to MORE than the header promises: the
+    # bounded decompressobj stops at expected+1 and rejects
+    raw_rows = bytes([0]) + px[0, :, 0].tobytes()
+    bloated = zlib.compress(raw_rows * 64)
+    body = good[8 : good.index(b"IDAT") - 4]
+    fat = (
+        b"\x89PNG\r\n\x1a\n" + body
+        + _chunk(b"IDAT", bloated) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        M._png_decode(fat)
 
 
 def test_unknown_codec_still_rejected(spark):
     df = spark.range(1).select(
         F.col("id").alias("doc_id"), F.lit(b"x").alias("payload")
     )
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        M.decode_media(df, codec="jpeg")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        M.decode_media(df, codec="ffmpeg")
 
 
 @pytest.fixture(scope="module")
