@@ -30,11 +30,21 @@ sys.path.insert(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     runs_n = 5
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
-            runs_n = int(a.split("=")[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--runs":
+            runs_n = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--runs="):
+            runs_n = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
