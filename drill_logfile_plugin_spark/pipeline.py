@@ -41,6 +41,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.chunking import chunk_docs, pack_sequences
+from .operators.dedup import (
+    dup_clusters,
+    incremental_dup_clusters,
+    incremental_lsh_pairs,
+    lsh_candidate_pairs,
+)
 from .operators.sampling import leakage_safe_split
 from .operators.text import clean_corpus
 from .operators.versioning import snapshot_diff
@@ -79,6 +85,10 @@ def ingest_increment(
     val_pct: int = 10,
     clusters: DataFrame | None = None,
     existing_fp: DataFrame | None = None,
+    near_dup: bool = False,
+    standing_bands=None,
+    standing_clusters: DataFrame | None = None,
+    jaccard_threshold: float = 0.6,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
@@ -123,11 +133,48 @@ def ingest_increment(
     6. **Chunk + pack** — :func:`..operators.chunking.chunk_docs` (drops
        text) then :func:`..operators.chunking.pack_sequences` per
        ``source_col`` shard.
+
+    ``near_dup=True`` inserts stage **2c** between dedup and the
+    keep-verdict join: MinHash-LSH near-duplicate adjudication of the
+    exact-unique delta (:func:`..operators.dedup.incremental_lsh_pairs`
+    against the standing corpus, :func:`..operators.dedup.
+    lsh_candidate_pairs` within a bootstrap), so crawl VARIANTS — same
+    page re-fetched with a new timestamp, boilerplate shuffled — are
+    dropped, not just byte-identical content. Policy: a standing member
+    always wins its cluster (it is already in the corpus); among
+    new-only clusters the min-id member survives. The resulting cluster
+    map (folded into ``standing_clusters`` when given, see
+    :func:`..operators.dedup.incremental_dup_clusters`) then drives the
+    leakage-safe split automatically — surviving members of a near-dup
+    cluster share a split with their standing twins, closing the
+    twin-leak without a separate ``clusters=`` hand-off (passing
+    ``clusters`` alongside ``near_dup=True`` is therefore a setup
+    error). ``standing_bands`` takes the persisted
+    :func:`..operators.dedup.minhash_bands` index (or the
+    ``load_band_index`` tuple, geometry-validated) so the standing
+    corpus is never re-banded; because the exact re-rank must read
+    candidate-hit standing TEXT, near-dup against a standing corpus
+    requires the full ``existing`` snapshot — ``existing_fp`` alone
+    cannot support it (the call raises; run the exact-only form or pass
+    the snapshot).
     """
     if existing is not None and existing_fp is not None:
         raise ValueError(
             "pass existing (full snapshot) OR existing_fp (its "
             "corpus_fingerprints projection), not both"
+        )
+    if near_dup and clusters is not None:
+        raise ValueError(
+            "near_dup=True derives the cluster map itself (fold of "
+            "standing_clusters + this increment's pairs) — passing "
+            "clusters= too is ambiguous; pass standing_clusters instead"
+        )
+    if near_dup and existing is None and existing_fp is not None:
+        raise ValueError(
+            "near_dup=True against a standing corpus needs the full "
+            "existing snapshot (the exact Jaccard re-rank reads "
+            "candidate-hit standing text; the fingerprint projection "
+            "has none) — pass existing=, or run exact-only"
         )
     # Normalize the standing state to one (id, __fp) frame: from the
     # persisted projection when given (the production form — corpus text
@@ -170,6 +217,67 @@ def ingest_increment(
     # 3. the one wide join: text meets its keep-verdict
     kept = increment.join(winners, id_col, "left_semi")
 
+    # 2c. near-dup adjudication of the exact-unique delta (opt-in).
+    # Ordering note: this runs AFTER the keep-verdict join because it
+    # needs text (tokenize/band/re-rank) and must only consider
+    # exact-winners — banding exact-duplicate rows would waste work on
+    # content already adjudicated. Text still never rides an exchange:
+    # the LSH lanes project text to token hashes scan-side; only
+    # candidate-hit documents' shingle sets (O(duplicates)) shuffle in
+    # the exact re-rank (the q27/incremental-probe discipline).
+    split_clusters = clusters
+    if near_dup:
+        if old_fp is not None:
+            pairs = incremental_lsh_pairs(
+                kept,
+                existing,
+                standing_bands=standing_bands,
+                text_col=text_col,
+                id_col=id_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+        else:
+            pairs = lsh_candidate_pairs(
+                kept, text_col, id_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+        pair_edges = pairs.select("doc_a", "doc_b")
+        if standing_clusters is not None:
+            merged = incremental_dup_clusters(standing_clusters, pair_edges)
+        else:
+            merged = dup_clusters(pair_edges)
+        # Survivor policy for an increment: a standing member always
+        # wins its cluster (that content is already in the corpus —
+        # an increment run must never displace it); among new-only
+        # clusters the min-id member survives (= cluster_id, the map's
+        # id policy). Nodes in the map but not in this delta are
+        # standing by definition.
+        new_ids = kept.select(F.col(id_col).alias("node")).withColumn(
+            "__new", F.lit(1)
+        )
+        labeled = merged.join(new_ids, "node", "left")
+        verdicts = labeled.groupBy("cluster_id").agg(
+            F.max(F.when(F.col("__new").isNull(), 1).otherwise(0)).alias(
+                "__has_standing"
+            ),
+            F.min(F.when(F.col("__new") == 1, F.col("node"))).alias(
+                "__min_new"
+            ),
+        )
+        losers = (
+            labeled.where(F.col("__new") == 1)
+            .join(verdicts, "cluster_id")
+            .where(
+                (F.col("__has_standing") == 1)
+                | (F.col("node") != F.col("__min_new"))
+            )
+            .select(F.col("node").alias(id_col))
+        )
+        kept = kept.join(losers, id_col, "left_anti")
+        # the merged map drives the split: surviving members of a
+        # near-dup cluster share a bucket with their standing twins
+        split_clusters = merged
+
     # 4. map-only quality filter
     cleaned = clean_corpus(
         kept,
@@ -181,9 +289,9 @@ def ingest_increment(
     )
 
     # 5. per-document split (before chunking: chunks inherit it)
-    if clusters is not None:
+    if split_clusters is not None:
         assigned = leakage_safe_split(
-            cleaned, clusters, id_col=id_col,
+            cleaned, split_clusters, id_col=id_col,
             train_pct=train_pct, val_pct=val_pct,
         )
     else:

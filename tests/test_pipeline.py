@@ -242,3 +242,164 @@ def test_ingest_increment_stream_replay_is_lossless(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert ids == {1, 2}
     assert spark.read.parquet(fps).count() == 2
+
+
+# --- near-dup mode (stage 2c) ----------------------------------------------
+
+
+def _variant(tag: str, swap_at: int = 12) -> str:
+    """_good(tag) with ONE token swapped: 3-shingle Jaccard ~ 19/25 =
+    0.76 >= 0.6 — a planted near-duplicate (crawl variant), never
+    byte-identical."""
+    toks = [f"{tag}w{i}" for i in range(24)]
+    toks[swap_at] = "SWAPPED"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def near_corpus(spark):
+    existing = spark.createDataFrame(
+        [
+            (1, "web", _good("a")),
+            (2, "web", _good("b")),
+        ],
+        "doc_id long, source string, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (20, "web", _variant("a")),   # near-dup of STANDING doc 1 -> dropped
+            (21, "web", _good("f")),      # fresh -> survives
+            (22, "web", _variant("f")),   # near-dup of NEW 21 -> loses to min id
+            (23, "books", _good("g")),    # fresh, untouched by any pair
+        ],
+        "doc_id long, source string, text string",
+    )
+    return existing, increment
+
+
+def test_ingest_increment_near_dup_drops_crawl_variants(spark, near_corpus):
+    """near_dup=True: a crawl VARIANT (not byte-identical) of standing
+    content is dropped; within the delta the min-id member of a new
+    near-dup cluster survives; exact-only mode admits all of them."""
+    existing, increment = near_corpus
+    exact_only = ingest_increment(existing, increment, chunk_tokens=CHUNK)
+    assert {r["doc_id"] for r in exact_only.collect()} == {20, 21, 22, 23}
+
+    out = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, near_dup=True
+    )
+    assert {r["doc_id"] for r in out.collect()} == {21, 23}
+
+
+def test_ingest_increment_near_dup_split_is_cluster_cohesive(
+    spark, near_corpus
+):
+    """The derived cluster map drives the leakage-safe split: surviving
+    doc 21's chunks take the bucket of its CLUSTER id (21, the min of
+    {21, 22}), and an untouched doc keeps the naive assignment."""
+    existing, increment = near_corpus
+    out = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, near_dup=True
+    )
+    rows = out.collect()
+    s21 = {r["split"] for r in rows if r["doc_id"] == 21}
+    s23 = {r["split"] for r in rows if r["doc_id"] == 23}
+    assert s21 == {_expected_split(21)}
+    assert s23 == {_expected_split(23)}
+
+
+def test_ingest_increment_near_dup_standing_bands_and_clusters(
+    spark, near_corpus, tmp_path
+):
+    """The production form: the standing corpus contributes through its
+    PERSISTED band index (never re-banded) and a standing cluster map
+    (folded, not recomputed) — output identical to the from-scratch
+    call; a geometry-mismatched index is a setup error."""
+    from drill_logfile_plugin_spark.operators.dedup import (
+        load_band_index,
+        minhash_bands,
+        save_band_index,
+    )
+
+    existing, increment = near_corpus
+    path = str(tmp_path / "bands")
+    save_band_index(minhash_bands(existing), path)
+    idx = load_band_index(spark, path)
+    standing_clusters = spark.createDataFrame(
+        [(1, 1), (2, 2)], "cluster_id long, node long"
+    )
+
+    base = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, near_dup=True
+    )
+    via_idx = ingest_increment(
+        existing,
+        increment,
+        chunk_tokens=CHUNK,
+        near_dup=True,
+        standing_bands=idx,
+        standing_clusters=standing_clusters,
+    )
+    assert sorted(map(str, base.collect())) == sorted(
+        map(str, via_idx.collect())
+    )
+
+    with pytest.raises(ValueError, match="geometry"):
+        ingest_increment(
+            existing,
+            increment,
+            near_dup=True,
+            standing_bands=(idx[0], {**idx[1], "bands": 32}),
+        )
+
+
+def test_ingest_increment_near_dup_bootstrap_and_guards(spark, near_corpus):
+    """Bootstrap near-dup (no standing corpus): within-increment
+    variants still dedup, standing variants have nothing to match.
+    Guards: clusters= alongside near_dup is ambiguous; the fingerprint
+    projection alone cannot support the re-rank."""
+    from drill_logfile_plugin_spark.pipeline import corpus_fingerprints
+
+    existing, increment = near_corpus
+    out = ingest_increment(
+        None, increment, chunk_tokens=CHUNK, near_dup=True
+    )
+    # 20 survives a bootstrap (its standing twin is not standing here)
+    assert {r["doc_id"] for r in out.collect()} == {20, 21, 23}
+
+    clusters = spark.createDataFrame(
+        [(21, 21)], "node long, cluster_id long"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        ingest_increment(
+            None, increment, near_dup=True, clusters=clusters
+        )
+    with pytest.raises(ValueError, match="snapshot"):
+        ingest_increment(
+            None,
+            increment,
+            near_dup=True,
+            existing_fp=corpus_fingerprints(existing),
+        )
+
+
+def test_ingest_increment_near_dup_plan_never_shuffles_text(
+    spark, near_corpus
+):
+    """The text-never-in-an-exchange contract extends to the near-dup
+    stage: the LSH lanes ride token-hash projections and candidate-only
+    shingle sets; document text itself still never shuffles. Checked on
+    the FINAL adaptive plan (the executed strategy, not the static
+    guess)."""
+    existing, increment = near_corpus
+    out = ingest_increment(
+        existing, increment, chunk_tokens=CHUNK, near_dup=True
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines, "expected a non-degenerate distributed plan"
+    assert not any("text#" in ln for ln in exchange_lines), (
+        "document text must never ride a shuffle:\n"
+        + "\n".join(exchange_lines)
+    )
