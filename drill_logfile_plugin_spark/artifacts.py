@@ -101,34 +101,24 @@ def _decode(obj):
     return obj
 
 
-def save_artifact(path: str, kind: str, payload, meta: dict | None = None) -> str:
-    """Write ``payload`` (numpy arrays / lists / dicts / scalars) as a
-    kind-tagged JSON artifact. Returns ``path``. Writes via a temp file +
-    rename so a crashed save never leaves a half-written artifact behind
-    for the next pipeline run to load."""
-    doc = {
-        "format": _FORMAT,
-        "version": _VERSION,
-        "kind": kind,
-        "meta": meta or {},
-        "payload": _encode(payload),
-    }
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(doc, fh, separators=(",", ":"))
-    os.replace(tmp, path)
-    return path
+def _build_doc(kind: str, payload, meta: dict | None) -> str:
+    return json.dumps(
+        {
+            "format": _FORMAT,
+            "version": _VERSION,
+            "kind": kind,
+            "meta": meta or {},
+            "payload": _encode(payload),
+        },
+        separators=(",", ":"),
+    )
 
 
-def load_artifact(path: str, expect_kind: str | None = None):
-    """Load an artifact; returns ``(kind, payload, meta)``.
-
-    Raises ``ValueError`` on a non-artifact file, an unknown format
-    version, or — when ``expect_kind`` is given — a kind mismatch
-    (pointing the IVF loader at a BPE file should fail at setup, not as
-    a shape error inside an executor UDF)."""
-    with open(path, encoding="utf-8") as fh:
-        doc = json.load(fh)
+def _parse_doc(text: str, path: str, expect_kind: str | None):
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
     if not isinstance(doc, dict) or doc.get("format") != _FORMAT:
         raise ValueError(f"not a {_FORMAT} file: {path}")
     if doc.get("version") != _VERSION:
@@ -142,6 +132,99 @@ def load_artifact(path: str, expect_kind: str | None = None):
             f"expected {expect_kind!r}"
         )
     return kind, _decode(doc.get("payload")), doc.get("meta", {})
+
+
+def save_artifact(path: str, kind: str, payload, meta: dict | None = None) -> str:
+    """Write ``payload`` (numpy arrays / lists / dicts / scalars) as a
+    kind-tagged JSON artifact. Returns ``path``. Writes via a temp file +
+    rename so a crashed save never leaves a half-written artifact behind
+    for the next pipeline run to load. Driver-local paths only; for
+    cluster storage (hdfs://, s3a://) use :func:`save_artifact_fs`."""
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(_build_doc(kind, payload, meta))
+    os.replace(tmp, path)
+    return path
+
+
+def load_artifact(path: str, expect_kind: str | None = None):
+    """Load an artifact; returns ``(kind, payload, meta)``.
+
+    Raises ``ValueError`` on a non-artifact file, an unknown format
+    version, or — when ``expect_kind`` is given — a kind mismatch
+    (pointing the IVF loader at a BPE file should fail at setup, not as
+    a shape error inside an executor UDF)."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    return _parse_doc(text, path, expect_kind)
+
+
+# --- Hadoop-filesystem variants ---------------------------------------------
+#
+# Band/embedding indexes pair a Spark-written parquet TABLE with a small
+# JSON manifest. Writing the manifest with driver-local open() would make
+# the index surface silently local-only on a cluster whose parquet half
+# lands on hdfs:// or s3a:// — so the manifest goes through the same
+# Hadoop FileSystem abstraction the parquet write uses. file:/ and bare
+# local paths resolve to the local filesystem, keeping single-node
+# behavior identical.
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def fs_write_text(spark, path_str: str, text: str) -> None:
+    """Write ``text`` to ``path_str`` on whatever filesystem the path's
+    scheme names (local, HDFS, S3A, ...), via temp-file + rename so a
+    crashed write never leaves a torn file."""
+    jvm, fs, hpath = _hadoop_fs(spark, path_str)
+    parent = hpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"rename {tmp} -> {hpath} failed")
+
+
+def fs_read_text(spark, path_str: str) -> str:
+    jvm, fs, hpath = _hadoop_fs(spark, path_str)
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both ends even on error
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def fs_delete(spark, path_str: str) -> bool:
+    """Recursively delete a path on its own filesystem (best-effort
+    cleanup of superseded index versions). Returns the FS verdict."""
+    _, fs, hpath = _hadoop_fs(spark, path_str)
+    return bool(fs.delete(hpath, True))
+
+
+def save_artifact_fs(
+    spark, path: str, kind: str, payload, meta: dict | None = None
+) -> str:
+    """:func:`save_artifact` through the Hadoop FileSystem API — works
+    wherever Spark's parquet writer works (the cluster-storage form)."""
+    fs_write_text(spark, path, _build_doc(kind, payload, meta))
+    return path
+
+
+def load_artifact_fs(spark, path: str, expect_kind: str | None = None):
+    """:func:`load_artifact` through the Hadoop FileSystem API."""
+    return _parse_doc(fs_read_text(spark, path), path, expect_kind)
 
 
 # --- typed wrappers ---------------------------------------------------------

@@ -518,26 +518,43 @@ def save_band_index(
     """Persist a :func:`minhash_bands` table with its geometry manifest.
 
     The band table is parquet (corpus-band-sized — a TABLE, not a driver
-    artifact); the manifest (artifacts.py format) pins
-    (shingle_n, num_hashes, bands) so :func:`incremental_lsh_pairs` can
-    refuse a geometry-mismatched probe — mismatched banding would
-    silently MISS candidates, the worst failure mode a dedup index can
-    have. Layout: ``path/bands.parquet`` + ``path/manifest.json``.
+    artifact); the manifest (artifacts.py format, written through the
+    Hadoop FileSystem API so hdfs:// / s3a:// paths work wherever the
+    parquet write works) pins (shingle_n, num_hashes, bands) so
+    :func:`incremental_lsh_pairs` can refuse a geometry-mismatched probe
+    — mismatched banding would silently MISS candidates, the worst
+    failure mode a dedup index can have. Layout:
+    ``path/bands-v{N}.parquet`` + ``path/manifest.json``; the manifest
+    names the live version, which is what lets
+    :func:`update_band_index` fold increments in-place-ish (write next
+    version, flip the manifest, drop the old) without readers ever
+    seeing a half-written table.
     """
-    import os
-
-    from ..artifacts import save_artifact
-
-    os.makedirs(path, exist_ok=True)
-    bands_df.write.mode("overwrite").parquet(os.path.join(path, "bands.parquet"))
-    save_artifact(
-        os.path.join(path, "manifest.json"),
+    return _save_versioned_index(
+        bands_df,
+        path,
         KIND_BAND_INDEX,
         {
             "shingle_n": int(shingle_n),
             "num_hashes": int(num_hashes),
             "bands": int(bands),
         },
+    )
+
+
+def _save_versioned_index(
+    bands_df: DataFrame, path: str, kind: str, geometry: dict, version: int = 1
+) -> str:
+    from ..artifacts import save_artifact_fs
+
+    spark = bands_df.sparkSession
+    bands_dir = f"bands-v{version:06d}.parquet"
+    bands_df.write.mode("overwrite").parquet(f"{path}/{bands_dir}")
+    save_artifact_fs(
+        spark,
+        f"{path}/manifest.json",
+        kind,
+        {**geometry, "bands_dir": bands_dir, "version": int(version)},
     )
     return path
 
@@ -546,15 +563,106 @@ def load_band_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a persisted band index: ``(bands_df, params)``. Pass the
     tuple straight to :func:`incremental_lsh_pairs` as
     ``standing_bands`` — the probe validates the geometry."""
-    import os
+    return _load_versioned_index(spark, path, KIND_BAND_INDEX)
 
-    from ..artifacts import load_artifact
 
-    _, params, _ = load_artifact(
-        os.path.join(path, "manifest.json"), KIND_BAND_INDEX
-    )
-    bands_df = spark.read.parquet(os.path.join(path, "bands.parquet"))
+def _load_versioned_index(spark, path: str, kind: str) -> tuple[DataFrame, dict]:
+    from ..artifacts import load_artifact_fs
+
+    _, params, _ = load_artifact_fs(spark, f"{path}/manifest.json", kind)
+    # pre-versioning indexes stored the table at a fixed name
+    bands_dir = params.get("bands_dir", "bands.parquet")
+    bands_df = spark.read.parquet(f"{path}/{bands_dir}")
     return bands_df, params
+
+
+def _update_versioned_index(
+    spark,
+    path: str,
+    kind: str,
+    inc_bands: DataFrame | None,
+    retire_ids: DataFrame,
+    id_name: str,
+) -> str:
+    """Shared fold+retire over a versioned (bands table, manifest) index:
+    drop ``retire_ids`` rows, union the increment's bands, write version
+    N+1, flip the manifest, best-effort drop version N."""
+    from ..artifacts import fs_delete, load_artifact_fs
+
+    _, params, _ = load_artifact_fs(spark, f"{path}/manifest.json", kind)
+    old_dir = params.get("bands_dir", "bands.parquet")
+    version = int(params.get("version", 1))
+    standing = spark.read.parquet(f"{path}/{old_dir}")
+    updated = standing.join(retire_ids, id_name, "left_anti")
+    if inc_bands is not None:
+        updated = updated.unionByName(inc_bands)
+    geometry = {
+        k: v for k, v in params.items() if k not in ("bands_dir", "version")
+    }
+    _save_versioned_index(updated, path, kind, geometry, version=version + 1)
+    if old_dir != f"bands-v{version + 1:06d}.parquet":
+        try:
+            fs_delete(spark, f"{path}/{old_dir}")
+        except Exception:
+            pass  # superseded data; next update may retry the cleanup
+    return path
+
+
+def update_band_index(
+    spark,
+    path: str,
+    increment: DataFrame | None = None,
+    removed_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Fold an increment into a persisted band index and retire rows —
+    the maintenance path that keeps index-once/probe-many economics over
+    a LIFETIME of increments (without it, every Nth increment run pays a
+    full corpus re-band once drift accumulates).
+
+    Semantics (pinned as an equivalence in pytest):
+    ``update(index(A), increment=B, removed_ids=R)`` produces exactly
+    ``index((A \\ R \\ ids(B)) ∪ B)`` — i.e. the from-scratch index over
+    the corpus after applying the increment, because banding is a pure
+    per-document function under the manifest's pinned geometry. Ids
+    appearing in ``increment`` are retired first (a CHANGED document's
+    old bands must not keep matching its obsolete content);
+    ``removed_ids`` (a one-column frame of ``id_col``) handles outright
+    deletions. Writes version N+1 of the band table, flips the
+    manifest, then best-effort-drops version N — a reader holding the
+    old manifest keeps a consistent table; a crash between steps leaves
+    the old version live and intact.
+
+    Cost: O(standing index rewrite) IO + O(increment) banding CPU — no
+    standing text is ever touched. At 100 TB the rewrite is the
+    parquet-sized band table (64 rows x ~24 bytes per doc), not the
+    corpus; partition-pruned rewrites (bucketed band table) are the next
+    optimization if even that IO matters.
+    """
+    _, params = load_band_index(spark, path)
+    inc_bands = None
+    retire = None
+    if increment is not None:
+        inc_bands = minhash_bands(
+            increment,
+            text_col,
+            id_col,
+            shingle_n=params["shingle_n"],
+            num_hashes=params["num_hashes"],
+            bands=params["bands"],
+        )
+        retire = increment.select(F.col(id_col).alias("doc_id"))
+    if removed_ids is not None:
+        removed = removed_ids.select(
+            F.col(removed_ids.columns[0]).alias("doc_id")
+        )
+        retire = removed if retire is None else retire.unionByName(removed)
+    if retire is None:
+        return path  # nothing to fold, nothing to retire
+    return _update_versioned_index(
+        spark, path, KIND_BAND_INDEX, inc_bands, retire.distinct(), "doc_id"
+    )
 
 
 def incremental_lsh_pairs(

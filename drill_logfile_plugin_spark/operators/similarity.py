@@ -844,34 +844,69 @@ def save_embedding_index(
     n_bits: int = 8,
     dim: int = 64,
 ) -> str:
-    """Persist an :func:`embedding_bands` table (parquet) with its
-    geometry manifest — a geometry-mismatched probe would silently miss
-    candidates, so :func:`incremental_embedding_neardup` refuses one."""
-    import os
+    """Persist an :func:`embedding_bands` table (parquet, versioned) with
+    its geometry manifest (Hadoop-FS-written, so cluster paths work) — a
+    geometry-mismatched probe would silently miss candidates, so
+    :func:`incremental_embedding_neardup` refuses one. Maintain with
+    :func:`update_embedding_index`."""
+    from .dedup import _save_versioned_index
 
-    from ..artifacts import save_artifact
-
-    os.makedirs(path, exist_ok=True)
-    bands_df.write.mode("overwrite").parquet(
-        os.path.join(path, "bands.parquet")
-    )
-    save_artifact(
-        os.path.join(path, "manifest.json"),
+    return _save_versioned_index(
+        bands_df,
+        path,
         EMBEDDING_INDEX_KIND,
         {"n_tables": int(n_tables), "n_bits": int(n_bits), "dim": int(dim)},
     )
-    return path
 
 
 def load_embedding_index(spark, path: str) -> tuple[DataFrame, dict]:
-    import os
+    from .dedup import _load_versioned_index
 
-    from ..artifacts import load_artifact
+    return _load_versioned_index(spark, path, EMBEDDING_INDEX_KIND)
 
-    _, params, _ = load_artifact(
-        os.path.join(path, "manifest.json"), EMBEDDING_INDEX_KIND
+
+def update_embedding_index(
+    spark,
+    path: str,
+    increment: DataFrame | None = None,
+    removed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Fold an increment into a persisted embedding index / retire rows —
+    :func:`~.dedup.update_band_index`'s twin on the embedding axis, same
+    pinned semantics: ``update(index(A), increment=B, removed_ids=R)``
+    equals the from-scratch :func:`embedding_bands` over the merged
+    corpus (bucketing is a pure per-vector function under the manifest's
+    pinned geometry and seed-deterministic hyperplanes). Changed ids are
+    retired before their new bands land; writes version N+1 and flips
+    the manifest so readers never see a torn table."""
+    from .dedup import _update_versioned_index
+
+    _, params = load_embedding_index(spark, path)
+    inc_bands = None
+    retire = None
+    if increment is not None:
+        inc_bands = embedding_bands(
+            increment,
+            id_col,
+            vec_col,
+            n_tables=params["n_tables"],
+            n_bits=params["n_bits"],
+            dim=params["dim"],
+        )
+        retire = increment.select(F.col(id_col).alias("vec_id"))
+    if removed_ids is not None:
+        removed = removed_ids.select(
+            F.col(removed_ids.columns[0]).alias("vec_id")
+        )
+        retire = removed if retire is None else retire.unionByName(removed)
+    if retire is None:
+        return path
+    return _update_versioned_index(
+        spark, path, EMBEDDING_INDEX_KIND, inc_bands, retire.distinct(),
+        "vec_id",
     )
-    return spark.read.parquet(os.path.join(path, "bands.parquet")), params
 
 
 def incremental_embedding_neardup(

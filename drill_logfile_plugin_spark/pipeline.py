@@ -88,6 +88,7 @@ def ingest_increment(
     near_dup: bool = False,
     standing_bands=None,
     standing_clusters: DataFrame | None = None,
+    standing_docs: DataFrame | None = None,
     jaccard_threshold: float = 0.6,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
@@ -154,9 +155,11 @@ def ingest_increment(
     ``load_band_index`` tuple, geometry-validated) so the standing
     corpus is never re-banded; because the exact re-rank must read
     candidate-hit standing TEXT, near-dup against a standing corpus
-    requires the full ``existing`` snapshot — ``existing_fp`` alone
-    cannot support it (the call raises; run the exact-only form or pass
-    the snapshot).
+    needs a text source: the full ``existing`` snapshot, or — when the
+    exact lanes run on ``existing_fp`` (the production projection) —
+    ``standing_docs``, a ``(id, text)`` frame of the standing corpus
+    (only candidate-hit rows of it are ever read past the scan).
+    Neither present raises (run exact-only instead).
     """
     if existing is not None and existing_fp is not None:
         raise ValueError(
@@ -169,12 +172,17 @@ def ingest_increment(
             "standing_clusters + this increment's pairs) — passing "
             "clusters= too is ambiguous; pass standing_clusters instead"
         )
-    if near_dup and existing is None and existing_fp is not None:
+    if (
+        near_dup
+        and existing is None
+        and standing_docs is None
+        and existing_fp is not None
+    ):
         raise ValueError(
-            "near_dup=True against a standing corpus needs the full "
-            "existing snapshot (the exact Jaccard re-rank reads "
-            "candidate-hit standing text; the fingerprint projection "
-            "has none) — pass existing=, or run exact-only"
+            "near_dup=True against a standing corpus needs a text "
+            "source for the exact Jaccard re-rank (the fingerprint "
+            "projection has none) — pass existing= (the full snapshot) "
+            "or standing_docs= (an (id, text) frame), or run exact-only"
         )
     # Normalize the standing state to one (id, __fp) frame: from the
     # persisted projection when given (the production form — corpus text
@@ -227,10 +235,11 @@ def ingest_increment(
     # the exact re-rank (the q27/incremental-probe discipline).
     split_clusters = clusters
     if near_dup:
-        if old_fp is not None:
+        standing_src = standing_docs if standing_docs is not None else existing
+        if old_fp is not None and standing_src is not None:
             pairs = incremental_lsh_pairs(
                 kept,
-                existing,
+                standing_src,
                 standing_bands=standing_bands,
                 text_col=text_col,
                 id_col=id_col,
@@ -322,6 +331,9 @@ def ingest_increment_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup: bool = False,
+    docs_path: str | None = None,
+    bands_path: str | None = None,
     **pipeline_kwargs,
 ):
     """Continuous corpus ingestion: :func:`ingest_increment` as a
@@ -351,10 +363,34 @@ def ingest_increment_stream(
     outputs with ``spark.read.parquet(output_path)`` (epoch becomes a
     partition column).
 
+    ``near_dup=True`` extends the loop's standing state from one store
+    to three, all epoch-partitioned with the same replay-safe
+    ``epoch < N`` read and idempotent per-epoch overwrite:
+
+    * ``fp_path`` — every adjudicated fingerprint (as before);
+    * ``docs_path`` (required) — ``(id, text)`` of each epoch's PACKED
+      survivors: corpus membership, the text source for the exact
+      Jaccard re-rank (only candidate-hit rows are read past the scan);
+    * ``bands_path`` (required) — those survivors' MinHash band rows
+      (default geometry): the standing index, accumulated one epoch at
+      a time — a batch is banded exactly once, when it enters the
+      corpus, which IS :func:`..operators.dedup.update_band_index`'s
+      fold expressed as epoch partitions (append the increment's bands;
+      retirement is implicit because a changed document re-entering is
+      a new epoch row and the delta stage already keeps old ids out).
+
+    A near-variant of ANY earlier epoch's surviving content is then
+    dropped by stage 2c, not just byte-identical re-posts.
+
     Returns the started ``StreamingQuery``; the caller owns its
     lifecycle. ``pipeline_kwargs`` pass through to
     :func:`ingest_increment` (langs, quality_keep, chunk_tokens, ...).
     """
+    if near_dup and (docs_path is None or bands_path is None):
+        raise ValueError(
+            "near_dup streaming needs docs_path and bands_path (the "
+            "standing text + band stores that make the probe incremental)"
+        )
     spark = increment_stream.sparkSession
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -366,6 +402,9 @@ def ingest_increment_stream(
             fp_path,
             id_col=id_col,
             text_col=text_col,
+            near_dup=near_dup,
+            docs_path=docs_path,
+            bands_path=bands_path,
             **pipeline_kwargs,
         )
 
@@ -384,6 +423,9 @@ def _process_increment_batch(
     fp_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup: bool = False,
+    docs_path: str | None = None,
+    bands_path: str | None = None,
     **pipeline_kwargs,
 ) -> None:
     """One epoch of :func:`ingest_increment_stream`, module-level so the
@@ -404,23 +446,62 @@ def _process_increment_batch(
     from pyspark.sql import functions as _F
     from pyspark.sql.utils import AnalysisException
 
-    try:
-        store = (
-            spark.read.parquet(fp_path)
-            .where(_F.col("epoch") < epoch_id)
-            .select(id_col, "fp")
+    def _read_state(path: str | None, cols):
+        if path is None:
+            return None
+        try:
+            return (
+                spark.read.parquet(path)
+                .where(_F.col("epoch") < epoch_id)
+                .select(*cols)
+            )
+        except AnalysisException:
+            return None  # store absent: bootstrap (or first near-dup epoch)
+
+    store = _read_state(fp_path, [id_col, "fp"])
+    standing_docs = standing_bands = None
+    if near_dup:
+        standing_docs = _read_state(docs_path, [id_col, text_col])
+        standing_bands = _read_state(
+            bands_path, ["doc_id", "band_id", "bucket"]
         )
-    except AnalysisException:
-        store = None  # first batch ever: bootstrap
     packed = ingest_increment(
         None,
         batch_df,
         id_col=id_col,
         text_col=text_col,
         existing_fp=store,
+        # enabled when there is a standing text store to probe OR this
+        # is the very first epoch (bootstrap: within-batch near-dup)
+        near_dup=near_dup and (standing_docs is not None or store is None),
+        standing_docs=standing_docs,
+        standing_bands=standing_bands,
         **pipeline_kwargs,
     )
     packed.write.mode("overwrite").parquet(f"{output_path}/epoch={epoch_id}")
+    if near_dup:
+        # fold this epoch's PACKED survivors into the standing text +
+        # band stores (read back from the just-written epoch so the
+        # pipeline is not recomputed); idempotent overwrite per epoch,
+        # same replay contract as the fingerprint store below
+        from .operators.dedup import minhash_bands
+
+        kept_ids = (
+            spark.read.parquet(f"{output_path}/epoch={epoch_id}")
+            .select(id_col)
+            .distinct()
+        )
+        kept_docs = batch_df.select(id_col, text_col).join(
+            kept_ids, id_col, "left_semi"
+        )
+        kept_docs.write.mode("overwrite").parquet(
+            f"{docs_path}/epoch={epoch_id}"
+        )
+        minhash_bands(
+            spark.read.parquet(f"{docs_path}/epoch={epoch_id}"),
+            text_col=text_col,
+            id_col=id_col,
+        ).write.mode("overwrite").parquet(f"{bands_path}/epoch={epoch_id}")
     new_fp = corpus_fingerprints(
         batch_df, id_col=id_col, text_col=text_col
     ).groupBy("fp").agg(_F.min(id_col).alias(id_col))

@@ -3657,3 +3657,123 @@ def test_pack_sequences_bin_offset(spark):
         assert r["bin_id"] == cume // 8
         assert r["bin_offset"] == cume % 8
         cume += r["n_chunk_tokens"]
+
+
+# --- standing-index maintenance (fold + retire) ----------------------------
+
+
+def _band_rows(df):
+    return sorted(
+        (r["doc_id"], r["band_id"], r["bucket"]) for r in df.collect()
+    )
+
+
+def test_update_band_index_equals_rebuild(spark, documents, tmp_path):
+    """update(index(A), increment=B, removed_ids=R) must produce EXACTLY
+    the from-scratch index over (A \\ R \\ ids(B)) ∪ B — fold + retire
+    with zero drift, including a CHANGED document whose obsolete bands
+    must stop matching. This is what keeps index-once economics over a
+    lifetime of increments instead of one."""
+    from pyspark.sql import functions as F
+
+    corpus = documents.limit(300)
+    standing = corpus.where(F.col("doc_id") % 4 != 0)
+    # increment: new docs (ids % 4 == 0) + one CHANGED standing doc
+    changed_id = standing.select(F.min("doc_id")).collect()[0][0]
+    changed = standing.where(F.col("doc_id") == changed_id).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" entirely new suffix tokens"))
+    )
+    newdocs = corpus.where(F.col("doc_id") % 4 == 0)
+    increment = newdocs.unionByName(changed.select(*newdocs.columns))
+    # deletions: two standing ids
+    removed = standing.select("doc_id").orderBy(F.desc("doc_id")).limit(2)
+    removed_ids = {r["doc_id"] for r in removed.collect()}
+
+    path = str(tmp_path / "bandidx")
+    D.save_band_index(D.minhash_bands(standing), path)
+    D.update_band_index(
+        spark, path, increment=increment, removed_ids=removed
+    )
+    updated, params = D.load_band_index(spark, path)
+    assert params["version"] == 2
+
+    merged_corpus = standing.where(
+        ~F.col("doc_id").isin([changed_id, *removed_ids])
+    ).unionByName(increment.select(*standing.columns))
+    rebuilt = D.minhash_bands(merged_corpus)
+    assert _band_rows(updated) == _band_rows(rebuilt)
+
+    # and the updated index PROBES identically to the rebuilt one
+    probe = documents.limit(340).where(F.col("doc_id") >= 300)
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+    via_updated = D.incremental_lsh_pairs(
+        probe, merged_corpus, standing_bands=(updated, params)
+    )
+    via_rebuilt = D.incremental_lsh_pairs(
+        probe, merged_corpus, standing_bands=rebuilt
+    )
+    assert sorted(map(key, via_updated.collect())) == sorted(
+        map(key, via_rebuilt.collect())
+    )
+
+
+def test_update_band_index_retire_only_and_noop(spark, documents, tmp_path):
+    """Deletion-only maintenance drops exactly the retired docs' rows;
+    a no-argument update is a no-op that leaves the version alone."""
+    from pyspark.sql import functions as F
+
+    standing = documents.limit(120)
+    path = str(tmp_path / "bandidx2")
+    D.save_band_index(D.minhash_bands(standing), path)
+
+    D.update_band_index(spark, path)  # no increment, no removals
+    _, params = D.load_band_index(spark, path)
+    assert params["version"] == 1
+
+    gone = standing.select("doc_id").limit(3)
+    gone_ids = {r["doc_id"] for r in gone.collect()}
+    D.update_band_index(spark, path, removed_ids=gone)
+    updated, params = D.load_band_index(spark, path)
+    assert params["version"] == 2
+    kept = D.minhash_bands(standing.where(~F.col("doc_id").isin(gone_ids)))
+    assert _band_rows(updated) == _band_rows(kept)
+
+    # superseded version directory is cleaned up
+    import os
+
+    assert not os.path.exists(os.path.join(path, "bands-v000001.parquet"))
+
+
+def test_update_embedding_index_equals_rebuild(spark, embeddings, tmp_path):
+    """The embedding-axis twin: fold + retire == rebuild-from-scratch
+    over the merged corpus, changed vector included."""
+    from pyspark.sql import functions as F
+
+    corpus = embeddings.limit(200)
+    standing = corpus.where(F.col("vec_id") % 3 != 0)
+    changed_id = standing.select(F.min("vec_id")).collect()[0][0]
+    changed = standing.where(F.col("vec_id") == changed_id).withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> float(-x))"),
+    )
+    newvecs = corpus.where(F.col("vec_id") % 3 == 0)
+    increment = newvecs.unionByName(changed.select(*newvecs.columns))
+    removed = standing.select("vec_id").orderBy(F.desc("vec_id")).limit(2)
+    removed_ids = {r["vec_id"] for r in removed.collect()}
+
+    path = str(tmp_path / "embidx")
+    S.save_embedding_index(S.embedding_bands(standing), path)
+    S.update_embedding_index(
+        spark, path, increment=increment, removed_ids=removed
+    )
+    updated, params = S.load_embedding_index(spark, path)
+    assert params["version"] == 2
+
+    merged = standing.where(
+        ~F.col("vec_id").isin([changed_id, *removed_ids])
+    ).unionByName(increment.select(*standing.columns))
+    rebuilt = S.embedding_bands(merged)
+    rows = lambda df: sorted(
+        (r["vec_id"], r["table_id"], r["bucket"]) for r in df.collect()
+    )
+    assert rows(updated) == rows(rebuilt)

@@ -403,3 +403,74 @@ def test_ingest_increment_near_dup_plan_never_shuffles_text(
         "document text must never ride a shuffle:\n"
         + "\n".join(exchange_lines)
     )
+
+
+def test_ingest_increment_stream_near_dup_across_epochs(spark, tmp_path):
+    """The near-dup streaming loop: a crawl VARIANT (not byte-identical)
+    of content packed in an earlier epoch is dropped by the standing
+    band-index probe; the docs/bands stores accumulate one epoch per
+    batch and replay stays lossless."""
+    from drill_logfile_plugin_spark.pipeline import _process_increment_batch
+
+    schema = "doc_id long, source string, text string"
+    b0 = spark.createDataFrame(
+        [(1, "web", _good("x")), (2, "web", _good("y"))], schema
+    )
+    # 10: near-variant of epoch-0 doc 1 -> dropped; 11 fresh -> kept;
+    # 12: near-variant of 11 WITHIN the batch -> loses to min id
+    b1 = spark.createDataFrame(
+        [
+            (10, "web", _variant("x")),
+            (11, "web", _good("z")),
+            (12, "web", _variant("z")),
+        ],
+        schema,
+    )
+    out = str(tmp_path / "out")
+    fps = str(tmp_path / "fps")
+    docs = str(tmp_path / "docs")
+    bands = str(tmp_path / "bands")
+    kw = dict(
+        chunk_tokens=CHUNK, near_dup=True, docs_path=docs, bands_path=bands
+    )
+
+    _process_increment_batch(spark, b0, 0, out, fps, **kw)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {1, 2}
+    # the band store holds epoch 0's survivors, banded once
+    band_docs = {
+        r["doc_id"] for r in spark.read.parquet(bands).collect()
+    }
+    assert band_docs == {1, 2}
+
+    _process_increment_batch(spark, b1, 1, out, fps, **kw)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 11}, ids
+    # stores grew by exactly the epoch-1 survivor
+    assert {
+        r["doc_id"] for r in spark.read.parquet(docs).collect()
+    } == {1, 2, 11}
+
+    # replay epoch 1 (docs/bands/fps for epoch 1 already on disk): the
+    # epoch filter must keep the replay blind to its own state
+    first = sorted(map(str, spark.read.parquet(out).collect()))
+    _process_increment_batch(spark, b1, 1, out, fps, **kw)
+    assert sorted(map(str, spark.read.parquet(out).collect())) == first
+
+
+def test_ingest_increment_stream_near_dup_requires_stores(spark, tmp_path):
+    from drill_logfile_plugin_spark.pipeline import ingest_increment_stream
+
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "incoming"
+    src.mkdir()
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    with pytest.raises(ValueError, match="bands_path"):
+        ingest_increment_stream(
+            stream,
+            output_path=str(tmp_path / "o"),
+            fp_path=str(tmp_path / "f"),
+            checkpoint=str(tmp_path / "c"),
+            near_dup=True,
+        )
