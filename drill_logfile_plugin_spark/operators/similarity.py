@@ -128,6 +128,80 @@ def cosine_topk(
     )
 
 
+def ann_certified_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    ann,
+    k: int = 5,
+    min_recall: float = 0.75,
+    flag_name: str = "recall_ok",
+    cert_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with an in-band exact-recall certification — and the
+    ``cert_fraction`` dial that makes the certification affordable at
+    corpus scale (the q52 sketch-tier pattern on the ANN axis).
+
+    ``ann`` is the approximate lane, a callable ``(queries, corpus) ->
+    (q_id, neighbor_id, rank, sim)`` (e.g. a configured
+    :func:`ann_lsh_topk` / :func:`ivf_topk`). The exact brute-force lane
+    (:func:`cosine_topk`) certifies it: micro-averaged recall
+    (|ANN ∩ exact| / |exact|) >= ``min_recall``, emitted as one boolean
+    column on every output row, so recall drift is a value MISMATCH in
+    any downstream comparison rather than a silent pass.
+
+    * ``cert_fraction = 1.0`` (default — the driver q31/q41 surface):
+      the exact lane runs for EVERY query and its rows ARE the output
+      (oracle-reproducible bit-for-bit), ANN contributing only the
+      flag. Affordable when the query set is small or the corpus is.
+    * ``cert_fraction < 1.0`` (the production deployment shape): the
+      exact lane runs only for queries whose id lands in the
+      deterministic xxhash64 cert slice
+      (:func:`..functions.exprs.cert_slice_cond`), the flag measures
+      recall over that slice, and the OUTPUT rows are the ANN lane for
+      every query — below full fraction the brute-force pass is
+      exactly what stopped being affordable, so serving flips to the
+      lane being certified. A slice that catches zero queries yields a
+      vacuously-true flag (count 0 >= min_recall * 0) — size the
+      fraction to the query-set cardinality.
+
+    Recall is aggregated across the certified queries (per-query
+    recall@5 is quantized to fifths and would flap); the exact lane is
+    barriered because it feeds both its consumer joins.
+    """
+    from .dedup import _barrier
+    from ..functions.exprs import cert_slice_cond
+
+    if not 0.0 < cert_fraction <= 1.0:
+        raise ValueError(
+            f"cert_fraction must be in (0, 1], got {cert_fraction}"
+        )
+    ann_rows = ann(queries, corpus)
+    if cert_fraction == 1.0:
+        cert_queries = queries
+        serve = None  # exact lane serves
+    else:
+        cert_queries = queries.where(
+            cert_slice_cond(F.col(id_col), cert_fraction)
+        )
+        serve = _barrier(ann_rows)
+        ann_rows = serve
+    exact = _barrier(cosine_topk(cert_queries, corpus, k, id_col, vec_col))
+    marked = exact.join(
+        ann_rows.select("q_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["q_id", "neighbor_id"],
+        "left",
+    )
+    flag = marked.agg(
+        (F.count("__hit") >= F.lit(min_recall) * F.count(F.lit(1))).alias(
+            flag_name
+        )
+    )
+    out = exact if serve is None else serve
+    return out.crossJoin(F.broadcast(flag))
+
+
 # --- LSH-bucketed ANN -----------------------------------------------------
 
 

@@ -381,44 +381,35 @@ _EXACT_TOPK_ORACLE = f"""
 
 
 def _exact_with_recall_flag(spark, sf, ann_topk, min_recall, flag_name):
-    """Exact top-k rows + one in-band ANN recall predicate column.
+    """Exact top-k rows + one in-band ANN recall predicate column —
+    :func:`~.operators.similarity.ann_certified_topk` at its full
+    certification fraction (the driver surface; the operator's
+    ``cert_fraction < 1`` form is the production dial that slices the
+    exact lane when the brute-force pass stops being affordable).
 
-    The Spark side computes BOTH lanes: the exact brute-force top-k
-    (oracle-reproducible bit-for-bit) and the ANN top-k, then emits the
-    exact rows plus a single boolean — micro-averaged recall (|ANN ∩
-    exact| / |exact|) >= ``min_recall`` — attached to every row. The
-    oracle recomputes the exact lane and the constant TRUE, so the MATCH
-    certifies the exact values AND that the ANN lane held its recall
-    floor. Recall is aggregated over all queries (per-query recall at
-    k=5 is quantized to fifths and would flap); the floors leave >= 0.13
-    margin under the lowest measurement on ANY corpus draw — and >= 0.15
-    under the driver's sf0.01 — so testdata regeneration cannot flip
-    them (ann_lsh 0.88-0.93 measured vs 0.75; ivf 0.80-0.96 vs 0.65).
-    The floors certify "the ANN lane works" (a broken one lands near
-    zero), not the shipped operating point's typical recall — that is
-    pytest's job (tests/test_llm_ops.py pins the tighter bands).
-
-    The exact lane is barriered: it feeds both the output and the recall
-    join, and without the barrier Spark would run the brute-force scan
-    twice. The 1-row flag attaches via a broadcast nested-loop join —
-    the same bounded scalar-broadcast shape as q55's global-min.
+    At 1.0 the exact rows ARE the output (oracle-reproducible
+    bit-for-bit) and the MATCH certifies both the values and that the
+    ANN lane held its recall floor. Recall is aggregated over all
+    queries (per-query recall at k=5 is quantized to fifths and would
+    flap); the floors leave >= 0.13 margin under the lowest measurement
+    on ANY corpus draw — and >= 0.15 under the driver's sf0.01 — so
+    testdata regeneration cannot flip them (ann_lsh 0.88-0.93 measured
+    vs 0.75; ivf 0.80-0.96 vs 0.65). The floors certify "the ANN lane
+    works" (a broken one lands near zero), not the shipped operating
+    point's typical recall — that is pytest's job
+    (tests/test_llm_ops.py pins the tighter bands).
     """
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0)
-    exact = D._barrier(S.cosine_topk(q, e, k=5))
-    ann = ann_topk(q, e)
-    marked = exact.join(
-        ann.select("q_id", "neighbor_id", F.lit(1).alias("__hit")),
-        ["q_id", "neighbor_id"],
-        "left",
+    return S.ann_certified_topk(
+        q,
+        e,
+        ann_topk,
+        k=5,
+        min_recall=min_recall,
+        flag_name=flag_name,
+        cert_fraction=1.0,
     )
-    flag = marked.agg(
-        (
-            F.count("__hit")
-            >= F.lit(min_recall) * F.count(F.lit(1))
-        ).alias(flag_name)
-    )
-    return exact.crossJoin(F.broadcast(flag))
 
 
 @query(

@@ -300,7 +300,18 @@ def _iter_partition_lines(partition):
             raw = fh.readline()
             if not raw:
                 break
-            for sub in raw.decode("utf-8", errors="replace").split("\r"):
+            s = raw.decode("utf-8", errors="replace")
+            if s.endswith("\n"):
+                s = s[:-1]
+            segs = s.split("\r")
+            if s.endswith("\r"):
+                # a trailing CR is a terminator (the CR of a CRLF pair,
+                # or classic-Mac at EOF), not the start of another line:
+                # the split's empty remainder would otherwise increment
+                # line_no once per CRLF line, drifting split-relative
+                # numbering away from text-mode numbering
+                segs.pop()
+            for sub in segs:
                 n += 1
                 yield n, sub
 

@@ -116,3 +116,101 @@ def test_profiler_cert_slice(events):
     assert _rows(sliced) == _rows(
         profile_columns(events, cols, cert_fraction=0.5)
     )
+
+
+# --- ANN certification lanes (q31/q41's operator form) ----------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_ann_cert_fraction_default_is_exact_serving(spark, embeddings):
+    """cert_fraction=1.0 serves the exact rows + flag — byte-identical
+    to the driver q31 surface (exact lane certified over EVERY query)."""
+    from drill_logfile_plugin_spark.operators import similarity as S
+
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    out = S.ann_certified_topk(
+        q,
+        embeddings,
+        lambda qq, ee: S.ann_lsh_topk(qq, ee, k=5),
+        min_recall=0.75,
+        flag_name="lsh_recall_ok",
+        cert_fraction=1.0,
+    )
+    exact = S.cosine_topk(q, embeddings, k=5)
+    got = _rows(out.drop("lsh_recall_ok"))
+    assert got == _rows(exact)
+    assert all(r["lsh_recall_ok"] for r in out.collect())
+
+
+def test_ann_cert_fraction_sliced_serves_ann_and_certifies_slice(
+    spark, embeddings
+):
+    """cert_fraction<1: the OUTPUT is the ANN lane for every query (the
+    production serving shape), the flag is recall measured over the
+    deterministic query slice only — equal to recomputing it by hand
+    from cosine_topk over the sliced queries; two runs are identical."""
+    from drill_logfile_plugin_spark.functions.exprs import cert_slice_cond
+    from drill_logfile_plugin_spark.operators import similarity as S
+
+    frac = 0.3
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    ann = lambda qq, ee: S.ann_lsh_topk(qq, ee, k=5)
+    out = S.ann_certified_topk(
+        q, embeddings, ann, min_recall=0.75,
+        flag_name="lsh_recall_ok", cert_fraction=frac,
+    )
+    rows = out.collect()
+    again = S.ann_certified_topk(
+        q, embeddings, ann, min_recall=0.75,
+        flag_name="lsh_recall_ok", cert_fraction=frac,
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    # output rows == the ANN lane (all queries served)
+    ann_rows = ann(q, embeddings)
+    assert _rows(out.drop("lsh_recall_ok")) == _rows(ann_rows)
+
+    # the flag equals a hand recomputation over the sliced queries
+    sliced_q = q.where(cert_slice_cond(F.col("vec_id"), frac))
+    n_sliced = sliced_q.count()
+    assert 0 < n_sliced < q.count(), "fixture must slice non-trivially"
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.cosine_topk(sliced_q, embeddings, k=5).collect()
+    }
+    hits = {
+        (r["q_id"], r["neighbor_id"]) for r in ann_rows.collect()
+    } & exact
+    want_flag = len(hits) >= 0.75 * len(exact)
+    assert all(r["lsh_recall_ok"] == want_flag for r in rows)
+
+
+def test_ann_cert_fraction_bounds(spark, embeddings):
+    from drill_logfile_plugin_spark.operators import similarity as S
+
+    q = embeddings.limit(5)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="cert_fraction"):
+            S.ann_certified_topk(
+                q, embeddings,
+                lambda qq, ee: S.ann_lsh_topk(qq, ee, k=5),
+                cert_fraction=bad,
+            )
+
+
+def test_ann_cert_fraction_ivf_lane(spark, embeddings):
+    """The IVF lane takes the same dial (q41's operator form)."""
+    from drill_logfile_plugin_spark.operators import similarity as S
+
+    q = embeddings.where(F.col("vec_id") % 100 == 0)
+    out = S.ann_certified_topk(
+        q, embeddings,
+        lambda qq, ee: S.ivf_topk(qq, ee, k=5),
+        min_recall=0.65, flag_name="ivf_recall_ok", cert_fraction=0.3,
+    )
+    rows = out.collect()
+    assert rows and all(r["ivf_recall_ok"] for r in rows)

@@ -297,3 +297,31 @@ def test_format_log_directory_mixes_split_and_whole_file_readers(
     assert sorted(r["pid"] for r in rows if r["pid"] != 9999) == list(
         range(300)
     )
+
+
+def test_format_log_split_crlf_line_numbers_match_text_mode(spark, tmp_path):
+    """CRLF and classic-Mac terminators under byte-range splits: the
+    CR-split of a CRLF pair must not add a phantom empty line, so
+    split-relative line numbering and row parity both match the
+    text-mode (whole-file) scan across a boundary sweep."""
+    p = tmp_path / "crlf.log"
+    content = (
+        "070823 21:00:32  1 Connect root@localhost\r\n"
+        "GARBAGE\r\n"
+        "070824 22:01:33  2 Query  select 1\r"       # classic-Mac
+        "070825 23:02:34  3 Quit   bye\r\n"
+        "070826 11:03:35  4 Query  select 2\n"        # bare LF mixed in
+    )
+    p.write_bytes(content.encode())
+    cfg = LogFormatConfig(
+        pattern=MYSQL_PATTERN,
+        field_names=MYSQL_FIELDS,
+        data_types=MYSQL_TYPES,
+        date_format="yyMMdd",
+    )
+    ref = _sorted(read_log(spark, str(p), cfg))
+    for split in (1, 8, 43, 44, 45, 46, 60, 100, 10_000):
+        got = _sorted(
+            _mysql_reader(spark).option("splitSize", str(split)).load(str(p))
+        )
+        assert got == ref, f"splitSize={split}"
