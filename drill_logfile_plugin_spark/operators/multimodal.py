@@ -9,12 +9,14 @@ batches — never row-at-a-time through the driver.
 The decode step is pluggable by codec name:
 
 * ``codec="png"`` — a REAL decoder: a complete stdlib+numpy PNG reader
-  (zlib inflate, chunk parse, all five filter types, color types
-  0/2/3/4/6 at 8- and 16-bit depth, Adam7 interlace, bounded-inflate
-  bomb guards) producing true dimensions and luma pixels; features are
-  content-derived intensity histograms. Verified in pytest against
-  independently-encoded images (the test writes PNGs with its own
-  spec-following encoder, per-row filter types chosen adversarially).
+  covering EVERY spec-valid static profile (all five filter types, all
+  five color types at all their legal bit depths 1/2/4/8/16, Adam7
+  interlace, bounded-inflate + dimension bomb guards) producing true
+  dimensions and luma pixels; features are content-derived intensity
+  histograms. Verified in pytest against independently-encoded images
+  (the test writes PNGs with its own spec-following encoder, per-row
+  filter types chosen adversarially, plus a hypothesis sweep over
+  random geometry).
 * ``codec="jpeg"`` — a REAL baseline-JPEG decoder (:mod:`.jpeg`):
   stdlib+numpy marker parse, Huffman entropy decode, dequant + IDCT on
   the luma plane, restart markers, 4:4:4/4:2:2/4:2:0 subsampling.
@@ -171,15 +173,25 @@ def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int):
     return out
 
 
+#: spec-valid (color type -> allowed bit depths), PNG spec 11.2.2
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def _png_decode(payload: bytes):
     """Decode a PNG to ``(width, height, gray)`` — ``gray`` a (h, w)
     uint8 luma array (integer BT.601 weights for color images; palette
     resolved first; alpha ignored; 16-bit samples reduced to their high
-    byte, the spec's fast-path 16->8 scaling). Supported profile: 8- and
-    16-bit depth, color types 0/2/3/4/6 (palette type 3 is 8-bit by its
-    PLTE nature), interlace 0 (progressive) and 1 (Adam7). Sub-byte
-    depths (1/2/4 — rare in crawl data) raise NotImplementedError, the
-    explicit plug-in point; malformed bytes raise ValueError."""
+    byte, the spec's fast-path 16->8 scaling; sub-byte grayscale scaled
+    by the exact 255/(2^d-1) factor). COMPLETE for every spec-valid
+    static profile: all five color types at all their legal bit depths
+    (1/2/4/8/16), interlace 0 and Adam7, all five filters. Malformed or
+    spec-invalid bytes raise ValueError (never a partial image)."""
     import struct
     import zlib
 
@@ -203,16 +215,13 @@ def _png_decode(payload: bytes):
     if width is None:
         raise ValueError("PNG missing IHDR")
     if (
-        depth not in (8, 16)
-        or (depth == 16 and ctype_num == 3)
+        ctype_num not in _PNG_VALID_DEPTHS
+        or depth not in _PNG_VALID_DEPTHS[ctype_num]
         or interlace not in (0, 1)
-        or ctype_num not in _PNG_CHANNELS
     ):
-        raise NotImplementedError(
-            f"PNG profile not supported by the built-in decoder: depth="
-            f"{depth} colorType={ctype_num} interlace={interlace} "
-            "(supported: 8/16-bit, color types 0/2/3/4/6, interlace "
-            "0/Adam7; sub-byte depths are the remaining plug-in point)"
+        raise ValueError(
+            f"PNG header is not a spec-valid profile: depth={depth} "
+            f"colorType={ctype_num} interlace={interlace}"
         )
     # dimension sanity BEFORE any allocation: IHDR is untrusted input
     if width == 0 or height == 0:
@@ -223,8 +232,12 @@ def _png_decode(payload: bytes):
             f"({_PNG_MAX_PIXELS} pixels)"
         )
     nch = _PNG_CHANNELS[ctype_num]
-    bps = depth // 8  # bytes per sample
-    bpp = nch * bps  # filter unit, spec 9.2
+
+    def _stride(pw: int) -> int:
+        # scanline bytes for pw pixels: sub-byte samples pack MSB-first
+        return (pw * nch * depth + 7) // 8
+
+    bpp = max(1, nch * depth // 8)  # filter unit, spec 9.2
 
     # expected inflated size is fully determined by the header — bound the
     # inflate to it so a crafted IDAT (decompression bomb) cannot out-
@@ -238,7 +251,7 @@ def _png_decode(payload: bytes):
             ph = (height - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 pass_dims.append((pw, ph, x0, y0, dx, dy))
-    expected = sum(ph * (pw * bpp + 1) for pw, ph, *_ in pass_dims)
+    expected = sum(ph * (_stride(pw) + 1) for pw, ph, *_ in pass_dims)
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected + 1)
@@ -249,14 +262,26 @@ def _png_decode(payload: bytes):
     if len(raw) != expected:
         raise ValueError("PNG IDAT length does not match dimensions")
 
-    # unfilter each (sub-)image, then scatter Adam7 passes into place
+    # unfilter each (sub-)image, unpack samples, then scatter Adam7
+    # passes into place
     samples = np.zeros((height, width * nch), dtype=np.uint8)
     offset = 0
     for pw, ph, x0, y0, dx, dy in pass_dims:
-        sub = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
-        offset += ph * (pw * bpp + 1)
-        if bps == 2:  # 16-bit: big-endian high byte (spec 16->8 fast path)
+        stride = _stride(pw)
+        sub = _png_unfilter(raw, offset, ph, stride, bpp)
+        offset += ph * (stride + 1)
+        if depth == 16:  # big-endian high byte (spec 16->8 fast path)
             sub = sub.reshape(ph, pw * nch, 2)[:, :, 0]
+        elif depth < 8:
+            bits = np.unpackbits(sub, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            sub = (
+                bits.reshape(ph, pw, depth).astype(np.uint8) * weights
+            ).sum(axis=2).astype(np.uint8)
+            if ctype_num == 0:
+                # exact sample scaling: 255/(2^d - 1) is integral for
+                # d in {1, 2, 4} (255 = 3 * 5 * 17)
+                sub = sub * np.uint8(255 // ((1 << depth) - 1))
         sub = sub.reshape(ph, pw, nch)
         rows = np.arange(y0, height, dy)[:ph]
         cols = np.arange(x0, width, dx)[:pw]
@@ -266,6 +291,8 @@ def _png_decode(payload: bytes):
     if ctype_num == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of PLTE range")
         rgb = palette[px[:, :, 0]].astype(np.int64)
         gray = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
     elif ctype_num in (2, 6):

@@ -104,13 +104,22 @@ def _filter_subimage(bytes_px: np.ndarray, bpp: int, filters) -> bytearray:
 
 
 def _to_bytes_rows(px: np.ndarray, depth: int) -> np.ndarray:
-    """(h, w, nch) samples -> (h, w*nch*depth//8) big-endian byte rows."""
+    """(h, w, nch) samples -> (h, ceil(w*nch*depth/8)) big-endian byte
+    rows; sub-byte samples pack MSB-first per the spec."""
     h, w, nch = px.shape
     if depth == 8:
         return px.astype(np.uint8).reshape(h, w * nch)
-    return (
-        px.astype(">u2").view(np.uint8).reshape(h, w * nch * 2)
-    )
+    if depth == 16:
+        return px.astype(">u2").view(np.uint8).reshape(h, w * nch * 2)
+    bits = (
+        (px.reshape(h, w * nch, 1).astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1))
+        & 1
+    ).reshape(h, w * nch * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
 
 
 def encode_png(
@@ -126,7 +135,7 @@ def encode_png(
     with ``filters[y % len(filters)]``; Adam7 when ``interlace=1``."""
     h, w, nch = px.shape
     assert nch == _CHANNELS[color_type]
-    bpp = nch * depth // 8
+    bpp = max(1, nch * depth // 8)  # filter unit floors at one byte (9.2)
     raw = bytearray()
     if interlace == 0:
         raw += _filter_subimage(_to_bytes_rows(px, depth), bpp, filters)
@@ -192,18 +201,60 @@ def test_png_decode_palette():
     assert np.array_equal(gray, expect.astype(np.uint8))
 
 
-def test_png_bad_signature_and_unsupported_profile():
+def test_png_bad_signature_and_invalid_profile():
     with pytest.raises(ValueError, match="signature"):
         M._png_decode(b"JFIF....not a png")
-    px = _rng(7).integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
-    good = encode_png(px, 0, [0])
-    # flip the IHDR depth byte to 4: spec-valid PNG, sub-byte depths are
-    # the decoder's remaining descope
+    px = _rng(7).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    good = encode_png(px, 2, [0])
+    # flip the IHDR depth byte to 4: RGB at depth 4 is SPEC-INVALID
+    # (11.2.2) — a header lie, so ValueError, not a missing feature
     ihdr_at = good.index(b"IHDR") + 4
     bad_depth = bytearray(good)
     bad_depth[ihdr_at + 8] = 4
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    with pytest.raises(ValueError, match="spec-valid"):
         M._png_decode(bytes(bad_depth))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_decode_subbyte_gray_exact_scaling(depth):
+    """Sub-byte grayscale: MSB-first unpacking across byte boundaries
+    (width chosen so rows end mid-byte) and the exact 255/(2^d-1)
+    sample scaling, under all five filters."""
+    hh, ww = 9, 11  # 11 px at depth 1/2/4 -> 2/3/6 bytes: mid-byte ends
+    px = _rng(50 + depth).integers(
+        0, 1 << depth, size=(hh, ww, 1), dtype=np.uint8
+    )
+    w, h, gray = M._png_decode(encode_png(px, 0, ALL_FILTERS, depth=depth))
+    assert (w, h) == (ww, hh)
+    factor = 255 // ((1 << depth) - 1)
+    assert np.array_equal(gray, (px[:, :, 0] * factor).astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_decode_subbyte_palette_and_adam7(depth):
+    pal = _rng(60).integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    idx = _rng(61 + depth).integers(
+        0, 1 << depth, size=(10, 13, 1), dtype=np.uint8
+    )
+    for interlace in (0, 1):
+        _, _, gray = M._png_decode(
+            encode_png(
+                idx, 3, ALL_FILTERS, palette=pal, depth=depth,
+                interlace=interlace,
+            )
+        )
+        rgb = pal[idx[:, :, 0]].astype(np.int64)
+        expect = (
+            rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+        ) // 1000
+        assert np.array_equal(gray, expect.astype(np.uint8)), interlace
+
+
+def test_png_palette_index_out_of_range_is_value_error():
+    pal = _rng(70).integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = np.full((3, 3, 1), 5, dtype=np.uint8)  # index 5 >= 4 entries
+    with pytest.raises(ValueError, match="PLTE range"):
+        M._png_decode(encode_png(idx, 3, [0], palette=pal, depth=8))
 
 
 def test_png_decode_16bit_high_byte_luma():

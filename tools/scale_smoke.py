@@ -586,6 +586,69 @@ def main() -> None:
 
     timed.append(("incremental_embedding_probe", inc_emb_neardup_lane))
 
+    # Round-7 lanes: the composed near-dup pipeline stage and the
+    # standing-index fold. Index setup (save_band_index over the
+    # standing 90%) happens once per scale OUTSIDE the timed body —
+    # that is the deployment shape (the index exists; the increment
+    # run probes/folds it).
+    from drill_logfile_plugin_spark.operators.dedup import (
+        load_band_index,
+        minhash_bands,
+        save_band_index,
+        update_band_index,
+    )
+
+    _idx_cache: dict[str, str] = {}
+
+    def _standing_index(spark, sf_dir: str) -> str:
+        if sf_dir not in _idx_cache:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="scale_bandidx_")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            standing = docs.where(F.col("doc_id") % 10 != 0)
+            save_band_index(minhash_bands(standing), path)
+            _idx_cache[sf_dir] = path
+        return _idx_cache[sf_dir]
+
+    def near_dup_ingest_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        standing = docs.where(F.col("doc_id") % 10 != 0)
+        increment = docs.where(F.col("doc_id") % 10 == 0)
+        idx = load_band_index(spark, _standing_index(spark, sf_dir))
+        return ingest_increment(
+            standing,
+            increment,
+            near_dup=True,
+            standing_bands=idx,
+            jaccard_threshold=0.5,
+            quality_keep=(
+                "good", "too_short", "long_tokens", "repetitive",
+                "stopword_heavy",
+            ),
+            drop_repetitive=False,
+        ).groupBy("split").agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("n_chunk_tokens").alias("tokens"),
+        )
+
+    timed.append(("near_dup_ingest", near_dup_ingest_lane))
+
+    # Fold lane: band the 10% increment + rewrite the standing band
+    # table one version up. Expected shape: O(increment banding +
+    # band-table IO) — the band table is 10× at sf1, so ~linear. The
+    # lane returns a 1-row count over the updated table so collect()
+    # drives the whole write+read.
+    def update_index_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        increment = docs.where(F.col("doc_id") % 10 == 0)
+        path = _standing_index(spark, sf_dir)
+        update_band_index(spark, path, increment=increment)
+        bands_df, _ = load_band_index(spark, path)
+        return bands_df.groupBy().count()
+
+    timed.append(("update_band_index", update_index_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
