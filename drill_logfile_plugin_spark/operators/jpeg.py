@@ -1,4 +1,4 @@
-"""Baseline JPEG decoder (stdlib + numpy) for the multimodal tier.
+"""Huffman JPEG decoder (stdlib + numpy) for the multimodal tier.
 
 The dominant crawl image format, decoded with no external libraries:
 marker parse, Huffman entropy decode (interleaved MCUs, restart markers,
@@ -12,15 +12,19 @@ position honest, but never IDCT'd).
 Correctness-grade, like the PNG decoder (multimodal.py): the per-block
 Huffman loop is Python, fine for thumbnails and fixtures; a production
 pipeline swaps in a vectorized codec behind the same dispatch. Verified
-in pytest against an independent in-test encoder at two layers — exact
-quantized-coefficient recovery (the entropy layer is lossless) and an
-independently-computed IDCT pixel reference.
+in pytest against independent in-test encoders (sequential AND
+progressive) at two layers — exact quantized-coefficient recovery (the
+entropy layers are lossless) and an independently-computed IDCT pixel
+reference — plus hypothesis sweeps over random geometry and random
+progressive scan scripts.
 
-Supported profile: baseline + extended-sequential Huffman (SOF0/SOF1),
-8-bit precision, grayscale or 3-component YCbCr with integer-ratio
-sampling factors, restart intervals. Progressive (SOF2), hierarchical,
-arithmetic coding, and 12-bit precision raise NotImplementedError — the
-explicit plug-in points. Malformed bytes raise ValueError.
+Supported profiles: baseline + extended-sequential Huffman (SOF0/SOF1)
+and PROGRESSIVE Huffman (SOF2 — spectral selection, successive
+approximation with the G.1.2.3 refinement algorithm, EOB-run batching,
+restarts), 8-bit precision, grayscale or 3-component YCbCr with
+integer-ratio sampling factors. Hierarchical, arithmetic coding, and
+12-bit precision raise NotImplementedError — the explicit plug-in
+points. Malformed bytes raise ValueError.
 
 No reference counterpart: the reference plugin is text-only
 (LogRecordReader.java:125); this module is LLM-pipeline extension tier.
@@ -43,7 +47,6 @@ _ZIGZAG = (
 _JPEG_MAX_PIXELS = 1 << 26
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT",
     0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -151,13 +154,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def _jpeg_decode_coefficients(payload: bytes):
-    """Parse + entropy-decode a baseline JPEG. Returns
-    ``(width, height, comps, coef)`` where ``comps`` is the SOF component
-    list ``[{id, h, v, tq}]`` in scan order and ``coef`` maps component id
-    -> int32 ndarray (blocks_y, blocks_x, 64) of QUANTIZED coefficients
-    in zigzag order, plus the quant tables dict. The lossless layer —
-    the pytest encoder pins this exactly. Actual return:
-    ``(width, height, comps, coef, qtables)``.
+    """Parse + entropy-decode a Huffman JPEG — baseline/extended
+    sequential (SOF0/SOF1, one scan) or PROGRESSIVE (SOF2: any spec-
+    valid succession of DC/AC spectral-selection and successive-
+    approximation scans, folded into one coefficient store). Returns
+    ``(width, height, comps, coef, qtables)`` where ``comps`` is the
+    SOF component list ``[{id, h, v, tq}]`` and ``coef`` maps component
+    id -> int32 ndarray (blocks_y, blocks_x, 64) of QUANTIZED
+    coefficients in zigzag order. The lossless layer — the pytest
+    encoders (sequential AND progressive) pin it exactly.
     """
     import numpy as np
 
@@ -170,6 +175,8 @@ def _jpeg_decode_coefficients(payload: bytes):
     width = height = None
     comps: list[dict] = []
     restart_interval = 0
+    progressive = False
+    coef: dict[int, "np.ndarray"] = {}
     n = len(payload)
 
     while True:
@@ -183,7 +190,9 @@ def _jpeg_decode_coefficients(payload: bytes):
         if marker == 0xFF:  # fill byte
             pos -= 1
             continue
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and coef:
+                return width, height, comps, coef, qtables
             raise ValueError("JPEG has no scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RST
             continue
@@ -195,7 +204,8 @@ def _jpeg_decode_coefficients(payload: bytes):
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen
 
-        if marker in (0xC0, 0xC1):  # SOF0 / SOF1: Huffman sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential/progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("JPEG SOF truncated")
             precision, height, width, ncomp = struct.unpack(
@@ -270,7 +280,7 @@ def _jpeg_decode_coefficients(payload: bytes):
             if len(seg) != 2:
                 raise ValueError("JPEG DRI malformed")
             (restart_interval,) = struct.unpack(">H", seg)
-        elif marker == 0xDA:  # SOS — baseline: decode the single scan
+        elif marker == 0xDA:  # SOS
             if width is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
@@ -286,21 +296,37 @@ def _jpeg_decode_coefficients(payload: bytes):
                     (by_id[cs], tdta >> 4, tdta & 0x0F)
                 )
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            if (ss, se) != (0, 63):
-                raise NotImplementedError(
-                    "JPEG spectral selection (progressive scan) not "
-                    "supported"
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "JPEG sequential scan with progressive parameters"
+                    )
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "JPEG multi-scan (non-interleaved) sequential not "
+                        "supported"
+                    )
+                coef = _decode_scan(
+                    payload, pos, scan_comps, width, height,
+                    dc_tables, ac_tables, restart_interval,
                 )
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "JPEG multi-scan (non-interleaved) sequential not "
-                    "supported"
-                )
-            coef = _decode_scan(
-                payload, pos, scan_comps, width, height,
+                return width, height, comps, coef, qtables
+            # progressive: fold this scan into the standing coefficients
+            if not coef:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mx = (width + 8 * hmax - 1) // (8 * hmax)
+                my = (height + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    coef[c["id"]] = np.zeros(
+                        (my * c["v"], mx * c["h"], 64), dtype=np.int32
+                    )
+            pos = _decode_progressive_scan(
+                payload, pos, scan_comps, comps, width, height,
                 dc_tables, ac_tables, restart_interval,
+                ss, se, ah, al, coef,
             )
-            return width, height, comps, coef, qtables
         # APPn (E0-EF), COM (FE), DNL etc.: skipped via seglen
 
     raise ValueError("JPEG ended without a scan")
@@ -385,6 +411,176 @@ def _decode_scan(
                             k += 1
             mcu_count += 1
     return out
+
+
+def _decode_progressive_scan(
+    payload, pos, scan_comps, comps_all, width, height,
+    dc_tables, ac_tables, restart_interval, ss, se, ah, al, coef,
+):
+    """Entropy-decode ONE progressive scan (spec G.2) into the standing
+    ``coef`` store; returns the byte offset of the next marker.
+
+    Four scan kinds, selected by (ss, ah):
+
+    * DC first (ss=0, ah=0): sequential DC coding, values shifted left
+      by ``al`` (the DC point transform is an arithmetic shift, so
+      successive bits reassemble exactly); may be interleaved.
+    * DC refinement (ss=0, ah>0): one raw bit per block, ORed at ``al``.
+    * AC first (ss>0, ah=0): run-length coding within the [ss, se] band
+      plus EOB runs batched across blocks; values shifted left by
+      ``al`` (the AC point transform truncates toward zero).
+    * AC refinement (ss>0, ah>0): the G.1.2.3 correction-bit algorithm —
+      one bit refines each already-nonzero coefficient crossed, (run, 1)
+      symbols place newly-significant ±2^al coefficients, EOB runs
+      refine the band remainder.
+    """
+    hmax = max(c["h"] for c in comps_all)
+    vmax = max(c["v"] for c in comps_all)
+    ns = len(scan_comps)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+    else:
+        if ns != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError("JPEG progressive spectral band invalid")
+    if ah not in range(14) or al not in range(14):
+        raise ValueError("JPEG successive-approximation bits invalid")
+
+    # block traversal: (comp, block_row, block_col) per MCU
+    if ns == 1:
+        c0 = scan_comps[0][0]
+        # non-interleaved: the component's OWN block grid (no MCU padding)
+        cw = (width * c0["h"] + hmax - 1) // hmax
+        chh = (height * c0["v"] + vmax - 1) // vmax
+        bx, by = (cw + 7) // 8, (chh + 7) // 8
+        mcus = [
+            [(c0, r, c)]
+            for r in range(by)
+            for c in range(bx)
+        ]
+    else:
+        mx = (width + 8 * hmax - 1) // (8 * hmax)
+        my = (height + 8 * vmax - 1) // (8 * vmax)
+        mcus = []
+        for myy in range(my):
+            for mxx in range(mx):
+                units = []
+                for c, _td, _ta in scan_comps:
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            units.append(
+                                (c, myy * c["v"] + byy, mxx * c["h"] + bxx)
+                            )
+                mcus.append(units)
+
+    tables = {}
+    for c, td, ta in scan_comps:
+        if ss == 0 and ah == 0:
+            if td not in dc_tables:
+                raise ValueError("JPEG scan references undefined DC table")
+            tables[c["id"]] = dc_tables[td]
+        elif ss > 0:
+            if ta not in ac_tables:
+                raise ValueError("JPEG scan references undefined AC table")
+            tables[c["id"]] = ac_tables[ta]
+        # DC refinement needs no Huffman table
+
+    reader = _BitReader(payload, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan_comps}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    rst_next = 0
+
+    for mcu_i, units in enumerate(mcus):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            m = reader.align_to_marker()
+            if m != 0xD0 + rst_next:
+                raise ValueError("JPEG restart marker out of sequence")
+            rst_next = (rst_next + 1) & 7
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        for c, br, bc in units:
+            blk = coef[c["id"]][br, bc]
+            if ss == 0 and ah == 0:  # DC first
+                t = reader.decode(tables[c["id"]])
+                if t > 11:
+                    raise ValueError("JPEG DC magnitude invalid")
+                preds[c["id"]] += _extend(reader.bits(t), t)
+                blk[0] = preds[c["id"]] << al
+            elif ss == 0:  # DC refinement
+                if reader.bit():
+                    blk[0] = int(blk[0]) | p1
+            elif ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(tables[c["id"]])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run exceeds band")
+                    blk[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3 / the jdphuff structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(tables[c["id"]])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break  # EOB: remainder refined below
+                            newval = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement magnitude must be 1"
+                                )
+                            newval = p1 if reader.bit() else m1
+                        # cross the band: refine nonzero-history coeffs,
+                        # count down r zero-history positions
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if reader.bit() and (v & p1) == 0:
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB phase: correction bits for every remaining
+                    # nonzero-history coefficient in the band
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if reader.bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # the next marker starts at the first unconsumed byte (skip any
+    # residual padding the bit reader never pulled)
+    return reader.pos
 
 
 def _idct_blocks(blocks):

@@ -17,13 +17,15 @@ The decode step is pluggable by codec name:
   (the test writes PNGs with its own spec-following encoder, per-row
   filter types chosen adversarially, plus a hypothesis sweep over
   random geometry).
-* ``codec="jpeg"`` — a REAL baseline-JPEG decoder (:mod:`.jpeg`):
-  stdlib+numpy marker parse, Huffman entropy decode, dequant + IDCT on
-  the luma plane, restart markers, 4:4:4/4:2:2/4:2:0 subsampling.
-  Progressive/arithmetic JPEG raise NotImplementedError — the remaining
-  plug-in point. Verified against an independent in-test encoder at the
-  (lossless) quantized-coefficient layer plus an independently-computed
-  IDCT pixel reference.
+* ``codec="jpeg"`` — a REAL Huffman-JPEG decoder (:mod:`.jpeg`):
+  stdlib+numpy marker parse, entropy decode, dequant + IDCT on the luma
+  plane, restart markers, 4:4:4/4:2:2/4:2:0 subsampling — BASELINE and
+  PROGRESSIVE (spectral selection + successive approximation + EOB
+  runs). Arithmetic coding / 12-bit / hierarchical raise
+  NotImplementedError — the remaining plug-in points. Verified against
+  independent in-test encoders (both modes) at the lossless
+  quantized-coefficient layer plus an independently-computed IDCT pixel
+  reference.
 * ``codec="fake"`` — a deterministic stand-in that derives (width, height,
   format) from the md5 of the payload bytes. Because Python's hashlib md5
   equals SQL ``md5()``, the fake decoder is *oracle-checkable end to end*:

@@ -101,3 +101,57 @@ def test_jpeg_roundtrip_any_geometry(h, w, dri, samp, seed):
     assert gray.shape == (h, w)
     expect = _expected_luma(truth[1], _Q50, w, h)
     assert np.max(np.abs(gray.astype(np.int64) - expect.astype(np.int64))) <= 1
+
+
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    cuts=st.sets(st.integers(2, 62), max_size=3),
+    refine=st.booleans(),
+    dri=st.sampled_from([0, 2]),
+    sparse=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@SETTINGS
+def test_jpeg_progressive_roundtrip_any_script(
+    h, w, cuts, refine, dri, sparse, seed
+):
+    """Random image x random spectral-band split x optional successive
+    approximation x restarts: the decoder must recover the transmitted
+    coefficient store exactly for ANY spec-valid gray scan script."""
+    from tests.test_jpeg_progressive import (
+        _smooth,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    plane = (
+        _smooth(seed, h, w)
+        if sparse
+        else rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    )
+    edges = [1] + sorted(cuts) + [64]
+    bands = [
+        (a, b - 1) for a, b in zip(edges, edges[1:]) if a <= b - 1
+    ]
+    al = 1 if refine else 0
+    scans = [{"comps": [1], "ss": 0, "se": 0, "ah": 0, "al": al}]
+    scans += [
+        {"comps": [1], "ss": a, "se": b, "ah": 0, "al": al}
+        for a, b in bands
+    ]
+    if refine:
+        scans.append({"comps": [1], "ss": 0, "se": 0, "ah": 1, "al": 0})
+        scans += [
+            {"comps": [1], "ss": a, "se": b, "ah": 1, "al": 0}
+            for a, b in bands
+        ]
+    payload, truth = encode_jpeg_progressive(
+        {1: plane}, w, h, {1: (1, 1)}, _Q50, scans, dri=dri
+    )
+    ww, hh, _comps, coef, _qt = J._jpeg_decode_coefficients(payload)
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(coef[1], truth[1])
+    _, _, gray = J._jpeg_decode(payload)
+    expect = _expected_luma(truth[1], _Q50, w, h)
+    assert np.max(np.abs(gray.astype(np.int64) - expect.astype(np.int64))) <= 1

@@ -395,17 +395,18 @@ def test_jpeg_subsampled_chroma(samp_y):
     assert np.max(np.abs(gray.astype(np.int64) - expect.astype(np.int64))) <= 1
 
 
-def test_jpeg_rejects_progressive_and_malformed():
+def test_jpeg_rejects_unsupported_and_malformed():
     with pytest.raises(ValueError, match="SOI"):
         J._jpeg_decode(b"\x89PNG not a jpeg")
-    # minimal SOF2 (progressive) header
-    prog = (
+    # minimal SOF9 (extended sequential, ARITHMETIC) header — the
+    # explicit remaining plug-in point now that progressive decodes
+    arith = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11)
+        + b"\xff\xc9" + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        J._jpeg_decode_coefficients(prog)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        J._jpeg_decode_coefficients(arith)
     payload, _ = _gray_jpeg(6, 8, 8)
     with pytest.raises(ValueError):
         J._jpeg_decode(payload[: len(payload) // 2])  # truncated scan
