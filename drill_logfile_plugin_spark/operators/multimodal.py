@@ -76,7 +76,11 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "wav", "avi")
+
+#: codecs whose payloads are audio — they have no (width, height) and
+#: route through decode_audio instead of decode_media
+AUDIO_CODECS = ("wav",)
 
 
 # --- real codec: PNG --------------------------------------------------------
@@ -358,8 +362,13 @@ def decode_media(
     """
     if codec not in SUPPORTED_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r}: further media codecs (ffmpeg/audio) are not "
+            f"codec {codec!r}: further media codecs (ffmpeg-class) are not "
             f"available in this environment; supported: {SUPPORTED_CODECS}"
+        )
+    if codec in AUDIO_CODECS:
+        raise ValueError(
+            f"codec {codec!r} is audio — it has no (width, height); use "
+            "decode_audio for the audio metadata lane"
         )
     _check_on_error(on_error)
     if codec == "png":
@@ -372,6 +381,12 @@ def decode_media(
 
             w, h, _gray = _jpeg_decode(p)
             return "jpeg", w, h
+    elif codec == "avi":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .video import _avi_decode
+
+            w, h, _us, _frames = _avi_decode(p)
+            return "avi", w, h
     else:
         _decode_one = _fake_decode
 
@@ -419,6 +434,85 @@ def decode_media(
     return narrow.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+#: Metadata schema produced by decode_audio.
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "wav",
+    on_error: str = "null",
+) -> DataFrame:
+    """Decode audio payloads to typed metadata via mapInPandas — the
+    audio twin of :func:`decode_media` (audio has sample-rate/channel/
+    duration shape, not width x height). Same NULL-payload prefilter,
+    same ``on_error`` quarantine contract, same Arrow-batched iterator
+    memory bounds. Real WAV/PCM decode (:mod:`.audio`)."""
+    if codec not in AUDIO_CODECS:
+        raise NotImplementedError(
+            f"audio codec {codec!r} not available; supported: {AUDIO_CODECS}"
+        )
+    _check_on_error(on_error)
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def audio_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from .audio import _wav_decode
+
+        for pdf in batches:
+            ids, fmts, rates, chans, nfs, durs, nbs = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, samples = _wav_decode(p)
+                    nf, nc = samples.shape
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rate = nc = nf = None
+                ids.append(doc_id)
+                fmts.append(None if rate is None else "wav")
+                rates.append(rate)
+                chans.append(nc)
+                nfs.append(nf)
+                durs.append(
+                    None if rate is None else (nf * 1000) // rate
+                )
+                nbs.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_format": pd.Series(fmts, dtype="object"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_channels": pd.Series(chans, dtype="Int32"),
+                    "n_frames": pd.Series(nfs, dtype="Int64"),
+                    "duration_ms": pd.Series(durs, dtype="Int64"),
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                }
+            )
+
+    return narrow.mapInPandas(audio_batches, AUDIO_SCHEMA)
+
+
 #: Schema produced by extract_features.
 FEATURES_SCHEMA = StructType(
     [
@@ -457,27 +551,51 @@ def extract_features(
     _check_on_error(on_error)
     if codec == "fake" and dim > 16:
         raise ValueError("fake codec derives at most 16 features (one md5)")
-    if codec in ("png", "jpeg") and not 1 <= dim <= 256:
-        raise ValueError("pixel histogram features need 1 <= dim <= 256")
+    if codec != "fake" and not 1 <= dim <= 256:
+        raise ValueError("histogram features need 1 <= dim <= 256")
 
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg"):
-        if codec == "png":
-            _decode_gray = _png_decode
-        else:
-            from .jpeg import _jpeg_decode as _decode_gray
+    if codec in ("png", "jpeg", "avi"):
+        def _gray_of(p: bytes):
+            if codec == "png":
+                return _png_decode(p)[2]
+            if codec == "jpeg":
+                from .jpeg import _jpeg_decode
+
+                return _jpeg_decode(p)[2]
+            from .jpeg import _jpeg_decode
+            from .video import _avi_decode
+
+            # a video's feature = its FIRST frame's luma histogram (the
+            # keyframe-thumbnail convention; per-frame features compose
+            # via frame_sample + per-frame payload decode)
+            return _jpeg_decode(_avi_decode(p)[3][0])[2]
 
         def _features_one(p: bytes) -> list[float]:
             import numpy as np
 
-            _w, _h, gray = _decode_gray(p)
+            gray = _gray_of(p)
             hist = np.bincount(
                 (gray.ravel().astype(np.int64) * dim) // 256, minlength=dim
             )
             return (hist / max(1, gray.size)).tolist()
+    elif codec in AUDIO_CODECS:
+        def _features_one(p: bytes) -> list[float]:
+            import numpy as np
+
+            from .audio import _wav_mono
+
+            _rate, mono = _wav_mono(p)
+            # dim-bin amplitude histogram over the signed 16-bit range —
+            # the audio analogue of the luma histogram
+            bins = ((mono.astype(np.int64) + 32768) * dim) // 65536
+            hist = np.bincount(
+                np.clip(bins, 0, dim - 1), minlength=dim
+            )
+            return (hist / max(1, mono.size)).tolist()
     else:
         def _features_one(p: bytes) -> list[float]:
             return [b / 255.0 for b in hashlib.md5(p).digest()[:dim]]
@@ -526,15 +644,21 @@ def frame_sample(
     codec: str = "fake",
     on_error: str = "skip",
 ) -> DataFrame:
-    """Sample frames from video-like payloads: one output row per frame.
+    """Sample frames from video/audio payloads: one output row per
+    sampled frame (the one-to-many media shape — mapInPandas as a
+    flatMap).
 
-    The one-to-many media shape (mapInPandas as a flatMap): a real codec
-    would emit ``(doc_id, frame_idx, frame_bytes)``; the fake codec
-    derives a deterministic frame count (1..8, md5 nibbles 10-12 of the
-    payload) and emits every ``every_n``-th index with its 25 fps
-    timestamp. Frame counts are md5-derived, so the exploded row set is
-    reproducible in SQL (DuckDB ``unnest(range(...))``) — the driver
-    oracle checks the full explode, not just plumbing.
+    * ``codec="avi"`` — REAL video sampling: frame count and timestamps
+      come from the MJPEG container (avih microseconds-per-frame), and
+      every sampled frame is itself JPEG-decoded (a corrupt frame
+      mid-stream is caught, not passed through).
+    * ``codec="wav"`` — audio analysis windows: one frame per 25 ms hop
+      at the file's real sample rate.
+    * ``codec="png"/"jpeg"`` — a validated still image is one frame.
+    * ``codec="fake"`` — deterministic count (1..8, md5 nibbles 10-12)
+      at 25 fps; md5-derived, so the exploded row set is reproducible
+      in SQL (DuckDB ``unnest(range(...))``) — the driver-oracle lane
+      (q42) checks the full explode.
 
     ``on_error`` (real codecs only): an undecodable payload yields zero
     frames under ``"skip"`` (default — in a one-to-many explode the
@@ -555,27 +679,51 @@ def frame_sample(
     def frame_batches(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        if codec == "jpeg":
+        if codec in ("jpeg", "avi"):
             from .jpeg import _jpeg_decode
+        if codec == "avi":
+            from .video import _avi_decode
+        if codec in AUDIO_CODECS:
+            from .audio import _wav_mono
         for pdf in batches:
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                if codec in ("png", "jpeg"):
-                    # a validated still image is exactly one frame
-                    try:
+                try:
+                    if codec in ("png", "jpeg"):
+                        # a validated still image is exactly one frame
                         (_png_decode if codec == "png" else _jpeg_decode)(p)
-                    except (ValueError, NotImplementedError):
-                        if on_error == "strict":
-                            raise
-                        continue
-                    n_frames = 1
-                else:
-                    h = hashlib.md5(p).hexdigest()
-                    n_frames = 1 + int(h[9:12], 16) % 8
-                for i in range(0, n_frames, every_n):
+                        sampled = [(0, 0)]
+                    elif codec == "avi":
+                        # REAL video frames: container-counted, container-
+                        # timed; every SAMPLED frame must itself decode
+                        _w, _h, us, frames = _avi_decode(p)
+                        sampled = []
+                        for i in range(0, len(frames), every_n):
+                            _jpeg_decode(frames[i])
+                            sampled.append((i, (i * us) // 1000))
+                    elif codec in AUDIO_CODECS:
+                        # audio "frames" = 25 ms analysis windows
+                        rate, mono = _wav_mono(p)
+                        hop = max(1, (rate * 25) // 1000)
+                        n_windows = mono.size // hop
+                        sampled = [
+                            (i, i * 25)
+                            for i in range(0, n_windows, every_n)
+                        ]
+                    else:
+                        h = hashlib.md5(p).hexdigest()
+                        n_frames = 1 + int(h[9:12], 16) % 8
+                        sampled = [
+                            (i, i * 40) for i in range(0, n_frames, every_n)
+                        ]
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    continue
+                for i, t in sampled:
                     ids.append(doc_id)
                     idxs.append(i)
-                    ts.append(i * 40)
+                    ts.append(t)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
