@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -307,6 +308,132 @@ def _png_decode(payload: bytes):
     else:  # 0 (gray) / 4 (gray+alpha): first channel IS the luma
         gray = px[:, :, 0].astype(np.int64)
     return int(width), int(height), gray.astype(np.uint8)
+
+
+def _png_encode_gray(gray) -> bytes:
+    """Encode a (h, w) uint8 luma array as a minimal grayscale PNG
+    (color type 0, depth 8, filter 0, one IDAT) — the output half of the
+    resize lane. Round-trips exactly through :func:`_png_decode`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    g = np.ascontiguousarray(gray, dtype=np.uint8)
+    h, w = g.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), g], axis=1
+        )  # filter byte 0 per row
+        .tobytes()
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "png",
+    on_error: str = "skip",
+) -> DataFrame:
+    """ACTUAL image resize: decode → nearest-neighbor resample of the
+    luma plane → re-encode as grayscale PNG. Returns
+    ``(doc_id, payload, width, height)`` — real bytes, ready for the
+    feature/phash lanes downstream (:func:`resize_plan` remains the
+    metadata-only planner for pipelines that resample inside their own
+    codec).
+
+    Nearest-neighbor (``src = (dst * src_len) // dst_len``) is chosen
+    over box filtering deliberately: it is a pure integer map, so the
+    output is a bit-exact function of the input on every platform — the
+    tier's cross-engine determinism rule. Images already within
+    ``max_side`` are re-encoded unscaled (output codec is normalized
+    PNG either way).
+
+    ``on_error``: ``"skip"`` (default) drops undecodable payloads,
+    ``"strict"`` aborts.
+    """
+    if codec not in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"resize_media decodes codec 'png' or 'jpeg', got {codec!r}"
+        )
+    _check_on_error(on_error, allowed=("skip", "strict"))
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def resize_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if codec == "jpeg":
+            from .jpeg import _jpeg_decode as _decode
+        else:
+            _decode = _png_decode
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, gray = _decode(p)
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    continue
+                if max(w, h) > max_side:
+                    if w >= h:
+                        tw = max_side
+                        th = max(1, (h * max_side) // w)
+                    else:
+                        th = max_side
+                        tw = max(1, (w * max_side) // h)
+                else:
+                    tw, th = w, h
+                rows = (np.arange(th, dtype=np.int64) * h) // th
+                cols = (np.arange(tw, dtype=np.int64) * w) // tw
+                resized = gray[np.ix_(rows, cols)]
+                ids.append(doc_id)
+                payloads.append(_png_encode_gray(resized))
+                ws.append(tw)
+                hs.append(th)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(resize_batches, out_schema)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -400,3 +400,57 @@ def test_png_corrupt_idat_is_value_error():
     bad = good[: idat_at + 4] + bytes(16) + good[idat_at + 20 :]
     with pytest.raises(ValueError, match="PNG"):
         M._png_decode(bad)
+
+
+# --- actual resize (decode -> resample -> re-encode) ------------------------
+
+
+def test_resize_media_real_bytes_roundtrip(spark, png_frame):
+    """resize_media produces REAL grayscale-PNG bytes: decoding them
+    recovers exactly the nearest-neighbor resample of the source luma,
+    and the aspect/cap arithmetic matches resize_plan's."""
+    out = {
+        r["doc_id"]: r
+        for r in M.resize_media(png_frame, max_side=8, codec="png").collect()
+    }
+    for t in png_frame.collect():
+        w, h, gray = M._png_decode(bytes(t["payload"]))
+        r = out[t["doc_id"]]
+        assert max(r["width"], r["height"]) <= 8
+        ww, hh, got = M._png_decode(bytes(r["payload"]))
+        assert (ww, hh) == (r["width"], r["height"])
+        rows = (np.arange(hh, dtype=np.int64) * h) // hh
+        cols = (np.arange(ww, dtype=np.int64) * w) // ww
+        assert np.array_equal(got, gray[np.ix_(rows, cols)])
+
+
+def test_resize_media_small_image_reencoded_unscaled(spark):
+    px = _rng(80).integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(px, 0, ALL_FILTERS)))],
+        "doc_id long, payload binary",
+    )
+    r = M.resize_media(df, max_side=16, codec="png").collect()[0]
+    assert (r["width"], r["height"]) == (4, 5)
+    _, _, got = M._png_decode(bytes(r["payload"]))
+    assert np.array_equal(got, px[:, :, 0])
+
+
+def test_resize_media_jpeg_input_and_quarantine(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.test_jpeg_codec import _gray_jpeg
+
+    payload, _ = _gray_jpeg(90, 32, 48)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload)), (1, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = M.resize_media(df, max_side=16, codec="jpeg").collect()
+    assert {r["doc_id"] for r in rows} == {0}  # corrupt row skipped
+    r = rows[0]
+    assert (r["width"], r["height"]) == (16, 10)  # 48x32 capped, aspect kept
+    ww, hh, _ = M._png_decode(bytes(r["payload"]))
+    assert (ww, hh) == (16, 10)
+    with pytest.raises(Exception, match="SOI|JPEG"):
+        M.resize_media(df, max_side=16, codec="jpeg", on_error="strict").collect()
