@@ -1752,86 +1752,3 @@ def q62(spark, sf):
         .alias("dup_ratio"),
     )
 
-
-@query(
-    "q64_incremental_neardup",
-    f"""
-    WITH sh AS (
-      SELECT doc_id, {D.shingles_sql_duck('text', 3)} AS s
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.s, b.s)) /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-      AND len(list_intersect(a.s, b.s)) /
-            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
-    """,
-    doc="Incremental near-dup probe, driver-certified: the corpus splits "
-    "into standing (doc_id %% 5 != 0) and increment (%% 5 == 0); Spark "
-    "bands ONLY the increment and probes the standing band table "
-    "(operators/dedup.py incremental_lsh_pairs — the index-once/"
-    "probe-many shape). The oracle is the exact ALL-PAIRS ground truth "
-    "restricted to increment-touching pairs, so a MATCH proves the "
-    "incremental probe loses no pair a full corpus-wide run would find "
-    "— the q27 certification lifted to the incremental tier. Registered "
-    "after q62: drops before any reference-parity row under a shrunken "
-    "driver budget.",
-)
-def q64(spark, sf):
-    d = _t(spark, sf, "documents")
-    return D.incremental_lsh_pairs(
-        d.where(F.col("doc_id") % 5 == 0),
-        d.where(F.col("doc_id") % 5 != 0),
-        jaccard_threshold=0.6,
-    )
-
-
-@query(
-    "q65_incremental_embedding_neardup",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} AS sim,
-           TRUE AS probe_recall_ok
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
-      AND {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} >= 0.4
-    """,
-    doc="Embedding-axis incremental probe, driver-certified with the "
-    "q31/q41 in-band pattern (sign-bucket LSH is recall<1 by design, so "
-    "an exact oracle can't equal the probe directly): the OUTPUT is the "
-    "exact all-pairs lane restricted to increment-touching pairs "
-    "(blocked-matmul cosine, bit-identical to the oracle), and the "
-    "in-band boolean asserts the incremental probe "
-    "(similarity.incremental_embedding_neardup: standing vec_id %% 4 "
-    "!= 0 banded once, increment %% 4 == 0 probed) recovered >= 25%% "
-    "of them. The floor certifies the probe WORKS on this near-uniform "
-    "corpus at threshold 0.4 — barely above the corpus's background "
-    "similarity, LSH's hardest regime (measured ~0.46 here; real "
-    "near-dup thresholds >= 0.8 sit near recall 1.0, "
-    "tests/test_llm_ops.py pins the geometry headroom rule). "
-    "Registered last.",
-)
-def q65(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    inc = e.where(F.col("vec_id") % 4 == 0)
-    standing = e.where(F.col("vec_id") % 4 != 0)
-    n = e.count()
-    exact = D._barrier(
-        S.cosine_dup_pairs(e, threshold=0.4, n_rows=n).where(
-            (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
-        )
-    )
-    probe = S.incremental_embedding_neardup(inc, standing, 0.4)
-    marked = exact.join(
-        probe.select("id_a", "id_b", F.lit(1).alias("__hit")),
-        ["id_a", "id_b"],
-        "left",
-    )
-    flag = marked.agg(
-        (F.count("__hit") >= F.lit(0.25) * F.count(F.lit(1))).alias(
-            "probe_recall_ok"
-        )
-    )
-    return exact.crossJoin(F.broadcast(flag))

@@ -3777,3 +3777,100 @@ def test_update_embedding_index_equals_rebuild(spark, embeddings, tmp_path):
         (r["vec_id"], r["table_id"], r["bucket"]) for r in df.collect()
     )
     assert rows(updated) == rows(rebuilt)
+
+
+# --- incremental probes vs the DuckDB exact-ground-truth oracle -------------
+#
+# The driver registry is capped at exactly 50 registrations (the
+# truncation hazard test_plans pins), so the incremental probes carry
+# their cross-engine oracle certification HERE: the same DuckDB exact
+# all-pairs ground truth the driver harness would run, restricted to
+# increment-touching pairs, compared value-for-value.
+
+
+def test_incremental_lsh_probe_matches_duckdb_exact_oracle(spark, documents):
+    """incremental_lsh_pairs (standing doc_id % 5 != 0 banded once,
+    increment % 5 == 0 probed) must equal DuckDB's exact all-pairs
+    Jaccard ground truth restricted to increment-touching pairs — the
+    q27 certification lifted to the incremental tier, cross-engine."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.sql(
+        f"""
+        WITH sh AS (
+          SELECT doc_id, {D.shingles_sql_duck('text', 3)} AS s
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+          AND len(list_intersect(a.s, b.s)) /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.6
+        """
+    ).fetchall()
+    got = D.incremental_lsh_pairs(
+        documents.where(F.col("doc_id") % 5 == 0),
+        documents.where(F.col("doc_id") % 5 != 0),
+        jaccard_threshold=0.6,
+    ).collect()
+    key = lambda r: (r[0], r[1], round(r[2], 9))
+    assert sorted(map(key, got)) == sorted(map(key, oracle))
+    assert oracle, "fixture must contain increment-touching near-dups"
+
+
+def test_incremental_embedding_probe_vs_duckdb_exact_oracle(
+    spark, embeddings
+):
+    """Embedding axis: DuckDB recomputes the exact restricted all-pairs
+    cosine ground truth; the exact blocked-matmul lane must match it
+    bit-for-bit, and the sign-bucket incremental probe must be a SUBSET
+    of it with recall >= 0.25 at threshold 0.4 (barely above this
+    near-uniform corpus's background similarity — LSH's hardest regime;
+    production thresholds >= 0.8 sit near recall 1)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    oracle = con.sql(
+        f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
+          AND {S.cosine_sql_duck('a.embedding', 'b.embedding', 64)} >= 0.4
+        """
+    ).fetchall()
+    truth = {(r[0], r[1]): r[2] for r in oracle}
+    assert truth, "fixture must contain increment-touching pairs"
+
+    n = embeddings.count()
+    exact = (
+        S.cosine_dup_pairs(embeddings, threshold=0.4, n_rows=n)
+        .where((F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0))
+        .collect()
+    )
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in exact}
+    assert got.keys() == truth.keys()
+    for k in truth:  # bit-identical fold arithmetic, the q30/q40 pin
+        assert got[k] == truth[k], k
+
+    probe = S.incremental_embedding_neardup(
+        embeddings.where(F.col("vec_id") % 4 == 0),
+        embeddings.where(F.col("vec_id") % 4 != 0),
+        0.4,
+    ).collect()
+    probe_pairs = {(r["id_a"], r["id_b"]) for r in probe}
+    assert probe_pairs <= truth.keys()  # precision 1.0 (exact re-rank)
+    assert len(probe_pairs) >= 0.25 * len(truth)
