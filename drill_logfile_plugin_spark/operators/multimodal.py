@@ -26,14 +26,25 @@ The decode step is pluggable by codec name:
   independent in-test encoders (both modes) at the lossless
   quantized-coefficient layer plus an independently-computed IDCT pixel
   reference.
+* ``codec="gif"`` — a REAL GIF87a/89a decoder (:mod:`.gif`): LZW,
+  global/local color tables, 4-pass interlacing, and multi-frame
+  animations whose graphic-control delays drive real ``frame_sample``
+  timestamps. Per-frame decode; disposal-chain compositing is the
+  documented out-of-scope line.
+* ``codec="wav"`` — REAL audio (:mod:`.audio`): RIFF/PCM decode behind
+  the :func:`decode_audio` metadata lane, amplitude-histogram features,
+  and 25 ms analysis windows in ``frame_sample``.
+* ``codec="avi"`` — REAL video (:mod:`.video`): MJPEG-in-AVI container
+  walk; every sampled frame is genuinely decoded by the package's own
+  JPEG decoder with container-derived timestamps.
 * ``codec="fake"`` — a deterministic stand-in that derives (width, height,
   format) from the md5 of the payload bytes. Because Python's hashlib md5
   equals SQL ``md5()``, the fake decoder is *oracle-checkable end to end*:
   the driver's DuckDB SQL reproduces it exactly, which validates the real
   part (schema, batching, partitioning, UDF signature) rather than the
   stub — the driver fixture lane (q33/q42).
-* any other codec (audio, video — the libs aren't in this container) —
-  raises :class:`NotImplementedError` at plan-build time, marking exactly
+* any other codec (ffmpeg-class formats) — raises
+  :class:`NotImplementedError` at plan-build time, marking exactly
   where the next decoder plugs in behind the same Spark-side shape.
 
 Per-row robustness: real codecs take an ``on_error`` mode — ``"null"``
@@ -77,7 +88,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg", "wav", "avi")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "wav", "avi")
 
 #: codecs whose payloads are audio — they have no (width, height) and
 #: route through decode_audio instead of decode_media
@@ -86,13 +97,12 @@ AUDIO_CODECS = ("wav",)
 
 # --- real codec: PNG --------------------------------------------------------
 #
-# One real media format proves the plumbing end-to-end without external
-# libraries: PNG's container is stdlib-decodable (zlib + struct), so the
-# decode path below is a complete, spec-correct reader for the common
-# profile — 8-bit depth, color types 0/2/3/4/6, non-interlaced — and a
-# clearly-marked NotImplementedError for the rest (16-bit, Adam7). It is
-# a CORRECTNESS-grade decoder: the per-row unfilter loop is Python, fine
-# for metadata/feature extraction over thumbnails and fixtures; a
+# PNG's container is stdlib-decodable (zlib + struct), so the decode
+# path below is a complete, spec-correct reader for EVERY spec-valid
+# static profile — all five color types at all their legal bit depths,
+# both interlace modes, all five filters. It is a CORRECTNESS-grade
+# decoder: the per-row unfilter loop is Python, fine for
+# metadata/feature extraction over thumbnails and fixtures; a
 # production image pipeline swaps in a vectorized codec behind the same
 # dispatch without touching any Spark-side shape.
 
@@ -514,6 +524,12 @@ def decode_media(
 
             w, h, _us, _frames = _avi_decode(p)
             return "avi", w, h
+    elif codec == "gif":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .gif import _gif_decode
+
+            w, h, _frames = _gif_decode(p)
+            return "gif", w, h
     else:
         _decode_one = _fake_decode
 
@@ -685,7 +701,7 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi"):
+    if codec in ("png", "jpeg", "avi", "gif"):
         def _gray_of(p: bytes):
             if codec == "png":
                 return _png_decode(p)[2]
@@ -693,6 +709,10 @@ def extract_features(
                 from .jpeg import _jpeg_decode
 
                 return _jpeg_decode(p)[2]
+            if codec == "gif":
+                from .gif import _gif_first_frame_screen
+
+                return _gif_first_frame_screen(p)[2]
             from .jpeg import _jpeg_decode
             from .video import _avi_decode
 
@@ -828,6 +848,21 @@ def frame_sample(
                         for i in range(0, len(frames), every_n):
                             _jpeg_decode(frames[i])
                             sampled.append((i, (i * us) // 1000))
+                    elif codec == "gif":
+                        # animation frames with REAL graphic-control
+                        # delays; t_ms = cumulative start time
+                        from .gif import _gif_decode
+
+                        _w, _h, frames = _gif_decode(p)
+                        starts = []
+                        t = 0
+                        for fr in frames:
+                            starts.append(t)
+                            t += fr["delay_ms"]
+                        sampled = [
+                            (i, starts[i])
+                            for i in range(0, len(frames), every_n)
+                        ]
                     elif codec in AUDIO_CODECS:
                         # audio "frames" = 25 ms analysis windows
                         rate, mono = _wav_mono(p)

@@ -1,0 +1,302 @@
+"""GIF codec contract (operators/gif.py + the codec="gif" lanes).
+
+Independent in-test GIF WRITER: its LZW compressor tracks the decoder's
+table growth explicitly (the spec's grow-at-2^codesize rule, 12-bit cap,
+CLEAR on full table), frames pack into GIF87a/89a containers with
+global/local color tables, interlacing, and graphic-control delays. The
+package decoder must recover exact indexed pixels per frame. A raw LZW
+round-trip property hammers the variable-width machinery on random index
+streams, including streams long enough to overflow the 12-bit table.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.operators import gif as G
+from drill_logfile_plugin_spark.operators import multimodal as M
+
+# --- independent writer -----------------------------------------------------
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF LZW compressor that mirrors the decoder's table timeline: the
+    decoder adds one table entry per code consumed (after the first
+    post-CLEAR code), so the width used for code k is determined by the
+    decoder's table length at that moment — tracked here explicitly."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = 0
+    width = 0
+    dec_len = 0
+
+    def reset() -> None:
+        nonlocal table, next_code, width, dec_len
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        dec_len = eoi + 1  # decoder table length right after CLEAR
+
+    reset()
+    put(clear, width)
+    prev = b""
+    first_after_clear = True
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        # decoder consumes that code; unless it was the first after a
+        # CLEAR it appends an entry and may widen
+        if not first_after_clear:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+        first_after_clear = False
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:
+            put(clear, width)
+            reset()  # decoder resets in lockstep on CLEAR
+            first_after_clear = True
+        prev = bytes([b])
+    if prev:
+        put(table[prev], width)
+        if not first_after_clear:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def write_gif(
+    frames,
+    width: int,
+    height: int,
+    palette: np.ndarray,
+    delays_ms=None,
+    interlace: bool = False,
+    local_palettes=None,
+) -> bytes:
+    """frames: list of (x, y, (h, w) uint8 index arrays). The global
+    palette must be a power-of-two length >= 2."""
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    assert n == 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    for fi, (x, y, idx) in enumerate(frames):
+        h, w = idx.shape
+        if delays_ms is not None:
+            out += b"\x21\xf9" + _blocks(
+                struct.pack("<BHB", 0, delays_ms[fi] // 10, 0)
+            )
+        lp = None if local_palettes is None else local_palettes[fi]
+        iflags = 0x40 if interlace else 0
+        if lp is not None:
+            lbits = max(1, (len(lp) - 1).bit_length())
+            iflags |= 0x80 | (lbits - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, iflags)
+        if lp is not None:
+            out += lp.astype(np.uint8).tobytes()
+        rows = idx
+        if interlace:
+            order = []
+            for off, step in G._GIF_INTERLACE:
+                order.extend(range(off, h, step))
+            rows = idx[order]
+        min_code = max(2, bits if lp is None else max(2, (len(lp) - 1).bit_length()))
+        out += bytes([min_code])
+        out += _blocks(lzw_encode(rows.tobytes(), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _luma(palette, idx):
+    rgb = palette[idx].astype(np.int64)
+    return (
+        (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+# --- raw LZW ----------------------------------------------------------------
+
+
+def test_lzw_roundtrip_exercises_width_growth_and_table_overflow():
+    r = _rng(1)
+    for size, alpha, mcs in [(50, 4, 2), (4000, 16, 4), (30000, 8, 3)]:
+        data = r.integers(0, alpha, size=size, dtype=np.uint8).tobytes()
+        enc = lzw_encode(data, mcs)
+        assert G._lzw_decode(enc, mcs, len(data)) == data
+
+
+def test_lzw_output_bound_rejects_oversized_stream():
+    data = bytes(_rng(2).integers(0, 4, size=500, dtype=np.uint8))
+    enc = lzw_encode(data, 2)
+    with pytest.raises(ValueError, match="exceeds"):
+        G._lzw_decode(enc, 2, 499)
+
+
+# --- container decode ------------------------------------------------------
+
+
+def test_gif_single_frame_exact_luma():
+    pal = _rng(3).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = _rng(4).integers(0, 16, size=(11, 7), dtype=np.uint8)
+    payload = write_gif([(0, 0, idx)], 7, 11, pal)
+    w, h, frames = G._gif_decode(payload)
+    assert (w, h) == (7, 11)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0]["luma"], _luma(pal, idx))
+
+
+def test_gif_interlaced_frame_reorders_rows():
+    pal = _rng(5).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = _rng(6).integers(0, 8, size=(13, 5), dtype=np.uint8)
+    payload = write_gif([(0, 0, idx)], 5, 13, pal, interlace=True)
+    _, _, frames = G._gif_decode(payload)
+    assert np.array_equal(frames[0]["luma"], _luma(pal, idx))
+
+
+def test_gif_animation_frames_delays_and_local_palette():
+    gpal = _rng(7).integers(0, 256, size=(4, 3), dtype=np.uint8)
+    lpal = _rng(8).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    f0 = _rng(9).integers(0, 4, size=(6, 6), dtype=np.uint8)
+    f1 = _rng(10).integers(0, 8, size=(3, 4), dtype=np.uint8)
+    f2 = _rng(11).integers(0, 4, size=(2, 2), dtype=np.uint8)
+    payload = write_gif(
+        [(0, 0, f0), (1, 2, f1), (4, 4, f2)],
+        6,
+        6,
+        gpal,
+        delays_ms=[40, 120, 80],
+        local_palettes=[None, lpal, None],
+    )
+    w, h, frames = G._gif_decode(payload)
+    assert (w, h) == (6, 6)
+    assert [f["delay_ms"] for f in frames] == [40, 120, 80]
+    assert (frames[1]["x"], frames[1]["y"]) == (1, 2)
+    assert np.array_equal(frames[0]["luma"], _luma(gpal, f0))
+    assert np.array_equal(frames[1]["luma"], _luma(lpal, f1))
+    assert np.array_equal(frames[2]["luma"], _luma(gpal, f2))
+    # feature-lane view: frame 0 on the logical screen
+    _, _, screen = G._gif_first_frame_screen(payload)
+    assert np.array_equal(screen, _luma(gpal, f0))
+
+
+def test_gif_rejections():
+    with pytest.raises(ValueError, match="signature"):
+        G._gif_decode(b"\x89PNG not a gif")
+    pal = _rng(12).integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = _rng(13).integers(0, 4, size=(4, 4), dtype=np.uint8)
+    good = write_gif([(0, 0, idx)], 4, 4, pal)
+    with pytest.raises(ValueError):
+        G._gif_decode(good[:-3])  # truncated before trailer
+    huge = bytearray(good)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="bound"):
+        G._gif_decode(bytes(huge))
+
+
+# --- Spark lanes -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gif_frame(spark):
+    pal = _rng(20).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    still = write_gif(
+        [(0, 0, _rng(21).integers(0, 16, size=(9, 12), dtype=np.uint8))],
+        12, 9, pal,
+    )
+    anim = write_gif(
+        [
+            (0, 0, _rng(22 + i).integers(0, 16, size=(5, 5), dtype=np.uint8))
+            for i in range(4)
+        ],
+        5, 5, pal, delays_ms=[100, 100, 50, 50],
+    )
+    rows = [
+        (0, bytearray(still)),
+        (1, bytearray(anim)),
+        (2, bytearray(b"GIF89a broken")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_media_gif(spark, gif_frame):
+    out = {
+        r["doc_id"]: r
+        for r in M.decode_media(gif_frame, codec="gif").collect()
+    }
+    assert (out[0]["width"], out[0]["height"]) == (12, 9)
+    assert out[0]["media_format"] == "gif"
+    assert (out[1]["width"], out[1]["height"]) == (5, 5)
+    assert out[2]["media_format"] is None  # quarantined
+
+
+def test_frame_sample_gif_animation_delays(spark, gif_frame):
+    rows = M.frame_sample(gif_frame, codec="gif", every_n=1).collect()
+    anim = sorted(
+        (r["frame_idx"], r["t_ms"]) for r in rows if r["doc_id"] == 1
+    )
+    # cumulative starts of delays [100, 100, 50, 50]
+    assert anim == [(0, 0), (1, 100), (2, 200), (3, 250)]
+    still = [(r["frame_idx"], r["t_ms"]) for r in rows if r["doc_id"] == 0]
+    assert still == [(0, 0)]
+    assert not [r for r in rows if r["doc_id"] == 2]  # corrupt skipped
+
+
+def test_extract_features_gif_first_frame_histogram(spark, gif_frame):
+    dim = 8
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in M.extract_features(
+            gif_frame, dim=dim, codec="gif"
+        ).collect()
+    }
+    assert feats[2] is None
+    payload = bytes(gif_frame.where("doc_id = 0").collect()[0]["payload"])
+    _, _, screen = G._gif_first_frame_screen(payload)
+    hist = np.bincount(
+        (screen.ravel().astype(np.int64) * dim) // 256, minlength=dim
+    ) / screen.size
+    assert np.allclose(np.asarray(feats[0]), hist)
