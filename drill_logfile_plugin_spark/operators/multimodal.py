@@ -955,27 +955,106 @@ def _ahash64(payload: bytes) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def _ahash64_luma(gray) -> int:
+    """TRUE image aHash: 8x8 integer box means of the luma plane,
+    bit i set iff cell i's mean exceeds the global mean — all
+    cross-multiplied integer comparisons (cell_sum * n_total >
+    total_sum * n_cell), a pure function of the pixels on any platform.
+    Because it hashes CONTENT, two different ENCODINGS of the same image
+    (a PNG re-filtered, a GIF re-palettized, a JPEG of the same pixels)
+    collapse to the same or near-same signature — exactly what the
+    byte-level :func:`_ahash64` cannot do."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    # integral image -> exact 8x8 cell sums at integer boundaries
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = g.cumsum(0).cumsum(1)
+    rb = (np.arange(9, dtype=np.int64) * h) // 8
+    cb = (np.arange(9, dtype=np.int64) * w) // 8
+    sums = (
+        ii[rb[1:], :][:, cb[1:]]
+        - ii[rb[:-1], :][:, cb[1:]]
+        - ii[rb[1:], :][:, cb[:-1]]
+        + ii[rb[:-1], :][:, cb[:-1]]
+    )
+    counts = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    total, n = int(g.sum()), h * w
+    bits = ((counts > 0) & (sums * n > total * counts)).ravel()
+    val = int(
+        bits.astype(np.uint64)
+        @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    )
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def phash_signatures(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "raw",
+    on_error: str = "skip",
 ) -> DataFrame:
     """(doc_id, sig) perceptual signatures via an Arrow-batched UDF.
 
-    NULL payloads are filtered before the UDF — a payloadless row has no
-    signature and can near-duplicate nothing (np.frombuffer would
-    otherwise fail the whole Arrow batch on the first NULL).
+    ``codec="raw"`` (default — the oracle-friendly lane) hashes the
+    payload BYTE stream (:func:`_ahash64`). A real image codec
+    (``"png"``/``"jpeg"``/``"gif"``) decodes first and hashes the 8x8
+    luma box means (:func:`_ahash64_luma`) — CONTENT-level signatures,
+    so re-encodings of the same pixels band together even when not one
+    payload byte matches (pinned in pytest: the same image written with
+    different PNG filters, and as a GIF, signature-identically).
+
+    NULL payloads are filtered before the UDF (a payloadless row can
+    near-duplicate nothing); with a real codec, undecodable payloads
+    follow ``on_error`` — ``"skip"`` (default: no signature, the
+    natural quarantine for a candidate generator) or ``"strict"``.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(LongType())
-    def ahash_udf(payloads: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_ahash64(p) for p in payloads], dtype="int64"
+    if codec not in ("raw", "png", "jpeg", "gif"):
+        raise NotImplementedError(
+            f"phash_signatures codec {codec!r} not available"
         )
+    _check_on_error(on_error, allowed=("skip", "strict"))
 
-    return df.where(F.col(payload_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        ahash_udf(F.col(payload_col)).alias("sig"),
+    narrow = df.where(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     )
+
+    def sig_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        if codec == "jpeg":
+            from .jpeg import _jpeg_decode as _decode
+        elif codec == "gif":
+            from .gif import _gif_first_frame_screen as _decode
+        elif codec == "png":
+            _decode = _png_decode
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if codec == "raw":
+                    sig = _ahash64(p)
+                else:
+                    try:
+                        sig = _ahash64_luma(_decode(p)[2])
+                    except (ValueError, NotImplementedError):
+                        if on_error == "strict":
+                            raise
+                        continue
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    sig_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sig", LongType())]
+    )
+    return narrow.mapInPandas(sig_batches, sig_schema)
 
 
 def phash_neardup(
@@ -983,23 +1062,21 @@ def phash_neardup(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    codec: str = "raw",
 ) -> DataFrame:
     """Media near-duplicate pairs by perceptual hash: the multimodal →
-    dedup bridge. Signatures are Arrow-batched numpy (:func:`_ahash64`);
-    candidate generation and the exact bit_count re-rank reuse the
-    SimHash 4x16-bit banding engine (dedup.hamming_band_pairs) —
+    dedup bridge. Signatures are Arrow-batched numpy
+    (:func:`phash_signatures` — byte-level ``"raw"``, or a real codec
+    for CONTENT-level signatures that catch re-encodings); candidate
+    generation and the exact bit_count re-rank reuse the SimHash
+    4x16-bit banding engine (dedup.hamming_band_pairs) —
     pigeonhole-lossless at Hamming <= 3, equi-join-only, O(near-dups)
     shuffle. Returns (doc_a, doc_b, hamming).
-
-    With a real image codec the signature input would be decoded 8x8
-    luma cells instead of raw payload bytes; everything from the cell
-    means down — thresholding, banding, re-rank, scale shape — is
-    codec-independent and is what this lane proves.
     """
     from .dedup import hamming_band_pairs
 
     return hamming_band_pairs(
-        phash_signatures(df, payload_col, id_col),
+        phash_signatures(df, payload_col, id_col, codec=codec),
         max_hamming=max_hamming,
         bits=64,
     )

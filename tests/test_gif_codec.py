@@ -300,3 +300,88 @@ def test_extract_features_gif_first_frame_histogram(spark, gif_frame):
         (screen.ravel().astype(np.int64) * dim) // 256, minlength=dim
     ) / screen.size
     assert np.allclose(np.asarray(feats[0]), hist)
+
+
+# --- content-level perceptual hash across encodings --------------------------
+
+
+def test_content_phash_collapses_reencodings(spark):
+    """The real-codec aHash hashes PIXELS, not bytes: the SAME image
+    written as (a) a PNG with filters [0], (b) a PNG with all five
+    filters (byte-different payload), and (c) a GIF, must band together
+    at Hamming ~0 — while the byte-level raw hash sees three unrelated
+    payloads. This is the re-encoded-crawl-image case byte dedup can
+    never catch."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.test_png_codec import encode_png
+
+    rng = _rng(40)
+    # grayscale image drawn from a 16-gray palette so the GIF encoding
+    # is EXACT (palette luma == pixel value)
+    levels = (np.arange(16) * 17).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(24, 24), dtype=np.uint8)
+    gray = levels[idx]
+
+    png_a = encode_png(gray[:, :, None], 0, [0])
+    png_b = encode_png(gray[:, :, None], 0, [0, 1, 2, 3, 4])
+    pal = np.stack([levels] * 3, axis=1)  # (16, 3) gray palette
+    gif_c = write_gif([(0, 0, idx)], 24, 24, pal)
+    assert png_a != png_b
+
+    df = spark.createDataFrame(
+        [(0, bytearray(png_a)), (1, bytearray(png_b))],
+        "doc_id long, payload binary",
+    )
+    sigs_png = {
+        r["doc_id"]: r["sig"]
+        for r in M.phash_signatures(df, codec="png").collect()
+    }
+    gif_df = spark.createDataFrame(
+        [(2, bytearray(gif_c))], "doc_id long, payload binary"
+    )
+    sig_gif = M.phash_signatures(gif_df, codec="gif").collect()[0]["sig"]
+    # content identical -> signatures identical across containers
+    assert sigs_png[0] == sigs_png[1] == sig_gif
+
+    # byte-level hashes see three different payloads (sanity contrast)
+    raw = {
+        r["doc_id"]: r["sig"]
+        for r in M.phash_signatures(df, codec="raw").collect()
+    }
+    assert raw[0] != raw[1]
+
+    # and the near-dup lane pairs the two PNGs at hamming 0
+    pairs = M.phash_neardup(df, codec="png").collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [
+        (0, 1, 0)
+    ]
+
+
+def test_content_phash_robust_to_small_pixel_edits(spark):
+    """A few changed pixels move few (often zero) cells: Hamming stays
+    within the banding budget, so crawl variants pair up."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.test_png_codec import encode_png
+
+    rng = _rng(41)
+    gray = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    edited = gray.copy()
+    edited[5, 5] ^= 0x80
+    edited[20, 11] ^= 0x40
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(gray[:, :, None], 0, [0]))),
+            (1, bytearray(encode_png(edited[:, :, None], 0, [2]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = M.phash_neardup(df, codec="png", max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 3
+
+    # quarantine: a corrupt payload yields no signature under skip
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    assert M.phash_signatures(bad, codec="png").collect() == []
