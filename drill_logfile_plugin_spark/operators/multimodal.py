@@ -656,6 +656,204 @@ def decode_audio(
     return narrow.mapInPandas(audio_batches, AUDIO_SCHEMA)
 
 
+#: Schema produced by audio_windows.
+AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("t_ms", LongType()),
+        StructField("energy", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_ms: int = 25,
+    codec: str = "wav",
+    on_error: str = "skip",
+) -> DataFrame:
+    """Per-window audio analysis features — the DSP one-to-many lane:
+    one row per ``window_ms`` hop of the channel-mean signal with
+    ``energy`` (sum of squared samples, int64), ``n_samples``, and
+    ``zero_crossings`` (sign-change count, zeros carrying the previous
+    sign). ALL-INTEGER outputs — a pure function of the payload bytes on
+    any platform (rms = sqrt(energy / n_samples) is one caller-side
+    expression away; speech/silence gating thresholds `energy` directly).
+    Tail samples short of a full window are dropped (standard hop
+    framing). ``on_error``: ``"skip"`` default / ``"strict"``.
+    """
+    if codec not in AUDIO_CODECS:
+        raise NotImplementedError(
+            f"audio codec {codec!r} not available; supported: {AUDIO_CODECS}"
+        )
+    _check_on_error(on_error, allowed=("skip", "strict"))
+    if window_ms < 1:
+        raise ValueError("window_ms must be >= 1")
+
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def window_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .audio import _wav_mono
+
+        for pdf in batches:
+            ids, idxs, ts, energies, ns, zcs = [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, mono = _wav_mono(p)
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    continue
+                hop = max(1, (rate * window_ms) // 1000)
+                n_windows = mono.size // hop
+                if n_windows == 0:
+                    continue
+                m = mono[: n_windows * hop].astype(np.int64)
+                grid = m.reshape(n_windows, hop)
+                energy = (grid * grid).sum(axis=1)
+                # sign with zeros inheriting the previous sign: standard
+                # ZCR convention, and exactly reproducible
+                sign = np.sign(m)
+                prev = 1
+                for i in range(sign.size):  # fill zeros forward
+                    if sign[i] == 0:
+                        sign[i] = prev
+                    else:
+                        prev = sign[i]
+                flips = (sign[1:] != sign[:-1]).astype(np.int64)
+                # crossings attributed to the window of the LATER sample
+                flip_win = np.zeros(n_windows, dtype=np.int64)
+                np.add.at(flip_win, np.arange(1, m.size) // hop, flips)
+                for i in range(n_windows):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ts.append(i * window_ms)
+                    energies.append(int(energy[i]))
+                    ns.append(hop)
+                    zcs.append(int(flip_win[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "t_ms": pd.Series(ts, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(window_batches, AUDIO_WINDOWS_SCHEMA)
+
+
+def audio_segments(
+    windows: DataFrame,
+    energy_threshold: int,
+    min_windows: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Speech/silence segmentation over an :func:`audio_windows` frame —
+    the audio lane feeding the RELATIONAL tier: pure DataFrame island
+    detection (the sessionize/gaps-and-islands shape), no UDF.
+
+    A window is ``active`` iff ``energy > energy_threshold`` (integer
+    comparison — platform-exact). Consecutive same-state windows merge
+    into segments via the classic running-count-of-state-changes window
+    trick, partitioned per document (each document's window count is
+    bounded by its duration — never a corpus-wide sort). Segments
+    shorter than ``min_windows`` are RECLASSIFIED into their neighbor
+    state (debouncing: a one-window blip inside speech stays speech)
+    by a second island pass over the debounced state.
+
+    Returns ``(doc_id, segment_idx, kind, start_ms, end_ms, n_windows,
+    energy)`` with ``kind`` in ('speech', 'silence'), segments ordered
+    and contiguous per document.
+    """
+    if min_windows < 1:
+        raise ValueError("min_windows must be >= 1")
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy(id_col).orderBy("window_idx")
+    active = (F.col("energy") > F.lit(int(energy_threshold))).cast("int")
+    marked = windows.withColumn("__a", active).withColumn(
+        "__flip",
+        F.when(
+            F.lag("__a").over(w_doc).isNull()
+            | (F.lag("__a").over(w_doc) != F.col("__a")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = marked.withColumn("__g", F.sum("__flip").over(w_doc))
+    # debounce: count each island's size, flip sub-minimum islands
+    sizes = grouped.groupBy(id_col, "__g", "__a").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    deb = grouped.join(sizes, [id_col, "__g", "__a"]).withColumn(
+        "__a2",
+        F.when(F.col("__n") < min_windows, 1 - F.col("__a")).otherwise(
+            F.col("__a")
+        ),
+    )
+    # second island pass over the debounced state
+    deb2 = deb.withColumn(
+        "__flip2",
+        F.when(
+            F.lag("__a2").over(w_doc).isNull()
+            | (F.lag("__a2").over(w_doc) != F.col("__a2")),
+            1,
+        ).otherwise(0),
+    ).withColumn("__g2", F.sum("__flip2").over(w_doc))
+    return (
+        deb2.groupBy(id_col, "__g2")
+        .agg(
+            F.first("__a2").alias("__kind"),
+            F.min("t_ms").alias("start_ms"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("energy").alias("energy"),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("__kind") == 1, "speech").otherwise("silence"),
+        )
+        .withColumn(
+            "segment_idx",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("start_ms")
+            )
+            - 1,
+        )
+        .withColumn(
+            # segments tile the document: each ends where the next
+            # starts; the final segment is open-ended (NULL — its true
+            # end is the audio duration, which the windows frame does
+            # not carry)
+            "end_ms",
+            F.lead("start_ms").over(
+                W.partitionBy(id_col).orderBy("start_ms")
+            ),
+        )
+        .select(
+            id_col,
+            "segment_idx",
+            "kind",
+            "start_ms",
+            "end_ms",
+            "n_windows",
+            "energy",
+        )
+    )
+
+
 #: Schema produced by extract_features.
 FEATURES_SCHEMA = StructType(
     [

@@ -257,3 +257,103 @@ def test_extract_features_avi_first_frame_luma(spark, av_frame):
         (gray.ravel().astype(np.int64) * dim) // 256, minlength=dim
     ) / gray.size
     assert np.allclose(np.asarray(feats[0]), hist)
+
+
+def test_audio_windows_integer_exact(spark):
+    """Energy and zero-crossing outputs recompute exactly by hand —
+    all-integer DSP, the tier's cross-platform determinism rule."""
+    # 8 kHz mono: hop at 25 ms = 200 samples; craft 2.5 windows
+    sig = np.zeros((500, 1), dtype=np.int64)
+    sig[:200, 0] = 100                      # window 0: constant positive
+    sig[200:400, 0] = [(-50) ** 1 if i % 2 else 50 for i in range(200)]
+    payload = write_wav(sig, 8000, bits=16)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {
+        r["window_idx"]: r
+        for r in M.audio_windows(df, window_ms=25).collect()
+    }
+    assert set(rows) == {0, 1}  # 100-sample tail dropped
+    assert rows[0]["energy"] == 200 * 100 * 100
+    assert rows[0]["zero_crossings"] == 0
+    assert rows[0]["n_samples"] == 200
+    assert rows[1]["energy"] == 200 * 50 * 50
+    # alternating signs: a flip at every sample boundary inside window 1
+    # plus the boundary flip from window 0's +100 to -50? window 1
+    # starts with +50 (i=0 even) ... pattern [50, -50, 50, ...]: flips
+    # between consecutive samples = 199, plus boundary sample 199->200
+    # (+100 -> +50) no flip
+    assert rows[1]["zero_crossings"] == 199
+    assert rows[1]["t_ms"] == 25
+
+
+def test_audio_windows_zero_sign_inherits_previous(spark):
+    sig = np.array([[10], [0], [0], [-10], [0], [10], [0], [0]], dtype=np.int64)
+    payload = write_wav(sig, 320, bits=16)  # hop = 320*25//1000 = 8
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = M.audio_windows(df, window_ms=25).collect()[0]
+    # signs after zero-fill: + + + - - + + +  -> flips at 10->-10, -10->10
+    assert r["zero_crossings"] == 2
+    assert r["energy"] == 100 + 100 + 100
+
+
+def test_audio_segments_island_detection(spark):
+    """Hand-pinned gaps-and-islands: windows with energies
+    [high high low low low high] at threshold 50 -> speech(0-1),
+    silence(2-4), speech(5); debouncing flips a 1-window blip."""
+    rows = [
+        (0, i, i * 25, e, 200, 0)
+        for i, e in enumerate([900, 800, 10, 5, 7, 700])
+    ]
+    win = spark.createDataFrame(
+        rows,
+        "doc_id long, window_idx int, t_ms long, energy long, "
+        "n_samples int, zero_crossings int",
+    )
+    segs = sorted(
+        M.audio_segments(win, energy_threshold=50).collect(),
+        key=lambda r: r["segment_idx"],
+    )
+    got = [
+        (r["kind"], r["start_ms"], r["end_ms"], r["n_windows"], r["energy"])
+        for r in segs
+    ]
+    assert got == [
+        ("speech", 0, 50, 2, 1700),
+        ("silence", 50, 125, 3, 22),
+        ("speech", 125, None, 1, 700),
+    ]
+
+    # debounce: the same series with min_windows=2 reclassifies the
+    # final single-window speech island into the silence segment
+    segs2 = sorted(
+        M.audio_segments(win, energy_threshold=50, min_windows=2).collect(),
+        key=lambda r: r["segment_idx"],
+    )
+    got2 = [(r["kind"], r["start_ms"], r["n_windows"]) for r in segs2]
+    assert got2 == [("speech", 0, 2), ("silence", 50, 4)]
+
+
+def test_audio_segments_end_to_end_from_wav(spark):
+    """Composition: real WAV -> audio_windows -> audio_segments."""
+    loud = np.full((400, 1), 1000, dtype=np.int64)
+    quiet = np.zeros((400, 1), dtype=np.int64)
+    sig = np.concatenate([loud, quiet, loud])
+    payload = write_wav(sig, 8000, bits=16)  # hop 200 -> 6 windows
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    segs = sorted(
+        M.audio_segments(
+            M.audio_windows(df, window_ms=25), energy_threshold=0
+        ).collect(),
+        key=lambda r: r["segment_idx"],
+    )
+    assert [(r["kind"], r["n_windows"]) for r in segs] == [
+        ("speech", 2),
+        ("silence", 2),
+        ("speech", 2),
+    ]

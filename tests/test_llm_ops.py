@@ -3874,3 +3874,35 @@ def test_incremental_embedding_probe_vs_duckdb_exact_oracle(
     probe_pairs = {(r["id_a"], r["id_b"]) for r in probe}
     assert probe_pairs <= truth.keys()  # precision 1.0 (exact re-rank)
     assert len(probe_pairs) >= 0.25 * len(truth)
+
+
+def test_band_index_update_crash_window_leaves_old_version_live(
+    spark, documents, tmp_path
+):
+    """The versioned-index crash contract: a new bands directory WITHOUT
+    a manifest flip (a crash between the parquet write and the manifest
+    rename) must be invisible — readers keep the old version intact; a
+    subsequent successful update supersedes both."""
+    import os
+
+    standing = documents.limit(80)
+    path = str(tmp_path / "bandidx")
+    D.save_band_index(D.minhash_bands(standing), path)
+    before = _band_rows(D.load_band_index(spark, path)[0])
+
+    # simulate the crash: orphan v2 directory, manifest still at v1
+    D.minhash_bands(standing.limit(10)).write.parquet(
+        os.path.join(path, "bands-v000002.parquet")
+    )
+    loaded, params = D.load_band_index(spark, path)
+    assert params["version"] == 1
+    assert _band_rows(loaded) == before
+
+    # a real update then moves PAST the orphan (writes v2 via overwrite,
+    # flips the manifest) and the index stays consistent
+    inc = documents.limit(100).where(F.col("doc_id") >= 80)
+    D.update_band_index(spark, path, increment=inc)
+    updated, params = D.load_band_index(spark, path)
+    assert params["version"] == 2
+    merged = standing.unionByName(inc.select(*standing.columns))
+    assert _band_rows(updated) == _band_rows(D.minhash_bands(merged))
