@@ -58,6 +58,7 @@ KIND_BPE = "bpe-merges"
 KIND_CMS = "cms-grid"
 KIND_SEEDS = "semdedup-seeds"
 KIND_VOCAB = "bpe-vocab-ids"
+KIND_PQ = "pq-codebooks"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -283,6 +284,34 @@ def save_seed_model(path: str, seeds: np.ndarray) -> str:
 def load_seed_model(path: str) -> np.ndarray:
     _, payload, _ = load_artifact(path, KIND_SEEDS)
     return payload
+
+
+def save_pq_model(path: str, model) -> str:
+    """Persist a fitted product quantizer (pq.pq_fit): the (m, ksub,
+    dsub) codebook tensor plus the normalize flag it was trained under
+    (encode must replay the same preprocessing or every code drifts).
+    ``pq_encode(df, load_pq_model(path))`` / ``ivfpq_topk(...,
+    model=load_pq_model(path))`` then apply the frozen codebooks —
+    at 100 TB the fit runs once and a silent refit would re-key every
+    stored code byte."""
+    return save_artifact(
+        path,
+        KIND_PQ,
+        {"codebooks": model.codebooks, "normalize": bool(model.normalize)},
+        {
+            "m": int(model.m),
+            "ksub": int(model.ksub),
+            "dim": int(model.dim),
+            "normalize": bool(model.normalize),
+        },
+    )
+
+
+def load_pq_model(path: str):
+    from .operators.pq import PQModel
+
+    _, payload, _ = load_artifact(path, KIND_PQ)
+    return PQModel(payload["codebooks"], normalize=payload["normalize"])
 
 
 def save_bpe_model(path: str, merges: list[tuple[str, str, int]]) -> str:

@@ -254,6 +254,14 @@ def main() -> None:
     timed.append(("sim_ann_lsh", sim_lane(ann_lsh_topk)))
     timed.append(("sim_ann_ivf", sim_lane(ivf_topk)))
 
+    # IVF-PQ: same probe geometry as sim_ann_ivf but candidates ride as
+    # m-byte codes (fit on a bounded sample — constant cost across
+    # scales; encode is one linear scan), so its factor should track
+    # sim_ann_ivf while the per-candidate payload shrinks 16-32×.
+    from drill_logfile_plugin_spark.operators.pq import ivfpq_topk
+
+    timed.append(("sim_ann_ivfpq", sim_lane(ivfpq_topk)))
+
     # Round-4 operator lanes over the same 10× documents fixture. The
     # Caesar-shifted replicas share no tokens with replica 0, so the BM25
     # query-term posting volume stays CONSTANT while the corpus grows 10×
