@@ -59,6 +59,7 @@ KIND_CMS = "cms-grid"
 KIND_SEEDS = "semdedup-seeds"
 KIND_VOCAB = "bpe-vocab-ids"
 KIND_PQ = "pq-codebooks"
+KIND_BLOOM = "bloom-bits"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -312,6 +313,32 @@ def load_pq_model(path: str):
 
     _, payload, _ = load_artifact(path, KIND_PQ)
     return PQModel(payload["codebooks"], normalize=payload["normalize"])
+
+
+def save_bloom_model(path: str, bits: np.ndarray, n_bits: int, k: int) -> str:
+    """Persist a Bloom bitmap (bloom.bloom_bits) with its (n_bits, k)
+    geometry — probing with a different geometry would silently miss
+    members, so the loader hands both back and bloom_probe_bits
+    re-validates the byte length. The decontamination deployment shape:
+    build once per benchmark release, probe from every ingest run."""
+    if len(bits) != (n_bits + 7) // 8:
+        raise ValueError(
+            f"bitmap is {len(bits)} bytes but n_bits={n_bits} needs "
+            f"{(n_bits + 7) // 8}"
+        )
+    return save_artifact(
+        path,
+        KIND_BLOOM,
+        np.ascontiguousarray(bits, dtype=np.uint8),
+        {"n_bits": int(n_bits), "k": int(k)},
+    )
+
+
+def load_bloom_model(path: str) -> tuple[np.ndarray, int, int]:
+    """Load a Bloom bitmap; returns ``(bits, n_bits, k)`` ready for
+    ``bloom_probe_bits(keys, bits, n_bits=n_bits, k=k)``."""
+    _, payload, meta = load_artifact(path, KIND_BLOOM)
+    return payload, int(meta["n_bits"]), int(meta["k"])
 
 
 def save_bpe_model(path: str, merges: list[tuple[str, str, int]]) -> str:
