@@ -262,6 +262,32 @@ def main() -> None:
 
     timed.append(("sim_ann_ivfpq", sim_lane(ivfpq_topk)))
 
+    # Bloom two-phase decontamination at 10× documents with a FIXED
+    # benchmark (the replica-0 doc_id%97 slice exists at both scales):
+    # the benchmark bitmap is constant-size, the corpus probe is one
+    # scan, and the exact join's left side is the probable-hit slice —
+    # the factor should track the bare corpus-scan ratio, demonstrating
+    # the broadcast-prefilter claim with data.
+    from drill_logfile_plugin_spark.operators.bloom import (
+        decontaminate_two_phase,
+    )
+    from drill_logfile_plugin_spark.operators.dedup import shingles_sql_spark
+
+    def bloom_decontam_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        gram = shingles_sql_spark("text", 5)
+        bench = docs.where(
+            (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000)
+        )
+        corpus = docs.where(
+            ~((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000))
+        )
+        return decontaminate_two_phase(
+            corpus, bench, gram, n_bits=1 << 20, k=4
+        )
+
+    timed.append(("bloom_decontam", bloom_decontam_lane))
+
     # Round-4 operator lanes over the same 10× documents fixture. The
     # Caesar-shifted replicas share no tokens with replica 0, so the BM25
     # query-term posting volume stays CONSTANT while the corpus grows 10×
