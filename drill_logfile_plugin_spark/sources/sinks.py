@@ -25,25 +25,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+#: Columnar formats the batch sink accepts — both ship in Spark's core
+#: distribution (no extra package), both carry column stats for skipping,
+#: both support the same partition layout. Row formats (csv/json) are
+#: deliberately absent: they lose the schema, the stats, and the
+#: compression that make the 100 TB layout work — export through a
+#: dedicated job if an external system demands them.
+SINK_FORMATS = ("parquet", "orc")
+
+
 def write_table(
     df: DataFrame,
     path: str,
     partition_by: Optional[Sequence[str]] = None,
     mode: str = "error",
     max_records_per_file: int = 5_000_000,
+    fmt: str = "parquet",
 ) -> None:
-    """Write a batch DataFrame as (optionally partitioned) parquet.
+    """Write a batch DataFrame as (optionally partitioned) parquet/ORC.
 
     ``partition_by`` columns should be low-cardinality derivations (date
     bucket, log level, tenant) — partitioning by a high-cardinality key
-    creates the classic million-tiny-files failure.
+    creates the classic million-tiny-files failure. ``fmt`` selects the
+    columnar container (``SINK_FORMATS``); everything else — partition
+    layout, file-size cap, pruning behavior — is format-independent.
     """
+    if fmt not in SINK_FORMATS:
+        raise ValueError(
+            f"write_table: fmt must be one of {SINK_FORMATS}, got {fmt!r}"
+        )
     writer = df.write.mode(mode).option(
         "maxRecordsPerFile", max_records_per_file
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(fmt).save(path)
 
 
 def write_bucketed(

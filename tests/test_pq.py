@@ -247,6 +247,33 @@ def test_pq_degenerate_contracts(spark, embeddings):
         P.pq_adc_topk(q, P.pq_encode(q, model), model, rerank=10)
 
 
+def test_ivfpq_composes_with_certification_harness(spark, embeddings):
+    """ivfpq_topk drops into ann_certified_topk like the LSH/IVF lanes:
+    at cert_fraction=1.0 the exact lane serves (driver-surface shape)
+    and the in-band recall flag certifies the compressed lane."""
+    from drill_logfile_plugin_spark.operators.similarity import (
+        ann_certified_topk,
+        cosine_topk,
+    )
+
+    q = embeddings.where(F.col("vec_id") % 200 == 0)
+    out = ann_certified_topk(
+        q,
+        embeddings,
+        ann=lambda qq, cc: P.ivfpq_topk(
+            qq, cc, k=5, n_cells=32, nprobe=16, m=16, ksub=64,
+            sample_size=512,
+        ),
+        k=5,
+        min_recall=0.5,
+    ).collect()
+    assert all(r["recall_ok"] for r in out)
+    exact = cosine_topk(q, embeddings, k=5).collect()
+    assert {(r.q_id, r.neighbor_id) for r in out} == {
+        (r.q_id, r.neighbor_id) for r in exact
+    }
+
+
 def test_pq_null_vectors_encode_to_null(spark, embeddings):
     """NULL in, NULL out — absent-value semantics, the batch survives."""
     model = P.pq_fit(embeddings, m=8, ksub=16, sample_size=256)

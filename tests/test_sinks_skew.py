@@ -95,6 +95,28 @@ def test_compact_table_preserves_partitions(spark, tmp_path):
     )
 
 
+def test_write_table_orc_roundtrip(spark, tmp_path):
+    """ORC through the same sink: identical partition layout, identical
+    values back, and partition pruning reaches the scan (PartitionFilters
+    in the read plan) — the format is a container choice, not a layout
+    choice. Unknown formats fail at setup."""
+    df = _mysql_df(spark, tmp_path)
+    out = tmp_path / "out_orc"
+    sinks.write_table(df, str(out), partition_by=["date"], fmt="orc")
+    dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert dirs == {"date=2007-08-23", "date=2007-09-17"}
+    back = spark.read.orc(str(out))
+    want = sorted(map(str, df.select("pid", "action", "query").collect()))
+    got = sorted(map(str, back.select("pid", "action", "query").collect()))
+    assert got == want
+    pruned = back.where(F.col("date") == "2007-08-23")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2007-08-23" in plan, plan
+    assert pruned.count() == 3
+    with pytest.raises(ValueError, match="fmt must be one of"):
+        sinks.write_table(df, str(tmp_path / "bad"), fmt="avro")
+
+
 def test_write_table_mode_error_refuses_overwrite(spark, tmp_path):
     df = _mysql_df(spark, tmp_path)
     out = tmp_path / "once"
