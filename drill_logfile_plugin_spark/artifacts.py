@@ -60,6 +60,7 @@ KIND_SEEDS = "semdedup-seeds"
 KIND_VOCAB = "bpe-vocab-ids"
 KIND_PQ = "pq-codebooks"
 KIND_BLOOM = "bloom-bits"
+KIND_PCA = "pca-basis"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -313,6 +314,37 @@ def load_pq_model(path: str):
 
     _, payload, _ = load_artifact(path, KIND_PQ)
     return PQModel(payload["codebooks"], normalize=payload["normalize"])
+
+
+def save_pca_model(path: str, model) -> str:
+    """Persist a fitted PCA/whitening basis (pca.pca_fit): mean,
+    components, scale, explained-variance fractions. ``pca_apply(df,
+    load_pca_model(path))`` transforms any future corpus in the SAME
+    basis — transformed vectors stay comparable across runs, which is the
+    point of fitting once."""
+    return save_artifact(
+        path,
+        KIND_PCA,
+        {
+            "mean": model.mean,
+            "components": model.components,
+            "scale": model.scale,
+            "explained": model.explained,
+        },
+        {"out_dim": int(model.out_dim), "in_dim": int(model.in_dim)},
+    )
+
+
+def load_pca_model(path: str):
+    from .operators.pca import PCAModel
+
+    _, payload, _ = load_artifact(path, KIND_PCA)
+    return PCAModel(
+        payload["mean"],
+        payload["components"],
+        payload["scale"],
+        payload["explained"],
+    )
 
 
 def save_bloom_model(path: str, bits: np.ndarray, n_bits: int, k: int) -> str:
