@@ -61,6 +61,7 @@ KIND_VOCAB = "bpe-vocab-ids"
 KIND_PQ = "pq-codebooks"
 KIND_BLOOM = "bloom-bits"
 KIND_PCA = "pca-basis"
+KIND_LOGREG = "logreg-weights"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -314,6 +315,37 @@ def load_pq_model(path: str):
 
     _, payload, _ = load_artifact(path, KIND_PQ)
     return PQModel(payload["codebooks"], normalize=payload["normalize"])
+
+
+def save_logreg_model(path: str, model) -> str:
+    """Persist a fitted quality classifier (classifier.logreg_fit):
+    weights, bias, feature names, and the standardization constants the
+    fit used (scoring must replay them or the model silently drifts)."""
+    return save_artifact(
+        path,
+        KIND_LOGREG,
+        {
+            "weights": model.weights,
+            "bias": float(model.bias),
+            "feature_names": list(model.feature_names),
+            "means": model.means,
+            "stds": model.stds,
+        },
+        {"n_features": len(model.feature_names)},
+    )
+
+
+def load_logreg_model(path: str):
+    from .operators.classifier import LogRegModel
+
+    _, payload, _ = load_artifact(path, KIND_LOGREG)
+    return LogRegModel(
+        payload["weights"],
+        payload["bias"],
+        payload["feature_names"],
+        payload["means"],
+        payload["stds"],
+    )
 
 
 def save_pca_model(path: str, model) -> str:
