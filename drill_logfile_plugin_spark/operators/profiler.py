@@ -297,3 +297,103 @@ def profile_drift(
             "range_expanded"
         ),
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    overlap_k: int = 256,
+) -> DataFrame:
+    """One-call corpus health report — the governance view a dataset card
+    starts from, as a tall (section, metric, value) DataFrame.
+
+    Composes the certified tiers into bounded aggregates (nothing here is
+    ever corpus-sized on the driver: each section is a dim-sized or
+    1-row aggregate, and the overlap section rides the KMV sketches'
+    geometry bound):
+
+    * ``volume``  — docs, non-null texts, total chars, total whitespace
+      tokens (one fused pass);
+    * ``lang``    — document count per detected language (``lang_id``);
+    * ``quality`` — document count per quality bucket
+      (``quality_bucket``);
+    * ``sources`` — document count per ``group_col`` value;
+    * ``dup``     — exact-content duplicate stats: distinct texts,
+      duplicated docs, duplication rate (the md5 group-by lane);
+    * ``overlap`` — the top cross-source Jaccard estimate from
+      ``overlap.overlap_matrix`` (who is feeding us the same documents).
+
+    Values are formatted as strings (counts as integers, rates with 6
+    decimals) so the report is one homogeneous frame a dashboard or a
+    diff can consume; the underlying operators stay available for exact
+    typed access.
+    """
+    from .overlap import overlap_matrix
+    from .text import lang_id, quality_bucket
+
+    spark = docs.sparkSession
+    t = F.col(text_col)
+    vol = docs.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count(t).alias("texts"),
+        F.sum(F.length(t)).alias("chars"),
+        F.sum(F.size(F.split(F.trim(t), r"\s+"))).alias("tokens"),
+    ).first()
+    rows = [
+        ("volume", "docs", str(vol["docs"])),
+        ("volume", "texts_nonnull", str(vol["texts"])),
+        ("volume", "chars", str(vol["chars"] or 0)),
+        ("volume", "tokens", str(vol["tokens"] or 0)),
+    ]
+    for r in sorted(
+        docs.where(t.isNotNull())
+        .groupBy(lang_id(text_col).alias("k"))
+        .count()
+        .collect()
+    ):
+        rows.append(("lang", str(r["k"]), str(r["count"])))
+    for r in sorted(
+        docs.where(t.isNotNull())
+        .groupBy(quality_bucket(text_col).alias("k"))
+        .count()
+        .collect()
+    ):
+        rows.append(("quality", str(r["k"]), str(r["count"])))
+    for r in sorted(
+        docs.groupBy(F.col(group_col).alias("k")).count().collect()
+    ):
+        rows.append(("sources", str(r["k"]), str(r["count"])))
+    dup = (
+        docs.where(t.isNotNull())
+        .groupBy(F.md5(t).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_texts"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+                "dup_docs"
+            ),
+            F.sum("n").alias("total"),
+        )
+        .first()
+    )
+    rows.append(("dup", "distinct_texts", str(dup["distinct_texts"])))
+    rows.append(("dup", "duplicated_docs", str(dup["dup_docs"])))
+    rate = (dup["dup_docs"] or 0) / dup["total"] if dup["total"] else 0.0
+    rows.append(("dup", "dup_rate", f"{rate:.6f}"))
+    top = (
+        overlap_matrix(docs, group_col, text_col, k=overlap_k)
+        .orderBy(F.desc("jaccard_est"), "g_a", "g_b")
+        .limit(1)
+        .collect()
+    )
+    if top:
+        r = top[0]
+        rows.append(
+            ("overlap", f"top_pair {r['g_a']}|{r['g_b']}",
+             f"{r['jaccard_est']:.6f}")
+        )
+    return spark.createDataFrame(
+        rows, "section string, metric string, value string"
+    )

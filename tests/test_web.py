@@ -142,3 +142,34 @@ def test_strip_then_count(spark):
         "raw string",
     ).select(strip_html("raw").alias("text"))
     assert df.select(n_tokens("text").alias("n")).first()["n"] == 3
+
+
+def test_corpus_report(spark):
+    """The one-call governance report on a planted fixture: every section
+    present, counts hand-verifiable, dup rate exact, top overlap named."""
+    from drill_logfile_plugin_spark.operators.profiler import corpus_report
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today.", "a"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank today.", "b"),
+        (3, "Le renard brun rapide saute par dessus le chien paresseux pres de la rive.", "a"),
+        (4, None, "b"),
+        (5, "Completely different text with its own unique words and nothing shared here at all.", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_report(docs).collect()
+    }
+    assert rep[("volume", "docs")] == "5"
+    assert rep[("volume", "texts_nonnull")] == "4"
+    assert rep[("sources", "a")] == "2"
+    assert rep[("dup", "distinct_texts")] == "3"
+    assert rep[("dup", "duplicated_docs")] == "2"
+    assert rep[("dup", "dup_rate")] == "0.500000"
+    # docs 1 and 2 are byte-identical across sources a|b: the top overlap
+    overlap_keys = [k for k in rep if k[0] == "overlap"]
+    assert overlap_keys and "a|b" in overlap_keys[0][1]
+    # language section exists and covers all four non-null docs
+    lang_total = sum(int(rep[k]) for k in rep if k[0] == "lang")
+    assert lang_total == 4

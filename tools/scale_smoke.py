@@ -288,6 +288,33 @@ def main() -> None:
 
     timed.append(("bloom_decontam", bloom_decontam_lane))
 
+    # Learned quality filter at 10× documents: the fit is iters
+    # aggregation scans (d+1 longs each back to the driver) + one scoring
+    # scan — every stage linear in corpus, so the factor should track the
+    # scan ratio. Labels from a deterministic hash so both scales fit the
+    # same learning problem shape.
+    from drill_logfile_plugin_spark.operators.classifier import (
+        doc_quality_features,
+        logreg_fit,
+        logreg_score,
+    )
+
+    def quality_filter_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = doc_quality_features(docs)
+        fcols = [c for c in feats.columns if c.startswith("f_")]
+        labeled = feats.withColumn(
+            "label", (F.col("f_tokens") > 80).cast("int")
+        )
+        model = logreg_fit(labeled, fcols, "label", iters=8)
+        return (
+            logreg_score(feats, model)
+            .groupBy(F.round("quality_score", 1).alias("bucket"))
+            .count()
+        )
+
+    timed.append(("quality_filter", quality_filter_lane))
+
     # Round-4 operator lanes over the same 10× documents fixture. The
     # Caesar-shifted replicas share no tokens with replica 0, so the BM25
     # query-term posting volume stays CONSTANT while the corpus grows 10×
