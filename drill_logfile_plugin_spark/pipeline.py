@@ -90,6 +90,8 @@ def ingest_increment(
     standing_clusters: DataFrame | None = None,
     standing_docs: DataFrame | None = None,
     jaccard_threshold: float = 0.6,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
@@ -124,6 +126,14 @@ def ingest_increment(
        delta-sized; AQE broadcasts them in any realistic increment).
     4. **Quality filter** — :func:`..operators.text.clean_corpus`
        (language gate, quality bands, repetition verdict), map-only.
+       ``quality_model=`` (a :func:`..operators.classifier.logreg_fit`
+       model, e.g. from ``artifacts.load_logreg_model``) adds the
+       LEARNED gate after the rules: rows scoring below
+       ``quality_threshold`` drop, and since scoring is one JVM
+       expression it fuses into the same scan — the model's feature
+       columns must be present on the increment (compute them with
+       ``doc_quality_features`` before calling, or fit on columns the
+       increment already carries).
     5. **Split** — per-document train/val/test via the q55 md5-bucket
        construction (a pure function of the id: reproducible across
        engines and corpus versions), assigned BEFORE chunking so every
@@ -296,6 +306,21 @@ def ingest_increment(
         quality_keep=quality_keep,
         drop_repetitive=drop_repetitive,
     )
+
+    # 4b. optional LEARNED quality gate (classifier.logreg_fit model):
+    # scoring is one JVM expression folded into the same scan as the
+    # rule filter above — a trained model prices like a rule. Features
+    # must already be columns (or come from doc_quality_features-style
+    # expressions the model was fit on); rows scoring NULL (any NULL
+    # feature) are dropped like any other absent-value verdict.
+    if quality_model is not None:
+        from .operators.classifier import logreg_score
+
+        cleaned = (
+            logreg_score(cleaned, quality_model, "__q")
+            .where(F.col("__q") >= F.lit(float(quality_threshold)))
+            .drop("__q")
+        )
 
     # 5. per-document split (before chunking: chunks inherit it)
     if split_clusters is not None:

@@ -196,3 +196,43 @@ def test_end_to_end_quality_filter_on_documents(spark):
         .first()[0]
     )
     assert acc >= 0.9, acc
+
+
+def test_quality_model_gates_the_pipeline(spark):
+    """The composition: ingest_increment(quality_model=) drops documents
+    the learned filter scores below threshold, keeps the rest, and with
+    no model the pipeline output is unchanged."""
+    from drill_logfile_plugin_spark.pipeline import ingest_increment
+
+    # 30 docs: even ids carry a varied 24-word text ('good' bucket), odd
+    # ids a 3-word one ('too_short' bucket — kept by quality_keep so the
+    # LEARNED gate, not the rules, does the separating); f_len is the
+    # precomputed feature column the model is fit on
+    rows = []
+    for i in range(30):
+        # unique text per doc (stage 2's exact dedup would otherwise
+        # collapse identical fixtures to one representative per class)
+        if i % 2 == 0:
+            text = " ".join(f"word{j}x{i} item{j}y{i}" for j in range(12))
+        else:
+            text = f"tiny text n{i}"
+        rows.append((i, text, "s0", float(len(text.split())), int(i % 2 == 0)))
+    inc = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, f_len double, label int"
+    )
+    model = L.logreg_fit(inc, ["f_len"], "label", iters=30, lr=1.0)
+    keep = ("good", "too_short")
+
+    gated = ingest_increment(
+        None, inc.drop("label"), langs=None, quality_keep=keep,
+        drop_repetitive=False, quality_model=model,
+    )
+    kept_ids = {r["doc_id"] for r in gated.select("doc_id").distinct().collect()}
+    assert kept_ids == {i for i in range(30) if i % 2 == 0}
+
+    ungated = ingest_increment(
+        None, inc.drop("label"), langs=None, quality_keep=keep,
+        drop_repetitive=False,
+    )
+    all_ids = {r["doc_id"] for r in ungated.select("doc_id").distinct().collect()}
+    assert all_ids == set(range(30))
