@@ -1159,3 +1159,55 @@ def embedding_decontaminate(
         cosine(vec_col, "be") >= F.lit(float(tau)),
         "left_anti",
     )
+
+
+def mine_hard_negatives(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ann=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    pos_id_col: str = "positive_id",
+) -> DataFrame:
+    """Hard negatives for contrastive/retrieval training: for every
+    (query, positive) pair, the top-``k`` most-similar corpus items that
+    are NOT the positive (and not the query itself).
+
+    Random negatives are trivially separable and teach a retriever
+    nothing; the standard fix (DPR/ANCE) mines the nearest NON-answers —
+    exactly an ANN top-k with the gold document anti-joined out. ``pairs``
+    is (q_id_col, pos_id_col, vec_col) — the query's embedding plus its
+    labeled positive; ``ann`` defaults to the exact :func:`cosine_topk`
+    (right when the query set is small) and accepts any configured lane
+    with the (queries, corpus, k) contract — ``ann_lsh_topk`` /
+    ``ivf_topk`` / ``pq.ivfpq_topk`` — for query sets that don't
+    broadcast. Over-fetches ``k+1`` then drops the positive, so every
+    query yields a full ``k`` negatives whether or not its positive was
+    retrieved (self-matches are already excluded by the lanes'
+    contract). Returns (q_id, neighbor_id, rank, sim) re-ranked 1..k.
+    """
+    lane = ann if ann is not None else (
+        lambda q, c, kk: cosine_topk(q, c, kk, id_col, vec_col)
+    )
+    q = pairs.select(
+        F.col(q_id_col).alias(id_col),
+        F.col(vec_col),
+    )
+    topk = lane(q, corpus, k + 1)
+    gold = pairs.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(pos_id_col).alias("neighbor_id"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        topk.join(gold, ["q_id", "neighbor_id"], "left_anti")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            "sim",
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -289,3 +289,52 @@ def test_pq_null_vectors_encode_to_null(spark, embeddings):
             assert len(r["codes"]) == 8  # m bytes — the compression claim
         else:
             assert r["codes"] is None
+
+
+def test_mine_hard_negatives(spark):
+    """Hard negatives on the blobs fixture: negatives are same-cluster
+    neighbors (hard by construction), the labeled positive is excluded
+    even though it IS the nearest item, every query gets a full k, and
+    an ANN lane drops in through the same contract."""
+    from drill_logfile_plugin_spark.operators.similarity import (
+        cosine_topk,
+        mine_hard_negatives,
+    )
+
+    df = _blobs(spark)
+    # positives: each query's true nearest neighbor (the gold document)
+    q_ids = [0, 100, 200, 300]
+    queries = df.where(F.col("vec_id").isin(q_ids))
+    nearest = {
+        r.q_id: r.neighbor_id
+        for r in cosine_topk(queries, df, k=1).collect()
+    }
+    pairs = spark.createDataFrame(
+        [(int(q), int(nearest[q])) for q in q_ids],
+        "q_id long, positive_id long",
+    ).join(
+        df.select(F.col("vec_id").alias("q_id"), "embedding"), "q_id"
+    )
+    negs = mine_hard_negatives(pairs, df, k=5).collect()
+    by_q = {}
+    for r in negs:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q in q_ids:
+        rows = by_q[q]
+        assert len(rows) == 5  # full k despite dropping the positive
+        assert nearest[q] not in {r["neighbor_id"] for r in rows}
+        assert q not in {r["neighbor_id"] for r in rows}
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        # hard by construction: same blob = ids within the same 125-block
+        blob = q // 125
+        same_blob = sum(1 for r in rows if r["neighbor_id"] // 125 == blob)
+        assert same_blob >= 4, rows
+    # the ANN lane composes through the same contract
+    ann_negs = mine_hard_negatives(
+        pairs, df, k=5,
+        ann=lambda qq, cc, kk: P.ivfpq_topk(
+            qq, cc, k=kk, n_cells=32, nprobe=4, m=16, ksub=64,
+            sample_size=2000,
+        ),
+    ).collect()
+    assert len(ann_negs) == 20
