@@ -307,3 +307,67 @@ def bm25_sql_duck(
       FROM per_query) t
     WHERE rank <= {k}
     """
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    q_col: str = "q_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard retrieval evaluation in one pass: recall@k, precision@k,
+    MRR@k, and hit@1 over a (query, ranked result) frame against a
+    (query, relevant doc) truth frame.
+
+    ``results`` is the output shape every lane here produces — BM25,
+    cosine_topk, the ANN tier, mine_hard_negatives — (q_col, doc_col,
+    rank_col, ...); ``truth`` holds one row per relevant (q_col,
+    doc_col). Metrics are micro-averaged over the queries PRESENT IN
+    TRUTH (a query the truth set doesn't cover can't be scored; a query
+    the results missed scores 0 across the board rather than silently
+    shrinking the denominator). One equi join + two bounded aggregates —
+    evaluation must never cost more than the retrieval it measures.
+
+    Returns one row: (n_queries, recall_at_k, precision_at_k, mrr_at_k,
+    hit_at_1). Exact rational arithmetic until the final divisions, so
+    the numbers are layout-stable.
+    """
+    if k <= 0:
+        raise ValueError(f"ranking_metrics: k must be positive, got {k}")
+    hits = (
+        results.where(F.col(rank_col) <= k)
+        .select(F.col(q_col).alias("q"), F.col(doc_col).alias("d"),
+                F.col(rank_col).alias("r"))
+        .join(
+            truth.select(F.col(q_col).alias("q"), F.col(doc_col).alias("d")),
+            ["q", "d"],
+        )
+    )
+    per_q = hits.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("r").alias("first_rank"),
+    )
+    truth_counts = truth.groupBy(F.col(q_col).alias("q")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    joined = truth_counts.join(per_q, "q", "left").select(
+        "q",
+        "n_rel",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        "first_rank",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg(
+            F.col("n_hits") / F.least(F.col("n_rel"), F.lit(k))
+        ).alias("recall_at_k"),
+        F.avg(F.col("n_hits") / F.lit(float(k))).alias("precision_at_k"),
+        F.avg(
+            F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0))
+        ).alias("mrr_at_k"),
+        F.avg(
+            F.when(F.col("first_rank") == 1, 1.0).otherwise(0.0)
+        ).alias("hit_at_1"),
+    )

@@ -981,3 +981,77 @@ def strip_boilerplate_sql_duck(
            CAST(len(tk) - len(surv) AS BIGINT) AS n_removed
     FROM outb
     """
+
+
+def hashed_tf_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free text embeddings: hashed term-frequency vectors.
+
+    The bridge from the text tier to the ENTIRE embedding tier without an
+    external model: each token hashes to one of ``dim`` buckets
+    (xxhash64 — deterministic across engines and runs, the feature-
+    hashing trick), the bucket counts form the vector, and optional L2
+    normalization makes cosine over these vectors a token-overlap
+    similarity. The output drops straight into every embedding operator
+    here — cosine_topk / the ANN lanes / SemDeDup / PQ / PCA — so "find
+    documents like this one" works on day one of a deployment, before
+    any model has been run over the corpus.
+
+    Shape: explode tokens → (doc, bucket) partial-agg'd counts (the one
+    shuffle carries ≤ dim rows per doc) → map_from_entries densification
+    to a fixed ``array<double>``. Returns (id_col, embedding); join back
+    on the id for other columns. NULL/whitespace-only texts yield no row
+    (no tokens, no direction — absent-value semantics).
+
+    Hashed-TF is a LEXICAL embedding: paraphrases with disjoint tokens
+    stay orthogonal (pinned) — that is the honest boundary vs a learned
+    model, and exactly the regime the MinHash/SimHash tier already
+    serves; this surface exists for the vector-shaped workflows.
+    """
+    if dim <= 0:
+        raise ValueError(f"hashed_tf_embedding: dim must be positive, got {dim}")
+    toks = F.expr(TOKS_SPARK.format(c=text_col))
+    pairs = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.explode(toks).alias("__t"))
+        .select(
+            id_col,
+            F.pmod(F.xxhash64("__t"), F.lit(dim)).cast("int").alias("__b"),
+        )
+    )
+    counts = pairs.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    dense = (
+        counts.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__c"))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    if not normalize:
+        return dense
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return dense.select(
+        id_col,
+        F.transform("embedding", lambda x: x / norm).alias("embedding"),
+    )
