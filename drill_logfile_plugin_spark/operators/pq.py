@@ -285,9 +285,20 @@ def _adc_sim_udf(model: PQModel):
         luts = np.einsum(
             "umd,mkd->umk", Q.reshape(len(Q), m, dsub), books
         )
-        code_mat = np.frombuffer(
-            b"".join(codes.to_numpy()), dtype=np.uint8
-        ).reshape(len(codes), m)
+        blob = b"".join(codes.to_numpy())
+        if len(blob) != len(codes) * m:
+            # actionable setup error instead of numpy's opaque reshape
+            # failure deep in an executor: the classic cause is probing
+            # codes produced under a different model geometry
+            lens = sorted({len(c) for c in codes})
+            raise ValueError(
+                f"pq adc: codes are {lens} bytes/vector but the model has "
+                f"m={m} subspaces — these codes were encoded under a "
+                "different PQ geometry"
+            )
+        code_mat = np.frombuffer(blob, dtype=np.uint8).reshape(
+            len(codes), m
+        )
         sims = luts[inv[:, None], np.arange(m)[None, :], code_mat].sum(
             axis=1
         )

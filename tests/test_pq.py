@@ -338,3 +338,19 @@ def test_mine_hard_negatives(spark):
         ),
     ).collect()
     assert len(ann_negs) == 20
+
+
+def test_adc_geometry_mismatch_is_actionable(spark, embeddings):
+    """Probing codes with a different-geometry model fails with the
+    named setup error, not numpy's opaque reshape failure."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    m8 = P.pq_fit(embeddings, m=8, ksub=16, sample_size=256)
+    m16 = P.pq_fit(embeddings, m=16, ksub=16, sample_size=256)
+    codes8 = P.pq_encode(embeddings.limit(20), m8)
+    q = embeddings.limit(2)
+    with pytest.raises(
+        (PythonException, Py4JJavaError), match="different PQ geometry"
+    ):
+        P.pq_adc_topk(q, codes8, m16, k=3).collect()
