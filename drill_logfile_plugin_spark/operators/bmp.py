@@ -1,0 +1,133 @@
+"""BMP (Windows bitmap) decoder — stdlib + numpy, no external libraries.
+
+The simplest real image container a crawl serves (uncompressed DIBs are
+still common as scanned-document and screenshot payloads): a 14-byte file
+header, a BITMAPINFOHEADER, an optional palette, and rows of raw pixels
+padded to 4 bytes, bottom-up unless the height is negative. Decoded to
+the package's standard ``(width, height, luma)`` contract — the BT.601
+integer luma plane every other image codec here emits — so BMP drops into
+``decode_media`` / ``extract_features`` / ``frame_sample`` /
+``phash_signatures`` unchanged.
+
+Supported profiles: BI_RGB (uncompressed) at 24-bit BGR, 32-bit BGRx,
+8-bit palettized, and 1-bit palettized (MSB-first); both bottom-up and
+top-down row orders; BITMAPINFOHEADER and the larger V4/V5 headers (the
+extra fields don't affect BI_RGB pixel layout). RLE compression and
+16-bit bitfields raise NotImplementedError — explicit plug-in points, the
+JPEG-tier convention. Dimension and size sanity run BEFORE any
+allocation: headers are untrusted input (the PNG bomb-guard rule).
+
+Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C); the
+reference plugin has no media surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: dimension bomb guard, matching the PNG/GIF decoders' bound
+_BMP_MAX_PIXELS = 64_000_000
+
+
+def _bmp_decode(payload: bytes):
+    """Decode a BMP to ``(width, height, luma)`` with luma a
+    ``(height, width)`` uint8 numpy array (BT.601 integer weights,
+    the _png_decode convention)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature or truncated header)")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size}: BITMAPCOREHEADER (OS/2) is a "
+            "plug-in point; BITMAPINFOHEADER and larger are supported"
+        )
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP with invalid dimensions {width}x{height_raw}")
+    if width * height > _BMP_MAX_PIXELS:
+        raise ValueError(
+            f"BMP dimensions {width}x{height} exceed the decoder bound"
+        )
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression}: RLE4/RLE8/bitfields are "
+            "plug-in points; BI_RGB (uncompressed) is supported"
+        )
+    if bpp not in (1, 8, 24, 32):
+        raise NotImplementedError(
+            f"BMP bit depth {bpp}: 1/8/24/32 supported; 4-bit and 16-bit "
+            "are plug-in points"
+        )
+
+    if bpp in (1, 8):
+        n_colors = struct.unpack("<I", payload[46:50])[0] or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal_end = pal_off + 4 * n_colors
+        if pal_end > len(payload):
+            raise ValueError("BMP palette truncated")
+        pal = np.frombuffer(
+            payload[pal_off:pal_end], dtype=np.uint8
+        ).reshape(n_colors, 4)
+        # palette entries are BGRx; BT.601 integer luma per entry
+        pal_luma = (
+            (
+                77 * pal[:, 2].astype(np.uint32)
+                + 150 * pal[:, 1].astype(np.uint32)
+                + 29 * pal[:, 0].astype(np.uint32)
+            )
+            >> 8
+        ).astype(np.uint8)
+
+    row_bits = width * bpp
+    stride = ((row_bits + 31) // 32) * 4  # rows pad to 4 bytes
+    need = data_offset + stride * height
+    if need > len(payload):
+        raise ValueError(
+            f"BMP pixel data truncated: need {need} bytes, have "
+            f"{len(payload)}"
+        )
+    raw = np.frombuffer(
+        payload[data_offset : data_offset + stride * height], dtype=np.uint8
+    ).reshape(height, stride)
+    if bpp == 24:
+        px = raw[:, : width * 3].reshape(height, width, 3)
+        luma = (
+            (
+                77 * px[:, :, 2].astype(np.uint32)
+                + 150 * px[:, :, 1].astype(np.uint32)
+                + 29 * px[:, :, 0].astype(np.uint32)
+            )
+            >> 8
+        ).astype(np.uint8)
+    elif bpp == 32:
+        px = raw[:, : width * 4].reshape(height, width, 4)
+        luma = (
+            (
+                77 * px[:, :, 2].astype(np.uint32)
+                + 150 * px[:, :, 1].astype(np.uint32)
+                + 29 * px[:, :, 0].astype(np.uint32)
+            )
+            >> 8
+        ).astype(np.uint8)
+    elif bpp == 8:
+        idx = raw[:, :width]
+        if int(idx.max(initial=0)) >= len(pal_luma):
+            raise ValueError("BMP palette index out of range")
+        luma = pal_luma[idx]
+    else:  # bpp == 1, MSB-first
+        bits = np.unpackbits(raw, axis=1)[:, :width]
+        luma = pal_luma[bits] if len(pal_luma) >= 2 else pal_luma[
+            np.zeros_like(bits)
+        ]
+    if not top_down:
+        luma = luma[::-1]
+    return width, height, np.ascontiguousarray(luma)

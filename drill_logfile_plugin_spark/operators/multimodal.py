@@ -88,7 +88,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "wav", "avi")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "wav", "avi")
 
 #: codecs whose payloads are audio — they have no (width, height) and
 #: route through decode_audio instead of decode_media
@@ -530,6 +530,12 @@ def decode_media(
 
             w, h, _frames = _gif_decode(p)
             return "gif", w, h
+    elif codec == "bmp":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .bmp import _bmp_decode
+
+            w, h, _gray = _bmp_decode(p)
+            return "bmp", w, h
     else:
         _decode_one = _fake_decode
 
@@ -899,7 +905,7 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi", "gif"):
+    if codec in ("png", "jpeg", "avi", "gif", "bmp"):
         def _gray_of(p: bytes):
             if codec == "png":
                 return _png_decode(p)[2]
@@ -911,6 +917,10 @@ def extract_features(
                 from .gif import _gif_first_frame_screen
 
                 return _gif_first_frame_screen(p)[2]
+            if codec == "bmp":
+                from .bmp import _bmp_decode
+
+                return _bmp_decode(p)[2]
             from .jpeg import _jpeg_decode
             from .video import _avi_decode
 
@@ -1034,9 +1044,15 @@ def frame_sample(
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    if codec in ("png", "jpeg"):
+                    if codec in ("png", "jpeg", "bmp"):
                         # a validated still image is exactly one frame
-                        (_png_decode if codec == "png" else _jpeg_decode)(p)
+                        if codec == "bmp":
+                            from .bmp import _bmp_decode as _still
+                        elif codec == "png":
+                            _still = _png_decode
+                        else:
+                            _still = _jpeg_decode
+                        _still(p)
                         sampled = [(0, 0)]
                     elif codec == "avi":
                         # REAL video frames: container-counted, container-
@@ -1209,7 +1225,7 @@ def phash_signatures(
     follow ``on_error`` — ``"skip"`` (default: no signature, the
     natural quarantine for a candidate generator) or ``"strict"``.
     """
-    if codec not in ("raw", "png", "jpeg", "gif"):
+    if codec not in ("raw", "png", "jpeg", "gif", "bmp"):
         raise NotImplementedError(
             f"phash_signatures codec {codec!r} not available"
         )
@@ -1226,6 +1242,8 @@ def phash_signatures(
             from .jpeg import _jpeg_decode as _decode
         elif codec == "gif":
             from .gif import _gif_first_frame_screen as _decode
+        elif codec == "bmp":
+            from .bmp import _bmp_decode as _decode
         elif codec == "png":
             _decode = _png_decode
         for pdf in batches:
