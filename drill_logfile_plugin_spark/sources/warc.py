@@ -1,0 +1,234 @@
+"""WARC source: ingest web-archive files (the Common Crawl container).
+
+The reference plugin reads regex-structured log lines; the training-data
+extension of that idea is the crawl archive itself — WARC (ISO 28500),
+the record-structured format Common Crawl, Internet Archive, and every
+serious crawler emit. One WARC record = a CRLF-terminated header block
+(``WARC/1.x`` version line + ``Name: value`` fields including
+``Content-Length``), two CRLFs, ``Content-Length`` payload bytes, two
+CRLFs. ``response`` records carry a full HTTP response as payload —
+status line, HTTP headers, body — and the body is what a pipeline wants.
+
+Spark shape
+-----------
+``read_warc`` maps ``binaryFile`` scans through one Arrow-batched
+``mapInPandas``: one task per WARC file, records exploded to rows
+``(warc_type, url, warc_date, content_type, http_status, body, n_bytes)``.
+That per-FILE parallelism is exactly how WARC is deployed at scale:
+Common Crawl ships ~1 GB ``.warc.gz`` segments BY THE THOUSANDS, so the
+unit of parallelism is the segment file — each gzip member must be
+decompressed sequentially anyway (the format's own constraint, not
+this reader's; the segment inventory is the split inventory).
+``.warc.gz`` per-record gzip members (the Common Crawl convention —
+each record its own member, members concatenated) decompress with one
+streaming pass; plain ``.warc`` parses directly.
+
+Dirty-archive posture (the ``on_error`` quarantine convention): a
+malformed record header or a lying Content-Length raises ValueError
+under ``on_error="strict"``; the default ``"skip"`` drops the broken
+TAIL of that file (framing is byte-offset-chained, so nothing after a
+bad length can be trusted) while keeping every record already parsed —
+one corrupt segment never fails the 100 TB job.
+
+Composes with the crawl-hygiene tier: ``read_warc`` → filter
+``warc_type = 'response'`` → ``strip_html(body)`` →
+``canonical_url(url)`` → ``pipeline.ingest_increment``.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("record_no", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("body", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _parse_http_payload(payload: bytes):
+    """Split an HTTP-response payload into (status, body). A payload that
+    doesn't start with HTTP/ is returned whole with status None (WARC
+    allows raw payloads; resource records carry the object directly)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, payload
+    head = payload[:sep].decode("latin-1", "replace")
+    status_line = head.split("\r\n", 1)[0].split()
+    status = None
+    if len(status_line) >= 2 and status_line[1].isdigit():
+        status = int(status_line[1])
+    return status, payload[sep + 4 :]
+
+
+def parse_warc_records(data: bytes):
+    """Yield ``(warc_type, url, date, content_type, status, body)`` per
+    record of a decompressed WARC stream. Raises ValueError at the first
+    malformed framing — the caller decides skip-tail vs strict."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        end = data.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("WARC record header not terminated")
+        header = data[pos:end].decode("latin-1", "replace")
+        lines = header.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"expected WARC/x.y version line, got {lines[0][:40]!r}"
+            )
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing a valid Content-Length")
+        body_start = end + 4
+        if body_start + length > n:
+            raise ValueError(
+                "WARC Content-Length runs past the end of the stream"
+            )
+        payload = data[body_start : body_start + length]
+        status, body = _parse_http_payload(payload)
+        yield (
+            fields.get("warc-type"),
+            fields.get("warc-target-uri"),
+            fields.get("warc-date"),
+            fields.get("content-type"),
+            status,
+            body,
+        )
+        pos = body_start + length
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "skip",
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Read WARC / WARC.gz files under ``path`` to one row per record
+    (schema :data:`WARC_SCHEMA`). See the module doc for the parallelism
+    and error contracts."""
+    if on_error not in ("skip", "strict"):
+        raise ValueError(
+            f"on_error must be 'skip' or 'strict', got {on_error!r}"
+        )
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(path).select("path", "content")
+
+    def parse_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in WARC_SCHEMA.fields}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    # multi-member gzip: one streaming pass inflates every
+                    # per-record member (the Common Crawl layout)
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError as ex:
+                        if on_error == "strict":
+                            raise ValueError(
+                                f"{fpath}: bad gzip stream: {ex}"
+                            ) from ex
+                        continue
+                rec_no = 0
+                gen = parse_warc_records(data)
+                while True:
+                    try:
+                        rec = next(gen)
+                    except StopIteration:
+                        break
+                    except ValueError:
+                        if on_error == "strict":
+                            raise
+                        break  # framing broken: drop the untrusted tail
+                    wtype, url, date, ctype, status, body = rec
+                    out["path"].append(fpath)
+                    out["record_no"].append(rec_no)
+                    out["warc_type"].append(wtype)
+                    out["url"].append(url)
+                    out["warc_date"].append(date)
+                    out["content_type"].append(ctype)
+                    out["http_status"].append(status)
+                    out["body"].append(body)
+                    out["n_bytes"].append(len(body))
+                    rec_no += 1
+            yield pd.DataFrame(
+                {
+                    "path": pd.Series(out["path"], dtype="object"),
+                    "record_no": pd.Series(out["record_no"], dtype="int64"),
+                    "warc_type": pd.Series(out["warc_type"], dtype="object"),
+                    "url": pd.Series(out["url"], dtype="object"),
+                    "warc_date": pd.Series(out["warc_date"], dtype="object"),
+                    "content_type": pd.Series(
+                        out["content_type"], dtype="object"
+                    ),
+                    "http_status": pd.Series(
+                        out["http_status"], dtype="object"
+                    ),
+                    "body": pd.Series(out["body"], dtype="object"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return files.mapInPandas(parse_batches, WARC_SCHEMA)
+
+
+def warc_documents(
+    warc: DataFrame, min_status: int = 200, max_status: int = 299
+) -> DataFrame:
+    """The crawl→pipeline adapter: response records with a 2xx status
+    become (doc_id, url, text, source) — body bytes decoded as UTF-8
+    with replacement, markup stripped, URL canonicalized, source = the
+    registered domain. Feed the result straight to
+    ``pipeline.ingest_increment``."""
+    from ..operators.web import canonical_url, strip_html
+
+    responses = warc.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("url").isNotNull()
+    )
+    return responses.select(
+        F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
+        canonical_url("url").alias("url"),
+        strip_html(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+    )

@@ -1,0 +1,123 @@
+"""WARC source: records pinned against an independent in-test writer
+(spec-following framing: version line, named fields, Content-Length, the
+double-CRLF sandwiches), plain and per-record-gzip-member files, HTTP
+payload splitting, the skip-tail dirty-archive contract, and the full
+crawl→pipeline adapter composition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_documents,
+)
+
+
+def _record(
+    wtype="response",
+    url="https://example.com/a",
+    date="2026-08-15T12:00:00Z",
+    payload=b"",
+    ctype="application/http; msgtype=response",
+):
+    """Independent spec-following writer (ISO 28500 §4: version line,
+    named fields, Content-Length of the payload, CRLF framing)."""
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status=200, ctype="text/html"):
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_parser_roundtrip_plain():
+    blob = (
+        _record(wtype="warcinfo", url="", payload=b"software: test\r\n")
+        + _record(payload=_http(b"<p>hello</p>"))
+        + _record(wtype="request", payload=b"GET /a HTTP/1.1\r\n\r\n")
+    )
+    recs = list(parse_warc_records(blob))
+    assert [r[0] for r in recs] == ["warcinfo", "response", "request"]
+    assert recs[1][4] == 200  # http status split out
+    assert recs[1][5] == b"<p>hello</p>"  # body after HTTP headers
+    assert recs[2][4] is None  # request payload is not an HTTP response
+    with pytest.raises(ValueError, match="Content-Length runs past"):
+        list(parse_warc_records(blob[:-10]))
+    with pytest.raises(ValueError, match="version line"):
+        list(parse_warc_records(b"NOPE/1.0\r\n\r\n\r\n"))
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """One plain file + one per-record-gzip-member file (the Common
+    Crawl layout): identical records back from both."""
+    records = [
+        _record(url="https://a.example/1", payload=_http(b"<b>one</b>")),
+        _record(url="https://a.example/2", payload=_http(b"two", status=404)),
+    ]
+    (tmp_path / "plain.warc").write_bytes(b"".join(records))
+    (tmp_path / "cc.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in records)  # member per record
+    )
+    df = read_warc(spark, str(tmp_path)).orderBy("path", "record_no")
+    rows = df.collect()
+    assert len(rows) == 4
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    for fname in ("plain.warc", "cc.warc.gz"):
+        recs = by_file[fname]
+        assert [r["record_no"] for r in recs] == [0, 1]
+        assert recs[0]["url"] == "https://a.example/1"
+        assert recs[0]["http_status"] == 200
+        assert bytes(recs[0]["body"]) == b"<b>one</b>"
+        assert recs[1]["http_status"] == 404
+
+
+def test_skip_tail_on_corrupt_framing(spark, tmp_path):
+    """A lying Content-Length poisons everything after it: the parsed
+    prefix survives, the untrusted tail drops (skip), strict raises."""
+    good = _record(url="https://a.example/ok", payload=_http(b"fine"))
+    lying = good.replace(b"Content-Length: ", b"Content-Length: 9")
+    (tmp_path / "bad.warc").write_bytes(good + lying + good)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://a.example/ok"
+    with pytest.raises(Exception, match="Content-Length|WARC"):
+        read_warc(spark, str(tmp_path), on_error="strict").collect()
+
+
+def test_warc_documents_adapter(spark, tmp_path):
+    """The crawl→pipeline bridge: 2xx responses become (doc_id, url,
+    text, source) with markup stripped and the URL canonicalized; the
+    404 and the request record are gone."""
+    records = [
+        _record(
+            url="HTTPS://WWW.News.Example/story?utm_source=x&id=1",
+            payload=_http(b"<html><body><p>Real text.</p>"
+                          b"<script>no()</script></body></html>"),
+        ),
+        _record(url="https://news.example/miss", payload=_http(b"x", 404)),
+        _record(wtype="request", payload=b"GET / HTTP/1.1\r\n\r\n"),
+    ]
+    (tmp_path / "site.warc").write_bytes(b"".join(records))
+    docs = warc_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["url"] == "https://news.example/story?id=1"
+    assert d["text"] == "Real text."
+    assert d["source"] == "www.news.example"
+    assert d["doc_id"] is not None
