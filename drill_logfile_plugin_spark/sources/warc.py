@@ -211,6 +211,24 @@ def read_warc(
     return files.mapInPandas(parse_batches, WARC_SCHEMA)
 
 
+def wet_documents(warc: DataFrame) -> DataFrame:
+    """The WET twin of :func:`warc_documents`: Common Crawl's .wet.gz
+    files carry ``conversion`` records whose payload is ALREADY extracted
+    plain text (no HTTP envelope, no markup), so the adapter is URL
+    canonicalization + UTF-8 decode only."""
+    from ..operators.web import canonical_url
+
+    conv = warc.where(
+        (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
+    )
+    return conv.select(
+        F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
+        canonical_url("url").alias("url"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+    )
+
+
 def warc_documents(
     warc: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:

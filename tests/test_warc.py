@@ -121,3 +121,24 @@ def test_warc_documents_adapter(spark, tmp_path):
     assert d["text"] == "Real text."
     assert d["source"] == "www.news.example"
     assert d["doc_id"] is not None
+
+
+def test_wet_documents_adapter(spark, tmp_path):
+    """WET conversion records (pre-extracted text, no HTTP envelope)
+    adapt without the response filter or markup stripping."""
+    from drill_logfile_plugin_spark.sources.warc import wet_documents
+
+    records = [
+        _record(
+            wtype="conversion",
+            url="https://a.example/x?gclid=1",
+            payload=b"already extracted plain text",
+            ctype="text/plain",
+        ),
+        _record(url="https://a.example/y", payload=_http(b"<p>ignored</p>")),
+    ]
+    (tmp_path / "seg.wet").write_bytes(b"".join(records))
+    docs = wet_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    assert docs[0]["text"] == "already extracted plain text"
+    assert docs[0]["url"] == "https://a.example/x"
