@@ -1055,3 +1055,88 @@ def hashed_tf_embedding(
         id_col,
         F.transform("embedding", lambda x: x / norm).alias("embedding"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication: drop every paragraph
+    whose (normalized) content appears in more than ``max_doc_freq``
+    documents, keep each document's surviving paragraphs in order.
+
+    This is the granularity BETWEEN document dedup (q21/q27 — whole-doc
+    survivors) and n-gram span removal (strip_boilerplate — token spans):
+    web pages share entire boilerplate PARAGRAPHS (cookie banners,
+    footers, nav text) inside otherwise-unique documents, and CCNet's
+    measured result is that hashing paragraphs against the corpus removes
+    most of it cheaply. Matching is on xxhash64 of the
+    whitespace-normalized paragraph (case preserved — "Accept cookies"
+    and "accept cookies" are different strings); ``max_doc_freq=1`` means
+    "appears in any OTHER document" (the CCNet rule); raise it to keep
+    short legitimate repeats. Paragraphs under ``min_chars`` after
+    normalization are kept verbatim (empty splits vanish regardless).
+
+    Shape: one posexplode → per-paragraph hash → doc-frequency aggregate
+    over hashed 8-byte keys (partial-agg'd, never the text) → broadcast-
+    friendly semi join of the over-frequent hash set → per-doc ordered
+    reassembly via the array_sort idiom. Documents whose every paragraph
+    is boilerplate return an empty string (countable; drop with a
+    trailing filter). Returns (id_col, text, n_kept, n_dropped).
+    """
+    if max_doc_freq < 1:
+        raise ValueError(
+            f"dedup_paragraphs: max_doc_freq must be >= 1, got {max_doc_freq}"
+        )
+    paras = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias(
+                "p_idx", "para"
+            ),
+        )
+        .select(
+            id_col,
+            "p_idx",
+            "para",
+            F.regexp_replace(F.trim(F.col("para")), r"\s+", " ").alias(
+                "norm"
+            ),
+        )
+        .where(F.col("norm") != "")
+    )
+    hashed = paras.select(
+        id_col,
+        "p_idx",
+        "para",
+        F.xxhash64("norm").alias("h"),
+        (F.length("norm") >= min_chars).alias("eligible"),
+    )
+    over = (
+        hashed.where("eligible")
+        .groupBy("h")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    marked = hashed.join(
+        F.broadcast(over.withColumn("__dup", F.lit(1))), "h", "left"
+    ).withColumn(
+        "drop", F.col("eligible") & F.col("__dup").isNotNull()
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("drop"), F.struct("p_idx", "para"))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["para"]), "\n\n"
+        ).alias(text_col),
+        F.sum(F.when(~F.col("drop"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias("n_dropped"),
+    )

@@ -108,3 +108,47 @@ def test_real_corpus_conservation(spark):
     joined = per_doc.join(want, "doc_id")
     bad = joined.where(F.col("got") != F.col("want")).count()
     assert bad == 0
+
+
+def test_dedup_paragraphs(spark):
+    """CCNet paragraph dedup on a planted fixture: the shared footer
+    vanishes from every doc (normalization catches whitespace variants),
+    unique paragraphs keep their order, counts are exact, an
+    all-boilerplate doc returns empty, and the knobs behave."""
+    from drill_logfile_plugin_spark.operators.text import dedup_paragraphs
+
+    footer = "Accept cookies to continue"
+    docs = [
+        (1, f"Unique intro one.\n\n{footer}\n\nUnique tail one."),
+        (2, f"Second doc body.\n\n{footer}"),
+        (3, f"{footer.replace(' ', '  ')}"),  # whitespace variant, all-boiler
+        (4, "No shared text at all.\n\nStill unique."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == "Unique intro one.\n\nUnique tail one."
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "Second doc body."
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "No shared text at all.\n\nStill unique."
+    assert out[4]["n_dropped"] == 0
+    # raising max_doc_freq keeps the footer everywhere
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(df, max_doc_freq=3).collect()
+    }
+    assert footer in kept[1] and footer in kept[2]
+    # min_chars exempts short repeats from eligibility
+    shorts = spark.createDataFrame(
+        [(1, "ok\n\nunique a"), (2, "ok\n\nunique b")],
+        "doc_id long, text string",
+    )
+    exempt = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(shorts, min_chars=10).collect()
+    }
+    assert exempt[1].startswith("ok") and exempt[2].startswith("ok")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 1"):
+        dedup_paragraphs(df, max_doc_freq=0)
