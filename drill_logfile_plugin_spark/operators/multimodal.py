@@ -1296,3 +1296,135 @@ def phash_neardup(
         max_hamming=max_hamming,
         bits=64,
     )
+
+
+def decompress_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    codec: str = "gzip",
+    on_error: str = "null",
+    max_bytes: int = 256 * 1024 * 1024,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Decompress a binary column: crawl stores and API dumps ship
+    bodies gzip/zlib/bz2/xz-compressed, and every decoder downstream
+    wants the raw bytes.
+
+    Arrow-batched ``mapInPandas`` with the tier's quarantine contract —
+    ``on_error="null"`` (default) nulls the corrupt row's output,
+    ``"skip"`` drops it, ``"strict"`` aborts. ``max_bytes`` is the
+    decompression-bomb guard (the PNG bounded-inflate rule applied to
+    payloads): inflation stops AT the cap via streaming decompressors,
+    so a 42-byte zip-bomb costs max_bytes of work, not an executor.
+    NULL payloads pass through as NULL (absent in, absent out).
+
+    ``codec``: ``"gzip"`` (multi-member streams supported — the WARC
+    member layout), ``"zlib"``, ``"raw-deflate"``, ``"bz2"``, ``"xz"``.
+    """
+    import bz2 as _bz2
+    import lzma as _lzma
+    import zlib as _zlib
+
+    _check_on_error(on_error)
+    if max_bytes <= 0:
+        raise ValueError(f"max_bytes must be positive, got {max_bytes}")
+
+    def _gzip(p: bytes) -> bytes:
+        # multi-member: loop decompressobj over unused tails
+        out, pos = [], 0
+        total = 0
+        while pos < len(p):
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            try:
+                chunk = d.decompress(p[pos:], max_bytes - total + 1)
+            except _zlib.error as ex:
+                raise ValueError(f"bad gzip stream: {ex}") from ex
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"decompressed size exceeds max_bytes={max_bytes}"
+                )
+            out.append(chunk)
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            consumed = len(p) - pos - len(d.unused_data)
+            if consumed <= 0:
+                raise ValueError("gzip stream did not advance")
+            pos += consumed
+        return b"".join(out)
+
+    def _zlib_one(p: bytes, wbits: int) -> bytes:
+        d = _zlib.decompressobj(wbits)
+        try:
+            chunk = d.decompress(p, max_bytes + 1)
+        except _zlib.error as ex:
+            raise ValueError(f"bad deflate stream: {ex}") from ex
+        if len(chunk) > max_bytes:
+            raise ValueError(
+                f"decompressed size exceeds max_bytes={max_bytes}"
+            )
+        if not d.eof:
+            raise ValueError("truncated deflate stream")
+        return chunk
+
+    def _bounded(fn):
+        def run(p: bytes) -> bytes:
+            try:
+                out = fn(p)
+            except (OSError, EOFError, _lzma.LZMAError) as ex:
+                raise ValueError(f"bad {codec} stream: {ex}") from ex
+            if len(out) > max_bytes:
+                raise ValueError(
+                    f"decompressed size exceeds max_bytes={max_bytes}"
+                )
+            return out
+
+        return run
+
+    if codec == "gzip":
+        _one = _gzip
+    elif codec == "zlib":
+        _one = lambda p: _zlib_one(p, _zlib.MAX_WBITS)  # noqa: E731
+    elif codec == "raw-deflate":
+        _one = lambda p: _zlib_one(p, -_zlib.MAX_WBITS)  # noqa: E731
+    elif codec == "bz2":
+        _one = _bounded(_bz2.decompress)
+    elif codec == "xz":
+        _one = _bounded(_lzma.decompress)
+    else:
+        raise NotImplementedError(
+            f"codec {codec!r}: gzip/zlib/raw-deflate/bz2/xz supported "
+            "(zstd/brotli are plug-in points — not in this environment's "
+            "stdlib)"
+        )
+
+    target = out_col or payload_col
+    schema = df.select(
+        *[c for c in df.columns if c != target],
+        F.col(payload_col).cast("binary").alias(target),
+    ).schema
+
+    cols = [c for c in df.columns if c != target]
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            outs = np.empty(len(pdf), dtype=object)
+            outs[:] = None
+            keep = np.ones(len(pdf), dtype=bool)
+            for i, p in enumerate(pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    outs[i] = _one(bytes(p))
+                except ValueError:
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        keep[i] = False
+            res = pdf[cols].copy()
+            res[target] = pd.Series(outs, index=pdf.index)
+            yield res[keep][[f.name for f in schema.fields]]
+
+    return df.mapInPandas(batches, schema)

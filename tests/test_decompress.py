@@ -1,0 +1,107 @@
+"""decompress_payload: exact roundtrips across all five codecs (stdlib
+compressors as the independent reference), multi-member gzip, the
+decompression-bomb guard (bounded work, named error), the quarantine
+matrix, and NULL passthrough."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_logfile_plugin_spark.operators.multimodal import decompress_payload
+
+BODY = b"the quick brown fox " * 200
+
+
+def _df(spark, payloads):
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+
+
+@pytest.mark.parametrize(
+    "codec,compress",
+    [
+        ("gzip", gzip.compress),
+        ("zlib", zlib.compress),
+        ("raw-deflate", lambda b: zlib.compress(b)[2:-4]),
+        ("bz2", bz2.compress),
+        ("xz", lzma.compress),
+    ],
+)
+def test_roundtrip_all_codecs(spark, codec, compress):
+    df = _df(spark, [compress(BODY), compress(b"x")])
+    rows = decompress_payload(df, codec=codec).orderBy("doc_id").collect()
+    assert bytes(rows[0]["payload"]) == BODY
+    assert bytes(rows[1]["payload"]) == b"x"
+
+
+def test_gzip_multi_member(spark):
+    """The WARC layout: concatenated gzip members inflate to the
+    concatenated bodies."""
+    blob = gzip.compress(b"first|") + gzip.compress(b"second")
+    rows = decompress_payload(_df(spark, [blob]), codec="gzip").collect()
+    assert bytes(rows[0]["payload"]) == b"first|second"
+
+
+def test_bomb_guard(spark):
+    """A tiny payload inflating past max_bytes is quarantined (default),
+    and names the bound under strict — work stays bounded either way."""
+    bomb = zlib.compress(b"\x00" * (1 << 20))  # ~1 KiB -> 1 MiB
+    df = _df(spark, [bomb, zlib.compress(b"fine")])
+    rows = (
+        decompress_payload(df, codec="zlib", max_bytes=1 << 16)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows[0]["payload"] is None  # quarantined
+    assert bytes(rows[1]["payload"]) == b"fine"
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(
+        (PythonException, Py4JJavaError), match="exceeds max_bytes"
+    ):
+        decompress_payload(
+            df, codec="zlib", max_bytes=1 << 16, on_error="strict"
+        ).collect()
+
+
+def test_quarantine_matrix_and_nulls(spark):
+    df = _df(spark, [gzip.compress(b"ok"), b"not gzip at all", None])
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in decompress_payload(df, codec="gzip").collect()
+    }
+    assert bytes(got[0]) == b"ok" and got[1] is None and got[2] is None
+    skipped = decompress_payload(df, codec="gzip", on_error="skip").collect()
+    # skip drops the CORRUPT row; the NULL row passes through as NULL
+    assert {r["doc_id"] for r in skipped} == {0, 2}
+    with pytest.raises(NotImplementedError, match="zstd"):
+        decompress_payload(df, codec="zstd")
+    with pytest.raises(ValueError, match="max_bytes"):
+        decompress_payload(df, max_bytes=0)
+
+
+def test_composes_with_decode(spark):
+    """The crawl shape: stored-gzip PNG bytes → decompress → decode."""
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        _png_encode_gray,
+        decode_media,
+    )
+    import numpy as np
+
+    png = _png_encode_gray(
+        np.arange(64, dtype=np.uint8).reshape(8, 8)
+    )
+    df = _df(spark, [gzip.compress(png)])
+    meta = decode_media(
+        decompress_payload(df, codec="gzip"), codec="png"
+    ).first()
+    assert (meta["width"], meta["height"]) == (8, 8)
