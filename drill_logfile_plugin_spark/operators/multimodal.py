@@ -88,7 +88,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "wav", "avi")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "wav", "avi")
 
 #: codecs whose payloads are audio — they have no (width, height) and
 #: route through decode_audio instead of decode_media
@@ -536,6 +536,12 @@ def decode_media(
 
             w, h, _gray = _bmp_decode(p)
             return "bmp", w, h
+    elif codec == "tiff":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .tiff import _tiff_decode
+
+            w, h, _gray = _tiff_decode(p)
+            return "tiff", w, h
     else:
         _decode_one = _fake_decode
 
@@ -905,7 +911,7 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi", "gif", "bmp"):
+    if codec in ("png", "jpeg", "avi", "gif", "bmp", "tiff"):
         def _gray_of(p: bytes):
             if codec == "png":
                 return _png_decode(p)[2]
@@ -921,6 +927,10 @@ def extract_features(
                 from .bmp import _bmp_decode
 
                 return _bmp_decode(p)[2]
+            if codec == "tiff":
+                from .tiff import _tiff_decode
+
+                return _tiff_decode(p)[2]
             from .jpeg import _jpeg_decode
             from .video import _avi_decode
 
@@ -1044,10 +1054,12 @@ def frame_sample(
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    if codec in ("png", "jpeg", "bmp"):
+                    if codec in ("png", "jpeg", "bmp", "tiff"):
                         # a validated still image is exactly one frame
                         if codec == "bmp":
                             from .bmp import _bmp_decode as _still
+                        elif codec == "tiff":
+                            from .tiff import _tiff_decode as _still
                         elif codec == "png":
                             _still = _png_decode
                         else:
@@ -1225,7 +1237,7 @@ def phash_signatures(
     follow ``on_error`` — ``"skip"`` (default: no signature, the
     natural quarantine for a candidate generator) or ``"strict"``.
     """
-    if codec not in ("raw", "png", "jpeg", "gif", "bmp"):
+    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff"):
         raise NotImplementedError(
             f"phash_signatures codec {codec!r} not available"
         )
@@ -1244,6 +1256,8 @@ def phash_signatures(
             from .gif import _gif_first_frame_screen as _decode
         elif codec == "bmp":
             from .bmp import _bmp_decode as _decode
+        elif codec == "tiff":
+            from .tiff import _tiff_decode as _decode
         elif codec == "png":
             _decode = _png_decode
         for pdf in batches:

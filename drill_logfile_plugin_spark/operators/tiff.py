@@ -1,0 +1,184 @@
+"""TIFF decoder — stdlib + numpy, uncompressed baseline profiles.
+
+TIFF is the scanned-document and scientific-imaging container (faxes,
+digitized archives, satellite tiles) — the other uncompressed format a
+document crawl actually serves next to BMP. A TIFF is a byte-order mark
+(``II``/``MM``), a magic 42, and a chain of IFDs (image file
+directories) whose tagged entries describe strips of pixel data.
+Decoded to the package's standard ``(width, height, luma)`` contract, so
+TIFF drops into the multimodal lanes unchanged.
+
+Supported: BOTH byte orders; BitsPerSample 8 grayscale (min-is-black and
+min-is-white), 8-bit RGB (BT.601 integer luma), strip layout with any
+RowsPerStrip; the FIRST IFD (multi-page TIFFs decode their first page —
+the keyframe convention; page count is surfaced). Compression schemes
+(LZW/PackBits/CCITT/JPEG-in-TIFF), tiles, planar configuration 2, and
+16-bit samples raise NotImplementedError — explicit plug-in points.
+Dimension/size sanity precedes any allocation (untrusted headers).
+
+Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TIFF_MAX_PIXELS = 64_000_000
+
+# tag ids (TIFF 6.0 baseline)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, off: int, endian: str):
+    """Parse one IFD into {tag: [values...]}; returns (fields, next_off)."""
+    if off + 2 > len(data):
+        raise ValueError("TIFF IFD offset out of range")
+    (n,) = struct.unpack_from(endian + "H", data, off)
+    fields: dict[int, list[int]] = {}
+    pos = off + 2
+    if pos + 12 * n + 4 > len(data):
+        raise ValueError("TIFF IFD truncated")
+    for _ in range(n):
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, pos)
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(endian + "I", data, pos + 8)
+            if voff + size > len(data):
+                raise ValueError(f"TIFF tag {tag} value out of range")
+        if typ == 3:
+            vals = list(
+                struct.unpack_from(endian + f"{count}H", data, voff)
+            )
+        elif typ == 4:
+            vals = list(
+                struct.unpack_from(endian + f"{count}I", data, voff)
+            )
+        elif typ == 1:
+            vals = list(data[voff : voff + count])
+        else:
+            vals = []  # rationals/ascii etc. — not needed for pixels
+        fields[tag] = vals
+        pos += 12
+    (nxt,) = struct.unpack_from(endian + "I", data, pos)
+    return fields, nxt
+
+
+def _tiff_decode(payload: bytes):
+    """Decode a TIFF's first page to ``(width, height, luma)``; also
+    counts pages (walked, not decoded) for the metadata lane via
+    :func:`_tiff_pages`."""
+    import numpy as np
+
+    if len(payload) < 8:
+        raise ValueError("not a TIFF (truncated header)")
+    bom = payload[:2]
+    if bom == b"II":
+        endian = "<"
+    elif bom == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, first_ifd = struct.unpack_from(endian + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF (magic {magic}, expected 42)")
+    fields, _ = _read_ifd(payload, first_ifd, endian)
+
+    def one(tag, default=None):
+        v = fields.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width = one(_T_WIDTH)
+    height = one(_T_HEIGHT)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"TIFF with invalid dimensions {width}x{height}")
+    if width * height > _TIFF_MAX_PIXELS:
+        raise ValueError(
+            f"TIFF dimensions {width}x{height} exceed the decoder bound"
+        )
+    compression = one(_T_COMPRESSION, 1)
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression}: LZW/PackBits/CCITT/JPEG are "
+            "plug-in points; uncompressed (1) is supported"
+        )
+    spp = one(_T_SAMPLES_PER_PIXEL, 1)
+    bits = fields.get(_T_BITS, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF BitsPerSample {bits}: 8-bit samples supported; "
+            "1/4/16-bit are plug-in points"
+        )
+    if one(_T_PLANAR, 1) != 1:
+        raise NotImplementedError(
+            "TIFF planar configuration 2 (separate planes) is a plug-in "
+            "point; chunky (1) is supported"
+        )
+    photometric = one(_T_PHOTOMETRIC, 1)
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF SamplesPerPixel {spp}: 1 (gray) and 3 (RGB) supported"
+        )
+    offsets = fields.get(_T_STRIP_OFFSETS)
+    counts = fields.get(_T_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or inconsistent")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip runs past the end of the file")
+        raw += payload[o : o + c]
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError(
+            f"TIFF pixel data truncated: need {need} bytes, strips hold "
+            f"{len(raw)}"
+        )
+    px = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+    if spp == 3:
+        px = px.reshape(height, width, 3)
+        luma = (
+            (
+                77 * px[:, :, 0].astype(np.uint32)
+                + 150 * px[:, :, 1].astype(np.uint32)
+                + 29 * px[:, :, 2].astype(np.uint32)
+            )
+            >> 8
+        ).astype(np.uint8)
+    else:
+        luma = px.reshape(height, width).copy()
+        if photometric == 0:  # min-is-white: invert to the luma convention
+            luma = (255 - luma).astype(np.uint8)
+    return width, height, luma
+
+
+def _tiff_pages(payload: bytes) -> int:
+    """Count IFDs (pages) by walking the chain — no pixel decode."""
+    bom = payload[:2]
+    endian = "<" if bom == b"II" else ">"
+    _, off = struct.unpack_from(endian + "HI", payload, 2)
+    pages = 0
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        _, off = _read_ifd(payload, off, endian)
+        pages += 1
+        if pages > 10_000:
+            raise ValueError("TIFF IFD chain unreasonably long")
+    return pages
