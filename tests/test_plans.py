@@ -411,3 +411,28 @@ def test_every_oracle_sql_parses_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as ex:
             raise AssertionError(f"{name}: oracle SQL fails to parse: {ex}")
+
+
+def test_no_row_python_anywhere_in_the_package():
+    """Repo-wide static hygiene pin: the per-query plan sweep above
+    proves the 50 driver queries are row-Python-free; this pins the rule
+    for EVERY module — no row-at-a-time F.udf, no .rdd escapes, anywhere
+    in the package source (pandas_udf / mapInPandas / applyInPandas are
+    the sanctioned Arrow-batched paths)."""
+    import pathlib
+    import re
+
+    root = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "drill_logfile_plugin_spark"
+    )
+    bad = []
+    for py in sorted(root.rglob("*.py")):
+        src = py.read_text(encoding="utf-8")
+        for lineno, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\bF\.udf\(|\bfunctions\.udf\(", code):
+                bad.append(f"{py.name}:{lineno} row-Python udf: {line.strip()}")
+            if re.search(r"\.rdd\b", code):
+                bad.append(f"{py.name}:{lineno} .rdd escape: {line.strip()}")
+    assert not bad, "\n".join(bad)
