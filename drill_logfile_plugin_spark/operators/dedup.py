@@ -1696,3 +1696,131 @@ def winnow_sql_duck(k: int = 4, w: int = 4, col: str = "text") -> str:
         FROM documents
       )
     """
+
+
+# --- exact substring dedup (Lee et al. 2022, "Deduplicating Training
+# --- Data Makes Language Models Better" — the ExactSubstr stage) --------
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+    starts=None,
+) -> DataFrame:
+    """Remove every >= ``n``-token span that occurs >= ``min_count`` times
+    anywhere in the corpus (the Lee et al. 2022 ExactSubstr stage).
+
+    The reference formulation builds a suffix array over the concatenated
+    corpus and cuts out all occurrences of any repeated substring of at
+    least the threshold length. The distributed re-expression here uses
+    the n-gram COVER identity instead of suffix arrays or pairwise extent
+    extension: token position j lies inside a repeated span of length
+    >= n  <=>  j is covered by some n-gram (start s, s <= j <= s+n-1)
+    whose corpus occurrence count is >= min_count.
+
+    Proof sketch — forward: a repeated span [a, a+L-1], L >= n, contains
+    the n-gram start s = min(max(j-n+1, a), a+L-n) for every j it covers
+    (s <= j <= s+n-1 by the clamp), and that n-gram sits inside the span,
+    so every one of the span's occurrences contributes an occurrence of
+    the gram (count >= min_count). Backward: a covered j lies inside the
+    covering n-gram itself — a repeated span of length exactly n. So the
+    cover removes PRECISELY the tokens of maximal repeated extents, with
+    no pair enumeration: the same guarantee the suffix-array scan gives,
+    as one group-by and one equi-join on fixed-width keys.
+
+    Unlike :func:`~.text.strip_boilerplate` (distinct-DOC threshold — a
+    doc can't be its own boilerplate), occurrences count WITH
+    multiplicity: a passage pasted twice into one document is removed,
+    matching the suffix-array semantics (every copy is cut — the
+    documented Lee et al. behavior, which removes all occurrences rather
+    than all-but-one).
+
+    Returns (``id_col``, text_clean, n_tokens, n_removed, n_spans) where
+    ``n_spans`` counts the MAXIMAL removed extents per document (sorted
+    equal-length intervals merge where consecutive starts gap <= n, so a
+    linear JVM fold counts the breaks).
+
+    Scale: the positional stream (:func:`~.text.positional_ngram_starts`,
+    pass ``starts=`` to share q59's barriered stream with the boilerplate
+    rewrite) shuffles (doc_id, i, 16-byte dual hash) — never text; the
+    repeat index is one partial-agg'd count >= min_count; the cover join
+    is per-doc bounded; the rewrite is executor-local array lambdas. At
+    100 TB every exchange moves fixed-width keys and the only corpus-
+    sized pass is the scan-fused explode.
+    """
+    from .text import cover_rewrite, positional_ngram_starts
+
+    base, st = starts if starts is not None else positional_ngram_starts(
+        df, text_col, id_col, n
+    )
+    repeats = (
+        st.groupBy("gh", "gh2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh", "gh2")
+    )
+    covered = (
+        st.join(repeats, ["gh", "gh2"])
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    return cover_rewrite(base, covered, id_col, n)
+
+
+def exact_substring_sql_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`exact_substring_dedup` (string-equality
+    repeat index counted WITH multiplicity, 0-based positions, identical
+    cover predicate; n_spans via LAG over sorted covered starts — break
+    exactly where consecutive starts gap > n)."""
+    toks = TOKS_DUCK.format(c=text_col)
+    return f"""
+    WITH tke AS (
+      SELECT {id_col} AS doc_id, COALESCE({toks}, []) AS tk FROM {table}
+    ), ste AS (
+      SELECT doc_id, i - 1 AS i,
+             array_to_string(tk[i : i + {n - 1}], ' ') AS g
+      FROM tke, UNNEST(range(1, len(tk) - {n - 2})) AS t(i)
+      WHERE len(tk) >= {n}
+    ), repe AS (
+      SELECT g FROM (
+        SELECT g, COUNT(*) AS c FROM ste GROUP BY g
+      ) WHERE c >= {min_count}
+    ), hite AS (
+      SELECT doc_id, i FROM ste JOIN repe USING (g)
+    ), cove AS (
+      SELECT doc_id, list(i) AS starts FROM hite GROUP BY doc_id
+    ), spane AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev IS NULL OR i - prev > {n}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      FROM (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM hite
+      ) GROUP BY doc_id
+    ), oute AS (
+      SELECT t.doc_id, t.tk,
+             list_filter(t.tk, (x, j) ->
+               len(list_filter(COALESCE(c.starts, []),
+                               s -> s <= j - 1 AND j - 1 <= s + {n - 1})) = 0
+             ) AS surv,
+             COALESCE(s.n_spans, 0) AS n_spans
+      FROM tke t
+      LEFT JOIN cove c USING (doc_id)
+      LEFT JOIN spane s USING (doc_id)
+    )
+    SELECT doc_id, COALESCE(array_to_string(surv, ' '), '') AS text_clean,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - len(surv) AS BIGINT) AS n_removed,
+           CAST(n_spans AS BIGINT) AS n_spans
+    FROM oute
+    """

@@ -841,53 +841,35 @@ def normalize_text_sql_duck(expr: str) -> str:
 # --- boilerplate-span removal (the rewrite consuming the q59 index) -------
 
 
-def strip_boilerplate(
+def positional_ngram_starts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
-    min_docs: int = 3,
-) -> DataFrame:
-    """Remove corpus-boilerplate spans from documents (the C4-style fix).
+):
+    """Shared positional n-gram stream feeding the span-rewrite family.
 
-    The boilerplate tier's third stage: q59's spans arm DETECTS word
-    n-grams shared by >= ``min_docs`` documents and its docfrac arm
-    SCORES documents by boilerplate fraction; this operator performs the
-    REMOVAL — every token position covered by any boilerplate n-gram
-    occurrence is dropped and the document re-joined from the surviving
-    tokens. Nav menus, license headers, and template text vanish from
-    every document at once; unique content is untouched.
+    Returns ``(base, starts)``: ``base`` is (doc_id, tk) with NULL text
+    coalesced to ``array()`` (so empty docs flow through the rewrites as
+    zeros instead of the non-ANSI ``size(NULL) = -1`` nonsense), and
+    ``starts`` is the barriered positional stream (doc_id, i, gh, gh2) —
+    one row per n-gram start position, keyed by TWO independent xxhash64
+    lanes of the gram (16-byte composite ≈ a 128-bit hash, the md5
+    exact-dedup posture; the gram string never enters an exchange). One
+    64-bit lane would see expected birthday collisions at web-scale
+    distinct grams (~0.4 at 4e9), and a collision both deletes unique
+    content and breaks parity with the string-keyed oracles.
 
-    Returns (``id_col``, text_clean, n_tokens, n_removed).
-
-    Plan shape (one corpus pass + span-sized joins):
-
-    1. positional n-gram starts — scan-fused ``transform(sequence(...))``
-       explode, shuffled on TWO independent xxhash64 lanes of the gram
-       (16-byte composite key ≈ a 128-bit hash, the md5 exact-dedup
-       posture; the gram string never enters an exchange). One 64-bit
-       lane would see expected birthday collisions at web-scale distinct
-       grams (~0.4 at 4e9), and a collision both deletes unique content
-       and breaks parity with the string-keyed oracle — at 128 bits the
-       probability is negligible at any real corpus size,
-    2. the span index — distinct (doc, hashes) → docs-per-key >= min_docs
-       (span-cardinality-sized; barriered because the start stream feeds
-       both the index build and the cover join),
-    3. per-doc covered-start lists — an equi join against the index then
-       ``collect_list`` (bounded by the doc's own shingle count),
-    4. the rewrite — pure JVM array lambdas: token j survives unless a
-       covered start s satisfies s <= j <= s+n-1 (an O(tokens x covered
-       starts) per-doc loop, executor-local, no Python).
-
-    Cross-engine exactness: every step is integer positions and string
-    equality — no floats anywhere — so the DuckDB mirror (q59 strip arm)
-    reproduces the rewritten documents byte-for-byte.
+    Barriered (``_barrier``) because every consumer reads the stream at
+    least twice (index build + cover join) — and q59 feeds the SAME
+    materialized stream to both :func:`strip_boilerplate` (corpus
+    boilerplate, distinct-doc threshold) and
+    ``dedup.exact_substring_dedup`` (Lee et al. repeats, occurrence
+    threshold), so the corpus is exploded and hashed exactly once for
+    the whole rewrite tier.
     """
     from .dedup import _barrier
 
-    # NULL-text docs tokenize to NULL; coalesce to array() so they flow
-    # through as (text_clean='', n_tokens=0, n_removed=0) instead of the
-    # non-ANSI size(NULL) = -1 nonsense (mirrored in the DuckDB SQL).
     toks = F.coalesce(
         F.expr(TOKS_SPARK.format(c=text_col)), F.expr("array()")
     )
@@ -910,6 +892,95 @@ def strip_boilerplate(
             F.xxhash64("sg.g", F.lit(1)).alias("gh2"),
         )
     )
+    return base, st
+
+
+def cover_rewrite(
+    base: DataFrame,
+    covered: DataFrame,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Span-cover rewrite shared by the removal operators.
+
+    ``base`` is (doc_id, tk); ``covered`` is (doc_id, starts) — the
+    per-doc list of flagged n-gram start positions. Token j survives
+    unless some covered start s satisfies s <= j <= s+n-1 — an
+    O(tokens x covered starts) per-doc loop in pure JVM array lambdas
+    (executor-local, no Python, text never in an exchange). Also folds
+    the sorted starts into ``n_spans`` — the number of MAXIMAL removed
+    extents: equal-length intervals sorted by start merge exactly when
+    consecutive starts differ by <= n, so one linear fold counts the
+    breaks (no pairwise extent extension needed).
+    """
+    out = base.join(covered, "doc_id", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.expr("array()"))
+    )
+    surv = F.filter(
+        F.col("tk"),
+        lambda t, j: ~F.exists(
+            F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))
+        ),
+    )
+    # Maximal-extent count: fold sorted starts, +1 whenever the gap to
+    # the previous start exceeds n (intervals are all length n, so the
+    # union of [s, s+n-1] breaks exactly there). Initial prev = -(n+1)
+    # makes the first start always open a span; empty list folds to 0.
+    n_spans = F.expr(
+        f"aggregate(array_sort(starts), "
+        f"struct(0 AS cnt, {-(n + 1)} AS prev), "
+        f"(acc, s) -> struct(acc.cnt + IF(s > acc.prev + {n}, 1, 0) AS cnt, "
+        f"s AS prev), acc -> acc.cnt)"
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(surv, " ").alias("text_clean"),
+        F.size("tk").alias("n_tokens"),
+        (F.size("tk") - F.size(surv)).alias("n_removed"),
+        n_spans.cast("long").alias("n_spans"),
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 3,
+    starts=None,
+) -> DataFrame:
+    """Remove corpus-boilerplate spans from documents (the C4-style fix).
+
+    The boilerplate tier's third stage: q59's spans arm DETECTS word
+    n-grams shared by >= ``min_docs`` documents and its docfrac arm
+    SCORES documents by boilerplate fraction; this operator performs the
+    REMOVAL — every token position covered by any boilerplate n-gram
+    occurrence is dropped and the document re-joined from the surviving
+    tokens. Nav menus, license headers, and template text vanish from
+    every document at once; unique content is untouched.
+
+    Returns (``id_col``, text_clean, n_tokens, n_removed, n_spans).
+
+    Plan shape (one corpus pass + span-sized joins):
+
+    1. positional n-gram starts — :func:`positional_ngram_starts`
+       (scan-fused explode, dual-xxhash64 16-byte keys, barriered; pass
+       ``starts=`` to share one materialized stream with
+       ``dedup.exact_substring_dedup`` as q59 does),
+    2. the span index — distinct (doc, hashes) → docs-per-key >= min_docs
+       (span-cardinality-sized),
+    3. per-doc covered-start lists — an equi join against the index then
+       ``collect_list`` (bounded by the doc's own shingle count),
+    4. the rewrite — :func:`cover_rewrite`: pure JVM array lambdas, text
+       never in an exchange.
+
+    Cross-engine exactness: every step is integer positions and string
+    equality — no floats anywhere — so the DuckDB mirror (q59 strip arm)
+    reproduces the rewritten documents byte-for-byte.
+    """
+    base, st = starts if starts is not None else positional_ngram_starts(
+        df, text_col, id_col, n
+    )
     boiler = (
         st.select("doc_id", "gh", "gh2")
         .distinct()
@@ -923,21 +994,7 @@ def strip_boilerplate(
         .groupBy("doc_id")
         .agg(F.collect_list("i").alias("starts"))
     )
-    out = base.join(covered, "doc_id", "left").withColumn(
-        "starts", F.coalesce(F.col("starts"), F.expr("array()"))
-    )
-    surv = F.filter(
-        F.col("tk"),
-        lambda t, j: ~F.exists(
-            F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))
-        ),
-    )
-    return out.select(
-        F.col("doc_id").alias(id_col),
-        F.array_join(surv, " ").alias("text_clean"),
-        F.size("tk").alias("n_tokens"),
-        (F.size("tk") - F.size(surv)).alias("n_removed"),
-    )
+    return cover_rewrite(base, covered, id_col, n)
 
 
 def strip_boilerplate_sql_duck(

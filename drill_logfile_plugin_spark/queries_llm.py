@@ -1379,6 +1379,11 @@ def q58(spark, sf):
     SELECT 'strip' AS part, CAST(doc_id AS VARCHAR) AS key_s,
            n_removed AS n1, CAST(length(text_clean) AS BIGINT) AS n2
     FROM ({T.strip_boilerplate_sql_duck()}) sb
+    UNION ALL
+    SELECT 'exactsub' AS part, CAST(doc_id AS VARCHAR) AS key_s,
+           n_removed AS n1, n_spans AS n2
+    FROM ({D.exact_substring_sql_duck(n=8, min_count=2)}) es
+    WHERE n_removed > 0
     """,
     doc="Boilerplate tier, union-merged (driver query-budget policy). "
     "Spans arm: word 8-grams appearing in >= 3 distinct documents (nav "
@@ -1400,7 +1405,17 @@ def q58(spark, sf):
     "position covered by a >= 3-doc span is dropped and the document "
     "re-joined from survivors, all integer positions + string equality "
     "(no floats), so per-doc removed-token counts AND rewritten-text "
-    "lengths hash bit-identically against the DuckDB rewrite.",
+    "lengths hash bit-identically against the DuckDB rewrite. Exactsub "
+    "arm (operators/dedup.py exact_substring_dedup): the Lee et al. "
+    "2022 ExactSubstr dedup stage — every >= 8-token span occurring >= 2 "
+    "times ANYWHERE in the corpus (occurrences counted with "
+    "multiplicity, unlike strip's distinct-doc threshold) removed via "
+    "the n-gram cover identity (provably identical to suffix-array "
+    "maximal-extent removal; see the operator docstring), reporting "
+    "per-doc removed-token and maximal-extent counts for docs that "
+    "lost anything. Both rewrites consume ONE shared barriered "
+    "positional 8-gram stream (positional_ngram_starts) — the corpus "
+    "is exploded and hashed once for the whole rewrite tier.",
 )
 def q59(spark, sf):
     d = _t(spark, sf, "documents")
@@ -1439,13 +1454,24 @@ def q59(spark, sf):
             "n2",
         )
     )
-    strip = T.strip_boilerplate(d).select(
+    bst = T.positional_ngram_starts(d, n=8)
+    strip = T.strip_boilerplate(d, starts=bst).select(
         F.lit("strip").alias("part"),
         F.col("doc_id").cast("string").alias("key_s"),
         F.col("n_removed").cast("long").alias("n1"),
         F.length("text_clean").cast("long").alias("n2"),
     )
-    return spans.unionByName(docfrac).unionByName(strip)
+    exactsub = (
+        D.exact_substring_dedup(d, n=8, min_count=2, starts=bst)
+        .where(F.col("n_removed") > 0)
+        .select(
+            F.lit("exactsub").alias("part"),
+            F.col("doc_id").cast("string").alias("key_s"),
+            F.col("n_removed").cast("long").alias("n1"),
+            F.col("n_spans").cast("long").alias("n2"),
+        )
+    )
+    return spans.unionByName(docfrac).unionByName(strip).unionByName(exactsub)
 
 
 # =========================================================================

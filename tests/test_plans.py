@@ -288,9 +288,12 @@ def test_boilerplate_spans_shuffles_hashed_keys(spark, queries):
         ), f"q59 shuffles a non-hashed key: {key}"
     # spans + docfrac = 7; the strip arm adds its own 2-phase distinct,
     # the span-index agg, the per-doc covered-start collect_list, and
-    # the rewrite join — all keyed gh/doc_id (checked above). More than
-    # 12 means an unaccounted corpus shuffle crept in.
-    assert plan.count("Exchange") <= 12
+    # the rewrite join; the exactsub arm (r8) adds its 2-phase
+    # occurrence-count agg, covered-start collect_list, and rewrite join
+    # over the SAME materialized positional stream — all keyed gh/doc_id
+    # (checked above). More than 16 means an unaccounted corpus shuffle
+    # crept in.
+    assert plan.count("Exchange") <= 16
 
 
 def test_scan_speed_text_ops_single_exchange(spark, queries):
