@@ -11,9 +11,14 @@ TIFF drops into the multimodal lanes unchanged.
 Supported: BOTH byte orders; BitsPerSample 8 grayscale (min-is-black and
 min-is-white), 8-bit RGB (BT.601 integer luma), strip layout with any
 RowsPerStrip; the FIRST IFD (multi-page TIFFs decode their first page —
-the keyframe convention; page count is surfaced). Compression schemes
-(LZW/PackBits/CCITT/JPEG-in-TIFF), tiles, planar configuration 2, and
-16-bit samples raise NotImplementedError — explicit plug-in points.
+the keyframe convention; page count is surfaced); compression 1
+(uncompressed), 5 (LZW — MSB-first variable-width codes with the TIFF
+"early change" off-by-one and the 4094-entry Clear discipline, §13) and
+32773 (PackBits run-length, §9), each strip its own stream bounded by
+the strip's declared pixel bytes (bomb guard); Predictor 2 (horizontal
+differencing — the tag real-world LZW scans ship) undone per row/sample
+channel. CCITT/JPEG-in-TIFF compression, tiles, planar configuration 2,
+and 16-bit samples raise NotImplementedError — explicit plug-in points.
 Dimension/size sanity precedes any allocation (untrusted headers).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
@@ -36,8 +41,95 @@ _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF §9 PackBits: control byte n in 0..127 copies the next n+1
+    bytes literally; 129..255 repeats the next byte 257-n times; 128 is a
+    no-op. Self-delimiting, so rows packed separately decode straight
+    through as one concatenated stream. Output is hard-bounded by the
+    strip's declared pixel bytes — decoding stops at ``max_out`` (spec
+    allows trailing pad), and a crafted stream cannot out-allocate the
+    image it claims to be."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_out:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n == 128:
+            continue
+        else:
+            if pos >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    return bytes(out[:max_out])
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF §13 LZW: MSB-first bit packing, 9-bit initial codes, Clear=256,
+    EOI=257, new entries from 258. Code width grows with the TIFF "early
+    change" convention — one code EARLIER than generic LZW: after adding
+    an entry, when the table holds 2^width - 1 entries the next code is
+    read at width+1 (libtiff-compatible; GIF's variant in operators/
+    gif.py switches at 2^width). Encoders emit Clear at 4094 entries, so
+    the table never needs more than 12 bits. Output bounded by the
+    strip's declared pixel bytes (bomb guard)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated (no EOI)")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        shift = nbits - code_size
+        code = (acc >> shift) & ((1 << code_size) - 1)
+        acc &= (1 << shift) - 1
+        nbits = shift
+
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < clear or eoi < code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of sequence")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds declared strip size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
 
 
 def _read_ifd(data: bytes, off: int, endian: str):
@@ -113,10 +205,18 @@ def _tiff_decode(payload: bytes):
             f"TIFF dimensions {width}x{height} exceed the decoder bound"
         )
     compression = one(_T_COMPRESSION, 1)
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: LZW/PackBits/CCITT/JPEG are "
-            "plug-in points; uncompressed (1) is supported"
+            f"TIFF compression {compression}: CCITT/JPEG-in-TIFF are "
+            "plug-in points; uncompressed (1), LZW (5) and PackBits "
+            "(32773) are supported"
+        )
+    predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor}: none (1) and horizontal "
+            "differencing (2) are supported; floating-point (3) is a "
+            "plug-in point"
         )
     spp = one(_T_SAMPLES_PER_PIXEL, 1)
     bits = fields.get(_T_BITS, [8])
@@ -139,11 +239,37 @@ def _tiff_decode(payload: bytes):
     counts = fields.get(_T_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
+    rps = min(one(_T_ROWS_PER_STRIP, height), height)
+    if rps <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
     raw = bytearray()
-    for o, c in zip(offsets, counts):
+    for idx, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):
             raise ValueError("TIFF strip runs past the end of the file")
-        raw += payload[o : o + c]
+        chunk = payload[o : o + c]
+        strip_rows = min(rps, height - idx * rps)
+        if strip_rows <= 0:
+            break  # extra strips beyond the declared height — ignore
+        expect = strip_rows * width * spp
+        if compression != 1:
+            # each strip is its own stream; its output is hard-bounded
+            # by the strip's OWN declared pixel bytes (last strip short)
+            if compression == 5:
+                chunk = _tiff_lzw_decode(chunk, expect)
+            else:
+                chunk = _packbits_decode(chunk, expect)
+        if len(chunk) < expect:
+            raise ValueError(
+                f"TIFF strip {idx} holds {len(chunk)} < {expect} bytes"
+            )
+        if predictor == 2:
+            # undo horizontal differencing: per row, cumulative sum
+            # across columns within each sample channel (mod 256)
+            a = np.frombuffer(chunk[:expect], dtype=np.uint8).reshape(
+                strip_rows, width, spp
+            )
+            chunk = np.add.accumulate(a, axis=1, dtype=np.uint8).tobytes()
+        raw += chunk[:expect]
     need = width * height * spp
     if len(raw) < need:
         raise ValueError(

@@ -1,6 +1,7 @@
 """TIFF codec: exact luma recovery against an independent in-test writer
 (IFD chains packed per the TIFF 6.0 spec, both byte orders, multi-strip,
-gray/min-is-white/RGB), multi-page first-page convention, the rejection
+gray/min-is-white/RGB, LZW §13 with early change + 4094 Clear, PackBits
+§9, Predictor 2), multi-page first-page convention, the rejection
 matrix, and the Spark lanes."""
 
 from __future__ import annotations
@@ -20,12 +21,129 @@ def _luma(r, g, b):
     return (77 * int(r) + 150 * int(g) + 29 * int(b)) >> 8
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent spec-following TIFF §13 LZW encoder: MSB-first bit
+    packing, Clear=256/EOI=257, entries from 258, the EARLY-CHANGE
+    convention (the emit width serves the DECODER, whose table lags the
+    encoder's by one entry — so this encoder tracks the decoder's table
+    length directly, the same mirror idiom as the GIF test encoder, and
+    widens when that length reaches 2^width - 1, per libtiff), and the
+    mandatory Clear when the encoder table reaches 4094 entries."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    next_code = 0
+    width = 0
+    dec_len = 0
+
+    def reset() -> None:
+        nonlocal table, next_code, width, dec_len
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        dec_len = 258
+
+    reset()
+    put(clear, width)
+    prev = b""
+    first_after_clear = True
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        if not first_after_clear:
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:
+                width += 1
+        first_after_clear = False
+        table[cur] = next_code
+        next_code += 1
+        prev = bytes([b])
+        if next_code == 4094:
+            put(table[prev], width)
+            # the decoder appends for this code too before seeing Clear
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:
+                width += 1
+            put(clear, width)
+            reset()
+            prev = b""
+            first_after_clear = True
+    if prev:
+        put(table[prev], width)
+        if not first_after_clear:
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:
+                width += 1
+    put(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Independent TIFF §9 PackBits encoder: repeat packets for runs of
+    >= 2 (max 128), literal packets otherwise (broken before any run of
+    >= 3, max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _hdiff(img: np.ndarray) -> np.ndarray:
+    """Predictor-2 horizontal differencing (per row, per sample channel,
+    mod 256) — what an encoder applies BEFORE compression."""
+    a = img if img.ndim == 3 else img[:, :, None]
+    d = a.astype(np.int16)
+    d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+    d = (d % 256).astype(np.uint8)
+    return d.reshape(img.shape)
+
+
 def _write_tiff(
-    pages, endian="<", rows_per_strip=None, photometric=None
+    pages,
+    endian="<",
+    rows_per_strip=None,
+    photometric=None,
+    compression=1,
+    predictor=None,
 ):
     """Independent spec-following writer. ``pages`` is a list of either
     (h, w) gray arrays or (h, w, 3) RGB arrays; each page gets its own
-    IFD; strips split at ``rows_per_strip`` (default: whole image)."""
+    IFD; strips split at ``rows_per_strip`` (default: whole image),
+    each compressed as its own stream (1=none, 5=LZW, 32773=PackBits);
+    predictor=2 applies horizontal differencing before compression."""
     bom = b"II" if endian == "<" else b"MM"
     out = bytearray(bom + struct.pack(endian + "HI", 42, 0))
     ifd_offsets = []
@@ -34,9 +152,15 @@ def _write_tiff(
         h, w = img.shape[:2]
         spp = 3 if rgb else 1
         rps = rows_per_strip or h
+        src = _hdiff(img) if predictor == 2 else img
         strips = []
         for y0 in range(0, h, rps):
-            strips.append(img[y0 : y0 + rps].tobytes())
+            raw = src[y0 : y0 + rps].tobytes()
+            if compression == 5:
+                raw = _lzw_encode(raw)
+            elif compression == 32773:
+                raw = _packbits_encode(raw)
+            strips.append(raw)
         strip_offsets = []
         for s in strips:
             strip_offsets.append(len(out))
@@ -60,13 +184,15 @@ def _write_tiff(
             (256, 3, [w]),
             (257, 3, [h]),
             (258, 3, [8] * spp),
-            (259, 3, [1]),
+            (259, 3, [compression]),
             (262, 3, [photo]),
             (273, 4, strip_offsets),
             (277, 3, [spp]),
             (278, 3, [rps]),
             (279, 4, [len(s) for s in strips]),
         ]
+        if predictor is not None:
+            tags.append((317, 3, [predictor]))
         ifd_off = len(out)
         ifd_offsets.append(ifd_off)
         n = len(tags)
@@ -152,15 +278,182 @@ def test_rejection_matrix(spark):
             struct.pack_into("<H", blob, pos + 8, 65535)
     with pytest.raises(ValueError, match="exceed"):
         _tiff_decode(bytes(blob))
-    lzw = bytearray(good)
-    n = struct.unpack_from("<H", lzw, struct.unpack_from("<I", lzw, 4)[0])[0]
-    ifd = struct.unpack_from("<I", lzw, 4)[0]
+    jpg = bytearray(good)
+    n = struct.unpack_from("<H", jpg, struct.unpack_from("<I", jpg, 4)[0])[0]
+    ifd = struct.unpack_from("<I", jpg, 4)[0]
     for i in range(n):
         pos = ifd + 2 + 12 * i
-        if struct.unpack_from("<H", lzw, pos)[0] == 259:
-            struct.pack_into("<I", lzw, pos + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        _tiff_decode(bytes(lzw))
+        if struct.unpack_from("<H", jpg, pos)[0] == 259:
+            struct.pack_into("<I", jpg, pos + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        _tiff_decode(bytes(jpg))
+    fp3 = _write_tiff([img], predictor=3)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        _tiff_decode(fp3)
+
+
+def test_lzw_exact_both_endians_multistrip(spark):
+    rng = np.random.default_rng(11)
+    # structured + noisy mix: repeats exercise multi-byte table entries
+    base = np.tile(np.arange(16, dtype=np.uint8) * 16, (12, 2))
+    img = (base + rng.integers(0, 8, size=(12, 32), dtype=np.uint8)).astype(
+        np.uint8
+    )
+    for endian in ("<", ">"):
+        blob = _write_tiff(
+            [img], endian=endian, rows_per_strip=5, compression=5
+        )
+        w, h, luma = _tiff_decode(blob)
+        assert (w, h) == (32, 12)
+        assert np.array_equal(luma, img)
+
+
+def test_lzw_rgb_with_predictor2(spark):
+    rng = np.random.default_rng(12)
+    # smooth gradient: the case predictor 2 exists for
+    ramp = np.linspace(0, 255, 24, dtype=np.uint8)
+    img = np.stack(
+        [np.tile(ramp, (10, 1)) + c for c in (0, 3, 7)], axis=2
+    ).astype(np.uint8)
+    blob = _write_tiff([img], rows_per_strip=4, compression=5, predictor=2)
+    w, h, luma = _tiff_decode(blob)
+    assert (w, h) == (24, 10)
+    for y in range(10):
+        for x in range(24):
+            assert luma[y, x] == _luma(*img[y, x])
+    # predictor on uncompressed strips decodes too (legal, unusual)
+    blob = _write_tiff([img], compression=1, predictor=2)
+    _, _, luma1 = _tiff_decode(blob)
+    assert np.array_equal(luma1, luma)
+
+
+def test_lzw_early_change_and_4094_clear(spark):
+    """A strip large and noisy enough that the code table crosses the
+    9->10->11->12-bit early-change boundaries AND the 4094-entry Clear:
+    random bytes rarely extend prefixes, so the table grows ~1 entry per
+    input byte (>= 6000 entries here). Exact recovery pins the width
+    schedule at every boundary; encoder and decoder are separate
+    implementations of the convention (the test encoder mirrors the
+    DECODER's table length like the GIF pair, widening at 2^w - 1)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(50, 128), dtype=np.uint8)
+    enc = _lzw_encode(img.tobytes())
+    assert 256 in _lzw_codes_hist(enc)  # the mid-stream Clear happened
+    blob = _write_tiff([img], compression=5)
+    w, h, luma = _tiff_decode(blob)
+    assert (w, h) == (128, 50)
+    assert np.array_equal(luma, img)
+
+
+def _lzw_codes_hist(enc: bytes) -> set:
+    """Replay the width schedule over an encoded stream and return the
+    set of codes seen (decoder-convention widths; used to assert the
+    4094 Clear actually occurs mid-stream)."""
+    seen = set()
+    pos = 0
+    acc = nbits = 0
+    width = 9
+    dec_len = 258
+    first = True
+    while pos < len(enc) or nbits >= width:
+        while nbits < width:
+            if pos >= len(enc):
+                return seen
+            acc = (acc << 8) | enc[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        acc &= (1 << (nbits - width)) - 1
+        nbits -= width
+        if code == 257:
+            return seen
+        if code == 256:
+            if not first:
+                seen.add(256)
+            width, dec_len, first = 9, 258, True
+            continue
+        if not first:
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:
+                width += 1
+        first = False
+    return seen
+
+
+def test_packbits_exact_runs_and_literals(spark):
+    rng = np.random.default_rng(14)
+    # flat regions (runs) + noise (literals) + a 300-px run crossing the
+    # 128-byte packet cap
+    img = np.concatenate(
+        [
+            np.full((4, 90), 7, dtype=np.uint8),
+            rng.integers(0, 256, size=(4, 90), dtype=np.uint8),
+            np.full((4, 90), 201, dtype=np.uint8),
+        ],
+        axis=0,
+    )
+    blob = _write_tiff([img], rows_per_strip=5, compression=32773)
+    w, h, luma = _tiff_decode(blob)
+    assert (w, h) == (90, 12)
+    assert np.array_equal(luma, img)
+    rgb = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    _, _, lrgb = _tiff_decode(_write_tiff([rgb], compression=32773))
+    for y in range(6):
+        for x in range(9):
+            assert lrgb[y, x] == _luma(*rgb[y, x])
+
+
+def test_corrupt_compressed_strips_raise_valueerror(spark):
+    img = np.zeros((4, 4), dtype=np.uint8)
+    blob = bytearray(_write_tiff([img], compression=5))
+    strip_off = struct.unpack_from(
+        "<I",
+        blob,
+        _find_tag_slot(blob, 273),
+    )[0]
+    blob[strip_off] = 0xFF  # first 9-bit code becomes out-of-sequence
+    blob[strip_off + 1] = 0xFF
+    with pytest.raises(ValueError, match="LZW"):
+        _tiff_decode(bytes(blob))
+    pb = bytearray(_write_tiff([img], compression=32773))
+    off = struct.unpack_from("<I", pb, _find_tag_slot(pb, 273))[0]
+    pb[off] = 127  # literal packet claiming 128 bytes that aren't there
+    del pb[off + 1 :]
+    # strip table now points past the end
+    with pytest.raises(ValueError):
+        _tiff_decode(bytes(pb))
+
+
+def _find_tag_slot(blob, tag):
+    ifd = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd)[0]
+    for i in range(n):
+        pos = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", blob, pos)[0] == tag:
+            return pos + 8
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_spark_lane_lzw(spark):
+    from drill_logfile_plugin_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(15)
+    rows = [
+        (
+            i,
+            _write_tiff(
+                [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)],
+                compression=5,
+                predictor=2,
+            ),
+        )
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in decode_media(df, codec="tiff").collect()}
+    assert all(
+        (meta[i]["width"], meta[i]["height"]) == (8, 8) for i in range(3)
+    )
 
 
 def test_spark_lanes(spark):
