@@ -300,12 +300,17 @@ def save_pq_model(path: str, model) -> str:
     return save_artifact(
         path,
         KIND_PQ,
-        {"codebooks": model.codebooks, "normalize": bool(model.normalize)},
+        {
+            "codebooks": model.codebooks,
+            "normalize": bool(model.normalize),
+            "by_residual": bool(model.by_residual),
+        },
         {
             "m": int(model.m),
             "ksub": int(model.ksub),
             "dim": int(model.dim),
             "normalize": bool(model.normalize),
+            "by_residual": bool(model.by_residual),
         },
     )
 
@@ -314,7 +319,12 @@ def load_pq_model(path: str):
     from .operators.pq import PQModel
 
     _, payload, _ = load_artifact(path, KIND_PQ)
-    return PQModel(payload["codebooks"], normalize=payload["normalize"])
+    return PQModel(
+        payload["codebooks"],
+        normalize=payload["normalize"],
+        # pre-r8 artifacts predate residual training: raw-vector codes
+        by_residual=payload.get("by_residual", False),
+    )
 
 
 def save_logreg_model(path: str, model) -> str:

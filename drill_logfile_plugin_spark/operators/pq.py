@@ -65,12 +65,19 @@ from .similarity import _ivf_centroids, _stack_vectors, cosine
 class PQModel:
     """A fitted product quantizer: ``codebooks`` is ``(m, ksub, dsub)``
     float64, ``normalize`` records whether vectors are unit-normalized
-    before quantization (fit and encode must agree, so it travels with
-    the codebooks — including through the JSON artifact)."""
+    before quantization, ``by_residual`` whether the codebooks were
+    trained on residuals vs the coarse IVF centroids (fit, encode, and
+    search must all agree on both, so they travel with the codebooks —
+    including through the JSON artifact)."""
 
-    __slots__ = ("codebooks", "normalize")
+    __slots__ = ("codebooks", "normalize", "by_residual")
 
-    def __init__(self, codebooks: np.ndarray, normalize: bool = True):
+    def __init__(
+        self,
+        codebooks: np.ndarray,
+        normalize: bool = True,
+        by_residual: bool = False,
+    ):
         if codebooks.ndim != 3:
             raise ValueError(
                 f"PQ codebooks must be (m, ksub, dsub), got shape "
@@ -83,6 +90,7 @@ class PQModel:
             )
         self.codebooks = np.ascontiguousarray(codebooks, dtype=np.float64)
         self.normalize = bool(normalize)
+        self.by_residual = bool(by_residual)
 
     @property
     def m(self) -> int:
@@ -115,8 +123,22 @@ def pq_fit(
     lloyd_iters: int = 8,
     sample_size: int = 4096,
     normalize: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> PQModel:
     """Fit PQ codebooks on a bounded deterministic corpus sample.
+
+    ``centroids`` (residual mode — the FAISS ``by_residual`` default):
+    pass the coarse IVF centroid matrix and the codebooks are trained on
+    RESIDUALS ``x - centroid[assign(x)]`` instead of raw vectors.
+    Residuals concentrate near the origin inside each cell (the coarse
+    quantizer has already explained the between-cell variance), so the
+    same ``m``/``ksub`` budget spends its resolution on the within-cell
+    detail that actually ranks neighbors — higher recall at identical
+    code bytes. ``normalize`` then applies to ``x`` BEFORE assignment
+    and subtraction (residuals themselves are never re-normalized — a
+    residual has no meaningful direction to preserve). The returned
+    model records ``by_residual=True`` and MUST be searched through
+    ``ivfpq_topk(..., by_residual=True)`` with the SAME centroids.
 
     The sample is the ``sample_size`` vectors with the smallest
     ``xxhash64(id)`` (id tiebreak — no RNG, no partition-order
@@ -173,6 +195,14 @@ def pq_fit(
                 "pq_fit: every sampled vector is zero-norm; nothing to fit"
             )
         X = _normalize_rows(X)
+    if centroids is not None:
+        Cn = np.asarray(centroids, dtype=np.float64)
+        if Cn.ndim != 2 or Cn.shape[1] != dim:
+            raise ValueError(
+                f"pq_fit: centroids shape {Cn.shape} does not match "
+                f"vector dim {dim}"
+            )
+        X = X - Cn[(X @ Cn.T).argmax(axis=1)]
     ksub_eff = min(ksub, len(X))
     dsub = dim // m
     books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
@@ -190,13 +220,20 @@ def pq_fit(
                 # empty cell: keep the previous codeword (no NaN, no
                 # shrinking codebook)
         books[j] = C
-    return PQModel(books, normalize=normalize)
+    return PQModel(books, normalize=normalize, by_residual=centroids is not None)
 
 
 def _encode_mat(X: np.ndarray, model: PQModel) -> np.ndarray:
     """numpy core: (n, dim) float64 -> (n, m) uint8 codes. Shared by the
     Spark UDF and the test reference path so the pin is on the SQL
     plumbing, not a re-implementation."""
+    if model.by_residual:
+        raise ValueError(
+            "pq_encode/_encode_mat: this model was trained on IVF "
+            "residuals — raw-vector encoding under it would mis-key "
+            "every code. Search it via ivfpq_topk(..., by_residual=True, "
+            "model=..., centroids=...) which encodes residuals per cell."
+        )
     if X.shape[1] != model.dim:
         raise ValueError(
             f"pq_encode: vector dim {X.shape[1]} != model dim {model.dim}"
@@ -235,6 +272,13 @@ def pq_encode(
     codes (absent in, absent out). The codes table, partitioned however
     the corpus is, is the persisted index half; pair it with the model
     artifact (``artifacts.save_pq_model``)."""
+    if model.by_residual:
+        raise ValueError(
+            "pq_encode: this model was trained on IVF residuals — "
+            "raw-vector encoding under it would mis-key every code. "
+            "Use ivfpq_topk(..., by_residual=True, model=..., "
+            "centroids=...), which encodes residuals per cell."
+        )
     books = model.codebooks
     normalize = model.normalize
     dim = model.dim
@@ -256,22 +300,28 @@ def pq_encode(
     return df.select(*keep, encode(F.col(vec_col)).alias(code_col))
 
 
-def _adc_sim_udf(model: PQModel):
+def _adc_sim_udf(model: PQModel, centroids: np.ndarray | None = None):
     """ADC similarity UDF over (q_id, query_vec, codes) candidate rows.
 
     Inside each Arrow batch, distinct queries get ONE LUT each
     (``(m, ksub)`` of subspace dot products — the classic ADC table);
     every candidate similarity is then ``m`` lookups. Candidates arrive
     grouped by query (the join produces runs), so the per-batch distinct
-    count is small and the LUT cost amortizes across the whole cell."""
+    count is small and the LUT cost amortizes across the whole cell.
+
+    ``centroids`` (residual mode): the UDF takes a 4th ``cell`` column
+    and estimates ``q·x = q·centroid[cell] + q·recon(residual)``. Under
+    the inner-product metric the residual refinement is nearly FREE:
+    the residual LUT is the SAME per-query einsum (it never depends on
+    the cell), and the cell term is one gather from the (n_queries ×
+    n_cells) dot matrix — no per-(query, cell) table rebuild, which is
+    the L2-metric cost that made residual encoding a descope before."""
     books = model.codebooks
     normalize = model.normalize
     m, ksub, dsub = books.shape
+    Cn = None if centroids is None else np.asarray(centroids, np.float64)
 
-    @F.pandas_udf(DoubleType())
-    def adc(q_id: pd.Series, qe: pd.Series, codes: pd.Series) -> pd.Series:
-        if not len(q_id):
-            return pd.Series([], dtype=np.float64)
+    def _sims(q_id, qe, codes, cells=None):
         uniq, inv = np.unique(q_id.to_numpy(), return_inverse=True)
         first_row = pd.Series(np.arange(len(q_id))).groupby(
             inv, sort=True
@@ -302,9 +352,32 @@ def _adc_sim_udf(model: PQModel):
         sims = luts[inv[:, None], np.arange(m)[None, :], code_mat].sum(
             axis=1
         )
+        if cells is not None:
+            qc = Q @ Cn.T  # (nu, n_cells) — one matmul per batch
+            sims = sims + qc[inv, cells.to_numpy().astype(np.int64)]
         return pd.Series(sims)
 
-    return adc
+    if Cn is None:
+
+        @F.pandas_udf(DoubleType())
+        def adc(
+            q_id: pd.Series, qe: pd.Series, codes: pd.Series
+        ) -> pd.Series:
+            if not len(q_id):
+                return pd.Series([], dtype=np.float64)
+            return _sims(q_id, qe, codes)
+
+        return adc
+
+    @F.pandas_udf(DoubleType())
+    def adc_res(
+        q_id: pd.Series, qe: pd.Series, codes: pd.Series, cell: pd.Series
+    ) -> pd.Series:
+        if not len(q_id):
+            return pd.Series([], dtype=np.float64)
+        return _sims(q_id, qe, codes, cells=cell)
+
+    return adc_res
 
 
 def _exact_rerank(
@@ -394,6 +467,12 @@ def pq_adc_topk(
         raise ValueError(
             "pq_adc_topk: rerank > 0 needs corpus= (the float vectors)"
         )
+    if model.by_residual:
+        raise ValueError(
+            "pq_adc_topk: this model was trained on IVF residuals; "
+            "brute-force ADC has no cells to reconstruct against — use "
+            "ivfpq_topk(..., by_residual=True)"
+        )
     q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe")
     )
@@ -444,6 +523,7 @@ def ivfpq_topk(
     rerank: int | None = None,
     centroids: np.ndarray | None = None,
     model: PQModel | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse cells prune the corpus, PQ codes
     price the scan inside each probed cell, exact cosine refines.
@@ -453,17 +533,29 @@ def ivfpq_topk(
     lookups each (the PQ dial), and only ``rerank`` candidates per query
     (default ``10k``) ever touch a float vector. The cell equi join is
     partition pruning at scale; the refine join broadcasts the bounded
-    survivor set. Codes are raw-vector (``by_residual=False``) — the
-    residual variant needs a LUT per (query, probed cell), ×nprobe LUT
-    work for a marginal precision gain at these dims, so it's a
-    documented refinement, not a default.
+    survivor set.
+
+    ``by_residual=True`` (the FAISS-default refinement): codes quantize
+    ``x - centroid[cell]`` instead of ``x``. Residuals concentrate near
+    the origin (the coarse quantizer already explained between-cell
+    variance), so the same code bytes resolve finer within-cell detail
+    — strictly better recall at identical m/ksub/nprobe (pinned in
+    tests/test_pq.py). Under the inner-product metric the search-time
+    cost is near-zero: ``q·x ≈ q·centroid[cell] + LUT(q)·codes`` — the
+    residual LUT is cell-independent (the same per-query einsum as the
+    raw lane) and the cell term is one gather from the query×centroid
+    dot matrix, NOT the per-(query, cell) table rebuild the L2 metric
+    would need (why this was previously a descope).
 
     ``centroids`` / ``model`` (train-once/apply-many): pass a fitted
     coarse quantizer (:func:`..operators.similarity.ivf_fit`) and PQ
     model (:func:`pq_fit` / ``artifacts.load_pq_model``) to apply as-is
     — at 100 TB both fits are jobs you run once, and refitting would
-    re-key every stored cell id and code. Recall floors are pinned in
-    pytest against the brute-force ground truth (tests/test_pq.py).
+    re-key every stored cell id and code. A residual-trained model is
+    only meaningful against ITS centroids; the flag travels on the
+    model and a mismatch with ``by_residual`` is a setup error here,
+    not a silent recall collapse. Recall floors are pinned in pytest
+    against the brute-force ground truth (tests/test_pq.py).
     """
     rerank = 10 * k if rerank is None else rerank
     Cn = (
@@ -479,9 +571,22 @@ def ivfpq_topk(
         model
         if model is not None
         else pq_fit(
-            corpus, id_col, vec_col, m=m, ksub=ksub, sample_size=sample_size
+            corpus,
+            id_col,
+            vec_col,
+            m=m,
+            ksub=ksub,
+            sample_size=sample_size,
+            centroids=Cn if by_residual else None,
         )
     )
+    if pq.by_residual != by_residual:
+        raise ValueError(
+            f"ivfpq_topk: model.by_residual={pq.by_residual} but "
+            f"by_residual={by_residual} — a residual-trained model must "
+            "be searched in residual mode against its own centroids "
+            "(and a raw model never in residual mode)"
+        )
     nprobe_eff = min(nprobe, len(Cn))
     books = pq.codebooks
     normalize = pq.normalize
@@ -497,30 +602,58 @@ def ivfpq_topk(
         order = np.argsort(-(mat @ Cn.T), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe_eff].astype("int32")))
 
-    @F.pandas_udf(BinaryType())
-    def encode(col: pd.Series) -> pd.Series:
-        X = _stack_vectors(col.to_numpy(), "ivfpq encode").astype(np.float64)
-        codes = _encode_mat(X, PQModel(books, normalize))
-        return pd.Series([c.tobytes() for c in codes])
+    if by_residual:
+        # one UDF assigns AND encodes (the residual needs the cell, and
+        # two UDFs would each redo the centroid matmul); residuals are
+        # never re-normalized — only x is (before assignment), matching
+        # the fit
+        @F.pandas_udf("cell int, cd binary")
+        def assign_encode(col: pd.Series) -> pd.DataFrame:
+            X = _stack_vectors(col.to_numpy(), "ivfpq encode").astype(
+                np.float64
+            )
+            if normalize:
+                X = _normalize_rows(X)
+            cells = (X @ Cn.T).argmax(axis=1).astype("int32")
+            codes = _encode_mat(
+                X - Cn[cells], PQModel(books, normalize=False)
+            )
+            return pd.DataFrame(
+                {"cell": cells, "cd": [c.tobytes() for c in codes]}
+            )
 
-    cb = corpus.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_cell(F.col(vec_col)).alias("cell"),
-        encode(F.col(vec_col)).alias("cd"),
-    )
+        cb = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_encode(F.col(vec_col)).alias("ac"),
+        ).select("neighbor_id", F.col("ac.cell").alias("cell"),
+                 F.col("ac.cd").alias("cd"))
+    else:
+
+        @F.pandas_udf(BinaryType())
+        def encode(col: pd.Series) -> pd.Series:
+            X = _stack_vectors(col.to_numpy(), "ivfpq encode").astype(
+                np.float64
+            )
+            codes = _encode_mat(X, PQModel(books, normalize))
+            return pd.Series([c.tobytes() for c in codes])
+
+        cb = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_cell(F.col(vec_col)).alias("cell"),
+            encode(F.col(vec_col)).alias("cd"),
+        )
     qb = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qe"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
-    adc = _adc_sim_udf(pq)
-    cands = (
-        qb.join(cb, "cell")
-        .where(F.col("q_id") != F.col("neighbor_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            adc(F.col("q_id"), F.col("qe"), F.col("cd")).alias("sim_hat"),
+    adc = _adc_sim_udf(pq, centroids=Cn if by_residual else None)
+    joined = qb.join(cb, "cell").where(F.col("q_id") != F.col("neighbor_id"))
+    if by_residual:
+        sim_hat = adc(
+            F.col("q_id"), F.col("qe"), F.col("cd"), F.col("cell")
         )
-    )
+    else:
+        sim_hat = adc(F.col("q_id"), F.col("qe"), F.col("cd"))
+    cands = joined.select("q_id", "neighbor_id", sim_hat.alias("sim_hat"))
     return _exact_rerank(cands, queries, corpus, k, rerank, id_col, vec_col)

@@ -223,7 +223,13 @@ def test_pq_artifact_roundtrip(spark, embeddings, tmp_path):
     assert a == b
     kind, _, meta = artifacts.load_artifact(path)
     assert kind == artifacts.KIND_PQ
-    assert meta == {"m": 8, "ksub": 32, "dim": 64, "normalize": True}
+    assert meta == {
+        "m": 8,
+        "ksub": 32,
+        "dim": 64,
+        "normalize": True,
+        "by_residual": False,
+    }
     with pytest.raises(ValueError, match="kind mismatch"):
         artifacts.load_ivf_model(path)
 
@@ -354,3 +360,145 @@ def test_adc_geometry_mismatch_is_actionable(spark, embeddings):
         (PythonException, Py4JJavaError), match="different PQ geometry"
     ):
         P.pq_adc_topk(q, codes8, m16, k=3).collect()
+
+
+# --- residual encoding (by_residual=True, the FAISS default; r8) ---------
+
+
+def test_ivfpq_residual_beats_raw_at_identical_budget(spark):
+    """The property residual encoding buys (VERDICT r7 #3): at IDENTICAL
+    m/ksub/nprobe/rerank the residual lane's recall@5 is strictly above
+    the raw lane's on the clustered-blob fixture — residuals concentrate
+    near the origin, so the same code bytes resolve the within-cell
+    detail that actually ranks neighbors. rerank is held small (2k) so
+    candidate ORDERING is what's measured, not the refine lane's
+    forgiveness. Everything is hash-deterministic: these are fixed
+    numbers, not a statistical claim."""
+    df = _blobs(spark)
+    q = df.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in S.cosine_topk(q, df, k=5).collect()
+    }
+    kw = dict(
+        k=5, n_cells=32, nprobe=2, m=8, ksub=256, sample_size=2000,
+        rerank=10,
+    )
+    raw = {
+        (r.q_id, r.neighbor_id)
+        for r in P.ivfpq_topk(q, df, **kw).collect()
+    }
+    res = {
+        (r.q_id, r.neighbor_id)
+        for r in P.ivfpq_topk(q, df, by_residual=True, **kw).collect()
+    }
+    r_raw = len(raw & exact) / len(exact)
+    r_res = len(res & exact) / len(exact)
+    assert r_res > r_raw + 0.05, (r_raw, r_res)
+    assert r_res >= 0.6, r_res  # measured 0.63 vs raw 0.54
+
+
+def test_residual_adc_equals_reconstructed_dot(spark):
+    """The residual ADC estimate must equal
+    q_hat . (centroid[cell] + reconstruct(codes)) — the cell term plus
+    the residual LUT sum, against explicit numpy reconstruction."""
+    df = _blobs(spark, n=400, n_centers=8)
+    Cn = S._ivf_centroids(df, "vec_id", "embedding", 8, 4, 400)
+    model = P.pq_fit(df, m=8, ksub=16, sample_size=400, centroids=Cn)
+    assert model.by_residual
+    rows = sorted(
+        df.where(F.col("vec_id") < 30).collect(), key=lambda r: r["vec_id"]
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cells = (Xn @ Cn.T).argmax(axis=1).astype("int32")
+    shell = P.PQModel(model.codebooks, normalize=False)
+    codes = _reference_encode(Xn - Cn[cells], shell)
+    qv = np.array(rows[0]["embedding"], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    cand = spark.createDataFrame(
+        [
+            (
+                0,
+                [float(x) for x in qv],
+                codes[i].tobytes(),
+                int(cells[i]),
+            )
+            for i in range(len(rows))
+        ],
+        "q_id long, qe array<double>, cd binary, cell int",
+    )
+    adc = P._adc_sim_udf(model, centroids=Cn)
+    got = [
+        r["s"]
+        for r in cand.select(
+            adc(F.col("q_id"), F.col("qe"), F.col("cd"), F.col("cell"))
+            .alias("s")
+        ).collect()
+    ]
+    rec = P._reconstruct(codes, shell)
+    want = (Cn[cells] + rec) @ qn
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_residual_mode_mismatches_are_setup_errors(spark):
+    """Model/flag disagreements fail at setup with actionable messages,
+    never as silent recall collapse or a late executor crash."""
+    df = _blobs(spark, n=400, n_centers=8)
+    Cn = S._ivf_centroids(df, "vec_id", "embedding", 8, 4, 400)
+    raw = P.pq_fit(df, m=8, ksub=16, sample_size=400)
+    res = P.pq_fit(df, m=8, ksub=16, sample_size=400, centroids=Cn)
+    q = df.limit(2)
+    with pytest.raises(ValueError, match="by_residual"):
+        P.ivfpq_topk(q, df, model=raw, centroids=Cn, by_residual=True)
+    with pytest.raises(ValueError, match="by_residual"):
+        P.ivfpq_topk(q, df, model=res, centroids=Cn)
+    with pytest.raises(ValueError, match="residual"):
+        P.pq_encode(df, res).collect()
+    with pytest.raises(ValueError, match="residual"):
+        P.pq_adc_topk(q, df, res)
+    with pytest.raises(ValueError, match="centroids shape"):
+        P.pq_fit(df, m=8, ksub=16, centroids=Cn[:, :10])
+
+
+def test_residual_artifact_roundtrip_and_compat(spark, tmp_path):
+    """The extended model round-trips (by_residual travels in payload
+    AND meta); a loaded model searches identically to the in-session
+    one; pre-r8 artifacts without the key load as raw-vector models."""
+    df = _blobs(spark, n=400, n_centers=8)
+    Cn = S._ivf_centroids(df, "vec_id", "embedding", 8, 4, 400)
+    model = P.pq_fit(df, m=8, ksub=16, sample_size=400, centroids=Cn)
+    path = str(tmp_path / "pq_res.json")
+    artifacts.save_pq_model(path, model)
+    loaded = artifacts.load_pq_model(path)
+    assert loaded.by_residual is True
+    assert np.array_equal(loaded.codebooks, model.codebooks)
+    _, _, meta = artifacts.load_artifact(path)
+    assert meta["by_residual"] is True
+    q = df.where(F.col("vec_id") % 50 == 0)
+    kw = dict(
+        k=3, nprobe=2, sample_size=400, centroids=Cn, by_residual=True
+    )
+    a = sorted(map(str, P.ivfpq_topk(q, df, model=model, **kw).collect()))
+    b = sorted(map(str, P.ivfpq_topk(q, df, model=loaded, **kw).collect()))
+    assert a == b
+    # pre-r8 artifact: no by_residual key anywhere -> raw-vector model
+    old = str(tmp_path / "pq_old.json")
+    artifacts.save_artifact(
+        old,
+        artifacts.KIND_PQ,
+        {"codebooks": model.codebooks, "normalize": True},
+    )
+    assert artifacts.load_pq_model(old).by_residual is False
+
+
+def test_ivfpq_residual_deterministic(spark):
+    df = _blobs(spark, n=400, n_centers=8)
+    q = df.where(F.col("vec_id") % 50 == 0)
+    kw = dict(
+        k=3, n_cells=8, nprobe=2, m=8, ksub=16, sample_size=400,
+        by_residual=True,
+    )
+    a = sorted(map(str, P.ivfpq_topk(q, df, **kw).collect()))
+    b = sorted(map(str, P.ivfpq_topk(q, df, **kw).collect()))
+    assert a == b
