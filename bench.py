@@ -113,12 +113,19 @@ def main() -> None:
     except Exception as e:
         print(f"bench: warmup failed (continuing): {e}", file=sys.stderr)
 
+    last_df: dict = {}
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         # Drain the full result through the engine without materializing
         # rows on the driver: noop sink executes every task.
         df.write.format("noop").mode("overwrite").save()
+        # keep the frame for plan-signature stamping: its OWN
+        # queryExecution stays the unexecuted initial plan (the write ran
+        # through a separate command QueryExecution), and reusing it
+        # avoids re-paying construction for barriered queries
+        last_df[name] = df
         return round(time.perf_counter() - t0, 4)
 
     # Per-query MINIMUM over up to 3 runs (timeit's protocol): this host
@@ -171,13 +178,34 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
 
-    # Persist per-query floors (round-6 verdict item 8): FLOORS.json maps
-    # sf -> query -> minimum wall-time ever observed, merged across every
-    # bench/isolation run. Regression adjudication ("did q27's floor really
-    # move?") becomes one diff against this file instead of archaeology
-    # through BASELINE.md prose. Best-effort: a read-only checkout must not
-    # break the bench (the one-line-JSON stdout contract is sacred).
+    # Plan-identity signatures (round-7 verdict item 4): floors are only
+    # comparable within one plan definition, so each floor is keyed by a
+    # signature of the query's physical-plan row and RESET when the plan
+    # changes (the q50 stale-floor trap). Best-effort like the floors
+    # write itself.
+    plan_sigs: dict[str, str] = {}
     try:
+        from drill_logfile_plugin_spark.plansig import plan_signature
+
+        for name, df in last_df.items():
+            try:
+                plan_sigs[name] = plan_signature(df)
+            except Exception:
+                pass
+    except Exception as e:
+        print(f"bench: plan sigs failed (continuing): {e}", file=sys.stderr)
+
+    # Persist per-query floors (round-6 verdict item 8): FLOORS.json maps
+    # sf -> query -> {floor: min wall-time, plan: plan signature}, merged
+    # across every bench/isolation run — reset-on-plan-change semantics
+    # live in plansig.fold_floor. Regression adjudication ("did q27's
+    # floor really move?") becomes one diff against this file instead of
+    # archaeology through BASELINE.md prose. Best-effort: a read-only
+    # checkout must not break the bench (the one-line-JSON stdout
+    # contract is sacred).
+    try:
+        from drill_logfile_plugin_spark.plansig import fold_floor
+
         floors_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "FLOORS.json"
         )
@@ -189,7 +217,7 @@ def main() -> None:
         cur = floors.setdefault(sf_key, {})
         for q, t in timings.items():
             if t >= 0:
-                cur[q] = min(cur.get(q, t), t)
+                cur[q] = fold_floor(cur.get(q), t, plan_sigs.get(q))
         with open(floors_path, "w") as fh:
             json.dump(floors, fh, indent=1, sort_keys=True)
             fh.write("\n")
@@ -205,6 +233,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # plan-identity per query: lets floor rebuilds
+                # (tools/update_floors.py) validate history records
+                # against the plan that produced them
+                "plan_sigs": plan_sigs,
             }
         )
     )

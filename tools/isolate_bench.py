@@ -108,15 +108,21 @@ def main() -> None:
     )
 
     all_runs: dict[str, list[float]] = {}
+    plan_sigs: dict[str, str] = {}
     for name in args:
         readings = []
         for _ in range(runs_n):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             readings.append(round(time.perf_counter() - t0, 4))
         all_runs[name] = readings
+        try:
+            from drill_logfile_plugin_spark.plansig import plan_signature
+
+            plan_sigs[name] = plan_signature(df)
+        except Exception:
+            pass
         print(f"# {name}: {readings} min={min(readings)}", file=sys.stderr)
 
     print(
@@ -125,6 +131,7 @@ def main() -> None:
                 "runs": all_runs,
                 "mins": {k: min(v) for k, v in all_runs.items()},
                 "sf": sf,
+                "plan_sigs": plan_sigs,
             }
         )
     )
