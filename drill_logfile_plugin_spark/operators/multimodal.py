@@ -1312,6 +1312,80 @@ def phash_neardup(
     )
 
 
+def _zstd_module():
+    """Guarded zstd import: Python >= 3.14 stdlib first, then the PyPI
+    ``zstandard`` binding. Returns (module, flavor) or (None, None)."""
+    try:
+        from compression import zstd as mod  # Python >= 3.14
+
+        return mod, "stdlib"
+    except ImportError:
+        pass
+    try:
+        import zstandard as mod
+
+        return mod, "zstandard"
+    except ImportError:
+        return None, None
+
+
+def _make_zstd_one(max_bytes: int):
+    """Bounded single-payload zstd decompressor under the bomb-guard
+    contract (inflation stops AT the cap; corrupt streams map to
+    ValueError so the quarantine lanes treat them like every other
+    codec's failures)."""
+    mod, flavor = _zstd_module()
+    if mod is None:
+        raise NotImplementedError(
+            "codec 'zstd': no zstd module in this environment — needs "
+            "Python >= 3.14 (stdlib compression.zstd) or the "
+            "'zstandard' package"
+        )
+    zstd_error = getattr(mod, "ZstdError", Exception)
+
+    if flavor == "zstandard":
+
+        def _one(p: bytes) -> bytes:
+            try:
+                # max_output_size caps the allocation; the binding raises
+                # when the frame would exceed it (bomb => bounded work)
+                out = mod.ZstdDecompressor().decompress(
+                    p, max_output_size=max_bytes + 1
+                )
+            except zstd_error as ex:
+                raise ValueError(f"bad zstd stream: {ex}") from ex
+            if len(out) > max_bytes:
+                raise ValueError(
+                    f"decompressed size exceeds max_bytes={max_bytes}"
+                )
+            return out
+
+        return _one
+
+    def _one(p: bytes) -> bytes:
+        # stdlib flavor: incremental decompressor with max_length (the
+        # bz2/lzma decompressobj protocol)
+        dec = mod.ZstdDecompressor()
+        out = bytearray()
+        data = p
+        try:
+            while not dec.eof:
+                chunk = dec.decompress(data, max_bytes + 1 - len(out))
+                out += chunk
+                if len(out) > max_bytes:
+                    raise ValueError(
+                        f"decompressed size exceeds max_bytes={max_bytes}"
+                    )
+                data = b""
+                if not chunk and dec.needs_input:
+                    raise ValueError("bad zstd stream: truncated")
+        except zstd_error as ex:
+            raise ValueError(f"bad zstd stream: {ex}") from ex
+        return bytes(out)
+
+    return _one
+
+
 def decompress_payload(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1333,7 +1407,12 @@ def decompress_payload(
     NULL payloads pass through as NULL (absent in, absent out).
 
     ``codec``: ``"gzip"`` (multi-member streams supported — the WARC
-    member layout), ``"zlib"``, ``"raw-deflate"``, ``"bz2"``, ``"xz"``.
+    member layout), ``"zlib"``, ``"raw-deflate"``, ``"bz2"``, ``"xz"``,
+    and ``"zstd"`` where a zstd module exists (Python 3.14's stdlib
+    ``compression.zstd`` or the ``zstandard`` PyPI binding — modern
+    corpora increasingly ship zstd; this environment has neither, so the
+    lane raises NotImplementedError naming what to install, and its
+    tests auto-skip).
     """
     import bz2 as _bz2
     import lzma as _lzma
@@ -1405,11 +1484,12 @@ def decompress_payload(
         _one = _bounded(_bz2.decompress)
     elif codec == "xz":
         _one = _bounded(_lzma.decompress)
+    elif codec == "zstd":
+        _one = _make_zstd_one(max_bytes)
     else:
         raise NotImplementedError(
-            f"codec {codec!r}: gzip/zlib/raw-deflate/bz2/xz supported "
-            "(zstd/brotli are plug-in points — not in this environment's "
-            "stdlib)"
+            f"codec {codec!r}: gzip/zlib/raw-deflate/bz2/xz supported, "
+            "zstd where a zstd module exists (brotli is a plug-in point)"
         )
 
     target = out_col or payload_col

@@ -83,8 +83,8 @@ def test_quarantine_matrix_and_nulls(spark):
     skipped = decompress_payload(df, codec="gzip", on_error="skip").collect()
     # skip drops the CORRUPT row; the NULL row passes through as NULL
     assert {r["doc_id"] for r in skipped} == {0, 2}
-    with pytest.raises(NotImplementedError, match="zstd"):
-        decompress_payload(df, codec="zstd")
+    with pytest.raises(NotImplementedError, match="brotli"):
+        decompress_payload(df, codec="brotli")
     with pytest.raises(ValueError, match="max_bytes"):
         decompress_payload(df, max_bytes=0)
 
@@ -105,3 +105,104 @@ def test_composes_with_decode(spark):
         decompress_payload(df, codec="gzip"), codec="png"
     ).first()
     assert (meta["width"], meta["height"]) == (8, 8)
+
+
+# --- zstd lane (r8): guarded-import — auto-skips where no module exists ---
+
+from drill_logfile_plugin_spark.operators.multimodal import _zstd_module
+
+_ZSTD_MOD, _ZSTD_FLAVOR = _zstd_module()
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    if _ZSTD_FLAVOR == "zstandard":
+        return _ZSTD_MOD.ZstdCompressor().compress(data)
+    return _ZSTD_MOD.compress(data)
+
+
+@pytest.mark.skipif(_ZSTD_MOD is None, reason="no zstd module available")
+def test_zstd_roundtrip_and_quarantine(spark):
+    df = _df(spark, [_zstd_compress(b"hello zstd"), b"not zstd", None])
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in decompress_payload(df, codec="zstd").collect()
+    }
+    assert bytes(got[0]) == b"hello zstd"
+    assert got[1] is None and got[2] is None  # quarantine + NULL-through
+
+
+@pytest.mark.skipif(_ZSTD_MOD is None, reason="no zstd module available")
+def test_zstd_bomb_guard(spark):
+    bomb = _zstd_compress(b"\x00" * (1 << 20))  # 1 MiB of zeros
+    df = _df(spark, [bomb])
+    out = decompress_payload(df, codec="zstd", max_bytes=1024).collect()
+    assert out[0]["payload"] is None  # bounded, quarantined — no abort
+    ok = decompress_payload(df, codec="zstd", max_bytes=1 << 21).collect()
+    assert len(bytes(ok[0]["payload"])) == 1 << 20
+
+
+@pytest.mark.skipif(
+    _ZSTD_MOD is not None, reason="zstd module present — lane is live"
+)
+def test_zstd_absent_is_actionable(spark):
+    """Without a zstd module the lane fails at SETUP, naming both ways
+    to get one — never as a worker ImportError mid-job."""
+    df = _df(spark, [b"x"])
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        decompress_payload(df, codec="zstd")
+
+
+class _FakeZstdDec:
+    """zlib.decompressobj dressed in the Python-3.14 compression.zstd
+    incremental API (decompress(data, max_length) / eof / needs_input) —
+    lets this environment EXECUTE the stdlib-flavor bounded loop that
+    would otherwise be dead code until 3.14."""
+
+    def __init__(self):
+        self._d = zlib.decompressobj()
+
+    @property
+    def eof(self):
+        return self._d.eof
+
+    @property
+    def needs_input(self):
+        return not self._d.unconsumed_tail
+
+    def decompress(self, data, max_length):
+        return self._d.decompress(self._d.unconsumed_tail + data, max_length)
+
+
+class _FakeZstdModule:
+    ZstdDecompressor = _FakeZstdDec
+    ZstdError = zlib.error
+
+
+def test_zstd_stdlib_flavor_bounded_loop(spark, monkeypatch):
+    """The stdlib-flavor lane, driven end-to-end through Spark with the
+    API-faithful fake: roundtrip, bomb stops AT the cap, corrupt and
+    truncated streams quarantine."""
+    from drill_logfile_plugin_spark.operators import multimodal as M
+
+    monkeypatch.setattr(
+        M, "_zstd_module", lambda: (_FakeZstdModule, "stdlib")
+    )
+    good = zlib.compress(b"hello stdlib zstd")
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    df = _df(spark, [good, b"garbage", good[: len(good) // 2], None])
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in M.decompress_payload(df, codec="zstd").collect()
+    }
+    assert bytes(got[0]) == b"hello stdlib zstd"
+    assert got[1] is None  # corrupt -> quarantined
+    assert got[2] is None  # truncated -> quarantined
+    assert got[3] is None  # NULL-through
+    out = M.decompress_payload(
+        _df(spark, [bomb]), codec="zstd", max_bytes=1024
+    ).collect()
+    assert out[0]["payload"] is None
+    ok = M.decompress_payload(
+        _df(spark, [bomb]), codec="zstd", max_bytes=1 << 21
+    ).collect()
+    assert len(bytes(ok[0]["payload"])) == 1 << 20
