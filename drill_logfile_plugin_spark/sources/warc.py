@@ -250,3 +250,74 @@ def warc_documents(
         strip_html(F.decode(F.col("body"), "UTF-8")).alias("text"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
     )
+
+
+#: The Common Crawl WAT envelope, as a Spark DDL schema for ``from_json``
+#: — only the fields the adapter surfaces (from_json ignores the rest of
+#: the envelope; a schema covering every WAT field would be brittle
+#: against the crawler's additions and buys nothing downstream).
+_WAT_ENVELOPE_DDL = (
+    "Envelope struct<"
+    "`WARC-Header-Metadata`: struct<"
+    "`WARC-Target-URI`: string, `WARC-Type`: string, `WARC-Date`: string>,"
+    "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
+    "Headers: map<string,string>,"
+    "`HTML-Metadata`: struct<"
+    "Head: struct<Title: string>,"
+    "Links: array<struct<path: string, url: string>>"
+    ">>>>"
+)
+
+
+def wat_records(warc: DataFrame) -> DataFrame:
+    """The WAT adapter — the third Common Crawl artifact next to .warc
+    (:func:`warc_documents`) and .wet (:func:`wet_documents`).
+
+    WAT files are WARC containers whose ``metadata`` records carry a
+    JSON envelope describing the corresponding crawl record: the target
+    URI, the HTTP response headers, and extracted HTML metadata (title,
+    outlinks). That is the link graph + header corpus without touching
+    page bodies — what link-analysis, URL-frontier, and dedup-by-header
+    pipelines read INSTEAD of the 10× larger .warc.
+
+    Pure composition, all JVM: ``read_warc`` explodes the records (the
+    WARC framing is identical); this adapter filters ``metadata`` rows
+    and parses the JSON payload with ``from_json`` under a fixed
+    envelope schema — no Python, no second pass over the bytes, and a
+    malformed envelope yields NULL fields (from_json's contract), never
+    a failed task: the quarantine posture of the tier at the JSON layer.
+
+    Returns ``(doc_id, url, warc_date, subject_type, title, headers,
+    outlinks, n_links)`` where ``subject_type`` is the WARC-Type of the
+    DESCRIBED record (response/request/warcinfo — one WAT record exists
+    per original record), ``headers`` is the HTTP response header map,
+    and ``outlinks`` the href targets extracted by the crawler.
+    """
+    meta = warc.where(
+        (F.col("warc_type") == "metadata") & F.col("body").isNotNull()
+    )
+    env = F.from_json(
+        F.decode(F.col("body"), "UTF-8"), f"struct<{_WAT_ENVELOPE_DDL}>"
+    )["Envelope"]
+    hdr = env["WARC-Header-Metadata"]
+    http = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    links = http["HTML-Metadata"]["Links"]
+    outlinks = F.filter(
+        F.transform(links, lambda l: l["url"]),
+        lambda u: u.isNotNull(),
+    )
+    return meta.select(
+        F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
+        # the envelope's target URI is authoritative; the record's own
+        # WARC-Target-URI header (surfaced by read_warc) is the fallback
+        F.coalesce(hdr["WARC-Target-URI"], F.col("url")).alias("url"),
+        F.col("warc_date"),
+        hdr["WARC-Type"].alias("subject_type"),
+        http["HTML-Metadata"]["Head"]["Title"].alias("title"),
+        http["Headers"].alias("headers"),
+        outlinks.alias("outlinks"),
+        # explicit null test: non-ANSI size(NULL) is the legacy -1
+        F.when(outlinks.isNull(), F.lit(0))
+        .otherwise(F.size(outlinks))
+        .alias("n_links"),
+    )

@@ -142,3 +142,95 @@ def test_wet_documents_adapter(spark, tmp_path):
     assert len(docs) == 1
     assert docs[0]["text"] == "already extracted plain text"
     assert docs[0]["url"] == "https://a.example/x"
+
+
+def test_wat_records_adapter(spark, tmp_path):
+    """WAT metadata records (the third Common Crawl artifact): JSON
+    envelopes parse to (url, outlinks, headers, title) rows via
+    from_json — spec-following in-test envelopes per the crawler's
+    layout; a non-HTML subject yields NULL html fields; a malformed
+    envelope yields NULL fields, never a failed task."""
+    import json
+
+    from drill_logfile_plugin_spark.sources.warc import wat_records
+
+    def envelope(uri, wtype="response", headers=None, links=None, title=None):
+        http_meta = {}
+        if headers is not None:
+            http_meta["Headers"] = headers
+        if links is not None or title is not None:
+            http_meta["HTML-Metadata"] = {
+                **({"Head": {"Title": title}} if title else {}),
+                **({"Links": links} if links is not None else {}),
+            }
+        return json.dumps(
+            {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": uri,
+                        "WARC-Type": wtype,
+                        "WARC-Date": "2026-08-15T12:00:00Z",
+                    },
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": http_meta
+                    },
+                },
+                "Container": {"Offset": "0"},
+            }
+        ).encode()
+
+    records = [
+        _record(
+            wtype="metadata",
+            url="https://a.example/page",
+            payload=envelope(
+                "https://a.example/page",
+                headers={"Content-Type": "text/html", "Server": "nginx"},
+                links=[
+                    {"path": "A@/href", "url": "https://b.example/x"},
+                    {"path": "IMG@/src", "url": "https://a.example/i.png"},
+                    {"path": "A@/href"},  # crawler emits linkless paths
+                ],
+                title="A Page",
+            ),
+            ctype="application/json",
+        ),
+        _record(
+            wtype="metadata",
+            url="https://a.example/robots.txt",
+            payload=envelope(
+                "https://a.example/robots.txt",
+                headers={"Content-Type": "text/plain"},
+            ),
+            ctype="application/json",
+        ),
+        _record(
+            wtype="metadata",
+            url="https://bad.example/",
+            payload=b"{not json",
+            ctype="application/json",
+        ),
+        # a response record in the same container is NOT a WAT row
+        _record(url="https://a.example/page", payload=_http(b"<p>x</p>")),
+    ]
+    (tmp_path / "seg.wat").write_bytes(b"".join(records))
+    rows = {
+        r["url"]: r
+        for r in wat_records(read_warc(spark, str(tmp_path))).collect()
+    }
+    assert len(rows) == 3
+    page = rows["https://a.example/page"]
+    assert page["subject_type"] == "response"
+    assert page["title"] == "A Page"
+    assert page["headers"]["Server"] == "nginx"
+    assert page["outlinks"] == [
+        "https://b.example/x",
+        "https://a.example/i.png",
+    ]  # the linkless path dropped, order preserved
+    assert page["n_links"] == 2
+    robots = rows["https://a.example/robots.txt"]
+    assert robots["title"] is None and robots["outlinks"] is None
+    assert robots["n_links"] == 0
+    assert robots["headers"]["Content-Type"] == "text/plain"
+    bad = rows["https://bad.example/"]  # URL falls back to the WARC header
+    assert bad["headers"] is None and bad["n_links"] == 0
