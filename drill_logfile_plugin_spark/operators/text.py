@@ -838,6 +838,49 @@ def normalize_text_sql_duck(expr: str) -> str:
     )
 
 
+def unicode_normalize(col, form: str = "NFC") -> Column:
+    """Opt-in Unicode canonicalization (NFC/NFKC/NFD/NFKD) — the lane
+    :func:`normalize_text` deliberately leaves out.
+
+    Multilingual dedup needs it: the same visible text arrives from
+    different sources in composed (U+00E9 é) and decomposed
+    (U+0065 U+0301 e+́) forms, and every byte-level operator in the dedup
+    tier — md5 content hashes, shingles, MinHash signatures — sees them
+    as different documents. Normalizing to NFC before hashing makes
+    composition-variant duplicates collide; NFKC additionally folds
+    compatibility forms (ligatures, full-width Latin — the aggressive
+    variant quality pipelines use, at the cost of losing distinctions
+    that are sometimes meaningful).
+
+    OFF the oracle surface by design: canonicalization needs the ICU/
+    unicodedata tables, whose versions differ across engines (the
+    documented cross-engine divergence in :func:`normalize_text`), so
+    this is an Arrow-batched pandas UDF (Python's unicodedata — ONE
+    table, deterministic for a given Python build) and no registered
+    query depends on it. The default pipeline path stays byte-identical
+    unless a caller opts in (pinned in pytest). NULLs pass through.
+
+    Scale: scan-fused per-row work like every other text scrub; the
+    Python round-trip costs ~an Arrow copy per batch, which is why it's
+    opt-in rather than folded into ``normalize_text``.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(
+            f"unicode_normalize: form must be NFC/NFKC/NFD/NFKD, got "
+            f"{form!r}"
+        )
+
+    @F.pandas_udf(StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return norm(col)
+
+
 # --- boilerplate-span removal (the rewrite consuming the q59 index) -------
 
 

@@ -202,3 +202,52 @@ def test_event_queries_match_oracle_on_dirty_events(
         if not compare(name, df, con, oracles[name]):
             failures.append(name)
     assert not failures, f"oracle mismatch on dirty events: {failures}"
+
+
+def test_unicode_normalize_optin_lane(spark):
+    """Opt-in NFC/NFKC canonicalization (r8): composed and decomposed
+    forms of the same visible text get IDENTICAL dedup keys after the
+    lane, while the default path (normalize_text, the oracle surface)
+    stays byte-identical — composition variants remain distinct there
+    by design (the documented cross-engine descope)."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.text import (
+        normalize_text,
+        unicode_normalize,
+    )
+
+    composed = "café résumé"          # é precomposed
+    decomposed = "café résumé"     # e + combining acute
+    fullwidth = "ｃａｆｅ́"     # ｃａｆｅ + acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, fullwidth), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.md5(normalize_text(F.col("text"))).alias("default_key"),
+            F.md5(unicode_normalize(F.col("text"), "NFC")).alias("nfc_key"),
+            F.md5(unicode_normalize(F.col("text"), "NFKC")).alias("nfkc_key"),
+            unicode_normalize(F.col("text"), "NFC").alias("nfc"),
+        ).collect()
+    }
+    # default path: composition variants stay DISTINCT (byte-identical
+    # passthrough of whatever form arrived)
+    assert out[1]["default_key"] != out[2]["default_key"]
+    # NFC lane: composed == decomposed, and the text is the composed form
+    assert out[1]["nfc_key"] == out[2]["nfc_key"]
+    assert out[2]["nfc"] == composed
+    # full-width Latin only folds under NFKC (plus the combining mark)
+    assert out[3]["nfc_key"] != out[1]["nfc_key"]
+    assert out[3]["nfkc_key"][:8] is not None
+    import unicodedata
+
+    assert unicodedata.normalize("NFKC", fullwidth) == "café"
+    assert out[4]["nfc"] is None  # NULL passthrough
+    import pytest
+
+    with pytest.raises(ValueError, match="NFC/NFKC"):
+        unicode_normalize(F.col("text"), "nfc")
