@@ -710,6 +710,96 @@ def main() -> None:
 
     timed.append(("update_band_index", update_index_lane))
 
+    # Round-8 lanes (r7 verdict item 8: the r7 tiers that lacked a
+    # measured factor, plus this round's exact-substring stage).
+    #
+    # dedup_paragraphs: paragraph hashing + an 8-byte-key doc-frequency
+    # shuffle + ordered reassembly — should track paragraph volume
+    # (linear). sentence_chunks: pure per-doc array lambdas + one
+    # explode — should ride the scan. exact_substring_dedup: the same
+    # positional-stream + cover-join shape as strip_boilerplate, with an
+    # occurrence-count index — should track shingle volume (linear).
+    from drill_logfile_plugin_spark.operators.chunking import sentence_chunks
+    from drill_logfile_plugin_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+    from drill_logfile_plugin_spark.operators.text import dedup_paragraphs
+
+    def dedup_paragraphs_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup_paragraphs(docs, max_doc_freq=2).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_dropped").alias("dropped"),
+        )
+
+    def sentence_chunks_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return sentence_chunks(docs, max_tokens=64).agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("chunk_tokens").alias("tokens"),
+        )
+
+    def exact_substring_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_substring_dedup(docs, n=8).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_removed").alias("removed"),
+            F.sum("n_spans").alias("spans"),
+        )
+
+    timed.append(("dedup_paragraphs", dedup_paragraphs_lane))
+    timed.append(("sentence_chunks", sentence_chunks_lane))
+    timed.append(("exact_substring_dedup", exact_substring_lane))
+
+    # TIFF/BMP decode throughput: one synthetic payload row per document
+    # (16 distinct 32×32 images cycled by doc_id — the per-row decode
+    # work is constant, so the lane isolates the mapInPandas scan
+    # scaling). TIFF payloads are LZW-compressed with Predictor 2 (the
+    # r8 decoder paths — the real-world scanned-document profile); BMP
+    # is 24-bit truecolor. Payload construction reuses the tests' spec-
+    # following writers (independent of the decoders under test) and
+    # rides a broadcast-sized literal array, not a Python generator.
+    import numpy as _np
+
+    from drill_logfile_plugin_spark.operators.multimodal import decode_media
+    from tests.test_bmp_codec import _write_bmp
+    from tests.test_tiff_codec import _write_tiff
+
+    def _payload_set(kind: str) -> list[bytes]:
+        rng = _np.random.default_rng(88)
+        out = []
+        for _ in range(16):
+            img = rng.integers(0, 256, size=(32, 32), dtype=_np.uint8)
+            if kind == "tiff":
+                out.append(
+                    _write_tiff([img], compression=5, predictor=2)
+                )
+            else:
+                rgb = _np.stack([img, img, img], axis=2)
+                out.append(_write_bmp(rgb))
+        return out
+
+    def _decode_lane(kind: str):
+        payloads = _payload_set(kind)
+        arr = F.array(*[F.lit(p) for p in payloads])
+
+        def run(spark, sf_dir):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            media = docs.select(
+                "doc_id",
+                F.element_at(arr, (F.col("doc_id") % 16 + 1).cast("int"))
+                .alias("payload"),
+            )
+            return decode_media(media, codec=kind).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_pixels").alias("pixels"),
+            )
+
+        return run
+
+    timed.append(("tiff_lzw_decode", _decode_lane("tiff")))
+    timed.append(("bmp_decode", _decode_lane("bmp")))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
