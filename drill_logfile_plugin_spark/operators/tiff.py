@@ -17,9 +17,13 @@ the keyframe convention; page count is surfaced); compression 1
 32773 (PackBits run-length, §9), each strip its own stream bounded by
 the strip's declared pixel bytes (bomb guard); Predictor 2 (horizontal
 differencing — the tag real-world LZW scans ship) undone per row/sample
-channel. CCITT/JPEG-in-TIFF compression, tiles, planar configuration 2,
-and 16-bit samples raise NotImplementedError — explicit plug-in points.
-Dimension/size sanity precedes any allocation (untrusted headers).
+channel; compression 7 (JPEG-in-TIFF, TIFF Tech Note 2) by composing
+the certified JPEG decoder — per-strip complete or abbreviated streams
+with JPEGTables (tag 347) defaults spliced after each strip's SOI,
+MCU-padded strips cropped. CCITT fax codings, tiles, planar
+configuration 2, and 16-bit samples raise NotImplementedError —
+explicit plug-in points. Dimension/size sanity precedes any allocation
+(untrusted headers).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
 """
@@ -42,6 +46,7 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -158,7 +163,7 @@ def _read_ifd(data: bytes, off: int, endian: str):
             vals = list(
                 struct.unpack_from(endian + f"{count}I", data, voff)
             )
-        elif typ == 1:
+        elif typ in (1, 6, 7):  # BYTE / SBYTE / UNDEFINED (JPEGTables)
             vals = list(data[voff : voff + count])
         else:
             vals = []  # rationals/ascii etc. — not needed for pixels
@@ -205,11 +210,11 @@ def _tiff_decode(payload: bytes):
             f"TIFF dimensions {width}x{height} exceed the decoder bound"
         )
     compression = one(_T_COMPRESSION, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: CCITT/JPEG-in-TIFF are "
-            "plug-in points; uncompressed (1), LZW (5) and PackBits "
-            "(32773) are supported"
+            f"TIFF compression {compression}: CCITT fax codings are "
+            "plug-in points; uncompressed (1), LZW (5), JPEG (7) and "
+            "PackBits (32773) are supported"
         )
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -242,6 +247,47 @@ def _tiff_decode(payload: bytes):
     rps = min(one(_T_ROWS_PER_STRIP, height), height)
     if rps <= 0:
         raise ValueError("TIFF RowsPerStrip must be positive")
+    if compression == 7:
+        # JPEG-in-TIFF (TIFF Tech Note 2): each strip is a complete or
+        # abbreviated JPEG stream; shared tables may be factored into
+        # the JPEGTables tag (an abbreviated SOI..EOI stream) and are
+        # spliced after each strip's SOI — DQT/DHT segments are
+        # position-independent before SOF/SOS, and any table a strip
+        # redefines locally simply overwrites the spliced default. The
+        # JPEG luma plane IS the (width, height, luma) contract (for
+        # photometric 6/YCbCr the Y channel is BT.601 luma by
+        # definition), so this composes the certified JPEG decoder
+        # (operators/jpeg.py) instead of reimplementing entropy coding.
+        from .jpeg import _jpeg_decode
+
+        tbl = bytes(fields.get(_T_JPEG_TABLES, []))
+        body = b""
+        if tbl:
+            if len(tbl) < 4 or tbl[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEGTables is not a JPEG stream")
+            body = tbl[2:-2] if tbl[-2:] == b"\xff\xd9" else tbl[2:]
+        luma = np.zeros((height, width), dtype=np.uint8)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(payload):
+                raise ValueError("TIFF strip runs past the end of the file")
+            strip_rows = min(rps, height - idx * rps)
+            if strip_rows <= 0:
+                break
+            s = payload[o : o + c]
+            if s[:2] != b"\xff\xd8":
+                raise ValueError(f"TIFF JPEG strip {idx} missing SOI")
+            jw, jh, g = _jpeg_decode(s[:2] + body + s[2:])
+            # strips may be padded up to MCU multiples — crop, never pad
+            if jw < width or jh < strip_rows:
+                raise ValueError(
+                    f"TIFF JPEG strip {idx} decodes {jw}x{jh}, smaller "
+                    f"than the declared {width}x{strip_rows}"
+                )
+            y0 = idx * rps
+            luma[y0 : y0 + strip_rows] = g[:strip_rows, :width]
+        if photometric == 0:
+            luma = (255 - luma).astype(np.uint8)
+        return width, height, luma
     raw = bytearray()
     for idx, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):

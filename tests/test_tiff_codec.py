@@ -138,29 +138,38 @@ def _write_tiff(
     photometric=None,
     compression=1,
     predictor=None,
+    strip_payloads=None,
+    extra_tags=None,
 ):
     """Independent spec-following writer. ``pages`` is a list of either
     (h, w) gray arrays or (h, w, 3) RGB arrays; each page gets its own
     IFD; strips split at ``rows_per_strip`` (default: whole image),
     each compressed as its own stream (1=none, 5=LZW, 32773=PackBits);
-    predictor=2 applies horizontal differencing before compression."""
+    predictor=2 applies horizontal differencing before compression.
+    ``strip_payloads`` (list per page of prebuilt strip bytes) bypasses
+    the pixel packing — the JPEG-in-TIFF layout, where strips are JPEG
+    streams; ``extra_tags`` appends (tag, typ, vals) entries (e.g.
+    JPEGTables)."""
     bom = b"II" if endian == "<" else b"MM"
     out = bytearray(bom + struct.pack(endian + "HI", 42, 0))
     ifd_offsets = []
-    for img in pages:
+    for page_no, img in enumerate(pages):
         rgb = img.ndim == 3
         h, w = img.shape[:2]
         spp = 3 if rgb else 1
         rps = rows_per_strip or h
-        src = _hdiff(img) if predictor == 2 else img
-        strips = []
-        for y0 in range(0, h, rps):
-            raw = src[y0 : y0 + rps].tobytes()
-            if compression == 5:
-                raw = _lzw_encode(raw)
-            elif compression == 32773:
-                raw = _packbits_encode(raw)
-            strips.append(raw)
+        if strip_payloads is not None:
+            strips = list(strip_payloads[page_no])
+        else:
+            src = _hdiff(img) if predictor == 2 else img
+            strips = []
+            for y0 in range(0, h, rps):
+                raw = src[y0 : y0 + rps].tobytes()
+                if compression == 5:
+                    raw = _lzw_encode(raw)
+                elif compression == 32773:
+                    raw = _packbits_encode(raw)
+                strips.append(raw)
         strip_offsets = []
         for s in strips:
             strip_offsets.append(len(out))
@@ -169,7 +178,7 @@ def _write_tiff(
 
         def entry(tag, typ, vals):
             count = len(vals)
-            fmt = {3: "H", 4: "I"}[typ]
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
             size = struct.calcsize(fmt) * count
             packed = struct.pack(endian + fmt * count, *vals)
             if size <= 4:
@@ -193,6 +202,9 @@ def _write_tiff(
         ]
         if predictor is not None:
             tags.append((317, 3, [predictor]))
+        if extra_tags:
+            tags.extend(extra_tags)
+        tags.sort(key=lambda t: t[0])  # spec: ascending tag order
         ifd_off = len(out)
         ifd_offsets.append(ifd_off)
         n = len(tags)
@@ -200,7 +212,7 @@ def _write_tiff(
         extras_base = ifd_off + 2 + 12 * n + 4
         body = bytearray(struct.pack(endian + "H", n))
         for tag, typ, vals in tags:
-            fmt = {3: "H", 4: "I"}[typ]
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
             packed = struct.pack(endian + fmt * len(vals), *vals)
             if len(packed) <= 4:
                 body += struct.pack(endian + "HHI", tag, typ, len(vals))
@@ -278,15 +290,15 @@ def test_rejection_matrix(spark):
             struct.pack_into("<H", blob, pos + 8, 65535)
     with pytest.raises(ValueError, match="exceed"):
         _tiff_decode(bytes(blob))
-    jpg = bytearray(good)
-    n = struct.unpack_from("<H", jpg, struct.unpack_from("<I", jpg, 4)[0])[0]
-    ifd = struct.unpack_from("<I", jpg, 4)[0]
+    fax = bytearray(good)
+    n = struct.unpack_from("<H", fax, struct.unpack_from("<I", fax, 4)[0])[0]
+    ifd = struct.unpack_from("<I", fax, 4)[0]
     for i in range(n):
         pos = ifd + 2 + 12 * i
-        if struct.unpack_from("<H", jpg, pos)[0] == 259:
-            struct.pack_into("<I", jpg, pos + 8, 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
-        _tiff_decode(bytes(jpg))
+        if struct.unpack_from("<H", fax, pos)[0] == 259:
+            struct.pack_into("<I", fax, pos + 8, 4)
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        _tiff_decode(bytes(fax))
     fp3 = _write_tiff([img], predictor=3)
     with pytest.raises(NotImplementedError, match="predictor 3"):
         _tiff_decode(fp3)
@@ -477,3 +489,174 @@ def test_spark_lanes(spark):
     assert len(feats) == 3
     sigs = phash_signatures(df, codec="tiff").collect()
     assert len(sigs) == 3
+
+
+# --- JPEG-in-TIFF (compression 7, TIFF Tech Note 2; r8) -----------------
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Factor DQT/DHT/DRI segments out of a complete JPEG stream into a
+    JPEGTables abbreviated stream (SOI + table segments + EOI), leaving
+    an abbreviated image stream — the Tech Note 2 layout an encoder
+    writes when strips share tables."""
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI
+            image += stream[pos:]
+            break
+        seg_len = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4, 0xDD):
+            tables += seg
+        else:
+            image += seg
+        pos += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
+def _jpeg_strip_tiff(img, rps, factor_tables):
+    """Build a JPEG-in-TIFF: each strip its own baseline JPEG (in-test
+    encoder from the JPEG pin suite); optionally factor shared tables
+    into the JPEGTables tag."""
+    from tests.test_jpeg_codec import encode_jpeg
+
+    h, w = img.shape
+    q = np.full(64, 3, dtype=np.int64)  # zigzag-order table
+    q[0] = 1
+    streams = []
+    for y0 in range(0, h, rps):
+        rows = img[y0 : y0 + rps]
+        sh = rows.shape[0]
+        # pad the strip plane up to 8-row MCU multiples (the spec allows
+        # MCU-padded strips; the decoder must crop)
+        ph = (sh + 7) // 8 * 8
+        pw = (w + 7) // 8 * 8
+        plane = np.zeros((ph, pw), dtype=np.uint8)
+        plane[:sh, :w] = rows
+        payload, _ = encode_jpeg(
+            {1: plane}, w, sh, {1: (1, 1)}, q
+        )
+        streams.append(payload)
+    extra = None
+    if factor_tables:
+        tables0, _ = _split_jpeg_tables(streams[0])
+        streams = [_split_jpeg_tables(s)[1] for s in streams]
+        extra = [(347, 7, list(tables0))]
+    return _write_tiff(
+        [img],
+        rows_per_strip=rps,
+        photometric=6,  # YCbCr — the JPEG-in-TIFF convention
+        compression=7,
+        strip_payloads=[streams],
+        extra_tags=extra,
+    )
+
+
+def test_jpeg_in_tiff_single_and_multi_strip(spark):
+    """Compression 7 composes the certified JPEG decoder: the TIFF luma
+    equals decoding the identical JPEG streams directly, single-strip
+    and multi-strip (incl. an MCU-padded last strip, cropped)."""
+    from drill_logfile_plugin_spark.operators.jpeg import _jpeg_decode
+    from tests.test_jpeg_codec import encode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = (rng.integers(0, 32, size=(21, 17), dtype=np.uint8) * 8).astype(
+        np.uint8
+    )
+    # ground truth: decode each strip's stream directly and stack
+    def want(rps):
+        rows = []
+        q = np.full(64, 3, dtype=np.int64)
+        q[0] = 1
+        for y0 in range(0, 21, rps):
+            sh = img[y0 : y0 + rps].shape[0]
+            ph = (sh + 7) // 8 * 8
+            plane = np.zeros((ph, 24), dtype=np.uint8)
+            plane[:sh, :17] = img[y0 : y0 + rps]
+            payload, _ = encode_jpeg({1: plane}, 17, sh, {1: (1, 1)}, q)
+            _, _, g = _jpeg_decode(payload)
+            rows.append(g[:sh, :17])
+        return np.concatenate(rows, axis=0)
+
+    for rps in (21, 8, 5):
+        w, h, luma = _tiff_decode(_jpeg_strip_tiff(img, rps, False))
+        assert (w, h) == (17, 21)
+        assert np.array_equal(luma, want(rps)), rps
+
+
+def test_jpeg_in_tiff_jpegtables_factoring(spark):
+    """The JPEGTables layout (shared DQT/DHT factored into tag 347,
+    abbreviated per-strip streams) decodes IDENTICALLY to the
+    self-contained-strips layout. Strips share content statistics (an
+    encoder factors tables precisely when they're common); a third
+    strip keeps its own LOCAL tables in-stream, which must override the
+    spliced defaults (the Tech Note 2 precedence rule)."""
+    rng = np.random.default_rng(22)
+    band = (rng.integers(0, 32, size=(8, 16), dtype=np.uint8) * 8).astype(
+        np.uint8
+    )
+    img = np.tile(band, (2, 1))  # two identical strips at rps=8
+    full = _tiff_decode(_jpeg_strip_tiff(img, 8, False))
+    factored = _tiff_decode(_jpeg_strip_tiff(img, 8, True))
+    assert np.array_equal(full[2], factored[2])
+    assert full[:2] == factored[:2] == (16, 16)
+    # local-override: strip 2 has DIFFERENT content and carries its own
+    # complete tables in-stream while JPEGTables still holds strip 0's
+    from tests.test_jpeg_codec import encode_jpeg
+
+    other = (255 - band).astype(np.uint8)
+    q = np.full(64, 3, dtype=np.int64)
+    q[0] = 1
+    s_shared, _ = encode_jpeg({1: band}, 16, 8, {1: (1, 1)}, q)
+    s_local, _ = encode_jpeg({1: other}, 16, 8, {1: (1, 1)}, q)
+    tables, abbrev = _split_jpeg_tables(s_shared)
+    mixed = _write_tiff(
+        [np.vstack([band, band, other])],
+        rows_per_strip=8,
+        photometric=6,
+        compression=7,
+        strip_payloads=[[abbrev, abbrev, s_local]],
+        extra_tags=[(347, 7, list(tables))],
+    )
+    w, h, luma = _tiff_decode(mixed)
+    assert (w, h) == (16, 24)
+    ref = _tiff_decode(_jpeg_strip_tiff(np.vstack([band, band, other]), 8, False))[2]
+    assert np.array_equal(luma, ref)
+
+
+def test_jpeg_in_tiff_rejections(spark):
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    # a strip that is not a JPEG stream
+    blob = _write_tiff(
+        [img],
+        compression=7,
+        photometric=6,
+        strip_payloads=[[b"not a jpeg"]],
+    )
+    with pytest.raises(ValueError, match="SOI"):
+        _tiff_decode(blob)
+    # a JPEG smaller than the declared strip geometry
+    small = _jpeg_strip_tiff(img[:4, :4], 4, False)
+    # patch declared width/height up to 8 (SHORT slots)
+    b = bytearray(small)
+    for tag, val in ((256, 8), (257, 8)):
+        struct.pack_into("<H", b, _find_tag_slot(b, tag), val)
+    with pytest.raises(ValueError, match="smaller"):
+        _tiff_decode(bytes(b))
+    # corrupt JPEGTables
+    blob = _write_tiff(
+        [img],
+        compression=7,
+        photometric=6,
+        strip_payloads=[[b"\xff\xd8rest"]],
+        extra_tags=[(347, 7, list(b"bogus!"))],
+    )
+    with pytest.raises(ValueError, match="JPEGTables"):
+        _tiff_decode(blob)
