@@ -59,6 +59,7 @@ KIND_CMS = "cms-grid"
 KIND_SEEDS = "semdedup-seeds"
 KIND_VOCAB = "bpe-vocab-ids"
 KIND_PQ = "pq-codebooks"
+KIND_SQ = "sq-bounds"
 KIND_BLOOM = "bloom-bits"
 KIND_PCA = "pca-basis"
 KIND_LOGREG = "logreg-weights"
@@ -324,6 +325,31 @@ def load_pq_model(path: str):
         normalize=payload["normalize"],
         # pre-r8 artifacts predate residual training: raw-vector codes
         by_residual=payload.get("by_residual", False),
+    )
+
+
+def save_sq_model(path: str, model) -> str:
+    """Persist a fitted scalar quantizer (sq.sq_fit): per-dimension
+    [min, width] bounds plus the normalize flag (encode/search must
+    replay the same preprocessing or every code byte drifts)."""
+    return save_artifact(
+        path,
+        KIND_SQ,
+        {
+            "vmin": model.vmin,
+            "vdelta": model.vdelta,
+            "normalize": bool(model.normalize),
+        },
+        {"dim": int(model.dim), "normalize": bool(model.normalize)},
+    )
+
+
+def load_sq_model(path: str):
+    from .operators.sq import SQModel
+
+    _, payload, _ = load_artifact(path, KIND_SQ)
+    return SQModel(
+        payload["vmin"], payload["vdelta"], normalize=payload["normalize"]
     )
 
 
