@@ -109,6 +109,118 @@ def temperature_mix(
     )
 
 
+def _epoch_bucket(id_col: str, epoch_col: str = "epoch") -> Column:
+    """:func:`doc_bucket` salted by the replication epoch — the
+    fractional-epoch keep decision must be independent of the plain
+    ``doc_bucket`` stream (shared with temperature_mix's downsampler and
+    the q55 split), or mixes would correlate across operators."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.lit("epoch"),
+                        F.col(epoch_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_BUCKETS
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_docs: int | None = None,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature mixing WITH upsampling: realize per-source rates > 1
+    by replication epochs (the descope :func:`temperature_mix` documents
+    — "upsampling is a replication concern" — closed in-engine).
+
+    The standard pretraining mix table (the Llama/GPT-3 recipe): source
+    s contributes ``target_docs · n_s^alpha / Σ n^alpha`` documents, so
+    its per-document rate is that divided by ``n_s`` — below 1 the
+    source downsamples (hash-gated, as in temperature_mix), above 1 each
+    document appears ``floor(rate)`` times as full epochs 0..floor-1
+    plus one FRACTIONAL epoch kept iff its epoch-salted bucket clears
+    ``frac·MIX_BUCKETS``. Rates cap at ``max_epochs`` (unbounded
+    replication of a tiny source is memorization, not mixing — the cap
+    every published recipe applies). Returns the replicated rows with
+    ``epoch`` (0-based) and ``mix_rate``; ``(id, epoch)`` is unique, so
+    downstream shuffles/dedups treat replicas as distinct rows.
+
+    Deterministic end to end: counts → driver-side rate table (one row
+    per source — dim-sized, the artifact-style bounded collect) →
+    broadcast join → ``explode(sequence(...))`` + one hash gate. No
+    corpus-sized shuffle; the explode multiplies the scan by the mean
+    rate, which IS the requested output volume. NULL sources drop
+    (consistent with temperature_mix; coalesce to a sentinel first to
+    keep them).
+    """
+    if max_epochs < 1:
+        raise ValueError(f"epoch_mix: max_epochs must be >= 1, got {max_epochs}")
+    cnt = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .collect()
+    )
+    if not cnt:
+        return df.withColumn("epoch", F.lit(0)).withColumn(
+            "mix_rate", F.lit(0.0)
+        ).limit(0)
+    total = sum(r["n_s"] for r in cnt)
+    target = total if target_docs is None else int(target_docs)
+    if target <= 0:
+        raise ValueError(f"epoch_mix: target_docs must be positive, got {target}")
+    wsum = sum(r["n_s"] ** alpha for r in cnt)
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [
+            (
+                r[source_col],
+                min(
+                    float(max_epochs),
+                    (r["n_s"] ** alpha / wsum) * target / r["n_s"],
+                ),
+            )
+            for r in cnt
+        ],
+        f"{source_col} string, mix_rate double",
+    )
+    out = (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("mix_rate")).cast("int") - 1,
+                )
+            ),
+        )
+        .where(
+            (F.col("epoch") < F.floor("mix_rate"))
+            | (
+                _epoch_bucket(id_col)
+                < (F.col("mix_rate") - F.floor("mix_rate"))
+                * F.lit(float(MIX_BUCKETS))
+            )
+        )
+    )
+    return out
+
+
 def shuffle_deterministic(
     df: DataFrame,
     id_col: str = "doc_id",
