@@ -8,22 +8,26 @@ directories) whose tagged entries describe strips of pixel data.
 Decoded to the package's standard ``(width, height, luma)`` contract, so
 TIFF drops into the multimodal lanes unchanged.
 
-Supported: BOTH byte orders; BitsPerSample 8 grayscale (min-is-black and
-min-is-white), 8-bit RGB (BT.601 integer luma), strip layout with any
-RowsPerStrip; the FIRST IFD (multi-page TIFFs decode their first page —
-the keyframe convention; page count is surfaced); compression 1
-(uncompressed), 5 (LZW — MSB-first variable-width codes with the TIFF
-"early change" off-by-one and the 4094-entry Clear discipline, §13) and
-32773 (PackBits run-length, §9), each strip its own stream bounded by
-the strip's declared pixel bytes (bomb guard); Predictor 2 (horizontal
-differencing — the tag real-world LZW scans ship) undone per row/sample
-channel; compression 7 (JPEG-in-TIFF, TIFF Tech Note 2) by composing
-the certified JPEG decoder — per-strip complete or abbreviated streams
-with JPEGTables (tag 347) defaults spliced after each strip's SOI,
-MCU-padded strips cropped. CCITT fax codings, tiles, planar
-configuration 2, and 16-bit samples raise NotImplementedError —
-explicit plug-in points. Dimension/size sanity precedes any allocation
-(untrusted headers).
+Supported: BOTH byte orders; BitsPerSample 8 AND 16 (16-bit samples map
+to the luma contract via their high byte), grayscale (min-is-black and
+min-is-white) and RGB (BT.601 integer luma); STRIP layout at any
+RowsPerStrip and TILED layout (tags 322-325; tiles padded to full size,
+edge tiles cropped); planar configuration 1 (chunky) and 2 (per-channel
+planes stored sequentially); the FIRST IFD (multi-page TIFFs decode
+their first page — the keyframe convention; page count is surfaced);
+compression 1 (uncompressed), 5 (LZW — MSB-first variable-width codes
+with the TIFF "early change" off-by-one and the 4094-entry Clear
+discipline, §13) and 32773 (PackBits run-length, §9), each segment its
+own stream bounded by its declared pixel bytes (bomb guard); Predictor
+2 (horizontal differencing — the tag real-world LZW scans ship) undone
+per segment row and sample channel at either depth; compression 7
+(JPEG-in-TIFF, TIFF Tech Note 2) by composing the certified JPEG
+decoder — per-strip or per-tile complete or abbreviated streams with
+JPEGTables (tag 347) defaults spliced after each segment's SOI,
+MCU-padded segments cropped. CCITT fax codings, 1/4-bit samples, and
+JPEG-with-16-bit/planar-2 raise NotImplementedError — explicit plug-in
+points. Dimension/size sanity precedes any allocation (untrusted
+headers).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
 """
@@ -46,6 +50,10 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 _T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -225,39 +233,77 @@ def _tiff_decode(payload: bytes):
         )
     spp = one(_T_SAMPLES_PER_PIXEL, 1)
     bits = fields.get(_T_BITS, [8])
-    if any(b != 8 for b in bits):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(
-            f"TIFF BitsPerSample {bits}: 8-bit samples supported; "
-            "1/4/16-bit are plug-in points"
+            f"TIFF BitsPerSample {bits}: 8- and 16-bit samples supported; "
+            "1/4-bit and mixed depths are plug-in points"
         )
-    if one(_T_PLANAR, 1) != 1:
-        raise NotImplementedError(
-            "TIFF planar configuration 2 (separate planes) is a plug-in "
-            "point; chunky (1) is supported"
-        )
+    bps = bits[0] // 8  # bytes per sample
+    planar = one(_T_PLANAR, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar} is invalid")
+    if spp == 1:
+        planar = 1  # one plane: the two layouts are identical
     photometric = one(_T_PHOTOMETRIC, 1)
     if spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF SamplesPerPixel {spp}: 1 (gray) and 3 (RGB) supported"
         )
-    offsets = fields.get(_T_STRIP_OFFSETS)
-    counts = fields.get(_T_STRIP_COUNTS)
+
+    # segment geometry: tiled (tags 322-325; tiles are PADDED to full
+    # tile size — paste crops) or stripped (strips hold exactly their
+    # rows). planar 2 repeats the per-plane segment list once per
+    # sample channel, planes stored sequentially (TIFF 6.0 §14).
+    tiled = _T_TILE_OFFSETS in fields
+    if tiled:
+        tw = one(_T_TILE_WIDTH)
+        th = one(_T_TILE_LENGTH)
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF tile dimensions must be positive")
+        offsets = fields.get(_T_TILE_OFFSETS)
+        counts = fields.get(_T_TILE_COUNTS)
+        across = -(-width // tw)
+        down = -(-height // th)
+        geo = []  # (x0, y0, buf_cols, buf_rows) per in-plane segment
+        for ty in range(down):
+            for tx in range(across):
+                geo.append((tx * tw, ty * th, tw, th))
+    else:
+        offsets = fields.get(_T_STRIP_OFFSETS)
+        counts = fields.get(_T_STRIP_COUNTS)
+        rps = min(one(_T_ROWS_PER_STRIP, height), height)
+        if rps <= 0:
+            raise ValueError("TIFF RowsPerStrip must be positive")
+        geo = []
+        y0 = 0
+        while y0 < height:
+            geo.append((0, y0, width, min(rps, height - y0)))
+            y0 += rps
     if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip tables missing or inconsistent")
-    rps = min(one(_T_ROWS_PER_STRIP, height), height)
-    if rps <= 0:
-        raise ValueError("TIFF RowsPerStrip must be positive")
+        raise ValueError("TIFF segment tables missing or inconsistent")
+    planes = spp if planar == 2 else 1
+    if len(offsets) < len(geo) * planes:
+        raise ValueError(
+            f"TIFF has {len(offsets)} segments, geometry needs "
+            f"{len(geo) * planes}"
+        )
     if compression == 7:
-        # JPEG-in-TIFF (TIFF Tech Note 2): each strip is a complete or
-        # abbreviated JPEG stream; shared tables may be factored into
-        # the JPEGTables tag (an abbreviated SOI..EOI stream) and are
-        # spliced after each strip's SOI — DQT/DHT segments are
-        # position-independent before SOF/SOS, and any table a strip
-        # redefines locally simply overwrites the spliced default. The
-        # JPEG luma plane IS the (width, height, luma) contract (for
-        # photometric 6/YCbCr the Y channel is BT.601 luma by
-        # definition), so this composes the certified JPEG decoder
-        # (operators/jpeg.py) instead of reimplementing entropy coding.
+        # JPEG-in-TIFF (TIFF Tech Note 2): each segment (strip OR tile)
+        # is a complete or abbreviated JPEG stream; shared tables may be
+        # factored into the JPEGTables tag (an abbreviated SOI..EOI
+        # stream) and are spliced after each segment's SOI — DQT/DHT
+        # segments are position-independent before SOF/SOS, and any
+        # table a segment redefines locally simply overwrites the
+        # spliced default. The JPEG luma plane IS the (width, height,
+        # luma) contract (for photometric 6/YCbCr the Y channel is
+        # BT.601 luma by definition), so this composes the certified
+        # JPEG decoder (operators/jpeg.py) instead of reimplementing
+        # entropy coding.
+        if bps != 1 or planes != 1:
+            raise NotImplementedError(
+                "TIFF JPEG compression with 16-bit samples or planar "
+                "configuration 2 is a plug-in point"
+            )
         from .jpeg import _jpeg_decode
 
         tbl = bytes(fields.get(_T_JPEG_TABLES, []))
@@ -267,74 +313,85 @@ def _tiff_decode(payload: bytes):
                 raise ValueError("TIFF JPEGTables is not a JPEG stream")
             body = tbl[2:-2] if tbl[-2:] == b"\xff\xd9" else tbl[2:]
         luma = np.zeros((height, width), dtype=np.uint8)
-        for idx, (o, c) in enumerate(zip(offsets, counts)):
+        for idx, (x0, y0, bc, br) in enumerate(geo):
+            o, c = offsets[idx], counts[idx]
             if o + c > len(payload):
-                raise ValueError("TIFF strip runs past the end of the file")
-            strip_rows = min(rps, height - idx * rps)
-            if strip_rows <= 0:
-                break
+                raise ValueError(
+                    "TIFF segment runs past the end of the file"
+                )
+            rows = min(br, height - y0)
+            cols = min(bc, width - x0)
             s = payload[o : o + c]
             if s[:2] != b"\xff\xd8":
-                raise ValueError(f"TIFF JPEG strip {idx} missing SOI")
+                raise ValueError(f"TIFF JPEG segment {idx} missing SOI")
             jw, jh, g = _jpeg_decode(s[:2] + body + s[2:])
-            # strips may be padded up to MCU multiples — crop, never pad
-            if jw < width or jh < strip_rows:
+            # segments may be padded up to MCU/tile multiples — crop,
+            # never pad
+            if jw < cols or jh < rows:
                 raise ValueError(
-                    f"TIFF JPEG strip {idx} decodes {jw}x{jh}, smaller "
-                    f"than the declared {width}x{strip_rows}"
+                    f"TIFF JPEG segment {idx} decodes {jw}x{jh}, smaller "
+                    f"than the declared {cols}x{rows}"
                 )
-            y0 = idx * rps
-            luma[y0 : y0 + strip_rows] = g[:strip_rows, :width]
+            luma[y0 : y0 + rows, x0 : x0 + cols] = g[:rows, :cols]
         if photometric == 0:
             luma = (255 - luma).astype(np.uint8)
         return width, height, luma
-    raw = bytearray()
-    for idx, (o, c) in enumerate(zip(offsets, counts)):
+
+    sdtype = np.dtype(endian + ("u2" if bps == 2 else "u1"))
+    img = np.zeros((height, width, spp), dtype=sdtype)
+    seg_spp = 1 if planar == 2 else spp
+    for idx in range(len(geo) * planes):
+        o, c = offsets[idx], counts[idx]
+        plane = idx // len(geo)
+        x0, y0, bc, br = geo[idx % len(geo)]
         if o + c > len(payload):
-            raise ValueError("TIFF strip runs past the end of the file")
+            raise ValueError("TIFF segment runs past the end of the file")
         chunk = payload[o : o + c]
-        strip_rows = min(rps, height - idx * rps)
-        if strip_rows <= 0:
-            break  # extra strips beyond the declared height — ignore
-        expect = strip_rows * width * spp
+        expect = br * bc * seg_spp * bps
         if compression != 1:
-            # each strip is its own stream; its output is hard-bounded
-            # by the strip's OWN declared pixel bytes (last strip short)
+            # each segment is its own stream; its output is hard-bounded
+            # by the segment's OWN declared pixel bytes
             if compression == 5:
                 chunk = _tiff_lzw_decode(chunk, expect)
             else:
                 chunk = _packbits_decode(chunk, expect)
         if len(chunk) < expect:
             raise ValueError(
-                f"TIFF strip {idx} holds {len(chunk)} < {expect} bytes"
+                f"TIFF segment {idx} holds {len(chunk)} < {expect} bytes"
             )
-        if predictor == 2:
-            # undo horizontal differencing: per row, cumulative sum
-            # across columns within each sample channel (mod 256)
-            a = np.frombuffer(chunk[:expect], dtype=np.uint8).reshape(
-                strip_rows, width, spp
-            )
-            chunk = np.add.accumulate(a, axis=1, dtype=np.uint8).tobytes()
-        raw += chunk[:expect]
-    need = width * height * spp
-    if len(raw) < need:
-        raise ValueError(
-            f"TIFF pixel data truncated: need {need} bytes, strips hold "
-            f"{len(raw)}"
+        a = np.frombuffer(chunk[:expect], dtype=sdtype).reshape(
+            br, bc, seg_spp
         )
-    px = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+        if predictor == 2:
+            # undo horizontal differencing: per SEGMENT row (a tile row
+            # restarts at the tile's left edge), cumulative sum across
+            # columns within each sample channel (mod 2^bits); native
+            # byte order first — ufunc dtype args reject explicit-order
+            # dtypes, and accumulate semantics don't depend on it
+            native = np.uint16 if bps == 2 else np.uint8
+            a = np.add.accumulate(
+                a.astype(native), axis=1, dtype=native
+            )
+        rows = min(br, height - y0)
+        cols = min(bc, width - x0)
+        if planar == 2:
+            img[y0 : y0 + rows, x0 : x0 + cols, plane] = a[:rows, :cols, 0]
+        else:
+            img[y0 : y0 + rows, x0 : x0 + cols, :] = a[:rows, :cols, :]
+    if bps == 2:
+        # 16-bit samples -> the 8-bit luma contract via the high byte
+        img = (img >> 8).astype(np.uint8)
     if spp == 3:
-        px = px.reshape(height, width, 3)
         luma = (
             (
-                77 * px[:, :, 0].astype(np.uint32)
-                + 150 * px[:, :, 1].astype(np.uint32)
-                + 29 * px[:, :, 2].astype(np.uint32)
+                77 * img[:, :, 0].astype(np.uint32)
+                + 150 * img[:, :, 1].astype(np.uint32)
+                + 29 * img[:, :, 2].astype(np.uint32)
             )
             >> 8
         ).astype(np.uint8)
     else:
-        luma = px.reshape(height, width).copy()
+        luma = img[:, :, 0].copy()
         if photometric == 0:  # min-is-white: invert to the luma convention
             luma = (255 - luma).astype(np.uint8)
     return width, height, luma

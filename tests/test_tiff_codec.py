@@ -123,11 +123,11 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def _hdiff(img: np.ndarray) -> np.ndarray:
     """Predictor-2 horizontal differencing (per row, per sample channel,
-    mod 256) — what an encoder applies BEFORE compression."""
+    mod 2^bits) — what an encoder applies BEFORE compression."""
     a = img if img.ndim == 3 else img[:, :, None]
-    d = a.astype(np.int16)
-    d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
-    d = (d % 256).astype(np.uint8)
+    d = a.astype(np.int64)
+    d[:, 1:, :] -= a[:, :-1, :].astype(np.int64)
+    d = (d % (1 << (8 * a.dtype.itemsize))).astype(img.dtype)
     return d.reshape(img.shape)
 
 
@@ -140,6 +140,8 @@ def _write_tiff(
     predictor=None,
     strip_payloads=None,
     extra_tags=None,
+    tile=None,
+    planar=1,
 ):
     """Independent spec-following writer. ``pages`` is a list of either
     (h, w) gray arrays or (h, w, 3) RGB arrays; each page gets its own
@@ -157,19 +159,55 @@ def _write_tiff(
         rgb = img.ndim == 3
         h, w = img.shape[:2]
         spp = 3 if rgb else 1
+        bits = 8 * img.dtype.itemsize
         rps = rows_per_strip or h
+
+        def pack(arr):
+            """Segment samples -> bytes in the file's byte order."""
+            return arr.astype(np.dtype(endian + f"u{img.dtype.itemsize}")
+                              ).tobytes()
+
+        def comp(raw):
+            if compression == 5:
+                return _lzw_encode(raw)
+            if compression == 32773:
+                return _packbits_encode(raw)
+            return raw
+
+        def seg_bytes(seg):
+            # predictor applies per SEGMENT: a tile row restarts its
+            # differencing at the tile's left edge
+            if predictor == 2:
+                seg = _hdiff(seg)
+            return comp(pack(seg))
+
         if strip_payloads is not None:
             strips = list(strip_payloads[page_no])
         else:
-            src = _hdiff(img) if predictor == 2 else img
+            src3 = img if img.ndim == 3 else img[:, :, None]
             strips = []
-            for y0 in range(0, h, rps):
-                raw = src[y0 : y0 + rps].tobytes()
-                if compression == 5:
-                    raw = _lzw_encode(raw)
-                elif compression == 32773:
-                    raw = _packbits_encode(raw)
-                strips.append(raw)
+            plane_views = (
+                [src3[:, :, p : p + 1] for p in range(spp)]
+                if planar == 2
+                else [src3]
+            )
+            for pv in plane_views:
+                if tile:
+                    twd, tht = tile
+                    ph = (h + tht - 1) // tht * tht
+                    pw = (w + twd - 1) // twd * twd
+                    padded = np.zeros(
+                        (ph, pw, pv.shape[2]), dtype=img.dtype
+                    )
+                    padded[:h, :w] = pv
+                    for y0 in range(0, ph, tht):
+                        for x0 in range(0, pw, twd):
+                            strips.append(seg_bytes(
+                                padded[y0 : y0 + tht, x0 : x0 + twd]
+                            ))
+                else:
+                    for y0 in range(0, h, rps):
+                        strips.append(seg_bytes(pv[y0 : y0 + rps]))
         strip_offsets = []
         for s in strips:
             strip_offsets.append(len(out))
@@ -192,14 +230,26 @@ def _write_tiff(
         tags = [
             (256, 3, [w]),
             (257, 3, [h]),
-            (258, 3, [8] * spp),
+            (258, 3, [bits] * spp),
             (259, 3, [compression]),
             (262, 3, [photo]),
-            (273, 4, strip_offsets),
             (277, 3, [spp]),
-            (278, 3, [rps]),
-            (279, 4, [len(s) for s in strips]),
         ]
+        if tile:
+            tags += [
+                (322, 3, [tile[0]]),
+                (323, 3, [tile[1]]),
+                (324, 4, strip_offsets),
+                (325, 4, [len(s) for s in strips]),
+            ]
+        else:
+            tags += [
+                (273, 4, strip_offsets),
+                (278, 3, [rps]),
+                (279, 4, [len(s) for s in strips]),
+            ]
+        if planar != 1:
+            tags.append((284, 3, [planar]))
         if predictor is not None:
             tags.append((317, 3, [predictor]))
         if extra_tags:
@@ -642,14 +692,19 @@ def test_jpeg_in_tiff_rejections(spark):
     )
     with pytest.raises(ValueError, match="SOI"):
         _tiff_decode(blob)
-    # a JPEG smaller than the declared strip geometry
+    # a JPEG smaller than the declared strip geometry (patch width only:
+    # patching height too would change the strip COUNT the geometry
+    # expects, which the segment-table check catches first)
     small = _jpeg_strip_tiff(img[:4, :4], 4, False)
-    # patch declared width/height up to 8 (SHORT slots)
     b = bytearray(small)
-    for tag, val in ((256, 8), (257, 8)):
-        struct.pack_into("<H", b, _find_tag_slot(b, tag), val)
+    struct.pack_into("<H", b, _find_tag_slot(b, 256), 8)
     with pytest.raises(ValueError, match="smaller"):
         _tiff_decode(bytes(b))
+    # and the declared-more-strips-than-present case is its own error
+    b2 = bytearray(small)
+    struct.pack_into("<H", b2, _find_tag_slot(b2, 257), 8)
+    with pytest.raises(ValueError, match="geometry needs"):
+        _tiff_decode(bytes(b2))
     # corrupt JPEGTables
     blob = _write_tiff(
         [img],
@@ -660,3 +715,129 @@ def test_jpeg_in_tiff_rejections(spark):
     )
     with pytest.raises(ValueError, match="JPEGTables"):
         _tiff_decode(blob)
+
+
+# --- tiles, 16-bit samples, planar configuration 2 (r8) ------------------
+
+
+def test_tiled_gray_and_rgb_exact(spark):
+    """Tiled layout (tags 322-325): tiles padded to full size, decoder
+    crops edge tiles; exact recovery gray and RGB, uncompressed and
+    LZW+predictor, both endians."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(21, 13), dtype=np.uint8)
+    for endian in ("<", ">"):
+        w, h, luma = _tiff_decode(
+            _write_tiff([img], endian=endian, tile=(8, 8))
+        )
+        assert (w, h) == (13, 21)
+        assert np.array_equal(luma, img)
+    rgb = rng.integers(0, 256, size=(10, 18, 3), dtype=np.uint8)
+    _, _, lr = _tiff_decode(
+        _write_tiff([rgb], tile=(16, 4), compression=5, predictor=2)
+    )
+    for y in range(10):
+        for x in range(18):
+            assert lr[y, x] == _luma(*rgb[y, x])
+
+
+def test_16bit_samples_high_byte_luma(spark):
+    """BitsPerSample 16 (both endians, LZW + predictor-2 included):
+    decoded luma is the high byte of each 16-bit sample (gray) / the
+    BT.601 combination of high bytes (RGB)."""
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 1 << 16, size=(9, 11), dtype=np.uint16)
+    for endian in ("<", ">"):
+        for kw in (dict(), dict(compression=5, predictor=2)):
+            w, h, luma = _tiff_decode(
+                _write_tiff([img], endian=endian, rows_per_strip=4, **kw)
+            )
+            assert (w, h) == (11, 9), kw
+            assert np.array_equal(luma, (img >> 8).astype(np.uint8)), kw
+    rgb = rng.integers(0, 1 << 16, size=(5, 6, 3), dtype=np.uint16)
+    _, _, lr = _tiff_decode(_write_tiff([rgb]))
+    hi = (rgb >> 8).astype(np.uint8)
+    for y in range(5):
+        for x in range(6):
+            assert lr[y, x] == _luma(*hi[y, x])
+    # 16-bit min-is-white inverts on the 8-bit luma
+    _, _, inv = _tiff_decode(_write_tiff([img], photometric=0))
+    assert np.array_equal(inv, 255 - (img >> 8).astype(np.uint8))
+
+
+def test_planar2_separate_planes(spark):
+    """Planar configuration 2: per-channel planes stored sequentially
+    (strips AND tiles), exact luma; identical to the chunky layout."""
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, size=(12, 7, 3), dtype=np.uint8)
+    chunky = _tiff_decode(_write_tiff([rgb]))[2]
+    for kw in (
+        dict(rows_per_strip=5),
+        dict(rows_per_strip=5, compression=32773),
+        dict(tile=(4, 8), compression=5, predictor=2),
+    ):
+        _, _, luma = _tiff_decode(_write_tiff([rgb], planar=2, **kw))
+        assert np.array_equal(luma, chunky), kw
+    # 16-bit planar 2 composes too
+    rgb16 = rng.integers(0, 1 << 16, size=(6, 6, 3), dtype=np.uint16)
+    a = _tiff_decode(_write_tiff([rgb16]))[2]
+    b = _tiff_decode(_write_tiff([rgb16], planar=2, rows_per_strip=2))[2]
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_in_tiff_tiled(spark):
+    """Compression 7 over a TILED layout: each tile its own JPEG,
+    edge tiles cropped — equals the single-strip JPEG decode."""
+    from tests.test_jpeg_codec import encode_jpeg
+
+    rng = np.random.default_rng(34)
+    band = (rng.integers(0, 32, size=(8, 8), dtype=np.uint8) * 8).astype(
+        np.uint8
+    )
+    img = np.tile(band, (2, 3))[:13, :20]  # 13x20: ragged edge tiles
+    q = np.full(64, 3, dtype=np.int64)
+    q[0] = 1
+    tiles = []
+    for y0 in range(0, 16, 8):
+        for x0 in range(0, 24, 8):
+            padded = np.zeros((8, 8), dtype=np.uint8)
+            block = np.tile(band, (2, 3))[y0 : y0 + 8, x0 : x0 + 8]
+            padded[: block.shape[0], : block.shape[1]] = block
+            payload, _ = encode_jpeg({1: padded}, 8, 8, {1: (1, 1)}, q)
+            tiles.append(payload)
+    blob = _write_tiff(
+        [img],
+        photometric=6,
+        compression=7,
+        tile=(8, 8),
+        strip_payloads=[tiles],
+    )
+    w, h, luma = _tiff_decode(blob)
+    assert (w, h) == (20, 13)
+    # reference: decode each tile stream directly and paste
+    from drill_logfile_plugin_spark.operators.jpeg import _jpeg_decode
+
+    want = np.zeros((13, 20), dtype=np.uint8)
+    i = 0
+    for y0 in range(0, 16, 8):
+        for x0 in range(0, 24, 8):
+            _, _, g = _jpeg_decode(tiles[i])
+            rows = min(8, 13 - y0)
+            cols = min(8, 20 - x0)
+            if rows > 0 and cols > 0:
+                want[y0 : y0 + rows, x0 : x0 + cols] = g[:rows, :cols]
+            i += 1
+    assert np.array_equal(luma, want)
+
+
+def test_tile_and_depth_rejections(spark):
+    img = np.zeros((4, 4), dtype=np.uint8)
+    blob = bytearray(_write_tiff([img], tile=(4, 4)))
+    struct.pack_into("<H", blob, _find_tag_slot(blob, 322), 0)
+    with pytest.raises(ValueError, match="tile dimensions"):
+        _tiff_decode(bytes(blob))
+    img1 = np.zeros((2, 2), dtype=np.uint8)
+    b = bytearray(_write_tiff([img1]))
+    struct.pack_into("<H", b, _find_tag_slot(b, 258), 4)
+    with pytest.raises(NotImplementedError, match="BitsPerSample"):
+        _tiff_decode(bytes(b))
