@@ -262,3 +262,96 @@ def sq_topk(
         F.row_number().over(w).alias("rank"),
         F.col("sim_hat").alias("sim"),
     ).where(F.col("rank") <= k)
+
+
+def ivfsq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 128,
+    nprobe: int = 32,
+    lloyd_iters: int = 4,
+    sample_size: int = 4096,
+    rerank: int | None = None,
+    centroids: np.ndarray | None = None,
+    model: SQModel | None = None,
+) -> DataFrame:
+    """IVF-SQ approximate top-k (FAISS ``IVFx,SQ8``): coarse cells prune
+    the corpus, SQ8 codes price the scan inside each probed cell, exact
+    cosine refines — the production shape when dim bytes/vector is
+    affordable and PQ's codebook distortion isn't wanted.
+
+    Identical economics to ``pq.ivfpq_topk``: candidate volume per query
+    is ``n × nprobe / n_cells`` rows at ``dim`` bytes + one matmul row
+    each, and only ``rerank`` candidates per query (default ``10k``)
+    touch a float vector; the cell equi join is partition pruning at
+    scale; the refine join broadcasts the bounded survivor set.
+    ``centroids=`` / ``model=`` apply persisted fits unchanged
+    (train-once/apply-many — a refit would re-key every stored cell id
+    and code byte).
+    """
+    from .pq import _empty_topk
+    from .similarity import _ivf_centroids
+
+    rerank = 10 * k if rerank is None else rerank
+    Cn = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(
+            corpus, id_col, vec_col, n_cells, lloyd_iters, sample_size
+        )
+    )
+    if len(Cn) == 0:
+        return _empty_topk(queries, id_col)
+    sq = (
+        model
+        if model is not None
+        else sq_fit(corpus, id_col, vec_col, sample_size=sample_size)
+    )
+    nprobe_eff = min(nprobe, len(Cn))
+    vmin, vdelta, normalize = sq.vmin, sq.vdelta, sq.normalize
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign_cell(col: pd.Series) -> pd.Series:
+        mat = _stack_vectors(col.to_numpy(), "ivfsq assign")
+        return pd.Series((mat @ Cn.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(col: pd.Series) -> pd.Series:
+        mat = _stack_vectors(col.to_numpy(), "ivfsq probe")
+        order = np.argsort(-(mat @ Cn.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe_eff].astype("int32")))
+
+    @F.pandas_udf(BinaryType())
+    def encode(col: pd.Series) -> pd.Series:
+        X = _stack_vectors(col.to_numpy(), "ivfsq encode").astype(
+            np.float64
+        )
+        codes = _sq_encode_mat(X, SQModel(vmin, vdelta, normalize))
+        return pd.Series([c.tobytes() for c in codes])
+
+    cb = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+        encode(F.col(vec_col)).alias("cd"),
+    )
+    qb = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qe"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    sim = _sq_sim_udf(sq)
+    cands = (
+        qb.join(cb, "cell")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            sim(F.col("q_id"), F.col("qe"), F.col("cd")).alias("sim_hat"),
+        )
+    )
+    return _exact_rerank(cands, queries, corpus, k, rerank, id_col, vec_col)

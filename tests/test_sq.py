@@ -162,3 +162,41 @@ def test_degenerate_contracts(spark, embeddings):
     bad = np.array([[1.0, 2.0]])
     with pytest.raises(ValueError, match="!= model dim"):
         Q._sq_encode_mat(bad, model)
+
+
+def test_ivfsq_recall_and_persisted_models(spark, tmp_path):
+    """The composed index (coarse cells prune, SQ8 codes price the
+    scan, exact refine): recall@5 >= 0.9 probing 2/32 cells on the
+    blobs; persisted centroids + SQ model search identically to
+    in-session fits (train-once/apply-many)."""
+    from drill_logfile_plugin_spark.operators.similarity import ivf_fit
+
+    df = _blobs(spark)
+    q = df.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in S.cosine_topk(q, df, k=5).collect()
+    }
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in Q.ivfsq_topk(
+            q, df, k=5, n_cells=32, nprobe=2, sample_size=2000
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF-SQ recall@5 at 1/16 probe = {recall}"
+    Cn = ivf_fit(df, n_cells=32, sample_size=2000)
+    model = Q.sq_fit(df, sample_size=2000)
+    artifacts.save_sq_model(str(tmp_path / "m.json"), model)
+    loaded = artifacts.load_sq_model(str(tmp_path / "m.json"))
+    kw = dict(k=3, nprobe=2, sample_size=2000)
+    a = sorted(
+        map(str, Q.ivfsq_topk(q, df, centroids=Cn, model=model, **kw).collect())
+    )
+    b = sorted(
+        map(str, Q.ivfsq_topk(q, df, centroids=Cn, model=loaded, **kw).collect())
+    )
+    assert a == b
+    empty = Q.ivfsq_topk(q, df.where(F.lit(False)), n_cells=8)
+    assert empty.columns == ["q_id", "neighbor_id", "rank", "sim"]
+    assert empty.count() == 0
