@@ -800,6 +800,23 @@ def main() -> None:
     timed.append(("tiff_lzw_decode", _decode_lane("tiff")))
     timed.append(("bmp_decode", _decode_lane("bmp")))
 
+    # IVF-SQ: the second composed compressed index — same economics
+    # claim as sim_ann_ivfpq (candidates O(n·nprobe/n_cells), floats
+    # only on rerank survivors), so the 10× factor should land in the
+    # same band. epoch_mix: one dim-sized count collect + broadcast +
+    # explode — should ride the scan times the (constant) mean rate.
+    from drill_logfile_plugin_spark.operators.sampling import epoch_mix
+    from drill_logfile_plugin_spark.operators.sq import ivfsq_topk
+
+    timed.append(("sim_ann_ivfsq", sim_lane(ivfsq_topk)))
+
+    def epoch_mix_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mixed = epoch_mix(docs, alpha=0.5, max_epochs=4)
+        return mixed.groupBy("source", "epoch").count()
+
+    timed.append(("epoch_mix", epoch_mix_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
