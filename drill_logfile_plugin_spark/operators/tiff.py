@@ -8,9 +8,10 @@ directories) whose tagged entries describe strips of pixel data.
 Decoded to the package's standard ``(width, height, luma)`` contract, so
 TIFF drops into the multimodal lanes unchanged.
 
-Supported: BOTH byte orders; BitsPerSample 8 AND 16 (16-bit samples map
-to the luma contract via their high byte), grayscale (min-is-black and
-min-is-white) and RGB (BT.601 integer luma); STRIP layout at any
+Supported: BOTH byte orders; BitsPerSample 1 (bilevel scan masks —
+MSB-first row-aligned bits unpack to 0/255 luma), 8 AND 16 (16-bit
+samples map to the luma contract via their high byte), grayscale
+(min-is-black and min-is-white) and RGB (BT.601 integer luma); STRIP layout at any
 RowsPerStrip and TILED layout (tags 322-325; tiles padded to full size,
 edge tiles cropped); planar configuration 1 (chunky) and 2 (per-channel
 planes stored sequentially); the FIRST IFD (multi-page TIFFs decode
@@ -24,9 +25,11 @@ per segment row and sample channel at either depth; compression 7
 (JPEG-in-TIFF, TIFF Tech Note 2) by composing the certified JPEG
 decoder — per-strip or per-tile complete or abbreviated streams with
 JPEGTables (tag 347) defaults spliced after each segment's SOI,
-MCU-padded segments cropped. CCITT fax codings, 1/4-bit samples, and
+MCU-padded segments cropped. CCITT fax codings, 4-bit samples, and
 JPEG-with-16-bit/planar-2 raise NotImplementedError — explicit plug-in
-points. Dimension/size sanity precedes any allocation (untrusted
+points (CCITT needs the full T.4 code tables, which this environment
+cannot cross-verify against an independent implementation — an
+unverifiable decoder is worse than an honest gate). Dimension/size sanity precedes any allocation (untrusted
 headers).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
@@ -233,12 +236,17 @@ def _tiff_decode(payload: bytes):
         )
     spp = one(_T_SAMPLES_PER_PIXEL, 1)
     bits = fields.get(_T_BITS, [8])
-    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+    if len(set(bits)) != 1 or bits[0] not in (1, 8, 16):
         raise NotImplementedError(
-            f"TIFF BitsPerSample {bits}: 8- and 16-bit samples supported; "
-            "1/4-bit and mixed depths are plug-in points"
+            f"TIFF BitsPerSample {bits}: 1-bit bilevel and 8/16-bit "
+            "samples supported; 4-bit and mixed depths are plug-in points"
         )
-    bps = bits[0] // 8  # bytes per sample
+    if bits[0] == 1 and spp != 1:
+        raise NotImplementedError(
+            "TIFF 1-bit samples are bilevel (SamplesPerPixel 1) only"
+        )
+    bilevel = bits[0] == 1
+    bps = 1 if bilevel else bits[0] // 8  # bytes per (unpacked) sample
     planar = one(_T_PLANAR, 1)
     if planar not in (1, 2):
         raise ValueError(f"TIFF planar configuration {planar} is invalid")
@@ -337,6 +345,10 @@ def _tiff_decode(payload: bytes):
             luma = (255 - luma).astype(np.uint8)
         return width, height, luma
 
+    if bilevel and predictor == 2:
+        raise ValueError(
+            "TIFF predictor 2 is undefined for 1-bit samples"
+        )
     sdtype = np.dtype(endian + ("u2" if bps == 2 else "u1"))
     img = np.zeros((height, width, spp), dtype=sdtype)
     seg_spp = 1 if planar == 2 else spp
@@ -347,7 +359,14 @@ def _tiff_decode(payload: bytes):
         if o + c > len(payload):
             raise ValueError("TIFF segment runs past the end of the file")
         chunk = payload[o : o + c]
-        expect = br * bc * seg_spp * bps
+        if bilevel:
+            # 1-bit rows pack MSB-first, each row byte-aligned (§ image
+            # data layout); unpack to 0/255 so the luma contract and the
+            # photometric-0 inversion apply unchanged
+            rowbytes = (bc + 7) // 8
+            expect = br * rowbytes
+        else:
+            expect = br * bc * seg_spp * bps
         if compression != 1:
             # each segment is its own stream; its output is hard-bounded
             # by the segment's OWN declared pixel bytes
@@ -359,9 +378,18 @@ def _tiff_decode(payload: bytes):
             raise ValueError(
                 f"TIFF segment {idx} holds {len(chunk)} < {expect} bytes"
             )
-        a = np.frombuffer(chunk[:expect], dtype=sdtype).reshape(
-            br, bc, seg_spp
-        )
+        if bilevel:
+            packed = np.frombuffer(chunk[:expect], dtype=np.uint8).reshape(
+                br, rowbytes
+            )
+            a = (
+                np.unpackbits(packed, axis=1)[:, :bc].astype(np.uint8)
+                * np.uint8(255)
+            )[:, :, None]
+        else:
+            a = np.frombuffer(chunk[:expect], dtype=sdtype).reshape(
+                br, bc, seg_spp
+            )
         if predictor == 2:
             # undo horizontal differencing: per SEGMENT row (a tile row
             # restarts at the tile's left edge), cumulative sum across

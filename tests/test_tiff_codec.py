@@ -142,6 +142,7 @@ def _write_tiff(
     extra_tags=None,
     tile=None,
     planar=1,
+    bilevel=False,
 ):
     """Independent spec-following writer. ``pages`` is a list of either
     (h, w) gray arrays or (h, w, 3) RGB arrays; each page gets its own
@@ -159,11 +160,14 @@ def _write_tiff(
         rgb = img.ndim == 3
         h, w = img.shape[:2]
         spp = 3 if rgb else 1
-        bits = 8 * img.dtype.itemsize
+        bits = 1 if bilevel else 8 * img.dtype.itemsize
         rps = rows_per_strip or h
 
         def pack(arr):
-            """Segment samples -> bytes in the file's byte order."""
+            """Segment samples -> bytes in the file's byte order (1-bit:
+            MSB-first, each row byte-aligned — packbits per row)."""
+            if bilevel:
+                return np.packbits(arr[:, :, 0] & 1, axis=1).tobytes()
             return arr.astype(np.dtype(endian + f"u{img.dtype.itemsize}")
                               ).tobytes()
 
@@ -841,3 +845,35 @@ def test_tile_and_depth_rejections(spark):
     struct.pack_into("<H", b, _find_tag_slot(b, 258), 4)
     with pytest.raises(NotImplementedError, match="BitsPerSample"):
         _tiff_decode(bytes(b))
+
+
+def test_bilevel_1bit(spark):
+    """1-bit bilevel (the scan-mask baseline): MSB-first row-aligned
+    packing unpacks to {0,255} luma under both photometrics, through
+    strips, ragged widths (row byte padding), PackBits, LZW, and tiles."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 2, size=(11, 19), dtype=np.uint8)  # 19: ragged
+    # photometric 1 (BlackIsZero): bit 1 -> 255
+    w, h, luma = _tiff_decode(
+        _write_tiff([img], bilevel=True, rows_per_strip=4)
+    )
+    assert (w, h) == (19, 11)
+    assert np.array_equal(luma, img * 255)
+    # photometric 0 (WhiteIsZero): bit 0 -> 255
+    _, _, inv = _tiff_decode(
+        _write_tiff([img], bilevel=True, photometric=0)
+    )
+    assert np.array_equal(inv, (1 - img) * 255)
+    # compressed and tiled lanes
+    for kw in (
+        dict(compression=32773),
+        dict(compression=5),
+        dict(tile=(8, 8)),
+        dict(tile=(8, 8), compression=5),
+    ):
+        _, _, l2 = _tiff_decode(_write_tiff([img], bilevel=True, **kw))
+        assert np.array_equal(l2, img * 255), kw
+    # predictor 2 on 1-bit is undefined
+    blob = _write_tiff([img], bilevel=True, predictor=2)
+    with pytest.raises(ValueError, match="1-bit"):
+        _tiff_decode(blob)
