@@ -1,16 +1,43 @@
-"""WAV/PCM audio decoder (stdlib + numpy) for the multimodal tier.
+"""WAV audio decoder (stdlib + numpy) for the multimodal tier.
 
 Real audio bytes behind the same Spark-side shape the image codecs
-prove: RIFF container parse, PCM sample decode (8-bit unsigned / 16-bit
-signed little-endian, mono or multi-channel), with the tier's standard
-guards — malformed bytes raise ValueError, genuinely absent
-capabilities (float PCM, 24/32-bit, compressed formats) raise
-NotImplementedError at the documented plug-in points, and header-derived
-sizes are bounded before allocation (untrusted input).
+prove: RIFF container parse, then sample decode across the WAV format
+codes that dominate real corpora —
 
-PCM is LOSSLESS, so the pytest discipline is even stronger than the
-image codecs': the independent in-test writer round-trips samples
+* format 1  — integer PCM at 8 (unsigned), 16, 24, 32 bits;
+* format 3  — IEEE float PCM (float32/float64);
+* format 6  — A-law companded 8-bit (ITU-T G.711, telephony corpora);
+* format 7  — mu-law companded 8-bit (G.711, North-American telephony);
+* format 17 — IMA/DVI ADPCM 4-bit block-coded (the classic low-rate
+  speech archive format);
+* format 0xFFFE — WAVE_FORMAT_EXTENSIBLE, the mandatory wrapper for
+  >2-channel or >16-bit files, unwrapped to whichever base code its
+  SubFormat GUID names.
+
+Everything decodes to ONE amplitude scale — the signed 16-bit range —
+so every downstream feature/window lane sees comparable magnitudes
+regardless of the container's width:
+
+* 8-bit unsigned is recentred and scaled up (``(v - 128) << 8``);
+* 24/32-bit integer PCM is arithmetic-shifted down (``>> 8`` / ``>> 16``
+  — floor semantics, deterministic, pinned in tests);
+* float is clipped to [-1, 1] and rounded half-to-even to
+  ``x * 32767`` (numpy's one rounding mode, bit-stable across runs);
+* G.711 and ADPCM expand to 16-bit linear by definition.
+
+The tier's standard guards hold: malformed bytes raise ValueError,
+genuinely absent capabilities (MS-ADPCM format 2, GSM 6.10, MPEG
+layers) raise NotImplementedError at the documented plug-in points,
+and header-derived sizes are bounded before allocation (untrusted
+input).
+
+Integer PCM is LOSSLESS, so the pytest discipline is even stronger than
+the image codecs': the independent in-test writer round-trips samples
 EXACTLY, bit for bit, across widths/channels/odd-length data chunks.
+The G.711 tables are pinned against ``audioop`` (an independent CPython
+implementation of the same ITU tables) over the complete 256-code
+domain; the ADPCM block decoder is pinned against a loop-by-definition
+in-test reference fed by an independent in-test encoder.
 
 No reference counterpart: the reference plugin is text-only
 (LogRecordReader.java:125); LLM-pipeline extension tier.
@@ -24,6 +51,119 @@ import struct
 #: must not be able to demand a multi-GiB allocation. 2^26 samples is
 #: ~11 minutes of 48 kHz stereo, far above fixture scope.
 _WAV_MAX_SAMPLES = 1 << 26
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every registered wave
+#: format shares this 14-byte suffix after the 2-byte format code.
+_EXTENSIBLE_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+_FMT_PCM = 1
+_FMT_FLOAT = 3
+_FMT_ALAW = 6
+_FMT_ULAW = 7
+_FMT_IMA_ADPCM = 17
+_FMT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_ulaw_table():
+    """256-entry mu-law -> 16-bit linear table (ITU-T G.711).
+
+    The textbook expansion: complement, split into sign/segment/mantissa,
+    rebuild ``((mantissa << 3) + 0x84) << segment`` and re-subtract the
+    bias. Pinned code-for-code against ``audioop.ulaw2lin`` in tests.
+    """
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int32) ^ 0xFF  # transmitted inverted
+    mant = codes & 0x0F
+    seg = (codes & 0x70) >> 4
+    t = ((mant << 3) + 0x84) << seg
+    return np.where(codes & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _g711_alaw_table():
+    """256-entry A-law -> 16-bit linear table (ITU-T G.711); pinned
+    against ``audioop.alaw2lin`` over the complete domain."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int32) ^ 0x55  # even-bit inversion
+    mant = codes & 0x0F
+    seg = (codes & 0x70) >> 4
+    t = mant << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(codes & 0x80, t, -t).astype(np.int32)
+
+
+#: IMA ADPCM step-size table (89 entries) and index-adjust table —
+#: the published DVI/IMA constants, shared by every implementation.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_expand_nibble(nibble: int, predictor: int, index: int):
+    """One IMA ADPCM step: (nibble, state) -> (sample, state'). The
+    shift-add reconstruction (step>>3 rounding term) per the IMA spec —
+    NOT the approximate multiply — so decoders agree bit-for-bit."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nibble & 7]))
+    return predictor, index
+
+
+def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
+    """Decode WAV IMA ADPCM data to an (n_frames, n_channels) int32 array.
+
+    Block layout (Microsoft WAV mapping of IMA ADPCM): per channel a
+    4-byte header (int16 initial predictor — emitted as the block's
+    first sample — uint8 step index, uint8 reserved), then the nibble
+    stream in 4-byte words interleaved channel by channel, low nibble
+    first, 8 samples per channel per word group. A short final block
+    decodes to however many whole word groups it carries.
+    """
+    import numpy as np
+
+    header = 4 * n_channels
+    if block_align <= header or (block_align - header) % (4 * n_channels):
+        raise ValueError("IMA ADPCM block alignment inconsistent with channels")
+    out = [[] for _ in range(n_channels)]
+    for bstart in range(0, len(data) - header + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred, idx, _rsvd = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred)  # header predictor IS the first sample
+        for gstart in range(header, len(block) - 4 * n_channels + 1, 4 * n_channels):
+            for c in range(n_channels):
+                for byte in block[gstart + 4 * c : gstart + 4 * (c + 1)]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_expand_nibble(
+                            nib, preds[c], idxs[c]
+                        )
+                        out[c].append(preds[c])
+    if not out[0]:
+        raise ValueError("IMA ADPCM data shorter than one block header")
+    return np.stack(
+        [np.asarray(ch, dtype=np.int32) for ch in out], axis=1
+    )
 
 
 def _wav_chunks(payload: bytes):
@@ -41,15 +181,31 @@ def _wav_chunks(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned (pad byte)
 
 
+def _unwrap_extensible(fmt_body: bytes, audio_format: int) -> int:
+    """Resolve WAVE_FORMAT_EXTENSIBLE to its SubFormat's base code."""
+    if audio_format != _FMT_EXTENSIBLE:
+        return audio_format
+    if len(fmt_body) < 40:
+        raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk truncated")
+    guid = fmt_body[24:40]
+    if guid[2:] != _EXTENSIBLE_GUID_TAIL:
+        raise NotImplementedError(
+            "WAVE_FORMAT_EXTENSIBLE SubFormat GUID is not a registered "
+            "wave format (vendor codecs are not decodable here)"
+        )
+    return struct.unpack("<H", guid[:2])[0]
+
+
 def _wav_decode(payload: bytes):
-    """Decode a PCM WAV to ``(sample_rate, samples)`` — ``samples`` an
-    (n_frames, n_channels) int32 array of raw PCM values (8-bit
-    unsigned payloads recentred to signed, scaled to 16-bit range so
-    feature lanes see one amplitude scale)."""
+    """Decode a WAV to ``(sample_rate, samples)`` — ``samples`` an
+    (n_frames, n_channels) int32 array in the signed 16-bit range
+    (see the module docstring for the per-format scaling rules)."""
     import numpy as np
 
     fmt = None
+    fmt_body = b""
     data = None
+    fact_frames = None
     for cid, body in _wav_chunks(payload):
         if cid == b"fmt ":
             if len(body) < 16:
@@ -63,23 +219,50 @@ def _wav_decode(payload: bytes):
                 bits,
             ) = struct.unpack("<HHIIHH", body[:16])
             fmt = (audio_format, n_channels, sample_rate, block_align, bits)
+            fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            # spec-required for non-PCM: the true frame count, which
+            # trims the block-padding tail of coded formats
+            (fact_frames,) = struct.unpack("<I", body[:4])
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, block_align, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(
-            f"WAV format {audio_format} not supported by the built-in "
-            "decoder (PCM only; float/ADPCM are the plug-in points)"
-        )
-    if bits not in (8, 16):
-        raise NotImplementedError(
-            f"WAV {bits}-bit PCM not supported (8/16-bit only; 24/32-bit "
-            "are the plug-in points)"
-        )
     if n_channels == 0 or sample_rate == 0:
         raise ValueError("WAV with zero channels or sample rate")
+    audio_format = _unwrap_extensible(fmt_body, audio_format)
+
+    if audio_format == _FMT_IMA_ADPCM:
+        if bits != 4:
+            raise ValueError("IMA ADPCM WAV must declare 4 bits per sample")
+        # bound BEFORE decoding: <= 2 samples per data byte
+        if len(data) * 2 > _WAV_MAX_SAMPLES:
+            raise ValueError(
+                f"WAV sample count exceeds the decoder bound ({_WAV_MAX_SAMPLES})"
+            )
+        samples = _ima_adpcm_decode(data, n_channels, block_align)
+        if fact_frames is not None and fact_frames < len(samples):
+            samples = samples[:fact_frames]
+        return int(sample_rate), samples
+
+    if audio_format == _FMT_PCM:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(
+                f"WAV {bits}-bit integer PCM not supported (8/16/24/32-bit)"
+            )
+    elif audio_format == _FMT_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError("IEEE-float WAV must declare 32 or 64 bits")
+    elif audio_format in (_FMT_ALAW, _FMT_ULAW):
+        if bits != 8:
+            raise ValueError("G.711 WAV must declare 8 bits per sample")
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format} not supported by the built-in "
+            "decoder (PCM/float/A-law/mu-law/IMA-ADPCM; MS-ADPCM and GSM "
+            "are the plug-in points)"
+        )
     bytes_per = bits // 8
     if block_align != n_channels * bytes_per:
         raise ValueError("WAV block alignment inconsistent with format")
@@ -89,12 +272,37 @@ def _wav_decode(payload: bytes):
             f"WAV sample count exceeds the decoder bound ({_WAV_MAX_SAMPLES})"
         )
     usable = n_frames * block_align
-    if bits == 8:
-        a = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int32)
+    raw = data[:usable]
+    if audio_format == _FMT_FLOAT:
+        f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+        with np.errstate(invalid="ignore"):
+            f = np.nan_to_num(f.astype(np.float64), nan=0.0)
+        a = np.rint(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
+    elif audio_format == _FMT_ULAW:
+        a = _g711_ulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif audio_format == _FMT_ALAW:
+        a = _g711_alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif bits == 8:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
         a = (a - 128) << 8  # unsigned 8-bit -> signed 16-bit range
-    else:
-        a = np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
-    return int(sample_rate), a.reshape(n_frames, n_channels)
+    elif bits == 16:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        full = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        full = np.where(full & 0x800000, full - (1 << 24), full)
+        a = full >> 8  # arithmetic shift to the 16-bit scale (floor)
+    else:  # 32-bit integer PCM
+        a = np.frombuffer(raw, dtype="<i4").astype(np.int64) >> 16
+        a = a.astype(np.int32)
+    out = a.reshape(n_frames, n_channels)
+    if (
+        audio_format != _FMT_PCM
+        and fact_frames is not None
+        and fact_frames < len(out)
+    ):
+        out = out[:fact_frames]
+    return int(sample_rate), out
 
 
 def _wav_mono(payload: bytes):

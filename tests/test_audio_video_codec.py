@@ -105,13 +105,19 @@ def test_wav_rejections():
     s = _rng(4).integers(-100, 100, size=(10, 1), dtype=np.int64)
     good = bytearray(write_wav(s, 8000))
     fmt_at = good.index(b"fmt ") + 8
-    ieee = bytearray(good)
-    ieee[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float
-    with pytest.raises(NotImplementedError, match="PCM only"):
-        A._wav_decode(bytes(ieee))
+    msadpcm = bytearray(good)
+    msadpcm[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS-ADPCM
+    with pytest.raises(NotImplementedError, match="plug-in points"):
+        A._wav_decode(bytes(msadpcm))
+    # IEEE float declared at an integer width: malformed, and 24-bit
+    # declared without fixing block_align: inconsistent
+    ieee16 = bytearray(good)
+    ieee16[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="32 or 64"):
+        A._wav_decode(bytes(ieee16))
     b24 = bytearray(good)
     b24[fmt_at + 14 : fmt_at + 16] = struct.pack("<H", 24)
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises(ValueError, match="block alignment"):
         A._wav_decode(bytes(b24))
     with pytest.raises(ValueError, match="truncated"):
         A._wav_decode(bytes(good[:-6]))
