@@ -267,6 +267,7 @@ def stratified_sample(
     strata_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "",
+    shards: int | None = None,
 ) -> DataFrame:
     """Keep EXACTLY ``min(n_stratum, cap)`` rows per stratum, deterministically.
 
@@ -289,19 +290,60 @@ def stratified_sample(
 
     Scale posture: one shuffle partitioned by the stratum column and a
     per-stratum rank — shuffle volume O(corpus rows), key width = the
-    stratum value. A stratum holding half the corpus serializes through
-    one task; for such skew, pre-thin with ``temperature_mix`` (or a
-    coarse hash-threshold filter at rate ~2·cap/n_stratum) before
-    ranking, which preserves the final exact-cap semantics while the
-    rank input stays executor-sized. Strata counts themselves are never
-    needed in advance — the cap filter IS the count.
+    stratum value. A stratum holding half the corpus serializes its SORT
+    through one task (a window partition cannot be split by AQE); pass
+    ``shards`` to make the rank skew-proof WITHOUT changing the result:
+
+    * two-level exact top-cap (the classic distributed top-k): rows are
+      first ranked within (stratum, shard) — ``shards`` deterministic
+      hash sub-buckets of the id — keeping ``cap`` per shard, then the
+      ≤ ``shards * cap`` survivors per stratum are ranked exactly. The
+      global cap-smallest rows of a stratum are each cap-smallest within
+      their own shard (their shard's rows are a subset of the stratum's),
+      so pass one never drops a final survivor: MEMBERSHIP IS IDENTICAL
+      to the single-pass rank, pinned in tests across shard counts;
+    * the heavy first pass sorts partitions of ~n/shards rows; the exact
+      second pass touches ``shards * cap`` rows per stratum — trivially
+      executor-sized at any corpus scale. Two exchanges total, the
+      second over the thinned candidate set only.
+
+    Strata counts themselves are never needed in advance — the cap
+    filter IS the count.
     """
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    src = df
+    if shards and shards > 1:
+        # shard on an independent hash stream ("shard:" salt) so the
+        # sub-bucketing never correlates with the selection key; ANY
+        # pure row function preserves membership (see docstring proof)
+        shard = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("shard:"), F.lit(salt), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(shards),
+        )
+        w1 = Window.partitionBy(strata_col, "__shard").orderBy(key, F.col(id_col))
+        src = (
+            df.withColumn("__shard", shard)
+            .withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= cap)
+            .drop("__shard", "__rk1")
+        )
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        src.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )

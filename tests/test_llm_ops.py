@@ -1190,6 +1190,49 @@ def test_stratified_sample_membership_stable_under_repartition(spark, documents)
     assert a == b
 
 
+def test_stratified_sample_sharded_membership_identical(spark, documents):
+    """The skew-proof two-level rank (shards=k) must select EXACTLY the
+    rows the single-pass rank selects — the distributed-top-k identity
+    the docstring proves — for every shard count, including shard counts
+    exceeding the stratum sizes and interacting with the salt."""
+    from drill_logfile_plugin_spark.operators.sampling import stratified_sample
+
+    for cap, salt in ((7, ""), (3, "epoch2")):
+        plain = sorted(
+            r["doc_id"]
+            for r in stratified_sample(documents, cap=cap, salt=salt)
+            .select("doc_id")
+            .collect()
+        )
+        for k in (2, 5, 64):
+            sharded = sorted(
+                r["doc_id"]
+                for r in stratified_sample(
+                    documents, cap=cap, salt=salt, shards=k
+                )
+                .select("doc_id")
+                .collect()
+            )
+            assert sharded == plain, (cap, salt, k)
+    # shards=1 degenerates to the plain path
+    assert sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents, cap=7, shards=1)
+        .select("doc_id")
+        .collect()
+    ) == sorted(
+        r["doc_id"]
+        for r in stratified_sample(documents, cap=7).select("doc_id").collect()
+    )
+
+
+def test_stratified_sample_sharded_drops_helper_columns(spark, documents):
+    from drill_logfile_plugin_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(documents, cap=5, shards=4)
+    assert out.columns == documents.columns
+
+
 # --- table profiler -------------------------------------------------------
 
 
