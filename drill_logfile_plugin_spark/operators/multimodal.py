@@ -88,7 +88,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "wav", "avi")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "wav", "avi")
 
 #: codecs whose payloads are audio — they have no (width, height) and
 #: route through decode_audio instead of decode_media
@@ -542,6 +542,12 @@ def decode_media(
 
             w, h, _gray = _tiff_decode(p)
             return "tiff", w, h
+    elif codec == "pnm":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .pnm import _pnm_decode
+
+            w, h, _gray = _pnm_decode(p)
+            return "pnm", w, h
     else:
         _decode_one = _fake_decode
 
@@ -911,7 +917,7 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi", "gif", "bmp", "tiff"):
+    if codec in ("png", "jpeg", "avi", "gif", "bmp", "tiff", "pnm"):
         def _gray_of(p: bytes):
             if codec == "png":
                 return _png_decode(p)[2]
@@ -931,6 +937,10 @@ def extract_features(
                 from .tiff import _tiff_decode
 
                 return _tiff_decode(p)[2]
+            if codec == "pnm":
+                from .pnm import _pnm_decode
+
+                return _pnm_decode(p)[2]
             from .jpeg import _jpeg_decode
             from .video import _avi_decode
 
@@ -1054,12 +1064,14 @@ def frame_sample(
             ids, idxs, ts = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    if codec in ("png", "jpeg", "bmp", "tiff"):
+                    if codec in ("png", "jpeg", "bmp", "tiff", "pnm"):
                         # a validated still image is exactly one frame
                         if codec == "bmp":
                             from .bmp import _bmp_decode as _still
                         elif codec == "tiff":
                             from .tiff import _tiff_decode as _still
+                        elif codec == "pnm":
+                            from .pnm import _pnm_decode as _still
                         elif codec == "png":
                             _still = _png_decode
                         else:
@@ -1237,7 +1249,7 @@ def phash_signatures(
     follow ``on_error`` — ``"skip"`` (default: no signature, the
     natural quarantine for a candidate generator) or ``"strict"``.
     """
-    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff"):
+    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff", "pnm"):
         raise NotImplementedError(
             f"phash_signatures codec {codec!r} not available"
         )
@@ -1258,6 +1270,8 @@ def phash_signatures(
             from .bmp import _bmp_decode as _decode
         elif codec == "tiff":
             from .tiff import _tiff_decode as _decode
+        elif codec == "pnm":
+            from .pnm import _pnm_decode as _decode
         elif codec == "png":
             _decode = _png_decode
         for pdf in batches:
