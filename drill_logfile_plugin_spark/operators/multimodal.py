@@ -88,7 +88,7 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "wav", "avi")
+SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "wav", "avi", "y4m")
 
 #: codecs whose payloads are audio — they have no (width, height) and
 #: route through decode_audio instead of decode_media
@@ -524,6 +524,12 @@ def decode_media(
 
             w, h, _us, _frames = _avi_decode(p)
             return "avi", w, h
+    elif codec == "y4m":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            from .video import _y4m_decode
+
+            w, h, _us, _frames = _y4m_decode(p)
+            return "y4m", w, h
     elif codec == "gif":
         def _decode_one(p: bytes) -> tuple[str, int, int]:
             from .gif import _gif_decode
@@ -917,7 +923,7 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi", "gif", "bmp", "tiff", "pnm"):
+    if codec in ("png", "jpeg", "avi", "y4m", "gif", "bmp", "tiff", "pnm"):
         def _gray_of(p: bytes):
             if codec == "png":
                 return _png_decode(p)[2]
@@ -941,6 +947,13 @@ def extract_features(
                 from .pnm import _pnm_decode
 
                 return _pnm_decode(p)[2]
+            if codec == "y4m":
+                from .video import _y4m_frame_luma
+
+                # a video's feature = its FIRST frame's luma histogram
+                # (the keyframe-thumbnail convention); Y4M's Y plane is
+                # already luma
+                return _y4m_frame_luma(p, 0)
             from .jpeg import _jpeg_decode
             from .video import _avi_decode
 
@@ -1086,6 +1099,16 @@ def frame_sample(
                         for i in range(0, len(frames), every_n):
                             _jpeg_decode(frames[i])
                             sampled.append((i, (i * us) // 1000))
+                    elif codec == "y4m":
+                        # raw planar frames are validated by the
+                        # container's own size arithmetic at decode
+                        from .video import _y4m_decode
+
+                        _w, _h, us, frames = _y4m_decode(p)
+                        sampled = [
+                            (i, (i * us) // 1000)
+                            for i in range(0, len(frames), every_n)
+                        ]
                     elif codec == "gif":
                         # animation frames with REAL graphic-control
                         # delays; t_ms = cumulative start time
@@ -1249,7 +1272,7 @@ def phash_signatures(
     follow ``on_error`` — ``"skip"`` (default: no signature, the
     natural quarantine for a candidate generator) or ``"strict"``.
     """
-    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff", "pnm"):
+    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "y4m"):
         raise NotImplementedError(
             f"phash_signatures codec {codec!r} not available"
         )
@@ -1272,6 +1295,12 @@ def phash_signatures(
             from .tiff import _tiff_decode as _decode
         elif codec == "pnm":
             from .pnm import _pnm_decode as _decode
+        elif codec == "y4m":
+            from .video import _y4m_frame_luma
+
+            def _decode(p):
+                # first-frame Y plane: the video near-dup keyframe rule
+                return None, None, _y4m_frame_luma(p, 0)
         elif codec == "png":
             _decode = _png_decode
         for pdf in batches:
