@@ -95,6 +95,153 @@ SUPPORTED_CODECS = ("fake", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "wav", "
 AUDIO_CODECS = ("wav",)
 
 
+# --- format sniffing ---------------------------------------------------------
+#
+# Real crawls carry MIXED media: one payload column holds PNGs beside
+# JPEGs beside WAVs. Every container here opens with an unambiguous
+# magic, so a byte-prefix sniff routes each ROW to the right decoder —
+# `codec="auto"` on the decode/hash lanes and the `sniff_media` metadata
+# operator build on this one function.
+
+#: media kind per sniffable codec
+SNIFF_KINDS = {
+    "png": "image",
+    "jpeg": "image",
+    "gif": "image",
+    "bmp": "image",
+    "tiff": "image",
+    "pnm": "image",
+    "wav": "audio",
+    "avi": "video",
+    "y4m": "video",
+}
+
+
+def sniff_codec(payload: bytes) -> str:
+    """Identify a payload's container by magic bytes (never by content
+    decode — sniffing is O(12 bytes) per row). ValueError on
+    unrecognized prefixes."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if (
+        len(payload) >= 3
+        and payload[0:1] == b"P"
+        and payload[1:2] in b"123456"
+        and payload[2] in b" \t\r\n\x0b\x0c#"
+    ):
+        return "pnm"
+    if payload.startswith(b"YUV4MPEG2"):
+        return "y4m"
+    if payload.startswith(b"RIFF") and len(payload) >= 12:
+        riff_type = payload[8:12]
+        if riff_type == b"WAVE":
+            return "wav"
+        if riff_type == b"AVI ":
+            return "avi"
+        raise ValueError(f"RIFF container of unrecognized type {riff_type!r}")
+    raise ValueError("unrecognized media magic")
+
+
+#: Metadata schema produced by sniff_media.
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sniff_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify every payload by container magic — the routing scan a
+    mixed-media corpus runs FIRST, so each kind's decode lane reads only
+    its own rows (``WHERE media_format = 'jpeg'`` semi-joins back). Pure
+    prefix inspection: no decode, no allocation, scan speed regardless
+    of payload size. Unrecognized payloads get NULL format/kind rather
+    than erroring (the profile-not-quarantine posture: counting unknown
+    magics is the point of the scan)."""
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def sniff_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, kinds, nbs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt = sniff_codec(p)
+                    kind = SNIFF_KINDS[fmt]
+                except ValueError:
+                    fmt = kind = None
+                ids.append(doc_id)
+                fmts.append(fmt)
+                kinds.append(kind)
+                nbs.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_format": pd.Series(fmts, dtype="object"),
+                    "media_kind": pd.Series(kinds, dtype="object"),
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                }
+            )
+
+    return narrow.mapInPandas(sniff_batches, SNIFF_SCHEMA)
+
+
+def _luma_of_sniffed(fmt: str, p: bytes):
+    """First-frame/still luma for a sniffed payload — the shared decode
+    hook behind the ``codec="auto"`` lanes. Audio raises ValueError (no
+    luma; the caller's on_error mode decides)."""
+    if fmt == "png":
+        return _png_decode(p)[2]
+    if fmt == "jpeg":
+        from .jpeg import _jpeg_decode
+
+        return _jpeg_decode(p)[2]
+    if fmt == "gif":
+        from .gif import _gif_first_frame_screen
+
+        return _gif_first_frame_screen(p)[2]
+    if fmt == "bmp":
+        from .bmp import _bmp_decode
+
+        return _bmp_decode(p)[2]
+    if fmt == "tiff":
+        from .tiff import _tiff_decode
+
+        return _tiff_decode(p)[2]
+    if fmt == "pnm":
+        from .pnm import _pnm_decode
+
+        return _pnm_decode(p)[2]
+    if fmt == "y4m":
+        from .video import _y4m_frame_luma
+
+        return _y4m_frame_luma(p, 0)
+    if fmt == "avi":
+        from .jpeg import _jpeg_decode
+        from .video import _avi_decode
+
+        return _jpeg_decode(_avi_decode(p)[3][0])[2]
+    raise ValueError(f"sniffed {fmt!r} payload has no luma plane")
+
+
 # --- real codec: PNG --------------------------------------------------------
 #
 # PNG's container is stdlib-decodable (zlib + struct), so the decode
@@ -497,10 +644,11 @@ def decode_media(
     treat any corrupt payload as a data bug). The fake codec is total —
     it never errors — so the driver's oracle lane is mode-independent.
     """
-    if codec not in SUPPORTED_CODECS:
+    if codec != "auto" and codec not in SUPPORTED_CODECS:
         raise NotImplementedError(
             f"codec {codec!r}: further media codecs (ffmpeg-class) are not "
-            f"available in this environment; supported: {SUPPORTED_CODECS}"
+            f"available in this environment; supported: {SUPPORTED_CODECS} "
+            "plus 'auto' (magic-byte routing)"
         )
     if codec in AUDIO_CODECS:
         raise ValueError(
@@ -554,6 +702,19 @@ def decode_media(
 
             w, h, _gray = _pnm_decode(p)
             return "pnm", w, h
+    elif codec == "auto":
+        def _decode_one(p: bytes) -> tuple[str, int, int]:
+            # magic-routed mixed-media decode; audio payloads have no
+            # (width, height), so they quarantine under on_error (run
+            # sniff_media first to route them to decode_audio)
+            fmt = sniff_codec(p)
+            if fmt in AUDIO_CODECS:
+                raise ValueError(
+                    f"sniffed {fmt!r} is audio; route via decode_audio"
+                )
+            gray = _luma_of_sniffed(fmt, p)
+            h, w = gray.shape
+            return fmt, w, h
     else:
         _decode_one = _fake_decode
 
@@ -911,7 +1072,7 @@ def extract_features(
     quarantines undecodable rows with NULL features, ``"skip"`` drops
     them, ``"strict"`` aborts the job (see :func:`decode_media`).
     """
-    if codec not in SUPPORTED_CODECS:
+    if codec != "auto" and codec not in SUPPORTED_CODECS:
         raise NotImplementedError(f"codec {codec!r} not available")
     _check_on_error(on_error)
     if codec == "fake" and dim > 16:
@@ -923,8 +1084,12 @@ def extract_features(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
-    if codec in ("png", "jpeg", "avi", "y4m", "gif", "bmp", "tiff", "pnm"):
+    if codec in ("png", "jpeg", "avi", "y4m", "gif", "bmp", "tiff", "pnm", "auto"):
         def _gray_of(p: bytes):
+            if codec == "auto":
+                # magic-routed: still/keyframe luma for images and
+                # video; audio quarantines (no luma plane)
+                return _luma_of_sniffed(sniff_codec(p), p)
             if codec == "png":
                 return _png_decode(p)[2]
             if codec == "jpeg":
@@ -1272,7 +1437,7 @@ def phash_signatures(
     follow ``on_error`` — ``"skip"`` (default: no signature, the
     natural quarantine for a candidate generator) or ``"strict"``.
     """
-    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "y4m"):
+    if codec not in ("raw", "png", "jpeg", "gif", "bmp", "tiff", "pnm", "y4m", "auto"):
         raise NotImplementedError(
             f"phash_signatures codec {codec!r} not available"
         )
@@ -1301,6 +1466,11 @@ def phash_signatures(
             def _decode(p):
                 # first-frame Y plane: the video near-dup keyframe rule
                 return None, None, _y4m_frame_luma(p, 0)
+        elif codec == "auto":
+            def _decode(p):
+                # magic-routed cross-format media dedup in ONE pass;
+                # audio payloads raise (no luma) -> skip/strict
+                return None, None, _luma_of_sniffed(sniff_codec(p), p)
         elif codec == "png":
             _decode = _png_decode
         for pdf in batches:
