@@ -63,6 +63,7 @@ KIND_SQ = "sq-bounds"
 KIND_BLOOM = "bloom-bits"
 KIND_PCA = "pca-basis"
 KIND_LOGREG = "logreg-weights"
+KIND_DSIR = "dsir-logratio"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -382,6 +383,28 @@ def load_logreg_model(path: str):
         payload["means"],
         payload["stds"],
     )
+
+
+def save_dsir_model(path: str, model) -> str:
+    """Persist a fitted DSIR importance model (dsir.dsir_fit): the one
+    dim-length log-probability-ratio vector plus the n-gram order it was
+    featurized under (scoring must hash the same gram stream or the
+    weights are meaningless). Train once on the (target, source) pair;
+    apply to every future source increment unchanged."""
+    return save_artifact(
+        path,
+        KIND_DSIR,
+        {"log_ratio": model.log_ratio, "n": int(model.n)},
+        {"dim": int(model.dim), "n": int(model.n)},
+    )
+
+
+def load_dsir_model(path: str):
+    from .operators.dsir import DSIRModel
+
+    _, payload, _ = load_artifact(path, KIND_DSIR)
+    lr = payload["log_ratio"]
+    return DSIRModel(dim=int(lr.shape[0]), n=int(payload["n"]), log_ratio=lr)
 
 
 def save_pca_model(path: str, model) -> str:
