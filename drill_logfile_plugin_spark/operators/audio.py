@@ -10,6 +10,9 @@ codes that dominate real corpora —
 * format 7  — mu-law companded 8-bit (G.711, North-American telephony);
 * format 17 — IMA/DVI ADPCM 4-bit block-coded (the classic low-rate
   speech archive format);
+* format 2  — Microsoft ADPCM 4-bit block-coded (the other legacy
+  Windows speech format), including custom predictor-coefficient
+  tables carried in the fmt extension;
 * format 0xFFFE — WAVE_FORMAT_EXTENSIBLE, the mandatory wrapper for
   >2-channel or >16-bit files, unwrapped to whichever base code its
   SubFormat GUID names.
@@ -26,8 +29,8 @@ regardless of the container's width:
 * G.711 and ADPCM expand to 16-bit linear by definition.
 
 The tier's standard guards hold: malformed bytes raise ValueError,
-genuinely absent capabilities (MS-ADPCM format 2, GSM 6.10, MPEG
-layers) raise NotImplementedError at the documented plug-in points,
+genuinely absent capabilities (GSM 6.10, MPEG layers) raise
+NotImplementedError at the documented plug-in points,
 and header-derived sizes are bounded before allocation (untrusted
 input).
 
@@ -36,8 +39,9 @@ the image codecs': the independent in-test writer round-trips samples
 EXACTLY, bit for bit, across widths/channels/odd-length data chunks.
 The G.711 tables are pinned against ``audioop`` (an independent CPython
 implementation of the same ITU tables) over the complete 256-code
-domain; the ADPCM block decoder is pinned against a loop-by-definition
-in-test reference fed by an independent in-test encoder.
+domain; the ADPCM block decoders (IMA and MS) are each pinned against a
+loop-by-definition in-test reference fed by an independent in-test
+encoder.
 
 No reference counterpart: the reference plugin is text-only
 (LogRecordReader.java:125); LLM-pipeline extension tier.
@@ -57,6 +61,7 @@ _WAV_MAX_SAMPLES = 1 << 26
 _EXTENSIBLE_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 _FMT_PCM = 1
+_FMT_MS_ADPCM = 2
 _FMT_FLOAT = 3
 _FMT_ALAW = 6
 _FMT_ULAW = 7
@@ -166,6 +171,83 @@ def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
     )
 
 
+#: MS-ADPCM adaptation table (indexed by the unsigned nibble) and the
+#: seven standard predictor-coefficient pairs — the published format
+#: constants every implementation shares.
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _ms_adpcm_decode(data: bytes, n_channels: int, block_align: int, coefs):
+    """Decode WAV MS-ADPCM data to an (n_frames, n_channels) int32 array.
+
+    Block layout per the format spec: per-channel uint8 predictor
+    indexes, per-channel int16 initial deltas, per-channel int16
+    sample1 then sample2 (sample2 is the OLDER sample and is emitted
+    first), then the 4-bit error stream — one nibble per channel in
+    channel order, high nibble first. Reconstruction:
+    ``pred = (s1*c1 + s2*c2) >> 8; sample = clamp(pred + delta*e)``
+    with the signed nibble ``e`` and
+    ``delta' = max(16, (adapt[nibble]*delta) >> 8)``.
+    """
+    import numpy as np
+
+    header = 7 * n_channels  # 1 + 2 + 2 + 2 bytes per channel
+    if block_align <= header:
+        raise ValueError("MS-ADPCM block alignment too small for its header")
+    out = [[] for _ in range(n_channels)]
+    for bstart in range(0, len(data) - header + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, deltas, s1, s2 = [], [], [], []
+        for c in range(n_channels):
+            pidx = block[c]
+            if pidx >= len(coefs):
+                raise ValueError(
+                    f"MS-ADPCM predictor index {pidx} exceeds the "
+                    f"coefficient table ({len(coefs)} entries)"
+                )
+            preds.append(coefs[pidx])
+        off = n_channels
+        for c in range(n_channels):
+            (d,) = struct.unpack_from("<h", block, off + 2 * c)
+            deltas.append(d if d else 16)
+        off += 2 * n_channels
+        for c in range(n_channels):
+            (v,) = struct.unpack_from("<h", block, off + 2 * c)
+            s1.append(v)
+        off += 2 * n_channels
+        for c in range(n_channels):
+            (v,) = struct.unpack_from("<h", block, off + 2 * c)
+            s2.append(v)
+        off += 2 * n_channels
+        for c in range(n_channels):
+            out[c].append(s2[c])  # older first
+            out[c].append(s1[c])
+        ch = 0
+        for byte in block[off:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                e = nib - 16 if nib >= 8 else nib
+                c1, c2 = preds[ch]
+                pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                sample = max(-32768, min(32767, pred + deltas[ch] * e))
+                s2[ch], s1[ch] = s1[ch], sample
+                deltas[ch] = max(16, (_MS_ADAPT[nib] * deltas[ch]) >> 8)
+                out[ch].append(sample)
+                ch = (ch + 1) % n_channels
+    if not out[0]:
+        raise ValueError("MS-ADPCM data shorter than one block header")
+    n = min(len(x) for x in out)
+    return np.stack(
+        [np.asarray(x[:n], dtype=np.int32) for x in out], axis=1
+    )
+
+
 def _wav_chunks(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV (missing RIFF/WAVE header)")
@@ -233,6 +315,28 @@ def _wav_decode(payload: bytes):
         raise ValueError("WAV with zero channels or sample rate")
     audio_format = _unwrap_extensible(fmt_body, audio_format)
 
+    if audio_format == _FMT_MS_ADPCM:
+        if bits != 4:
+            raise ValueError("MS-ADPCM WAV must declare 4 bits per sample")
+        if len(data) * 2 > _WAV_MAX_SAMPLES:
+            raise ValueError(
+                f"WAV sample count exceeds the decoder bound ({_WAV_MAX_SAMPLES})"
+            )
+        # the fmt extension may carry a custom coefficient table:
+        # cbSize @16, samplesPerBlock @18, numCoef @20, pairs from @22
+        coefs = _MS_COEFS
+        if len(fmt_body) >= 22:
+            (n_coef,) = struct.unpack_from("<H", fmt_body, 20)
+            if n_coef and len(fmt_body) >= 22 + 4 * n_coef:
+                coefs = tuple(
+                    struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+                    for i in range(n_coef)
+                )
+        samples = _ms_adpcm_decode(data, n_channels, block_align, coefs)
+        if fact_frames is not None and fact_frames < len(samples):
+            samples = samples[:fact_frames]
+        return int(sample_rate), samples
+
     if audio_format == _FMT_IMA_ADPCM:
         if bits != 4:
             raise ValueError("IMA ADPCM WAV must declare 4 bits per sample")
@@ -260,8 +364,8 @@ def _wav_decode(payload: bytes):
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} not supported by the built-in "
-            "decoder (PCM/float/A-law/mu-law/IMA-ADPCM; MS-ADPCM and GSM "
-            "are the plug-in points)"
+            "decoder (PCM/float/A-law/mu-law/IMA-ADPCM/MS-ADPCM; GSM and "
+            "MPEG layers are the plug-in points)"
         )
     bytes_per = bits // 8
     if block_align != n_channels * bytes_per:

@@ -261,8 +261,6 @@ def test_wav_ima_adpcm_rejections():
 def test_wav_unsupported_formats_still_raise():
     s = _rng(30).integers(-100, 100, size=64, dtype=np.int64).astype("<i2")
     raw = s.tobytes()
-    with pytest.raises(NotImplementedError, match="format 2"):
-        A._wav_decode(write_wav_raw(raw, 8000, 2, 1, 16))  # MS-ADPCM
     with pytest.raises(NotImplementedError, match="format 49"):
         A._wav_decode(write_wav_raw(raw, 8000, 49, 1, 16))  # GSM 6.10
     # float with an integer width is malformed, not a plug-in point
@@ -332,3 +330,110 @@ def test_decode_audio_lane_handles_g711_and_adpcm(spark):
     assert out[0]["duration_ms"] == 100
     assert (out[1]["n_frames"], out[1]["n_channels"]) == (660, 2)
     assert out[1]["sample_rate"] == 8000
+
+
+# --- MS-ADPCM -------------------------------------------------------------------
+
+
+def ms_adpcm_encode(samples: np.ndarray, samples_per_block: int, pidx: int = 0):
+    """Independent MS-ADPCM encoder (published format spec): fixed
+    predictor per block, error quantized by truncating division; returns
+    (data_bytes, block_align, reconstruction) — the reconstruction is
+    what a bit-exact decoder MUST emit."""
+    ADAPT = A._MS_ADAPT
+    COEFS = A._MS_COEFS
+    nf, nc = samples.shape
+    if samples_per_block < 2 or (samples_per_block - 2) % 2:
+        raise ValueError("samples_per_block must be even + 2")
+    block_align = 7 * nc + ((samples_per_block - 2) * nc) // 2
+    c1, c2 = COEFS[pidx]
+    data = bytearray()
+    recon = np.zeros_like(samples, dtype=np.int32)
+    f = 0
+    while f < nf:
+        blk_n = min(samples_per_block, nf - f)
+        if blk_n < 2:
+            break  # a block cannot carry fewer than its two seed samples
+        s2 = [int(samples[f, c]) for c in range(nc)]
+        s1 = [int(samples[f + 1, c]) for c in range(nc)]
+        deltas = [16] * nc
+        data += bytes([pidx] * nc)
+        for c in range(nc):
+            data += struct.pack("<h", deltas[c])
+        for c in range(nc):
+            data += struct.pack("<h", s1[c])
+        for c in range(nc):
+            data += struct.pack("<h", s2[c])
+        for c in range(nc):
+            recon[f, c] = s2[c]
+            recon[f + 1, c] = s1[c]
+        nibs = []
+        for pos in range(2, samples_per_block):
+            for c in range(nc):
+                target = (
+                    int(samples[f + pos, c]) if pos < blk_n else s1[c]
+                )
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                e = (target - pred) // deltas[c] if target >= pred else -(
+                    (pred - target) // deltas[c]
+                )
+                e = max(-8, min(7, e))
+                nib = e & 0x0F
+                sample = max(-32768, min(32767, pred + deltas[c] * e))
+                s2[c], s1[c] = s1[c], sample
+                deltas[c] = max(16, (ADAPT[nib] * deltas[c]) >> 8)
+                if pos < blk_n:
+                    recon[f + pos, c] = sample
+                nibs.append(nib)
+        for k in range(0, len(nibs), 2):
+            data.append((nibs[k] << 4) | nibs[k + 1])
+        f += blk_n
+    return bytes(data), block_align, recon
+
+
+@pytest.mark.parametrize("nc,pidx", [(1, 0), (2, 0), (1, 4)])
+def test_wav_ms_adpcm_tracks_encoder_exactly(nc, pidx):
+    s = _smooth(50 + nc + pidx, 1000, nc)
+    spb = 32
+    data, block, recon = ms_adpcm_encode(s, spb, pidx=pidx)
+    extra = struct.pack("<HHH", 4 + 4 * len(A._MS_COEFS), spb, len(A._MS_COEFS))
+    for c1, c2 in A._MS_COEFS:
+        extra += struct.pack("<hh", c1, c2)
+    payload = write_wav_raw(
+        data, 11025, 2, nc, 4, block_align=block, extra=extra, fact=len(s)
+    )
+    rate, out = A._wav_decode(payload)
+    assert rate == 11025
+    n = min(len(out), len(recon))
+    assert np.array_equal(out[:n], recon[:n])
+    assert len(out) == len(recon)  # fact trims any pad tail
+
+
+def test_wav_ms_adpcm_without_coef_table_uses_standard():
+    s = _smooth(60, 128, 1)
+    data, block, recon = ms_adpcm_encode(s, 32)
+    payload = write_wav_raw(data, 8000, 2, 1, 4, block_align=block)
+    rate, out = A._wav_decode(payload)
+    assert np.array_equal(out[: len(recon)], recon)
+
+
+def test_wav_ms_adpcm_rejections():
+    s = _smooth(61, 64, 1)
+    data, block, _ = ms_adpcm_encode(s, 32)
+    ok = bytearray(write_wav_raw(data, 8000, 2, 1, 4, block_align=block))
+    at = ok.index(b"fmt ") + 8
+    bad_bits = bytearray(ok)
+    bad_bits[at + 14 : at + 16] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="4 bits"):
+        A._wav_decode(bytes(bad_bits))
+    # predictor index beyond the coefficient table
+    bad_pred = bytearray(ok)
+    dat = bad_pred.index(b"data") + 8
+    bad_pred[dat] = 7  # standard table has 7 entries: indexes 0..6
+    with pytest.raises(ValueError, match="predictor index"):
+        A._wav_decode(bytes(bad_pred))
+    # block_align smaller than the per-channel header
+    bad_block = bytearray(ok)
+    bad_block[at + 12 : at + 14] = struct.pack("<H", 6)
+    with pytest.raises(ValueError, match="block alignment too small"):
+        A._wav_decode(bytes(bad_block))

@@ -105,10 +105,10 @@ def test_wav_rejections():
     s = _rng(4).integers(-100, 100, size=(10, 1), dtype=np.int64)
     good = bytearray(write_wav(s, 8000))
     fmt_at = good.index(b"fmt ") + 8
-    msadpcm = bytearray(good)
-    msadpcm[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS-ADPCM
+    gsm = bytearray(good)
+    gsm[fmt_at : fmt_at + 2] = struct.pack("<H", 49)  # GSM 6.10
     with pytest.raises(NotImplementedError, match="plug-in points"):
-        A._wav_decode(bytes(msadpcm))
+        A._wav_decode(bytes(gsm))
     # IEEE float declared at an integer width: malformed, and 24-bit
     # declared without fixing block_align: inconsistent
     ieee16 = bytearray(good)
