@@ -10,11 +10,14 @@ integer luma plane every other image codec here emits — so BMP drops into
 ``phash_signatures`` unchanged.
 
 Supported profiles: BI_RGB (uncompressed) at 24-bit BGR, 32-bit BGRx,
-8-bit palettized, and 1-bit palettized (MSB-first); both bottom-up and
-top-down row orders; BITMAPINFOHEADER and the larger V4/V5 headers (the
-extra fields don't affect BI_RGB pixel layout). RLE compression and
-16-bit bitfields raise NotImplementedError — explicit plug-in points, the
-JPEG-tier convention. Dimension and size sanity run BEFORE any
+8-bit, 4-bit, and 1-bit palettized (MSB-first); BI_RLE8 and BI_RLE4
+run-length streams (encoded/absolute/delta/end-of-line/end-of-bitmap
+modes per the spec, with every cursor write bounds-checked — an RLE
+stream is attacker-controlled cursor arithmetic); both bottom-up and
+top-down row orders (RLE is bottom-up by spec); BITMAPINFOHEADER and
+the larger V4/V5 headers (the extra fields don't affect these layouts).
+Bitfields and embedded JPEG/PNG raise NotImplementedError — explicit
+plug-in points, the JPEG-tier convention. Dimension and size sanity run BEFORE any
 allocation: headers are untrusted input (the PNG bomb-guard rule).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C); the
@@ -27,6 +30,74 @@ import struct
 
 #: dimension bomb guard, matching the PNG/GIF decoders' bound
 _BMP_MAX_PIXELS = 64_000_000
+
+
+def _bmp_rle_decode(stream: bytes, width: int, height: int, rle4: bool):
+    """Decode a BI_RLE8/BI_RLE4 pixel stream to an (height, width) uint8
+    index array in FILE row order (row 0 = bottom; the caller flips).
+
+    Per the format spec: encoded pairs ``(count>0, value)`` repeat the
+    index (RLE8) or the two alternating nibble indexes (RLE4); escape
+    pairs ``(0, 0)`` end the line, ``(0, 1)`` ends the bitmap, ``(0, 2)``
+    jumps the cursor by (dx, dy), and ``(0, n>=3)`` runs absolute mode —
+    n literal indexes (bytes or packed nibbles) padded to a 16-bit
+    boundary. Undecoded cells stay index 0, matching the usual
+    renderers. Any write outside (width, height) raises — an RLE stream
+    is attacker-supplied cursor arithmetic (untrusted input)."""
+    import numpy as np
+
+    idx = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(stream)
+
+    def put(run):
+        nonlocal x
+        if y >= height or x + len(run) > width:
+            raise ValueError("BMP RLE run writes outside the bitmap")
+        idx[y, x : x + len(run)] = run
+        x += len(run)
+
+    while True:
+        if pos + 2 > n:
+            raise ValueError("BMP RLE stream truncated (no end-of-bitmap)")
+        count, val = stream[pos], stream[pos + 1]
+        pos += 2
+        if count > 0:
+            if rle4:
+                pair = [val >> 4, val & 0x0F]
+                put([pair[i & 1] for i in range(count)])
+            else:
+                put([val] * count)
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # cursor delta
+            if pos + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            dx, dy = stream[pos], stream[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > width or y > height:
+                raise ValueError("BMP RLE delta jumps outside the bitmap")
+        else:  # absolute mode: val literal pixels
+            if rle4:
+                nbytes = (val + 1) // 2
+                chunk = stream[pos : pos + nbytes]
+                if len(chunk) != nbytes:
+                    raise ValueError("BMP RLE absolute run truncated")
+                nibs = []
+                for b in chunk:
+                    nibs += [b >> 4, b & 0x0F]
+                put(nibs[:val])
+            else:
+                chunk = stream[pos : pos + val]
+                if len(chunk) != val:
+                    raise ValueError("BMP RLE absolute run truncated")
+                put(list(chunk))
+                nbytes = val
+            pos += nbytes + (nbytes & 1)  # pad to 16-bit boundary
 
 
 def _bmp_decode(payload: bytes):
@@ -57,18 +128,24 @@ def _bmp_decode(payload: bytes):
         )
     if planes != 1:
         raise ValueError(f"BMP planes must be 1, got {planes}")
-    if compression != 0:
+    if compression == 1 and bpp != 8:
+        raise ValueError("BMP BI_RLE8 requires 8 bits per pixel")
+    if compression == 2 and bpp != 4:
+        raise ValueError("BMP BI_RLE4 requires 4 bits per pixel")
+    if compression in (1, 2) and top_down:
+        raise ValueError("BMP RLE streams must be bottom-up (positive height)")
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"BMP compression {compression}: RLE4/RLE8/bitfields are "
-            "plug-in points; BI_RGB (uncompressed) is supported"
+            f"BMP compression {compression}: bitfields/JPEG/PNG embeddings "
+            "are plug-in points; BI_RGB and RLE4/RLE8 are supported"
         )
-    if bpp not in (1, 8, 24, 32):
+    if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"BMP bit depth {bpp}: 1/8/24/32 supported; 4-bit and 16-bit "
-            "are plug-in points"
+            f"BMP bit depth {bpp}: 1/4/8/24/32 supported; 16-bit "
+            "bitfields are a plug-in point"
         )
 
-    if bpp in (1, 8):
+    if bpp in (1, 4, 8):
         n_colors = struct.unpack("<I", payload[46:50])[0] or (1 << bpp)
         pal_off = 14 + hdr_size
         pal_end = pal_off + 4 * n_colors
@@ -86,6 +163,14 @@ def _bmp_decode(payload: bytes):
             )
             >> 8
         ).astype(np.uint8)
+
+    if compression in (1, 2):
+        idx = _bmp_rle_decode(
+            payload[data_offset:], width, height, rle4=(compression == 2)
+        )
+        if int(idx.max(initial=0)) >= len(pal_luma):
+            raise ValueError("BMP palette index out of range")
+        return width, height, np.ascontiguousarray(pal_luma[idx][::-1])
 
     row_bits = width * bpp
     stride = ((row_bits + 31) // 32) * 4  # rows pad to 4 bytes
@@ -120,6 +205,15 @@ def _bmp_decode(payload: bytes):
         ).astype(np.uint8)
     elif bpp == 8:
         idx = raw[:, :width]
+        if int(idx.max(initial=0)) >= len(pal_luma):
+            raise ValueError("BMP palette index out of range")
+        luma = pal_luma[idx]
+    elif bpp == 4:
+        # high nibble first within each byte
+        nibs = np.empty((height, raw.shape[1] * 2), dtype=np.uint8)
+        nibs[:, 0::2] = raw >> 4
+        nibs[:, 1::2] = raw & 0x0F
+        idx = nibs[:, :width]
         if int(idx.max(initial=0)) >= len(pal_luma):
             raise ValueError("BMP palette index out of range")
         luma = pal_luma[idx]
