@@ -92,6 +92,8 @@ def ingest_increment(
     jaccard_threshold: float = 0.6,
     quality_model=None,
     quality_threshold: float = 0.5,
+    dsir_model=None,
+    dsir_threshold: float = 0.0,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
@@ -133,7 +135,12 @@ def ingest_increment(
        expression it fuses into the same scan — the model's feature
        columns must be present on the increment (compute them with
        ``doc_quality_features`` before calling, or fit on columns the
-       increment already carries).
+       increment already carries). ``dsir_model=`` (a
+       :func:`..operators.dsir.dsir_fit` model, e.g. from
+       ``artifacts.load_dsir_model``) adds the TARGET-DRIVEN gate after
+       both: rows whose DSIR log importance weight falls below
+       ``dsir_threshold`` drop (stage 4c — thresholded importance
+       resampling, the increment-safe form of the DSIR selection).
     5. **Split** — per-document train/val/test via the q55 md5-bucket
        construction (a pure function of the id: reproducible across
        engines and corpus versions), assigned BEFORE chunking so every
@@ -321,6 +328,27 @@ def ingest_increment(
             .where(F.col("__q") >= F.lit(float(quality_threshold)))
             .drop("__q")
         )
+
+    # 4c. optional TARGET-DRIVEN gate (dsir.dsir_fit model): keep rows
+    # whose DSIR log importance weight clears ``dsir_threshold`` — the
+    # thresholded form of importance resampling, the right shape for an
+    # incremental pipeline (a global top-k across increments is not
+    # well-defined; calibrate the threshold once on a reference corpus
+    # quantile and every increment applies it identically). Unlike the
+    # learned gate this is NOT map-only — scoring explodes (id, bucket)
+    # pairs through a broadcast join and one partial-agg'd sum — but the
+    # exchange carries 12-byte pairs, never text, and the verdict comes
+    # back via one id semi join. Unscorable rows (no tokens) drop, the
+    # absent-value rule.
+    if dsir_model is not None:
+        from .operators.dsir import dsir_score
+
+        keep_ids = (
+            dsir_score(cleaned, dsir_model, id_col=id_col, text_col=text_col)
+            .where(F.col("dsir_logw") >= F.lit(float(dsir_threshold)))
+            .select(id_col)
+        )
+        cleaned = cleaned.join(keep_ids, id_col, "left_semi")
 
     # 5. per-document split (before chunking: chunks inherit it)
     if split_clusters is not None:

@@ -192,3 +192,46 @@ def test_unigram_only_mode(spark, corpora):
     ).collect()
     pairs = _ref_pairs(source, dim, 1)
     assert len(pairs) == sum(r[0] for r in n_tokens)
+
+
+def test_dsir_model_gates_the_pipeline(spark):
+    """The composition: ingest_increment(dsir_model=) drops documents
+    whose log importance weight falls below the threshold (stage 4c),
+    keeps the rest, and with no model the output is unchanged."""
+    from drill_logfile_plugin_spark.pipeline import ingest_increment
+
+    rng = np.random.default_rng(31)
+    science = ["quantum", "entanglement", "boson", "lattice", "spectra"]
+    webby = ["click", "buy", "sale", "login", "cookie", "offer", "free"]
+
+    def doc(words, n, i):
+        return " ".join(rng.choice(words, size=n)) + f" uniq{i}"
+
+    # even ids science-like, odd ids web-like; all pass the rule filter
+    rows = [
+        (i, doc(science if i % 2 == 0 else webby, 24, i), "s0")
+        for i in range(30)
+    ]
+    inc = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = spark.createDataFrame(
+        [(1000 + i, doc(science, 24, 1000 + i), "t") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    model = D.dsir_fit(target, inc, dim=512)
+
+    keep_bands = ("good", "too_short", "repetitive")  # rules stand aside:
+    # the DSIR gate, not the band filter, must do the separating here
+    gated = ingest_increment(
+        None, inc, langs=None, quality_keep=keep_bands,
+        drop_repetitive=False, dsir_model=model, dsir_threshold=0.0,
+    )
+    kept = {r["doc_id"] for r in gated.select("doc_id").distinct().collect()}
+    assert kept == {i for i in range(30) if i % 2 == 0}
+
+    ungated = ingest_increment(
+        None, inc, langs=None, quality_keep=keep_bands,
+        drop_repetitive=False,
+    )
+    assert {
+        r["doc_id"] for r in ungated.select("doc_id").distinct().collect()
+    } == set(range(30))
