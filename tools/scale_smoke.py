@@ -817,6 +817,83 @@ def main() -> None:
 
     timed.append(("epoch_mix", epoch_mix_lane))
 
+    # Round-8 session-2 lanes. dsir_score: the DSIR apply phase — one
+    # (id, bucket) pair explode through a broadcast join + partial-agg'd
+    # sum; pair volume tracks token volume, so the lane should bend
+    # linearly (the fit runs ONCE per scale outside the timed body —
+    # the deployment shape: the artifact exists, increments score
+    # against it). sniff_media: an O(prefix) mapInPandas scan — should
+    # ride the payload scan. decode_media(codec="auto") over a mixed
+    # PGM/BMP corpus: per-row magic routing adds a constant to the
+    # decode, so the factor should match the single-codec decode lanes.
+    # stratified_sample(shards=32): the skew-proof two-level rank —
+    # identical membership, and the lane's factor vs the plain
+    # stratified_sample lane above measures the second (candidate-only)
+    # exchange's overhead.
+    from drill_logfile_plugin_spark.operators.dsir import dsir_fit, dsir_score
+    from drill_logfile_plugin_spark.operators.multimodal import sniff_media
+
+    _dsir_cache: dict[str, object] = {}
+
+    def _dsir_model(spark, sf_dir):
+        if sf_dir not in _dsir_cache:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            target = docs.where(F.col("doc_id") % 17 == 0)
+            _dsir_cache[sf_dir] = dsir_fit(target, docs, dim=2048)
+        return _dsir_cache[sf_dir]
+
+    def dsir_score_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = _dsir_model(spark, sf_dir)
+        return dsir_score(docs, model).agg(
+            F.count(F.lit(1)).alias("scored"),
+            F.sum((F.col("dsir_logw") >= 0).cast("long")).alias("kept"),
+        )
+
+    def _pnm_payload_set() -> list[bytes]:
+        rng = _np.random.default_rng(89)
+        out = []
+        for i in range(16):
+            img = rng.integers(0, 256, size=(32, 32), dtype=_np.uint8)
+            if i % 2 == 0:
+                out.append(b"P5\n32 32\n255\n" + img.tobytes())
+            else:
+                rgb = _np.stack([img, img, img], axis=2)
+                out.append(_write_bmp(rgb))
+        return out
+
+    _mixed_arr = F.array(*[F.lit(p) for p in _pnm_payload_set()])
+
+    def _mixed_media(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.element_at(_mixed_arr, (F.col("doc_id") % 16 + 1).cast("int"))
+            .alias("payload"),
+        )
+
+    def sniff_lane(spark, sf_dir):
+        return sniff_media(_mixed_media(spark, sf_dir)).groupBy(
+            "media_format"
+        ).count()
+
+    def decode_auto_lane(spark, sf_dir):
+        return decode_media(_mixed_media(spark, sf_dir), codec="auto").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_pixels").alias("pixels"),
+        )
+
+    def strat_sharded_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_sample(docs, cap=15, shards=32).groupBy(
+            "source"
+        ).count()
+
+    timed.append(("dsir_score", dsir_score_lane))
+    timed.append(("sniff_media", sniff_lane))
+    timed.append(("decode_media_auto", decode_auto_lane))
+    timed.append(("stratified_sample_sharded", strat_sharded_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
