@@ -1,0 +1,530 @@
+"""PDF text extraction (simple profile) — stdlib only (zlib + re).
+
+PDF is THE container scanned-document and publication corpora arrive
+in; "extract the text layer" is the standard first stage of a
+document-LLM pipeline, ahead of every dedup/quality/chunking operator
+in this package. This module implements a CORRECTNESS-grade extractor
+for the profile a text-bearing, digitally-authored PDF actually uses:
+
+* classic cross-reference TABLES (``xref`` / ``trailer``) including
+  incremental-update chains (``/Prev``), object streams excluded;
+* indirect objects, dictionaries, arrays, names, literal and hex
+  strings, numeric/boolean/null primitives — a real tokenizer, not
+  regex-over-the-whole-file;
+* content streams stored raw or ``/FlateDecode``-compressed (zlib),
+  with bounded-inflate guards (the decompression-bomb rule from
+  ``multimodal.decompress_payload``);
+* the page tree (``/Root -> /Pages -> /Kids``, nested), page order =
+  depth-first Kids order per the spec;
+* the text operators: ``Tj`` (show string), ``'`` and ``"``
+  (next-line show), ``TJ`` (array show with kerning — negative
+  adjustments beyond a threshold become spaces, the convention every
+  extractor uses), with ``Td/TD/T*/Tm`` line moves emitting newlines;
+* literal-string escapes (``\\n \\t \\( \\) \\\\`` and octal) and
+  hex strings, decoded as Latin-1 (the simple-profile assumption:
+  standard single-byte encodings; CID/Type0 composite fonts are a
+  documented plug-in point).
+
+Genuinely absent capabilities raise NotImplementedError at the
+documented plug-in points: encrypted files (``/Encrypt``),
+cross-reference STREAMS (PDF 1.5 compressed xref), object streams
+(``/ObjStm``), and non-Flate filters (DCT/LZW/ASCII85). Malformed
+structures raise ValueError. All header-derived sizes are bounded
+before allocation — a PDF is untrusted input.
+
+The Spark lane (``extract_pdf_text``) is Arrow-batched mapInPandas with
+the multimodal tier's per-row quarantine contract, emitting
+``(doc_id, text, n_pages, n_chars)`` — the exact shape the text tier
+(clean_corpus, dedup, chunking) consumes, so "PDF corpus in, packed
+training chunks out" composes end to end.
+
+No reference counterpart (the reference plugin is text-only log scan);
+LLM-pipeline extension tier (SURVEY.md §2 Tier C).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+#: decompressed-stream bound per content stream (the bomb rule)
+_PDF_MAX_STREAM = 64 << 20
+#: object / page count bounds — a trailer must not drive unbounded loops
+_PDF_MAX_OBJECTS = 1 << 20
+_PDF_MAX_PAGES = 1 << 16
+#: TJ kerning threshold (thousandths of an em): adjustments wider than
+#: this render as a word gap — the de-facto extractor convention
+_TJ_SPACE_THRESHOLD = -180
+
+
+class _Lexer:
+    """Minimal PDF object lexer over a bytes buffer."""
+
+    _WS = b"\x00\t\n\x0c\r "
+    _DELIM = b"()<>[]{}/%"
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in self._WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                nl = buf.find(b"\n", self.pos)
+                self.pos = n if nl == -1 else nl + 1
+            else:
+                return
+
+    def read_object(self):
+        """Parse one object at the cursor; returns a Python value
+        (dict / list / bytes for strings / str for names / int / float /
+        bool / None / ('ref', num) for indirect references)."""
+        self._skip_ws()
+        buf = self.buf
+        if self.pos >= len(buf):
+            raise ValueError("PDF object expected at end of buffer")
+        c = buf[self.pos]
+        if buf.startswith(b"<<", self.pos):
+            return self._read_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._read_hex_string()
+        if c == 0x28:  # '(' literal string
+            return self._read_literal_string()
+        if c == 0x2F:  # '/' name
+            return self._read_name()
+        if c == 0x5B:  # '['
+            return self._read_array()
+        if buf.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if buf.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if buf.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._read_number_or_ref()
+
+    def _read_name(self) -> str:
+        buf = self.buf
+        self.pos += 1
+        out = bytearray()
+        while self.pos < len(buf):
+            c = buf[self.pos]
+            if c in self._WS or c in self._DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < len(buf):  # '#xx' escape
+                out.append(int(buf[self.pos + 1 : self.pos + 3], 16))
+                self.pos += 3
+            else:
+                out.append(c)
+                self.pos += 1
+        return out.decode("latin-1")
+
+    def _read_dict(self) -> dict:
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.buf.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            if self.pos >= len(self.buf):
+                raise ValueError("PDF dictionary unterminated")
+            key = self._read_name() if self.buf[self.pos] == 0x2F else None
+            if key is None:
+                raise ValueError("PDF dictionary key must be a name")
+            out[key] = self.read_object()
+
+    def _read_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.buf):
+                raise ValueError("PDF array unterminated")
+            if self.buf[self.pos] == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.read_object())
+
+    def _read_literal_string(self) -> bytes:
+        buf = self.buf
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+        while self.pos < len(buf):
+            c = buf[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= len(buf):
+                    break
+                e = buf[self.pos]
+                self.pos += 1
+                if e in esc:
+                    out.append(esc[e])
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    val = e - 0x30
+                    for _ in range(2):
+                        if (
+                            self.pos < len(buf)
+                            and 0x30 <= buf[self.pos] <= 0x37
+                        ):
+                            val = val * 8 + (buf[self.pos] - 0x30)
+                            self.pos += 1
+                    out.append(val & 0xFF)
+                elif e == 0x0A:
+                    pass  # line continuation
+                else:
+                    out.append(e)  # \( \) \\ and unknown escapes
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        raise ValueError("PDF literal string unterminated")
+
+    def _read_hex_string(self) -> bytes:
+        end = self.buf.find(b">", self.pos)
+        if end == -1:
+            raise ValueError("PDF hex string unterminated")
+        hexchars = re.sub(rb"\s", b"", self.buf[self.pos + 1 : end])
+        self.pos = end + 1
+        if len(hexchars) % 2:
+            hexchars += b"0"  # odd count: final 0 implied, per spec
+        try:
+            return bytes.fromhex(hexchars.decode("ascii"))
+        except ValueError:
+            raise ValueError("PDF hex string has non-hex characters")
+
+    def _read_number_or_ref(self):
+        buf = self.buf
+        m = re.match(rb"[+-]?\d*\.?\d+", buf[self.pos : self.pos + 64])
+        if not m:
+            raise ValueError(
+                f"PDF object syntax at offset {self.pos}: "
+                f"{buf[self.pos:self.pos + 16]!r}"
+            )
+        tok = m.group(0)
+        end = self.pos + len(tok)
+        if b"." not in tok:
+            # look ahead for "gen R" — an indirect reference
+            m2 = re.match(rb"\s+(\d+)\s+R(?![A-Za-z])", buf[end : end + 32])
+            if m2:
+                self.pos = end + m2.end()
+                return ("ref", int(tok))
+            self.pos = end
+            return int(tok)
+        self.pos = end
+        return float(tok)
+
+
+def _find_trailers(payload: bytes):
+    """All trailer dictionaries, newest first (incremental updates put
+    the operative trailer last in the file)."""
+    out = []
+    for m in re.finditer(rb"trailer", payload):
+        lex = _Lexer(payload, m.end())
+        try:
+            obj = lex.read_object()
+        except ValueError:
+            continue
+        if isinstance(obj, dict):
+            out.append(obj)
+    return list(reversed(out))
+
+
+def _index_objects(payload: bytes) -> dict:
+    """Map object number -> byte offset of its body. Offsets come from
+    scanning for ``N G obj`` markers rather than trusting the xref
+    table's byte offsets — real-world files disagree with their tables
+    often enough that every robust extractor rebuilds this index; the
+    xref/trailer still gates which document root to use."""
+    objs = {}
+    for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", payload):
+        if len(objs) > _PDF_MAX_OBJECTS:
+            raise ValueError("PDF object count exceeds the decoder bound")
+        objs[int(m.group(1))] = m.end()
+    return objs
+
+
+class _Document:
+    def __init__(self, payload: bytes):
+        if not payload.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self.payload = payload
+        self.offsets = _index_objects(payload)
+        self.cache: dict[int, object] = {}
+        trailers = _find_trailers(payload)
+        root_ref = None
+        for tr in trailers:
+            if "Encrypt" in tr:
+                raise NotImplementedError(
+                    "encrypted PDF (/Encrypt): decryption is a plug-in point"
+                )
+            if root_ref is None and "Root" in tr:
+                root_ref = tr["Root"]
+        if root_ref is None:
+            # PDF 1.5+ files may carry the trailer inside a cross-
+            # reference STREAM; detect and name the plug-in point
+            if re.search(rb"/Type\s*/XRef", payload):
+                raise NotImplementedError(
+                    "cross-reference stream PDF (1.5 compressed xref) is "
+                    "a plug-in point; classic xref tables are supported"
+                )
+            raise ValueError("PDF trailer with /Root not found")
+        self.root = self.resolve(root_ref)
+
+    def resolve(self, obj):
+        """Follow ('ref', n) chains to the object value."""
+        seen = 0
+        while isinstance(obj, tuple) and obj and obj[0] == "ref":
+            num = obj[1]
+            seen += 1
+            if seen > 64:
+                raise ValueError("PDF reference chain too deep")
+            if num in self.cache:
+                obj = self.cache[num]
+                continue
+            off = self.offsets.get(num)
+            if off is None:
+                return None  # dangling reference: treated as null per spec
+            val = _Lexer(self.payload, off).read_object()
+            self.cache[num] = val
+            obj = val
+        return obj
+
+    def stream_bytes(self, num: int) -> bytes:
+        """The decoded stream of object ``num`` (raw or FlateDecode)."""
+        off = self.offsets.get(num)
+        if off is None:
+            raise ValueError(f"PDF stream object {num} missing")
+        lex = _Lexer(self.payload, off)
+        sdict = lex.read_object()
+        if not isinstance(sdict, dict):
+            raise ValueError(f"PDF object {num} is not a stream")
+        lex._skip_ws()
+        if not self.payload.startswith(b"stream", lex.pos):
+            raise ValueError(f"PDF object {num} missing stream keyword")
+        p = lex.pos + 6
+        if self.payload.startswith(b"\r\n", p):
+            p += 2
+        elif self.payload.startswith(b"\n", p) or self.payload.startswith(b"\r", p):
+            p += 1
+        length = self.resolve(sdict.get("Length"))
+        if not isinstance(length, int) or length < 0:
+            raise ValueError(f"PDF stream {num} /Length invalid")
+        if length > _PDF_MAX_STREAM:
+            raise ValueError("PDF stream length exceeds the decoder bound")
+        raw = self.payload[p : p + length]
+        if len(raw) != length:
+            raise ValueError(f"PDF stream {num} truncated")
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            f = self.resolve(f)
+            if f == "FlateDecode":
+                d = zlib.decompressobj()
+                raw = d.decompress(raw, _PDF_MAX_STREAM)
+                if d.unconsumed_tail:
+                    raise ValueError(
+                        "PDF stream inflates past the decoder bound"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"PDF stream filter {f}: only FlateDecode is decodable "
+                    "here (DCT/LZW/ASCII85 are plug-in points)"
+                )
+        return raw
+
+    def pages(self):
+        """Page dictionaries in document order (depth-first Kids walk)."""
+        pages_ref = self.root.get("Pages") if isinstance(self.root, dict) else None
+        node = self.resolve(pages_ref)
+        if not isinstance(node, dict):
+            raise ValueError("PDF /Root has no /Pages tree")
+        out = []
+
+        def walk(nd, depth=0):
+            if depth > 64:
+                raise ValueError("PDF page tree too deep")
+            t = nd.get("Type")
+            if t == "Page":
+                out.append(nd)
+                if len(out) > _PDF_MAX_PAGES:
+                    raise ValueError("PDF page count exceeds the decoder bound")
+                return
+            for kid in self.resolve(nd.get("Kids")) or []:
+                k = self.resolve(kid)
+                if isinstance(k, dict):
+                    walk(k, depth + 1)
+
+        walk(node)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        """A page's concatenated content-stream bytes."""
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        chunks = []
+        for r in refs:
+            if isinstance(r, tuple) and r and r[0] == "ref":
+                chunks.append(self.stream_bytes(r[1]))
+            elif r is None:
+                continue
+            else:
+                raise ValueError("PDF /Contents must reference streams")
+        return b"\n".join(chunks)
+
+
+#: content-stream token pattern: strings, hex strings, arrays handled by
+#: the lexer; operators are bare keyword runs
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _content_text(content: bytes) -> str:
+    """Extract show-text output from one page's content stream."""
+    lex = _Lexer(content)
+    stack: list = []
+    lines: list[str] = [""]
+
+    def show(s):
+        if isinstance(s, bytes):
+            lines[-1] += s.decode("latin-1")
+
+    def newline():
+        if lines[-1]:
+            lines.append("")
+
+    n = len(content)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c in b"([</+-.0123456789":
+            try:
+                stack.append(lex.read_object())
+            except ValueError:
+                lex.pos += 1  # tolerate junk inside content (spec: skip)
+            continue
+        m = _OP_RE.match(content, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group(0)
+        lex.pos = m.end()
+        if op == b"Tj":
+            show(stack[-1] if stack else b"")
+        elif op == b"TJ":
+            arr = stack[-1] if stack and isinstance(stack[-1], list) else []
+            for el in arr:
+                if isinstance(el, bytes):
+                    show(el)
+                elif (
+                    isinstance(el, (int, float))
+                    and el < _TJ_SPACE_THRESHOLD
+                    and lines[-1]
+                    and not lines[-1].endswith(" ")
+                ):
+                    lines[-1] += " "
+        elif op in (b"'", b'"'):
+            newline()
+            show(stack[-1] if stack else b"")
+        elif op in (b"Td", b"TD", b"T*", b"Tm"):
+            newline()
+        elif op == b"ET":
+            newline()
+        # operands always precede and are consumed by their operator
+        stack.clear()
+    return "\n".join(ln for ln in lines if ln).strip()
+
+
+def _pdf_extract_text(payload: bytes):
+    """Extract the text layer: returns ``(text, n_pages)`` with pages
+    separated by form feeds (``\\f``) — the convention pdftotext uses."""
+    doc = _Document(payload)
+    pages = doc.pages()
+    texts = [_content_text(doc.page_content(pg)) for pg in pages]
+    return "\f".join(texts), len(pages)
+
+
+def extract_pdf_text(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "null",
+):
+    """Spark lane: PDF payloads -> ``(doc_id, text, n_pages, n_chars)``.
+
+    Arrow-batched mapInPandas with the multimodal tier's quarantine
+    contract (``on_error``: "null" keeps the row with NULL text —
+    undecodable PDFs stay countable; "skip" drops; "strict" aborts).
+    The output is the text tier's input shape: feed it straight into
+    clean_corpus / exact dedup / chunk_docs.
+    """
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .multimodal import _check_on_error
+
+    _check_on_error(on_error)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("n_pages", IntegerType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, texts, pages, chars = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    text, n_pages = _pdf_extract_text(bytes(p))
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    text, n_pages = None, None
+                ids.append(doc_id)
+                texts.append(text)
+                pages.append(n_pages)
+                chars.append(None if text is None else len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "n_pages": pd.Series(pages, dtype="Int32"),
+                    "n_chars": pd.Series(chars, dtype="Int64"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, schema)

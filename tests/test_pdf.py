@@ -1,0 +1,279 @@
+"""PDF text extraction: pinned against an independent in-test writer
+that assembles spec-shaped PDFs byte by byte (classic xref table with
+REAL byte offsets, trailer, page tree, Flate and raw content streams) —
+sharing nothing with the extractor. Covers the operator surface (Tj /
+TJ with kerning / ' / " / Td/TD/T*/Tm line breaks), string escapes
+(octal, specials, nested parens), hex strings, multi-page order,
+nested page trees, incremental updates, the rejection matrix
+(encrypted, xref-stream, non-Flate filter, bombs), and the Spark lane
+end to end — including the composition into the text tier."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from drill_logfile_plugin_spark.operators import pdf as P
+
+
+# --- independent writer --------------------------------------------------------
+
+
+def build_pdf(page_streams, compress=True, encrypt=False, extra_trailer=""):
+    """Assemble a classic-xref PDF: one content stream per page, a flat
+    or nested page tree, REAL xref offsets."""
+    objs = {}  # num -> bytes (body after "N 0 obj")
+    n_pages = len(page_streams)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    content_nums = [5 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objs[1] = f"<< /Type /Catalog /Pages 2 0 R >>".encode()
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, (pnum, cnum) in enumerate(zip(page_nums, content_nums)):
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cnum} 0 R >>"
+        ).encode()
+        data = page_streams[i]
+        if compress:
+            comp = zlib.compress(data)
+            objs[cnum] = (
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
+                .encode() + b"stream\n" + comp + b"\nendstream"
+            )
+        else:
+            objs[cnum] = (
+                f"<< /Length {len(data)} >>\n".encode()
+                + b"stream\n" + data + b"\nendstream"
+            )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    max_num = max(objs)
+    out += f"xref\n0 {max_num + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    enc = " /Encrypt 99 0 R" if encrypt else ""
+    out += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R{enc}{extra_trailer} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def text_stream(*ops: str) -> bytes:
+    return ("BT /F1 12 Tf " + " ".join(ops) + " ET").encode("latin-1")
+
+
+# --- extractor contract ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_single_page_tj(compress):
+    pdf = build_pdf([text_stream("(Hello, world!) Tj")], compress=compress)
+    text, n = P._pdf_extract_text(pdf)
+    assert (text, n) == ("Hello, world!", 1)
+
+
+def test_tj_array_kerning_becomes_spaces():
+    # classic word-gap pattern: [(Hel) -20 (lo) -400 (world)] — small
+    # kerning glues, large kerning separates
+    pdf = build_pdf([text_stream("[(Hel) -20 (lo) -400 (world)] TJ")])
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "Hello world"
+
+
+def test_line_operators_emit_newlines():
+    pdf = build_pdf(
+        [
+            text_stream(
+                "(line one) Tj 0 -14 Td (line two) Tj T* (line three) Tj"
+            )
+        ]
+    )
+    text, _ = P._pdf_extract_text(pdf)
+    assert text.split("\n") == ["line one", "line two", "line three"]
+
+
+def test_quote_operators_show_on_next_line():
+    pdf = build_pdf([text_stream("(a) Tj (b) ' 2 3 (c) \"")])
+    text, _ = P._pdf_extract_text(pdf)
+    assert text.split("\n") == ["a", "b", "c"]
+
+
+def test_string_escapes_and_hex():
+    ops = r"(paren \( close \) back \\ tab\there octal \101\102) Tj " \
+          "0 -14 Td <48454C4C4F> Tj"
+    pdf = build_pdf([text_stream(ops)])
+    text, _ = P._pdf_extract_text(pdf)
+    assert text.split("\n") == [
+        "paren ( close ) back \\ tab\there octal AB",
+        "HELLO",
+    ]
+
+
+def test_nested_parens_balance_without_escapes():
+    pdf = build_pdf([text_stream("(outer (inner) tail) Tj")])
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "outer (inner) tail"
+
+
+def test_multi_page_order_and_form_feeds():
+    pdf = build_pdf(
+        [text_stream(f"(page {i}) Tj") for i in range(4)]
+    )
+    text, n = P._pdf_extract_text(pdf)
+    assert n == 4
+    assert text.split("\f") == [f"page {i}" for i in range(4)]
+
+
+def test_nested_page_tree():
+    """Hand-assemble a two-level Kids tree; order is depth-first."""
+    s0 = text_stream("(left) Tj")
+    s1 = text_stream("(right) Tj")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: b"<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        5: b"<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>",
+        6: f"<< /Length {len(s0)} >>\n".encode() + b"stream\n" + s0 + b"\nendstream",
+        7: f"<< /Length {len(s1)} >>\n".encode() + b"stream\n" + s1 + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num in sorted(objs):
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 8\n" + b"0000000000 65535 f \n"
+    for num in range(1, 8):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    text, n = P._pdf_extract_text(bytes(out))
+    assert n == 2
+    assert text.split("\f") == ["left", "right"]
+
+
+def test_incremental_update_newest_root_wins():
+    """An appended revision replaces the document; the extractor must
+    follow the NEWEST trailer's root."""
+    old = build_pdf([text_stream("(old text) Tj")])
+    # append a full new revision (objects renumbered high, own trailer)
+    s = text_stream("(new text) Tj")
+    add = bytearray()
+    base = len(old)
+    bodies = {
+        11: b"<< /Type /Catalog /Pages 12 0 R >>",
+        12: b"<< /Type /Pages /Kids [13 0 R] /Count 1 >>",
+        13: b"<< /Type /Page /Parent 12 0 R /Contents 14 0 R >>",
+        14: f"<< /Length {len(s)} >>\n".encode() + b"stream\n" + s + b"\nendstream",
+    }
+    offs = {}
+    for num in sorted(bodies):
+        offs[num] = base + len(add)
+        add += f"{num} 0 obj\n".encode() + bodies[num] + b"\nendobj\n"
+    xref_at = base + len(add)
+    add += b"xref\n11 4\n"
+    for num in range(11, 15):
+        add += f"{offs[num]:010d} 00000 n \n".encode()
+    add += (
+        f"trailer\n<< /Size 15 /Root 11 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    text, n = P._pdf_extract_text(old + bytes(add))
+    assert (text, n) == ("new text", 1)
+
+
+def test_rejection_matrix():
+    with pytest.raises(ValueError, match="PDF- header"):
+        P._pdf_extract_text(b"not a pdf at all")
+    with pytest.raises(NotImplementedError, match="Encrypt"):
+        P._pdf_extract_text(build_pdf([text_stream("(x) Tj")], encrypt=True))
+    # xref-stream-only file: named plug-in point
+    xs = b"%PDF-1.5\n1 0 obj\n<< /Type /XRef /W [1 2 1] >>\nstream\nendstream\nendobj\nstartxref\n9\n%%EOF"
+    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+        P._pdf_extract_text(xs)
+    # non-Flate filter
+    pdf = build_pdf([text_stream("(x) Tj")], compress=False)
+    bad = pdf.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
+    with pytest.raises(NotImplementedError, match="DCT"):
+        P._pdf_extract_text(bad)
+    # truncated stream: /Length lies past the end of the file
+    stream = text_stream("(x) Tj")
+    raw_pdf = build_pdf([stream], compress=False)
+    lied = raw_pdf.replace(
+        f"/Length {len(stream)}".encode(), b"/Length 99999", 1
+    )
+    assert lied != raw_pdf
+    with pytest.raises(ValueError, match="truncated"):
+        P._pdf_extract_text(lied)
+    # zlib bomb: a stream inflating past the decoder bound is cut off
+    # BEFORE materializing (bounded decompressobj, not a full inflate)
+    big = zlib.compress(b"(A) Tj " * 12_000_000)  # ~84 MB inflated
+    bomb_pdf = raw_pdf.replace(
+        f"<< /Length {len(stream)} >>\nstream\n".encode() + stream,
+        b"<< /Length " + str(len(big)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + big,
+    )
+    assert bomb_pdf != raw_pdf
+    with pytest.raises(ValueError, match="decoder bound"):
+        P._pdf_extract_text(bomb_pdf)
+
+
+def test_no_root_is_value_error():
+    with pytest.raises(ValueError, match="Root"):
+        P._pdf_extract_text(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n")
+
+
+# --- Spark lane -----------------------------------------------------------------
+
+
+def test_extract_pdf_text_lane_and_text_tier_composition(spark):
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.text import clean_corpus
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(6):
+        words = " ".join(
+            f"tok{rng.integers(0, 50)}w{j}" for j in range(30)
+        )
+        docs.append(build_pdf([text_stream(f"({words}) Tj")]))
+    rows = [(i, bytearray(p)) for i, p in enumerate(docs)]
+    rows.append((99, bytearray(b"%PDF-1.4 garbage with no objects")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = P.extract_pdf_text(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[99]["text"] is None  # quarantined
+    for i in range(6):
+        assert got[i]["n_pages"] == 1
+        assert got[i]["n_chars"] == len(got[i]["text"]) > 0
+    # composition: extracted text flows into the text tier unchanged
+    cleaned = clean_corpus(
+        out.where(F.col("text").isNotNull()),
+        quality_keep=("good", "too_short", "repetitive", "long_tokens"),
+        drop_repetitive=False,
+    )
+    assert cleaned.count() == 6
+
+    skipped = P.extract_pdf_text(df, on_error="skip")
+    assert skipped.count() == 6
+    with pytest.raises(Exception):
+        P.extract_pdf_text(df, on_error="strict").collect()
