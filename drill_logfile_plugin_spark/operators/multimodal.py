@@ -114,6 +114,7 @@ SNIFF_KINDS = {
     "wav": "audio",
     "avi": "video",
     "y4m": "video",
+    "pdf": "document",
 }
 
 
@@ -140,6 +141,8 @@ def sniff_codec(payload: bytes) -> str:
         return "pnm"
     if payload.startswith(b"YUV4MPEG2"):
         return "y4m"
+    if payload.startswith(b"%PDF-"):
+        return "pdf"
     if payload.startswith(b"RIFF") and len(payload) >= 12:
         riff_type = payload[8:12]
         if riff_type == b"WAVE":
@@ -239,6 +242,8 @@ def _luma_of_sniffed(fmt: str, p: bytes):
         from .video import _avi_decode
 
         return _jpeg_decode(_avi_decode(p)[3][0])[2]
+    # audio and documents have no luma plane; the caller's on_error
+    # mode decides (route them via decode_audio / pdf.extract_pdf_text)
     raise ValueError(f"sniffed {fmt!r} payload has no luma plane")
 
 

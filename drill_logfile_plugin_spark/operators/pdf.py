@@ -11,9 +11,11 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
 * indirect objects, dictionaries, arrays, names, literal and hex
   strings, numeric/boolean/null primitives — a real tokenizer, not
   regex-over-the-whole-file;
-* content streams stored raw or ``/FlateDecode``-compressed (zlib),
-  with bounded-inflate guards (the decompression-bomb rule from
-  ``multimodal.decompress_payload``);
+* content streams stored raw or compressed with ``/FlateDecode``
+  (zlib), ``/LZWDecode`` (the TIFF-variant LZW decoder this package
+  already ships), ``/ASCII85Decode``, or ``/ASCIIHexDecode`` —
+  including filter CHAINS — all under bounded-inflate guards (the
+  decompression-bomb rule from ``multimodal.decompress_payload``);
 * the page tree (``/Root -> /Pages -> /Kids``, nested), page order =
   depth-first Kids order per the spec;
 * the text operators: ``Tj`` (show string), ``'`` and ``"``
@@ -28,7 +30,7 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
 Genuinely absent capabilities raise NotImplementedError at the
 documented plug-in points: encrypted files (``/Encrypt``),
 cross-reference STREAMS (PDF 1.5 compressed xref), object streams
-(``/ObjStm``), and non-Flate filters (DCT/LZW/ASCII85). Malformed
+(``/ObjStm``), and image-class filters (DCT/JBIG2/CCITT). Malformed
 structures raise ValueError. All header-derived sizes are bounded
 before allocation — a PDF is untrusted input.
 
@@ -342,11 +344,38 @@ class _Document:
                     raise ValueError(
                         "PDF stream inflates past the decoder bound"
                     )
+            elif f == "LZWDecode":
+                # PDF LZW IS the TIFF variant (MSB-first, early change)
+                from .tiff import _tiff_lzw_decode
+
+                raw = _tiff_lzw_decode(raw, _PDF_MAX_STREAM)
+            elif f == "ASCII85Decode":
+                import base64
+
+                body = re.sub(rb"\s", b"", raw)
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                if body.endswith(b"~>"):
+                    body = body[:-2]
+                try:
+                    raw = base64.a85decode(body)
+                except ValueError as exc:
+                    raise ValueError(f"PDF ASCII85 stream malformed: {exc}")
+            elif f == "ASCIIHexDecode":
+                h = re.sub(rb"[\s>]", b"", raw)
+                if len(h) % 2:
+                    h += b"0"  # final 0 implied, per spec
+                try:
+                    raw = bytes.fromhex(h.decode("ascii"))
+                except ValueError:
+                    raise ValueError("PDF ASCIIHex stream malformed")
             else:
                 raise NotImplementedError(
-                    f"PDF stream filter {f}: only FlateDecode is decodable "
-                    "here (DCT/LZW/ASCII85 are plug-in points)"
+                    f"PDF stream filter {f}: Flate/LZW/ASCII85/ASCIIHex are "
+                    "decodable here (DCT/JBIG2/CCITT are plug-in points)"
                 )
+            if len(raw) > _PDF_MAX_STREAM:
+                raise ValueError("PDF stream inflates past the decoder bound")
         return raw
 
     def pages(self):

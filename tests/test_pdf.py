@@ -277,3 +277,74 @@ def test_extract_pdf_text_lane_and_text_tier_composition(spark):
     assert skipped.count() == 6
     with pytest.raises(Exception):
         P.extract_pdf_text(df, on_error="strict").collect()
+
+
+# --- additional stream filters (r8 follow-up) -----------------------------------
+
+
+def _swap_stream(pdf: bytes, old_stream: bytes, new_dict: bytes, new_body: bytes):
+    old = (
+        f"<< /Length {len(old_stream)} >>\n".encode()
+        + b"stream\n" + old_stream
+    )
+    out = pdf.replace(old, new_dict + b"\nstream\n" + new_body)
+    assert out != pdf
+    return out
+
+
+def test_lzw_filter_via_independent_encoder():
+    from tests.test_tiff_codec import _lzw_encode
+
+    stream = text_stream("(lzw compressed words) Tj")
+    enc = _lzw_encode(stream)
+    pdf = _swap_stream(
+        build_pdf([stream], compress=False), stream,
+        b"<< /Length " + str(len(enc)).encode() + b" /Filter /LZWDecode >>",
+        enc,
+    )
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "lzw compressed words"
+
+
+def test_ascii85_and_asciihex_filters():
+    import base64
+
+    stream = text_stream("(ascii armor) Tj")
+    a85 = base64.a85encode(stream) + b"~>"
+    pdf = _swap_stream(
+        build_pdf([stream], compress=False), stream,
+        b"<< /Length " + str(len(a85)).encode() + b" /Filter /ASCII85Decode >>",
+        a85,
+    )
+    assert P._pdf_extract_text(pdf)[0] == "ascii armor"
+
+    hexed = stream.hex().encode() + b">"
+    pdf2 = _swap_stream(
+        build_pdf([stream], compress=False), stream,
+        b"<< /Length " + str(len(hexed)).encode()
+        + b" /Filter /ASCIIHexDecode >>",
+        hexed,
+    )
+    assert P._pdf_extract_text(pdf2)[0] == "ascii armor"
+
+
+def test_filter_chain_ascii85_then_flate():
+    import base64
+
+    stream = text_stream("(chained filters) Tj")
+    body = base64.a85encode(zlib.compress(stream)) + b"~>"
+    pdf = _swap_stream(
+        build_pdf([stream], compress=False), stream,
+        b"<< /Length " + str(len(body)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>",
+        body,
+    )
+    assert P._pdf_extract_text(pdf)[0] == "chained filters"
+
+
+def test_pdf_sniffing_and_kind():
+    from drill_logfile_plugin_spark.operators import multimodal as M
+
+    pdf = build_pdf([text_stream("(x) Tj")])
+    assert M.sniff_codec(pdf) == "pdf"
+    assert M.SNIFF_KINDS["pdf"] == "document"
