@@ -7,7 +7,16 @@ in this package. This module implements a CORRECTNESS-grade extractor
 for the profile a text-bearing, digitally-authored PDF actually uses:
 
 * classic cross-reference TABLES (``xref`` / ``trailer``) including
-  incremental-update chains (``/Prev``), object streams excluded;
+  incremental-update chains (``/Prev``), AND the PDF 1.5+ layout:
+  cross-reference STREAMS (the trailer fields read from the ``/XRef``
+  stream dictionary — the packed offset table itself is not needed
+  because the object index is rebuilt by scanning) and object streams
+  (``/ObjStm`` — compressed object containers decoded lazily, header
+  pairs + ``/First`` offsets per the spec, direct objects taking
+  precedence so incremental updates still win);
+* PNG row predictors on compressed streams (``/DecodeParms
+  /Predictor >= 10``, filter types 0-4) — the layout xref/object
+  streams ship with in the wild;
 * indirect objects, dictionaries, arrays, names, literal and hex
   strings, numeric/boolean/null primitives — a real tokenizer, not
   regex-over-the-whole-file;
@@ -28,9 +37,8 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
   documented plug-in point).
 
 Genuinely absent capabilities raise NotImplementedError at the
-documented plug-in points: encrypted files (``/Encrypt``),
-cross-reference STREAMS (PDF 1.5 compressed xref), object streams
-(``/ObjStm``), and image-class filters (DCT/JBIG2/CCITT). Malformed
+documented plug-in points: encrypted files (``/Encrypt``), TIFF
+predictor 2, and image-class filters (DCT/JBIG2/CCITT). Malformed
 structures raise ValueError. All header-derived sizes are bounded
 before allocation — a PDF is untrusted input.
 
@@ -231,6 +239,46 @@ class _Lexer:
         return float(tok)
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Undo PNG row predictors (PDF /Predictor >= 10): each row is one
+    filter-type byte + ceil(columns*colors*bpc/8) data bytes, unfiltered
+    per the PNG spec (types 0-4) against the previous reconstructed
+    row."""
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if rowlen <= 0 or len(data) % (rowlen + 1):
+        raise ValueError("PDF predictor stream length inconsistent with Columns")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for rstart in range(0, len(data), rowlen + 1):
+        ftype = data[rstart]
+        row = bytearray(data[rstart + 1 : rstart + 1 + rowlen])
+        if ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PDF predictor row filter {ftype} invalid")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _find_trailers(payload: bytes):
     """All trailer dictionaries, newest first (incremental updates put
     the operative trailer last in the file)."""
@@ -260,6 +308,34 @@ def _index_objects(payload: bytes) -> dict:
     return objs
 
 
+def _object_dicts_of_type(payload: bytes, offsets: dict, type_name: bytes):
+    """(objnum, dict) for every indirect object whose dictionary carries
+    ``/Type /<type_name>`` — located by scanning for the type marker and
+    walking back to the enclosing ``N G obj``, newest (latest in file)
+    last."""
+    out = []
+    starts = sorted((off, num) for num, off in offsets.items())
+    for m in re.finditer(rb"/Type\s*/" + type_name + rb"\b", payload):
+        # enclosing object = the greatest object start before the match
+        lo, hi = 0, len(starts)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if starts[mid][0] <= m.start():
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo == 0:
+            continue
+        off, num = starts[lo - 1]
+        try:
+            d = _Lexer(payload, off).read_object()
+        except (ValueError, NotImplementedError):
+            continue
+        if isinstance(d, dict) and d.get("Type") == type_name.decode():
+            out.append((num, d))
+    return out
+
+
 class _Document:
     def __init__(self, payload: bytes):
         if not payload.startswith(b"%PDF-"):
@@ -267,6 +343,7 @@ class _Document:
         self.payload = payload
         self.offsets = _index_objects(payload)
         self.cache: dict[int, object] = {}
+        self._objstms_loaded = False
         trailers = _find_trailers(payload)
         root_ref = None
         for tr in trailers:
@@ -277,13 +354,22 @@ class _Document:
             if root_ref is None and "Root" in tr:
                 root_ref = tr["Root"]
         if root_ref is None:
-            # PDF 1.5+ files may carry the trailer inside a cross-
-            # reference STREAM; detect and name the plug-in point
-            if re.search(rb"/Type\s*/XRef", payload):
-                raise NotImplementedError(
-                    "cross-reference stream PDF (1.5 compressed xref) is "
-                    "a plug-in point; classic xref tables are supported"
-                )
+            # PDF 1.5+: the trailer fields live in the cross-reference
+            # STREAM's dictionary. The stream's packed offset table is
+            # not needed here (the object index is rebuilt by scanning),
+            # but its /Root and /Encrypt entries are the trailer.
+            for _num, d in reversed(
+                _object_dicts_of_type(payload, self.offsets, b"XRef")
+            ):
+                if "Encrypt" in d:
+                    raise NotImplementedError(
+                        "encrypted PDF (/Encrypt): decryption is a "
+                        "plug-in point"
+                    )
+                if "Root" in d:
+                    root_ref = d["Root"]
+                    break
+        if root_ref is None:
             raise ValueError("PDF trailer with /Root not found")
         self.root = self.resolve(root_ref)
 
@@ -300,11 +386,55 @@ class _Document:
                 continue
             off = self.offsets.get(num)
             if off is None:
+                # not a direct object: it may live inside an object
+                # stream (PDF 1.5 /ObjStm) — load those lazily once
+                self._load_objstms()
+                if num in self.cache:
+                    obj = self.cache[num]
+                    continue
                 return None  # dangling reference: treated as null per spec
             val = _Lexer(self.payload, off).read_object()
             self.cache[num] = val
             obj = val
         return obj
+
+    def _load_objstms(self) -> None:
+        """Decode every /ObjStm once: header = N (objnum, offset) pairs,
+        bodies lexed at /First + offset. Direct objects take precedence
+        (an incremental update that rewrites an object writes it
+        directly)."""
+        if self._objstms_loaded:
+            return
+        self._objstms_loaded = True
+        for num, d in _object_dicts_of_type(
+            self.payload, self.offsets, b"ObjStm"
+        ):
+            try:
+                data = self.stream_bytes(num)
+            except (ValueError, NotImplementedError):
+                continue  # a broken container stream loses its objects only
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if (
+                not isinstance(n, int)
+                or not isinstance(first, int)
+                or not 0 <= n <= _PDF_MAX_OBJECTS
+                or not 0 <= first <= len(data)
+            ):
+                continue
+            header = data[:first].split()
+            for i in range(n):
+                try:
+                    onum = int(header[2 * i])
+                    ooff = int(header[2 * i + 1])
+                except (IndexError, ValueError):
+                    break
+                if onum in self.offsets or onum in self.cache:
+                    continue
+                try:
+                    self.cache[onum] = _Lexer(data, first + ooff).read_object()
+                except (ValueError, NotImplementedError):
+                    continue
 
     def stream_bytes(self, num: int) -> bytes:
         """The decoded stream of object ``num`` (raw or FlateDecode)."""
@@ -376,6 +506,26 @@ class _Document:
                 )
             if len(raw) > _PDF_MAX_STREAM:
                 raise ValueError("PDF stream inflates past the decoder bound")
+        parms = self.resolve(sdict.get("DecodeParms") or sdict.get("DP"))
+        if isinstance(parms, list):
+            parms = next(
+                (p for p in (self.resolve(x) for x in parms) if isinstance(p, dict)),
+                None,
+            )
+        if isinstance(parms, dict):
+            pred = self.resolve(parms.get("Predictor", 1))
+            if isinstance(pred, int) and pred >= 10:
+                raw = _png_unpredict(
+                    raw,
+                    int(self.resolve(parms.get("Columns", 1)) or 1),
+                    int(self.resolve(parms.get("Colors", 1)) or 1),
+                    int(self.resolve(parms.get("BitsPerComponent", 8)) or 8),
+                )
+            elif pred == 2:
+                raise NotImplementedError(
+                    "PDF TIFF predictor 2 is a plug-in point "
+                    "(PNG predictors >= 10 are supported)"
+                )
         return raw
 
     def pages(self):

@@ -205,9 +205,12 @@ def test_rejection_matrix():
         P._pdf_extract_text(b"not a pdf at all")
     with pytest.raises(NotImplementedError, match="Encrypt"):
         P._pdf_extract_text(build_pdf([text_stream("(x) Tj")], encrypt=True))
-    # xref-stream-only file: named plug-in point
-    xs = b"%PDF-1.5\n1 0 obj\n<< /Type /XRef /W [1 2 1] >>\nstream\nendstream\nendobj\nstartxref\n9\n%%EOF"
-    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+    # xref-stream file whose XRef dict carries /Encrypt: still refused
+    xs = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /XRef /W [1 2 1] /Root 2 0 R "
+        b"/Encrypt 3 0 R >>\nstream\nendstream\nendobj\nstartxref\n9\n%%EOF"
+    )
+    with pytest.raises(NotImplementedError, match="Encrypt"):
         P._pdf_extract_text(xs)
     # non-Flate filter
     pdf = build_pdf([text_stream("(x) Tj")], compress=False)
@@ -348,3 +351,109 @@ def test_pdf_sniffing_and_kind():
     pdf = build_pdf([text_stream("(x) Tj")])
     assert M.sniff_codec(pdf) == "pdf"
     assert M.SNIFF_KINDS["pdf"] == "document"
+
+
+# --- PDF 1.5+ layout: object streams, xref streams, predictors ------------------
+
+
+def build_pdf15(content: bytes, predictor: bool = False):
+    """Assemble a PDF 1.5-layout file: catalog/pages/page dicts packed
+    in a Flate-compressed /ObjStm, the content stream direct (streams
+    cannot live in object streams per spec), the trailer fields carried
+    by an /XRef stream dictionary — NO classic trailer keyword."""
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+    }
+    bodies = b""
+    header = []
+    for num in sorted(inner):
+        header.append(f"{num} {len(bodies)}")
+        bodies += inner[num] + b" "
+    hdr = (" ".join(header) + "\n").encode()
+    payload_stream = hdr + bodies
+    if predictor:
+        # PNG Up-filter rows of 4 columns — the in-test PREDICTOR
+        # (forward filtering), independent of the decoder's unfilter
+        cols = 4
+        pad = (-len(payload_stream)) % cols
+        padded = payload_stream + b" " * pad
+        rows = [padded[i : i + cols] for i in range(0, len(padded), cols)]
+        filtered = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            filtered.append(2)  # Up
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        comp = zlib.compress(bytes(filtered))
+        parms = f" /DecodeParms << /Predictor 12 /Columns {cols} >>"
+    else:
+        comp = zlib.compress(payload_stream)
+        parms = ""
+    objstm = (
+        f"<< /Type /ObjStm /N {len(inner)} /First {len(hdr)} "
+        f"/Length {len(comp)} /Filter /FlateDecode{parms} >>\n".encode()
+        + b"stream\n" + comp + b"\nendstream"
+    )
+    contents = (
+        f"<< /Length {len(content)} >>\n".encode()
+        + b"stream\n" + content + b"\nendstream"
+    )
+    xref = (
+        b"<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R /Length 0 >>\n"
+        b"stream\n\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for num, body in ((4, objstm), (5, contents), (6, xref)):
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"startxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [False, True])
+def test_pdf15_objstm_and_xref_stream(predictor):
+    pdf = build_pdf15(
+        text_stream("(modern layout text) Tj"), predictor=predictor
+    )
+    assert b"trailer" not in pdf  # genuinely 1.5-shaped
+    text, n = P._pdf_extract_text(pdf)
+    assert (text, n) == ("modern layout text", 1)
+
+
+def test_png_unpredict_all_filter_types():
+    """Round-trip every PNG filter type through an independent forward
+    filter (bpp=1): unpredict(filter(x)) == x."""
+    rng = np.random.default_rng(5)
+    cols = 7
+    raw = bytes(rng.integers(0, 256, size=cols * 6, dtype=np.uint8))
+    rows = [raw[i : i + cols] for i in range(0, len(raw), cols)]
+    filtered = bytearray()
+    prev = bytes(cols)
+    for k, row in enumerate(rows):
+        ftype = k % 5
+        filtered.append(ftype)
+        for i in range(cols):
+            left = row[i - 1] if i >= 1 else 0
+            up = prev[i]
+            ul = prev[i - 1] if i >= 1 else 0
+            if ftype == 0:
+                v = row[i]
+            elif ftype == 1:
+                v = row[i] - left
+            elif ftype == 2:
+                v = row[i] - up
+            elif ftype == 3:
+                v = row[i] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = row[i] - pred
+            filtered.append(v & 0xFF)
+        prev = row
+    assert P._png_unpredict(bytes(filtered), cols, 1, 8) == raw
+    with pytest.raises(ValueError, match="inconsistent"):
+        P._png_unpredict(bytes(filtered[:-1]), cols, 1, 8)
+    with pytest.raises(ValueError, match="row filter"):
+        P._png_unpredict(bytes([9]) + bytes(cols), cols, 1, 8)
