@@ -1,0 +1,162 @@
+"""Unified document text extraction: one lane for a mixed corpus.
+
+A real document dump is heterogeneous — PDFs beside DOCX beside EPUB
+beside saved HTML beside plain text, all in one payload column. This
+module routes EACH ROW to the right extractor (the media tier's
+``codec="auto"`` pattern applied to documents):
+
+* ``%PDF-`` -> :func:`..operators.pdf._pdf_extract_text`;
+* zip (``PK``) -> inspected ONCE for its defining member —
+  ``word/document.xml`` -> DOCX, ``META-INF/container.xml`` -> EPUB
+  (a zip prefix alone is ambiguous, so document sniffing reads the
+  central directory, unlike the media sniffer's pure-prefix rule —
+  documented divergence, still O(directory) not O(content));
+* an ``<html`` / ``<!doctype html`` marker in the first 512 bytes ->
+  the jusText block extractor (:mod:`.boilerplate`);
+* strict-UTF-8-decodable bytes -> plain text, passed through;
+* anything else quarantines per ``on_error``.
+
+Output is ONE schema for every format: ``(doc_id, doc_format, text,
+n_units, n_chars)`` — ``n_units`` is pages (pdf), paragraphs (docx),
+chapters (epub), good blocks (html), 1 (txt). The text column is the
+text tier's input; a mixed million-document dump becomes training
+text in a single ``extract_document_text`` call composed with
+clean_corpus -> dedup -> chunk.
+
+No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
+Tier C).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+DOCUMENT_FORMATS = ("pdf", "docx", "epub", "html", "txt")
+
+
+def sniff_document(payload: bytes) -> str:
+    """Identify a document payload's format (see module doc). ValueError
+    on unrecognized payloads."""
+    if payload.startswith(b"%PDF-"):
+        return "pdf"
+    if payload.startswith(b"PK"):
+        try:
+            names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
+        except zipfile.BadZipFile:
+            raise ValueError("zip-prefixed payload is not a readable archive")
+        if "word/document.xml" in names:
+            return "docx"
+        if "META-INF/container.xml" in names:
+            return "epub"
+        raise ValueError("zip archive is neither DOCX nor EPUB")
+    head = payload[:512].lower()
+    if b"<html" in head or b"<!doctype html" in head:
+        return "html"
+    try:
+        payload.decode("utf-8", errors="strict")
+        return "txt"
+    except UnicodeDecodeError:
+        raise ValueError("unrecognized document payload")
+
+
+def _extract_one(fmt: str, payload: bytes):
+    """(text, n_units) via the format's extractor."""
+    if fmt == "pdf":
+        from .pdf import _pdf_extract_text
+
+        return _pdf_extract_text(payload)
+    if fmt == "docx":
+        from .docx import _docx_extract_text
+
+        return _docx_extract_text(payload)
+    if fmt == "epub":
+        from .epub import _epub_extract_text
+
+        return _epub_extract_text(payload)
+    if fmt == "html":
+        from .boilerplate import _extract_main
+
+        text, _nb, n_good = _extract_main(
+            payload.decode("utf-8", errors="replace")
+        )
+        return text, n_good
+    if fmt == "txt":
+        return payload.decode("utf-8"), 1
+    raise ValueError(f"document format {fmt!r} not extractable")
+
+
+def extract_document_text(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    on_error: str = "null",
+):
+    """Spark lane: mixed document payloads -> ``(doc_id, doc_format,
+    text, n_units, n_chars)``. ``codec="auto"`` sniffs per row; naming
+    a format skips the sniff (and rows of other formats then fail into
+    the quarantine path)."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .multimodal import _check_on_error
+
+    if codec != "auto" and codec not in DOCUMENT_FORMATS:
+        raise NotImplementedError(
+            f"document codec {codec!r} not available; supported: "
+            f"{DOCUMENT_FORMATS} plus 'auto'"
+        )
+    _check_on_error(on_error)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("doc_format", StringType()),
+            StructField("text", StringType()),
+            StructField("n_units", IntegerType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fmts, texts, nus, ncs = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                try:
+                    fmt = sniff_document(raw) if codec == "auto" else codec
+                    text, n_units = _extract_one(fmt, raw)
+                except (ValueError, NotImplementedError, UnicodeDecodeError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    fmt, text, n_units = None, None, None
+                ids.append(doc_id)
+                fmts.append(fmt)
+                texts.append(text)
+                nus.append(n_units)
+                ncs.append(None if text is None else len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_format": pd.Series(fmts, dtype="object"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "n_units": pd.Series(nus, dtype="Int32"),
+                    "n_chars": pd.Series(ncs, dtype="Int64"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, schema)

@@ -1,0 +1,109 @@
+"""Unified document router: per-row format sniffing over a genuinely
+mixed corpus (PDF + DOCX + EPUB + HTML + plain text + binary garbage in
+ONE column), each row's output pinned equal to its dedicated lane."""
+
+from __future__ import annotations
+
+import pytest
+
+from drill_logfile_plugin_spark.operators import documents as DOC
+
+from tests.test_boilerplate import PROSE, PROSE2, _page
+from tests.test_docx import build_docx, par, run
+from tests.test_epub import build_epub, chapter_xhtml
+from tests.test_pdf import build_pdf, text_stream
+
+
+def _payloads():
+    return {
+        "pdf": build_pdf([text_stream(f"({PROSE}) Tj")]),
+        "docx": build_docx(par(run(PROSE))),
+        "epub": build_epub({"a.xhtml": chapter_xhtml([PROSE])}),
+        "html": _page(f"<p>{PROSE}</p>").encode(),
+        "txt": PROSE.encode(),
+    }
+
+
+def test_sniff_document_identifies_all():
+    for fmt, p in _payloads().items():
+        assert DOC.sniff_document(p) == fmt, fmt
+
+
+def test_sniff_document_rejections():
+    with pytest.raises(ValueError, match="unrecognized"):
+        DOC.sniff_document(b"\x00\x01\x02\xff binary junk \xfe")
+    with pytest.raises(ValueError, match="neither DOCX nor EPUB"):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("data.csv", "a,b\n1,2")
+        DOC.sniff_document(buf.getvalue())
+    with pytest.raises(ValueError, match="not a readable archive"):
+        DOC.sniff_document(b"PK\x03\x04 truncated nonsense")
+
+
+def test_mixed_corpus_one_call(spark):
+    pays = _payloads()
+    rows = [(i, bytearray(p)) for i, p in enumerate(pays.values())]
+    rows.append((99, bytearray(b"\xff\xfe binary garbage \x00")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r for r in DOC.extract_document_text(df).collect()
+    }
+    for i, fmt in enumerate(pays):
+        assert out[i]["doc_format"] == fmt, fmt
+        assert PROSE in out[i]["text"]
+        assert out[i]["n_chars"] == len(out[i]["text"])
+        assert out[i]["n_units"] == 1
+    assert out[99]["doc_format"] is None and out[99]["text"] is None
+
+
+def test_auto_matches_dedicated_lanes(spark):
+    from drill_logfile_plugin_spark.operators.pdf import extract_pdf_text
+
+    pdfs = [
+        (i, bytearray(build_pdf([text_stream(f"(doc {i}: {PROSE2}) Tj")])))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(pdfs, "doc_id long, payload binary")
+    auto = {
+        r["doc_id"]: r["text"]
+        for r in DOC.extract_document_text(df).collect()
+    }
+    dedicated = {
+        r["doc_id"]: r["text"] for r in extract_pdf_text(df).collect()
+    }
+    assert auto == dedicated
+
+
+def test_explicit_codec_skips_sniff(spark):
+    rows = [(0, bytearray(PROSE.encode())), (1, bytearray(b"\xff\xfe\x00"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in DOC.extract_document_text(df, codec="txt").collect()
+    }
+    assert out[0]["text"] == PROSE
+    assert out[1]["text"] is None  # not UTF-8: quarantined under txt
+    with pytest.raises(NotImplementedError, match="document codec"):
+        DOC.extract_document_text(df, codec="rtf")
+
+
+def test_composition_full_pipeline(spark):
+    """The headline composition: a mixed dump -> router -> clean ->
+    exact dedup survivors — the same PROSE in five containers collapses
+    to ONE surviving text."""
+    from pyspark.sql import functions as F
+
+    from drill_logfile_plugin_spark.operators.dedup import (
+        exact_dedup_survivors,
+    )
+
+    pays = _payloads()
+    rows = [(i, bytearray(p)) for i, p in enumerate(pays.values())]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    texts = DOC.extract_document_text(df).where(F.col("text").isNotNull())
+    survivors = exact_dedup_survivors(texts.select("doc_id", "text"))
+    assert survivors.count() == 1  # five containers, one content
