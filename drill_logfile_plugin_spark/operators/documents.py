@@ -7,7 +7,8 @@ module routes EACH ROW to the right extractor (the media tier's
 
 * ``%PDF-`` -> :func:`..operators.pdf._pdf_extract_text`;
 * zip (``PK``) -> inspected ONCE for its defining member —
-  ``word/document.xml`` -> DOCX, ``META-INF/container.xml`` -> EPUB
+  ``word/document.xml`` -> DOCX, ``META-INF/container.xml`` -> EPUB,
+  ``content.xml`` -> ODT
   (a zip prefix alone is ambiguous, so document sniffing reads the
   central directory, unlike the media sniffer's pure-prefix rule —
   documented divergence, still O(directory) not O(content));
@@ -32,7 +33,7 @@ from __future__ import annotations
 import io
 import zipfile
 
-DOCUMENT_FORMATS = ("pdf", "docx", "epub", "html", "txt")
+DOCUMENT_FORMATS = ("pdf", "docx", "odt", "epub", "html", "txt")
 
 
 def sniff_document(payload: bytes) -> str:
@@ -49,7 +50,9 @@ def sniff_document(payload: bytes) -> str:
             return "docx"
         if "META-INF/container.xml" in names:
             return "epub"
-        raise ValueError("zip archive is neither DOCX nor EPUB")
+        if "content.xml" in names:
+            return "odt"
+        raise ValueError("zip archive is not DOCX/EPUB/ODT")
     head = payload[:512].lower()
     if b"<html" in head or b"<!doctype html" in head:
         return "html"
@@ -70,6 +73,10 @@ def _extract_one(fmt: str, payload: bytes):
         from .docx import _docx_extract_text
 
         return _docx_extract_text(payload)
+    if fmt == "odt":
+        from .odt import _odt_extract_text
+
+        return _odt_extract_text(payload)
     if fmt == "epub":
         from .epub import _epub_extract_text
 
