@@ -16,8 +16,10 @@ modes per the spec, with every cursor write bounds-checked — an RLE
 stream is attacker-controlled cursor arithmetic); both bottom-up and
 top-down row orders (RLE is bottom-up by spec); BITMAPINFOHEADER and
 the larger V4/V5 headers (the extra fields don't affect these layouts).
-Bitfields and embedded JPEG/PNG raise NotImplementedError — explicit
-plug-in points, the JPEG-tier convention. Dimension and size sanity run BEFORE any
+OS/2 BITMAPCOREHEADER files (12-byte header, 16-bit dims, packed BGR
+palette triples) decode too. Bitfields and embedded JPEG/PNG raise
+NotImplementedError — explicit plug-in points, the JPEG-tier
+convention. Dimension and size sanity run BEFORE any
 allocation: headers are untrusted input (the PNG bomb-guard rule).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C); the
@@ -110,14 +112,22 @@ def _bmp_decode(payload: bytes):
         raise ValueError("not a BMP (bad signature or truncated header)")
     data_offset = struct.unpack("<I", payload[10:14])[0]
     hdr_size = struct.unpack("<I", payload[14:18])[0]
-    if hdr_size < 40:
+    core = hdr_size == 12  # OS/2 BITMAPCOREHEADER
+    if core:
+        # 16-bit dims, no compression field, 3-byte palette entries,
+        # always bottom-up
+        width, height_raw = struct.unpack("<hh", payload[18:22])
+        planes, bpp = struct.unpack("<HH", payload[22:26])
+        compression = 0
+    elif hdr_size < 40:
         raise NotImplementedError(
-            f"BMP header size {hdr_size}: BITMAPCOREHEADER (OS/2) is a "
-            "plug-in point; BITMAPINFOHEADER and larger are supported"
+            f"BMP header size {hdr_size}: only BITMAPCOREHEADER (12) and "
+            "BITMAPINFOHEADER+ (>= 40) layouts exist in the wild"
         )
-    width, height_raw = struct.unpack("<ii", payload[18:26])
-    planes, bpp = struct.unpack("<HH", payload[26:30])
-    compression = struct.unpack("<I", payload[30:34])[0]
+    else:
+        width, height_raw = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        compression = struct.unpack("<I", payload[30:34])[0]
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
     if width <= 0 or height == 0:
@@ -146,14 +156,18 @@ def _bmp_decode(payload: bytes):
         )
 
     if bpp in (1, 4, 8):
-        n_colors = struct.unpack("<I", payload[46:50])[0] or (1 << bpp)
+        if core:
+            n_colors = 1 << bpp  # no biClrUsed field in the core header
+        else:
+            n_colors = struct.unpack("<I", payload[46:50])[0] or (1 << bpp)
+        entry = 3 if core else 4  # core palettes are packed BGR triples
         pal_off = 14 + hdr_size
-        pal_end = pal_off + 4 * n_colors
+        pal_end = pal_off + entry * n_colors
         if pal_end > len(payload):
             raise ValueError("BMP palette truncated")
         pal = np.frombuffer(
             payload[pal_off:pal_end], dtype=np.uint8
-        ).reshape(n_colors, 4)
+        ).reshape(n_colors, entry)
         # palette entries are BGRx; BT.601 integer luma per entry
         pal_luma = (
             (

@@ -522,10 +522,25 @@ class _Document:
                     int(self.resolve(parms.get("BitsPerComponent", 8)) or 8),
                 )
             elif pred == 2:
-                raise NotImplementedError(
-                    "PDF TIFF predictor 2 is a plug-in point "
-                    "(PNG predictors >= 10 are supported)"
-                )
+                # TIFF predictor: horizontal differencing, no row tag
+                columns = int(self.resolve(parms.get("Columns", 1)) or 1)
+                colors = int(self.resolve(parms.get("Colors", 1)) or 1)
+                bpc = int(self.resolve(parms.get("BitsPerComponent", 8)) or 8)
+                if bpc != 8:
+                    raise NotImplementedError(
+                        "PDF TIFF predictor with sub-byte components is a "
+                        "plug-in point"
+                    )
+                rowlen = columns * colors
+                if rowlen <= 0 or len(raw) % rowlen:
+                    raise ValueError(
+                        "PDF predictor stream length inconsistent with Columns"
+                    )
+                buf = bytearray(raw)
+                for r0 in range(0, len(buf), rowlen):
+                    for i in range(colors, rowlen):
+                        buf[r0 + i] = (buf[r0 + i] + buf[r0 + i - colors]) & 0xFF
+                raw = bytes(buf)
         return raw
 
     def pages(self):

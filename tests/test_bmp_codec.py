@@ -345,3 +345,29 @@ def test_rle_rejections():
     big = bytes([1, 7, 0, 0, 0, 1])
     with pytest.raises(ValueError, match="palette index"):
         _bmp_decode(_bmp_container(big, 4, 4, 8, 1, _gray_palette(4)))
+
+
+def test_os2_core_header_and_packed_palette():
+    """BITMAPCOREHEADER: 12-byte header, 16-bit dims, BGR palette
+    triples — decodes identically to the same indexes under a V3
+    header."""
+    rng = np.random.default_rng(14)
+    idx = rng.integers(0, 16, size=(5, 6), dtype=np.uint8)
+    # a core-header 8-bit palette is ALWAYS 256 entries (no biClrUsed)
+    palette = _gray_palette(16) + [(0, 0, 0)] * 240
+    # independent core-header writer
+    stride = ((6 * 8 + 31) // 32) * 4
+    rows = []
+    for y in range(4, -1, -1):
+        row = bytearray(int(v) for v in idx[y]) + b"\x00" * (stride - 6)
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    pal = b"".join(bytes([b, g, r]) for r, g, b in palette)
+    data_offset = 14 + 12 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", data_offset + len(pix), 0, 0, data_offset)
+    core = struct.pack("<IhhHH", 12, 6, 5, 1, 8)
+    payload = hdr + core + pal + pix
+    got = _bmp_decode(payload)
+    ref = _bmp_decode(_write_bmp(idx, bpp=8, palette=palette))
+    assert got[0:2] == (6, 5)
+    assert np.array_equal(got[2], ref[2])

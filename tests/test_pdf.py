@@ -457,3 +457,27 @@ def test_png_unpredict_all_filter_types():
         P._png_unpredict(bytes(filtered[:-1]), cols, 1, 8)
     with pytest.raises(ValueError, match="row filter"):
         P._png_unpredict(bytes([9]) + bytes(cols), cols, 1, 8)
+
+
+def test_tiff_predictor_2_on_flate_stream():
+    """TIFF predictor (horizontal differencing): the in-test forward
+    difference round-trips through the decoder's accumulation."""
+    stream = text_stream("(tiff predictor text) Tj")
+    cols = 5
+    pad = (-len(stream)) % cols
+    padded = stream + b" " * pad
+    diffed = bytearray()
+    for r0 in range(0, len(padded), cols):
+        row = padded[r0 : r0 + cols]
+        diffed.append(row[0])
+        for i in range(1, cols):
+            diffed.append((row[i] - row[i - 1]) & 0xFF)
+    comp = zlib.compress(bytes(diffed))
+    pdf = _swap_stream(
+        build_pdf([stream], compress=False), stream,
+        b"<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns "
+        + str(cols).encode() + b" >> >>",
+        comp,
+    )
+    assert P._pdf_extract_text(pdf)[0] == "tiff predictor text"
