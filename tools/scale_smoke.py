@@ -894,6 +894,49 @@ def main() -> None:
     timed.append(("decode_media_auto", decode_auto_lane))
     timed.append(("stratified_sample_sharded", strat_sharded_lane))
 
+    # Document-extraction tier: per-row routed extraction over a mixed
+    # PDF/DOCX/HTML/TXT corpus (16 distinct payloads cycled — constant
+    # per-row work isolates the mapInPandas scan scaling, the decode
+    # lanes' harness). Payloads come from the tests' independent spec
+    # writers.
+    from drill_logfile_plugin_spark.operators.documents import (
+        extract_document_text,
+    )
+
+    def _doc_payload_set() -> list[bytes]:
+        from tests.test_boilerplate import PROSE, _page
+        from tests.test_docx import build_docx, par, run
+        from tests.test_pdf import build_pdf, text_stream
+
+        out = []
+        for i in range(16):
+            kind = i % 4
+            if kind == 0:
+                out.append(build_pdf([text_stream(f"({PROSE} v{i}) Tj")]))
+            elif kind == 1:
+                out.append(build_docx(par(run(f"{PROSE} v{i}"))))
+            elif kind == 2:
+                out.append(_page(f"<p>{PROSE} v{i}</p>").encode())
+            else:
+                out.append(f"{PROSE} v{i}".encode())
+        return out
+
+    _doc_arr = F.array(*[F.lit(p) for p in _doc_payload_set()])
+
+    def extract_documents_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mixed = docs.select(
+            "doc_id",
+            F.element_at(_doc_arr, (F.col("doc_id") % 16 + 1).cast("int"))
+            .alias("payload"),
+        )
+        return extract_document_text(mixed).groupBy("doc_format").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    timed.append(("extract_documents", extract_documents_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
