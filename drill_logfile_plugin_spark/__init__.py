@@ -11,6 +11,7 @@ designed for 1000-executor / 100 TB deployments while remaining testable on
 """
 
 from .config import LogFormatConfig, normalize_type
+from .operators.documents import extract_document_text, sniff_document
 from .pipeline import corpus_fingerprints, ingest_increment
 from .sources.formats import APACHE_COMBINED, MYSQL_LOG, SYSLOG
 from .sources.log_datasource import register_log_datasource
@@ -34,6 +35,8 @@ __all__ = [
     "SYSLOG",
     "ingest_increment",
     "corpus_fingerprints",
+    "extract_document_text",
+    "sniff_document",
 ]
 
 __version__ = "0.1.0"
