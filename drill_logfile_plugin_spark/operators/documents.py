@@ -14,6 +14,9 @@ module routes EACH ROW to the right extractor (the media tier's
   documented divergence, still O(directory) not O(content));
 * an ``<html`` / ``<!doctype html`` marker in the first 512 bytes ->
   the jusText block extractor (:mod:`.boilerplate`);
+* a ``WEBVTT`` header -> WebVTT captions, an SRT first-cue shape
+  (number + ``-->`` timing line) -> SubRip captions, a JSON object
+  carrying ``"cells"`` -> Jupyter notebook (:mod:`.captions`);
 * strict-UTF-8-decodable bytes -> plain text, passed through;
 * anything else quarantines per ``on_error``.
 
@@ -31,9 +34,12 @@ Tier C).
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 
-DOCUMENT_FORMATS = ("pdf", "docx", "odt", "epub", "html", "txt")
+DOCUMENT_FORMATS = (
+    "pdf", "docx", "odt", "epub", "html", "srt", "vtt", "ipynb", "txt"
+)
 
 
 def sniff_document(payload: bytes) -> str:
@@ -56,6 +62,15 @@ def sniff_document(payload: bytes) -> str:
     head = payload[:512].lower()
     if b"<html" in head or b"<!doctype html" in head:
         return "html"
+    if payload.lstrip()[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
+        return "vtt"
+    # SRT: a cue number line then an HH:MM:SS,mmm --> timing line
+    if re.match(
+        rb"^\s*\d+\s*\r?\n\s*\d{1,2}:\d{2}:\d{2},\d{3}\s*-->", payload[:64]
+    ):
+        return "srt"
+    if payload.lstrip()[:1] == b"{" and b'"cells"' in payload[:4096]:
+        return "ipynb"
     try:
         payload.decode("utf-8", errors="strict")
         return "txt"
@@ -81,6 +96,15 @@ def _extract_one(fmt: str, payload: bytes):
         from .epub import _epub_extract_text
 
         return _epub_extract_text(payload)
+    if fmt in ("srt", "vtt"):
+        from .captions import _captions_extract_text
+
+        text, n_cues, _span = _captions_extract_text(payload)
+        return text, n_cues
+    if fmt == "ipynb":
+        from .captions import _ipynb_extract_text
+
+        return _ipynb_extract_text(payload)
     if fmt == "html":
         from .boilerplate import _extract_main
 
