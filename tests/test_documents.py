@@ -107,3 +107,42 @@ def test_composition_full_pipeline(spark):
     texts = DOC.extract_document_text(df).where(F.col("text").isNotNull())
     survivors = exact_dedup_survivors(texts.select("doc_id", "text"))
     assert survivors.count() == 1  # five containers, one content
+
+
+def test_document_extraction_streams_equals_batch(spark, tmp_path):
+    """The router under Structured Streaming: a document dump landing
+    as files extracts incrementally (mapInPandas is streaming-capable)
+    and the accumulated output equals the batch run row-for-row — the
+    continuous-ingestion shape for a document feed."""
+    pays = list(_payloads().items())
+    rows = [(i, bytearray(p)) for i, (_f, p) in enumerate(pays)]
+    batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    src = str(tmp_path / "docs_in")
+    # land one file per document: each micro-batch extracts one payload
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], batch.schema).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = DOC.extract_document_text(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("docs_stream_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        [tuple(r) for r in spark.table("docs_stream_mem").collect()], key=str
+    )
+    want = sorted(
+        [tuple(r) for r in DOC.extract_document_text(batch).collect()],
+        key=str,
+    )
+    assert got == want
+    assert len(got) == len(pays)
