@@ -1,0 +1,340 @@
+"""Media probing: header-only metadata for compressed containers.
+
+The curation step BEFORE decode: a multimodal corpus filters by
+duration/resolution/sample-rate long before it pays for (or is even
+able to run) full decoding. This module reads CONTAINER METADATA only
+— the ffprobe role — for the three compressed formats that dominate
+real media dumps and whose bitstreams genuinely cannot be decoded
+stdlib-grade:
+
+* **MP4 / ISO-BMFF** (``ftyp`` at offset 4): top-level box walk
+  (64-bit largesize handled), ``moov/mvhd`` timescale+duration (both
+  version 0 and 1 layouts), ``trak/tkhd`` 16.16-fixed width/height
+  (max across tracks — the video track wins over audio's 0×0);
+* **MP3** (ID3v2 tag skipped via its syncsafe length, then the first
+  frame sync): version/layer/bitrate/sample-rate decoded from the
+  published header tables, VALIDATED by requiring the next frame to
+  sync where the first one's length says; duration from the Xing/Info
+  frame-count header when present (VBR-exact), else the CBR
+  byte-length estimate (documented approximation, flagged via
+  ``duration_exact``);
+* **FLAC** (``fLaC``): the mandatory STREAMINFO block's bit-packed
+  sample rate / channels / bits-per-sample / 36-bit total-sample
+  count — duration is exact by definition.
+
+All fields land in ONE schema: ``(doc_id, media_format, media_kind,
+width, height, duration_ms, sample_rate, n_channels, bitrate_kbps,
+duration_exact, n_bytes)`` — image/audio/video formats the package
+fully decodes keep using their decode lanes; probing exists for the
+formats beyond them. Guards: box/tag walks are length-checked against
+the payload (truncation raises), loop counts bounded.
+
+No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
+Tier C).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_BOXES = 1 << 16
+
+#: MPEG audio bitrate table (kbps), indexed [version_key][layer][idx].
+#: version_key: 0 = MPEG1, 1 = MPEG2/2.5. Layer: 1..3. Index 1..14.
+_MP3_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5) and index
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _probe_mp4(payload: bytes):
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp box)")
+
+    def boxes(buf, pos, end, depth=0):
+        count = 0
+        while pos + 8 <= end:
+            count += 1
+            if count > _MAX_BOXES or depth > 8:
+                raise ValueError("MP4 box walk exceeds the bound")
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("MP4 largesize box truncated")
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            if size < 8 or pos + size > end:
+                raise ValueError("MP4 box size escapes the payload")
+            yield btype, body, pos + size
+            pos += size
+
+    duration_ms = None
+    width = height = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(payload, body, bend, 1):
+            if ctype == b"mvhd":
+                ver = payload[cbody]
+                if ver == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[cbody + 20 : cbody + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[cbody + 12 : cbody + 20]
+                    )
+                if ts:
+                    duration_ms = (dur * 1000) // ts
+            elif ctype == b"trak":
+                for ttype, tbody, _tend in boxes(payload, cbody, cend, 2):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = payload[tbody]
+                    off = tbody + (88 if ver == 1 else 76)
+                    w_fx, h_fx = struct.unpack(
+                        ">II", payload[off : off + 8]
+                    )
+                    w, h = w_fx >> 16, h_fx >> 16
+                    if w and h:
+                        width = max(width or 0, w)
+                        height = max(height or 0, h)
+    if duration_ms is None:
+        raise ValueError("MP4 has no moov/mvhd (streaming fragment?)")
+    kind = "video" if width else "audio"
+    return {
+        "media_format": "mp4",
+        "media_kind": kind,
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+        "duration_exact": True,
+    }
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse a frame header at pos: (frame_len, version_bits, layer,
+    bitrate_kbps, sample_rate, channels, samples_per_frame) or None."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (b1 >> 1) & 3  # 3=L1, 2=L2, 1=L3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vkey = 0 if ver_bits == 3 else 1
+    bitrate = _MP3_BITRATES[(vkey, layer)][br_idx]
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or vkey == 0) else 576
+        flen = spf // 8 * bitrate * 1000 // rate + padding
+    return flen, ver_bits, layer, bitrate, rate, channels, spf
+
+
+def _probe_mp3(payload: bytes):
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("MP3 ID3v2 tag truncated")
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)  # syncsafe integer
+        pos = 10 + sz
+        if pos >= len(payload):
+            raise ValueError("MP3 ID3v2 tag swallows the whole payload")
+    # scan (bounded) for a VALIDATED frame sync: the next frame must
+    # also parse where this frame's length says it starts
+    hdr = None
+    for scan in range(pos, min(pos + 4096, len(payload) - 4)):
+        h = _mp3_frame(payload, scan)
+        if h is None:
+            continue
+        nxt = scan + h[0]
+        if nxt + 4 <= len(payload) and _mp3_frame(payload, nxt) is None:
+            continue
+        pos = scan
+        hdr = h
+        break
+    if hdr is None:
+        raise ValueError("MP3 has no validated frame sync")
+    flen, ver_bits, layer, bitrate, rate, channels, spf = hdr
+    # Xing/Info VBR header sits after the side info: MPEG1 32/17 bytes
+    # (stereo/mono), MPEG2(.5) 17/9
+    vkey = 0 if ver_bits == 3 else 1
+    if vkey == 0:
+        side = 32 if channels == 2 else 17
+    else:
+        side = 17 if channels == 2 else 9
+    xing_at = pos + 4 + side
+    exact = False
+    duration_ms = None
+    tag = payload[xing_at : xing_at + 4]
+    if tag in (b"Xing", b"Info"):
+        (flags,) = struct.unpack(">I", payload[xing_at + 4 : xing_at + 8])
+        if flags & 1:
+            (n_frames,) = struct.unpack(
+                ">I", payload[xing_at + 8 : xing_at + 12]
+            )
+            duration_ms = (n_frames * spf * 1000) // rate
+            exact = True
+    if duration_ms is None:
+        # CBR estimate over the audio bytes
+        duration_ms = ((len(payload) - pos) * 8) // max(1, bitrate)
+    return {
+        "media_format": "mp3",
+        "media_kind": "audio",
+        "duration_ms": duration_ms,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bitrate_kbps": bitrate,
+        "duration_exact": exact,
+    }
+
+
+def _probe_flac(payload: bytes):
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC (missing fLaC marker)")
+    if len(payload) < 4 + 4 + 34:
+        raise ValueError("FLAC STREAMINFO truncated")
+    btype = payload[4] & 0x7F
+    if btype != 0:
+        raise ValueError("FLAC first metadata block is not STREAMINFO")
+    info = payload[8 : 8 + 34]
+    packed = int.from_bytes(info[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC declares a zero sample rate")
+    return {
+        "media_format": "flac",
+        "media_kind": "audio",
+        "duration_ms": (total * 1000) // rate,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bitrate_kbps": bits,  # bits-per-sample rides this column
+        "duration_exact": True,
+    }
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Route by magic to the right prober; ValueError on unknown."""
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return _probe_mp4(payload)
+    if payload[:4] == b"fLaC":
+        return _probe_flac(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _probe_mp3(payload)
+    raise ValueError("unrecognized probe-tier media magic")
+
+
+def probe_media(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "null",
+):
+    """Spark lane: compressed-media payloads -> header-only metadata
+    (one row per payload; see module doc for the schema). Arrow-batched
+    with the tier's quarantine contract."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .multimodal import _check_on_error
+
+    _check_on_error(on_error)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_format", StringType()),
+            StructField("media_kind", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("bitrate_kbps", IntegerType()),
+            StructField("duration_exact", BooleanType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    cols = (
+        "media_format", "media_kind", "width", "height", "duration_ms",
+        "sample_rate", "n_channels", "bitrate_kbps", "duration_exact",
+    )
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("doc_id", *cols, "n_bytes")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    meta = probe_payload(bytes(p))
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    meta = {}
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(p))
+                for c in cols:
+                    out[c].append(meta.get(c))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "media_format": pd.Series(out["media_format"], dtype="object"),
+                    "media_kind": pd.Series(out["media_kind"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="Int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                    "bitrate_kbps": pd.Series(out["bitrate_kbps"], dtype="Int32"),
+                    "duration_exact": pd.Series(
+                        out["duration_exact"], dtype="object"
+                    ),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, schema)

@@ -1,0 +1,198 @@
+"""Media probing (header-only MP4/MP3/FLAC metadata): pinned against
+independent in-test writers that pack the container headers per each
+published spec, including 64-bit MP4 boxes, v0/v1 mvhd layouts,
+ID3v2-prefixed MP3 with a Xing VBR header, the CBR estimate fallback,
+FLAC STREAMINFO bit packing, and the Spark lane."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from drill_logfile_plugin_spark.operators import probe as P
+
+
+# --- independent writers -------------------------------------------------------
+
+
+def box(btype: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_mp4(duration_s=10, timescale=600, w=640, h=360, v1=False, large=False):
+    if v1:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration_s * timescale)
+            + b"\x00" * 80
+        )
+    else:
+        mvhd = (
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_s * timescale)
+            + b"\x00" * 80
+        )
+    tkhd_v0 = b"\x00" * 4 + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
+    audio_tkhd = b"\x00" * 4 + b"\x00" * 72 + struct.pack(">II", 0, 0)
+    moov = (
+        box(b"mvhd", mvhd)
+        + box(b"trak", box(b"tkhd", audio_tkhd))
+        + box(b"trak", box(b"tkhd", tkhd_v0))
+    )
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", moov, large=large)
+        + box(b"mdat", b"\x00" * 32)
+    )
+
+
+def mp3_frame_bytes(bitrate_idx=9, with_xing=False, n_frames=0) -> bytes:
+    """One MPEG1 Layer3 44100 Hz stereo frame (independent header
+    assembly): 0xFF 0xFB then bitrate/samplerate nibbles."""
+    b2 = (bitrate_idx << 4) | (0 << 2) | 0  # 44100, no padding
+    hdr = bytes([0xFF, 0xFB, b2, 0x00])  # stereo (channel mode 0)
+    bitrate = P._MP3_BITRATES[(0, 3)][bitrate_idx]
+    flen = 1152 // 8 * bitrate * 1000 // 44100
+    body = bytearray(flen - 4)
+    if with_xing:
+        side = 32  # MPEG1 stereo
+        at = side  # offset within body (body starts after the 4 hdr bytes)
+        body[at : at + 4] = b"Xing"
+        body[at + 4 : at + 8] = struct.pack(">I", 1)  # FRAMES flag
+        body[at + 8 : at + 12] = struct.pack(">I", n_frames)
+    return hdr + bytes(body)
+
+
+def build_mp3(n_frames=5, with_xing=False, id3=False) -> bytes:
+    frames = [mp3_frame_bytes(with_xing=with_xing, n_frames=n_frames)]
+    frames += [mp3_frame_bytes() for _ in range(n_frames - 1)]
+    payload = b"".join(frames)
+    if id3:
+        tag_body = b"\x00" * 100
+        # syncsafe length 100 = 0x00 0x00 0x00 0x64
+        payload = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + tag_body + payload
+    return payload
+
+
+def build_flac(rate=44100, channels=2, bits=16, total=441000) -> bytes:
+    packed = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total
+    )
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    hdr = bytes([0x80]) + len(info).to_bytes(3, "big")  # last-block STREAMINFO
+    return b"fLaC" + hdr + info
+
+
+# --- MP4 ------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("v1", [False, True])
+@pytest.mark.parametrize("large", [False, True])
+def test_mp4_duration_and_dims(v1, large):
+    meta = P._probe_mp4(build_mp4(duration_s=95, v1=v1, large=large))
+    assert meta["duration_ms"] == 95_000
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["media_kind"] == "video"
+    assert meta["duration_exact"] is True
+
+
+def test_mp4_audio_only_track():
+    payload = build_mp4(w=0, h=0)
+    meta = P._probe_mp4(payload)
+    assert meta["media_kind"] == "audio"
+    assert meta["width"] is None
+
+
+def test_mp4_rejections():
+    with pytest.raises(ValueError, match="ftyp"):
+        P._probe_mp4(b"\x00\x00\x00\x08freeXXXX")
+    good = build_mp4()
+    with pytest.raises(ValueError, match="escapes the payload"):
+        P._probe_mp4(good[:-20])
+    no_moov = box(b"ftyp", b"isom") + box(b"mdat", b"\x00" * 8)
+    with pytest.raises(ValueError, match="moov"):
+        P._probe_mp4(no_moov)
+
+
+# --- MP3 ------------------------------------------------------------------------
+
+
+def test_mp3_xing_exact_duration():
+    n = 50
+    meta = P._probe_mp3(build_mp3(n_frames=n, with_xing=True))
+    assert meta["duration_exact"] is True
+    assert meta["duration_ms"] == (n * 1152 * 1000) // 44100
+    assert meta["sample_rate"] == 44100
+    assert meta["n_channels"] == 2
+    assert meta["bitrate_kbps"] == 128
+
+
+def test_mp3_cbr_estimate_and_id3_skip():
+    payload = build_mp3(n_frames=10, id3=True)
+    meta = P._probe_mp3(payload)
+    assert meta["duration_exact"] is False
+    audio_bytes = len(payload) - 110  # ID3 header+body
+    assert meta["duration_ms"] == (audio_bytes * 8) // 128
+
+
+def test_mp3_sync_validation_rejects_lone_sync():
+    # 0xFF 0xFB then garbage: the "next frame" check must fail it
+    with pytest.raises(ValueError, match="validated frame sync"):
+        P._probe_mp3(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 500)
+
+
+# --- FLAC -----------------------------------------------------------------------
+
+
+def test_flac_streaminfo():
+    meta = P._probe_flac(build_flac(rate=48000, channels=1, bits=24, total=96000))
+    assert meta["duration_ms"] == 2000
+    assert meta["sample_rate"] == 48000
+    assert meta["n_channels"] == 1
+    assert meta["bitrate_kbps"] == 24  # bits-per-sample column
+    assert meta["duration_exact"] is True
+
+
+def test_flac_rejections():
+    with pytest.raises(ValueError, match="fLaC"):
+        P._probe_flac(b"OggS not flac")
+    bad = bytearray(build_flac())
+    bad[4] = 0x81  # first block claims type 1 (padding)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        P._probe_flac(bytes(bad))
+
+
+# --- router + Spark lane ---------------------------------------------------------
+
+
+def test_probe_payload_routing():
+    assert P.probe_payload(build_mp4())["media_format"] == "mp4"
+    assert P.probe_payload(build_mp3())["media_format"] == "mp3"
+    assert P.probe_payload(build_flac())["media_format"] == "flac"
+    with pytest.raises(ValueError, match="probe-tier"):
+        P.probe_payload(b"%PDF- not media")
+
+
+def test_probe_media_lane(spark):
+    rows = [
+        (0, bytearray(build_mp4(duration_s=7))),
+        (1, bytearray(build_mp3(n_frames=20, with_xing=True))),
+        (2, bytearray(build_flac())),
+        (3, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in P.probe_media(df).collect()}
+    assert out[0]["media_format"] == "mp4" and out[0]["duration_ms"] == 7000
+    assert out[1]["media_format"] == "mp3" and out[1]["duration_exact"]
+    assert out[2]["media_format"] == "flac" and out[2]["sample_rate"] == 44100
+    assert out[3]["media_format"] is None  # quarantined
+    # the curation filter this tier exists for: duration gating
+    # mp4 7 s and flac 10 s pass; the ~0.5 s mp3 drops
+    kept = P.probe_media(df, on_error="skip").where("duration_ms >= 5000")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
