@@ -242,12 +242,162 @@ def _probe_flac(payload: bytes):
     }
 
 
+def _probe_webp(payload: bytes):
+    """WebP dimensions from whichever chunk leads: VP8X (extended
+    canvas, 24-bit minus-one fields), VP8L (lossless, 14-bit packed),
+    or VP8 (lossy keyframe tag + 14-bit dims)."""
+    if len(payload) < 25 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    fourcc = payload[12:16]
+    body = payload[20:]
+    if fourcc == b"VP8X":
+        if len(body) < 10:
+            raise ValueError("WebP VP8X chunk truncated")
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+    elif fourcc == b"VP8L":
+        if len(body) < 5 or body[0:1] != b"\x2f":
+            raise ValueError("WebP VP8L signature missing")
+        bits = int.from_bytes(body[1:5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8 ":
+        # lossy keyframe: 3-byte frame tag, 3-byte start code, dims
+        if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 keyframe start code missing")
+        w = int.from_bytes(body[6:8], "little") & 0x3FFF
+        h = int.from_bytes(body[8:10], "little") & 0x3FFF
+    else:
+        raise ValueError(f"WebP leading chunk {fourcc!r} unrecognized")
+    if not w or not h:
+        raise ValueError("WebP declares zero dimensions")
+    return {
+        "media_format": "webp",
+        "media_kind": "image",
+        "width": w,
+        "height": h,
+        "duration_exact": True,
+    }
+
+
+def _probe_avif(payload: bytes):
+    """AVIF/HEIC dimensions from the meta/iprp/ipco/ispe property box
+    (ISO-BMFF, so the MP4 box walker carries over); the brand in ftyp
+    names the format."""
+    brand = payload[8:12]
+    fmt = "avif" if brand.startswith(b"avif") or brand.startswith(b"avis") else "heic"
+
+    def find(buf, pos, end, btype, depth=0):
+        count = 0
+        while pos + 8 <= end:
+            count += 1
+            if count > _MAX_BOXES or depth > 8:
+                raise ValueError("MP4 box walk exceeds the bound")
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            t = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            if size < 8 or pos + size > end:
+                raise ValueError("MP4 box size escapes the payload")
+            if t == btype:
+                return body, pos + size
+            pos += size
+        return None
+
+    meta = find(payload, 0, len(payload), b"meta")
+    if meta is None:
+        raise ValueError("AVIF/HEIC has no meta box")
+    # meta is a FULL box: 4 bytes version/flags before children
+    iprp = find(payload, meta[0] + 4, meta[1], b"iprp", 1)
+    ipco = iprp and find(payload, iprp[0], iprp[1], b"ipco", 2)
+    ispe = ipco and find(payload, ipco[0], ipco[1], b"ispe", 3)
+    if not ispe:
+        raise ValueError("AVIF/HEIC has no ispe property (no dimensions)")
+    w, h = struct.unpack(">II", payload[ispe[0] + 4 : ispe[0] + 12])
+    if not w or not h:
+        raise ValueError("AVIF/HEIC declares zero dimensions")
+    return {
+        "media_format": fmt,
+        "media_kind": "image",
+        "width": w,
+        "height": h,
+        "duration_exact": True,
+    }
+
+
+#: granule rate per Ogg codec: Opus granules are ALWAYS 48 kHz
+_OGG_MAX_PAGES = 1 << 16
+
+
+def _probe_ogg(payload: bytes):
+    """Ogg (Opus/Vorbis) duration from the identification header plus
+    the LAST page's granule position (the format's own duration
+    convention — granules are PCM sample counts)."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream (missing OggS capture)")
+    if len(payload) < 28 + 1:
+        raise ValueError("Ogg first page truncated")
+    nsegs = payload[26]
+    seg_table = payload[27 : 27 + nsegs]
+    if len(seg_table) != nsegs:
+        raise ValueError("Ogg segment table truncated")
+    first = payload[27 + nsegs : 27 + nsegs + sum(seg_table)]
+    if first.startswith(b"OpusHead"):
+        if len(first) < 12:
+            raise ValueError("OpusHead truncated")
+        channels = first[9]
+        rate = 48000  # Opus granules run at 48 kHz regardless of input
+        fmt = "opus"
+    elif first[1:7] == b"vorbis" and first[0] == 1:
+        if len(first) < 16:
+            raise ValueError("Vorbis id header truncated")
+        channels = first[11]
+        (rate,) = struct.unpack("<I", first[12:16])
+        fmt = "vorbis"
+    else:
+        raise ValueError("Ogg first packet is neither OpusHead nor vorbis id")
+    if not rate or not channels:
+        raise ValueError("Ogg id header declares zero rate/channels")
+    # last granule: scan pages; each page header carries its granule
+    granule = 0
+    pos = 0
+    pages = 0
+    n = len(payload)
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        pages += 1
+        if pages > _OGG_MAX_PAGES:
+            raise ValueError("Ogg page count exceeds the bound")
+        (g,) = struct.unpack("<q", payload[pos + 6 : pos + 14])
+        if g > 0:
+            granule = g
+        ns = payload[pos + 26]
+        body = sum(payload[pos + 27 : pos + 27 + ns])
+        pos += 27 + ns + body
+    return {
+        "media_format": fmt,
+        "media_kind": "audio",
+        "duration_ms": (granule * 1000) // rate,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "duration_exact": True,
+    }
+
+
 def probe_payload(payload: bytes) -> dict:
     """Route by magic to the right prober; ValueError on unknown."""
-    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand[:4] in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+            return _probe_avif(payload)
         return _probe_mp4(payload)
     if payload[:4] == b"fLaC":
         return _probe_flac(payload)
+    if payload[:4] == b"OggS":
+        return _probe_ogg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _probe_webp(payload)
     if payload[:3] == b"ID3" or (
         len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

@@ -196,3 +196,78 @@ def test_probe_media_lane(spark):
     # mp4 7 s and flac 10 s pass; the ~0.5 s mp3 drops
     kept = P.probe_media(df, on_error="skip").where("duration_ms >= 5000")
     assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+
+
+# --- WebP / AVIF / Ogg (r8 probe extensions) --------------------------------------
+
+
+def _webp(fourcc: bytes, body: bytes) -> bytes:
+    chunk = fourcc + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_all_three_layouts():
+    vp8x = _webp(b"VP8X", b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"))
+    assert P.probe_payload(vp8x)["width"] == 640
+    assert P.probe_payload(vp8x)["height"] == 360
+    bits = (99) | (49 << 14)  # 100 x 50 minus-one packed
+    vp8l = _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    m = P.probe_payload(vp8l)
+    assert (m["width"], m["height"]) == (100, 50)
+    vp8 = _webp(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00\x00")
+    m2 = P.probe_payload(vp8)
+    assert (m2["width"], m2["height"], m2["media_kind"]) == (320, 240, "image")
+    with pytest.raises(ValueError, match="start code"):
+        P._probe_webp(_webp(b"VP8 ", b"\x00" * 12))
+
+
+def test_avif_ispe_dims():
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 1024, 768))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", ispe)))
+    payload = box(b"ftyp", b"avif\x00\x00\x00\x00") + meta
+    m = P.probe_payload(payload)
+    assert (m["media_format"], m["width"], m["height"]) == ("avif", 1024, 768)
+    heic = box(b"ftyp", b"heic\x00\x00\x00\x00") + meta
+    assert P.probe_payload(heic)["media_format"] == "heic"
+    no_ispe = box(b"ftyp", b"avif\x00\x00\x00\x00") + box(
+        b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", b""))
+    )
+    with pytest.raises(ValueError, match="ispe"):
+        P.probe_payload(no_ispe)
+
+
+def _ogg_page(packet: bytes, granule: int, seq: int, header_type=0) -> bytes:
+    nsegs = len(packet) // 255 + 1
+    segs = bytes([255] * (len(packet) // 255) + [len(packet) % 255])
+    hdr = (
+        b"OggS\x00" + bytes([header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 1)  # serial
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)  # crc (unchecked by the prober)
+        + bytes([nsegs]) + segs
+    )
+    return hdr + packet
+
+
+def test_ogg_opus_duration_from_last_granule():
+    head = b"OpusHead\x01\x02\x38\x01" + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    pages = _ogg_page(head, 0, 0) + _ogg_page(b"\x00" * 100, 96000, 1) + _ogg_page(
+        b"\x00" * 50, 144000, 2, header_type=4
+    )
+    m = P.probe_payload(pages)
+    assert m["media_format"] == "opus"
+    assert m["duration_ms"] == 3000  # 144000 granules at 48 kHz
+    assert m["n_channels"] == 2
+    assert m["sample_rate"] == 48000
+
+
+def test_ogg_vorbis_and_rejections():
+    vid = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2]) + struct.pack("<I", 44100) + b"\x00" * 16
+    pages = _ogg_page(vid, 0, 0) + _ogg_page(b"\x00" * 60, 88200, 1, header_type=4)
+    m = P.probe_payload(pages)
+    assert (m["media_format"], m["sample_rate"], m["duration_ms"]) == (
+        "vorbis", 44100, 2000
+    )
+    with pytest.raises(ValueError, match="neither OpusHead nor vorbis"):
+        P._probe_ogg(_ogg_page(b"\x05junk-codec", 0, 0))
