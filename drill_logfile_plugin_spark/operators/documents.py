@@ -17,6 +17,9 @@ module routes EACH ROW to the right extractor (the media tier's
 * a ``WEBVTT`` header -> WebVTT captions, an SRT first-cue shape
   (number + ``-->`` timing line) -> SubRip captions, a JSON object
   carrying ``"cells"`` -> Jupyter notebook (:mod:`.captions`);
+* an mbox ``From `` envelope or >= 2 RFC 5322 header lines -> email
+  (:mod:`.email_text`; mailboxes linearize here — use
+  ``explode_mbox`` for the one-row-per-message shape);
 * strict-UTF-8-decodable bytes -> plain text, passed through;
 * anything else quarantines per ``on_error``.
 
@@ -38,7 +41,8 @@ import re
 import zipfile
 
 DOCUMENT_FORMATS = (
-    "pdf", "docx", "odt", "epub", "html", "srt", "vtt", "ipynb", "txt"
+    "pdf", "docx", "odt", "epub", "html", "srt", "vtt", "ipynb", "eml",
+    "mbox", "txt",
 )
 
 
@@ -71,6 +75,10 @@ def sniff_document(payload: bytes) -> str:
         return "srt"
     if payload.lstrip()[:1] == b"{" and b'"cells"' in payload[:4096]:
         return "ipynb"
+    from .email_text import looks_like_email
+
+    if looks_like_email(payload):
+        return "mbox" if payload.startswith(b"From ") else "eml"
     try:
         payload.decode("utf-8", errors="strict")
         return "txt"
@@ -105,6 +113,23 @@ def _extract_one(fmt: str, payload: bytes):
         from .captions import _ipynb_extract_text
 
         return _ipynb_extract_text(payload)
+    if fmt == "eml":
+        from .email_text import _eml_extract_text
+
+        text, n_parts, _s, _f, _d = _eml_extract_text(payload)
+        return text, n_parts
+    if fmt == "mbox":
+        from .email_text import _eml_extract_text, _mbox_messages
+
+        texts = []
+        for m in _mbox_messages(payload):
+            try:
+                texts.append(_eml_extract_text(m)[0])
+            except ValueError:
+                continue  # a broken message loses itself only
+        if not texts:
+            raise ValueError("mbox contains no extractable messages")
+        return "\f".join(texts), len(texts)
     if fmt == "html":
         from .boilerplate import _extract_main
 
