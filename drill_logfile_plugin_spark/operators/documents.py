@@ -41,8 +41,8 @@ import re
 import zipfile
 
 DOCUMENT_FORMATS = (
-    "pdf", "docx", "odt", "epub", "html", "srt", "vtt", "ipynb", "eml",
-    "mbox", "txt",
+    "pdf", "docx", "odt", "epub", "html", "rtf", "srt", "vtt", "ipynb",
+    "eml", "mbox", "txt",
 )
 
 
@@ -63,6 +63,8 @@ def sniff_document(payload: bytes) -> str:
         if "content.xml" in names:
             return "odt"
         raise ValueError("zip archive is not DOCX/EPUB/ODT")
+    if payload.startswith(b"{\\rtf"):
+        return "rtf"
     head = payload[:512].lower()
     if b"<html" in head or b"<!doctype html" in head:
         return "html"
@@ -113,6 +115,10 @@ def _extract_one(fmt: str, payload: bytes):
         from .captions import _ipynb_extract_text
 
         return _ipynb_extract_text(payload)
+    if fmt == "rtf":
+        from .rtf import _rtf_extract_text
+
+        return _rtf_extract_text(payload)
     if fmt == "eml":
         from .email_text import _eml_extract_text
 
