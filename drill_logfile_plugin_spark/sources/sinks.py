@@ -356,3 +356,60 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    fmt: str = "json",
+    mode: str = "error",
+) -> None:
+    """Export training shards with BYTE-STABLE contents: the trainer's
+    side of the pipeline.
+
+    ``shuffle_deterministic`` documents the contract resumable loaders
+    need — shards addressed as files whose membership AND internal
+    order are pure functions of the data — and this sink realizes it:
+
+    * shard = ``pmod(md5-fold(salt || id), n_shards)`` (the
+      :func:`..operators.sampling.doc_bucket` construction), so a
+      document's shard never depends on cluster layout, input split
+      order, or Spark version;
+    * rows sort within each shard by ``(md5(salt || id), id)`` — the
+      same deterministic permutation the sampling tier ranks on — so a
+      re-export from ANY input layout produces byte-identical shard
+      contents (pinned in tests by exporting twice from different
+      partitionings and comparing shard bytes);
+    * layout: ``path/shard=K/part-*`` with EXACTLY one file per shard —
+      the frame repartitions on the shard column first, so each
+      shard's rows reach one task and ``partitionBy`` then splits by
+      value (a hash collision between shard values merges tasks, never
+      files). Loaders address ``shard=K/`` directly.
+
+    ``fmt="json"`` (JSONL — what tokenizer/loader stacks ingest) or any
+    core row/columnar format; the exactness contract is format-neutral.
+
+    Scale posture: one exchange on the shard key (n_shards-way), one
+    in-partition sort — the cost of any deterministic global layout.
+    Choose ``n_shards`` so a shard fits the trainer's reader.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .withColumn("__key", key)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__key", id_col)
+        .drop("__key")
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode(mode)
+        .save(path)
+    )
