@@ -24,8 +24,9 @@ module routes EACH ROW to the right extractor (the media tier's
 * anything else quarantines per ``on_error``.
 
 Output is ONE schema for every format: ``(doc_id, doc_format, text,
-n_units, n_chars)`` — ``n_units`` is pages (pdf), paragraphs (docx),
-chapters (epub), good blocks (html), 1 (txt). The text column is the
+n_units, n_chars)`` — ``n_units`` is pages (pdf), paragraphs
+(docx/odt/rtf), chapters (epub), good blocks (html), cues (srt/vtt),
+cells (ipynb), messages (mbox), parts (eml), 1 (txt). The text column is the
 text tier's input; a mixed million-document dump becomes training
 text in a single ``extract_document_text`` call composed with
 clean_corpus -> dedup -> chunk.
