@@ -937,6 +937,78 @@ def main() -> None:
 
     timed.append(("extract_documents", extract_documents_lane))
 
+    # Fingerprint/probe tiers: per-row constant work over cycled
+    # payloads (the decode-lane harness), so each factor isolates the
+    # mapInPandas scan; audio_near_dup additionally exercises the
+    # banded join + offset vote whose candidate volume tracks landmark
+    # collisions (constant per payload set), so it too should bend
+    # linearly with row count.
+    from drill_logfile_plugin_spark.operators.audio_fp import (
+        audio_fingerprint,
+    )
+    from drill_logfile_plugin_spark.operators.probe import probe_media
+
+    def _wav_payload_set() -> list[bytes]:
+        import struct as _struct
+
+        rng = _np.random.default_rng(90)
+        out = []
+        for i in range(8):
+            t = _np.arange(4000) / 8000.0
+            f1, f2 = rng.integers(300, 3200, size=2)
+            sig = _np.clip(
+                6000 * _np.sin(2 * _np.pi * f1 * t)
+                + 4000 * _np.sin(2 * _np.pi * f2 * t)
+                + rng.normal(0, 120, size=t.size),
+                -32768, 32767,
+            ).astype("<i2")
+            data = sig.tobytes()
+            fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + _struct.pack("<I", len(body)) + body)
+        return out
+
+    _wav_arr = F.array(*[F.lit(p) for p in _wav_payload_set()])
+
+    def audio_fp_lane(spark, sf_dir):
+        # times the FINGERPRINT scan only: cycled payloads would make
+        # the self-join quadratic (every copy of a payload matches every
+        # other copy — that is the operator WORKING, not a scan cost);
+        # matching economics are covered by the pytest suite's planted
+        # fixtures where payloads are distinct.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = docs.select(
+            "doc_id",
+            F.element_at(_wav_arr, (F.col("doc_id") % 8 + 1).cast("int"))
+            .alias("payload"),
+        )
+        return audio_fingerprint(media).groupBy().agg(
+            F.count(F.lit(1)).alias("landmarks")
+        )
+
+    def probe_lane(spark, sf_dir):
+        from tests.test_probe import build_flac, build_mp3, build_mp4
+
+        arr = F.array(
+            F.lit(build_mp4()), F.lit(build_mp3(n_frames=20)), F.lit(build_flac())
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = docs.select(
+            "doc_id",
+            F.element_at(arr, (F.col("doc_id") % 3 + 1).cast("int"))
+            .alias("payload"),
+        )
+        return probe_media(media).groupBy("media_format").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("duration_ms").alias("ms"),
+        )
+
+    timed.append(("audio_fingerprint_scan", audio_fp_lane))
+    timed.append(("probe_media", probe_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
