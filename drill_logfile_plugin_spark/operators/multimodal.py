@@ -115,6 +115,15 @@ SNIFF_KINDS = {
     "avi": "video",
     "y4m": "video",
     "pdf": "document",
+    # probe-tier formats: sniffable by magic, METADATA-only decodable
+    # (operators/probe.py); the image/video decode lanes quarantine them
+    "mp4": "video",
+    "mp3": "audio",
+    "flac": "audio",
+    "ogg": "audio",
+    "webp": "image",
+    "avif": "image",
+    "heic": "image",
 }
 
 
@@ -149,7 +158,25 @@ def sniff_codec(payload: bytes) -> str:
             return "wav"
         if riff_type == b"AVI ":
             return "avi"
+        if riff_type == b"WEBP":
+            return "webp"
         raise ValueError(f"RIFF container of unrecognized type {riff_type!r}")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand[:4] in (b"avif", b"avis"):
+            return "avif"
+        if brand[:4] in (b"heic", b"heix", b"mif1"):
+            return "heic"
+        return "mp4"
+    if payload.startswith(b"fLaC"):
+        return "flac"
+    if payload.startswith(b"OggS"):
+        return "ogg"
+    # MP3 is sniffed on the unambiguous ID3 tag only: a bare 0xFFEx
+    # frame sync needs the probe tier's next-frame validation, which a
+    # prefix sniff cannot perform
+    if payload.startswith(b"ID3"):
+        return "mp3"
     raise ValueError("unrecognized media magic")
 
 

@@ -73,7 +73,7 @@ def test_sniff_codec_rejections():
     with pytest.raises(ValueError, match="unrecognized media magic"):
         M.sniff_codec(b"P9 2 2 ")  # not a PNM kind
     with pytest.raises(ValueError, match="RIFF container"):
-        M.sniff_codec(b"RIFF\x04\x00\x00\x00WEBP")
+        M.sniff_codec(b"RIFF\x04\x00\x00\x00ACON")  # animated cursor
 
 
 def test_sniff_media_profiles_mixed_frame(spark):
@@ -138,3 +138,28 @@ def test_phash_auto_cross_container_identity(spark):
     }
     assert sigs[0] == sigs[1] == sigs[2]
     assert 3 not in sigs  # audio skipped: no luma plane
+
+
+def test_sniff_probe_tier_formats():
+    """The sniffer labels the probe-tier formats (metadata-only
+    decodable) so a mixed-corpus profile is complete."""
+    from tests.test_probe import _webp, build_flac, build_mp3, build_mp4, box
+
+    cases = {
+        "mp4": build_mp4(),
+        "flac": build_flac(),
+        "mp3": build_mp3(id3=True),
+        "webp": _webp(b"VP8L", b"\x2f" + (99 | (49 << 14)).to_bytes(4, "little")),
+        "avif": box(b"ftyp", b"avif\x00\x00\x00\x00"),
+        "heic": box(b"ftyp", b"heic\x00\x00\x00\x00"),
+    }
+    for fmt, payload in cases.items():
+        assert M.sniff_codec(bytes(payload)) == fmt, fmt
+        assert M.SNIFF_KINDS[fmt] in ("image", "audio", "video")
+    # a bare MP3 frame sync is NOT sniffable (needs probe validation)
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.sniff_codec(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 64)
+    import struct as _struct
+
+    ogg = b"OggS" + b"\x00" * 24
+    assert M.sniff_codec(ogg) == "ogg"
