@@ -32,9 +32,14 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
   adjustments beyond a threshold become spaces, the convention every
   extractor uses), with ``Td/TD/T*/Tm`` line moves emitting newlines;
 * literal-string escapes (``\\n \\t \\( \\) \\\\`` and octal) and
-  hex strings, decoded as Latin-1 (the simple-profile assumption:
-  standard single-byte encodings; CID/Type0 composite fonts are a
-  documented plug-in point).
+  hex strings, decoded as Latin-1 for simple fonts — and through the
+  font's ``/ToUnicode`` CMap for subset/CID (Type0) fonts, whose shown
+  bytes are GLYPH IDS, not characters: per-page font resources
+  (inherited down the page tree per the spec) parse their CMaps
+  (codespace width, ``bfchar``, both ``bfrange`` forms, UTF-16BE
+  destinations), the ``Tf`` operator tracks the active font, and
+  unmapped codes emit U+FFFD so garbage stays countable instead of
+  silently vanishing.
 
 Genuinely absent capabilities raise NotImplementedError at the
 documented plug-in points: encrypted files (``/Encrypt``), TIFF
@@ -544,28 +549,55 @@ class _Document:
         return raw
 
     def pages(self):
-        """Page dictionaries in document order (depth-first Kids walk)."""
+        """(page dict, effective /Resources) in document order — the
+        depth-first Kids walk, with Resources INHERITED from ancestor
+        Pages nodes per the spec (subset-font documents routinely hang
+        the font table on the tree root)."""
         pages_ref = self.root.get("Pages") if isinstance(self.root, dict) else None
         node = self.resolve(pages_ref)
         if not isinstance(node, dict):
             raise ValueError("PDF /Root has no /Pages tree")
         out = []
 
-        def walk(nd, depth=0):
+        def walk(nd, inherited, depth=0):
             if depth > 64:
                 raise ValueError("PDF page tree too deep")
+            res = self.resolve(nd.get("Resources"))
+            if not isinstance(res, dict):
+                res = inherited
             t = nd.get("Type")
             if t == "Page":
-                out.append(nd)
+                out.append((nd, res))
                 if len(out) > _PDF_MAX_PAGES:
                     raise ValueError("PDF page count exceeds the decoder bound")
                 return
             for kid in self.resolve(nd.get("Kids")) or []:
                 k = self.resolve(kid)
                 if isinstance(k, dict):
-                    walk(k, depth + 1)
+                    walk(k, res, depth + 1)
 
-        walk(node)
+        walk(node, None)
+        return out
+
+    def page_fonts(self, resources):
+        """name -> parsed /ToUnicode CMap (or None) for a page's font
+        resources; a broken CMap degrades that font to raw Latin-1."""
+        if not isinstance(resources, dict):
+            return {}
+        fonts = self.resolve(resources.get("Font"))
+        out = {}
+        if isinstance(fonts, dict):
+            for name, ref in fonts.items():
+                fd = self.resolve(ref)
+                cmap = None
+                if isinstance(fd, dict):
+                    tu = fd.get("ToUnicode")
+                    if isinstance(tu, tuple) and tu and tu[0] == "ref":
+                        try:
+                            cmap = _parse_tounicode(self.stream_bytes(tu[1]))
+                        except (ValueError, NotImplementedError):
+                            cmap = None
+                out[name] = cmap
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -587,15 +619,105 @@ class _Document:
 #: the lexer; operators are bare keyword runs
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+_HEX_TOKEN = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CMAP_MAX_ENTRIES = 1 << 20
 
-def _content_text(content: bytes) -> str:
-    """Extract show-text output from one page's content stream."""
+
+def _parse_tounicode(data: bytes):
+    """Parse a /ToUnicode CMap stream: returns ``(code_len, mapping)``
+    with ``mapping`` code-int -> str. Covers the forms subset fonts
+    actually emit: codespace ranges (fixing the code byte width),
+    ``bfchar`` pairs, and both ``bfrange`` forms (offset destination
+    and explicit array). Destination hex is UTF-16BE per the spec."""
+    code_len = 2  # Type0/CID default; codespace overrides
+    m = _CODESPACE_RE.search(data)
+    if m:
+        toks = _HEX_TOKEN.findall(m.group(1))
+        if toks:
+            code_len = max(1, len(toks[0]) // 2)
+
+    def _dst(hexbytes: bytes) -> str:
+        raw = bytes.fromhex(hexbytes.decode("ascii"))
+        if len(raw) % 2:
+            raw += b"\x00"
+        return raw.decode("utf-16-be", errors="replace")
+
+    mapping: dict[int, str] = {}
+    for block in _BFCHAR_RE.finditer(data):
+        toks = _HEX_TOKEN.findall(block.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            mapping[int(toks[i], 16)] = _dst(toks[i + 1])
+            if len(mapping) > _CMAP_MAX_ENTRIES:
+                raise ValueError("PDF CMap entry count exceeds the bound")
+    for block in _BFRANGE_RE.finditer(data):
+        body = block.group(1)
+        # each range line: <lo> <hi> then either <dst> or [<d> <d> ...]
+        pos = 0
+        while True:
+            mlo = _HEX_TOKEN.search(body, pos)
+            if not mlo:
+                break
+            mhi = _HEX_TOKEN.search(body, mlo.end())
+            if not mhi:
+                break
+            lo, hi = int(mlo.group(1), 16), int(mhi.group(1), 16)
+            if hi < lo or hi - lo > _CMAP_MAX_ENTRIES:
+                raise ValueError("PDF CMap range exceeds the bound")
+            nxt = body[mhi.end() :].lstrip()
+            if nxt.startswith(b"["):
+                close = body.find(b"]", mhi.end())
+                if close == -1:
+                    break
+                dsts = _HEX_TOKEN.findall(body[mhi.end() : close])
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        mapping[lo + k] = _dst(d)
+                pos = close + 1
+            else:
+                md = _HEX_TOKEN.search(body, mhi.end())
+                if not md:
+                    break
+                base_hex = md.group(1)
+                base_raw = bytes.fromhex(base_hex.decode("ascii"))
+                base = int(base_hex, 16)
+                width = len(base_raw)
+                for k in range(hi - lo + 1):
+                    mapping[lo + k] = _dst(
+                        b"%0*X" % (width * 2, base + k)
+                    )
+                pos = md.end()
+            if len(mapping) > _CMAP_MAX_ENTRIES:
+                raise ValueError("PDF CMap entry count exceeds the bound")
+    return code_len, mapping
+
+
+def _content_text(content: bytes, fonts: dict | None = None) -> str:
+    """Extract show-text output from one page's content stream.
+    ``fonts`` maps resource names to parsed /ToUnicode CMaps: while a
+    mapped font is selected (``Tf``), shown strings split into
+    code-width units and translate through the CMap (subset/CID fonts
+    whose bytes are glyph ids, not characters); unmapped codes emit
+    U+FFFD so garbage stays visible instead of silently vanishing.
+    Fonts without a CMap keep the simple-profile Latin-1 reading."""
     lex = _Lexer(content)
     stack: list = []
     lines: list[str] = [""]
+    active = None  # the selected font's (code_len, mapping), if any
 
     def show(s):
-        if isinstance(s, bytes):
+        if not isinstance(s, bytes):
+            return
+        if active:
+            code_len, mapping = active
+            out = []
+            for i in range(0, len(s) - code_len + 1, code_len):
+                code = int.from_bytes(s[i : i + code_len], "big")
+                out.append(mapping.get(code, "\ufffd"))
+            lines[-1] += "".join(out)
+        else:
             lines[-1] += s.decode("latin-1")
 
     def newline():
@@ -637,6 +759,14 @@ def _content_text(content: bytes) -> str:
         elif op in (b"'", b'"'):
             newline()
             show(stack[-1] if stack else b"")
+        elif op == b"Tf":
+            # operands: /FontName size — switch the active CMap
+            name = (
+                stack[-2]
+                if len(stack) >= 2 and isinstance(stack[-2], str)
+                else None
+            )
+            active = (fonts or {}).get(name)
         elif op in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
         elif op == b"ET":
@@ -651,7 +781,10 @@ def _pdf_extract_text(payload: bytes):
     separated by form feeds (``\\f``) — the convention pdftotext uses."""
     doc = _Document(payload)
     pages = doc.pages()
-    texts = [_content_text(doc.page_content(pg)) for pg in pages]
+    texts = [
+        _content_text(doc.page_content(pg), doc.page_fonts(res))
+        for pg, res in pages
+    ]
     return "\f".join(texts), len(pages)
 
 

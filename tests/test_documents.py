@@ -88,7 +88,7 @@ def test_explicit_codec_skips_sniff(spark):
     assert out[0]["text"] == PROSE
     assert out[1]["text"] is None  # not UTF-8: quarantined under txt
     with pytest.raises(NotImplementedError, match="document codec"):
-        DOC.extract_document_text(df, codec="rtf")
+        DOC.extract_document_text(df, codec="docbook")
 
 
 def test_composition_full_pipeline(spark):

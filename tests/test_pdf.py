@@ -481,3 +481,98 @@ def test_tiff_predictor_2_on_flate_stream():
         comp,
     )
     assert P._pdf_extract_text(pdf)[0] == "tiff predictor text"
+
+
+# --- ToUnicode CMaps: subset/CID fonts (r8 follow-up) ----------------------------
+
+
+def _cmap_stream() -> bytes:
+    """A spec-shaped ToUnicode CMap: 2-byte codespace, bfchar pairs, an
+    offset bfrange, and an array bfrange."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0003> <0048>\n"           # 3 -> 'H'
+        b"<0014> <00650079>\n"       # 0x14 -> 'ey' (multi-char dst)
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0020> <0022> <0061>\n"    # 0x20..0x22 -> 'a','b','c'
+        b"endbfrange\n"
+        b"1 beginbfrange\n"
+        b"<0030> <0031> [<0058> <0059>]\n"  # array form -> 'X','Y'
+        b"endbfrange\n"
+        b"endcmap\n"
+    )
+
+
+def test_parse_tounicode_forms():
+    code_len, mapping = P._parse_tounicode(_cmap_stream())
+    assert code_len == 2
+    assert mapping[3] == "H"
+    assert mapping[0x14] == "ey"
+    assert [mapping[0x20 + k] for k in range(3)] == ["a", "b", "c"]
+    assert (mapping[0x30], mapping[0x31]) == ("X", "Y")
+
+
+def build_cid_pdf(content_ops: str, resources_on_root: bool = False) -> bytes:
+    """A PDF whose /F1 is a CID-style font with a ToUnicode CMap; the
+    font table hangs on the Page or (inherited) on the Pages root."""
+    cmap = _cmap_stream()
+    stream = ("BT /F1 12 Tf " + content_ops + " ET").encode()
+    res = "/Resources << /Font << /F1 3 0 R >> >>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            "<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            + (res if resources_on_root else "")
+            + " >>"
+        ).encode(),
+        3: b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+X /ToUnicode 6 0 R >>",
+        4: (
+            "<< /Type /Page /Parent 2 0 R "
+            + ("" if resources_on_root else res)
+            + " /Contents 5 0 R >>"
+        ).encode(),
+        5: f"<< /Length {len(stream)} >>\n".encode()
+        + b"stream\n" + stream + b"\nendstream",
+        6: f"<< /Length {len(cmap)} >>\n".encode()
+        + b"stream\n" + cmap + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num in sorted(objs):
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 7\n" + b"0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("on_root", [False, True])
+def test_cid_font_text_decodes_through_cmap(on_root):
+    # glyph ids: H(3) e(?) — spell "Hey abc XY" from the cmap entries
+    ops = "<0003001400200021002200300031> Tj"
+    text, n = P._pdf_extract_text(build_cid_pdf(ops, resources_on_root=on_root))
+    assert (text, n) == ("HeyabcXY", 1)
+
+
+def test_unmapped_codes_stay_visible_and_fonts_without_cmap_unchanged():
+    # 0x0999 is not in the cmap -> U+FFFD, not silence
+    text, _ = P._pdf_extract_text(build_cid_pdf("<00030999> Tj"))
+    assert text == "H�"
+    # a plain (non-CID) document still reads Latin-1
+    plain = build_pdf([text_stream("(plain latin) Tj")])
+    assert P._pdf_extract_text(plain)[0] == "plain latin"
+
+
+def test_tj_array_through_cmap():
+    ops = "[<0003> -400 <0014>] TJ"
+    text, _ = P._pdf_extract_text(build_cid_pdf(ops))
+    assert text == "H ey"  # the kerning gap still becomes a space
