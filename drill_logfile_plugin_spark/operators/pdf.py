@@ -614,6 +614,48 @@ class _Document:
                 raise ValueError("PDF /Contents must reference streams")
         return b"\n".join(chunks)
 
+    def images(self):
+        """Every DCT-coded image XObject in the document:
+        ``(obj_num, width, height, jpeg_bytes)`` — a /DCTDecode image
+        stream's raw bytes ARE a complete JPEG (the scanned-document
+        payload; this package's own JPEG decoder opens them). Non-DCT
+        images (Flate RGB rasters, JBIG2, CCITT fax) are skipped here —
+        their pixel layouts need /ColorSpace plumbing this method
+        doesn't model."""
+        out = []
+        for num, d in _object_dicts_of_type(
+            self.payload, self.offsets, b"XObject"
+        ):
+            if self.resolve(d.get("Subtype")) != "Image":
+                continue
+            filt = self.resolve(d.get("Filter"))
+            filters = filt if isinstance(filt, list) else [filt]
+            if "DCTDecode" not in [self.resolve(f) for f in filters]:
+                continue
+            w = self.resolve(d.get("Width"))
+            h = self.resolve(d.get("Height"))
+            # read the RAW stream (no filter application: DCT bytes ARE
+            # the JPEG); reuse the /Length + bounds plumbing
+            off = self.offsets.get(num)
+            lex = _Lexer(self.payload, off)
+            lex.read_object()
+            lex._skip_ws()
+            if not self.payload.startswith(b"stream", lex.pos):
+                continue
+            p = lex.pos + 6
+            if self.payload.startswith(b"\r\n", p):
+                p += 2
+            elif self.payload[p : p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(d.get("Length"))
+            if not isinstance(length, int) or not 0 <= length <= _PDF_MAX_STREAM:
+                continue
+            raw = self.payload[p : p + length]
+            if len(raw) != length or raw[:2] != b"\xff\xd8":
+                continue
+            out.append((num, w, h, raw))
+        return out
+
 
 #: content-stream token pattern: strings, hex strings, arrays handled by
 #: the lexer; operators are bare keyword runs
@@ -851,6 +893,79 @@ def extract_pdf_text(
                     "text": pd.Series(texts, dtype="object"),
                     "n_pages": pd.Series(pages, dtype="Int32"),
                     "n_chars": pd.Series(chars, dtype="Int64"),
+                }
+            )
+
+    return narrow.mapInPandas(batches, schema)
+
+
+def extract_pdf_images(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "skip",
+):
+    """Spark lane (one-to-many): PDF payloads -> one row per embedded
+    DCT image ``(doc_id, img_idx, width, height, payload, n_bytes)`` —
+    the payload column holds a complete JPEG, so the rows feed straight
+    into ``decode_media(codec="jpeg")`` / ``phash_signatures`` /
+    ``extract_features``: scanned-PDF corpora join the image dedup tier
+    in one composition. Unreadable PDFs follow ``on_error``
+    ("skip" default / "strict")."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .multimodal import _check_on_error
+
+    _check_on_error(on_error, allowed=("skip", "strict"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("img_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("payload", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).where(F.col("payload").isNotNull())
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, blobs, sizes = [], [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    images = _Document(bytes(p)).images()
+                except (ValueError, NotImplementedError):
+                    if on_error == "strict":
+                        raise
+                    continue
+                for i, (_num, w, h, raw) in enumerate(images):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ws.append(w if isinstance(w, int) else None)
+                    hs.append(h if isinstance(h, int) else None)
+                    blobs.append(raw)
+                    sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "img_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "payload": pd.Series(blobs, dtype="object"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
                 }
             )
 

@@ -576,3 +576,89 @@ def test_tj_array_through_cmap():
     ops = "[<0003> -400 <0014>] TJ"
     text, _ = P._pdf_extract_text(build_cid_pdf(ops))
     assert text == "H ey"  # the kerning gap still becomes a space
+
+
+# --- embedded image extraction (r8 follow-up) -----------------------------------
+
+
+def build_pdf_with_images(jpegs: list[bytes]) -> bytes:
+    """A one-page PDF whose XObject resources carry DCT image streams
+    (the scanned-document layout)."""
+    stream = text_stream("(scanned doc) Tj")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            "<< /XObject << "
+            + " ".join(f"/Im{i} {5 + i} 0 R" for i in range(len(jpegs)))
+            + " >> >> >>"
+        ).encode(),
+        4: f"<< /Length {len(stream)} >>\n".encode()
+        + b"stream\n" + stream + b"\nendstream",
+    }
+    for i, jp in enumerate(jpegs):
+        objs[5 + i] = (
+            f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            f"/Filter /DCTDecode /Length {len(jp)} >>\n".encode()
+            + b"stream\n" + jp + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num in sorted(objs):
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    mx = max(objs)
+    out += f"xref\n0 {mx + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, mx + 1):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {mx + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_extract_pdf_images_roundtrip_and_composition(spark):
+    """Embedded DCT streams come back byte-exact and feed the image
+    dedup tier: the SAME scan in two PDFs hashes to one signature."""
+    import numpy as np
+
+    from drill_logfile_plugin_spark.operators import multimodal as M
+    from tests.test_jpeg_codec import _Q50, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    scans = [
+        encode_jpeg(
+            {1: rng.integers(0, 256, size=(8, 8), dtype=np.uint8)},
+            8, 8, {1: (1, 1)}, _Q50,
+        )[0]
+        for _ in range(2)
+    ]
+    rows = [
+        (0, bytearray(build_pdf_with_images(scans))),
+        (1, bytearray(build_pdf_with_images([scans[0]]))),  # shares scan 0
+        (2, bytearray(b"not a pdf")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    from drill_logfile_plugin_spark.operators.pdf import extract_pdf_images
+
+    imgs = extract_pdf_images(df)
+    got = imgs.collect()
+    assert len(got) == 3  # 2 + 1; the garbage row skipped
+    by_key = {(r["doc_id"], r["img_idx"]): bytes(r["payload"]) for r in got}
+    assert by_key[(0, 0)] == scans[0] and by_key[(0, 1)] == scans[1]
+    assert by_key[(1, 0)] == scans[0]
+    assert all(r["width"] == 8 and r["height"] == 8 for r in got)
+    # composition: the shared scan collapses under the phash tier
+    from pyspark.sql import functions as F
+
+    keyed = imgs.select(
+        (F.col("doc_id") * 100 + F.col("img_idx")).alias("doc_id"), "payload"
+    )
+    sigs = M.phash_signatures(keyed, codec="jpeg").collect()
+    vals = {}
+    for r in sigs:
+        vals.setdefault(r["sig"], []).append(r["doc_id"])
+    shared = [v for v in vals.values() if len(v) == 2]
+    assert shared and sorted(shared[0]) == [0, 100]  # doc0/img0 == doc1/img0
