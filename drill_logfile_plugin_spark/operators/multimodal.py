@@ -1447,14 +1447,42 @@ def _ahash64_luma(gray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def _ahash64_luma_dihedral(gray) -> int:
+    """Orientation-canonical aHash: the MINIMUM of :func:`_ahash64_luma`
+    over the eight dihedral transforms of the image (4 rotations x
+    mirror). Rotated, flipped, or mirror-scanned copies of the same
+    picture — the classic scanned-document and re-photographed
+    duplicate class — then band to ONE signature. The canonicalization
+    is a pure function of the pixels (min over a fixed transform set),
+    so it keeps the tier's determinism contract; the cost is 8 box-mean
+    passes over the integral image — negligible beside the decode."""
+    import numpy as np
+
+    g = np.asarray(gray)
+    best = None
+    for k in range(4):
+        r = np.rot90(g, k)
+        for cand in (r, r[:, ::-1]):
+            sig = _ahash64_luma(np.ascontiguousarray(cand))
+            if best is None or sig < best:
+                best = sig
+    return best
+
+
 def phash_signatures(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     codec: str = "raw",
     on_error: str = "skip",
+    orientation_invariant: bool = False,
 ) -> DataFrame:
     """(doc_id, sig) perceptual signatures via an Arrow-batched UDF.
+
+    ``orientation_invariant=True`` (real codecs only) canonicalizes
+    over the eight dihedral transforms
+    (:func:`_ahash64_luma_dihedral`), so rotated/flipped copies — the
+    scanned-document duplicate class — band together.
 
     ``codec="raw"`` (default — the oracle-friendly lane) hashes the
     payload BYTE stream (:func:`_ahash64`). A real image codec
@@ -1474,6 +1502,11 @@ def phash_signatures(
             f"phash_signatures codec {codec!r} not available"
         )
     _check_on_error(on_error, allowed=("skip", "strict"))
+    if orientation_invariant and codec == "raw":
+        raise ValueError(
+            "orientation_invariant needs decoded pixels; codec='raw' "
+            "hashes bytes"
+        )
 
     narrow = df.where(F.col(payload_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
@@ -1512,7 +1545,12 @@ def phash_signatures(
                     sig = _ahash64(p)
                 else:
                     try:
-                        sig = _ahash64_luma(_decode(p)[2])
+                        luma = _decode(p)[2]
+                        sig = (
+                            _ahash64_luma_dihedral(luma)
+                            if orientation_invariant
+                            else _ahash64_luma(luma)
+                        )
                     except (ValueError, NotImplementedError):
                         if on_error == "strict":
                             raise

@@ -163,3 +163,42 @@ def test_sniff_probe_tier_formats():
 
     ogg = b"OggS" + b"\x00" * 24
     assert M.sniff_codec(ogg) == "ogg"
+
+
+def test_orientation_invariant_phash(spark):
+    """Rotated/flipped copies (the scanned-document duplicate class)
+    band to ONE signature under the dihedral canonical hash — and a
+    genuinely different image does not."""
+    g = _gray(30, 16, 16)
+    variants = [
+        g,
+        np.rot90(g, 1),
+        np.rot90(g, 2),
+        np.rot90(g, 3),
+        g[:, ::-1],
+        np.rot90(g, 1)[:, ::-1],
+    ]
+    rows = [
+        (i, bytearray(encode_png(np.ascontiguousarray(v)[:, :, None],
+                                 color_type=0, filters=[0])))
+        for i, v in enumerate(variants)
+    ]
+    rows.append((99, bytearray(encode_png(_gray(31, 16, 16)[:, :, None],
+                                          color_type=0, filters=[0]))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in M.phash_signatures(
+            df, codec="png", orientation_invariant=True
+        ).collect()
+    }
+    assert len({sigs[i] for i in range(6)}) == 1
+    assert sigs[99] != sigs[0]
+    # plain mode distinguishes orientations (sanity: the flag matters)
+    plain = {
+        r["doc_id"]: r["sig"]
+        for r in M.phash_signatures(df, codec="png").collect()
+    }
+    assert len({plain[i] for i in range(6)}) > 1
+    with pytest.raises(ValueError, match="orientation_invariant"):
+        M.phash_signatures(df, codec="raw", orientation_invariant=True)
