@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import tarfile
 import zipfile
+import zlib
 
 _MAX_MEMBERS = 1 << 20
 _MAX_TOTAL = 1 << 31  # 2 GiB declared-uncompressed bound per archive
@@ -58,8 +59,11 @@ def _zip_members(payload: bytes):
     for info in infos:
         if info.is_dir() or info.file_size == 0:
             continue
-        with zf.open(info) as fh:
-            data = fh.read(_MAX_MEMBER + 1)
+        try:
+            with zf.open(info) as fh:
+                data = fh.read(_MAX_MEMBER + 1)
+        except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
+            raise ValueError(f"archive member corrupt: {exc}")
         if len(data) > _MAX_MEMBER:
             raise ValueError("archive member exceeds the member bound")
         yield info.filename, data
@@ -72,12 +76,15 @@ def _tar_members(payload: bytes):
         import gzip
         import lzma
 
-        if payload[:2] == b"\x1f\x8b":
-            payload = gzip.decompress(payload)
-        elif payload[:3] == b"BZh":
-            payload = bz2.decompress(payload)
-        else:
-            payload = lzma.decompress(payload)
+        try:
+            if payload[:2] == b"\x1f\x8b":
+                payload = gzip.decompress(payload)
+            elif payload[:3] == b"BZh":
+                payload = bz2.decompress(payload)
+            else:
+                payload = lzma.decompress(payload)
+        except (OSError, EOFError, lzma.LZMAError) as exc:
+            raise ValueError(f"compressed tar envelope corrupt: {exc}")
         if len(payload) > _MAX_TOTAL:
             raise ValueError("archive declared size exceeds the bound")
     try:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import io
 import zipfile
+import zlib
 from xml.etree import ElementTree as ET
 
 #: zip-bomb guard: total declared uncompressed size across members
@@ -86,10 +87,14 @@ def _docx_extract_text(payload: bytes):
         raise ValueError("DOCX has no word/document.xml (not WordprocessingML)")
     # read through a capped stream: a lying local header cannot blow
     # past the bound even if the central directory undercounted
-    with zf.open(doc_info) as fh:
-        xml_bytes = fh.read(_DOCX_MAX_UNCOMPRESSED + 1)
-        if len(xml_bytes) > _DOCX_MAX_UNCOMPRESSED:
-            raise ValueError("DOCX document.xml exceeds the decoder bound")
+    try:
+        with zf.open(doc_info) as fh:
+            xml_bytes = fh.read(_DOCX_MAX_UNCOMPRESSED + 1)
+    except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
+        # CRC/inflate failures surface at READ time, not open time
+        raise ValueError(f"DOCX member corrupt: {exc}")
+    if len(xml_bytes) > _DOCX_MAX_UNCOMPRESSED:
+        raise ValueError("DOCX document.xml exceeds the decoder bound")
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:

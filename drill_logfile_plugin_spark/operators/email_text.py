@@ -70,16 +70,26 @@ def _part_text(part) -> str | None:
 
 def _eml_extract_text(payload: bytes):
     """One message -> ``(text, n_parts, subject, sender, date)``."""
-    msg = email.message_from_bytes(payload, policy=email.policy.default)
-    subject = str(msg.get("Subject") or "").strip() or None
-    sender = str(msg.get("From") or "").strip() or None
-    date = str(msg.get("Date") or "").strip() or None
+    # the stdlib parser raises assorted exceptions (IndexError,
+    # AttributeError, ...) on hostile header bytes; the tier's contract
+    # is typed errors only, so those become ValueError here
+    try:
+        msg = email.message_from_bytes(payload, policy=email.policy.default)
+        subject = str(msg.get("Subject") or "").strip() or None
+        sender = str(msg.get("From") or "").strip() or None
+        date = str(msg.get("Date") or "").strip() or None
+    except (IndexError, AttributeError, TypeError, UnicodeError) as exc:
+        raise ValueError(f"email headers unparseable: {exc}")
     if not (subject or sender or msg.get("To") or msg.get("Message-ID")):
         raise ValueError("payload has no email headers")
     parts: list[str] = []
     html_parts: list[str] = []
     n = 0
-    for part in msg.walk():
+    try:
+        part_iter = list(msg.walk())
+    except (IndexError, AttributeError, TypeError, UnicodeError) as exc:
+        raise ValueError(f"email structure unparseable: {exc}")
+    for part in part_iter:
         n += 1
         if n > _MAX_PARTS:
             raise ValueError(f"email part count exceeds the bound ({_MAX_PARTS})")

@@ -33,6 +33,7 @@ import io
 import posixpath
 import re
 import zipfile
+import zlib
 from xml.etree import ElementTree as ET
 
 from .boilerplate import _extract_main
@@ -51,6 +52,9 @@ def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
             data = fh.read(_EPUB_MAX_UNCOMPRESSED + 1)
     except KeyError:
         raise ValueError(f"EPUB missing required member {name!r}")
+    except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
+        # CRC/inflate failures surface at READ time, not open time
+        raise ValueError(f"EPUB member corrupt: {exc}")
     if len(data) > _EPUB_MAX_UNCOMPRESSED:
         raise ValueError("EPUB member exceeds the decoder bound")
     return data

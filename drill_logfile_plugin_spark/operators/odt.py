@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import io
 import zipfile
+import zlib
 from xml.etree import ElementTree as ET
 
 _ODT_MAX_UNCOMPRESSED = 256 << 20
@@ -83,17 +84,23 @@ def _odt_extract_text(payload: bytes):
     if "content.xml" not in names:
         raise ValueError("ODT has no content.xml (not an OpenDocument package)")
     if "META-INF/manifest.xml" in names:
-        with zf.open("META-INF/manifest.xml") as fh:
-            manifest = fh.read(1 << 20)
+        try:
+            with zf.open("META-INF/manifest.xml") as fh:
+                manifest = fh.read(1 << 20)
+        except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
+            raise ValueError(f"ODT manifest corrupt: {exc}")
         if b"encryption-data" in manifest:
             raise NotImplementedError(
                 "encrypted ODT (manifest encryption-data): decryption is "
                 "a plug-in point"
             )
-    with zf.open("content.xml") as fh:
-        xml_bytes = fh.read(_ODT_MAX_UNCOMPRESSED + 1)
-        if len(xml_bytes) > _ODT_MAX_UNCOMPRESSED:
-            raise ValueError("ODT content.xml exceeds the decoder bound")
+    try:
+        with zf.open("content.xml") as fh:
+            xml_bytes = fh.read(_ODT_MAX_UNCOMPRESSED + 1)
+    except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
+        raise ValueError(f"ODT member corrupt: {exc}")
+    if len(xml_bytes) > _ODT_MAX_UNCOMPRESSED:
+        raise ValueError("ODT content.xml exceeds the decoder bound")
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:

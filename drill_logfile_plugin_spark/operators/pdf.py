@@ -474,7 +474,10 @@ class _Document:
             f = self.resolve(f)
             if f == "FlateDecode":
                 d = zlib.decompressobj()
-                raw = d.decompress(raw, _PDF_MAX_STREAM)
+                try:
+                    raw = d.decompress(raw, _PDF_MAX_STREAM)
+                except zlib.error as exc:
+                    raise ValueError(f"PDF Flate stream corrupt: {exc}")
                 if d.unconsumed_tail:
                     raise ValueError(
                         "PDF stream inflates past the decoder bound"

@@ -1,0 +1,165 @@
+"""Adversarial robustness for the document/probe/caption parsers: every
+extractor must uphold the untrusted-input contract — on ARBITRARY bytes
+it either succeeds or raises ValueError/NotImplementedError, never any
+other exception, never a hang, never unbounded memory. Inputs: pure
+random bytes, random mutations of VALID fixtures (flipped bytes,
+truncations, splices), and magic-prefixed garbage — all deterministic
+(seeded), so a failure is a reproducible bug report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from drill_logfile_plugin_spark.operators.boilerplate import _extract_main
+from drill_logfile_plugin_spark.operators.captions import (
+    _captions_extract_text,
+    _ipynb_extract_text,
+)
+from drill_logfile_plugin_spark.operators.docx import _docx_extract_text
+from drill_logfile_plugin_spark.operators.documents import (
+    _extract_one,
+    sniff_document,
+)
+from drill_logfile_plugin_spark.operators.email_text import _eml_extract_text
+from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
+from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
+from drill_logfile_plugin_spark.operators.pdf import _pdf_extract_text
+from drill_logfile_plugin_spark.operators.probe import probe_payload
+from drill_logfile_plugin_spark.operators.rtf import _rtf_extract_text
+
+OK = (ValueError, NotImplementedError)
+
+
+def _mutations(payload: bytes, rng, n=40):
+    """Deterministic corruptions of a valid payload."""
+    out = []
+    for _ in range(n):
+        kind = rng.integers(0, 4)
+        b = bytearray(payload)
+        if kind == 0 and len(b) > 4:  # flip random bytes
+            for _k in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        elif kind == 1 and len(b) > 2:  # truncate
+            b = b[: int(rng.integers(1, len(b)))]
+        elif kind == 2:  # splice two halves misaligned
+            cut = int(rng.integers(0, len(b)))
+            b = b[cut:] + b[:cut]
+        else:  # insert junk
+            at = int(rng.integers(0, len(b) + 1))
+            junk = bytes(rng.integers(0, 256, size=int(rng.integers(1, 32)), dtype=np.uint8))
+            b = b[:at] + junk + b[at:]
+        out.append(bytes(b))
+    return out
+
+
+def _valid_payloads():
+    from tests.test_captions import SRT, VTT
+    from tests.test_docx import build_docx, par, run
+    from tests.test_email_text import build_eml
+    from tests.test_epub import build_epub, chapter_xhtml
+    from tests.test_odt import build_odt
+    from tests.test_pdf import build_pdf, text_stream
+    from tests.test_probe import build_flac, build_mp3, build_mp4
+
+    return {
+        "pdf": build_pdf([text_stream("(fuzz seed doc) Tj")]),
+        "docx": build_docx(par(run("fuzz seed doc"))),
+        "odt": build_odt("<text:p>fuzz seed doc</text:p>"),
+        "epub": build_epub({"a.xhtml": chapter_xhtml(["fuzz seed doc"])}),
+        "eml": build_eml(),
+        "srt": SRT.encode(),
+        "vtt": VTT.encode(),
+        "mp4": build_mp4(),
+        "mp3": build_mp3(),
+        "flac": build_flac(),
+        "rtf": rb"{\rtf1 fuzz seed doc\par}",
+    }
+
+
+_EXTRACTORS = {
+    "pdf": _pdf_extract_text,
+    "docx": _docx_extract_text,
+    "odt": _odt_extract_text,
+    "epub": _epub_extract_text,
+    "eml": _eml_extract_text,
+    "srt": _captions_extract_text,
+    "vtt": _captions_extract_text,
+    "mp4": probe_payload,
+    "mp3": probe_payload,
+    "flac": probe_payload,
+    "rtf": _rtf_extract_text,
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(_EXTRACTORS))
+def test_mutated_valid_payloads_uphold_error_contract(fmt):
+    rng = np.random.default_rng(hash(fmt) % (2**32))
+    payload = _valid_payloads()[fmt]
+    fn = _EXTRACTORS[fmt]
+    fn(payload)  # the seed itself must parse
+    for mutant in _mutations(payload, rng):
+        try:
+            fn(mutant)
+        except OK:
+            pass  # the contract: typed, catchable, quarantine-able
+
+
+def test_random_bytes_against_every_parser():
+    rng = np.random.default_rng(1234)
+    parsers = list(_EXTRACTORS.values()) + [
+        _ipynb_extract_text,
+        lambda p: _extract_main(p.decode("latin-1")),
+        _rtf_extract_text,
+    ]
+    for _ in range(30):
+        blob = bytes(
+            rng.integers(0, 256, size=int(rng.integers(0, 2048)), dtype=np.uint8)
+        )
+        for fn in parsers:
+            try:
+                fn(blob)
+            except OK:
+                pass
+
+
+def test_magic_prefixed_garbage():
+    """A correct magic followed by garbage must still raise typed
+    errors — the sniff-then-extract path a mixed corpus exercises."""
+    rng = np.random.default_rng(99)
+    magics = {
+        b"%PDF-1.4\n": _pdf_extract_text,
+        b"PK\x03\x04": _docx_extract_text,
+        b"{\\rtf1 ": _rtf_extract_text,
+        b"WEBVTT\n\n": _captions_extract_text,
+        b"fLaC": probe_payload,
+        b"ID3\x04\x00\x00": probe_payload,
+    }
+    for magic, fn in magics.items():
+        for _ in range(10):
+            blob = magic + bytes(
+                rng.integers(0, 256, size=256, dtype=np.uint8)
+            )
+            try:
+                fn(blob)
+            except OK:
+                pass
+
+
+def test_sniff_document_total_on_garbage():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        blob = bytes(
+            rng.integers(0, 256, size=int(rng.integers(0, 512)), dtype=np.uint8)
+        )
+        try:
+            fmt = sniff_document(blob)
+            # whatever it sniffs must then extract or raise typed
+            try:
+                _extract_one(fmt, blob)
+            except OK:
+                pass
+            except UnicodeDecodeError:
+                pass  # txt lane re-decodes strictly; typed and caught upstream
+        except OK:
+            pass
