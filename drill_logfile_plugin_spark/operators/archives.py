@@ -70,23 +70,23 @@ def _zip_members(payload: bytes):
 
 
 def _tar_members(payload: bytes):
-    if payload[:2] in (_TAR_ENVELOPES[0],) or payload[:3] == b"BZh" or payload[:6] == _TAR_ENVELOPES[2]:
-        from .multimodal import decompress_payload as _  # noqa: F401 (doc pointer)
-        import bz2
-        import gzip
-        import lzma
+    if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or payload[:6] == _TAR_ENVELOPES[2]:
+        # streaming bounded inflate (decompressobj/max_length) capped AT
+        # _MAX_TOTAL — the one-shot gzip/bz2/lzma.decompress functions
+        # inflate fully BEFORE any size check, so a small bz2/xz bomb
+        # (>10^4:1 ratios) would exhaust executor memory ahead of the
+        # guard; the shared bounded primitive closes that window
+        from .multimodal import bounded_decompress_bytes
 
+        codec = (
+            "gzip"
+            if payload[:2] == b"\x1f\x8b"
+            else ("bz2" if payload[:3] == b"BZh" else "xz")
+        )
         try:
-            if payload[:2] == b"\x1f\x8b":
-                payload = gzip.decompress(payload)
-            elif payload[:3] == b"BZh":
-                payload = bz2.decompress(payload)
-            else:
-                payload = lzma.decompress(payload)
-        except (OSError, EOFError, lzma.LZMAError) as exc:
+            payload = bounded_decompress_bytes(payload, codec, _MAX_TOTAL)
+        except ValueError as exc:
             raise ValueError(f"compressed tar envelope corrupt: {exc}")
-        if len(payload) > _MAX_TOTAL:
-            raise ValueError("archive declared size exceeds the bound")
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:")
     except tarfile.TarError as exc:

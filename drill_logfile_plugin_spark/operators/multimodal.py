@@ -1669,6 +1669,174 @@ def _make_zstd_one(max_bytes: int):
     return _one
 
 
+def _bounded_gzip_bytes(p: bytes, max_bytes: int) -> bytes:
+    """Streaming bounded gzip inflate (multi-member — the WARC layout):
+    each decompressobj call is capped by ``max_length``, so a bomb costs
+    ``max_bytes`` of work, never its full inflated size."""
+    import zlib as _zlib
+
+    out, pos = [], 0
+    total = 0
+    while pos < len(p):
+        d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(p[pos:], max_bytes - total + 1)
+        except _zlib.error as ex:
+            raise ValueError(f"bad gzip stream: {ex}") from ex
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError(f"decompressed size exceeds max_bytes={max_bytes}")
+        out.append(chunk)
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = len(p) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip stream did not advance")
+        pos += consumed
+    return b"".join(out)
+
+
+def _bounded_multistream_bytes(
+    p: bytes, new_decompressor, err_types, max_bytes: int, name: str
+) -> bytes:
+    """Streaming bounded decompression over one-or-more concatenated
+    streams via the decompressobj protocol (``decompress(data,
+    max_length)`` / ``eof`` / ``needs_input`` / ``unused_data``) —
+    the bz2/lzma shape. Mirrors stdlib ``bz2.decompress`` /
+    ``lzma.decompress`` semantics (invalid leftover after at least one
+    valid stream is ignored; a truncated stream raises) while keeping
+    inflation capped AT ``max_bytes`` — the one-shot stdlib functions
+    inflate fully before any size check, which is exactly the bomb
+    window this helper closes."""
+    out = bytearray()
+    data = p
+    streams = 0
+    while data:
+        dec = new_decompressor()
+        try:
+            while not dec.eof:
+                chunk = dec.decompress(data, max_bytes + 1 - len(out))
+                out += chunk
+                if len(out) > max_bytes:
+                    raise ValueError(
+                        f"decompressed size exceeds max_bytes={max_bytes}"
+                    )
+                data = b""
+                if not dec.eof and not chunk and dec.needs_input:
+                    raise ValueError(f"truncated {name} stream")
+        except err_types as ex:
+            if streams:
+                break  # stdlib semantics: ignore invalid trailing bytes
+            raise ValueError(f"bad {name} stream: {ex}") from ex
+        streams += 1
+        data = dec.unused_data
+    return bytes(out)
+
+
+def bounded_decompress_bytes(p: bytes, codec: str, max_bytes: int) -> bytes:
+    """Driver-free single-payload bounded decompression — the shared
+    primitive behind ``decompress_payload``'s gzip/bz2/xz lanes, also
+    used by ``operators.archives`` to open compressed-tar envelopes
+    without the unbounded one-shot ``*.decompress`` bomb window."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    if codec == "gzip":
+        return _bounded_gzip_bytes(p, max_bytes)
+    if codec == "bz2":
+        return _bounded_multistream_bytes(
+            p, _bz2.BZ2Decompressor, (OSError, EOFError), max_bytes, "bz2"
+        )
+    if codec == "xz":
+        return _bounded_multistream_bytes(
+            p, _lzma.LZMADecompressor, (_lzma.LZMAError,), max_bytes, "xz"
+        )
+    raise NotImplementedError(f"bounded_decompress_bytes: codec {codec!r}")
+
+
+_BROTLI_INPUT_CHUNK = 64 * 1024
+
+
+def _brotli_module():
+    """Guarded import: prefer the Google ``brotli`` binding, fall back
+    to ``brotlicffi`` (API-compatible ``Decompressor``). Returns the
+    module or None — this environment ships neither, so the lane raises
+    an actionable NotImplementedError and its live tests auto-skip
+    (the bounded loop is still executed end-to-end via an API-faithful
+    fake in tests, the zstd-lane precedent)."""
+    try:
+        import brotli as mod
+
+        return mod
+    except ImportError:
+        pass
+    try:
+        import brotlicffi as mod
+
+        return mod
+    except ImportError:
+        return None
+
+
+def _make_brotli_one(max_bytes: int):
+    """Bounded single-payload brotli decompressor under the bomb-guard
+    contract. The brotli ``Decompressor.process`` API has no stdlib
+    ``max_length`` twin, so boundedness comes from two layers: input is
+    fed in 64 KiB slices with the cap checked after each, and — where
+    the binding supports it (brotli >= 1.1) — ``output_buffer_limit``
+    hard-caps each call's allocation; older bindings fall back to the
+    slice-level check."""
+    mod = _brotli_module()
+    if mod is None:
+        raise NotImplementedError(
+            "codec 'brotli': no brotli module in this environment — "
+            "install the 'brotli' (Google binding) or 'brotlicffi' "
+            "package; Content-Encoding: br WARC payloads route here"
+        )
+    brotli_error = getattr(mod, "error", Exception)
+
+    def _one(p: bytes) -> bytes:
+        dec = mod.Decompressor()
+        out = bytearray()
+        use_limit = True
+        try:
+            for pos in range(0, len(p), _BROTLI_INPUT_CHUNK):
+                sl = p[pos : pos + _BROTLI_INPUT_CHUNK]
+                budget = max_bytes + 1 - len(out)
+                if use_limit:
+                    try:
+                        out += dec.process(sl, output_buffer_limit=budget)
+                    except TypeError:
+                        use_limit = False
+                        out += dec.process(sl)
+                else:
+                    out += dec.process(sl)
+                if len(out) > max_bytes:
+                    raise ValueError(
+                        f"decompressed size exceeds max_bytes={max_bytes}"
+                    )
+                # drain buffered output the limit held back (brotli>=1.1
+                # keeps producing on empty input until caught up)
+                while use_limit and not dec.is_finished():
+                    more = dec.process(
+                        b"", output_buffer_limit=max_bytes + 1 - len(out)
+                    )
+                    if not more:
+                        break
+                    out += more
+                    if len(out) > max_bytes:
+                        raise ValueError(
+                            f"decompressed size exceeds max_bytes={max_bytes}"
+                        )
+            if not dec.is_finished():
+                raise ValueError("truncated brotli stream")
+        except brotli_error as ex:
+            raise ValueError(f"bad brotli stream: {ex}") from ex
+        return bytes(out)
+
+    return _one
+
+
 def decompress_payload(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1695,7 +1863,9 @@ def decompress_payload(
     ``compression.zstd`` or the ``zstandard`` PyPI binding — modern
     corpora increasingly ship zstd; this environment has neither, so the
     lane raises NotImplementedError naming what to install, and its
-    tests auto-skip).
+    tests auto-skip), plus ``"brotli"`` where a brotli module exists
+    (``brotli`` or ``brotlicffi`` — ``Content-Encoding: br`` is
+    ubiquitous in WARC payloads; same guarded-import rule as zstd).
     """
     import bz2 as _bz2
     import lzma as _lzma
@@ -1704,30 +1874,6 @@ def decompress_payload(
     _check_on_error(on_error)
     if max_bytes <= 0:
         raise ValueError(f"max_bytes must be positive, got {max_bytes}")
-
-    def _gzip(p: bytes) -> bytes:
-        # multi-member: loop decompressobj over unused tails
-        out, pos = [], 0
-        total = 0
-        while pos < len(p):
-            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
-            try:
-                chunk = d.decompress(p[pos:], max_bytes - total + 1)
-            except _zlib.error as ex:
-                raise ValueError(f"bad gzip stream: {ex}") from ex
-            total += len(chunk)
-            if total > max_bytes:
-                raise ValueError(
-                    f"decompressed size exceeds max_bytes={max_bytes}"
-                )
-            out.append(chunk)
-            if not d.eof:
-                raise ValueError("truncated gzip member")
-            consumed = len(p) - pos - len(d.unused_data)
-            if consumed <= 0:
-                raise ValueError("gzip stream did not advance")
-            pos += consumed
-        return b"".join(out)
 
     def _zlib_one(p: bytes, wbits: int) -> bytes:
         d = _zlib.decompressobj(wbits)
@@ -1743,36 +1889,28 @@ def decompress_payload(
             raise ValueError("truncated deflate stream")
         return chunk
 
-    def _bounded(fn):
-        def run(p: bytes) -> bytes:
-            try:
-                out = fn(p)
-            except (OSError, EOFError, _lzma.LZMAError) as ex:
-                raise ValueError(f"bad {codec} stream: {ex}") from ex
-            if len(out) > max_bytes:
-                raise ValueError(
-                    f"decompressed size exceeds max_bytes={max_bytes}"
-                )
-            return out
-
-        return run
-
     if codec == "gzip":
-        _one = _gzip
+        _one = lambda p: _bounded_gzip_bytes(p, max_bytes)  # noqa: E731
     elif codec == "zlib":
         _one = lambda p: _zlib_one(p, _zlib.MAX_WBITS)  # noqa: E731
     elif codec == "raw-deflate":
         _one = lambda p: _zlib_one(p, -_zlib.MAX_WBITS)  # noqa: E731
     elif codec == "bz2":
-        _one = _bounded(_bz2.decompress)
+        _one = lambda p: _bounded_multistream_bytes(  # noqa: E731
+            p, _bz2.BZ2Decompressor, (OSError, EOFError), max_bytes, "bz2"
+        )
     elif codec == "xz":
-        _one = _bounded(_lzma.decompress)
+        _one = lambda p: _bounded_multistream_bytes(  # noqa: E731
+            p, _lzma.LZMADecompressor, (_lzma.LZMAError,), max_bytes, "xz"
+        )
     elif codec == "zstd":
         _one = _make_zstd_one(max_bytes)
+    elif codec == "brotli":
+        _one = _make_brotli_one(max_bytes)
     else:
         raise NotImplementedError(
             f"codec {codec!r}: gzip/zlib/raw-deflate/bz2/xz supported, "
-            "zstd where a zstd module exists (brotli is a plug-in point)"
+            "zstd/brotli where their modules exist"
         )
 
     target = out_col or payload_col

@@ -87,12 +87,18 @@ def _probe_mp4(payload: bytes):
             continue
         for ctype, cbody, cend in boxes(payload, body, bend, 1):
             if ctype == b"mvhd":
+                if cbody >= len(payload):
+                    raise ValueError("MP4 mvhd box truncated")
                 ver = payload[cbody]
                 if ver == 1:
+                    if cbody + 32 > len(payload):
+                        raise ValueError("MP4 mvhd v1 truncated")
                     ts, dur = struct.unpack(
                         ">IQ", payload[cbody + 20 : cbody + 32]
                     )
                 else:
+                    if cbody + 20 > len(payload):
+                        raise ValueError("MP4 mvhd v0 truncated")
                     ts, dur = struct.unpack(
                         ">II", payload[cbody + 12 : cbody + 20]
                     )
@@ -102,8 +108,12 @@ def _probe_mp4(payload: bytes):
                 for ttype, tbody, _tend in boxes(payload, cbody, cend, 2):
                     if ttype != b"tkhd":
                         continue
+                    if tbody >= len(payload):
+                        raise ValueError("MP4 tkhd box truncated")
                     ver = payload[tbody]
                     off = tbody + (88 if ver == 1 else 76)
+                    if off + 8 > len(payload):
+                        raise ValueError("MP4 tkhd dims truncated")
                     w_fx, h_fx = struct.unpack(
                         ">II", payload[off : off + 8]
                     )
@@ -194,8 +204,12 @@ def _probe_mp3(payload: bytes):
     duration_ms = None
     tag = payload[xing_at : xing_at + 4]
     if tag in (b"Xing", b"Info"):
+        if xing_at + 8 > len(payload):
+            raise ValueError("MP3 Xing/Info header truncated")
         (flags,) = struct.unpack(">I", payload[xing_at + 4 : xing_at + 8])
         if flags & 1:
+            if xing_at + 12 > len(payload):
+                raise ValueError("MP3 Xing frame count truncated")
             (n_frames,) = struct.unpack(
                 ">I", payload[xing_at + 8 : xing_at + 12]
             )
@@ -297,6 +311,8 @@ def _probe_avif(payload: bytes):
             t = buf[pos + 4 : pos + 8]
             body = pos + 8
             if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("MP4 largesize box truncated")
                 (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
                 body = pos + 16
             if size < 8 or pos + size > end:
@@ -315,6 +331,8 @@ def _probe_avif(payload: bytes):
     ispe = ipco and find(payload, ipco[0], ipco[1], b"ispe", 3)
     if not ispe:
         raise ValueError("AVIF/HEIC has no ispe property (no dimensions)")
+    if ispe[0] + 12 > len(payload):
+        raise ValueError("AVIF/HEIC ispe property truncated")
     w, h = struct.unpack(">II", payload[ispe[0] + 4 : ispe[0] + 12])
     if not w or not h:
         raise ValueError("AVIF/HEIC declares zero dimensions")
@@ -386,7 +404,22 @@ def _probe_ogg(payload: bytes):
 
 
 def probe_payload(payload: bytes) -> dict:
-    """Route by magic to the right prober; ValueError on unknown."""
+    """Route by magic to the right prober; ValueError on unknown or
+    malformed payloads.
+
+    Every prober bounds-checks before unpacking, and this dispatcher
+    additionally maps any residual ``struct.error``/``IndexError`` from
+    a truncated payload to ``ValueError`` so ``probe_media``'s per-row
+    quarantine contract (``on_error='null'/'skip'``) can never be
+    escaped by one malformed row.
+    """
+    try:
+        return _probe_dispatch(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated/malformed media payload: {exc}") from exc
+
+
+def _probe_dispatch(payload: bytes) -> dict:
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         brand = payload[8:12]
         if brand[:4] in (b"avif", b"avis", b"heic", b"heix", b"mif1"):

@@ -105,3 +105,23 @@ def test_explode_then_route_composition(spark):
     assert got == {"pdf", "html", "txt"}
     for r in texts.collect():
         assert PROSE.split()[0] in r["text"]
+
+
+def test_compressed_envelope_bomb_is_bounded(monkeypatch):
+    """r9 ADVICE fix: bz2/xz tar envelopes previously inflated with
+    one-shot stdlib decompress and checked _MAX_TOTAL only AFTER full
+    inflation — a small bomb could exhaust executor memory before the
+    guard fired. The envelope now rides the shared streaming bounded
+    helper, capped AT _MAX_TOTAL."""
+    import bz2
+    import lzma
+
+    monkeypatch.setattr(A, "_MAX_TOTAL", 1 << 16)
+    for compress in (gzip.compress, bz2.compress, lzma.compress):
+        bomb = compress(b"\x00" * (1 << 20))  # tiny envelope, 1 MiB out
+        with pytest.raises(ValueError, match="envelope corrupt"):
+            list(A.archive_members(bomb))
+    # a genuine compressed tar still roundtrips under the default bound
+    monkeypatch.setattr(A, "_MAX_TOTAL", 1 << 31)
+    m = _members()
+    assert dict(A.archive_members(build_tar(m, gz=True))) == m

@@ -206,3 +206,148 @@ def test_zstd_stdlib_flavor_bounded_loop(spark, monkeypatch):
         _df(spark, [bomb]), codec="zstd", max_bytes=1 << 21
     ).collect()
     assert len(bytes(ok[0]["payload"])) == 1 << 20
+
+
+# --- streaming bounded bz2/xz (r9): the one-shot decompress bomb window ---
+
+from drill_logfile_plugin_spark.operators.multimodal import (  # noqa: E402
+    bounded_decompress_bytes,
+)
+
+
+@pytest.mark.parametrize(
+    "codec,compress",
+    [("gzip", gzip.compress), ("bz2", bz2.compress), ("xz", lzma.compress)],
+)
+def test_bounded_bytes_roundtrip_and_cap(codec, compress):
+    """r9 ADVICE fix: bz2/xz previously inflated FULLY before the size
+    check (one-shot stdlib decompress). The shared streaming helper
+    stops AT the cap via decompressobj/max_length."""
+    assert bounded_decompress_bytes(compress(BODY), codec, 1 << 20) == BODY
+    bomb = compress(b"\x00" * (1 << 20))  # tiny payload, 1 MiB inflated
+    with pytest.raises(ValueError, match="exceeds max_bytes"):
+        bounded_decompress_bytes(bomb, codec, 1 << 10)
+
+
+@pytest.mark.parametrize(
+    "codec,compress,ref",
+    [
+        ("bz2", bz2.compress, bz2.decompress),
+        ("xz", lzma.compress, lzma.decompress),
+    ],
+)
+def test_bounded_multistream_stdlib_parity(codec, compress, ref):
+    """Concatenated streams inflate to concatenated bodies; invalid
+    leftover after >=1 valid stream is ignored; a truncated stream
+    raises — byte-for-byte the stdlib one-shot semantics."""
+    both = compress(b"first|") + compress(b"second")
+    assert bounded_decompress_bytes(both, codec, 1 << 20) == ref(both)
+    trailing = compress(b"body") + b"garbage after the stream"
+    assert bounded_decompress_bytes(trailing, codec, 1 << 20) == ref(trailing)
+    blob = compress(b"0123456789" * 100)
+    with pytest.raises(ValueError, match="truncated|bad"):
+        bounded_decompress_bytes(blob[: len(blob) // 2], codec, 1 << 20)
+    with pytest.raises(ValueError, match="bad"):
+        bounded_decompress_bytes(b"definitely not compressed", codec, 1 << 20)
+
+
+def test_bz2_xz_spark_bomb_guard(spark):
+    for codec, compress in (("bz2", bz2.compress), ("xz", lzma.compress)):
+        bomb = compress(b"\x00" * (1 << 20))
+        df = _df(spark, [bomb, compress(b"fine")])
+        rows = (
+            decompress_payload(df, codec=codec, max_bytes=1 << 16)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert rows[0]["payload"] is None  # quarantined at the cap
+        assert bytes(rows[1]["payload"]) == b"fine"
+
+
+# --- brotli lane (r9): guarded-import — fake executes the bounded loop ---
+
+from drill_logfile_plugin_spark.operators.multimodal import _brotli_module  # noqa: E402
+
+_BROTLI_MOD = _brotli_module()
+
+
+@pytest.mark.skipif(_BROTLI_MOD is None, reason="no brotli module available")
+def test_brotli_roundtrip_live(spark):
+    df = _df(spark, [_BROTLI_MOD.compress(BODY), b"not brotli", None])
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in decompress_payload(df, codec="brotli").collect()
+    }
+    assert bytes(got[0]) == BODY and got[1] is None and got[2] is None
+
+
+@pytest.mark.skipif(
+    _BROTLI_MOD is not None, reason="brotli module present — lane is live"
+)
+def test_brotli_absent_is_actionable(spark):
+    df = _df(spark, [b"x"])
+    with pytest.raises(NotImplementedError, match="brotlicffi"):
+        decompress_payload(df, codec="brotli")
+
+
+class _FakeBrotliDec:
+    """zlib.decompressobj dressed in the brotli ``Decompressor`` API
+    (process(data, output_buffer_limit=) / is_finished()) so this
+    environment EXECUTES the bounded brotli loop end-to-end."""
+
+    def __init__(self):
+        self._d = zlib.decompressobj()
+
+    def is_finished(self):
+        return self._d.eof
+
+    def process(self, data, output_buffer_limit=None):
+        if output_buffer_limit is None:
+            return self._d.decompress(self._d.unconsumed_tail + data)
+        return self._d.decompress(
+            self._d.unconsumed_tail + data, output_buffer_limit
+        )
+
+
+class _FakeBrotliLegacyDec(_FakeBrotliDec):
+    """Pre-1.1 binding: no output_buffer_limit kwarg — exercises the
+    slice-level fallback path."""
+
+    def process(self, data, **kw):
+        if kw:
+            raise TypeError("process() got an unexpected keyword argument")
+        return self._d.decompress(self._d.unconsumed_tail + data)
+
+
+def _fake_brotli_module(dec_cls):
+    class _Mod:
+        Decompressor = dec_cls
+        error = zlib.error
+    return _Mod
+
+
+@pytest.mark.parametrize("dec_cls", [_FakeBrotliDec, _FakeBrotliLegacyDec])
+def test_brotli_bounded_loop_via_fake(spark, monkeypatch, dec_cls):
+    from drill_logfile_plugin_spark.operators import multimodal as M
+
+    monkeypatch.setattr(
+        M, "_brotli_module", lambda: _fake_brotli_module(dec_cls)
+    )
+    good = zlib.compress(b"hello brotli lane")
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    df = _df(spark, [good, b"garbage", good[: len(good) // 2], None, bomb])
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in M.decompress_payload(
+            df, codec="brotli", max_bytes=1 << 16
+        ).collect()
+    }
+    assert bytes(got[0]) == b"hello brotli lane"
+    assert got[1] is None  # corrupt -> quarantined
+    assert got[2] is None  # truncated -> quarantined
+    assert got[3] is None  # NULL-through
+    assert got[4] is None  # bomb -> quarantined at the cap
+    ok = M.decompress_payload(
+        _df(spark, [bomb]), codec="brotli", max_bytes=1 << 21
+    ).collect()
+    assert len(bytes(ok[0]["payload"])) == 1 << 20

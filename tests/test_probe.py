@@ -179,6 +179,57 @@ def test_probe_payload_routing():
         P.probe_payload(b"%PDF- not media")
 
 
+def test_truncated_payloads_raise_valueerror_not_struct_error():
+    """r9 ADVICE fix: truncated MP4/MP3/AVIF payloads used to leak
+    struct.error/IndexError past probe_media's (ValueError,
+    NotImplementedError) quarantine and abort the whole job. Every
+    unpack is now bounds-checked and the dispatcher maps residual
+    struct.error/IndexError to ValueError."""
+    mvhd = struct.pack(">I", 9) + b"mvhd" + b"\x01"  # v1, 1 body byte
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    trunc_mp4 = ftyp + moov
+
+    # MPEG1 Layer3 128 kbps 44100 stereo frame, Xing tag at the very
+    # end so the flags word is missing
+    trunc_mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32 + b"Xing"
+
+    # AVIF whose meta box declares a largesize that is absent
+    ftyp_a = struct.pack(">I", 16) + b"ftyp" + b"avif" + b"\x00" * 4
+    trunc_avif = ftyp_a + struct.pack(">I", 1) + b"meta"
+
+    # tkhd body cut before the 16.16 width/height fields
+    tkhd = struct.pack(">I", 10) + b"tkhd" + b"\x00\x00"
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    mvhd_ok = struct.pack(">I", 8 + 24) + b"mvhd" + b"\x00" * 12 + struct.pack(
+        ">II", 1000, 5000
+    )
+    moov2 = struct.pack(">I", 8 + len(mvhd_ok) + len(trak)) + b"moov" + mvhd_ok + trak
+    trunc_tkhd = ftyp + moov2
+
+    for payload in (trunc_mp4, trunc_mp3, trunc_avif, trunc_tkhd):
+        with pytest.raises(ValueError):
+            P.probe_payload(payload)
+
+
+def test_probe_media_quarantines_truncated_rows(spark):
+    """One malformed row must not abort the lane under on_error='null'."""
+    mvhd = struct.pack(">I", 9) + b"mvhd" + b"\x01"
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    rows = [
+        (0, bytearray(build_mp4(duration_s=3))),
+        (1, bytearray(ftyp + moov)),  # struct-error bait pre-fix
+        (2, bytearray(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32 + b"Xing")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in P.probe_media(df, on_error="null").collect()}
+    assert out[0]["media_format"] == "mp4"
+    assert out[1]["media_format"] is None
+    assert out[2]["media_format"] is None
+    assert {r["doc_id"] for r in P.probe_media(df, on_error="skip").collect()} == {0}
+
+
 def test_probe_media_lane(spark):
     rows = [
         (0, bytearray(build_mp4(duration_s=7))),
