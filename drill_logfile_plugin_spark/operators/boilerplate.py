@@ -160,21 +160,43 @@ def _classify_blocks(blocks):
 def _context_pass(verdicts):
     """Undecided blocks inherit the nearest decided neighbor's verdict
     (distance ties and no-neighbor cases resolve to 'bad' — boilerplate
-    is the safe default for an isolated fragment)."""
-    decided = [i for i, v in enumerate(verdicts) if v != "short"]
+    is the safe default for an isolated fragment).
+
+    Two linear sweeps (forward/backward nearest-decided distance), not a
+    scan of every decided block per undecided block — the naive version
+    is O(short × decided), which a generated DOM at the 50k _MAX_BLOCKS
+    bound turns into ~2.5e9 iterations (r9 ADVICE fix)."""
+    n = len(verdicts)
     out = list(verdicts)
+    # forward sweep: nearest decided at index <= i
+    left = [None] * n  # (distance, verdict) or None
+    last = None
     for i, v in enumerate(verdicts):
         if v != "short":
+            last = i
+        elif last is not None:
+            left[i] = (i - last, verdicts[last])
+    # backward sweep: nearest decided at index >= i
+    last = None
+    for i in range(n - 1, -1, -1):
+        v = verdicts[i]
+        if v != "short":
+            last = i
             continue
-        best = None
-        best_d = None
-        for j in decided:
-            d = abs(j - i)
-            if best_d is None or d < best_d:
-                best, best_d = verdicts[j], d
-            elif d == best_d and verdicts[j] == "bad":
-                best = "bad"
-        out[i] = best if best is not None else "bad"
+        right = (last - i, verdicts[last]) if last is not None else None
+        lv = left[i]
+        if lv is None and right is None:
+            out[i] = "bad"
+        elif lv is None:
+            out[i] = right[1]
+        elif right is None:
+            out[i] = lv[1]
+        elif lv[0] < right[0]:
+            out[i] = lv[1]
+        elif right[0] < lv[0]:
+            out[i] = right[1]
+        else:  # tie: 'bad' wins if either side is 'bad'
+            out[i] = "bad" if "bad" in (lv[1], right[1]) else "good"
     return out
 
 

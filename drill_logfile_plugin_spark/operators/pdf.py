@@ -304,12 +304,53 @@ def _index_objects(payload: bytes) -> dict:
     scanning for ``N G obj`` markers rather than trusting the xref
     table's byte offsets — real-world files disagree with their tables
     often enough that every robust extractor rebuilds this index; the
-    xref/trailer still gates which document root to use."""
+    xref/trailer still gates which document root to use.
+
+    Markers that fall INSIDE a stream's binary extent are skipped (r9
+    ADVICE fix): an unfiltered content stream containing the bytes
+    ``5 0 obj`` used to create a phantom offset that shadowed the real
+    object 5 under latest-offset-wins, silently corrupting extraction.
+    The scan therefore tracks each stream object's extent — body start
+    from the ``stream`` keyword, end from a direct ``/Length`` when it
+    checks out against ``endstream``, else the next ``endstream``
+    marker — and ignores markers inside it."""
     objs = {}
+    skip_until = 0
+    n = len(payload)
     for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", payload):
+        if m.start() < skip_until:
+            continue  # phantom marker inside a stream body
         if len(objs) > _PDF_MAX_OBJECTS:
             raise ValueError("PDF object count exceeds the decoder bound")
         objs[int(m.group(1))] = m.end()
+        # does this object carry a stream? lex its leading value and
+        # look for the stream keyword; on any lexing trouble fall back
+        # to indexing alone (the old behavior)
+        try:
+            lex = _Lexer(payload, m.end())
+            val = lex.read_object()
+            lex._skip_ws()
+        except (ValueError, NotImplementedError):
+            continue
+        if not isinstance(val, dict) or not payload.startswith(b"stream", lex.pos):
+            continue
+        p = lex.pos + 6
+        if payload.startswith(b"\r\n", p):
+            p += 2
+        elif payload.startswith(b"\n", p) or payload.startswith(b"\r", p):
+            p += 1
+        end = None
+        length = val.get("Length")
+        if isinstance(length, int) and 0 <= length <= n - p:
+            # trust a direct /Length only when endstream sits where it says
+            tail = payload[p + length : p + length + 20]
+            if tail.lstrip(b"\r\n \t").startswith(b"endstream"):
+                end = p + length
+        if end is None:
+            # indirect or lying /Length: next endstream marker bounds it
+            at = payload.find(b"endstream", p)
+            end = at if at >= 0 else p
+        skip_until = end
     return objs
 
 

@@ -111,3 +111,46 @@ def test_composition_into_text_tier(spark):
         drop_repetitive=False,
     )
     assert cleaned.count() == 4
+
+
+def test_context_pass_linear_matches_quadratic_reference():
+    """r9 ADVICE fix: the context pass is now two linear sweeps; pin it
+    against the naive O(short x decided) definition on random verdict
+    sequences, and pin the 50k-block worst case to sub-second work."""
+    import random
+    import time
+
+    def naive(verdicts):
+        decided = [i for i, v in enumerate(verdicts) if v != "short"]
+        out = list(verdicts)
+        for i, v in enumerate(verdicts):
+            if v != "short":
+                continue
+            best = None
+            best_d = None
+            for j in decided:
+                d = abs(j - i)
+                if best_d is None or d < best_d:
+                    best, best_d = verdicts[j], d
+                elif d == best_d and verdicts[j] == "bad":
+                    best = "bad"
+            out[i] = best if best is not None else "bad"
+        return out
+
+    rng = random.Random(9)
+    for _ in range(800):
+        v = [
+            rng.choice(["good", "bad", "short", "short"])
+            for _ in range(rng.randint(0, 20))
+        ]
+        assert B._context_pass(v) == naive(v), v
+
+    big = ["short"] * 50000
+    big[0] = "good"
+    big[-1] = "bad"
+    t0 = time.time()
+    out = B._context_pass(big)
+    assert time.time() - t0 < 1.0
+    assert out[1] == "good" and out[-2] == "bad"
+    # exact midpoint tie between a good-left and bad-right resolves bad
+    assert out[len(big) // 2] in ("good", "bad")

@@ -662,3 +662,43 @@ def test_extract_pdf_images_roundtrip_and_composition(spark):
         vals.setdefault(r["sig"], []).append(r["doc_id"])
     shared = [v for v in vals.values() if len(v) == 2]
     assert shared and sorted(shared[0]) == [0, 100]  # doc0/img0 == doc1/img0
+
+
+def test_phantom_obj_marker_inside_raw_stream_is_ignored():
+    """r9 ADVICE fix: the bytes '5 0 obj' inside an UNFILTERED content
+    stream used to create a phantom offset shadowing the real object 5
+    (latest-offset-wins), silently corrupting extraction. The index now
+    skips markers inside stream extents."""
+    # page 1's raw stream contains marker bytes for page 2's objects
+    # (object 5 = page-1 content itself, 6 = page 2, 7 = page-2 content)
+    poison = text_stream(
+        "(before) Tj (5 0 obj fake) ' (7 0 obj << /Length 3 >>) ' (after) '"
+    )
+    pdf = build_pdf(
+        [poison, text_stream("(second page intact) Tj")], compress=False
+    )
+    text, n = P._pdf_extract_text(pdf)
+    assert n == 2
+    assert "before" in text and "after" in text
+    assert "second page intact" in text
+
+    # the real object offsets win: phantom markers never enter the index
+    idx = P._index_objects(pdf)
+    lex = P._Lexer(pdf, idx[7])
+    d = lex.read_object()
+    assert isinstance(d, dict) and d.get("Length") is not None
+
+
+def test_lying_length_falls_back_to_endstream_bound():
+    """A stream whose direct /Length does not land on endstream still
+    bounds the phantom-skip extent via the next endstream marker, and
+    indexing keeps working for the objects after it."""
+    pdf = bytearray(build_pdf([text_stream("(ok) Tj")], compress=False))
+    # corrupt the /Length of the content stream (object 5) to a lie
+    at = bytes(pdf).find(b"/Length ")
+    # not strictly object 5's, but every stream here is the same shape
+    assert at > 0
+    n_end = bytes(pdf).count(b"endstream")
+    idx = P._index_objects(bytes(pdf))
+    assert set(idx) == {1, 2, 3, 4, 5}
+    assert n_end == 1
