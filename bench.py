@@ -40,6 +40,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
+        # keep stage-progress bars out of stdout/stderr: the grading
+        # driver keeps only the last 2000 chars, and bars once pushed
+        # the headline JSON line past that window (BENCH_r08 parsed:null)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
@@ -225,6 +229,22 @@ def main() -> None:
         print(f"bench: floors update failed (continuing): {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Plan-identity per query rides a SIDECAR file, not the stdout line:
+    # with 50 queries the sigs pushed the JSON line past the driver's
+    # 2000-char capture window (BENCH_r08 parsed:null — only the trailing
+    # plan_sigs survived). FLOORS.json also folds the same sigs per query.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANSIGS.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump({"sf": sf, "plan_sigs": plan_sigs}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as e:
+        print(f"bench: plan-sig sidecar failed (continuing): {e}", file=sys.stderr)
+    spark.stop()
+    # the one-JSON-line stdout contract: LAST line, after spark.stop(),
+    # so nothing Spark prints can trail it in the capture window
     print(
         json.dumps(
             {
@@ -233,14 +253,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # plan-identity per query: lets floor rebuilds
-                # (tools/update_floors.py) validate history records
-                # against the plan that produced them
-                "plan_sigs": plan_sigs,
             }
         )
     )
-    spark.stop()
     sys.exit(1 if any(t < 0 for t in timings.values()) else 0)
 
 
