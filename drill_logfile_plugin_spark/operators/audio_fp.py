@@ -157,6 +157,7 @@ def audio_fingerprint(
 def audio_near_dup(
     fingerprints: DataFrame,
     min_votes: int = 64,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs from a fingerprint table: equi join on
     the landmark hash, then the offset-consistency vote — matches of a
@@ -169,10 +170,39 @@ def audio_near_dup(
     measured on the test fixtures, true copies score ~60x the best
     random-pair delta.
 
+    ``max_postings`` is the hot-hash cap (standard Shazam practice): a
+    degenerate corpus — silence, black frames, tonal content — piles a
+    huge posting list onto a handful of hashes, turning the self join
+    quadratic in exactly the way the banding economics exist to avoid.
+    Hashes whose corpus-wide posting count exceeds the cap are dropped
+    BEFORE the join; they carry no discriminative signal (every doc has
+    them), so true pairs keep matching on their distinctive landmarks
+    while the join's per-key fan-out stays bounded at
+    ``max_postings²``. The cap is computed with one map-side-combined
+    count and applied as a broadcast anti join (the hot set is tiny by
+    construction). Default None preserves exact behavior; production
+    corpora should set it to a small multiple of the expected copy
+    count (e.g. 64 x expected replicas).
+
     Plan shape: one self equi join on the 8-byte hash (candidates =
     landmark collisions, never all-pairs), one (pair, delta)
     partial-agg count, one per-pair max — the LSH-banding economics.
     """
+    if max_postings is not None:
+        if max_postings < 2:
+            raise ValueError(
+                f"max_postings must be >= 2 (a pair needs two postings), "
+                f"got {max_postings}"
+            )
+        hot = (
+            fingerprints.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_postings"))
+            .where(F.col("_postings") > max_postings)
+            .select("fp_hash")
+        )
+        fingerprints = fingerprints.join(
+            F.broadcast(hot), "fp_hash", "left_anti"
+        )
     a = fingerprints.select(
         F.col("doc_id").alias("doc_a"),
         "fp_hash",

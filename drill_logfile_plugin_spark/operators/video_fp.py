@@ -114,11 +114,19 @@ def frame_signatures(
     return narrow.mapInPandas(batches, FINGERPRINT_SCHEMA)
 
 
-def video_near_dup(fingerprints: DataFrame, min_votes: int = 16) -> DataFrame:
+def video_near_dup(
+    fingerprints: DataFrame,
+    min_votes: int = 16,
+    max_postings: int | None = None,
+) -> DataFrame:
     """Near-duplicate video pairs: the audio offset-vote engine over
     banded frame signatures (see
     :func:`..operators.audio_fp.audio_near_dup`). ``min_votes`` counts
     agreeing (band, frame) pairs at the best offset — an intact frame
     contributes 4, a lossy re-encode usually >= 1, so 16 votes ≈ four
-    intact frames or a dozen re-encoded ones."""
-    return audio_near_dup(fingerprints, min_votes=min_votes)
+    intact frames or a dozen re-encoded ones. ``max_postings`` caps the
+    per-hash posting list before the join (black/static frames are the
+    video tier's degenerate hot hashes — see the audio engine's doc)."""
+    return audio_near_dup(
+        fingerprints, min_votes=min_votes, max_postings=max_postings
+    )

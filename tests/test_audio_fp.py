@@ -113,3 +113,71 @@ def test_constellation_min_separation_and_dc_rejection():
         peaks = list(frame)
         for i in range(1, len(peaks)):
             assert peaks[i] - peaks[i - 1] >= AF.MIN_BIN_SEP
+
+
+def _tone_prefixed(seed: int, tone_n: int = RATE) -> np.ndarray:
+    """One second of a shared pure tone (the degenerate content) followed
+    by a seed-unique two-second melody."""
+    t = np.arange(tone_n) / RATE
+    tone = (8000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int64)
+    return np.concatenate([tone, _tone_mix(seed)])
+
+
+def test_max_postings_bounds_degenerate_corpus(spark):
+    """r9 verdict item: a corpus sharing tonal content piles huge
+    posting lists onto a handful of hashes — the self join goes
+    quadratic AND every pair 'matches' on the shared tone. The
+    max_postings cap drops the hot hashes before the join: the true
+    pair (shared melody) still matches at its offset, the tonal false
+    pairs disappear, and the join's candidate volume collapses."""
+    n_docs = 8
+    rows = [
+        (i, bytearray(_pcm_wav(_tone_prefixed(7 if i < 2 else 100 + i))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = AF.audio_fingerprint(df).cache()
+    try:
+        # the corpus IS degenerate: its hottest hash dwarfs the cap
+        hottest = (
+            fps.groupBy("fp_hash").count().agg(F.max("count")).first()[0]
+        )
+        assert hottest > 64
+
+        # without the cap: every doc pair rides the shared tone
+        raw = AF.audio_near_dup(fps, min_votes=100).collect()
+        assert len(raw) == n_docs * (n_docs - 1) // 2  # all false-positive
+
+        capped = AF.audio_near_dup(fps, min_votes=100, max_postings=64)
+        got = capped.collect()
+        assert [(r["doc_a"], r["doc_b"], r["offset_frames"]) for r in got] == [
+            (0, 1, 0)
+        ]
+
+        # join stays bounded: total matched row-pairs shrink by orders
+        def total_candidates(max_postings):
+            fp = fps
+            if max_postings is not None:
+                hot = (
+                    fp.groupBy("fp_hash")
+                    .count()
+                    .where(F.col("count") > max_postings)
+                    .select("fp_hash")
+                )
+                fp = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+            a = fp.select(F.col("doc_id").alias("a"), "fp_hash")
+            b = fp.select(F.col("doc_id").alias("b"), "fp_hash")
+            return (
+                a.join(b, "fp_hash").where(F.col("a") < F.col("b")).count()
+            )
+
+        assert total_candidates(64) * 10 < total_candidates(None)
+
+        # the hot-set filter is a broadcast anti join in the plan
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "Broadcast" in plan
+
+        with pytest.raises(ValueError, match="max_postings"):
+            AF.audio_near_dup(fps, max_postings=1)
+    finally:
+        fps.unpersist()

@@ -91,3 +91,36 @@ def test_setup_errors(spark):
         VF.frame_signatures(df, codec="mp4")
     with pytest.raises(ValueError, match="every_n"):
         VF.frame_signatures(df, every_n=0)
+
+
+def test_max_postings_drops_black_frame_hot_hashes(spark):
+    """The video tier's degenerate content is black/static frames: every
+    video sharing leading black frames 'matches' every other at the
+    black-run offset. Capping postings drops those bands; the true pair
+    (shared content frames) survives."""
+    black = [np.zeros((16, 16), dtype=np.uint8)] * 10
+    shared = _planes(4, 12)
+    rows = [
+        (0, bytearray(write_y4m(black + shared, chroma="mono"))),
+        (1, bytearray(write_y4m(black + shared, chroma="mono"))),
+        (2, bytearray(write_y4m(black + _planes(30, 12), chroma="mono"))),
+        (3, bytearray(write_y4m(black + _planes(31, 12), chroma="mono"))),
+        (4, bytearray(write_y4m(black + _planes(32, 12), chroma="mono"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = VF.frame_signatures(df, codec="y4m").cache()
+    try:
+        raw = {
+            (r["doc_a"], r["doc_b"])
+            for r in VF.video_near_dup(fps, min_votes=20).collect()
+        }
+        assert (0, 2) in raw  # black frames fake a match without the cap
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["offset_frames"]
+            for r in VF.video_near_dup(
+                fps, min_votes=20, max_postings=16
+            ).collect()
+        }
+        assert capped == {(0, 1): 0}
+    finally:
+        fps.unpersist()

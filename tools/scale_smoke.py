@@ -1006,7 +1006,30 @@ def main() -> None:
             F.sum("duration_ms").alias("ms"),
         )
 
+    def audio_near_dup_lane(spark, sf_dir):
+        # the DEGENERATE matching shape (r9): cycled payloads make every
+        # copy collide with every other — exactly the hot-hash skew the
+        # max_postings cap exists for. With the cap, the lane measures
+        # the full capped pipeline (fingerprint scan + posting count +
+        # broadcast anti join + banded join + offset vote) and must bend
+        # linearly; WITHOUT the cap this corpus would be quadratic.
+        from drill_logfile_plugin_spark.operators.audio_fp import (
+            audio_near_dup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = docs.select(
+            "doc_id",
+            F.element_at(_wav_arr, (F.col("doc_id") % 8 + 1).cast("int"))
+            .alias("payload"),
+        )
+        fps = audio_fingerprint(media)
+        return audio_near_dup(
+            fps, min_votes=64, max_postings=256
+        ).groupBy().agg(F.count(F.lit(1)).alias("pairs"))
+
     timed.append(("audio_fingerprint_scan", audio_fp_lane))
+    timed.append(("audio_near_dup_capped", audio_near_dup_lane))
     timed.append(("probe_media", probe_lane))
 
     if args.only:
