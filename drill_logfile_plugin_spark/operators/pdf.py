@@ -624,8 +624,13 @@ class _Document:
         return out
 
     def page_fonts(self, resources):
-        """name -> parsed /ToUnicode CMap (or None) for a page's font
-        resources; a broken CMap degrades that font to raw Latin-1."""
+        """name -> ``(code_len, mapping)`` for a page's font resources,
+        from the highest-fidelity source available per font: the
+        ``/ToUnicode`` CMap when present and parseable (the spec's
+        authoritative text source), else the simple-font ``/Encoding``
+        tables (base encoding + ``/Differences``, r9 — subset fonts
+        without ToUnicode used to decode as literal Latin-1 bytes, the
+        silent-corruption path), else None (raw Latin-1 reading)."""
         if not isinstance(resources, dict):
             return {}
         fonts = self.resolve(resources.get("Font"))
@@ -641,8 +646,53 @@ class _Document:
                             cmap = _parse_tounicode(self.stream_bytes(tu[1]))
                         except (ValueError, NotImplementedError):
                             cmap = None
+                    if cmap is None:
+                        cmap = self._simple_font_mapping(fd)
                 out[name] = cmap
         return out
+
+    def _simple_font_mapping(self, fd: dict):
+        """``(1, code->str)`` from a simple font's ``/Encoding`` entry —
+        a base-encoding name or a dict of /BaseEncoding + /Differences
+        (glyph names resolved through the AGL convention; unknown names
+        drop their code so the U+FFFD contract keeps garbage visible).
+        None for Type0 fonts (their lane is the ToUnicode CMap) and for
+        fonts with no usable /Encoding."""
+        from .pdf_encodings import base_encoding_table, glyph_to_unicode
+
+        if self.resolve(fd.get("Subtype")) == "Type0":
+            return None
+        enc = self.resolve(fd.get("Encoding"))
+        if isinstance(enc, str):
+            table = base_encoding_table(enc)
+            return (1, table) if table is not None else None
+        if not isinstance(enc, dict):
+            return None
+        base_name = self.resolve(enc.get("BaseEncoding"))
+        table = (
+            base_encoding_table(base_name)
+            if isinstance(base_name, str)
+            else None
+        )
+        if table is None:
+            # spec default is the font's built-in encoding; Standard is
+            # the conventional stand-in for non-symbolic text fonts
+            table = base_encoding_table("StandardEncoding")
+        diffs = self.resolve(enc.get("Differences"))
+        if isinstance(diffs, list):
+            code = None
+            for el in diffs:
+                el = self.resolve(el)
+                if isinstance(el, (int, float)):
+                    code = int(el)
+                elif isinstance(el, str) and code is not None and 0 <= code <= 0xFF:
+                    got = glyph_to_unicode(el)
+                    if got is not None:
+                        table[code] = got
+                    else:
+                        table.pop(code, None)
+                    code += 1
+        return (1, table)
 
     def page_content(self, page: dict) -> bytes:
         """A page's concatenated content-stream bytes."""

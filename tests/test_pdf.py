@@ -21,9 +21,11 @@ from drill_logfile_plugin_spark.operators import pdf as P
 # --- independent writer --------------------------------------------------------
 
 
-def build_pdf(page_streams, compress=True, encrypt=False, extra_trailer=""):
+def build_pdf(page_streams, compress=True, encrypt=False, extra_trailer="",
+              font_obj=None):
     """Assemble a classic-xref PDF: one content stream per page, a flat
-    or nested page tree, REAL xref offsets."""
+    or nested page tree, REAL xref offsets. ``font_obj`` overrides the
+    body of font object 3 (e.g. to attach /Encoding /Differences)."""
     objs = {}  # num -> bytes (body after "N 0 obj")
     n_pages = len(page_streams)
     page_nums = [4 + 2 * i for i in range(n_pages)]
@@ -33,7 +35,11 @@ def build_pdf(page_streams, compress=True, encrypt=False, extra_trailer=""):
     objs[2] = (
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objs[3] = (
+        font_obj
+        if font_obj is not None
+        else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
     for i, (pnum, cnum) in enumerate(zip(page_nums, content_nums)):
         objs[pnum] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -702,3 +708,116 @@ def test_lying_length_falls_back_to_endstream_bound():
     idx = P._index_objects(bytes(pdf))
     assert set(idx) == {1, 2, 3, 4, 5}
     assert n_end == 1
+
+
+# --- simple-font /Encoding tables (r9) -------------------------------------------
+
+
+def _font(body: str) -> bytes:
+    return f"<< /Type /Font /Subtype /Type1 /BaseFont /FAAAAA+Sub {body} >>".encode()
+
+
+def test_differences_encoded_font_roundtrips_exactly():
+    """The r9 headline: a subset font carrying /Encoding /Differences
+    and NO ToUnicode. Bytes 1,2,3 are remapped to named glyphs; reading
+    them as Latin-1 (the old fallback) would emit control characters —
+    the silent-corruption path this lane closes."""
+    font = _font(
+        "/Encoding << /Type /Encoding "
+        "/Differences [ 1 /eacute /germandbls 65 /bullet 128 /Euro ] >>"
+    )
+    # codes: 1 2 -> é ß, A(65) -> •, 0x80 -> €, plain ASCII untouched
+    stream = b"BT /F1 12 Tf (caf\x01 stra\x02e \x41 \x80) Tj ET"
+    pdf = build_pdf([stream], compress=False, font_obj=font)
+    text, n = P._pdf_extract_text(pdf)
+    assert (text, n) == ("café straße • €", 1)
+
+
+def test_base_encoding_names_winansi_macroman_standard():
+    cases = [
+        # WinAnsi: 0x93/0x94 smart quotes, 0xE9 eacute (cp1252)
+        ("/Encoding /WinAnsiEncoding", b"(\x93hi\x94 caf\xe9)", "“hi” café"),
+        # MacRoman: 0x8E eacute, 0xD2/0xD3 smart quotes
+        ("/Encoding /MacRomanEncoding", b"(\xd2hi\xd3 caf\x8e)", "“hi” café"),
+        # Standard: 0x27 quoteright, 0xAE fi ligature, 0xD0 emdash
+        ("/Encoding /StandardEncoding", b"(it's \xaene \xd0 ok)", "it’s ﬁne — ok"),
+    ]
+    for enc, raw, want in cases:
+        pdf = build_pdf(
+            [b"BT /F1 12 Tf " + raw + b" Tj ET"],
+            compress=False,
+            font_obj=_font(enc),
+        )
+        text, _ = P._pdf_extract_text(pdf)
+        assert text == want, (enc, text)
+
+
+def test_differences_over_base_encoding_and_unknown_glyphs():
+    """Differences override their base table only at the named codes;
+    an unknown glyph name drops its code to U+FFFD (garbage stays
+    visible), and uniXXXX names resolve through the AGL convention."""
+    font = _font(
+        "/Encoding << /BaseEncoding /WinAnsiEncoding "
+        "/Differences [ 65 /uni0416 66 /glyph99x 200 /oe ] >>"
+    )
+    pdf = build_pdf(
+        [b"BT /F1 12 Tf (\x41\x42 caf\xe9 \xc8) Tj ET"],
+        compress=False,
+        font_obj=font,
+    )
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "Ж� café œ"
+
+
+def test_tounicode_wins_over_encoding_and_no_encoding_keeps_latin1():
+    """Priority pin: when BOTH /ToUnicode and /Encoding exist the CMap
+    decides; with NEITHER the raw Latin-1 reading is unchanged."""
+    # ToUnicode mapping byte 0x41 -> U+0057 'W'; Differences would say bullet
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0057>\nendbfchar\nendcmap"
+    )
+    # hand-assemble: font 3 references object 90 as ToUnicode stream
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /FB+S "
+        b"/Encoding << /Differences [ 65 /bullet ] >> /ToUnicode 90 0 R >>"
+    )
+    pdf = bytearray(build_pdf([b"BT /F1 12 Tf (\x41) Tj ET"],
+                              compress=False, font_obj=font))
+    tu_obj = (
+        f"90 0 obj\n<< /Length {len(cmap)} >>\nstream\n".encode()
+        + cmap + b"\nendstream\nendobj\n"
+    )
+    at = bytes(pdf).find(b"xref")
+    pdf[at:at] = tu_obj  # offsets rebuilt by scanning, xref not trusted
+    text, _ = P._pdf_extract_text(bytes(pdf))
+    assert text == "W"
+
+    plain = build_pdf([text_stream("(caf\xe9 plain) Tj")], compress=False)
+    text2, _ = P._pdf_extract_text(plain)
+    assert text2 == "café plain"  # latin-1 fallback byte-identical
+
+
+def test_glyph_name_conventions():
+    from drill_logfile_plugin_spark.operators.pdf_encodings import (
+        base_encoding_table,
+        glyph_to_unicode,
+    )
+
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("uni0041") == "A"
+    assert glyph_to_unicode("uni00480069") == "Hi"  # multi-unit uniXXXX
+    assert glyph_to_unicode("u1F600") == "😀"
+    assert glyph_to_unicode("a.smallcap") == "a"  # suffix stripping
+    assert glyph_to_unicode("g123") is None  # glyph ids fabricate nothing
+    assert glyph_to_unicode("cid42") is None
+    assert glyph_to_unicode("notarealglyphname") is None
+    # WinAnsi: every cp1252-defined code agrees with the codec; the five
+    # undefined slots render bullet per Annex D note 5
+    tbl = base_encoding_table("WinAnsiEncoding")
+    for code in range(0x20, 0x100):
+        try:
+            assert tbl[code] == bytes([code]).decode("cp1252")
+        except UnicodeDecodeError:
+            assert tbl[code] == "•"
+    assert base_encoding_table("MacExpertEncoding") is None
