@@ -41,8 +41,12 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
   unmapped codes emit U+FFFD so garbage stays countable instead of
   silently vanishing.
 
-Genuinely absent capabilities raise NotImplementedError at the
-documented plug-in points: encrypted files (``/Encrypt``), TIFF
+Encrypted files using the STANDARD security handler with an empty
+user or owner password (the owner-password-only profile a large share
+of real "encrypted" PDFs actually use) decode transparently — RC4-40
+through AES-256, see ``pdf_crypt`` (r9). Genuinely absent capabilities
+raise NotImplementedError at the documented plug-in points:
+password-protected files, non-Standard security handlers, TIFF
 predictor 2, and image-class filters (DCT/JBIG2/CCITT). Malformed
 structures raise ValueError. All header-derived sizes are bounded
 before allocation — a PDF is untrusted input.
@@ -390,34 +394,148 @@ class _Document:
         self.offsets = _index_objects(payload)
         self.cache: dict[int, object] = {}
         self._objstms_loaded = False
+        self._crypt = None  # (method, file_key) once encryption is set up
         trailers = _find_trailers(payload)
         root_ref = None
-        for tr in trailers:
-            if "Encrypt" in tr:
-                raise NotImplementedError(
-                    "encrypted PDF (/Encrypt): decryption is a plug-in point"
-                )
+        encrypt_ref = None
+        file_id = None
+        for tr in trailers:  # newest first
             if root_ref is None and "Root" in tr:
                 root_ref = tr["Root"]
-        if root_ref is None:
+            if encrypt_ref is None and "Encrypt" in tr:
+                encrypt_ref = tr["Encrypt"]
+            if file_id is None and "ID" in tr:
+                file_id = tr["ID"]
+        if root_ref is None or (encrypt_ref is None and file_id is None):
             # PDF 1.5+: the trailer fields live in the cross-reference
             # STREAM's dictionary. The stream's packed offset table is
             # not needed here (the object index is rebuilt by scanning),
-            # but its /Root and /Encrypt entries are the trailer.
+            # but its /Root, /Encrypt, and /ID entries are the trailer.
             for _num, d in reversed(
                 _object_dicts_of_type(payload, self.offsets, b"XRef")
             ):
-                if "Encrypt" in d:
-                    raise NotImplementedError(
-                        "encrypted PDF (/Encrypt): decryption is a "
-                        "plug-in point"
-                    )
-                if "Root" in d:
+                if root_ref is None and "Root" in d:
                     root_ref = d["Root"]
+                if encrypt_ref is None and "Encrypt" in d:
+                    encrypt_ref = d["Encrypt"]
+                if file_id is None and "ID" in d:
+                    file_id = d["ID"]
+                if root_ref is not None:
                     break
         if root_ref is None:
             raise ValueError("PDF trailer with /Root not found")
+        if encrypt_ref is not None:
+            # set up BEFORE resolving the root: a 1.5 file's catalog may
+            # live inside an (encrypted) object stream
+            self._setup_encryption(encrypt_ref, file_id)
         self.root = self.resolve(root_ref)
+
+    def _setup_encryption(self, encrypt_ref, file_id) -> None:
+        """Standard-security-handler setup (PDF 32000 §7.6.3): try the
+        EMPTY user/owner password; on success store the file key so
+        stream reads decrypt transparently, else keep the named
+        quarantine. Covers V1/V2 (RC4), V4 (RC4 or AES-128 crypt
+        filters), and V5/R6 (AES-256)."""
+        from . import pdf_crypt as _crypt
+
+        enc = self.resolve(encrypt_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        handler = self.resolve(enc.get("Filter"))
+        if handler != "Standard":
+            raise NotImplementedError(
+                f"encrypted PDF: security handler {handler!r} unsupported "
+                "(only the Standard handler's empty-password profile "
+                "decodes)"
+            )
+        v = self.resolve(enc.get("V")) or 0
+        r = self.resolve(enc.get("R")) or 2
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
+            raise ValueError("PDF /Encrypt missing O/U/P entries")
+        if v in (1, 2):
+            method = "rc4"
+        elif v in (4, 5):
+            cf = self.resolve(enc.get("CF"))
+            stmf = self.resolve(enc.get("StmF")) or "Identity"
+            cfm = "Identity"
+            if stmf != "Identity" and isinstance(cf, dict):
+                fdict = self.resolve(cf.get(stmf))
+                if isinstance(fdict, dict):
+                    cfm = self.resolve(fdict.get("CFM")) or "None"
+            method = {
+                "V2": "rc4",
+                "AESV2": "aes",
+                "AESV3": "aes",
+                "Identity": "none",
+                "None": "none",
+            }.get(cfm)
+            if method is None:
+                raise NotImplementedError(
+                    f"encrypted PDF: crypt filter method {cfm!r} unsupported"
+                )
+        else:
+            raise NotImplementedError(
+                f"encrypted PDF: /V {v} unsupported (V1/V2/V4/V5 decode)"
+            )
+        id0 = b""
+        if isinstance(file_id, list) and file_id:
+            first = self.resolve(file_id[0])
+            if isinstance(first, bytes):
+                id0 = first
+        if r in (2, 3, 4):
+            length = self.resolve(enc.get("Length")) or 40
+            key_bytes = max(5, min(16, int(length) // 8))
+            em = self.resolve(enc.get("EncryptMetadata"))
+            key = _crypt.auth_empty_password_r234(
+                o, u, p, id0, r, key_bytes,
+                True if em is None else bool(em),
+            )
+        elif r in (5, 6):
+            oe = self.resolve(enc.get("OE"))
+            ue = self.resolve(enc.get("UE"))
+            if not isinstance(oe, bytes) or not isinstance(ue, bytes):
+                raise ValueError("PDF /Encrypt R5/R6 missing OE/UE")
+            key = _crypt.auth_empty_password_r56(o, u, oe, ue, r)
+        else:
+            raise NotImplementedError(f"encrypted PDF: /R {r} unsupported")
+        if key is None:
+            raise NotImplementedError(
+                "encrypted PDF: password-protected (a non-empty password "
+                "is required; only the empty-password profile decodes)"
+            )
+        self._crypt = (method, key)
+
+    def _decrypt_bytes(self, raw: bytes, num: int, off: int) -> bytes:
+        """Per-object decryption of a stream's raw bytes (Algorithm 1
+        keys for V<5; the file key directly for V5)."""
+        if self._crypt is None:
+            return raw
+        from . import pdf_crypt as _crypt
+
+        method, key = self._crypt
+        if method == "none" or not raw:
+            return raw
+        if len(key) == 32:  # V5: AES-256, no per-object salting
+            okey = key
+            aes = True
+        else:
+            aes = method == "aes"
+            gen = 0
+            m = re.search(
+                rb"(\d+)\s+(\d+)\s+obj\s*$",
+                self.payload[max(0, off - 48) : off],
+            )
+            if m:
+                gen = int(m.group(2))
+            okey = _crypt.object_key(key, num, gen, aes)
+        if aes:
+            if len(raw) < 16 or (len(raw) - 16) % 16:
+                raise ValueError("PDF AES stream length invalid")
+            return _crypt.aes_cbc_decrypt(okey, raw[:16], raw[16:])
+        return _crypt.rc4(okey, raw)
 
     def resolve(self, obj):
         """Follow ('ref', n) chains to the object value."""
@@ -507,6 +625,7 @@ class _Document:
         raw = self.payload[p : p + length]
         if len(raw) != length:
             raise ValueError(f"PDF stream {num} truncated")
+        raw = self._decrypt_bytes(raw, num, off)
         filt = self.resolve(sdict.get("Filter"))
         if filt is None:
             return raw
@@ -745,7 +864,13 @@ class _Document:
             if not isinstance(length, int) or not 0 <= length <= _PDF_MAX_STREAM:
                 continue
             raw = self.payload[p : p + length]
-            if len(raw) != length or raw[:2] != b"\xff\xd8":
+            if len(raw) != length:
+                continue
+            try:
+                raw = self._decrypt_bytes(raw, num, off)
+            except ValueError:
+                continue
+            if raw[:2] != b"\xff\xd8":
                 continue
             out.append((num, w, h, raw))
         return out

@@ -209,14 +209,16 @@ def test_incremental_update_newest_root_wins():
 def test_rejection_matrix():
     with pytest.raises(ValueError, match="PDF- header"):
         P._pdf_extract_text(b"not a pdf at all")
-    with pytest.raises(NotImplementedError, match="Encrypt"):
+    # a DANGLING /Encrypt ref (r9: real encrypted files now decode via
+    # the empty-password handler; a broken encrypt dict still quarantines)
+    with pytest.raises(ValueError, match="Encrypt"):
         P._pdf_extract_text(build_pdf([text_stream("(x) Tj")], encrypt=True))
-    # xref-stream file whose XRef dict carries /Encrypt: still refused
+    # xref-stream file whose XRef dict carries a dangling /Encrypt
     xs = (
         b"%PDF-1.5\n1 0 obj\n<< /Type /XRef /W [1 2 1] /Root 2 0 R "
         b"/Encrypt 3 0 R >>\nstream\nendstream\nendobj\nstartxref\n9\n%%EOF"
     )
-    with pytest.raises(NotImplementedError, match="Encrypt"):
+    with pytest.raises(ValueError, match="Encrypt"):
         P._pdf_extract_text(xs)
     # non-Flate filter
     pdf = build_pdf([text_stream("(x) Tj")], compress=False)
