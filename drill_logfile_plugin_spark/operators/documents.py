@@ -12,6 +12,9 @@ module routes EACH ROW to the right extractor (the media tier's
   (a zip prefix alone is ambiguous, so document sniffing reads the
   central directory, unlike the media sniffer's pure-prefix rule —
   documented divergence, still O(directory) not O(content));
+* OLE2 magic (``D0 CF 11 E0``) -> legacy binary ``.doc``
+  (:mod:`.ole2` — CFB walk + Word piece table; encrypted OOXML and
+  binary .xls/.ppt quarantine by stream name);
 * an ``<html`` / ``<!doctype html`` marker in the first 512 bytes ->
   the jusText block extractor (:mod:`.boilerplate`);
 * a ``WEBVTT`` header -> WebVTT captions, an SRT first-cue shape
@@ -42,8 +45,8 @@ import re
 import zipfile
 
 DOCUMENT_FORMATS = (
-    "pdf", "docx", "odt", "epub", "html", "rtf", "srt", "vtt", "ipynb",
-    "eml", "mbox", "txt",
+    "pdf", "docx", "doc", "odt", "epub", "html", "rtf", "srt", "vtt",
+    "ipynb", "eml", "mbox", "txt",
 )
 
 
@@ -64,6 +67,10 @@ def sniff_document(payload: bytes) -> str:
         if "content.xml" in names:
             return "odt"
         raise ValueError("zip archive is not DOCX/EPUB/ODT")
+    if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2 compound file: legacy .doc (or encrypted OOXML / .xls /
+        # .ppt, which the extractor quarantines by stream name)
+        return "doc"
     if payload.startswith(b"{\\rtf"):
         return "rtf"
     head = payload[:512].lower()
@@ -99,6 +106,10 @@ def _extract_one(fmt: str, payload: bytes):
         from .docx import _docx_extract_text
 
         return _docx_extract_text(payload)
+    if fmt == "doc":
+        from .ole2 import _doc_extract_text
+
+        return _doc_extract_text(payload)
     if fmt == "odt":
         from .odt import _odt_extract_text
 

@@ -26,6 +26,7 @@ from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
 from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
 from drill_logfile_plugin_spark.operators.pdf import _pdf_extract_text
 from drill_logfile_plugin_spark.operators.probe import probe_payload
+from drill_logfile_plugin_spark.operators.ole2 import _doc_extract_text
 from drill_logfile_plugin_spark.operators.rtf import _rtf_extract_text
 
 OK = (ValueError, NotImplementedError)
@@ -60,6 +61,7 @@ def _valid_payloads():
     from tests.test_epub import build_epub, chapter_xhtml
     from tests.test_odt import build_odt
     from tests.test_pdf import build_pdf, text_stream
+    from tests.test_ole2 import build_doc
     from tests.test_probe import build_flac, build_mp3, build_mp4
 
     return {
@@ -74,6 +76,7 @@ def _valid_payloads():
         "mp3": build_mp3(),
         "flac": build_flac(),
         "rtf": rb"{\rtf1 fuzz seed doc\par}",
+        "doc": build_doc([("fuzz seed doc\r", True)]),
     }
 
 
@@ -89,6 +92,7 @@ _EXTRACTORS = {
     "mp3": probe_payload,
     "flac": probe_payload,
     "rtf": _rtf_extract_text,
+    "doc": _doc_extract_text,
 }
 
 
@@ -133,6 +137,7 @@ def test_magic_prefixed_garbage():
         b"{\\rtf1 ": _rtf_extract_text,
         b"WEBVTT\n\n": _captions_extract_text,
         b"fLaC": probe_payload,
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1": _doc_extract_text,
         b"ID3\x04\x00\x00": probe_payload,
     }
     for magic, fn in magics.items():
