@@ -7,12 +7,15 @@ spec's grow-at-2^codesize rule, 12-bit cap), 4-pass row interlacing,
 and multi-frame animations with graphic-control delays — so
 ``frame_sample(codec="gif")`` emits real frames with real delays.
 
-Scope: each frame decodes its OWN indexed sub-image (left/top/width/
-height rectangle) to luma; full animation compositing (disposal-method
-chains blending frame N over N-1) is documented out of scope — the
-feature lane uses frame 0 rendered onto the logical screen, which needs
-no prior state. Transparency indexes resolve to their palette entry's
-luma (without compositing there is no "behind" pixel to show).
+Scope: ``_gif_decode`` yields each frame's OWN indexed sub-image
+(left/top/width/height rectangle) as luma plus its disposal method and
+transparency mask; ``_gif_composite_frames`` (r9) plays the full
+disposal chain — none/keep, restore-to-background, restore-to-previous,
+with transparency showing the underlying screen through — so sampled
+frames of partial-update animations are COMPLETE images before they hit
+the phash/fingerprint lanes. The frame-0 feature lane
+(``_gif_first_frame_screen``) keeps its compositing-free zero-background
+view.
 
 Guards as elsewhere in the tier: malformed bytes raise ValueError,
 dimension/LZW output bounds precede allocation, absent capabilities
@@ -140,6 +143,8 @@ def _gif_decode(payload: bytes):
 
     frames: list[dict] = []
     delay_ms = 0
+    disposal = 0
+    trans_idx = None
     n_total = len(payload)
     while True:
         if pos >= n_total:
@@ -157,6 +162,8 @@ def _gif_decode(payload: bytes):
             if label == 0xF9 and len(data) >= 4:  # graphic control
                 (delay_cs,) = struct.unpack("<H", data[1:3])
                 delay_ms = delay_cs * 10
+                disposal = (data[0] >> 2) & 0x07
+                trans_idx = data[3] if data[0] & 0x01 else None
         elif block == 0x2C:  # image descriptor
             if pos + 9 > n_total:
                 raise ValueError("GIF image descriptor truncated")
@@ -201,6 +208,9 @@ def _gif_decode(payload: bytes):
                         ordered[r] = grid[src]
                         src += 1
                 grid = ordered
+            mask = None
+            if trans_idx is not None and trans_idx < len(palette):
+                mask = grid == trans_idx
             rgb = palette[grid].astype(np.int64)
             luma = (
                 rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
@@ -213,9 +223,14 @@ def _gif_decode(payload: bytes):
                     "h": h,
                     "luma": luma.astype(np.uint8),
                     "delay_ms": delay_ms,
+                    "disposal": disposal,
+                    "mask": mask,
                 }
             )
-            delay_ms = 0  # graphic control applies to ONE image
+            # graphic control applies to ONE image
+            delay_ms = 0
+            disposal = 0
+            trans_idx = None
         else:
             raise ValueError(f"GIF unknown block 0x{block:02x}")
     if not frames:
@@ -237,3 +252,51 @@ def _gif_first_frame_screen(payload: bytes):
         : y2 - f["y"], : x2 - f["x"]
     ]
     return w, h, screen
+
+
+def _gif_composite_frames(payload: bytes):
+    """Full animation compositing (r9): ``(width, height,
+    [(screen_luma, delay_ms), ...])`` with each output frame the
+    COMPLETE logical screen after drawing frame N per the GIF89a
+    disposal chain — partial-update animations (the normal encoder
+    output) yield whole images instead of update rectangles, which is
+    what the phash/fingerprint lanes need to see.
+
+    Disposal methods: 0/1 leave the screen as drawn; 2 clears the
+    frame's rectangle back to the background color before the next
+    frame; 3 restores the screen to its pre-frame state. Transparent
+    pixels (graphic-control transparency index) let the underlying
+    screen show through — the mechanism partial updates rely on."""
+    import numpy as np
+
+    w, h, frames = _gif_decode(payload)
+    flags = payload[10]
+    bg_idx = payload[11]
+    bg_luma = 0
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload[13 : 13 + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3).astype(np.int64)
+        if bg_idx < n:
+            r, g, b = gct[bg_idx]
+            bg_luma = int((r * 299 + g * 587 + b * 114) // 1000)
+    screen = np.full((h, w), bg_luma, dtype=np.uint8)
+    out = []
+    for f in frames:
+        y2 = min(h, f["y"] + f["h"])
+        x2 = min(w, f["x"] + f["w"])
+        prev = screen.copy() if f["disposal"] == 3 else None
+        region = screen[f["y"] : y2, f["x"] : x2]
+        luma = f["luma"][: y2 - f["y"], : x2 - f["x"]]
+        if f["mask"] is not None:
+            m = f["mask"][: y2 - f["y"], : x2 - f["x"]]
+            region[~m] = luma[~m]
+        else:
+            region[:] = luma
+        out.append((screen.copy(), f["delay_ms"]))
+        if f["disposal"] == 2:
+            screen[f["y"] : y2, f["x"] : x2] = bg_luma
+        elif f["disposal"] == 3:
+            screen = prev
+    return w, h, out

@@ -124,6 +124,7 @@ SNIFF_KINDS = {
     "webp": "image",
     "avif": "image",
     "heic": "image",
+    "webm": "video",
 }
 
 
@@ -177,6 +178,10 @@ def sniff_codec(payload: bytes) -> str:
     # prefix sniff cannot perform
     if payload.startswith(b"ID3"):
         return "mp3"
+    if payload.startswith(b"\x1a\x45\xdf\xa3"):
+        # EBML: WebM or Matroska — the magic alone cannot tell (DocType
+        # lives inside the header); the probe tier refines to "mkv"
+        return "webm"
     raise ValueError("unrecognized media magic")
 
 

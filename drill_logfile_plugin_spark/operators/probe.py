@@ -403,6 +403,169 @@ def _probe_ogg(payload: bytes):
     }
 
 
+#: EBML element ids (Matroska/WebM, RFC 8794 + the Matroska spec)
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLERATE = 0xB5
+_MKV_CHANNELS = 0x9F
+_EBML_UNKNOWN = -1  # all-ones size: extends to the parent's end
+_EBML_MAX_ELEMENTS = 1 << 16
+
+
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) for an EBML variable-length integer. Element
+    IDs keep the length-descriptor bit (``keep_marker``); sizes mask it
+    and report the all-ones reserved value as unknown."""
+    if pos >= len(buf):
+        raise ValueError("EBML vint truncated")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("EBML vint with >8 length bytes invalid here")
+    length = 9 - b0.bit_length()
+    if pos + length > len(buf):
+        raise ValueError("EBML vint truncated")
+    if keep_marker:
+        value = b0
+    else:
+        value = b0 & ((1 << (8 - length)) - 1)
+    for k in range(1, length):
+        value = (value << 8) | buf[pos + k]
+    if not keep_marker:
+        all_ones = (1 << (7 * length)) - 1
+        if value == all_ones:
+            return _EBML_UNKNOWN, pos + length
+    return value, pos + length
+
+
+def _ebml_children(buf: bytes, pos: int, end: int, budget: list):
+    """Yield (element_id, body_start, body_end) for the elements of one
+    master element; unknown-size children extend to the parent's end."""
+    while pos < end:
+        budget[0] += 1
+        if budget[0] > _EBML_MAX_ELEMENTS:
+            raise ValueError("EBML element count exceeds the bound")
+        eid, pos = _ebml_vint(buf, pos, keep_marker=True)
+        size, pos = _ebml_vint(buf, pos, keep_marker=False)
+        body_end = end if size == _EBML_UNKNOWN else pos + size
+        if body_end > end:
+            raise ValueError("EBML element escapes its parent")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _ebml_uint(buf: bytes, start: int, end: int) -> int:
+    return int.from_bytes(buf[start:end], "big")
+
+
+def _ebml_float(buf: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", buf[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", buf[start:end])[0]
+    raise ValueError(f"EBML float of width {n} invalid")
+
+
+def _probe_webm(payload: bytes):
+    """WebM/Matroska metadata from the EBML header + Segment Info and
+    Tracks — Clusters (the media bulk) are SKIPPED by their declared
+    size, so the walk is header-only regardless of file size."""
+    budget = [0]
+    doctype = None
+    duration = None
+    timescale = 1_000_000  # Matroska default: 1 ms in nanoseconds
+    width = height = None
+    sample_rate = None
+    channels = None
+    has_video = has_audio = False
+    for eid, b0, b1 in _ebml_children(payload, 0, len(payload), budget):
+        if eid == _EBML_HEADER:
+            for cid, c0, c1 in _ebml_children(payload, b0, b1, budget):
+                if cid == _EBML_DOCTYPE:
+                    doctype = payload[c0:c1].rstrip(b"\x00").decode(
+                        "ascii", errors="replace"
+                    )
+        elif eid == _MKV_SEGMENT:
+            for cid, c0, c1 in _ebml_children(payload, b0, b1, budget):
+                if cid == _MKV_INFO:
+                    for iid, i0, i1 in _ebml_children(
+                        payload, c0, c1, budget
+                    ):
+                        if iid == _MKV_TIMESCALE:
+                            timescale = _ebml_uint(payload, i0, i1)
+                        elif iid == _MKV_DURATION:
+                            duration = _ebml_float(payload, i0, i1)
+                elif cid == _MKV_TRACKS:
+                    for tid, t0, t1 in _ebml_children(
+                        payload, c0, c1, budget
+                    ):
+                        if tid != _MKV_TRACKENTRY:
+                            continue
+                        ttype = None
+                        for fid, f0, f1 in _ebml_children(
+                            payload, t0, t1, budget
+                        ):
+                            if fid == _MKV_TRACKTYPE:
+                                ttype = _ebml_uint(payload, f0, f1)
+                            elif fid == _MKV_VIDEO:
+                                for vid, v0, v1 in _ebml_children(
+                                    payload, f0, f1, budget
+                                ):
+                                    if vid == _MKV_PIXELW:
+                                        w = _ebml_uint(payload, v0, v1)
+                                        width = max(width or 0, w)
+                                    elif vid == _MKV_PIXELH:
+                                        h = _ebml_uint(payload, v0, v1)
+                                        height = max(height or 0, h)
+                            elif fid == _MKV_AUDIO:
+                                for aid, a0, a1 in _ebml_children(
+                                    payload, f0, f1, budget
+                                ):
+                                    if aid == _MKV_SAMPLERATE:
+                                        sample_rate = int(
+                                            _ebml_float(payload, a0, a1)
+                                        )
+                                    elif aid == _MKV_CHANNELS:
+                                        channels = _ebml_uint(
+                                            payload, a0, a1
+                                        )
+                        if ttype == 1:
+                            has_video = True
+                        elif ttype == 2:
+                            has_audio = True
+                # Clusters and everything else: skipped by size
+    if doctype is None:
+        raise ValueError("EBML stream has no DocType (not WebM/Matroska)")
+    if doctype not in ("webm", "matroska"):
+        raise ValueError(f"EBML DocType {doctype!r} unrecognized")
+    if not has_video and not has_audio and width is None:
+        raise ValueError("WebM/Matroska has no Tracks metadata")
+    duration_ms = None
+    if duration is not None and duration >= 0:
+        duration_ms = int(duration * timescale / 1_000_000)
+    return {
+        "media_format": "webm" if doctype == "webm" else "mkv",
+        "media_kind": "video" if (has_video or width) else "audio",
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "duration_exact": duration is not None,
+    }
+
+
 def probe_payload(payload: bytes) -> dict:
     """Route by magic to the right prober; ValueError on unknown or
     malformed payloads.
@@ -435,6 +598,8 @@ def _probe_dispatch(payload: bytes) -> dict:
         len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
         return _probe_mp3(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return _probe_webm(payload)
     raise ValueError("unrecognized probe-tier media magic")
 
 

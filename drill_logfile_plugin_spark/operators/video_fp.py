@@ -43,17 +43,20 @@ def frame_signatures(
     """Video payloads -> FOUR banded aHash rows per (sampled) frame:
     ``(doc_id, fp_hash, t_frame)`` with ``fp_hash = band_idx << 16 |
     band16`` (see module doc). ``codec``: "avi" (each frame JPEG-
-    decoded) or "y4m" (raw Y planes). ``every_n`` subsamples frames —
-    matching still works because offsets stay consistent under uniform
-    sampling (the vote just shrinks proportionally)."""
+    decoded), "y4m" (raw Y planes), or "gif" (r9: frames COMPOSITED
+    through the disposal chain, so partial-update animations hash as
+    the complete images a viewer sees, not update rectangles).
+    ``every_n`` subsamples frames — matching still works because
+    offsets stay consistent under uniform sampling (the vote just
+    shrinks proportionally)."""
     import pandas as pd
 
     from .multimodal import _ahash64_luma, _check_on_error
 
-    if codec not in ("avi", "y4m"):
+    if codec not in ("avi", "y4m", "gif"):
         raise NotImplementedError(
-            f"frame_signatures codec {codec!r}: avi and y4m are the "
-            "decodable video containers"
+            f"frame_signatures codec {codec!r}: avi, y4m, and gif are "
+            "the decodable video/animation containers"
         )
     _check_on_error(on_error, allowed=("skip", "strict"))
     if every_n < 1:
@@ -79,6 +82,14 @@ def frame_signatures(
                         lumas = (
                             (i, _jpeg_decode(frames[i])[2])
                             for i in range(0, len(frames), every_n)
+                        )
+                    elif codec == "gif":
+                        from .gif import _gif_composite_frames
+
+                        _w, _h, screens = _gif_composite_frames(raw)
+                        lumas = (
+                            (i, screens[i][0])
+                            for i in range(0, len(screens), every_n)
                         )
                     else:
                         w, h, _us, frames = _y4m_decode(raw)

@@ -62,6 +62,7 @@ def _valid_payloads():
     from tests.test_odt import build_odt
     from tests.test_pdf import build_pdf, text_stream
     from tests.test_ole2 import build_doc
+    from tests.test_probe import build_webm
     from tests.test_probe import build_flac, build_mp3, build_mp4
 
     return {
@@ -75,6 +76,7 @@ def _valid_payloads():
         "mp4": build_mp4(),
         "mp3": build_mp3(),
         "flac": build_flac(),
+        "webm": build_webm(),
         "rtf": rb"{\rtf1 fuzz seed doc\par}",
         "doc": build_doc([("fuzz seed doc\r", True)]),
     }
@@ -91,6 +93,7 @@ _EXTRACTORS = {
     "mp4": probe_payload,
     "mp3": probe_payload,
     "flac": probe_payload,
+    "webm": probe_payload,
     "rtf": _rtf_extract_text,
     "doc": _doc_extract_text,
 }
@@ -138,6 +141,7 @@ def test_magic_prefixed_garbage():
         b"WEBVTT\n\n": _captions_extract_text,
         b"fLaC": probe_payload,
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1": _doc_extract_text,
+        b"\x1a\x45\xdf\xa3": probe_payload,
         b"ID3\x04\x00\x00": probe_payload,
     }
     for magic, fn in magics.items():

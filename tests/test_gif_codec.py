@@ -111,20 +111,33 @@ def write_gif(
     delays_ms=None,
     interlace: bool = False,
     local_palettes=None,
+    disposals=None,
+    trans_idxs=None,
+    bg_index: int = 0,
 ) -> bytes:
     """frames: list of (x, y, (h, w) uint8 index arrays). The global
-    palette must be a power-of-two length >= 2."""
+    palette must be a power-of-two length >= 2. ``disposals`` /
+    ``trans_idxs`` (per-frame, None = absent) populate the graphic
+    control extension's packed field per GIF89a."""
     n = len(palette)
     bits = max(1, (n - 1).bit_length())
     assert n == 1 << bits
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), bg_index, 0)
     out += palette.astype(np.uint8).tobytes()
     for fi, (x, y, idx) in enumerate(frames):
         h, w = idx.shape
-        if delays_ms is not None:
+        if delays_ms is not None or disposals is not None or trans_idxs is not None:
+            packed = 0
+            tidx = 0
+            if disposals is not None and disposals[fi] is not None:
+                packed |= (disposals[fi] & 0x7) << 2
+            if trans_idxs is not None and trans_idxs[fi] is not None:
+                packed |= 0x01
+                tidx = trans_idxs[fi]
+            delay = 0 if delays_ms is None else delays_ms[fi] // 10
             out += b"\x21\xf9" + _blocks(
-                struct.pack("<BHB", 0, delays_ms[fi] // 10, 0)
+                struct.pack("<BHB", packed, delay, tidx)
             )
         lp = None if local_palettes is None else local_palettes[fi]
         iflags = 0x40 if interlace else 0
@@ -385,3 +398,152 @@ def test_content_phash_robust_to_small_pixel_edits(spark):
         [(9, bytearray(b"nope"))], "doc_id long, payload binary"
     )
     assert M.phash_signatures(bad, codec="png").collect() == []
+
+
+# --- disposal-chain compositing (r9) -----------------------------------------
+
+
+def _pal4():
+    # luma of each entry: 0 -> 0, 1 -> 255, 2 -> 76 (red), 3 -> 149 (green)
+    return np.array(
+        [[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]],
+        dtype=np.uint8,
+    )
+
+
+def test_composite_partial_updates_build_complete_frames():
+    """A full base frame, then two PARTIAL updates with transparency:
+    every composited frame must equal the hand-built expected raster
+    (the viewer's screen), not the update rectangle."""
+    pal = _pal4()
+    base = np.zeros((8, 8), dtype=np.uint8)
+    base[0:4, :] = 1  # top half white
+    # update 1: a 2x2 red patch at (2,2); index 0 transparent elsewhere
+    upd1 = np.zeros((2, 2), dtype=np.uint8) + 2
+    # update 2: 4x4 at (4,4) — green diagonal, transparent off-diagonal
+    upd2 = np.zeros((4, 4), dtype=np.uint8)
+    np.fill_diagonal(upd2, 3)
+    gif = write_gif(
+        [(0, 0, base), (2, 2, upd1), (4, 4, upd2)],
+        8, 8, pal,
+        delays_ms=[40, 40, 40],
+        disposals=[1, 1, 1],
+        trans_idxs=[None, None, 0],
+    )
+    w, h, screens = G._gif_composite_frames(gif)
+    assert (w, h) == (8, 8) and len(screens) == 3
+
+    lum = _luma(pal, base)
+    exp0 = lum.copy()
+    assert np.array_equal(screens[0][0], exp0)
+
+    exp1 = exp0.copy()
+    exp1[2:4, 2:4] = 76  # red patch drawn opaque (no transparency set)
+    assert np.array_equal(screens[1][0], exp1)
+
+    exp2 = exp1.copy()
+    for k in range(4):  # green diagonal only; rest shows through
+        exp2[4 + k, 4 + k] = 149
+    assert np.array_equal(screens[2][0], exp2)
+    assert [d for _s, d in screens] == [40, 40, 40]
+
+
+def test_composite_restore_to_background_and_previous():
+    pal = _pal4()
+    base = np.full((6, 6), 1, dtype=np.uint8)  # white screen
+    patch = np.full((3, 3), 2, dtype=np.uint8)  # red patch
+    patch2 = np.full((2, 2), 3, dtype=np.uint8)  # green patch
+    # frame 1 disposal=2 (restore to background color = index 0 -> luma 0)
+    # frame 2 disposal=3 (restore to previous)
+    gif = write_gif(
+        [(0, 0, base), (1, 1, patch), (3, 3, patch2), (0, 0, base[:1, :1])],
+        6, 6, pal,
+        disposals=[1, 2, 3, None],
+        trans_idxs=[None, None, None, None],
+        bg_index=0,
+    )
+    w, h, screens = G._gif_composite_frames(gif)
+    white = _luma(pal, base)
+
+    # frame 1: patch visible over white
+    exp1 = white.copy()
+    exp1[1:4, 1:4] = 76
+    assert np.array_equal(screens[1][0], exp1)
+
+    # frame 2: patch rect was restored to BACKGROUND (luma 0), green drawn
+    exp2 = white.copy()
+    exp2[1:4, 1:4] = 0
+    exp2[3:5, 3:5] = 149
+    assert np.array_equal(screens[2][0], exp2)
+
+    # frame 3: green patch REVERTED (restore-to-previous), then 1x1 white
+    exp3 = exp2.copy()
+    exp3[3:5, 3:5] = exp2[3:5, 3:5]  # previous state = post-frame-1 disposal
+    exp3 = white.copy()
+    exp3[1:4, 1:4] = 0  # frame 1's rect still background-cleared
+    exp3[0, 0] = 255
+    assert np.array_equal(screens[3][0], exp3)
+
+
+def test_composite_nonzero_background_color():
+    pal = _pal4()
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    gif = write_gif(
+        [(1, 1, patch)], 4, 4, pal, disposals=[1], trans_idxs=[None],
+        bg_index=1,  # white background
+    )
+    _w, _h, screens = G._gif_composite_frames(gif)
+    exp = np.full((4, 4), 255, dtype=np.uint8)
+    exp[1:3, 1:3] = 76
+    assert np.array_equal(screens[0][0], exp)
+
+
+def test_gif_frame_signatures_match_partial_update_copies(spark):
+    """The lane this exists for: two GIFs of the SAME animation — one
+    encoded as full frames, one as partial updates with transparency —
+    must match in the video fingerprint engine; without compositing the
+    partial encoding hashes update rectangles and cannot."""
+    from drill_logfile_plugin_spark.operators import video_fp as VF
+
+    rng = _rng(77)
+    pal = np.array(
+        [[0, 0, 0]] + [[c, c, c] for c in range(8, 256, 17)][:15],
+        dtype=np.uint8,
+    )
+    n, size = 12, 16
+    # full-frame encoding: a moving 6x6 bright block over a textured bg
+    bg = rng.integers(1, 16, size=(size, size)).astype(np.uint8)
+    fulls = []
+    for t in range(n):
+        f = bg.copy()
+        f[t % 10 : t % 10 + 6, t % 10 : t % 10 + 6] = 15
+        fulls.append((0, 0, f))
+    gif_full = write_gif(fulls, size, size, pal,
+                         disposals=[1] * n, trans_idxs=[None] * n)
+    # partial encoding: frame 0 full, then only the changed rows, with
+    # index 0 transparent where unchanged
+    parts = [(0, 0, fulls[0][2])]
+    for t in range(1, n):
+        prev_f, cur = fulls[t - 1][2], fulls[t][2]
+        changed = np.any(prev_f != cur, axis=1)
+        y0, y1 = np.argmax(changed), size - np.argmax(changed[::-1])
+        rect = cur[y0:y1].copy()
+        rect[prev_f[y0:y1] == cur[y0:y1]] = 0  # transparent where same
+        parts.append((0, int(y0), rect))
+    gif_part = write_gif(parts, size, size, pal,
+                         disposals=[1] * n, trans_idxs=[None] + [0] * (n - 1))
+    # sanity: composited screens are pixel-identical
+    _w, _h, s_full = G._gif_composite_frames(gif_full)
+    _w, _h, s_part = G._gif_composite_frames(gif_part)
+    for (a, _), (b, _) in zip(s_full, s_part):
+        assert np.array_equal(a, b)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(gif_full)), (1, bytearray(gif_part))],
+        "doc_id long, payload binary",
+    )
+    fps = VF.frame_signatures(df, codec="gif")
+    out = VF.video_near_dup(fps, min_votes=4 * n).collect()
+    assert [(r["doc_a"], r["doc_b"], r["offset_frames"]) for r in out] == [
+        (0, 1, 0)
+    ]

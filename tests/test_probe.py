@@ -322,3 +322,113 @@ def test_ogg_vorbis_and_rejections():
     )
     with pytest.raises(ValueError, match="neither OpusHead nor vorbis"):
         P._probe_ogg(_ogg_page(b"\x05junk-codec", 0, 0))
+
+
+# --- WebM / Matroska EBML probe (r9) ----------------------------------------------
+
+
+def ebml(eid: int, body: bytes, unknown_size: bool = False) -> bytes:
+    """Independent EBML writer: ID as-is (IDs carry their marker), size
+    as a shortest-form vint (or the all-ones unknown-size form)."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    if unknown_size:
+        return id_bytes + b"\xff" + body
+    size = len(body)
+    for length in range(1, 9):
+        if size < (1 << (7 * length)) - 1:
+            val = size | (1 << (7 * length))
+            return id_bytes + val.to_bytes(length, "big") + body
+    raise AssertionError("size too large")
+
+
+def euint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def build_webm(doctype=b"webm", duration_ms=12345, scale=1_000_000,
+               video=(640, 360), audio=(48000.0, 2),
+               unknown_segment_size=False, cluster_bytes=1 << 16) -> bytes:
+    header = ebml(0x1A45DFA3, ebml(0x4282, doctype))
+    info_body = ebml(0x2AD7B1, euint(scale))
+    if duration_ms is not None:
+        info_body += ebml(0x4489, struct.pack(">d", float(duration_ms)))
+    tracks = b""
+    if video:
+        tracks += ebml(
+            0xAE,
+            ebml(0x83, b"\x01")
+            + ebml(0xE0, ebml(0xB0, euint(video[0])) + ebml(0xBA, euint(video[1]))),
+        )
+    if audio:
+        tracks += ebml(
+            0xAE,
+            ebml(0x83, b"\x02")
+            + ebml(
+                0xE1,
+                ebml(0xB5, struct.pack(">f", audio[0]))
+                + ebml(0x9F, euint(audio[1])),
+            ),
+        )
+    cluster = ebml(0x1F43B675, b"\xab" * cluster_bytes)  # media bulk: skipped
+    seg_body = (
+        ebml(0x1549A966, info_body) + ebml(0x1654AE6B, tracks) + cluster
+    )
+    segment = ebml(0x18538067, seg_body, unknown_size=unknown_segment_size)
+    return header + segment
+
+
+def test_webm_probe_exact_metadata():
+    meta = P.probe_payload(build_webm())
+    assert meta["media_format"] == "webm"
+    assert meta["media_kind"] == "video"
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["duration_ms"] == 12345  # Duration x TimestampScale, exact
+    assert meta["sample_rate"] == 48000 and meta["n_channels"] == 2
+    assert meta["duration_exact"] is True
+
+
+def test_webm_probe_variants():
+    # matroska doctype refines the format name
+    assert P.probe_payload(build_webm(doctype=b"matroska"))["media_format"] == "mkv"
+    # audio-only: kind flips
+    m = P.probe_payload(build_webm(video=None))
+    assert m["media_kind"] == "audio" and m["width"] is None
+    # unknown-size Segment (live-stream shape): children parse to EOF
+    m = P.probe_payload(build_webm(unknown_segment_size=True))
+    assert m["duration_ms"] == 12345
+    # no Duration element: dims still probe, duration inexact-null
+    m = P.probe_payload(build_webm(duration_ms=None))
+    assert m["duration_ms"] is None and m["width"] == 640
+    assert m["duration_exact"] is False
+    # non-default timescale: 100 us units
+    m = P.probe_payload(build_webm(duration_ms=50000, scale=100_000))
+    assert m["duration_ms"] == 5000
+
+
+def test_webm_probe_rejections_and_quarantine(spark):
+    with pytest.raises(ValueError, match="DocType"):
+        P.probe_payload(ebml(0x1A45DFA3, b"") + ebml(0x18538067, b""))
+    with pytest.raises(ValueError, match="DocType"):
+        P.probe_payload(build_webm(doctype=b"avi-not-really"))
+    with pytest.raises(ValueError):
+        # element size escaping the payload
+        P.probe_payload(b"\x1a\x45\xdf\xa3\x8f" + b"\x00" * 3)
+    # Spark lane: a valid webm beside a truncated one
+    rows = [
+        (0, bytearray(build_webm())),
+        (1, bytearray(build_webm()[:40])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in P.probe_media(df).collect()}
+    assert got[0]["media_format"] == "webm"
+    assert got[1]["media_format"] is None
+
+
+def test_webm_sniff_row():
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        SNIFF_KINDS,
+        sniff_codec,
+    )
+
+    assert sniff_codec(build_webm()) == "webm"
+    assert SNIFF_KINDS["webm"] == "video"
