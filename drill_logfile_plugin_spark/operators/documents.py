@@ -12,9 +12,10 @@ module routes EACH ROW to the right extractor (the media tier's
   (a zip prefix alone is ambiguous, so document sniffing reads the
   central directory, unlike the media sniffer's pure-prefix rule —
   documented divergence, still O(directory) not O(content));
-* OLE2 magic (``D0 CF 11 E0``) -> legacy binary ``.doc``
-  (:mod:`.ole2` — CFB walk + Word piece table; encrypted OOXML and
-  binary .xls/.ppt quarantine by stream name);
+* OLE2 magic (``D0 CF 11 E0``) -> refined by directory stream names:
+  ``.doc`` (:mod:`.ole2` — CFB walk + Word piece table), ``.xls``
+  (:mod:`.xls` — BIFF8 SST/cells/formula results), ``.ppt``
+  (:mod:`.ppt` — text atoms); encrypted OOXML quarantines by name;
 * an ``<html`` / ``<!doctype html`` marker in the first 512 bytes ->
   the jusText block extractor (:mod:`.boilerplate`);
 * a ``WEBVTT`` header -> WebVTT captions, an SRT first-cue shape
@@ -45,8 +46,8 @@ import re
 import zipfile
 
 DOCUMENT_FORMATS = (
-    "pdf", "docx", "doc", "odt", "epub", "html", "rtf", "srt", "vtt",
-    "ipynb", "eml", "mbox", "txt",
+    "pdf", "docx", "doc", "xls", "ppt", "odt", "epub", "html", "rtf",
+    "srt", "vtt", "ipynb", "eml", "mbox", "txt",
 )
 
 
@@ -68,9 +69,20 @@ def sniff_document(payload: bytes) -> str:
             return "odt"
         raise ValueError("zip archive is not DOCX/EPUB/ODT")
     if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
-        # OLE2 compound file: legacy .doc (or encrypted OOXML / .xls /
-        # .ppt, which the extractor quarantines by stream name)
-        return "doc"
+        # OLE2 compound file: refined by DIRECTORY stream names (the
+        # zip central-directory precedent — O(directory), no stream
+        # content read); encrypted OOXML keeps the .doc lane's named
+        # quarantine
+        from .ole2 import cfb_stream_names
+
+        names = set(cfb_stream_names(payload))
+        if "WordDocument" in names:
+            return "doc"
+        if "Workbook" in names or "Book" in names:
+            return "xls"
+        if "PowerPoint Document" in names:
+            return "ppt"
+        return "doc"  # EncryptedPackage et al.: the .doc lane names them
     if payload.startswith(b"{\\rtf"):
         return "rtf"
     head = payload[:512].lower()
@@ -110,6 +122,14 @@ def _extract_one(fmt: str, payload: bytes):
         from .ole2 import _doc_extract_text
 
         return _doc_extract_text(payload)
+    if fmt == "xls":
+        from .xls import _xls_extract_text
+
+        return _xls_extract_text(payload)
+    if fmt == "ppt":
+        from .ppt import _ppt_extract_text
+
+        return _ppt_extract_text(payload)
     if fmt == "odt":
         from .odt import _odt_extract_text
 

@@ -55,10 +55,28 @@ def _u32(b: bytes, off: int) -> int:
     return struct.unpack_from("<I", b, off)[0]
 
 
+def cfb_stream_names(payload: bytes) -> list:
+    """Directory-only walk: the stream NAMES of an OLE2 compound file,
+    without reading any stream content — the sniffing cost model (the
+    zip central-directory precedent applied to OLE2: O(directory), not
+    O(content))."""
+    entries, _read = _cfb_open(payload)
+    return [name for name, _s, _z in entries]
+
+
 def cfb_streams(payload: bytes) -> dict:
     """All STREAM objects of an OLE2 compound file: name -> bytes.
     ValueError on structural corruption; bounded against forged
     geometry (sector counts, chain cycles, stream sizes)."""
+    entries, read_stream = _cfb_open(payload)
+    return {name: read_stream(start, size) for name, start, size in entries}
+
+
+def _cfb_open(payload: bytes):
+    """``(entries, read_stream)`` — the CFB walk shared by the
+    names-only sniff and the full read: ``entries`` is
+    ``[(name, start, size), ...]`` and ``read_stream(start, size)``
+    resolves a FAT or miniFAT chain on demand."""
     if payload[:8] != _MAGIC:
         raise ValueError("not an OLE2 compound file (magic missing)")
     if len(payload) < 512:
@@ -141,13 +159,20 @@ def cfb_streams(payload: bytes) -> dict:
     if root is None:
         raise ValueError("OLE2 directory has no root entry")
 
-    mini_stream = b""
-    minifat: tuple = ()
-    if any(size < mini_cutoff and size > 0 for _n, _s, size in entries):
-        mini_stream = b"".join(sector(s) for s in chain(root[0]))[: root[1]]
-        if first_minifat not in (_ENDOFCHAIN, _FREESECT):
-            mf_raw = b"".join(sector(s) for s in chain(first_minifat))
-            minifat = struct.unpack(f"<{len(mf_raw) // 4}I", mf_raw)
+    mini: dict = {}
+
+    def _mini_state():
+        """Lazy mini-stream + miniFAT load (a names-only walk never
+        touches them)."""
+        if not mini:
+            mini["stream"] = b"".join(sector(s) for s in chain(root[0]))[
+                : root[1]
+            ]
+            mini["fat"] = ()
+            if first_minifat not in (_ENDOFCHAIN, _FREESECT):
+                mf_raw = b"".join(sector(s) for s in chain(first_minifat))
+                mini["fat"] = struct.unpack(f"<{len(mf_raw) // 4}I", mf_raw)
+        return mini["stream"], mini["fat"]
 
     def read_stream(start: int, size: int) -> bytes:
         if size == 0:
@@ -155,6 +180,7 @@ def cfb_streams(payload: bytes) -> dict:
         if size >= mini_cutoff:
             data = b"".join(sector(s) for s in chain(start))[:size]
         else:
+            mini_stream, minifat = _mini_state()
             out = []
             cur = start
             while cur != _ENDOFCHAIN:
@@ -171,7 +197,7 @@ def cfb_streams(payload: bytes) -> dict:
             raise ValueError("OLE2 stream shorter than its declared size")
         return data
 
-    return {name: read_stream(start, size) for name, start, size in entries}
+    return entries, read_stream
 
 
 #: in-text control characters -> extraction mapping ([MS-DOC] §2.8.24 et al.)

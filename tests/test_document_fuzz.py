@@ -27,6 +27,8 @@ from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
 from drill_logfile_plugin_spark.operators.pdf import _pdf_extract_text
 from drill_logfile_plugin_spark.operators.probe import probe_payload
 from drill_logfile_plugin_spark.operators.ole2 import _doc_extract_text
+from drill_logfile_plugin_spark.operators.ppt import _ppt_extract_text
+from drill_logfile_plugin_spark.operators.xls import _xls_extract_text
 from drill_logfile_plugin_spark.operators.rtf import _rtf_extract_text
 
 OK = (ValueError, NotImplementedError)
@@ -63,6 +65,7 @@ def _valid_payloads():
     from tests.test_pdf import build_pdf, text_stream
     from tests.test_ole2 import build_doc
     from tests.test_probe import build_webm
+    from tests.test_xls_ppt import build_ppt, build_xls, cell_labelsst
     from tests.test_probe import build_flac, build_mp3, build_mp4
 
     return {
@@ -79,6 +82,10 @@ def _valid_payloads():
         "webm": build_webm(),
         "rtf": rb"{\rtf1 fuzz seed doc\par}",
         "doc": build_doc([("fuzz seed doc\r", True)]),
+        "xls": build_xls(
+            [("S", [cell_labelsst(0, 0, 0)])], sst_strings=["fuzz seed doc"]
+        ),
+        "ppt": build_ppt([("fuzz seed doc", True)]),
     }
 
 
@@ -96,6 +103,8 @@ _EXTRACTORS = {
     "webm": probe_payload,
     "rtf": _rtf_extract_text,
     "doc": _doc_extract_text,
+    "xls": _xls_extract_text,
+    "ppt": _ppt_extract_text,
 }
 
 
