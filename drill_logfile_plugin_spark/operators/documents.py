@@ -7,8 +7,9 @@ module routes EACH ROW to the right extractor (the media tier's
 
 * ``%PDF-`` -> :func:`..operators.pdf._pdf_extract_text`;
 * zip (``PK``) -> inspected ONCE for its defining member —
-  ``word/document.xml`` -> DOCX, ``META-INF/container.xml`` -> EPUB,
-  ``content.xml`` -> ODT
+  ``word/document.xml`` -> DOCX, ``xl/workbook.xml`` -> XLSX,
+  ``ppt/presentation.xml`` -> PPTX, ``META-INF/container.xml`` ->
+  EPUB, ``content.xml`` -> ODT
   (a zip prefix alone is ambiguous, so document sniffing reads the
   central directory, unlike the media sniffer's pure-prefix rule —
   documented divergence, still O(directory) not O(content));
@@ -46,8 +47,9 @@ import re
 import zipfile
 
 DOCUMENT_FORMATS = (
-    "pdf", "docx", "doc", "xls", "ppt", "odt", "epub", "html", "rtf",
-    "srt", "vtt", "ipynb", "eml", "mbox", "txt",
+    "pdf", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "ooxml_enc",
+    "odt", "epub", "html", "rtf", "srt", "vtt", "ipynb", "eml", "mbox",
+    "txt",
 )
 
 
@@ -63,11 +65,15 @@ def sniff_document(payload: bytes) -> str:
             raise ValueError("zip-prefixed payload is not a readable archive")
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
         if "content.xml" in names:
             return "odt"
-        raise ValueError("zip archive is not DOCX/EPUB/ODT")
+        raise ValueError("zip archive is not DOCX/XLSX/PPTX/EPUB/ODT")
     if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE2 compound file: refined by DIRECTORY stream names (the
         # zip central-directory precedent — O(directory), no stream
@@ -82,7 +88,11 @@ def sniff_document(payload: bytes) -> str:
             return "xls"
         if "PowerPoint Document" in names:
             return "ppt"
-        return "doc"  # EncryptedPackage et al.: the .doc lane names them
+        if "EncryptionInfo" in names and "EncryptedPackage" in names:
+            # ECMA-376 encrypted OOXML: decryptable under the no-secret
+            # profile (empty password / VelvetSweatshop), then re-routed
+            return "ooxml_enc"
+        return "doc"  # unknown OLE2: the .doc lane names what it found
     if payload.startswith(b"{\\rtf"):
         return "rtf"
     head = payload[:512].lower()
@@ -126,6 +136,19 @@ def _extract_one(fmt: str, payload: bytes):
         from .xls import _xls_extract_text
 
         return _xls_extract_text(payload)
+    if fmt == "xlsx":
+        from .ooxml import _xlsx_extract_text
+
+        return _xlsx_extract_text(payload)
+    if fmt == "pptx":
+        from .ooxml import _pptx_extract_text
+
+        return _pptx_extract_text(payload)
+    if fmt == "ooxml_enc":
+        from .offcrypto import decrypt_ooxml
+
+        inner = decrypt_ooxml(payload)
+        return _extract_one(sniff_document(inner), inner)
     if fmt == "ppt":
         from .ppt import _ppt_extract_text
 

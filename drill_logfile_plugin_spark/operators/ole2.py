@@ -255,8 +255,10 @@ def _doc_extract_text(payload: bytes):
     if wd is None:
         if "EncryptedPackage" in streams:
             raise NotImplementedError(
-                "encrypted OOXML (OLE2 EncryptedPackage): agile/standard "
-                "OOXML decryption is a plug-in point"
+                "encrypted OOXML (OLE2 EncryptedPackage): route via "
+                "offcrypto.decrypt_ooxml — the empty-password/"
+                "VelvetSweatshop profile decodes there (the document "
+                "router does this automatically)"
             )
         for marker, kind in (
             ("Workbook", ".xls"), ("Book", ".xls"),

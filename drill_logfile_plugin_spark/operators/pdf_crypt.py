@@ -241,6 +241,28 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> b
     return out
 
 
+def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-ECB decrypt (ECMA-376 standard encryption uses ECB for both
+    the verifier and the package) — one vectorized pass."""
+    t = _aes_tables()
+    np = t["np"]
+    if len(data) % 16 or not data:
+        raise ValueError("AES-ECB ciphertext length not a block multiple")
+    ct = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    return _ecb_decrypt_blocks(key, ct).tobytes()
+
+
+def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """AES-ECB encrypt (the in-test writers' side of the standard
+    encryption contract) — one vectorized pass."""
+    t = _aes_tables()
+    np = t["np"]
+    if len(data) % 16 or not data:
+        raise ValueError("AES-ECB plaintext length not a block multiple")
+    pt = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    return _ecb_encrypt_blocks(key, pt).tobytes()
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC encrypt WITHOUT padding (Algorithm 2.B's internal use;
     callers pad themselves). CBC encryption is serial per block, but

@@ -24,6 +24,11 @@ from drill_logfile_plugin_spark.operators.documents import (
 from drill_logfile_plugin_spark.operators.email_text import _eml_extract_text
 from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
 from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
+from drill_logfile_plugin_spark.operators.offcrypto import decrypt_ooxml
+from drill_logfile_plugin_spark.operators.ooxml import (
+    _pptx_extract_text,
+    _xlsx_extract_text,
+)
 from drill_logfile_plugin_spark.operators.pdf import _pdf_extract_text
 from drill_logfile_plugin_spark.operators.probe import probe_payload
 from drill_logfile_plugin_spark.operators.ole2 import _doc_extract_text
@@ -65,6 +70,8 @@ def _valid_payloads():
     from tests.test_pdf import build_pdf, text_stream
     from tests.test_ole2 import build_doc
     from tests.test_probe import build_webm
+    from tests.test_offcrypto import encrypt_standard
+    from tests.test_ooxml import build_pptx, build_xlsx
     from tests.test_xls_ppt import build_ppt, build_xls, cell_labelsst
     from tests.test_probe import build_flac, build_mp3, build_mp4
 
@@ -86,6 +93,18 @@ def _valid_payloads():
             [("S", [cell_labelsst(0, 0, 0)])], sst_strings=["fuzz seed doc"]
         ),
         "ppt": build_ppt([("fuzz seed doc", True)]),
+        "xlsx": build_xlsx(
+            [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
+                   "</t></is></c></row>")]
+        ),
+        "pptx": build_pptx([[["fuzz seed doc"]]]),
+        "ooxml_enc": encrypt_standard(
+            build_xlsx(
+                [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
+                       "</t></is></c></row>")]
+            ),
+            "",
+        ),
     }
 
 
@@ -105,6 +124,9 @@ _EXTRACTORS = {
     "doc": _doc_extract_text,
     "xls": _xls_extract_text,
     "ppt": _ppt_extract_text,
+    "xlsx": _xlsx_extract_text,
+    "pptx": _pptx_extract_text,
+    "ooxml_enc": decrypt_ooxml,
 }
 
 

@@ -906,17 +906,39 @@ def main() -> None:
     def _doc_payload_set() -> list[bytes]:
         from tests.test_boilerplate import PROSE, _page
         from tests.test_docx import build_docx, par, run
+        from tests.test_ole2 import build_doc
         from tests.test_pdf import build_pdf, text_stream
+        from tests.test_xls_ppt import build_ppt, build_xls, cell_labelsst
 
         out = []
         for i in range(16):
-            kind = i % 4
+            kind = i % 8  # r9: the OLE2 family + an encrypted PDF join
             if kind == 0:
                 out.append(build_pdf([text_stream(f"({PROSE} v{i}) Tj")]))
             elif kind == 1:
                 out.append(build_docx(par(run(f"{PROSE} v{i}"))))
             elif kind == 2:
                 out.append(_page(f"<p>{PROSE} v{i}</p>").encode())
+            elif kind == 3:
+                out.append(build_doc([(f"{PROSE} v{i}\r", True)]))
+            elif kind == 4:
+                out.append(
+                    build_xls(
+                        [("S", [cell_labelsst(0, 0, 0)])],
+                        sst_strings=[f"{PROSE} v{i}"],
+                    )
+                )
+            elif kind == 5:
+                out.append(build_ppt([(f"{PROSE} v{i}", True)]))
+            elif kind == 6:
+                from tests.test_pdf_crypt import build_encrypted_pdf
+
+                out.append(
+                    build_encrypted_pdf(
+                        "aesv2",
+                        body=f"BT /F1 12 Tf ({PROSE} v{i}) Tj ET".encode(),
+                    )
+                )
             else:
                 out.append(f"{PROSE} v{i}".encode())
         return out
