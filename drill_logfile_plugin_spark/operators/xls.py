@@ -27,9 +27,18 @@ corpus:
   sheets prefixed by their Boundsheet name — the pdftotext-style
   linearization.
 
-``FilePass`` (RC4/XOR workbook encryption) raises the named
-quarantine. Record walks are bounded; declared lengths are validated
-against the stream.
+``FilePass`` workbook encryption decodes under the NO-SECRET profile
+(the empty password and Excel's silent ``VelvetSweatshop`` default —
+the binary twin of the OOXML lane in :mod:`.offcrypto`): both RC4
+schemes are implemented — RC4 standard ([MS-OFFCRYPTO] 2.3.6: MD5
+truncated-hash x16 salt mix, per-1024-byte-block MD5 rekey) and RC4
+CryptoAPI (2.3.5: SHA-1 chain, 40-bit keys padded with 11 zero bytes
+for CryptDeriveKey compatibility). Decryption is positional: the
+keystream advances over EVERY stream byte, then record headers, the
+never-encrypted records (BOF/FilePass/InterfaceHdr/...), and
+BoundSheet8's lbPlyPos are restored as plaintext per [MS-XLS] 2.2.10.
+Real passwords and XOR obfuscation keep named quarantines. Record
+walks are bounded; declared lengths are validated against the stream.
 
 No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
 Tier C, document extraction).
@@ -198,6 +207,152 @@ def _fmt_num(v: float) -> str:
     return repr(v)
 
 
+#: records the RC4 stream cipher NEVER encrypts ([MS-XLS] 2.2.10) —
+#: their bytes still advance the keystream position
+_PLAINTEXT_RECORDS = frozenset(
+    [0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138]
+)
+_RC4_BLOCK = 1024
+
+#: the no-secret profile: the empty password and Excel's silent default
+_XLS_PASSWORDS = ("", "VelvetSweatshop")
+
+
+def _rc4_std_keyfn(password: str, salt: bytes):
+    """[MS-OFFCRYPTO] 2.3.6.2 (RC4 standard, MD5): truncated password
+    hash + salt repeated 16x, then a per-block MD5 rekey."""
+    import hashlib
+
+    h = hashlib.md5(password.encode("utf-16-le")).digest()[:5]
+    h = hashlib.md5((h + salt) * 16).digest()[:5]
+
+    def key(block: int) -> bytes:
+        return hashlib.md5(h + struct.pack("<I", block)).digest()
+
+    return key
+
+
+def _rc4_capi_keyfn(password: str, salt: bytes, key_bits: int):
+    """[MS-OFFCRYPTO] 2.3.5.2 (RC4 CryptoAPI, SHA-1): per-block SHA-1
+    rekey; a 40-bit key pads with 11 zero bytes (CryptDeriveKey
+    compatibility)."""
+    import hashlib
+
+    h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    nbytes = key_bits // 8
+
+    def key(block: int) -> bytes:
+        k = hashlib.sha1(h + struct.pack("<I", block)).digest()[:nbytes]
+        if key_bits == 40:
+            k += b"\x00" * 11
+        return k
+
+    return key
+
+
+def _rc4_try_passwords(
+    salt: bytes, enc_verifier: bytes, enc_vhash: bytes, make_keyfn, hash_fn
+):
+    """The salt/verifier/verifierHash check: the keyfn whose block-0 RC4
+    stream decrypts the verifier consistently (hash_fn = MD5 for the
+    standard scheme, SHA-1 for CryptoAPI), or None."""
+    from .pdf_crypt import rc4
+
+    for pwd in _XLS_PASSWORDS:
+        keyfn = make_keyfn(pwd, salt)
+        both = rc4(keyfn(0), enc_verifier + enc_vhash)
+        if hash_fn(both[:16]).digest() == both[16:]:
+            return keyfn
+    return None
+
+
+def _decrypt_workbook_rc4(wb: bytes, keyfn) -> bytes:
+    """Positionally XOR the whole stream with the 1024-byte-block RC4
+    keystream, then restore the never-encrypted byte ranges (record
+    headers, the _PLAINTEXT_RECORDS bodies, BoundSheet8's lbPlyPos) —
+    plaintext bytes still consume keystream per the spec."""
+    from .pdf_crypt import rc4
+
+    out = bytearray(wb)
+    for b0 in range(0, len(wb), _RC4_BLOCK):
+        span = min(_RC4_BLOCK, len(wb) - b0)
+        ks = rc4(keyfn(b0 // _RC4_BLOCK), bytes(span))
+        for i in range(span):
+            out[b0 + i] ^= ks[i]
+    pos = 0
+    n = len(wb)
+    while pos + 4 <= n:
+        rtype, rlen = struct.unpack_from("<HH", wb, pos)
+        out[pos : pos + 4] = wb[pos : pos + 4]  # headers stay plaintext
+        body = pos + 4
+        if body + rlen > n:
+            raise ValueError(".xls record length escapes the stream")
+        if rtype in _PLAINTEXT_RECORDS:
+            out[body : body + rlen] = wb[body : body + rlen]
+        elif rtype == _BOUNDSHEET and rlen >= 4:
+            out[body : body + 4] = wb[body : body + 4]  # lbPlyPos
+        pos = body + rlen
+    return bytes(out)
+
+
+def _decrypt_filepass(wb: bytes, data: bytes) -> bytes:
+    """A FilePass record's worth of decryption: try the no-secret
+    passwords against RC4 standard / RC4 CryptoAPI; XOR obfuscation
+    stays a named plug-in point."""
+    if len(data) < 2:
+        raise ValueError(".xls FilePass record truncated")
+    import hashlib
+
+    (enc_type,) = struct.unpack_from("<H", data, 0)
+    if enc_type == 0:
+        raise NotImplementedError(
+            "encrypted .xls (FilePass XOR obfuscation): the legacy XOR "
+            "array method is a plug-in point"
+        )
+    if len(data) < 6:
+        raise ValueError(".xls FilePass RC4 header truncated")
+    major, minor = struct.unpack_from("<HH", data, 2)
+    keyfn = None
+    if (major, minor) == (1, 1):  # RC4 standard: salt/verifier/hash
+        if len(data) < 6 + 48:
+            raise ValueError(".xls FilePass RC4 block truncated")
+        keyfn = _rc4_try_passwords(
+            data[6:22], data[22:38], data[38:54],
+            _rc4_std_keyfn, hashlib.md5,
+        )
+    elif minor == 2 and major in (2, 3, 4):  # RC4 CryptoAPI
+        _flags, hsize = struct.unpack_from("<II", data, 6)
+        header = data[14 : 14 + hsize]
+        if len(header) < 24:
+            raise ValueError(".xls CryptoAPI EncryptionHeader truncated")
+        alg_id, _alg_hash, key_bits = struct.unpack_from("<III", header, 8)
+        if alg_id != 0x6801:
+            raise NotImplementedError(
+                f".xls CryptoAPI AlgID 0x{alg_id:04X} unsupported "
+                "(RC4 decodes; AES workbooks are the OOXML lane's shape)"
+            )
+        key_bits = key_bits or 40
+        ver = data[14 + hsize :]
+        if len(ver) < 60 or struct.unpack_from("<I", ver, 0)[0] != 16:
+            raise ValueError(".xls CryptoAPI verifier truncated")
+        # SHA-1 verifier hash: 20 bytes under the stream cipher
+        keyfn = _rc4_try_passwords(
+            ver[4:20], ver[20:36], ver[40:60],
+            lambda pwd, salt: _rc4_capi_keyfn(pwd, salt, key_bits),
+            hashlib.sha1,
+        )
+    else:
+        raise NotImplementedError(
+            f".xls FilePass version {major}.{minor} unsupported"
+        )
+    if keyfn is None:
+        raise NotImplementedError(
+            "encrypted .xls: password-protected (neither the empty "
+            "password nor the VelvetSweatshop default verifies)"
+        )
+    return _decrypt_workbook_rc4(wb, keyfn)
+
+
 def _xls_extract_text(payload: bytes):
     """``(text, n_cells)`` from a binary Excel workbook."""
     from .ole2 import cfb_streams
@@ -215,10 +370,16 @@ def _xls_extract_text(payload: bytes):
     while i < len(recs):
         rtype, data = recs[i]
         if rtype == _FILEPASS:
-            raise NotImplementedError(
-                "encrypted .xls (FilePass): RC4/XOR workbook decryption "
-                "is a plug-in point"
-            )
+            # the no-secret profile (empty / VelvetSweatshop) decrypts
+            # in place; real passwords keep the named quarantine. The
+            # decrypted stream drops FilePass so the pass cannot loop.
+            recs = [
+                r
+                for r in _records(_decrypt_filepass(wb, data))
+                if r[0] != _FILEPASS
+            ]
+            i = 0
+            continue
         if rtype == _BOUNDSHEET:
             if len(data) < 8:
                 raise ValueError(".xls Boundsheet record truncated")

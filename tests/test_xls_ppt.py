@@ -121,8 +121,8 @@ def cell_formula_str(row, col, s):
     return f + rec(0x0207, xlstr(s))
 
 
-def build_xls(sheets, sst_strings=(), sst_split=None, split_high=None,
-              encrypted=False) -> bytes:
+def build_workbook_stream(sheets, sst_strings=(), sst_split=None,
+                          split_high=None, encrypted=False) -> bytes:
     """sheets: list of (name, [cell record bytes...])."""
     wb = bof(0x0005)
     if encrypted:
@@ -138,7 +138,18 @@ def build_xls(sheets, sst_strings=(), sst_split=None, split_high=None,
         for c in cells:
             wb += c
         wb += rec(0x000A, b"")
-    return write_cfb({"Workbook": wb})
+    return wb
+
+
+def build_xls(sheets, sst_strings=(), sst_split=None, split_high=None,
+              encrypted=False) -> bytes:
+    return write_cfb(
+        {
+            "Workbook": build_workbook_stream(
+                sheets, sst_strings, sst_split, split_high, encrypted
+            )
+        }
+    )
 
 
 # --- independent PPT writer --------------------------------------------------------
@@ -242,10 +253,16 @@ def test_xls_rk_packing_against_reference_values():
 
 
 def test_xls_rejections():
-    with pytest.raises(NotImplementedError, match="FilePass"):
+    # a FilePass whose garbage verifier matches no no-secret password
+    with pytest.raises(NotImplementedError, match="password-protected"):
         XLS._xls_extract_text(
             build_xls([("S", [cell_number(0, 0, 1.0)])], encrypted=True)
         )
+    # XOR obfuscation: named plug-in point
+    xor_fp = rec(0x002F, struct.pack("<HHH", 0, 1, 1))
+    wb_xor = bof(0x0005) + xor_fp + rec(0x000A, b"")
+    with pytest.raises(NotImplementedError, match="XOR"):
+        XLS._xls_extract_text(write_cfb({"Workbook": wb_xor}))
     with pytest.raises(ValueError, match="Workbook"):
         XLS._xls_extract_text(write_cfb({"NotAWorkbook": b"\x00" * 64}))
     with pytest.raises(ValueError, match="no extractable cells"):
@@ -331,3 +348,162 @@ def test_ole2_family_through_router(spark):
     assert got[1]["doc_format"] == "xls"
     assert "spreadsheet text" in got[1]["text"]
     assert got[2]["doc_format"] == "ppt" and got[2]["text"] == "deck text"
+
+
+# --- FilePass RC4 decryption (r9) --------------------------------------------------
+
+
+def _test_rc4(key: bytes, data: bytes) -> bytes:
+    """Independent in-test RC4."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _encrypt_stream_positional(wb: bytes, keyfn) -> bytes:
+    """XOR every byte with the 1024-block keystream, then restore the
+    never-encrypted ranges — the [MS-XLS] 2.2.10 convention."""
+    out = bytearray(wb)
+    for b0 in range(0, len(wb), 1024):
+        span = min(1024, len(wb) - b0)
+        ks = _test_rc4(keyfn(b0 // 1024), bytes(span))
+        for i in range(span):
+            out[b0 + i] ^= ks[i]
+    plaintext_types = {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138}
+    pos = 0
+    while pos + 4 <= len(wb):
+        rtype, rlen = struct.unpack_from("<HH", wb, pos)
+        out[pos : pos + 4] = wb[pos : pos + 4]
+        body = pos + 4
+        if rtype in plaintext_types:
+            out[body : body + rlen] = wb[body : body + rlen]
+        elif rtype == 0x0085 and rlen >= 4:
+            out[body : body + 4] = wb[body : body + 4]
+        pos = body + rlen
+    return bytes(out)
+
+
+def encrypt_xls_rc4(sheets, sst_strings, password: str,
+                    scheme: str = "std", key_bits: int = 128) -> bytes:
+    """Assemble a plaintext workbook, splice a spec-shaped FilePass in
+    after the globals BOF, and encrypt positionally."""
+    import hashlib
+
+    plain = build_workbook_stream(sheets, sst_strings=sst_strings)
+    salt = bytes(range(50, 66))
+    verifier = bytes(range(150, 166))
+    if scheme == "std":
+        h = hashlib.md5(password.encode("utf-16-le")).digest()[:5]
+        h = hashlib.md5((h + salt) * 16).digest()[:5]
+
+        def keyfn(block):
+            return hashlib.md5(h + struct.pack("<I", block)).digest()
+
+        vhash = hashlib.md5(verifier).digest()
+        enc = _test_rc4(keyfn(0), verifier + vhash)
+        fp = rec(
+            0x002F,
+            struct.pack("<HHH", 1, 1, 1) + salt + enc[:16] + enc[16:32],
+        )
+    else:  # CryptoAPI
+        hbase = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+
+        def keyfn(block):
+            k = hashlib.sha1(
+                hbase + struct.pack("<I", block)
+            ).digest()[: key_bits // 8]
+            return k + b"\x00" * 11 if key_bits == 40 else k
+
+        vhash = hashlib.sha1(verifier).digest()  # 20 bytes
+        enc = _test_rc4(keyfn(0), verifier + vhash)
+        header = struct.pack(
+            "<IIIIIIII", 0x04, 0, 0x6801, 0x8004, key_bits, 0x18, 0, 0
+        ) + "Microsoft Base Cryptographic Provider v1.0\x00".encode(
+            "utf-16-le"
+        )
+        ver = (
+            struct.pack("<I", 16) + salt + enc[:16]
+            + struct.pack("<I", 20) + enc[16:36]
+        )
+        fp = rec(
+            0x002F,
+            struct.pack("<HHH", 1, 4, 2)
+            + struct.pack("<II", 0x24, len(header))
+            + header
+            + ver,
+        )
+    # splice FilePass right after the globals BOF record
+    _t, blen = struct.unpack_from("<HH", plain, 0)
+    at = 4 + blen
+    full = plain[:at] + fp + plain[at:]
+    return write_cfb({"Workbook": _encrypt_stream_positional(full, keyfn)})
+
+
+SHEETS = lambda: [  # noqa: E731
+    ("Enc", [
+        cell_labelsst(0, 0, 0),
+        cell_number(1, 0, 1234.5),
+        cell_rk(2, 0, rk_pack(77, as_int=True, mul100=False)),
+    ])
+]
+WANT = "## Enc\nthe secret cell text\n1234.5\n77"
+
+
+@pytest.mark.parametrize("password", ["", "VelvetSweatshop"])
+@pytest.mark.parametrize(
+    "scheme,key_bits", [("std", 128), ("capi", 40), ("capi", 128)]
+)
+def test_rc4_encrypted_xls_decodes(password, scheme, key_bits):
+    enc = encrypt_xls_rc4(
+        SHEETS(), ["the secret cell text"], password,
+        scheme=scheme, key_bits=key_bits,
+    )
+    text, n = XLS._xls_extract_text(enc)
+    assert text == WANT and n == 3
+
+
+def test_rc4_encrypted_xls_real_password_quarantines():
+    for scheme in ("std", "capi"):
+        enc = encrypt_xls_rc4(
+            SHEETS(), ["x"], "realsecret", scheme=scheme
+        )
+        with pytest.raises(NotImplementedError, match="password-protected"):
+            XLS._xls_extract_text(enc)
+
+
+def test_rc4_encrypted_multiblock_stream_crosses_1024_boundary():
+    """A workbook whose SST spans several 1024-byte keystream blocks:
+    per-block rekeying must line up positionally."""
+    big_strings = [f"row {i} " + "x" * 120 for i in range(40)]
+    sheets = [("Big", [cell_labelsst(i, 0, i) for i in range(40)])]
+    enc = encrypt_xls_rc4(sheets, big_strings, "VelvetSweatshop")
+    text, n = XLS._xls_extract_text(enc)
+    assert n == 40
+    assert text.split("\n")[1] == big_strings[0]
+    assert text.split("\n")[-1] == big_strings[-1]
+
+
+def test_rc4_encrypted_xls_through_router(spark):
+    from drill_logfile_plugin_spark.operators.documents import (
+        extract_document_text,
+    )
+
+    rows = [
+        (0, bytearray(encrypt_xls_rc4(SHEETS(), ["the secret cell text"],
+                                      "VelvetSweatshop", scheme="capi"))),
+        (1, bytearray(encrypt_xls_rc4(SHEETS(), ["x"], "nope"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_document_text(df).collect()}
+    assert got[0]["doc_format"] == "xls" and got[0]["text"] == WANT
+    assert got[1]["text"] is None
