@@ -276,6 +276,13 @@ def _doc_extract_text(payload: bytes):
         raise ValueError(".doc FIB wIdent mismatch (not a Word binary)")
     flags = _u16(wd, 0x0A)
     if flags & 0x0100:
+        # Deliberately descoped (r9): unlike Excel there is no silent
+        # default password (VelvetSweatshop) for Word, so the
+        # empty-password population is negligible, and the [MS-DOC]
+        # RC4 stream-offset conventions (which byte ranges of the
+        # WordDocument/Table/Data streams consume keystream) cannot be
+        # independently cross-checked in this environment — an in-test
+        # writer would only mirror this module's own assumption.
         raise NotImplementedError(
             "encrypted .doc (FIB fEncrypted): a password or XOR "
             "obfuscation key is required"

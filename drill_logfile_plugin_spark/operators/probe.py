@@ -3,9 +3,10 @@
 The curation step BEFORE decode: a multimodal corpus filters by
 duration/resolution/sample-rate long before it pays for (or is even
 able to run) full decoding. This module reads CONTAINER METADATA only
-— the ffprobe role — for the three compressed formats that dominate
-real media dumps and whose bitstreams genuinely cannot be decoded
-stdlib-grade:
+— the ffprobe role — for the compressed formats that dominate real
+media dumps and whose bitstreams genuinely cannot be decoded
+stdlib-grade (plus WebM/Matroska via the r9 EBML walk, and the
+WebP/AVIF/HEIC/Ogg lanes below):
 
 * **MP4 / ISO-BMFF** (``ftyp`` at offset 4): top-level box walk
   (64-bit largesize handled), ``moov/mvhd`` timescale+duration (both
