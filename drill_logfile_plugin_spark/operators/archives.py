@@ -1,7 +1,9 @@
 """Archive explosion: zip/tar dumps into one row per member file.
 
-Document dumps rarely arrive as loose files — they arrive as zip and
-tar archives (optionally gz/bz2/xz-compressed tars). This operator is
+Document dumps rarely arrive as loose files — they arrive as zip,
+tar (optionally gz/bz2/xz-compressed), and 7z archives (r9:
+:mod:`.sevenzip` — LZMA2/LZMA1/Copy/BZip2 folders, solid archives,
+compressed headers). This operator is
 the ingestion step AHEAD of the document router: each archive payload
 explodes into its member files as ``(doc_id, member_idx, member_name,
 payload, n_bytes)`` rows, and ``extract_document_text`` (or the media
@@ -113,9 +115,25 @@ def _tar_members(payload: bytes):
 
 def archive_members(payload: bytes):
     """Yield ``(name, bytes)`` for each regular member; ValueError on
-    anything that is not a zip / tar / compressed tar."""
+    anything that is not a zip / tar / compressed tar / 7z."""
     if payload[:2] == b"PK":
         yield from _zip_members(payload)
+        return
+    if payload[:6] == b"7z\xbc\xaf\x27\x1c":
+        from .sevenzip import sevenzip_members
+
+        total = 0
+        count = 0
+        for name, data in sevenzip_members(payload):
+            count += 1
+            if count > _MAX_MEMBERS:
+                raise ValueError(
+                    f"archive member count exceeds the bound ({_MAX_MEMBERS})"
+                )
+            total += len(data)
+            if total > _MAX_TOTAL or len(data) > _MAX_MEMBER:
+                raise ValueError("archive declared size exceeds the bound")
+            yield name, data
         return
     if (
         payload[:2] == b"\x1f\x8b"
@@ -125,7 +143,7 @@ def archive_members(payload: bytes):
     ):
         yield from _tar_members(payload)
         return
-    raise ValueError("payload is neither a zip nor a (compressed) tar")
+    raise ValueError("payload is neither a zip nor a (compressed) tar nor a 7z")
 
 
 def explode_archive(

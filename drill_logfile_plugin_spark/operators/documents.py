@@ -53,9 +53,39 @@ DOCUMENT_FORMATS = (
 )
 
 
+#: compression envelopes the router unwraps transparently (mixed dumps
+#: ship .html.gz / .json.xz wholesale); tar payloads stay with
+#: explode_archive — an envelope whose CONTENT is a tar is an archive,
+#: not a document
+_ENVELOPE_MAGIC = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00")
+_ENVELOPE_MAX = 256 << 20
+
+
+def _unwrap_envelope(payload: bytes) -> bytes:
+    """Bounded decompression of a gzip/bz2/xz envelope (the shared
+    streaming helper — a bomb costs the cap, not an executor)."""
+    from .multimodal import bounded_decompress_bytes
+
+    codec = (
+        "gzip"
+        if payload[:2] == b"\x1f\x8b"
+        else ("bz2" if payload[:3] == b"BZh" else "xz")
+    )
+    return bounded_decompress_bytes(payload, codec, _ENVELOPE_MAX)
+
+
 def sniff_document(payload: bytes) -> str:
     """Identify a document payload's format (see module doc). ValueError
-    on unrecognized payloads."""
+    on unrecognized payloads. Compressed envelopes report the INNER
+    format prefixed ``gz:`` — callers route through ``_extract_one``,
+    which unwraps once."""
+    if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or payload[:6] == b"\xfd7zXZ\x00":
+        inner = _unwrap_envelope(payload)
+        if inner[257:262] == b"ustar":
+            raise ValueError(
+                "compressed tar payload: route via explode_archive"
+            )
+        return "gz:" + sniff_document(inner)
     if payload.startswith(b"%PDF-"):
         return "pdf"
     if payload.startswith(b"PK"):
@@ -120,6 +150,8 @@ def sniff_document(payload: bytes) -> str:
 
 def _extract_one(fmt: str, payload: bytes):
     """(text, n_units) via the format's extractor."""
+    if fmt.startswith("gz:"):
+        return _extract_one(fmt[3:], _unwrap_envelope(payload))
     if fmt == "pdf":
         from .pdf import _pdf_extract_text
 

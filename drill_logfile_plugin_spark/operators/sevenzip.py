@@ -1,0 +1,460 @@
+"""7z archive member extraction — stdlib only (lzma/bz2 + the spec).
+
+The third real archive family in scraped dumps after zip and tar. The
+7z container (the published ``7zFormat.txt`` layout) is a 32-byte
+signature header (magic ``37 7A BC AF 27 1C``, next-header
+offset/size) plus a property-tree header of byte-tagged records and
+variable-length numbers:
+
+* **PackInfo** — packed-stream position and sizes;
+* **UnPackInfo** — folders (coder chains): this reader decodes
+  single-coder folders with **LZMA2** (coder id ``21``, one-byte
+  dict-size property), **LZMA1** (``030101``, 5-byte lc/lp/pb + dict
+  property), **Copy** (``00``), and **BZip2** (``040202``) via the
+  stdlib's raw-filter decompressors — bounded with ``max_length`` so
+  a forged size costs the cap, not memory. Filter chains (BCJ/delta)
+  and **7zAES** (``06F10701``, password encryption) raise named
+  quarantines;
+* **SubStreamsInfo** — solid archives pack many files into one
+  folder; per-folder substream counts and sizes split the unpacked
+  stream;
+* **FilesInfo** — names (UTF-16LE) and the empty-stream bitfield that
+  distinguishes directories/empty files from stream-bearing members;
+* **kEncodedHeader** — archives routinely compress their own header;
+  it decodes through the same folder machinery, once (no recursive
+  re-encoding).
+
+Emits ``(name, bytes)`` members like the zip/tar walkers, under the
+same member-count/size bounds, so ``explode_archive`` routes all three
+families through one lane.
+
+No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
+Tier C, document ingestion).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"7z\xbc\xaf\x27\x1c"
+
+_K_END = 0x00
+_K_HEADER = 0x01
+_K_MAIN_STREAMS = 0x04
+_K_FILES_INFO = 0x05
+_K_PACK_INFO = 0x06
+_K_UNPACK_INFO = 0x07
+_K_SUBSTREAMS = 0x08
+_K_SIZE = 0x09
+_K_CRC = 0x0A
+_K_FOLDER = 0x0B
+_K_UNPACK_SIZES = 0x0C
+_K_NUM_UNPACK_STREAM = 0x0D
+_K_EMPTY_STREAM = 0x0E
+_K_EMPTY_FILE = 0x0F
+_K_NAME = 0x11
+_K_ENCODED_HEADER = 0x17
+
+_MAX_COUNT = 1 << 20
+_MAX_UNPACK = 2 << 30  # matches the archive tier's total bound
+
+_COPY = b"\x00"
+_LZMA2 = b"\x21"
+_LZMA1 = b"\x03\x01\x01"
+_BZIP2 = b"\x04\x02\x02"
+_7ZAES = b"\x06\xf1\x07\x01"
+
+
+class _Reader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("7z header truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def bytes(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("7z header truncated")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def number(self) -> int:
+        """7z variable-length number: the first byte's high bits count
+        the extra little-endian bytes; its remaining low bits are the
+        value's high part."""
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for i in range(8):
+            if first & mask == 0:
+                value |= (first & (mask - 1)) << (8 * i)
+                return value
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bitfield(self, n: int) -> list:
+        bits = []
+        data = self.bytes((n + 7) // 8)
+        for i in range(n):
+            bits.append(bool(data[i // 8] & (0x80 >> (i % 8))))
+        return bits
+
+    def bitfield_all_defined(self, n: int) -> list:
+        return [True] * n if self.byte() else self.bitfield(n)
+
+    def skip_crcs(self, n: int) -> None:
+        defined = self.bitfield_all_defined(n)
+        self.bytes(4 * sum(defined))
+
+
+def _decode_folder(coders, packed: list, unpack_size: int) -> bytes:
+    """One folder's unpacked bytes: single-coder chains only, each via
+    a bounded stdlib decompressor."""
+    if len(coders) != 1:
+        for cid, _props in coders:
+            if cid == _7ZAES:
+                raise NotImplementedError(
+                    "7z AES-encrypted archive (7zAES coder): password "
+                    "decryption is a plug-in point"
+                )
+        raise NotImplementedError(
+            "7z multi-coder folder (BCJ/delta filter chains) is a "
+            "plug-in point"
+        )
+    cid, props = coders[0]
+    data = packed[0]
+    if unpack_size > _MAX_UNPACK:
+        raise ValueError("7z folder unpack size exceeds the bound")
+    if cid == _COPY:
+        out = data
+    elif cid == _7ZAES:
+        raise NotImplementedError(
+            "7z AES-encrypted archive (7zAES coder): password "
+            "decryption is a plug-in point"
+        )
+    elif cid == _LZMA2:
+        import lzma
+
+        if len(props) != 1:
+            raise ValueError("7z LZMA2 property size invalid")
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": _lzma2_dict(props[0])}],
+        )
+        try:
+            out = dec.decompress(data, unpack_size)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"7z LZMA2 stream corrupt: {exc}")
+    elif cid == _LZMA1:
+        import lzma
+
+        if len(props) != 5:
+            raise ValueError("7z LZMA1 property size invalid")
+        d = props[0]
+        lc, rem = d % 9, d // 9
+        lp, pb = rem % 5, rem // 5
+        if pb > 4:
+            raise ValueError("7z LZMA1 properties invalid")
+        (dict_size,) = struct.unpack("<I", props[1:5])
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[
+                {
+                    "id": lzma.FILTER_LZMA1,
+                    "lc": lc, "lp": lp, "pb": pb,
+                    "dict_size": max(4096, dict_size),
+                }
+            ],
+        )
+        try:
+            out = dec.decompress(data, unpack_size)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"7z LZMA1 stream corrupt: {exc}")
+    elif cid == _BZIP2:
+        import bz2
+
+        dec = bz2.BZ2Decompressor()
+        try:
+            out = dec.decompress(data, unpack_size)
+        except OSError as exc:
+            raise ValueError(f"7z bzip2 stream corrupt: {exc}")
+    else:
+        raise NotImplementedError(
+            f"7z coder id {cid.hex()} is a plug-in point "
+            "(Copy/LZMA1/LZMA2/BZip2 decode)"
+        )
+    if len(out) < unpack_size:
+        raise ValueError("7z folder shorter than its declared unpack size")
+    return out[:unpack_size]
+
+
+def _lzma2_dict(prop: int) -> int:
+    """The LZMA2 one-byte dictionary-size property."""
+    if prop > 40:
+        raise ValueError("7z LZMA2 dictionary property invalid")
+    if prop == 40:
+        return 0xFFFFFFFF
+    return (2 | (prop & 1)) << (prop // 2 + 11)
+
+
+def _parse_folder(r: _Reader):
+    """One folder record -> (coders, total_out_streams)."""
+    num_coders = r.number()
+    if not 1 <= num_coders <= 64:
+        raise ValueError("7z folder coder count invalid")
+    coders = []
+    total_in = total_out = 0
+    for _ in range(num_coders):
+        flags = r.byte()
+        id_size = flags & 0x0F
+        cid = r.bytes(id_size)
+        n_in = n_out = 1
+        if flags & 0x10:  # complex
+            n_in = r.number()
+            n_out = r.number()
+        props = b""
+        if flags & 0x20:
+            props = r.bytes(r.number())
+        coders.append((cid, props))
+        total_in += n_in
+        total_out += n_out
+    n_bind = total_out - 1
+    for _ in range(n_bind):
+        r.number()
+        r.number()
+    n_packed = total_in - n_bind
+    if n_packed > 1:
+        for _ in range(n_packed):
+            r.number()
+    return coders, total_out
+
+
+def _parse_streams_info(r: _Reader):
+    """kMainStreamsInfo / kEncodedHeader body -> (pack_pos, pack_sizes,
+    folders, folder_unpack_sizes, substreams)."""
+    pack_pos = 0
+    pack_sizes: list = []
+    folders: list = []
+    unpack_sizes: list = []
+    sub_counts = None
+    sub_sizes = None
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        if prop == _K_PACK_INFO:
+            pack_pos = r.number()
+            n = r.number()
+            if n > _MAX_COUNT:
+                raise ValueError("7z pack-stream count exceeds the bound")
+            while True:
+                p = r.number()
+                if p == _K_END:
+                    break
+                if p == _K_SIZE:
+                    pack_sizes = [r.number() for _ in range(n)]
+                elif p == _K_CRC:
+                    r.skip_crcs(n)
+                else:
+                    raise ValueError(f"7z PackInfo property {p} invalid")
+        elif prop == _K_UNPACK_INFO:
+            if r.number() != _K_FOLDER:
+                raise ValueError("7z UnPackInfo missing kFolder")
+            n_folders = r.number()
+            if n_folders > _MAX_COUNT:
+                raise ValueError("7z folder count exceeds the bound")
+            if r.byte() != 0:
+                raise ValueError("7z external folder data unsupported")
+            outs = []
+            for _ in range(n_folders):
+                coders, total_out = _parse_folder(r)
+                folders.append(coders)
+                outs.append(total_out)
+            if r.number() != _K_UNPACK_SIZES:
+                raise ValueError("7z UnPackInfo missing kCodersUnpackSize")
+            all_sizes = []
+            for total_out in outs:
+                sizes = [r.number() for _ in range(total_out)]
+                all_sizes.append(sizes[-1])  # single-coder: last out
+            unpack_sizes = all_sizes
+            while True:
+                p = r.number()
+                if p == _K_END:
+                    break
+                if p == _K_CRC:
+                    r.skip_crcs(n_folders)
+                else:
+                    raise ValueError(f"7z UnPackInfo property {p} invalid")
+        elif prop == _K_SUBSTREAMS:
+            sub_counts = None
+            sub_sizes = []
+            while True:
+                p = r.number()
+                if p == _K_END:
+                    break
+                if p == _K_NUM_UNPACK_STREAM:
+                    sub_counts = [r.number() for _ in folders]
+                elif p == _K_SIZE:
+                    counts = sub_counts or [1] * len(folders)
+                    for fi, cnt in enumerate(counts):
+                        if cnt == 0:
+                            continue
+                        sizes = [r.number() for _ in range(cnt - 1)]
+                        sizes.append(unpack_sizes[fi] - sum(sizes))
+                        if sizes[-1] < 0:
+                            raise ValueError("7z substream sizes overflow")
+                        sub_sizes.append(sizes)
+                elif p == _K_CRC:
+                    counts = sub_counts or [1] * len(folders)
+                    r.skip_crcs(sum(counts))
+                else:
+                    raise ValueError(f"7z SubStreams property {p} invalid")
+            if sub_counts is not None and not sub_sizes:
+                # counts given without explicit sizes: single substream
+                # folders carry their folder size
+                for fi, cnt in enumerate(sub_counts):
+                    if cnt == 1:
+                        sub_sizes.append([unpack_sizes[fi]])
+                    elif cnt > 1:
+                        raise ValueError(
+                            "7z multi-substream folder without kSize"
+                        )
+        else:
+            raise ValueError(f"7z StreamsInfo property {prop} invalid")
+    return pack_pos, pack_sizes, folders, unpack_sizes, (sub_counts, sub_sizes)
+
+
+def _read_names(data: bytes, n_files: int) -> list:
+    if data[:1] != b"\x00":
+        raise ValueError("7z external names unsupported")
+    raw = data[1:]
+    names = []
+    start = 0
+    for i in range(0, len(raw) - 1, 2):
+        if raw[i : i + 2] == b"\x00\x00":
+            names.append(raw[start:i].decode("utf-16-le", errors="replace"))
+            start = i + 2
+            if len(names) == n_files:
+                break
+    if len(names) != n_files:
+        raise ValueError("7z name table shorter than the file count")
+    return names
+
+
+def sevenzip_members(payload: bytes):
+    """Yield ``(name, bytes)`` for each non-empty regular member of a 7z
+    archive; ValueError on corruption, NotImplementedError on
+    encryption and undecodable coder chains."""
+    if payload[:6] != MAGIC:
+        raise ValueError("not a 7z archive (magic missing)")
+    if len(payload) < 32:
+        raise ValueError("7z signature header truncated")
+    nh_offset, nh_size = struct.unpack_from("<QQ", payload, 12)
+    if nh_size == 0:
+        return  # empty archive
+    start = 32 + nh_offset
+    if nh_size > len(payload) or start + nh_size > len(payload):
+        raise ValueError("7z next-header escapes the payload")
+    header = payload[start : start + nh_size]
+
+    r = _Reader(header)
+    prop = r.number()
+    if prop == _K_ENCODED_HEADER:
+        pack_pos, pack_sizes, folders, unpack_sizes, _subs = (
+            _parse_streams_info(r)
+        )
+        if not folders or not pack_sizes:
+            raise ValueError("7z encoded header has no streams")
+        at = 32 + pack_pos
+        packed = payload[at : at + pack_sizes[0]]
+        if len(packed) != pack_sizes[0]:
+            raise ValueError("7z packed header escapes the payload")
+        header = _decode_folder(folders[0], [packed], unpack_sizes[0])
+        r = _Reader(header)
+        prop = r.number()
+    if prop != _K_HEADER:
+        raise ValueError("7z header tag missing")
+
+    folders: list = []
+    pack_sizes = []
+    pack_pos = 0
+    unpack_sizes: list = []
+    subs = (None, None)
+    n_files = 0
+    names: list = []
+    empty_stream: list = []
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        if prop == _K_MAIN_STREAMS:
+            pack_pos, pack_sizes, folders, unpack_sizes, subs = (
+                _parse_streams_info(r)
+            )
+        elif prop == _K_FILES_INFO:
+            n_files = r.number()
+            if n_files > _MAX_COUNT:
+                raise ValueError("7z file count exceeds the bound")
+            while True:
+                p = r.number()
+                if p == _K_END:
+                    break
+                size = r.number()
+                body = r.bytes(size)
+                if p == _K_NAME:
+                    names = _read_names(body, n_files)
+                elif p == _K_EMPTY_STREAM:
+                    br = _Reader(body)
+                    empty_stream = br.bitfield(n_files)
+                # every other property (times/attributes/kEmptyFile/
+                # kDummy) is skipped by its declared size
+        else:
+            raise ValueError(f"7z header property {prop} invalid")
+
+    if not names:
+        names = [f"member{i}" for i in range(n_files)]
+    if not empty_stream:
+        empty_stream = [False] * n_files
+
+    # split folders into substreams, pair with stream-bearing names
+    sub_counts, sub_sizes = subs
+    if sub_counts is None:
+        sub_counts = [1] * len(folders)
+        sub_sizes = [[sz] for sz in unpack_sizes]
+    elif not sub_sizes:
+        sub_sizes = [[sz] for sz in unpack_sizes]
+    stream_names = [
+        nm for nm, empty in zip(names, empty_stream) if not empty
+    ]
+    if sum(sub_counts) != len(stream_names):
+        raise ValueError(
+            "7z substream count disagrees with the stream-bearing files"
+        )
+    pack_at = 32 + pack_pos
+    pack_idx = 0
+    name_idx = 0
+    for fi, coders in enumerate(folders):
+        size = pack_sizes[pack_idx] if pack_idx < len(pack_sizes) else 0
+        packed = payload[pack_at : pack_at + size]
+        if len(packed) != size:
+            raise ValueError("7z packed stream escapes the payload")
+        pack_at += size
+        pack_idx += 1
+        if sub_counts[fi] == 0:
+            continue
+        data = _decode_folder(coders, [packed], unpack_sizes[fi])
+        off = 0
+        for sz in sub_sizes[fi]:
+            member = data[off : off + sz]
+            off += sz
+            name = stream_names[name_idx]
+            name_idx += 1
+            if member:
+                yield name, member

@@ -35,6 +35,7 @@ from drill_logfile_plugin_spark.operators.ole2 import _doc_extract_text
 from drill_logfile_plugin_spark.operators.ppt import _ppt_extract_text
 from drill_logfile_plugin_spark.operators.xls import _xls_extract_text
 from drill_logfile_plugin_spark.operators.rtf import _rtf_extract_text
+from drill_logfile_plugin_spark.operators.sevenzip import sevenzip_members
 
 OK = (ValueError, NotImplementedError)
 
@@ -71,6 +72,7 @@ def _valid_payloads():
     from tests.test_ole2 import build_doc
     from tests.test_probe import build_webm
     from tests.test_offcrypto import encrypt_standard
+    from tests.test_sevenzip import build_7z
     from tests.test_ooxml import build_pptx, build_xlsx
     from tests.test_xls_ppt import build_ppt, build_xls, cell_labelsst
     from tests.test_probe import build_flac, build_mp3, build_mp4
@@ -93,6 +95,7 @@ def _valid_payloads():
             [("S", [cell_labelsst(0, 0, 0)])], sst_strings=["fuzz seed doc"]
         ),
         "ppt": build_ppt([("fuzz seed doc", True)]),
+        "7z": build_7z({"seed.txt": b"fuzz seed doc"}),
         "xlsx": build_xlsx(
             [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
                    "</t></is></c></row>")]
@@ -127,6 +130,7 @@ _EXTRACTORS = {
     "xlsx": _xlsx_extract_text,
     "pptx": _pptx_extract_text,
     "ooxml_enc": decrypt_ooxml,
+    "7z": lambda p: list(sevenzip_members(p)),
 }
 
 
@@ -173,6 +177,7 @@ def test_magic_prefixed_garbage():
         b"fLaC": probe_payload,
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1": _doc_extract_text,
         b"\x1a\x45\xdf\xa3": probe_payload,
+        b"7z\xbc\xaf\x27\x1c": lambda p: list(sevenzip_members(p)),
         b"ID3\x04\x00\x00": probe_payload,
     }
     for magic, fn in magics.items():

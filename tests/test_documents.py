@@ -146,3 +146,49 @@ def test_document_extraction_streams_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) == len(pays)
+
+
+def test_compressed_envelopes_unwrap_transparently(spark):
+    """r9: .html.gz / .pdf.bz2 / .txt.xz payloads route to their inner
+    extractor; a compressed TAR stays explode_archive's job; a gzip
+    bomb quarantines at the cap instead of inflating."""
+    import bz2
+    import gzip
+    import lzma
+
+    from tests.test_pdf import build_pdf, text_stream
+
+    pdf = build_pdf([text_stream("(wrapped pdf prose) Tj")])
+    html = b"<html><body><p>" + b"Real article content with the usual stopword mix of the and a for readers. " * 6 + b"</p></body></html>"
+    assert DOC.sniff_document(gzip.compress(html)) == "gz:html"
+    assert DOC.sniff_document(bz2.compress(pdf)) == "gz:pdf"
+    assert DOC.sniff_document(lzma.compress(b"plain text body")) == "gz:txt"
+    # double wrap unwraps twice
+    assert DOC.sniff_document(gzip.compress(gzip.compress(pdf))) == "gz:gz:pdf"
+
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"body"))
+    with pytest.raises(ValueError, match="explode_archive"):
+        DOC.sniff_document(gzip.compress(buf.getvalue()))
+
+    rows = [
+        (0, bytearray(gzip.compress(html))),
+        (1, bytearray(bz2.compress(pdf))),
+        (2, bytearray(lzma.compress(b"plain text body"))),
+        (3, bytearray(gzip.compress(gzip.compress(pdf)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in DOC.extract_document_text(df).collect()}
+    assert got[0]["doc_format"] == "gz:html"
+    assert "Real article content" in got[0]["text"]
+    assert got[1]["doc_format"] == "gz:pdf"
+    assert got[1]["text"] == "wrapped pdf prose"
+    assert got[2]["text"] == "plain text body"
+    assert got[3]["doc_format"] == "gz:gz:pdf"
+    assert got[3]["text"] == "wrapped pdf prose"
