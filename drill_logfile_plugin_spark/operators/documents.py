@@ -48,8 +48,8 @@ import zipfile
 
 DOCUMENT_FORMATS = (
     "pdf", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "ooxml_enc",
-    "odt", "epub", "html", "rtf", "srt", "vtt", "ipynb", "eml", "mbox",
-    "txt",
+    "odt", "epub", "html", "rtf", "tex", "srt", "vtt", "ipynb", "eml",
+    "mbox", "txt",
 )
 
 
@@ -137,6 +137,9 @@ def sniff_document(payload: bytes) -> str:
         return "srt"
     if payload.lstrip()[:1] == b"{" and b'"cells"' in payload[:4096]:
         return "ipynb"
+    # LaTeX source (arXiv dumps): the two markers no other format shares
+    if b"\\documentclass" in payload[:4096] or b"\\begin{document}" in payload[:4096]:
+        return "tex"
     from .email_text import looks_like_email
 
     if looks_like_email(payload):
@@ -181,6 +184,10 @@ def _extract_one(fmt: str, payload: bytes):
 
         inner = decrypt_ooxml(payload)
         return _extract_one(sniff_document(inner), inner)
+    if fmt == "tex":
+        from .latex import _latex_extract_text
+
+        return _latex_extract_text(payload)
     if fmt == "ppt":
         from .ppt import _ppt_extract_text
 

@@ -23,6 +23,7 @@ from drill_logfile_plugin_spark.operators.documents import (
 )
 from drill_logfile_plugin_spark.operators.email_text import _eml_extract_text
 from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
+from drill_logfile_plugin_spark.operators.latex import _latex_extract_text
 from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
 from drill_logfile_plugin_spark.operators.offcrypto import decrypt_ooxml
 from drill_logfile_plugin_spark.operators.ooxml import (
@@ -96,6 +97,8 @@ def _valid_payloads():
         ),
         "ppt": build_ppt([("fuzz seed doc", True)]),
         "7z": build_7z({"seed.txt": b"fuzz seed doc"}),
+        "tex": (b"\\documentclass{article}\\begin{document}"
+                b"fuzz seed doc\\end{document}"),
         "xlsx": build_xlsx(
             [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
                    "</t></is></c></row>")]
@@ -131,6 +134,7 @@ _EXTRACTORS = {
     "pptx": _pptx_extract_text,
     "ooxml_enc": decrypt_ooxml,
     "7z": lambda p: list(sevenzip_members(p)),
+    "tex": _latex_extract_text,
 }
 
 
