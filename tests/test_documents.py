@@ -15,12 +15,40 @@ from tests.test_pdf import build_pdf, text_stream
 
 
 def _payloads():
+    import gzip
+
+    from tests.test_latex import PAPER
+    from tests.test_offcrypto import encrypt_standard
+    from tests.test_ole2 import build_doc
+    from tests.test_ooxml import build_pptx, build_xlsx
+    from tests.test_xls_ppt import build_ppt, build_xls, cell_labelsst
+
     return {
         "pdf": build_pdf([text_stream(f"({PROSE}) Tj")]),
         "docx": build_docx(par(run(PROSE))),
         "epub": build_epub({"a.xhtml": chapter_xhtml([PROSE])}),
         "html": _page(f"<p>{PROSE}</p>").encode(),
         "txt": PROSE.encode(),
+        # r9 family: the streaming==batch pin sweeps these too
+        "doc": build_doc([(f"{PROSE}\r", True)]),
+        "xls": build_xls([("S", [cell_labelsst(0, 0, 0)])],
+                         sst_strings=[PROSE]),
+        "ppt": build_ppt([(PROSE, True)]),
+        "xlsx": build_xlsx(
+            [("S", '<row><c r="A1" t="inlineStr"><is><t>'
+                   f"{PROSE}</t></is></c></row>")]
+        ),
+        "pptx": build_pptx([[[PROSE]]]),
+        "ooxml_enc": encrypt_standard(
+            build_xlsx(
+                [("S", '<row><c r="A1" t="inlineStr"><is><t>'
+                       f"{PROSE}</t></is></c></row>")]
+            ),
+            "",
+        ),
+        "tex": (b"\\documentclass{a}\\begin{document}"
+                + PROSE.encode() + b"\\end{document}"),
+        "gz:html": gzip.compress(_page(f"<p>{PROSE}</p>").encode()),
     }
 
 
@@ -106,7 +134,11 @@ def test_composition_full_pipeline(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     texts = DOC.extract_document_text(df).where(F.col("text").isNotNull())
     survivors = exact_dedup_survivors(texts.select("doc_id", "text"))
-    assert survivors.count() == 1  # five containers, one content
+    # prose containers (pdf/docx/epub/html/txt/doc/ppt/pptx/tex/gz:html)
+    # collapse to ONE survivor; the spreadsheet family (xls/xlsx/
+    # ooxml_enc) collapses to a second (its text is sheet-prefixed)
+    assert survivors.count() == 2
+    assert int(survivors.agg({"n_copies": "sum"}).first()[0]) == len(pays)
 
 
 def test_document_extraction_streams_equals_batch(spark, tmp_path):
