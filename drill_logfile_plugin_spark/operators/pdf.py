@@ -667,10 +667,37 @@ class _Document:
                     raw = bytes.fromhex(h.decode("ascii"))
                 except ValueError:
                     raise ValueError("PDF ASCIIHex stream malformed")
+            elif f == "RunLengthDecode":
+                # spec 7.4.5: n<=127 copies n+1 literals; n>=129 repeats
+                # the next byte 257-n times; 128 is EOD
+                out = bytearray()
+                pos = 0
+                while pos < len(raw):
+                    n = raw[pos]
+                    pos += 1
+                    if n == 128:
+                        break
+                    if n <= 127:
+                        chunk = raw[pos : pos + n + 1]
+                        if len(chunk) != n + 1:
+                            raise ValueError("PDF RunLength literal truncated")
+                        out += chunk
+                        pos += n + 1
+                    else:
+                        if pos >= len(raw):
+                            raise ValueError("PDF RunLength repeat truncated")
+                        out += raw[pos : pos + 1] * (257 - n)
+                        pos += 1
+                    if len(out) > _PDF_MAX_STREAM:
+                        raise ValueError(
+                            "PDF stream inflates past the decoder bound"
+                        )
+                raw = bytes(out)
             else:
                 raise NotImplementedError(
-                    f"PDF stream filter {f}: Flate/LZW/ASCII85/ASCIIHex are "
-                    "decodable here (DCT/JBIG2/CCITT are plug-in points)"
+                    f"PDF stream filter {f}: Flate/LZW/ASCII85/ASCIIHex/"
+                    "RunLength are decodable here (DCT/JBIG2/CCITT are "
+                    "plug-in points)"
                 )
             if len(raw) > _PDF_MAX_STREAM:
                 raise ValueError("PDF stream inflates past the decoder bound")

@@ -823,3 +823,56 @@ def test_glyph_name_conventions():
         except UnicodeDecodeError:
             assert tbl[code] == "•"
     assert base_encoding_table("MacExpertEncoding") is None
+
+
+def test_runlength_filter_roundtrips():
+    """RunLengthDecode (spec 7.4.5): in-test encoder emits literal and
+    repeat runs; text recovers exactly, truncations reject."""
+
+    def rle_encode(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while (
+                i + run < len(data)
+                and data[i + run] == data[i]
+                and run < 128
+            ):
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, data[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(data)
+                    and (j + 1 >= len(data) or data[j + 1] != data[j])
+                    and j - i < 128
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + data[i:j]
+                i = j
+        out.append(128)  # EOD
+        return bytes(out)
+
+    stream = text_stream("(run---length   encoded prose) Tj")
+    enc = rle_encode(stream)
+    assert enc != stream
+    pdf = build_pdf([stream], compress=False)
+    # splice: swap the stored stream for the RLE form and declare the filter
+    pdf = pdf.replace(
+        f"<< /Length {len(stream)} >>".encode(),
+        f"<< /Length {len(enc)} /Filter /RunLengthDecode >>".encode(),
+    ).replace(b"stream\n" + stream, b"stream\n" + enc)
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "run---length   encoded prose"
+
+    # truncated literal run quarantines
+    bad = pdf.replace(b"stream\n" + enc, b"stream\n" + enc[: len(enc) // 2])
+    bad = bad.replace(
+        f"/Length {len(enc)}".encode(),
+        f"/Length {len(enc) // 2}".encode(),
+    )
+    with pytest.raises(ValueError):
+        P._pdf_extract_text(bad)
