@@ -1057,6 +1057,25 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
             active = (fonts or {}).get(name)
         elif op in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
+        elif op == b"ID":
+            # inline image (BI ... ID <binary> EI): the binary data can
+            # contain bytes that lex as strings — skipped to the EI
+            # operator (whitespace-delimited per the spec) so image
+            # bytes never masquerade as text (r9)
+            at = lex.pos
+            while True:
+                at = content.find(b"EI", at)
+                if at < 0:
+                    lex.pos = n  # unterminated: drop the tail
+                    break
+                before = content[at - 1 : at]
+                after = content[at + 2 : at + 3]
+                if before in b" \t\r\n\x00" and (
+                    after in b" \t\r\n" or after == b""
+                ):
+                    lex.pos = at + 2
+                    break
+                at += 2
         elif op == b"ET":
             newline()
         # operands always precede and are consumed by their operator

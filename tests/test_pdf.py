@@ -876,3 +876,26 @@ def test_runlength_filter_roundtrips():
     )
     with pytest.raises(ValueError):
         P._pdf_extract_text(bad)
+
+
+def test_inline_image_binary_never_masquerades_as_text():
+    """BI...ID <binary> EI: image bytes containing string-like '(...)'
+    sequences must be skipped to the whitespace-delimited EI, including
+    EI-lookalike bytes inside the binary; an unterminated image drops
+    the tail instead of leaking it."""
+    content = (
+        b"BT /F1 12 Tf (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID \x00\x28garbage\x29\x20Tj\xff EI\n"
+        b"BT /F1 12 Tf (after) Tj ET"
+    )
+    pdf = build_pdf([content], compress=False)
+    text, _ = P._pdf_extract_text(pdf)
+    assert text == "before\nafter"
+    assert "garbage" not in text
+
+    tricky = (
+        b"(a) Tj BI /W 2 ID \xffEI\xee binary with EI\x00glued EI\n(b) Tj"
+    )
+    assert P._content_text(tricky) == "ab"
+    # unterminated: the tail is dropped, never leaked
+    assert P._content_text(b"(x) Tj BI ID \x28leak me") == "x"
