@@ -48,8 +48,8 @@ import zipfile
 
 DOCUMENT_FORMATS = (
     "pdf", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "ooxml_enc",
-    "odt", "epub", "html", "rtf", "tex", "srt", "vtt", "ipynb", "eml",
-    "mbox", "txt",
+    "odt", "ods", "odp", "epub", "html", "rtf", "tex", "srt", "vtt",
+    "ipynb", "eml", "mbox", "txt",
 )
 
 
@@ -90,7 +90,8 @@ def sniff_document(payload: bytes) -> str:
         return "pdf"
     if payload.startswith(b"PK"):
         try:
-            names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
+            zf = zipfile.ZipFile(io.BytesIO(payload))
+            names = set(zf.namelist())
         except zipfile.BadZipFile:
             raise ValueError("zip-prefixed payload is not a readable archive")
         if "word/document.xml" in names:
@@ -102,8 +103,20 @@ def sniff_document(payload: bytes) -> str:
         if "META-INF/container.xml" in names:
             return "epub"
         if "content.xml" in names:
+            # the ODF family: the mimetype member names the flavor
+            mt = b""
+            if "mimetype" in names:
+                try:
+                    with zf.open("mimetype") as fh:
+                        mt = fh.read(256)
+                except Exception:
+                    mt = b""
+            if b"spreadsheet" in mt:
+                return "ods"
+            if b"presentation" in mt:
+                return "odp"
             return "odt"
-        raise ValueError("zip archive is not DOCX/XLSX/PPTX/EPUB/ODT")
+        raise ValueError("zip archive is not DOCX/XLSX/PPTX/EPUB/ODF")
     if payload.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE2 compound file: refined by DIRECTORY stream names (the
         # zip central-directory precedent — O(directory), no stream
@@ -196,6 +209,14 @@ def _extract_one(fmt: str, payload: bytes):
         from .odt import _odt_extract_text
 
         return _odt_extract_text(payload)
+    if fmt == "ods":
+        from .odt import _ods_extract_text
+
+        return _ods_extract_text(payload)
+    if fmt == "odp":
+        from .odt import _odp_extract_text
+
+        return _odp_extract_text(payload)
     if fmt == "epub":
         from .epub import _epub_extract_text
 

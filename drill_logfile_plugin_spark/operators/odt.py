@@ -64,49 +64,60 @@ def _walk_paragraph(p) -> str:
     return "".join(parts)
 
 
-def _odt_extract_text(payload: bytes):
-    """Extract the text layer: returns ``(text, n_paragraphs)``."""
+def _odf_content_root(payload: bytes, kind: str):
+    """Shared OpenDocument package opener: zip guards, the encrypted-
+    manifest quarantine, content.xml parsed — the body element."""
     if not payload.startswith(b"PK"):
-        raise ValueError("not an ODT (missing zip signature)")
+        raise ValueError(f"not an {kind} (missing zip signature)")
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except zipfile.BadZipFile as exc:
-        raise ValueError(f"ODT zip archive malformed: {exc}")
+        raise ValueError(f"{kind} zip archive malformed: {exc}")
     total = 0
     names = set()
     for info in zf.infolist():
         total += info.file_size
         if total > _ODT_MAX_UNCOMPRESSED:
             raise ValueError(
-                "ODT declared uncompressed size exceeds the decoder bound"
+                f"{kind} declared uncompressed size exceeds the decoder bound"
             )
         names.add(info.filename)
     if "content.xml" not in names:
-        raise ValueError("ODT has no content.xml (not an OpenDocument package)")
+        raise ValueError(
+            f"{kind} has no content.xml (not an OpenDocument package)"
+        )
     if "META-INF/manifest.xml" in names:
         try:
             with zf.open("META-INF/manifest.xml") as fh:
                 manifest = fh.read(1 << 20)
         except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
-            raise ValueError(f"ODT manifest corrupt: {exc}")
+            raise ValueError(f"{kind} manifest corrupt: {exc}")
         if b"encryption-data" in manifest:
             raise NotImplementedError(
-                "encrypted ODT (manifest encryption-data): decryption is "
-                "a plug-in point"
+                f"encrypted {kind} (manifest encryption-data): decryption "
+                "is a plug-in point"
             )
     try:
         with zf.open("content.xml") as fh:
             xml_bytes = fh.read(_ODT_MAX_UNCOMPRESSED + 1)
     except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
-        raise ValueError(f"ODT member corrupt: {exc}")
+        raise ValueError(f"{kind} member corrupt: {exc}")
     if len(xml_bytes) > _ODT_MAX_UNCOMPRESSED:
-        raise ValueError("ODT content.xml exceeds the decoder bound")
+        raise ValueError(f"{kind} content.xml exceeds the decoder bound")
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:
-        raise ValueError(f"ODT content.xml malformed: {exc}")
+        raise ValueError(f"{kind} content.xml malformed: {exc}")
     body = root.find(f"{_ONS}body")
-    text_el = body.find(f"{_ONS}text") if body is not None else None
+    if body is None:
+        raise ValueError(f"{kind} content.xml has no office:body")
+    return body
+
+
+def _odt_extract_text(payload: bytes):
+    """Extract the text layer: returns ``(text, n_paragraphs)``."""
+    body = _odf_content_root(payload, "ODT")
+    text_el = body.find(f"{_ONS}text")
     if text_el is None:
         raise ValueError("ODT content.xml has no office:text body")
 
@@ -197,3 +208,90 @@ def extract_odt_text(
             )
 
     return narrow.mapInPandas(batches, schema)
+
+
+_DRAWNS = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
+
+
+def _ods_extract_text(payload: bytes):
+    """ODS (OpenDocument Spreadsheet): ``(text, n_cells)`` — sheets as
+    ``## name`` blocks, rows tab-joined in cell order (honoring
+    ``table:number-columns-repeated`` for NON-EMPTY cells only, so a
+    million-repeat empty filler costs nothing), matching the xls/xlsx
+    linearization so downstream text processing stays format-blind."""
+    body = _odf_content_root(payload, "ODS")
+    sheet_root = body.find(f"{_ONS}spreadsheet")
+    if sheet_root is None:
+        raise ValueError("ODS content.xml has no office:spreadsheet body")
+    lines: list[str] = []
+    n_cells = 0
+    for table in sheet_root.findall(f"{_TABNS}table"):
+        name = table.get(f"{_TABNS}name") or f"Sheet{len(lines) + 1}"
+        sheet_lines: list[str] = []
+        for row in table.iter(f"{_TABNS}table-row"):
+            cells: list[str] = []
+            for cell in row:
+                if cell.tag not in (
+                    f"{_TABNS}table-cell", f"{_TABNS}covered-table-cell",
+                ):
+                    continue
+                repeat = int(
+                    cell.get(f"{_TABNS}number-columns-repeated", "1") or "1"
+                )
+                paras = [
+                    _walk_paragraph(p) for p in cell.iter(f"{_TNS}p")
+                ]
+                text = "\n".join(p for p in paras if p)
+                if text:
+                    if repeat > 4096:
+                        raise ValueError(
+                            "ODS repeated non-empty cell count exceeds the "
+                            "decoder bound"
+                        )
+                    cells.extend([text] * repeat)
+                elif cells and repeat <= 4096:
+                    # interior empty cells keep column alignment; a
+                    # trailing filler run is trimmed below
+                    cells.extend([""] * repeat)
+            while cells and cells[-1] == "":
+                cells.pop()
+            if cells:
+                n_cells += sum(1 for c in cells if c)
+                sheet_lines.append("\t".join(cells))
+        if sheet_lines:
+            lines.append(f"## {name}")
+            lines.extend(sheet_lines)
+    if not lines:
+        raise ValueError("ODS workbook has no extractable cells")
+    return "\n".join(lines), n_cells
+
+
+def _odp_extract_text(payload: bytes):
+    """ODP (OpenDocument Presentation): ``(text, n_slides)`` — each
+    ``draw:page``'s paragraphs become lines, pages in document order
+    (notes excluded: ``presentation:notes`` subtrees are skipped)."""
+    body = _odf_content_root(payload, "ODP")
+    pres = body.find(f"{_ONS}presentation")
+    if pres is None:
+        raise ValueError("ODP content.xml has no office:presentation body")
+    pages = pres.findall(f"{_DRAWNS}page")
+    lines: list[str] = []
+    notes_tag = (
+        "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}notes"
+    )
+    for page in pages:
+        def walk(node):
+            if node.tag == notes_tag:
+                return
+            if node.tag in (f"{_TNS}p", f"{_TNS}h"):
+                text = _walk_paragraph(node)
+                if text.strip():
+                    lines.append(text)
+                return
+            for child in node:
+                walk(child)
+
+        walk(page)
+    if not lines:
+        raise ValueError("ODP deck has no text paragraphs")
+    return "\n".join(lines), len(pages)

@@ -24,7 +24,11 @@ from drill_logfile_plugin_spark.operators.documents import (
 from drill_logfile_plugin_spark.operators.email_text import _eml_extract_text
 from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
 from drill_logfile_plugin_spark.operators.latex import _latex_extract_text
-from drill_logfile_plugin_spark.operators.odt import _odt_extract_text
+from drill_logfile_plugin_spark.operators.odt import (
+    _odp_extract_text,
+    _ods_extract_text,
+    _odt_extract_text,
+)
 from drill_logfile_plugin_spark.operators.offcrypto import decrypt_ooxml
 from drill_logfile_plugin_spark.operators.ooxml import (
     _pptx_extract_text,
@@ -68,7 +72,7 @@ def _valid_payloads():
     from tests.test_docx import build_docx, par, run
     from tests.test_email_text import build_eml
     from tests.test_epub import build_epub, chapter_xhtml
-    from tests.test_odt import build_odt
+    from tests.test_odt import build_odp, build_ods, build_odt
     from tests.test_pdf import build_pdf, text_stream
     from tests.test_ole2 import build_doc
     from tests.test_probe import build_webm
@@ -99,6 +103,8 @@ def _valid_payloads():
         "7z": build_7z({"seed.txt": b"fuzz seed doc"}),
         "tex": (b"\\documentclass{article}\\begin{document}"
                 b"fuzz seed doc\\end{document}"),
+        "ods": build_ods({"S": [[("fuzz seed doc", 1)]]}),
+        "odp": build_odp([["fuzz seed doc"]]),
         "xlsx": build_xlsx(
             [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
                    "</t></is></c></row>")]
@@ -135,6 +141,8 @@ _EXTRACTORS = {
     "ooxml_enc": decrypt_ooxml,
     "7z": lambda p: list(sevenzip_members(p)),
     "tex": _latex_extract_text,
+    "ods": _ods_extract_text,
+    "odp": _odp_extract_text,
 }
 
 

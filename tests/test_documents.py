@@ -60,7 +60,7 @@ def test_sniff_document_identifies_all():
 def test_sniff_document_rejections():
     with pytest.raises(ValueError, match="unrecognized"):
         DOC.sniff_document(b"\x00\x01\x02\xff binary junk \xfe")
-    with pytest.raises(ValueError, match="not DOCX/XLSX/PPTX/EPUB/ODT"):
+    with pytest.raises(ValueError, match="not DOCX/XLSX/PPTX/EPUB/ODF"):
         import io
         import zipfile
 
