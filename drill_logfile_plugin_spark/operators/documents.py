@@ -74,18 +74,27 @@ def _unwrap_envelope(payload: bytes) -> bytes:
     return bounded_decompress_bytes(payload, codec, _ENVELOPE_MAX)
 
 
-def sniff_document(payload: bytes) -> str:
+_MAX_ENVELOPE_DEPTH = 3
+
+
+def sniff_document(payload: bytes, _depth: int = 0) -> str:
     """Identify a document payload's format (see module doc). ValueError
     on unrecognized payloads. Compressed envelopes report the INNER
     format prefixed ``gz:`` — callers route through ``_extract_one``,
-    which unwraps once."""
+    which unwraps once. Nesting is bounded: a deeper-than-3 envelope
+    chain is a crafted payload, not a document (and unbounded recursion
+    would escape the quarantine contract as RecursionError)."""
     if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or payload[:6] == b"\xfd7zXZ\x00":
+        if _depth >= _MAX_ENVELOPE_DEPTH:
+            raise ValueError(
+                "compression envelopes nested deeper than the bound"
+            )
         inner = _unwrap_envelope(payload)
         if inner[257:262] == b"ustar":
             raise ValueError(
                 "compressed tar payload: route via explode_archive"
             )
-        return "gz:" + sniff_document(inner)
+        return "gz:" + sniff_document(inner, _depth + 1)
     if payload.startswith(b"%PDF-"):
         return "pdf"
     if payload.startswith(b"PK"):

@@ -121,6 +121,9 @@ def _skip_optional(src: str, pos: int) -> int:
 
 
 _CMD_RE = re.compile(r"\\([a-zA-Z@]+)\s*")
+#: plain-text runs (no TeX-special bytes): bulk-copied in one append so
+#: the scan is O(specials), not O(chars)
+_PLAIN_RE = re.compile(r"[^\\$~`'{}\-]+")
 
 
 def _detex(src: str, depth: int = 0) -> str:
@@ -130,6 +133,11 @@ def _detex(src: str, depth: int = 0) -> str:
     i = 0
     n = len(src)
     while i < n:
+        m_plain = _PLAIN_RE.match(src, i)
+        if m_plain:
+            out.append(m_plain.group(0))
+            i = m_plain.end()
+            continue
         c = src[i]
         if c == "\\":
             nxt = src[i + 1 : i + 2]

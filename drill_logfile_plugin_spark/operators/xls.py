@@ -277,8 +277,11 @@ def _decrypt_workbook_rc4(wb: bytes, keyfn) -> bytes:
     for b0 in range(0, len(wb), _RC4_BLOCK):
         span = min(_RC4_BLOCK, len(wb) - b0)
         ks = rc4(keyfn(b0 // _RC4_BLOCK), bytes(span))
-        for i in range(span):
-            out[b0 + i] ^= ks[i]
+        # whole-block XOR via big-int (no per-byte Python loop)
+        out[b0 : b0 + span] = (
+            int.from_bytes(out[b0 : b0 + span], "big")
+            ^ int.from_bytes(ks, "big")
+        ).to_bytes(span, "big")
     pos = 0
     n = len(wb)
     while pos + 4 <= n:

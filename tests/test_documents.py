@@ -224,3 +224,25 @@ def test_compressed_envelopes_unwrap_transparently(spark):
     assert got[2]["text"] == "plain text body"
     assert got[3]["doc_format"] == "gz:gz:pdf"
     assert got[3]["text"] == "wrapped pdf prose"
+
+
+def test_envelope_nesting_is_bounded(spark):
+    """A deeply nested gzip chain must quarantine as ValueError, never
+    escape as RecursionError (which would abort the whole job)."""
+    import gzip
+
+    blob = b"innermost text"
+    for _ in range(40):
+        blob = gzip.compress(blob)
+    with pytest.raises(ValueError, match="nested deeper"):
+        DOC.sniff_document(blob)
+    # triple wrap (at the bound) still works
+    triple = gzip.compress(gzip.compress(gzip.compress(b"ok body")))
+    assert DOC.sniff_document(triple) == "gz:gz:gz:txt"
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(triple))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in DOC.extract_document_text(df).collect()}
+    assert got[0]["text"] is None  # quarantined, job intact
+    assert got[1]["text"] == "ok body"
