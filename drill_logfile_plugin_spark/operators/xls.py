@@ -365,6 +365,18 @@ def _xls_extract_text(payload: bytes):
     if wb is None:
         raise ValueError("OLE2 file has no Workbook stream")
     recs = _records(wb)
+    # BIFF version guard: pre-BIFF8 files (Excel 5/95, the 'Book'
+    # stream era) use byte-string Label records without the grbit
+    # byte — decoding them with the BIFF8 grammar would emit WRONG
+    # text silently, the one failure mode worse than quarantine
+    if recs and recs[0][0] == _BOF and len(recs[0][1]) >= 4:
+        vers, _dt = struct.unpack_from("<HH", recs[0][1], 0)
+        if vers and vers < 0x0600:
+            raise NotImplementedError(
+                f".xls BIFF version 0x{vers:04X} (Excel 5/95): only "
+                "BIFF8 decodes; the pre-BIFF8 string grammar is a "
+                "plug-in point"
+            )
 
     # globals pass: encryption, sheet names, SST (with its Continues)
     sheet_names = []

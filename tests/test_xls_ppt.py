@@ -507,3 +507,13 @@ def test_rc4_encrypted_xls_through_router(spark):
     got = {r["doc_id"]: r for r in extract_document_text(df).collect()}
     assert got[0]["doc_format"] == "xls" and got[0]["text"] == WANT
     assert got[1]["text"] is None
+
+
+def test_biff5_version_guard():
+    """Pre-BIFF8 workbooks (Excel 5/95) use a different string grammar;
+    decoding them as BIFF8 would emit wrong text silently — they
+    quarantine by the BOF version instead."""
+    wb = rec(0x0809, struct.pack("<HH", 0x0500, 0x0005) + b"\x00" * 12)
+    wb += rec(0x000A, b"")
+    with pytest.raises(NotImplementedError, match="BIFF"):
+        XLS._xls_extract_text(write_cfb({"Book": wb}))
