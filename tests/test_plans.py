@@ -439,3 +439,35 @@ def test_no_row_python_anywhere_in_the_package():
             if re.search(r"\.rdd\b", code):
                 bad.append(f"{py.name}:{lineno} .rdd escape: {line.strip()}")
     assert not bad, "\n".join(bad)
+
+
+def test_document_and_media_scans_are_exchange_free(spark):
+    """The r9 ingestion lanes are NARROW maps: payload scan ->
+    mapInPandas, no shuffle anywhere — the property that makes them
+    embarrassingly parallel at 100 TB (each executor extracts its own
+    files; the only data movement is the input read itself)."""
+    from drill_logfile_plugin_spark.operators.archives import explode_archive
+    from drill_logfile_plugin_spark.operators.documents import (
+        extract_document_text,
+    )
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        decompress_payload,
+        sniff_media,
+    )
+    from drill_logfile_plugin_spark.operators.probe import probe_media
+    from drill_logfile_plugin_spark.operators.video_fp import frame_signatures
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"payload"))], "doc_id long, payload binary"
+    )
+    for name, lane in [
+        ("extract_document_text", extract_document_text(df)),
+        ("explode_archive", explode_archive(df)),
+        ("probe_media", probe_media(df)),
+        ("sniff_media", sniff_media(df)),
+        ("decompress_payload", decompress_payload(df)),
+        ("frame_signatures", frame_signatures(df, codec="gif")),
+    ]:
+        plan = plan_of(lane)
+        assert "Exchange" not in plan, (name, plan)
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan, name
