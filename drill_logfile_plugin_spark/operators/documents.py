@@ -278,11 +278,15 @@ def extract_document_text(
     id_col: str = "doc_id",
     codec: str = "auto",
     on_error: str = "null",
+    passthrough_cols: tuple = (),
 ):
     """Spark lane: mixed document payloads -> ``(doc_id, doc_format,
     text, n_units, n_chars)``. ``codec="auto"`` sniffs per row; naming
     a format skips the sniff (and rows of other formats then fail into
-    the quarantine path)."""
+    the quarantine path). ``passthrough_cols`` ride the Arrow batch
+    untouched and append to the output schema — the adapter hook that
+    keeps compositions (e.g. WARC url/source columns) exchange-free
+    instead of re-joining on doc_id."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
@@ -303,6 +307,11 @@ def extract_document_text(
             f"{DOCUMENT_FORMATS} plus 'auto'"
         )
     _check_on_error(on_error)
+    passthrough_cols = tuple(passthrough_cols)
+    reserved = {"doc_id", "doc_format", "text", "n_units", "n_chars", "payload"}
+    for c in passthrough_cols:
+        if c in reserved:
+            raise ValueError(f"passthrough column {c!r} collides with the output schema")
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -311,15 +320,21 @@ def extract_document_text(
             StructField("n_units", IntegerType()),
             StructField("n_chars", LongType()),
         ]
+        + [df.schema[c] for c in passthrough_cols]
     )
     narrow = df.select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        *[F.col(c) for c in passthrough_cols],
     ).where(F.col("payload").isNotNull())
 
     def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fmts, texts, nus, ncs = [], [], [], [], []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            keep_idx = []
+            for row_i, (doc_id, p) in enumerate(
+                zip(pdf["doc_id"], pdf["payload"])
+            ):
                 raw = bytes(p)
                 try:
                     fmt = sniff_document(raw) if codec == "auto" else codec
@@ -335,14 +350,16 @@ def extract_document_text(
                 texts.append(text)
                 nus.append(n_units)
                 ncs.append(None if text is None else len(text))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "doc_format": pd.Series(fmts, dtype="object"),
-                    "text": pd.Series(texts, dtype="object"),
-                    "n_units": pd.Series(nus, dtype="Int32"),
-                    "n_chars": pd.Series(ncs, dtype="Int64"),
-                }
-            )
+                keep_idx.append(row_i)
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "doc_format": pd.Series(fmts, dtype="object"),
+                "text": pd.Series(texts, dtype="object"),
+                "n_units": pd.Series(nus, dtype="Int32"),
+                "n_chars": pd.Series(ncs, dtype="Int64"),
+            }
+            for c in passthrough_cols:
+                out[c] = pdf[c].iloc[keep_idx].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
     return narrow.mapInPandas(batches, schema)

@@ -321,3 +321,42 @@ def wat_records(warc: DataFrame) -> DataFrame:
         .otherwise(F.size(outlinks))
         .alias("n_links"),
     )
+
+
+def warc_extracted_documents(
+    warc: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    on_error: str = "null",
+) -> DataFrame:
+    """The crawl adapter for NON-HTML responses too (r9): 2xx bodies
+    route per-row by magic through the document tier —
+    ``(doc_id, url, source, doc_format, text, n_units, n_chars)``.
+    ``warc_documents`` strips markup from everything as if it were
+    HTML; this lane runs the jusText extractor for HTML and the real
+    format extractors for the crawl's PDFs, Office files, LaTeX
+    sources, and compressed envelopes, with undecodable bodies
+    quarantined per ``on_error``. The url/source columns ride the
+    extraction's Arrow batch as passthrough columns, so the composed
+    plan stays an exchange-free narrow map."""
+    from ..operators.documents import extract_document_text
+    from ..operators.web import canonical_url
+
+    responses = warc.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("url").isNotNull()
+    ).select(
+        F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
+        canonical_url("url").alias("url"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+        "body",
+    )
+    return extract_document_text(
+        responses,
+        payload_col="body",
+        on_error=on_error,
+        passthrough_cols=("url", "source"),
+    ).select(
+        "doc_id", "url", "source", "doc_format", "text", "n_units", "n_chars"
+    )

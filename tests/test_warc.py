@@ -234,3 +234,52 @@ def test_wat_records_adapter(spark, tmp_path):
     assert robots["headers"]["Content-Type"] == "text/plain"
     bad = rows["https://bad.example/"]  # URL falls back to the WARC header
     assert bad["headers"] is None and bad["n_links"] == 0
+
+
+def test_warc_extracted_documents_routes_nonhtml(spark, tmp_path):
+    """r9: a crawl's PDFs / LaTeX / gzipped HTML extract beside its
+    HTML through the document router, url/source riding the Arrow
+    batch as passthrough — the composed plan stays exchange-free."""
+    import gzip as _gzip
+
+    from tests.test_pdf import build_pdf, text_stream
+
+    from drill_logfile_plugin_spark.sources.warc import (
+        warc_extracted_documents,
+    )
+
+    html = (
+        b"<html><body><p>"
+        + b"Crawled article prose with the of and a to for stopwords. " * 6
+        + b"</p></body></html>"
+    )
+    pdf = build_pdf([text_stream("(crawled pdf body) Tj")])
+    tex = b"\\documentclass{a}\\begin{document}crawled tex body\\end{document}"
+    blob = (
+        _record(url="https://a.example.com/page",
+                payload=_http(html))
+        + _record(url="https://b.example.com/paper.pdf",
+                  payload=_http(pdf, ctype="application/pdf"))
+        + _record(url="https://c.example.com/src.tex",
+                  payload=_http(tex, ctype="text/x-tex"))
+        + _record(url="https://d.example.com/page.html.gz",
+                  payload=_http(_gzip.compress(html), ctype="text/html"))
+        + _record(url="https://e.example.com/broken",
+                  payload=_http(b"\xff\xfe garbage that is no format"))
+    )
+    path = tmp_path / "crawl.warc"
+    path.write_bytes(blob)
+    warc = read_warc(spark, str(path))
+    out = warc_extracted_documents(warc)
+    rows = {r["source"]: r for r in out.collect()}
+    assert rows["a.example.com"]["doc_format"] == "html"
+    assert "Crawled article prose" in rows["a.example.com"]["text"]
+    assert rows["b.example.com"]["doc_format"] == "pdf"
+    assert rows["b.example.com"]["text"] == "crawled pdf body"
+    assert rows["c.example.com"]["doc_format"] == "tex"
+    assert rows["c.example.com"]["text"] == "crawled tex body"
+    assert rows["d.example.com"]["doc_format"] == "gz:html"
+    assert rows["e.example.com"]["text"] is None  # quarantined row
+    # the composed plan is a narrow map: no Exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
