@@ -48,8 +48,8 @@ import zipfile
 
 DOCUMENT_FORMATS = (
     "pdf", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "ooxml_enc",
-    "odt", "ods", "odp", "epub", "html", "rtf", "tex", "srt", "vtt",
-    "ipynb", "eml", "mbox", "txt",
+    "msg", "odt", "ods", "odp", "epub", "html", "rtf", "tex", "srt",
+    "vtt", "ipynb", "eml", "mbox", "txt",
 )
 
 
@@ -144,6 +144,10 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
             # ECMA-376 encrypted OOXML: decryptable under the no-secret
             # profile (empty password / VelvetSweatshop), then re-routed
             return "ooxml_enc"
+        if "__properties_version1.0" in names or any(
+            n.startswith("__substg1.0_") for n in names
+        ):
+            return "msg"  # Outlook message (MS-OXMSG property streams)
         return "doc"  # unknown OLE2: the .doc lane names what it found
     if payload.startswith(b"{\\rtf"):
         return "rtf"
@@ -210,6 +214,10 @@ def _extract_one(fmt: str, payload: bytes):
         from .latex import _latex_extract_text
 
         return _latex_extract_text(payload)
+    if fmt == "msg":
+        from .msg import _msg_extract_text
+
+        return _msg_extract_text(payload)
     if fmt == "ppt":
         from .ppt import _ppt_extract_text
 

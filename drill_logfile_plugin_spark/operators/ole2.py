@@ -65,18 +65,57 @@ def cfb_stream_names(payload: bytes) -> list:
 
 
 def cfb_streams(payload: bytes) -> dict:
-    """All STREAM objects of an OLE2 compound file: name -> bytes.
+    """All STREAM objects of an OLE2 compound file: name -> bytes
+    (FLAT — storage hierarchy ignored; later duplicates win).
     ValueError on structural corruption; bounded against forged
     geometry (sector counts, chain cycles, stream sizes)."""
     entries, read_stream = _cfb_open(payload)
     return {name: read_stream(start, size) for name, start, size in entries}
 
 
-def _cfb_open(payload: bytes):
-    """``(entries, read_stream)`` — the CFB walk shared by the
-    names-only sniff and the full read: ``entries`` is
+def cfb_top_level_streams(payload: bytes) -> dict:
+    """TOP-LEVEL streams only: the root storage's red-black tree is
+    walked from the root entry's child pointer, so streams inside
+    sub-storages (e.g. an Outlook .msg's attachment storages, which
+    reuse the SAME property-stream names as the message itself) can
+    never shadow the root-level ones. Falls back to the flat dict when
+    the file carries no tree pointers (some writers emit none)."""
+    entries, read_stream, records = _cfb_open(payload, want_records=True)
+    by_id = {i: rec for i, rec in records.items()}
+    root_child = None
+    for _i, rec in records.items():
+        if rec["type"] == 5:
+            root_child = rec["child"]
+            break
+    if root_child is None or root_child == _FREESECT:
+        return {
+            name: read_stream(start, size) for name, start, size in entries
+        }
+    out = {}
+    stack = [root_child]
+    seen = set()
+    while stack:
+        i = stack.pop()
+        if i in seen or i == _FREESECT or i not in by_id:
+            continue
+        seen.add(i)
+        if len(seen) > len(by_id):
+            raise ValueError("OLE2 directory tree cycles")
+        rec = by_id[i]
+        stack.extend([rec["left"], rec["right"]])
+        if rec["type"] == 2:
+            out[rec["name"]] = read_stream(rec["start"], rec["size"])
+        # type 1 (storage): present at top level but NOT descended into
+    return out
+
+
+def _cfb_open(payload: bytes, want_records: bool = False):
+    """``(entries, read_stream[, records])`` — the CFB walk shared by
+    the names-only sniff and the full read: ``entries`` is
     ``[(name, start, size), ...]`` and ``read_stream(start, size)``
-    resolves a FAT or miniFAT chain on demand."""
+    resolves a FAT or miniFAT chain on demand. With ``want_records``,
+    also returns ``{entry_id: {name, type, left, right, child, start,
+    size}}`` for tree-aware callers."""
     if payload[:8] != _MAGIC:
         raise ValueError("not an OLE2 compound file (magic missing)")
     if len(payload) < 512:
@@ -138,8 +177,9 @@ def _cfb_open(payload: bytes):
 
     dir_bytes = b"".join(sector(s) for s in chain(first_dir))
     entries = []
+    records: dict = {}
     root = None
-    for off in range(0, len(dir_bytes), 128):
+    for idx, off in enumerate(range(0, len(dir_bytes), 128)):
         e = dir_bytes[off : off + 128]
         if len(e) < 128:
             break
@@ -152,6 +192,16 @@ def _cfb_open(payload: bytes):
         size = _u32(e, 0x78)  # high dword only meaningful for 4096 sectors
         if size > _MAX_STREAM:
             raise ValueError("OLE2 stream size exceeds the decoder bound")
+        if want_records:
+            records[idx] = {
+                "name": name,
+                "type": otype,
+                "left": _u32(e, 0x44),
+                "right": _u32(e, 0x48),
+                "child": _u32(e, 0x4C),
+                "start": start,
+                "size": size,
+            }
         if otype == 5 and root is None:
             root = (start, size)
         elif otype == 2:
@@ -197,6 +247,8 @@ def _cfb_open(payload: bytes):
             raise ValueError("OLE2 stream shorter than its declared size")
         return data
 
+    if want_records:
+        return entries, read_stream, records
     return entries, read_stream
 
 

@@ -24,6 +24,7 @@ from drill_logfile_plugin_spark.operators.documents import (
 from drill_logfile_plugin_spark.operators.email_text import _eml_extract_text
 from drill_logfile_plugin_spark.operators.epub import _epub_extract_text
 from drill_logfile_plugin_spark.operators.latex import _latex_extract_text
+from drill_logfile_plugin_spark.operators.msg import _msg_extract_text
 from drill_logfile_plugin_spark.operators.odt import (
     _odp_extract_text,
     _ods_extract_text,
@@ -76,6 +77,7 @@ def _valid_payloads():
     from tests.test_pdf import build_pdf, text_stream
     from tests.test_ole2 import build_doc
     from tests.test_probe import build_webm
+    from tests.test_msg import build_msg
     from tests.test_offcrypto import encrypt_standard
     from tests.test_sevenzip import build_7z
     from tests.test_ooxml import build_pptx, build_xlsx
@@ -105,6 +107,7 @@ def _valid_payloads():
                 b"fuzz seed doc\\end{document}"),
         "ods": build_ods({"S": [[("fuzz seed doc", 1)]]}),
         "odp": build_odp([["fuzz seed doc"]]),
+        "msg": build_msg(body="fuzz seed doc\r\n"),
         "xlsx": build_xlsx(
             [("S", '<row><c r="A1" t="inlineStr"><is><t>fuzz seed doc'
                    "</t></is></c></row>")]
@@ -143,6 +146,7 @@ _EXTRACTORS = {
     "tex": _latex_extract_text,
     "ods": _ods_extract_text,
     "odp": _odp_extract_text,
+    "msg": _msg_extract_text,
 }
 
 

@@ -22,33 +22,45 @@ FATSECT = 0xFFFFFFFD
 # --- independent CFB writer --------------------------------------------------------
 
 
-def write_cfb(streams: dict[str, bytes], mini_cutoff: int = 4096) -> bytes:
+def write_cfb(streams: dict[str, bytes], mini_cutoff: int = 4096,
+              storages: dict | None = None) -> bytes:
     """Assemble a 512-byte-sector compound file: header DIFAT, one or
     more FAT sectors, a miniFAT chain, a directory chain, the root's
     mini stream, and big-stream chains — REAL sector numbers
-    throughout."""
+    throughout. ``storages`` adds sub-storages (name -> {stream:
+    bytes}) with REAL directory-tree pointers: the root's child starts
+    the top-level sibling chain, each storage's child starts its own —
+    the [MS-CFB] shape tree-aware readers must honor."""
     SSZ = 512
+    storages = storages or {}
+    # flat data map keyed by (storage_or_None, name)
+    flat = {(None, n): b for n, b in streams.items()}
+    for sto, members in storages.items():
+        for n, b in members.items():
+            flat[(sto, n)] = b
     names = list(streams)
-    big = {n: b for n, b in streams.items() if len(b) >= mini_cutoff}
-    small = {n: b for n, b in streams.items() if len(b) < mini_cutoff}
+    big = {k: b for k, b in flat.items() if len(b) >= mini_cutoff}
+    small = {k: b for k, b in flat.items() if len(b) < mini_cutoff}
 
     # mini stream: 64-byte slots, sequential miniFAT chains
     mini_data = bytearray()
     mini_first = {}
     minifat: list[int] = []
-    for n, b in small.items():
+    for k_, b in small.items():
         slots = max(1, (len(b) + 63) // 64)
-        mini_first[n] = len(minifat)
+        mini_first[k_] = len(minifat)
         for k in range(slots - 1):
             minifat.append(len(minifat) + 1)
         minifat.append(ENDOFCHAIN)
         mini_data += b + b"\x00" * (slots * 64 - len(b))
 
-    n_dir_entries = 1 + len(names)
+    n_dir_entries = (
+        1 + len(names) + len(storages) + sum(len(m) for m in storages.values())
+    )
     n_dir_sectors = max(1, (n_dir_entries * 128 + SSZ - 1) // SSZ)
     n_minifat_sectors = (len(minifat) * 4 + SSZ - 1) // SSZ if minifat else 0
     n_mini_sectors = (len(mini_data) + SSZ - 1) // SSZ
-    big_sectors = {n: (len(b) + SSZ - 1) // SSZ for n, b in big.items()}
+    big_sectors = {k: (len(b) + SSZ - 1) // SSZ for k, b in big.items()}
 
     # iterate FAT sizing to a fixed point
     n_fat = 1
@@ -69,9 +81,9 @@ def write_cfb(streams: dict[str, bytes], mini_cutoff: int = 4096) -> bytes:
     mini_at = dir_at + n_dir_sectors
     big_at = {}
     cursor = mini_at + n_mini_sectors
-    for n in big:
-        big_at[n] = cursor
-        cursor += big_sectors[n]
+    for k_ in big:
+        big_at[k_] = cursor
+        cursor += big_sectors[k_]
     n_total = cursor
 
     fat = [FREESECT] * (((n_total * 4 + SSZ - 1) // SSZ * SSZ) // 4)
@@ -88,32 +100,60 @@ def write_cfb(streams: dict[str, bytes], mini_cutoff: int = 4096) -> bytes:
     chain(dir_at, n_dir_sectors)
     if n_mini_sectors:
         chain(mini_at, n_mini_sectors)
-    for n, cnt in big_sectors.items():
-        chain(big_at[n], cnt)
+    for k_, cnt in big_sectors.items():
+        chain(big_at[k_], cnt)
 
-    def dir_entry(name: str, otype: int, start: int, size: int) -> bytes:
+    def dir_entry(name: str, otype: int, start: int, size: int,
+                  left=FREESECT, right=FREESECT, child=FREESECT) -> bytes:
         raw = name.encode("utf-16-le")
         e = bytearray(128)
         e[: len(raw)] = raw
         struct.pack_into("<H", e, 0x40, len(raw) + 2)
         e[0x42] = otype
         e[0x43] = 1  # black
-        struct.pack_into("<III", e, 0x44, FREESECT, FREESECT, FREESECT)
+        struct.pack_into("<III", e, 0x44, left, right, child)
         struct.pack_into("<I", e, 0x74, start)
         struct.pack_into("<Q", e, 0x78, size)
         return bytes(e)
 
+    def loc(key):
+        if key in big:
+            return big_at[key], len(big[key])
+        return mini_first[key], len(small[key])
+
+    # directory ids: 0 root; 1..len(names) top-level streams; then one
+    # id per storage followed by its members. Sibling chains via right
+    # pointers (a degenerate-but-valid RB shape).
+    n_top = len(names) + len(storages)
     entries = [
         dir_entry(
             "Root Entry", 5,
             mini_at if n_mini_sectors else ENDOFCHAIN, len(mini_data),
+            child=1 if n_top else FREESECT,
         )
     ]
-    for n in names:
-        if n in big:
-            entries.append(dir_entry(n, 2, big_at[n], len(big[n])))
-        else:
-            entries.append(dir_entry(n, 2, mini_first[n], len(small[n])))
+    next_id = 1 + len(names) + len(storages)
+    storage_children = {}
+    for si, (sto, members) in enumerate(storages.items()):
+        storage_children[sto] = next_id
+        next_id += len(members)
+    top_ids = list(range(1, 1 + n_top))
+    for pos, n in enumerate(names):
+        right = top_ids[pos + 1] if pos + 1 < n_top else FREESECT
+        st, sz = loc((None, n))
+        entries.append(dir_entry(n, 2, st, sz, right=right))
+    for si, (sto, members) in enumerate(storages.items()):
+        pos = len(names) + si
+        right = top_ids[pos + 1] if pos + 1 < n_top else FREESECT
+        child = storage_children[sto] if members else FREESECT
+        entries.append(dir_entry(sto, 1, 0, 0, right=right, child=child))
+    for sto, members in storages.items():
+        mnames = list(members)
+        base = storage_children[sto]
+        for mi, n in enumerate(mnames):
+            right = base + mi + 1 if mi + 1 < len(mnames) else FREESECT
+            st, sz = loc((sto, n))
+            entries.append(dir_entry(n, 2, st, sz, right=right))
     dir_bytes = b"".join(entries)
     dir_bytes += b"\x00" * (n_dir_sectors * SSZ - len(dir_bytes))
 
@@ -148,9 +188,9 @@ def write_cfb(streams: dict[str, bytes], mini_cutoff: int = 4096) -> bytes:
     body += dir_bytes
     if n_mini_sectors:
         body += mini_data + b"\x00" * (n_mini_sectors * SSZ - len(mini_data))
-    for n in big:
-        b = big[n]
-        body += b + b"\x00" * (big_sectors[n] * SSZ - len(b))
+    for k_ in big:
+        b = big[k_]
+        body += b + b"\x00" * (big_sectors[k_] * SSZ - len(b))
     return bytes(header) + bytes(body)
 
 
