@@ -163,13 +163,20 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
         return "srt"
     if payload.lstrip()[:1] == b"{" and b'"cells"' in payload[:4096]:
         return "ipynb"
-    # LaTeX source (arXiv dumps): the two markers no other format shares
-    if b"\\documentclass" in payload[:4096] or b"\\begin{document}" in payload[:4096]:
-        return "tex"
     from .email_text import looks_like_email
 
+    # Email first: a message merely QUOTING LaTeX markup must stay an
+    # email, not be routed to detex (advice r9).
     if looks_like_email(payload):
         return "mbox" if payload.startswith(b"From ") else "eml"
+    # LaTeX source (arXiv dumps): markers anchored to line starts so a
+    # plain-text file discussing \documentclass mid-line passes through
+    # as txt instead of being detex-mangled.
+    if re.search(
+        rb"(?m)^[ \t]*\\documentclass|^[ \t]*\\begin\{document\}",
+        payload[:4096],
+    ):
+        return "tex"
     try:
         payload.decode("utf-8", errors="strict")
         return "txt"

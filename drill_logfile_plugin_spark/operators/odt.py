@@ -38,10 +38,15 @@ _TABNS = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _ONS = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 
 
+_MAX_XML_DEPTH = 64
+
+
 def _walk_paragraph(p) -> str:
     parts: list[str] = []
 
-    def walk(node):
+    def walk(node, depth=0):
+        if depth > _MAX_XML_DEPTH:
+            raise ValueError("ODF paragraph nested too deeply")
         if node.tag == f"{_TNS}tab":
             parts.append("\t")
         elif node.tag == f"{_TNS}line-break":
@@ -51,7 +56,7 @@ def _walk_paragraph(p) -> str:
         if node.text:
             parts.append(node.text)
         for child in node:
-            walk(child)
+            walk(child, depth + 1)
             if child.tail:
                 parts.append(child.tail)
 
@@ -124,7 +129,9 @@ def _odt_extract_text(payload: bytes):
     lines: list[str] = []
     n_paragraphs = 0
 
-    def walk(node):
+    def walk(node, depth=0):
+        if depth > _MAX_XML_DEPTH:
+            raise ValueError("ODT body nested too deeply")
         nonlocal n_paragraphs
         for child in node:
             if child.tag in (f"{_TNS}p", f"{_TNS}h"):
@@ -141,7 +148,7 @@ def _odt_extract_text(payload: bytes):
                         cells.append("\n".join(cell_lines))
                     lines.append("\t".join(cells))
             else:
-                walk(child)
+                walk(child, depth + 1)
 
     walk(text_el)
     return "\n".join(lines).strip("\n"), n_paragraphs
@@ -280,7 +287,9 @@ def _odp_extract_text(payload: bytes):
         "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}notes"
     )
     for page in pages:
-        def walk(node):
+        def walk(node, depth=0):
+            if depth > _MAX_XML_DEPTH:
+                raise ValueError("ODP page nested too deeply")
             if node.tag == notes_tag:
                 return
             if node.tag in (f"{_TNS}p", f"{_TNS}h"):
@@ -289,7 +298,7 @@ def _odp_extract_text(payload: bytes):
                     lines.append(text)
                 return
             for child in node:
-                walk(child)
+                walk(child, depth + 1)
 
         walk(page)
     if not lines:

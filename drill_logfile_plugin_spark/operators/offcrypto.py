@@ -168,6 +168,12 @@ def _decrypt_agile(info: bytes, pkg: bytes, passwords) -> bytes:
     kd_hash = _agile_hash(kd.get("hashAlgorithm"))
     kd_block = int(kd.get("blockSize") or 16)
     kd_bits = int(kd.get("keyBits") or 256)
+    if kd_block != 16:
+        raise ValueError(
+            f"agile keyData blockSize {kd_block} invalid (AES requires 16)"
+        )
+    if kd_bits not in (128, 192, 256):
+        raise ValueError(f"agile keyData keyBits {kd_bits} invalid for AES")
     if (kd.get("cipherAlgorithm") or "AES") != "AES":
         raise NotImplementedError(
             f"OOXML agile cipher {kd.get('cipherAlgorithm')!r} unsupported"
@@ -181,6 +187,15 @@ def _decrypt_agile(info: bytes, pkg: bytes, passwords) -> bytes:
         ek_hash = _agile_hash(ek.get("hashAlgorithm"))
         ek_block = int(ek.get("blockSize") or 16)
         ek_bits = int(ek.get("keyBits") or 256)
+        if ek_block != 16:
+            raise ValueError(
+                f"agile encryptedKey blockSize {ek_block} invalid "
+                "(AES requires 16)"
+            )
+        if ek_bits not in (128, 192, 256):
+            raise ValueError(
+                f"agile encryptedKey keyBits {ek_bits} invalid for AES"
+            )
         evhi = base64.b64decode(ek.get("encryptedVerifierHashInput") or "")
         evhv = base64.b64decode(ek.get("encryptedVerifierHashValue") or "")
         ekv = base64.b64decode(ek.get("encryptedKeyValue") or "")

@@ -38,6 +38,10 @@ import zlib
 from xml.etree import ElementTree as ET
 
 _MAX_UNCOMPRESSED = 256 << 20
+# Depth bound for recursive element walks: deeper nesting than this in
+# sharedStrings/slide XML is crafted, not authored (ppt.py uses the same
+# discipline via its _MAX_DEPTH).
+_MAX_XML_DEPTH = 64
 _S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _R_NS = (
@@ -107,13 +111,15 @@ def _si_text(si) -> str:
     parts = []
     skip = {f"{_S_NS}rPh", f"{_S_NS}phoneticPr"}
 
-    def walk(node):
+    def walk(node, depth=0):
+        if depth > _MAX_XML_DEPTH:
+            raise ValueError("sharedStrings item nested too deeply")
         if node.tag in skip:
             return
         if node.tag == f"{_S_NS}t":
             parts.append(node.text or "")
         for child in node:
-            walk(child)
+            walk(child, depth + 1)
 
     walk(si)
     return "".join(parts)

@@ -245,6 +245,7 @@ def _parse_streams_info(r: _Reader):
     unpack_sizes: list = []
     sub_counts = None
     sub_sizes = None
+    folder_crc_defined: list = []
     while True:
         prop = r.number()
         if prop == _K_END:
@@ -289,7 +290,11 @@ def _parse_streams_info(r: _Reader):
                 if p == _K_END:
                     break
                 if p == _K_CRC:
-                    r.skip_crcs(n_folders)
+                    # Remember which folders carry a CRC: SubStreamsInfo
+                    # digests are stored only for streams whose CRC is
+                    # not already defined here (7zFormat.txt, kCRC).
+                    folder_crc_defined = r.bitfield_all_defined(n_folders)
+                    r.bytes(4 * sum(folder_crc_defined))
                 else:
                     raise ValueError(f"7z UnPackInfo property {p} invalid")
         elif prop == _K_SUBSTREAMS:
@@ -313,7 +318,19 @@ def _parse_streams_info(r: _Reader):
                         sub_sizes.append(sizes)
                 elif p == _K_CRC:
                     counts = sub_counts or [1] * len(folders)
-                    r.skip_crcs(sum(counts))
+                    # Digests cover only streams without a folder-level
+                    # CRC: a single-substream folder whose CRC was
+                    # defined in UnPackInfo stores no digest here.
+                    n_digests = sum(
+                        cnt
+                        for fi, cnt in enumerate(counts)
+                        if not (
+                            cnt == 1
+                            and fi < len(folder_crc_defined)
+                            and folder_crc_defined[fi]
+                        )
+                    )
+                    r.skip_crcs(n_digests)
                 else:
                     raise ValueError(f"7z SubStreams property {p} invalid")
             if sub_counts is not None and not sub_sizes:

@@ -324,7 +324,11 @@ def _decrypt_filepass(wb: bytes, data: bytes) -> bytes:
             _rc4_std_keyfn, hashlib.md5,
         )
     elif minor == 2 and major in (2, 3, 4):  # RC4 CryptoAPI
+        if len(data) < 14:
+            raise ValueError(".xls CryptoAPI FilePass header truncated")
         _flags, hsize = struct.unpack_from("<II", data, 6)
+        if hsize > len(data) - 14:
+            raise ValueError(".xls CryptoAPI EncryptionHeader truncated")
         header = data[14 : 14 + hsize]
         if len(header) < 24:
             raise ValueError(".xls CryptoAPI EncryptionHeader truncated")
