@@ -25,8 +25,21 @@ module routes EACH ROW to the right extractor (the media tier's
 * an mbox ``From `` envelope or >= 2 RFC 5322 header lines -> email
   (:mod:`.email_text`; mailboxes linearize here — use
   ``explode_mbox`` for the one-row-per-message shape);
+* a Unicode BOM -> decoded via the charset chain, then classed html
+  vs plain text (a UTF-16 .txt — the Windows default export — is a
+  document, not a quarantine);
 * strict-UTF-8-decodable bytes -> plain text, passed through;
+* remaining byte strings run the legacy-charset chain
+  (:mod:`.charset`): BOM-less UTF-16 heuristic, then the WHATWG
+  windows-1252 fallback gated on control-character ratio — legacy
+  single-byte text extracts, binary junk still quarantines;
 * anything else quarantines per ``on_error``.
+
+Declared charsets (HTTP Content-Type labels a source captured) enter
+via ``extract_document_text(charset_col=...)`` and take effect in the
+txt/html lanes between the BOM and the UTF-8 probe; a declared label
+whose bytes don't decode strictly under it falls through the chain
+(the mismatch policy pinned in tests/test_charset.py).
 
 Output is ONE schema for every format: ``(doc_id, doc_format, text,
 n_units, n_chars)`` — ``n_units`` is pages (pdf), paragraphs
@@ -163,6 +176,15 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
         return "srt"
     if payload.lstrip()[:1] == b"{" and b'"cells"' in payload[:4096]:
         return "ipynb"
+    # A Unicode BOM names the encoding outright (UTF-16 .txt is the
+    # Windows default export); decode once to see whether it's marked-up
+    # HTML or plain text — the byte-level <html sniff above can't see
+    # into UTF-16/32.
+    from .charset import decode_text, is_texty, sniff_bom
+
+    if sniff_bom(payload) is not None:
+        low = decode_text(payload)[0][:512].lower()
+        return "html" if ("<html" in low or "<!doctype html" in low) else "txt"
     from .email_text import looks_like_email
 
     # Email first: a message merely QUOTING LaTeX markup must stay an
@@ -181,13 +203,24 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
         payload.decode("utf-8", errors="strict")
         return "txt"
     except UnicodeDecodeError:
-        raise ValueError("unrecognized document payload")
+        pass
+    # Legacy-charset plain text: the BOM-less UTF-16 heuristic and the
+    # WHATWG windows-1252 fallback, gated on the control-character
+    # ratio so binary junk still quarantines.
+    text, _enc, src = decode_text(payload)
+    if src in ("utf-16-heuristic", "fallback") and is_texty(text):
+        return "txt"
+    raise ValueError("unrecognized document payload")
 
 
-def _extract_one(fmt: str, payload: bytes):
-    """(text, n_units) via the format's extractor."""
+def _extract_one(fmt: str, payload: bytes, declared_charset=None):
+    """(text, n_units) via the format's extractor. ``declared_charset``
+    (an HTTP/container-level charset label) feeds the txt/html decode
+    chain; structured formats carry their own encoding rules."""
     if fmt.startswith("gz:"):
-        return _extract_one(fmt[3:], _unwrap_envelope(payload))
+        return _extract_one(
+            fmt[3:], _unwrap_envelope(payload), declared_charset
+        )
     if fmt == "pdf":
         from .pdf import _pdf_extract_text
 
@@ -277,13 +310,19 @@ def _extract_one(fmt: str, payload: bytes):
         return "\f".join(texts), len(texts)
     if fmt == "html":
         from .boilerplate import _extract_main
+        from .charset import decode_text
 
         text, _nb, n_good = _extract_main(
-            payload.decode("utf-8", errors="replace")
+            decode_text(payload, declared_charset, html=True)[0]
         )
         return text, n_good
     if fmt == "txt":
-        return payload.decode("utf-8"), 1
+        from .charset import decode_text, is_texty
+
+        text, _enc, src = decode_text(payload, declared_charset)
+        if src in ("utf-16-heuristic", "fallback") and not is_texty(text):
+            raise ValueError("binary payload is not decodable text")
+        return text, 1
     raise ValueError(f"document format {fmt!r} not extractable")
 
 
@@ -294,6 +333,7 @@ def extract_document_text(
     codec: str = "auto",
     on_error: str = "null",
     passthrough_cols: tuple = (),
+    charset_col: str | None = None,
 ):
     """Spark lane: mixed document payloads -> ``(doc_id, doc_format,
     text, n_units, n_chars)``. ``codec="auto"`` sniffs per row; naming
@@ -301,7 +341,11 @@ def extract_document_text(
     the quarantine path). ``passthrough_cols`` ride the Arrow batch
     untouched and append to the output schema — the adapter hook that
     keeps compositions (e.g. WARC url/source columns) exchange-free
-    instead of re-joining on doc_id."""
+    instead of re-joining on doc_id. ``charset_col`` names a nullable
+    string column carrying a per-row declared charset label (e.g. the
+    HTTP Content-Type parameter a WARC adapter captured); it feeds the
+    txt/html decode chain (operators/charset.py) and is consumed, not
+    emitted."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
@@ -323,7 +367,7 @@ def extract_document_text(
         )
     _check_on_error(on_error)
     passthrough_cols = tuple(passthrough_cols)
-    reserved = {"doc_id", "doc_format", "text", "n_units", "n_chars", "payload"}
+    reserved = {"doc_id", "doc_format", "text", "n_units", "n_chars", "payload", "_charset"}
     for c in passthrough_cols:
         if c in reserved:
             raise ValueError(f"passthrough column {c!r} collides with the output schema")
@@ -340,6 +384,7 @@ def extract_document_text(
     narrow = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(payload_col).alias("payload"),
+        *([F.col(charset_col).alias("_charset")] if charset_col else []),
         *[F.col(c) for c in passthrough_cols],
     ).where(F.col("payload").isNotNull())
 
@@ -347,13 +392,16 @@ def extract_document_text(
         for pdf in it:
             ids, fmts, texts, nus, ncs = [], [], [], [], []
             keep_idx = []
-            for row_i, (doc_id, p) in enumerate(
-                zip(pdf["doc_id"], pdf["payload"])
+            charsets = (
+                pdf["_charset"] if charset_col else [None] * len(pdf)
+            )
+            for row_i, (doc_id, p, declared) in enumerate(
+                zip(pdf["doc_id"], pdf["payload"], charsets)
             ):
                 raw = bytes(p)
                 try:
                     fmt = sniff_document(raw) if codec == "auto" else codec
-                    text, n_units = _extract_one(fmt, raw)
+                    text, n_units = _extract_one(fmt, raw, declared)
                 except (ValueError, NotImplementedError, UnicodeDecodeError):
                     if on_error == "strict":
                         raise

@@ -45,6 +45,13 @@ def configure_session(spark: SparkSession, shuffle_partitions: int | None = None
     # The events table stores TIMESTAMP(NANOS) which Spark rejects by default
     # (PARQUET_TYPE_ILLEGAL); read as long and convert in load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The WARC text adapters decode per-row charsets (windows-125x,
+    # Shift_JIS, GBK, ...) JVM-side; Spark 4 gates decode() to 7 charsets
+    # and error-mode malformed handling unless these are set. Replacement
+    # semantics is the dirty-corpus posture: one bad byte never fails a
+    # 100 TB task (operators/charset.py).
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 

@@ -60,6 +60,7 @@ WARC_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("warc_date", StringType()),
         StructField("content_type", StringType()),
+        StructField("http_content_type", StringType()),
         StructField("http_status", IntegerType()),
         StructField("body", BinaryType()),
         StructField("n_bytes", LongType()),
@@ -68,20 +69,29 @@ WARC_SCHEMA = StructType(
 
 
 def _parse_http_payload(payload: bytes):
-    """Split an HTTP-response payload into (status, body). A payload that
-    doesn't start with HTTP/ is returned whole with status None (WARC
-    allows raw payloads; resource records carry the object directly)."""
+    """Split an HTTP-response payload into (status, content_type, body).
+    ``content_type`` is the HTTP Content-Type header verbatim — the
+    carrier of the server-declared charset the text adapters decode by.
+    A payload that doesn't start with HTTP/ is returned whole with
+    status/content_type None (WARC allows raw payloads; resource
+    records carry the object directly)."""
     if not payload.startswith(b"HTTP/"):
-        return None, payload
+        return None, None, payload
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
-        return None, payload
+        return None, None, payload
     head = payload[:sep].decode("latin-1", "replace")
-    status_line = head.split("\r\n", 1)[0].split()
+    lines = head.split("\r\n")
+    status_line = lines[0].split()
     status = None
     if len(status_line) >= 2 and status_line[1].isdigit():
         status = int(status_line[1])
-    return status, payload[sep + 4 :]
+    ctype = None
+    for ln in lines[1:]:
+        if ln.lower().startswith("content-type:"):
+            ctype = ln.split(":", 1)[1].strip()
+            break
+    return status, ctype, payload[sep + 4 :]
 
 
 def parse_warc_records(data: bytes):
@@ -120,12 +130,13 @@ def parse_warc_records(data: bytes):
                 "WARC Content-Length runs past the end of the stream"
             )
         payload = data[body_start : body_start + length]
-        status, body = _parse_http_payload(payload)
+        status, http_ctype, body = _parse_http_payload(payload)
         yield (
             fields.get("warc-type"),
             fields.get("warc-target-uri"),
             fields.get("warc-date"),
             fields.get("content-type"),
+            http_ctype,
             status,
             body,
         )
@@ -179,13 +190,14 @@ def read_warc(
                         if on_error == "strict":
                             raise
                         break  # framing broken: drop the untrusted tail
-                    wtype, url, date, ctype, status, body = rec
+                    wtype, url, date, ctype, http_ct, status, body = rec
                     out["path"].append(fpath)
                     out["record_no"].append(rec_no)
                     out["warc_type"].append(wtype)
                     out["url"].append(url)
                     out["warc_date"].append(date)
                     out["content_type"].append(ctype)
+                    out["http_content_type"].append(http_ct)
                     out["http_status"].append(status)
                     out["body"].append(body)
                     out["n_bytes"].append(len(body))
@@ -199,6 +211,9 @@ def read_warc(
                     "warc_date": pd.Series(out["warc_date"], dtype="object"),
                     "content_type": pd.Series(
                         out["content_type"], dtype="object"
+                    ),
+                    "http_content_type": pd.Series(
+                        out["http_content_type"], dtype="object"
                     ),
                     "http_status": pd.Series(
                         out["http_status"], dtype="object"
@@ -215,16 +230,22 @@ def wet_documents(warc: DataFrame) -> DataFrame:
     """The WET twin of :func:`warc_documents`: Common Crawl's .wet.gz
     files carry ``conversion`` records whose payload is ALREADY extracted
     plain text (no HTTP envelope, no markup), so the adapter is URL
-    canonicalization + UTF-8 decode only."""
+    canonicalization + decode: UTF-8 by spec, with the BOM/declared
+    rungs of the charset chain honored (a converted page keeps its
+    exporter's BOM more often than the spec admits)."""
+    from ..operators.charset import declared_charset_expr, decode_expr
     from ..operators.web import canonical_url
 
     conv = warc.where(
         (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
     )
+    cs = declared_charset_expr(
+        F.col("content_type"), F.col("body"), meta=False
+    )
     return conv.select(
         F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
         canonical_url("url").alias("url"),
-        F.decode(F.col("body"), "UTF-8").alias("text"),
+        decode_expr(F.col("body"), cs).alias("text"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
     )
 
@@ -233,10 +254,13 @@ def warc_documents(
     warc: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:
     """The crawl→pipeline adapter: response records with a 2xx status
-    become (doc_id, url, text, source) — body bytes decoded as UTF-8
-    with replacement, markup stripped, URL canonicalized, source = the
-    registered domain. Feed the result straight to
-    ``pipeline.ingest_increment``."""
+    become (doc_id, url, text, source) — body bytes decoded through the
+    JVM charset chain (BOM, then the HTTP Content-Type charset captured
+    at parse time, then the HTML meta prescan, defaulting UTF-8 with
+    replacement), markup stripped, URL canonicalized, source = the
+    registered domain — one whole-stage-codegen map, no Python. Feed
+    the result straight to ``pipeline.ingest_increment``."""
+    from ..operators.charset import declared_charset_expr, decode_expr
     from ..operators.web import canonical_url, strip_html
 
     responses = warc.where(
@@ -244,10 +268,11 @@ def warc_documents(
         & F.col("http_status").between(min_status, max_status)
         & F.col("url").isNotNull()
     )
+    cs = declared_charset_expr(F.col("http_content_type"), F.col("body"))
     return responses.select(
         F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
         canonical_url("url").alias("url"),
-        strip_html(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        strip_html(decode_expr(F.col("body"), cs)).alias("text"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
     )
 
@@ -338,7 +363,10 @@ def warc_extracted_documents(
     sources, and compressed envelopes, with undecodable bodies
     quarantined per ``on_error``. The url/source columns ride the
     extraction's Arrow batch as passthrough columns, so the composed
-    plan stays an exchange-free narrow map."""
+    plan stays an exchange-free narrow map. The HTTP Content-Type
+    charset captured at parse time feeds the router's txt/html decode
+    chain per row (``charset_col``)."""
+    from ..operators.charset import declared_charset_expr
     from ..operators.documents import extract_document_text
     from ..operators.web import canonical_url
 
@@ -350,6 +378,7 @@ def warc_extracted_documents(
         F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
         canonical_url("url").alias("url"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+        declared_charset_expr(F.col("http_content_type")).alias("charset"),
         "body",
     )
     return extract_document_text(
@@ -357,6 +386,7 @@ def warc_extracted_documents(
         payload_col="body",
         on_error=on_error,
         passthrough_cols=("url", "source"),
+        charset_col="charset",
     ).select(
         "doc_id", "url", "source", "doc_format", "text", "n_units", "n_chars"
     )

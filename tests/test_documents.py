@@ -75,7 +75,9 @@ def test_sniff_document_rejections():
 def test_mixed_corpus_one_call(spark):
     pays = _payloads()
     rows = [(i, bytearray(p)) for i, p in enumerate(pays.values())]
-    rows.append((99, bytearray(b"\xff\xfe binary garbage \x00")))
+    # non-UTF-8 control junk: no BOM (a BOM'd payload is now TEXT by
+    # design — the charset chain), fails the fallback's texty gate
+    rows.append((99, bytearray((bytes(range(1, 32)) + b"\xff\xfe\xfd") * 4)))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
         r["doc_id"]: r for r in DOC.extract_document_text(df).collect()
@@ -107,14 +109,15 @@ def test_auto_matches_dedicated_lanes(spark):
 
 
 def test_explicit_codec_skips_sniff(spark):
-    rows = [(0, bytearray(PROSE.encode())), (1, bytearray(b"\xff\xfe\x00"))]
+    junk = bytes(range(256)) * 4  # control-laden binary, no BOM
+    rows = [(0, bytearray(PROSE.encode())), (1, bytearray(junk))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
         r["doc_id"]: r
         for r in DOC.extract_document_text(df, codec="txt").collect()
     }
     assert out[0]["text"] == PROSE
-    assert out[1]["text"] is None  # not UTF-8: quarantined under txt
+    assert out[1]["text"] is None  # binary junk: quarantined under txt
     with pytest.raises(NotImplementedError, match="document codec"):
         DOC.extract_document_text(df, codec="docbook")
 

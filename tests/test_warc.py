@@ -53,9 +53,11 @@ def test_parser_roundtrip_plain():
     )
     recs = list(parse_warc_records(blob))
     assert [r[0] for r in recs] == ["warcinfo", "response", "request"]
-    assert recs[1][4] == 200  # http status split out
-    assert recs[1][5] == b"<p>hello</p>"  # body after HTTP headers
-    assert recs[2][4] is None  # request payload is not an HTTP response
+    assert recs[1][5] == 200  # http status split out
+    assert recs[1][4] == "text/html"  # HTTP Content-Type captured
+    assert recs[1][6] == b"<p>hello</p>"  # body after HTTP headers
+    assert recs[2][5] is None  # request payload is not an HTTP response
+    assert recs[2][4] is None
     with pytest.raises(ValueError, match="Content-Length runs past"):
         list(parse_warc_records(blob[:-10]))
     with pytest.raises(ValueError, match="version line"):
@@ -265,7 +267,9 @@ def test_warc_extracted_documents_routes_nonhtml(spark, tmp_path):
         + _record(url="https://d.example.com/page.html.gz",
                   payload=_http(_gzip.compress(html), ctype="text/html"))
         + _record(url="https://e.example.com/broken",
-                  payload=_http(b"\xff\xfe garbage that is no format"))
+                  # non-UTF-8 control junk: no BOM, no NUL parity, fails
+                  # the fallback's texty gate -> quarantined
+                  payload=_http((bytes(range(1, 32)) + b"\xff\xfe\xfd") * 8))
     )
     path = tmp_path / "crawl.warc"
     path.write_bytes(blob)
