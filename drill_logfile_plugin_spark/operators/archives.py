@@ -42,7 +42,7 @@ _MAX_TOTAL = 1 << 31  # 2 GiB declared-uncompressed bound per archive
 _MAX_MEMBER = 512 << 20
 
 #: magic prefixes for the compressed-tar envelopes decompress_payload opens
-_TAR_ENVELOPES = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00")
+_TAR_ENVELOPES = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b"\x28\xb5\x2f\xfd")
 
 
 def _zip_members(payload: bytes):
@@ -72,21 +72,26 @@ def _zip_members(payload: bytes):
 
 
 def _tar_members(payload: bytes):
-    if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or payload[:6] == _TAR_ENVELOPES[2]:
+    if any(payload[: len(m)] == m for m in _TAR_ENVELOPES):
         # streaming bounded inflate (decompressobj/max_length) capped AT
         # _MAX_TOTAL — the one-shot gzip/bz2/lzma.decompress functions
         # inflate fully BEFORE any size check, so a small bz2/xz bomb
         # (>10^4:1 ratios) would exhaust executor memory ahead of the
-        # guard; the shared bounded primitive closes that window
-        from .multimodal import bounded_decompress_bytes
+        # guard; the shared bounded primitive closes that window.
+        # .tar.zst routes through the import-guarded bounded zstd lane
+        # (NotImplementedError names the missing module actionably).
+        from .multimodal import _make_zstd_one, bounded_decompress_bytes
 
-        codec = (
-            "gzip"
-            if payload[:2] == b"\x1f\x8b"
-            else ("bz2" if payload[:3] == b"BZh" else "xz")
-        )
         try:
-            payload = bounded_decompress_bytes(payload, codec, _MAX_TOTAL)
+            if payload[:4] == b"\x28\xb5\x2f\xfd":
+                payload = _make_zstd_one(_MAX_TOTAL)(payload)
+            else:
+                codec = (
+                    "gzip"
+                    if payload[:2] == b"\x1f\x8b"
+                    else ("bz2" if payload[:3] == b"BZh" else "xz")
+                )
+                payload = bounded_decompress_bytes(payload, codec, _MAX_TOTAL)
         except ValueError as exc:
             raise ValueError(f"compressed tar envelope corrupt: {exc}")
     try:
@@ -136,9 +141,7 @@ def archive_members(payload: bytes):
             yield name, data
         return
     if (
-        payload[:2] == b"\x1f\x8b"
-        or payload[:3] == b"BZh"
-        or payload[:6] == b"\xfd7zXZ\x00"
+        any(payload[: len(m)] == m for m in _TAR_ENVELOPES)
         or payload[257:262] == b"ustar"
     ):
         yield from _tar_members(payload)

@@ -67,18 +67,26 @@ DOCUMENT_FORMATS = (
 
 
 #: compression envelopes the router unwraps transparently (mixed dumps
-#: ship .html.gz / .json.xz wholesale); tar payloads stay with
-#: explode_archive — an envelope whose CONTENT is a tar is an archive,
-#: not a document
-_ENVELOPE_MAGIC = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00")
+#: ship .html.gz / .json.xz wholesale, and .jsonl.zst is the shipping
+#: format of the modern public corpora — The Pile, RedPajama, Dolma);
+#: tar payloads stay with explode_archive — an envelope whose CONTENT
+#: is a tar is an archive, not a document
+_ENVELOPE_MAGIC = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b"\x28\xb5\x2f\xfd")
 _ENVELOPE_MAX = 256 << 20
 
 
-def _unwrap_envelope(payload: bytes) -> bytes:
-    """Bounded decompression of a gzip/bz2/xz envelope (the shared
-    streaming helper — a bomb costs the cap, not an executor)."""
-    from .multimodal import bounded_decompress_bytes
+def _is_envelope(payload: bytes) -> bool:
+    return any(payload[: len(m)] == m for m in _ENVELOPE_MAGIC)
 
+
+def _unwrap_envelope(payload: bytes) -> bytes:
+    """Bounded decompression of a gzip/bz2/xz/zstd envelope (the shared
+    streaming helpers — a bomb costs the cap, not an executor; the zstd
+    lane is import-guarded and names its absence actionably)."""
+    from .multimodal import _make_zstd_one, bounded_decompress_bytes
+
+    if payload[:4] == b"\x28\xb5\x2f\xfd":
+        return _make_zstd_one(_ENVELOPE_MAX)(payload)
     codec = (
         "gzip"
         if payload[:2] == b"\x1f\x8b"
@@ -97,7 +105,7 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
     which unwraps once. Nesting is bounded: a deeper-than-3 envelope
     chain is a crafted payload, not a document (and unbounded recursion
     would escape the quarantine contract as RecursionError)."""
-    if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or payload[:6] == b"\xfd7zXZ\x00":
+    if _is_envelope(payload):
         if _depth >= _MAX_ENVELOPE_DEPTH:
             raise ValueError(
                 "compression envelopes nested deeper than the bound"
