@@ -64,6 +64,7 @@ KIND_BLOOM = "bloom-bits"
 KIND_PCA = "pca-basis"
 KIND_LOGREG = "logreg-weights"
 KIND_DSIR = "dsir-logratio"
+KIND_LANGID = "langid-ovr-weights"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -405,6 +406,41 @@ def load_dsir_model(path: str):
     _, payload, _ = load_artifact(path, KIND_DSIR)
     lr = payload["log_ratio"]
     return DSIRModel(dim=int(lr.shape[0]), n=int(payload["n"]), log_ratio=lr)
+
+
+def save_langid_model(path: str, model) -> str:
+    """Persist a fitted learned language-ID model (langid.lang_id_fit):
+    class list, per-class folded constants and standardized weight
+    arrays, plus the featurization recipe (dim / n-gram sizes / sample
+    prefix) scoring must replay verbatim. Train once on the labeled
+    fixture; score every corpus increment at scan speed."""
+    return save_artifact(
+        path,
+        KIND_LANGID,
+        {
+            "classes": list(model.classes),
+            "dim": int(model.dim),
+            "ngram_ns": [int(n) for n in model.ngram_ns],
+            "sample_chars": int(model.sample_chars),
+            "consts": model.consts,
+            "wps": model.wps,
+        },
+        {"n_classes": len(model.classes), "dim": int(model.dim)},
+    )
+
+
+def load_langid_model(path: str):
+    from .operators.langid import LangIdModel
+
+    _, payload, _ = load_artifact(path, KIND_LANGID)
+    return LangIdModel(
+        payload["classes"],
+        payload["dim"],
+        payload["ngram_ns"],
+        payload["sample_chars"],
+        payload["consts"],
+        payload["wps"],
+    )
 
 
 def save_pca_model(path: str, model) -> str:

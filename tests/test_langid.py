@@ -1,0 +1,140 @@
+"""Learned multiclass language ID (round 10, VERDICT next-round #3):
+one-vs-rest logistic regression over hashed char-n-gram features,
+trained in-engine on a seeded multilingual fixture.
+
+Pins: accuracy floor >= 0.9 on a 23-language held-out fixture;
+layout-proof bit-identity (repartition the training set, get the exact
+same weights); artifact roundtrip; scan-speed scoring plan contract
+(no Exchange, no Python — the logreg_score discipline)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from drill_logfile_plugin_spark.artifacts import (
+    load_langid_model,
+    save_langid_model,
+)
+from drill_logfile_plugin_spark.operators.langid import (
+    LangIdModel,
+    lang_id_fit,
+    lang_id_learned,
+)
+
+VOCAB = {
+    "en": "the and of to in is was for with that have this from one had".split(),
+    "de": "der die und das ist nicht mit ein eine von sich auch auf werden".split(),
+    "es": "el la los las que de en un una por como más pero sus este".split(),
+    "fr": "le les des une est dans pour que avec sur plus cette mais aux".split(),
+    "it": "il di che per con una sono questo della come anche più nella".split(),
+    "pt": "o que não uma para com dos mais foi são pelo quando muito".split(),
+    "nl": "de het een van en dat niet met voor zijn ook maar naar werd".split(),
+    "sv": "och det att i en som är av för den med har inte till".split(),
+    "da": "og det at en den til er som på ikke havde hun over efter".split(),
+    "fi": "ja on ei että se oli hän mutta kun niin myös jos hänen".split(),
+    "pl": "się nie jest na to co jak przez był dla tego tylko może".split(),
+    "cs": "je se na to že s ale jako pro byl tak podle může".split(),
+    "tr": "bir ve bu için ile olarak daha çok gibi en sonra kadar ancak".split(),
+    "ro": "și de la cu un este pentru care mai din fost după între".split(),
+    "hu": "az és hogy nem is egy meg volt már csak lehet ezek között".split(),
+    "ru": "и в не на я что он как это по его она был только".split(),
+    "uk": "і в не на що він як це за до його вона був лише".split(),
+    "el": "και το να του η με δεν από για που είναι στο αυτό των".split(),
+    "zh": "的 是 不 了 在 人 有 我 他 这 中 大 来 上".split(),
+    "ja": "の に は を た が で て と し です ます から こと".split(),
+    "ko": "이 그 저 것 수 들 및 에서 하다 있다 되다 보다 같다 때문".split(),
+    "ar": "في من على أن إلى عن مع هذا كان التي كما لكن بعد".split(),
+    "he": "של את על לא זה הוא גם כל אני אבל היה אם רק".split(),
+}
+assert len(VOCAB) == 23
+
+
+def _sentences(lang: str, n: int, rnd: random.Random) -> list:
+    return [" ".join(rnd.choices(VOCAB[lang], k=12)) for _ in range(n)]
+
+
+def _corpus(spark, n_per_lang: int, seed: int):
+    rnd = random.Random(seed)
+    rows = []
+    for lang in VOCAB:
+        for s in _sentences(lang, n_per_lang, rnd):
+            rows.append((lang, s))
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    train = _corpus(spark, n_per_lang=8, seed=42)
+    return lang_id_fit(train, dim=64, iters=10, lr=1.0)
+
+
+def test_accuracy_floor_on_heldout(spark, fitted):
+    held = _corpus(spark, n_per_lang=4, seed=4242)
+    scored = lang_id_learned(held, fitted, out_col="pred")
+    agg = scored.selectExpr(
+        "avg(cast(pred = lang as double)) as acc", "count(*) as n"
+    ).first()
+    assert agg["n"] == 23 * 4
+    assert agg["acc"] >= 0.9, f"held-out accuracy {agg['acc']:.3f}"
+
+
+def test_bit_identity_across_layouts(spark):
+    train = _corpus(spark, n_per_lang=5, seed=7).where(
+        "lang in ('en', 'ru', 'zh')"
+    )
+    m1 = lang_id_fit(train.repartition(1), dim=16, iters=5)
+    m2 = lang_id_fit(train.repartition(7), dim=16, iters=5)
+    assert m1.classes == m2.classes
+    assert np.array_equal(m1.consts, m2.consts)
+    assert np.array_equal(m1.wps, m2.wps)
+
+
+def test_artifact_roundtrip(tmp_path, spark, fitted):
+    path = str(tmp_path / "langid.json")
+    save_langid_model(path, fitted)
+    loaded = load_langid_model(path)
+    assert loaded.classes == fitted.classes
+    assert loaded.ngram_ns == fitted.ngram_ns
+    assert loaded.sample_chars == fitted.sample_chars
+    assert np.array_equal(loaded.consts, fitted.consts)
+    assert np.array_equal(loaded.wps, fitted.wps)
+    held = _corpus(spark, n_per_lang=2, seed=99)
+    a = lang_id_learned(held, fitted).collect()
+    b = lang_id_learned(held, loaded).collect()
+    assert [r["lang_pred"] for r in a] == [r["lang_pred"] for r in b]
+
+
+def test_scoring_plan_is_scan_fused(spark, fitted):
+    df = spark.createDataFrame([("hello world",)], "text string")
+    out = lang_id_learned(df, fitted, scores_col="logits")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF anywhere in the hot path
+
+
+def test_und_for_null_and_empty(spark, fitted):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   ")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["lang_pred"]
+        for r in lang_id_learned(df, fitted).collect()
+    }
+    assert got[0] == "und" and got[1] == "und"
+    # whitespace-only still produces 1-grams of spaces — a real label is
+    # acceptable there; pin only that it does not crash
+    assert got[2] is not None
+
+
+def test_model_shape_validation():
+    with pytest.raises(ValueError, match="wps shape"):
+        LangIdModel(["a", "b"], 4, (1,), 64, [0.0, 0.0], np.zeros((2, 3)))
+    with pytest.raises(ValueError, match="lengths"):
+        LangIdModel(["a", "b"], 3, (1,), 64, [0.0], np.zeros((2, 3)))
+
+
+def test_fit_rejects_single_class(spark):
+    df = spark.createDataFrame([("en", "the of and")], "lang string, text string")
+    with pytest.raises(ValueError, match="distinct labels"):
+        lang_id_fit(df, dim=8, iters=2)
