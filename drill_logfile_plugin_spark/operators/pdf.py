@@ -693,10 +693,51 @@ class _Document:
                             "PDF stream inflates past the decoder bound"
                         )
                 raw = bytes(out)
+            elif f == "CCITTFaxDecode":
+                # fax-coded bilevel raster (PDF 32000-1 §7.4.6) via the
+                # from-scratch ITU T.4/T.6 decoder; output = packed
+                # byte-aligned rows, 0 bits black unless /BlackIs1
+                from .ccitt import ccitt_decode_packed
+
+                cp = self.resolve(sdict.get("DecodeParms") or sdict.get("DP"))
+                if isinstance(cp, list):
+                    cp = next(
+                        (
+                            p
+                            for p in (self.resolve(x) for x in cp)
+                            if isinstance(p, dict)
+                        ),
+                        None,
+                    )
+                cp = cp if isinstance(cp, dict) else {}
+                k = self.resolve(cp.get("K", 0)) or 0
+                columns = self.resolve(cp.get("Columns", 1728)) or 1728
+                prows = self.resolve(cp.get("Rows"))
+                if not (isinstance(prows, int) and prows > 0):
+                    h = self.resolve(sdict.get("Height"))
+                    prows = h if isinstance(h, int) and h > 0 else None
+                mode = "g4" if k < 0 else ("g3-2d" if k > 0 else "mh")
+                if k == 0 and self.resolve(cp.get("EndOfLine", False)):
+                    mode = "g3"
+                try:
+                    raw = ccitt_decode_packed(
+                        raw,
+                        columns=int(columns),
+                        rows=prows,
+                        mode=mode,
+                        byte_align=bool(
+                            self.resolve(cp.get("EncodedByteAlign", False))
+                        ),
+                        black_bit=1
+                        if self.resolve(cp.get("BlackIs1", False))
+                        else 0,
+                    )
+                except ValueError as exc:
+                    raise ValueError(f"PDF CCITT stream corrupt: {exc}")
             else:
                 raise NotImplementedError(
                     f"PDF stream filter {f}: Flate/LZW/ASCII85/ASCIIHex/"
-                    "RunLength are decodable here (DCT/JBIG2/CCITT are "
+                    "RunLength/CCITTFax are decodable here (DCT/JBIG2 are "
                     "plug-in points)"
                 )
             if len(raw) > _PDF_MAX_STREAM:
@@ -900,6 +941,58 @@ class _Document:
             if raw[:2] != b"\xff\xd8":
                 continue
             out.append((num, w, h, raw))
+        return out
+
+    def bilevel_images(self):
+        """Every CCITT-fax image XObject decoded to a black-pixel mask:
+        ``(obj_num, width, height, numpy bool array)`` — the scanned-
+        document raster surface beside :meth:`images`' JPEG one. The
+        stream runs through the full filter chain (Flate-wrapped fax
+        data decodes in order); undecodable images are skipped (the
+        caller's count of skips is its quarantine signal)."""
+        import numpy as np
+
+        out = []
+        for num, d in _object_dicts_of_type(
+            self.payload, self.offsets, b"XObject"
+        ):
+            if self.resolve(d.get("Subtype")) != "Image":
+                continue
+            filt = self.resolve(d.get("Filter"))
+            filters = filt if isinstance(filt, list) else [filt]
+            if "CCITTFaxDecode" not in [self.resolve(f) for f in filters]:
+                continue
+            w = self.resolve(d.get("Width"))
+            h = self.resolve(d.get("Height"))
+            if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
+                continue
+            try:
+                packed = self.stream_bytes(num)
+            except (ValueError, NotImplementedError):
+                continue
+            cp = self.resolve(d.get("DecodeParms") or d.get("DP"))
+            if isinstance(cp, list):
+                cp = next(
+                    (
+                        p
+                        for p in (self.resolve(x) for x in cp)
+                        if isinstance(p, dict)
+                    ),
+                    None,
+                )
+            cp = cp if isinstance(cp, dict) else {}
+            black1 = bool(self.resolve(cp.get("BlackIs1", False)))
+            rowbytes = (w + 7) // 8
+            if len(packed) < rowbytes * h:
+                continue
+            bits = np.unpackbits(
+                np.frombuffer(
+                    packed[: rowbytes * h], dtype=np.uint8
+                ).reshape(h, rowbytes),
+                axis=1,
+            )[:, :w]
+            mask = bits.astype(bool) if black1 else ~bits.astype(bool)
+            out.append((num, w, h, mask))
         return out
 
 

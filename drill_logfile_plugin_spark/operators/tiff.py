@@ -25,11 +25,14 @@ per segment row and sample channel at either depth; compression 7
 (JPEG-in-TIFF, TIFF Tech Note 2) by composing the certified JPEG
 decoder — per-strip or per-tile complete or abbreviated streams with
 JPEGTables (tag 347) defaults spliced after each segment's SOI,
-MCU-padded segments cropped. CCITT fax codings, 4-bit samples, and
+MCU-padded segments cropped; compressions 2/3/4 (CCITT MH / G3 with
+EOL framing and the mixed-mode tag bit / G4 MMR) via the from-scratch
+ITU T.4/T.6 decoder (operators/ccitt.py — round 10 closed the former
+named quarantine with the in-test independent-encoder discipline),
+honoring both photometrics and T4Options/T6Options with the
+uncompressed-mode bits as explicit plug-in points. 4-bit samples and
 JPEG-with-16-bit/planar-2 raise NotImplementedError — explicit plug-in
-points (CCITT needs the full T.4 code tables, which this environment
-cannot cross-verify against an independent implementation — an
-unverifiable decoder is worse than an honest gate). Dimension/size sanity precedes any allocation (untrusted
+points. Dimension/size sanity precedes any allocation (untrusted
 headers).
 
 Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C).
@@ -221,12 +224,35 @@ def _tiff_decode(payload: bytes):
             f"TIFF dimensions {width}x{height} exceed the decoder bound"
         )
     compression = one(_T_COMPRESSION, 1)
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: CCITT fax codings are "
-            "plug-in points; uncompressed (1), LZW (5), JPEG (7) and "
-            "PackBits (32773) are supported"
+            f"TIFF compression {compression}: uncompressed (1), CCITT "
+            "MH/G3/G4 (2/3/4), LZW (5), JPEG (7) and PackBits (32773) "
+            "are supported"
         )
+    ccitt_mode = None
+    if compression in (2, 3, 4):
+        # TIFF 6 §10-11: fax codings are bilevel single-sample only
+        if fields.get(_T_BITS, [1])[0] != 1 or one(_T_SAMPLES_PER_PIXEL, 1) != 1:
+            raise ValueError(
+                "TIFF CCITT compression requires 1-bit single-sample data"
+            )
+        if compression == 2:
+            ccitt_mode = "mh"  # rows begin on byte boundaries (§10)
+        elif compression == 3:
+            t4opts = one(292, 0)  # T4Options
+            if t4opts & 2:
+                raise NotImplementedError(
+                    "TIFF T4Options uncompressed mode is a plug-in point"
+                )
+            ccitt_mode = "g3-2d" if t4opts & 1 else "g3"
+        else:
+            t6opts = one(293, 0)  # T6Options
+            if t6opts & 2:
+                raise NotImplementedError(
+                    "TIFF T6Options uncompressed mode is a plug-in point"
+                )
+            ccitt_mode = "g4"
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -372,6 +398,21 @@ def _tiff_decode(payload: bytes):
             # by the segment's OWN declared pixel bytes
             if compression == 5:
                 chunk = _tiff_lzw_decode(chunk, expect)
+            elif ccitt_mode is not None:
+                # fax-coded segment: decode to packed rows; black packs
+                # as 1 under photometric 0 (white-is-zero, the fax
+                # default) and 0 under photometric 1, so the shared
+                # unpack + inversion path below applies unchanged
+                from .ccitt import ccitt_decode_packed
+
+                chunk = ccitt_decode_packed(
+                    chunk,
+                    columns=bc,
+                    rows=br,
+                    mode=ccitt_mode,
+                    byte_align=ccitt_mode == "mh",
+                    black_bit=1 if photometric == 0 else 0,
+                )
             else:
                 chunk = _packbits_decode(chunk, expect)
         if len(chunk) < expect:

@@ -344,15 +344,24 @@ def test_rejection_matrix(spark):
             struct.pack_into("<H", blob, pos + 8, 65535)
     with pytest.raises(ValueError, match="exceed"):
         _tiff_decode(bytes(blob))
-    fax = bytearray(good)
-    n = struct.unpack_from("<H", fax, struct.unpack_from("<I", fax, 4)[0])[0]
-    ifd = struct.unpack_from("<I", fax, 4)[0]
-    for i in range(n):
-        pos = ifd + 2 + 12 * i
-        if struct.unpack_from("<H", fax, pos)[0] == 259:
-            struct.pack_into("<I", fax, pos + 8, 4)
-    with pytest.raises(NotImplementedError, match="compression 4"):
-        _tiff_decode(bytes(fax))
+    def _patch_compression(value):
+        blob2 = bytearray(good)
+        cnt = struct.unpack_from(
+            "<H", blob2, struct.unpack_from("<I", blob2, 4)[0]
+        )[0]
+        ifd2 = struct.unpack_from("<I", blob2, 4)[0]
+        for i in range(cnt):
+            pos = ifd2 + 2 + 12 * i
+            if struct.unpack_from("<H", blob2, pos)[0] == 259:
+                struct.pack_into("<I", blob2, pos + 8, value)
+        return bytes(blob2)
+
+    # Deflate-in-TIFF (8) stays a plug-in point
+    with pytest.raises(NotImplementedError, match="compression 8"):
+        _tiff_decode(_patch_compression(8))
+    # CCITT (4) decodes since r10 — but only on 1-bit single-sample data
+    with pytest.raises(ValueError, match="1-bit"):
+        _tiff_decode(_patch_compression(4))
     fp3 = _write_tiff([img], predictor=3)
     with pytest.raises(NotImplementedError, match="predictor 3"):
         _tiff_decode(fp3)
