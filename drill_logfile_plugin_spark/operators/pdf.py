@@ -44,12 +44,18 @@ for the profile a text-bearing, digitally-authored PDF actually uses:
 Encrypted files using the STANDARD security handler with an empty
 user or owner password (the owner-password-only profile a large share
 of real "encrypted" PDFs actually use) decode transparently — RC4-40
-through AES-256, see ``pdf_crypt`` (r9). Genuinely absent capabilities
-raise NotImplementedError at the documented plug-in points:
+through AES-256, see ``pdf_crypt`` (r9). CCITT fax image streams
+decode through ``/CCITTFaxDecode`` (r10, operators/ccitt.py) with
+``bilevel_images()`` surfacing the rasters. Type0 fonts without
+ToUnicode read Identity-H/V codes as direct CIDs; other predefined
+CMaps are a COUNTED absence (``pdf_unmapped_glyph_counts``) rather
+than Latin-1 mojibake (r10). Genuinely absent capabilities raise
+NotImplementedError at the documented plug-in points:
 password-protected files, non-Standard security handlers, TIFF
-predictor 2, and image-class filters (DCT/JBIG2/CCITT). Malformed
-structures raise ValueError. All header-derived sizes are bounded
-before allocation — a PDF is untrusted input.
+predictor 2, and the remaining image-class filters (DCT passthrough
+only / JBIG2). Malformed structures raise ValueError. All
+header-derived sizes are bounded before allocation — a PDF is
+untrusted input.
 
 The Spark lane (``extract_pdf_text``) is Arrow-batched mapInPandas with
 the multimodal tier's per-row quarantine contract, emitting
@@ -814,10 +820,11 @@ class _Document:
         """name -> ``(code_len, mapping)`` for a page's font resources,
         from the highest-fidelity source available per font: the
         ``/ToUnicode`` CMap when present and parseable (the spec's
-        authoritative text source), else the simple-font ``/Encoding``
-        tables (base encoding + ``/Differences``, r9 — subset fonts
-        without ToUnicode used to decode as literal Latin-1 bytes, the
-        silent-corruption path), else None (raw Latin-1 reading)."""
+        authoritative text source); else for Type0 fonts the encoding
+        CMap lane (Identity-H/V direct CID reading, predefined CMaps as
+        the counted absent-value contract — r10); else the simple-font
+        ``/Encoding`` tables (base encoding + ``/Differences``, r9),
+        else None (raw Latin-1 reading)."""
         if not isinstance(resources, dict):
             return {}
         fonts = self.resolve(resources.get("Font"))
@@ -834,9 +841,37 @@ class _Document:
                         except (ValueError, NotImplementedError):
                             cmap = None
                     if cmap is None:
-                        cmap = self._simple_font_mapping(fd)
+                        if self.resolve(fd.get("Subtype")) == "Type0":
+                            cmap = self._type0_mapping(fd)
+                        else:
+                            cmap = self._simple_font_mapping(fd)
                 out[name] = cmap
         return out
+
+    def _type0_mapping(self, fd: dict):
+        """The Type0-without-ToUnicode lane (r10, the CJK-book slice).
+
+        ``Identity-H``/``Identity-V``: 2-byte codes ARE the CIDs; they
+        are read directly as Unicode scalar values (the shape emitted
+        by generators that subset with Unicode-valued CIDs). CIDs in
+        the surrogate gap have no scalar value and count as unmapped.
+
+        Any OTHER predefined CMap (UniGB-UCS2-H, 90ms-RKSJ-H, ...) or
+        an embedded CMap stream maps every 2-byte code to the unmapped
+        marker: the full Adobe CMap tables cannot be independently
+        cross-verified in this environment (the repo's in-test-writer
+        discipline — an unverifiable table is worse than an honest
+        count), so the contract is COUNT + QUARANTINE, surfaced per
+        page by :func:`pdf_unmapped_glyph_counts`, never silent
+        Latin-1 mojibake. Mixed-width predefined CMaps are counted in
+        2-byte units — an approximation documented here, affecting
+        only the count of a lane that is already absent-valued."""
+        enc = self.resolve(fd.get("Encoding"))
+        if enc in ("Identity-H", "Identity-V"):
+            return (2, _IdentityCidMap())
+        if enc is None:
+            return None
+        return (2, {})  # predefined/embedded CMap: counted absence
 
     def _simple_font_mapping(self, fd: dict):
         """``(1, code->str)`` from a simple font's ``/Encoding`` entry —
@@ -1075,6 +1110,19 @@ def _parse_tounicode(data: bytes):
     return code_len, mapping
 
 
+class _IdentityCidMap:
+    """Identity-H/V CID reading: ``get(code)`` returns the code's
+    Unicode scalar value; surrogate-gap codes (no scalar value) fall to
+    the default, keeping them countable as unmapped."""
+
+    __slots__ = ()
+
+    def get(self, code: int, default=None):
+        if 0xD800 <= code <= 0xDFFF:
+            return default
+        return chr(code)
+
+
 def _content_text(content: bytes, fonts: dict | None = None) -> str:
     """Extract show-text output from one page's content stream.
     ``fonts`` maps resource names to parsed /ToUnicode CMaps: while a
@@ -1176,16 +1224,29 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
     return "\n".join(ln for ln in lines if ln).strip()
 
 
+def _pdf_page_texts(payload: bytes) -> list:
+    doc = _Document(payload)
+    return [
+        _content_text(doc.page_content(pg), doc.page_fonts(res))
+        for pg, res in doc.pages()
+    ]
+
+
 def _pdf_extract_text(payload: bytes):
     """Extract the text layer: returns ``(text, n_pages)`` with pages
     separated by form feeds (``\\f``) — the convention pdftotext uses."""
-    doc = _Document(payload)
-    pages = doc.pages()
-    texts = [
-        _content_text(doc.page_content(pg), doc.page_fonts(res))
-        for pg, res in pages
-    ]
-    return "\f".join(texts), len(pages)
+    texts = _pdf_page_texts(payload)
+    return "\f".join(texts), len(texts)
+
+
+def pdf_unmapped_glyph_counts(payload: bytes) -> list:
+    """Per-page count of unmapped glyphs (U+FFFD emissions) — the
+    visible absent-value signal for CID fonts whose predefined CMap is
+    the counted quarantine (``_Document._type0_mapping``) and for any
+    code a ToUnicode/encoding table does not cover. A page with a high
+    count is a page whose text layer is NOT trustworthy; pipelines gate
+    on it instead of ingesting mojibake."""
+    return [t.count("\ufffd") for t in _pdf_page_texts(payload)]
 
 
 def extract_pdf_text(
