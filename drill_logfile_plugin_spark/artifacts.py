@@ -65,6 +65,7 @@ KIND_PCA = "pca-basis"
 KIND_LOGREG = "logreg-weights"
 KIND_DSIR = "dsir-logratio"
 KIND_LANGID = "langid-ovr-weights"
+KIND_UNIGRAM = "unigram-lm-pieces"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -440,6 +441,32 @@ def load_langid_model(path: str):
         payload["sample_chars"],
         payload["consts"],
         payload["wps"],
+    )
+
+
+def save_unigram_model(path: str, model) -> str:
+    """Persist a unigram-LM tokenizer (unigram.unigram_train): pieces +
+    integer-scaled log-probs + the Viterbi window. Train once; every
+    encode (and every engine) replays the exact same integer
+    comparisons."""
+    return save_artifact(
+        path,
+        KIND_UNIGRAM,
+        {
+            "pieces": list(model.pieces),
+            "logp_scaled": [int(x) for x in model.logp_scaled],
+            "max_piece_len": int(model.max_piece_len),
+        },
+        {"n_pieces": len(model.pieces)},
+    )
+
+
+def load_unigram_model(path: str):
+    from .operators.unigram import UnigramModel
+
+    _, payload, _ = load_artifact(path, KIND_UNIGRAM)
+    return UnigramModel(
+        payload["pieces"], payload["logp_scaled"], payload["max_piece_len"]
     )
 
 
