@@ -12,8 +12,14 @@ variable-length numbers:
   dict-size property), **LZMA1** (``030101``, 5-byte lc/lp/pb + dict
   property), **Copy** (``00``), and **BZip2** (``040202``) via the
   stdlib's raw-filter decompressors — bounded with ``max_length`` so
-  a forged size costs the cap, not memory. Filter chains (BCJ/delta)
-  and **7zAES** (``06F10701``, password encryption) raise named
+  a forged size costs the cap, not memory. LINEAR filter chains
+  (r10) — an LZMA1/LZMA2 compressor followed by BCJ branch converters
+  (x86/PowerPC/IA64/ARM/ARM-Thumb/SPARC) and/or delta — fuse into ONE
+  stdlib-lzma raw decompressor (liblzma applies the inverse transforms
+  on decode), with bind pairs resolved to the decode order and the
+  folder's output stream taken from the UNBOUND out index;
+  delta-over-Copy decodes numerically. BCJ2 (4-input), non-linear
+  graphs, and **7zAES** (``06F10701``, password encryption) raise named
   quarantines;
 * **SubStreamsInfo** — solid archives pack many files into one
   folder; per-folder substream counts and sizes split the unpacked
@@ -114,20 +120,154 @@ class _Reader:
         self.bytes(4 * sum(defined))
 
 
-def _decode_folder(coders, packed: list, unpack_size: int) -> bytes:
-    """One folder's unpacked bytes: single-coder chains only, each via
-    a bounded stdlib decompressor."""
-    if len(coders) != 1:
-        for cid, _props in coders:
-            if cid == _7ZAES:
-                raise NotImplementedError(
-                    "7z AES-encrypted archive (7zAES coder): password "
-                    "decryption is a plug-in point"
-                )
-        raise NotImplementedError(
-            "7z multi-coder folder (BCJ/delta filter chains) is a "
-            "plug-in point"
+#: branch-convert / delta filter coders -> stdlib lzma raw-filter ids
+#: (7-Zip methods registry; liblzma applies the inverse transform on
+#: decode, so a compressor+filter chain fuses into ONE raw decompressor)
+_FILTER_CODERS = {
+    b"\x03": "delta",
+    b"\x03\x03\x01\x03": "x86",
+    b"\x03\x03\x02\x05": "powerpc",
+    b"\x03\x03\x04\x01": "ia64",
+    b"\x03\x03\x05\x01": "arm",
+    b"\x03\x03\x07\x01": "armthumb",
+    b"\x03\x03\x08\x05": "sparc",
+}
+
+
+def _lzma_filter_entry(cid: bytes, props: bytes) -> dict:
+    import lzma
+
+    kind = _FILTER_CODERS[cid]
+    if kind == "delta":
+        if len(props) != 1:
+            raise ValueError("7z delta filter property size invalid")
+        return {"id": lzma.FILTER_DELTA, "dist": props[0] + 1}
+    return {
+        "id": getattr(lzma, f"FILTER_{kind.upper()}"),
+    }
+
+
+def _chain_order(coders, bind_pairs):
+    """Decode order of a LINEAR folder chain (every coder 1-in/1-out,
+    one packed stream): coder k owns global in/out stream k, so bind
+    pair (i, o) feeds coder o's output into coder i. Returns coder
+    indices from the packed stream to the folder output."""
+    next_of = {}
+    bound_ins = set()
+    for i, o in bind_pairs:
+        if not (0 <= i < len(coders) and 0 <= o < len(coders)):
+            raise ValueError("7z bind pair indexes escape the folder")
+        next_of[o] = i
+        bound_ins.add(i)
+    heads = [k for k in range(len(coders)) if k not in bound_ins]
+    if len(heads) != 1:
+        raise ValueError("7z folder chain is not linear")
+    order = [heads[0]]
+    seen = {heads[0]}
+    while order[-1] in next_of:
+        nxt = next_of[order[-1]]
+        if nxt in seen:
+            raise ValueError("7z folder chain has a cycle")
+        order.append(nxt)
+        seen.add(nxt)
+    if len(order) != len(coders):
+        raise ValueError("7z folder chain does not cover its coders")
+    return order
+
+
+def _decode_filter_chain(coders, order, packed, unpack_size) -> bytes:
+    """A compressor followed by BCJ/delta filters, decoded as ONE fused
+    stdlib-lzma raw chain (LZMA1/LZMA2 head) or a manual delta pass
+    over a Copy head."""
+    import lzma
+
+    head_cid, head_props = coders[order[0]]
+    tail = [coders[k] for k in order[1:]]
+    for cid, _p in tail:
+        if cid not in _FILTER_CODERS:
+            raise NotImplementedError(
+                f"7z coder id {cid.hex()} in a filter chain is a "
+                "plug-in point (BCJ/delta filters decode)"
+            )
+    filters = [_lzma_filter_entry(cid, p) for cid, p in reversed(tail)]
+    if head_cid == _LZMA2:
+        if len(head_props) != 1:
+            raise ValueError("7z LZMA2 property size invalid")
+        filters.append(
+            {"id": lzma.FILTER_LZMA2, "dict_size": _lzma2_dict(head_props[0])}
         )
+    elif head_cid == _LZMA1:
+        if len(head_props) != 5:
+            raise ValueError("7z LZMA1 property size invalid")
+        d = head_props[0]
+        lc, rem = d % 9, d // 9
+        lp, pb = rem % 5, rem // 5
+        if pb > 4:
+            raise ValueError("7z LZMA1 properties invalid")
+        (dict_size,) = struct.unpack("<I", head_props[1:5])
+        filters.append(
+            {
+                "id": lzma.FILTER_LZMA1,
+                "lc": lc, "lp": lp, "pb": pb,
+                "dict_size": max(4096, dict_size),
+            }
+        )
+    elif head_cid == _COPY:
+        # uncompressed + delta (the raw-capture layout): liblzma raw
+        # chains need a compression head, so the delta inverse runs here
+        import numpy as np
+
+        out = packed
+        for cid, p in reversed(tail):
+            if _FILTER_CODERS[cid] != "delta":
+                raise NotImplementedError(
+                    "7z Copy + BCJ filter chain is a plug-in point "
+                    "(delta-over-Copy decodes)"
+                )
+            if len(p) != 1:
+                raise ValueError("7z delta filter property size invalid")
+            dist = p[0] + 1
+            arr = np.frombuffer(out, dtype=np.uint8).copy()
+            pad = (-len(arr)) % dist
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+            arr = (
+                np.cumsum(arr.reshape(-1, dist), axis=0, dtype=np.uint64)
+                % 256
+            ).astype(np.uint8)
+            out = arr.reshape(-1)[: len(out)].tobytes()
+        return out
+    else:
+        raise NotImplementedError(
+            f"7z chain head coder id {head_cid.hex()} is a plug-in "
+            "point (LZMA1/LZMA2/Copy heads decode under filters)"
+        )
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
+    try:
+        return dec.decompress(packed, unpack_size)
+    except lzma.LZMAError as exc:
+        raise ValueError(f"7z filtered stream corrupt: {exc}")
+
+
+def _decode_folder(folder, packed: list, unpack_size: int) -> bytes:
+    """One folder's unpacked bytes: single coders via bounded stdlib
+    decompressors; LINEAR compressor+BCJ/delta chains fused through
+    stdlib-lzma raw filters (r10)."""
+    coders, bind_pairs = folder if isinstance(folder, tuple) else (folder, [])
+    for cid, _props in coders:
+        if cid == _7ZAES:
+            raise NotImplementedError(
+                "7z AES-encrypted archive (7zAES coder): password "
+                "decryption is a plug-in point"
+            )
+    if unpack_size > _MAX_UNPACK:
+        raise ValueError("7z folder unpack size exceeds the bound")
+    if len(coders) != 1:
+        order = _chain_order(coders, bind_pairs)
+        out = _decode_filter_chain(coders, order, packed[0], unpack_size)
+        if len(out) < unpack_size:
+            raise ValueError("7z folder shorter than its declared unpack size")
+        return out[:unpack_size]
     cid, props = coders[0]
     data = packed[0]
     if unpack_size > _MAX_UNPACK:
@@ -205,7 +345,12 @@ def _lzma2_dict(prop: int) -> int:
 
 
 def _parse_folder(r: _Reader):
-    """One folder record -> (coders, total_out_streams)."""
+    """One folder record -> (coders, total_out_streams, bind_pairs,
+    out_index). ``coders`` is [(cid, props)], ``bind_pairs`` is
+    [(in_index, out_index)] over the folder-global stream numbering,
+    and ``out_index`` is the folder's OUTPUT stream (the out stream no
+    bind pair consumes) — the index whose size in kCodersUnpackSize is
+    the folder's unpacked size."""
     num_coders = r.number()
     if not 1 <= num_coders <= 64:
         raise ValueError("7z folder coder count invalid")
@@ -226,14 +371,16 @@ def _parse_folder(r: _Reader):
         total_in += n_in
         total_out += n_out
     n_bind = total_out - 1
-    for _ in range(n_bind):
-        r.number()
-        r.number()
+    bind_pairs = [(r.number(), r.number()) for _ in range(n_bind)]
     n_packed = total_in - n_bind
     if n_packed > 1:
         for _ in range(n_packed):
             r.number()
-    return coders, total_out
+    bound_outs = {o for _i, o in bind_pairs}
+    out_index = next(
+        (o for o in range(total_out) if o not in bound_outs), total_out - 1
+    )
+    return coders, total_out, bind_pairs, out_index
 
 
 def _parse_streams_info(r: _Reader):
@@ -275,15 +422,15 @@ def _parse_streams_info(r: _Reader):
                 raise ValueError("7z external folder data unsupported")
             outs = []
             for _ in range(n_folders):
-                coders, total_out = _parse_folder(r)
-                folders.append(coders)
-                outs.append(total_out)
+                coders, total_out, bind_pairs, out_idx = _parse_folder(r)
+                folders.append((coders, bind_pairs))
+                outs.append((total_out, out_idx))
             if r.number() != _K_UNPACK_SIZES:
                 raise ValueError("7z UnPackInfo missing kCodersUnpackSize")
             all_sizes = []
-            for total_out in outs:
+            for total_out, out_idx in outs:
                 sizes = [r.number() for _ in range(total_out)]
-                all_sizes.append(sizes[-1])  # single-coder: last out
+                all_sizes.append(sizes[out_idx])  # the folder's output
             unpack_sizes = all_sizes
             while True:
                 p = r.number()
