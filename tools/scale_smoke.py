@@ -1054,6 +1054,87 @@ def main() -> None:
     timed.append(("audio_near_dup_capped", audio_near_dup_lane))
     timed.append(("probe_media", probe_lane))
 
+    # Round-10 lanes. langid scoring and unigram encoding are pure
+    # scan-fused expressions (no shuffle beyond the output histogram),
+    # so their factors should track the bare scan ratio; the models fit
+    # ONCE here on constant-size inputs (a seeded fixture / a bounded
+    # doc sample) — training cost is scale-independent by design and
+    # stays outside the timed body. html_markdown times the structure-
+    # aware parser+classifier mapInPandas over per-row synthesized HTML
+    # (same per-row cost at both scales — the linearity claim).
+    import random as _random
+
+    from drill_logfile_plugin_spark.operators.html_md import extract_markdown
+    from drill_logfile_plugin_spark.operators.langid import (
+        lang_id_fit,
+        lang_id_learned,
+    )
+    from drill_logfile_plugin_spark.operators.unigram import (
+        unigram_token_counts,
+        unigram_train,
+    )
+
+    _rng = _random.Random(10)
+    _vocab = {
+        "en": "the and of to in is was for with that".split(),
+        "de": "der die und das ist nicht mit ein eine von".split(),
+        "fr": "le les des une est dans pour que avec sur".split(),
+        "ru": "и в не на я что он как это по".split(),
+        "zh": "的 是 不 了 在 人 有 我 他 这".split(),
+    }
+    _langid_fixture = spark.createDataFrame(
+        [
+            (lang, " ".join(_rng.choices(words, k=12)))
+            for lang, words in _vocab.items()
+            for _ in range(6)
+        ],
+        "lang string, text string",
+    )
+    _langid_model = lang_id_fit(_langid_fixture, dim=32, iters=6)
+
+    def langid_scoring_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            lang_id_learned(docs, _langid_model)
+            .groupBy("lang_pred")
+            .count()
+        )
+
+    timed.append(("langid_scoring", langid_scoring_lane))
+
+    _uni_sample = (
+        spark.read.parquet(f"{SRC_SF}/documents.parquet")
+        .where(F.col("doc_id") % 50 == 0)
+        .limit(200)
+    )
+    _uni_model = unigram_train(
+        _uni_sample, vocab_size=120, seed_size=400, max_piece_len=4,
+        em_iters=1,
+    )
+
+    def unigram_encode_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return unigram_token_counts(docs, _uni_model).agg(
+            F.sum("n_pieces").alias("total_pieces")
+        )
+
+    timed.append(("unigram_encode", unigram_encode_lane))
+
+    def html_markdown_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<h1>Doc</h1><p>"), F.col("text"), F.lit("</p>")
+            ).alias("html"),
+        )
+        return extract_markdown(html).agg(
+            F.sum("n_good_blocks").alias("good"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    timed.append(("html_markdown", html_markdown_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
