@@ -311,6 +311,34 @@ def _gram_score_fn(weights_lit: Column, dim: int):
     return fn
 
 
+def _scores_expr(model: LangIdModel, text_col: str) -> Column:
+    grams = _grams_expr(text_col, model.ngram_ns, model.sample_chars)
+    class_scores = []
+    for k in range(len(model.classes)):
+        wlit = F.array(*[F.lit(float(x)) for x in model.wps[k]])
+        z = F.lit(float(model.consts[k])) + F.aggregate(
+            grams, F.lit(0.0), _gram_score_fn(wlit, model.dim)
+        )
+        class_scores.append(z)
+    return F.array(*class_scores)
+
+
+def lang_id_learned_expr(model: LangIdModel, text_col: str = "text") -> Column:
+    """The predicted-language label as ONE Column expression (the form
+    compositions like ``clean_corpus(langid_model=...)`` fuse into
+    their scan): argmax of the per-class logits, ``'und'`` for NULL or
+    gram-less text, ties to class-list order."""
+    grams = _grams_expr(text_col, model.ngram_ns, model.sample_chars)
+    scores = _scores_expr(model, text_col)
+    classes_lit = F.array(*[F.lit(c) for c in model.classes])
+    return F.when(F.size(grams) == 0, F.lit("und")).otherwise(
+        F.element_at(
+            classes_lit,
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        )
+    )
+
+
 def lang_id_learned(
     df: DataFrame,
     model: LangIdModel,
@@ -323,26 +351,11 @@ def lang_id_learned(
     ``'und'`` for NULL or gram-less text. ``scores_col`` optionally
     appends the raw per-class logits (array<double>, class order =
     ``model.classes``)."""
-    grams = _grams_expr(text_col, model.ngram_ns, model.sample_chars)
-    class_scores = []
-    for k in range(len(model.classes)):
-        wlit = F.array(*[F.lit(float(x)) for x in model.wps[k]])
-        z = F.lit(float(model.consts[k])) + F.aggregate(
-            grams, F.lit(0.0), _gram_score_fn(wlit, model.dim)
-        )
-        class_scores.append(z)
-    scores = F.array(*class_scores)
-    classes_lit = F.array(*[F.lit(c) for c in model.classes])
-    pred = F.when(F.size(grams) == 0, F.lit("und")).otherwise(
-        F.element_at(
-            classes_lit,
-            F.array_position(scores, F.array_max(scores)).cast("int"),
-        )
-    )
-    out = df.withColumn(out_col, pred)
+    out = df.withColumn(out_col, lang_id_learned_expr(model, text_col))
     if scores_col:
+        grams = _grams_expr(text_col, model.ngram_ns, model.sample_chars)
         out = out.withColumn(
             scores_col,
-            F.when(F.size(grams) > 0, scores),
+            F.when(F.size(grams) > 0, _scores_expr(model, text_col)),
         )
     return out

@@ -581,12 +581,19 @@ def clean_corpus(
     quality_keep: tuple[str, ...] = ("good",),
     drop_repetitive: bool = True,
     with_reasons: bool = False,
+    langid_model=None,
 ) -> DataFrame:
     """One-call corpus cleaning: the C4/Gopher-style filter pass composing
     the oracle-checked text signals — language gate (:func:`lang_id`),
     quality bands (:func:`quality_bucket`), and the duplicate-n-gram
     repetition verdict (:func:`repetition_signals`'s CASE) — into a
     single scan-fused projection + filter.
+
+    ``langid_model`` (a fitted ``operators.langid.LangIdModel``, r10)
+    swaps the 5-language marker heuristic for the learned classifier's
+    prediction as ``lang_pred`` — same column, same ``langs`` gate,
+    still one scan-fused expression (the learned scorer is shuffle- and
+    Python-free by construction).
 
     ``with_reasons=False`` (production) returns the kept rows with their
     original columns; ``with_reasons=True`` returns EVERY row plus
@@ -603,10 +610,16 @@ def clean_corpus(
     """
     toks = TOKS_SPARK.format(c=text_col)
     t2, d2 = dup_ngram_counts_sql_spark("_toks", 2)
+    if langid_model is not None:
+        from .langid import lang_id_learned_expr
+
+        lang_expr = lang_id_learned_expr(langid_model, text_col)
+    else:
+        lang_expr = lang_id(text_col)
     base = df.select(
         "*",
         F.expr(toks).alias("_toks"),
-        lang_id(text_col).alias("lang_pred"),
+        lang_expr.alias("lang_pred"),
         quality_bucket(text_col).alias("quality"),
     ).select(
         "*",

@@ -134,6 +134,36 @@ def test_model_shape_validation():
         LangIdModel(["a", "b"], 3, (1,), 64, [0.0], np.zeros((2, 3)))
 
 
+def test_clean_corpus_composition(spark, fitted):
+    """clean_corpus(langid_model=...) swaps the heuristic for the
+    learned prediction in the SAME scan-fused pass."""
+    from drill_logfile_plugin_spark.operators.text import clean_corpus
+
+    en = (
+        "The report was written for the committee and it had one clear "
+        "finding in that this work is done with care from start to end "
+        "and that is the point of it all."
+    )
+    ru = (
+        "это длинный русский текст и он не должен пройти языковой "
+        "фильтр по его словам и буквам в этом наборе данных и ещё "
+        "немного слов здесь чтобы быть достаточно длинным ."
+    )
+    df = spark.createDataFrame(
+        [(0, en), (1, ru)], "doc_id long, text string"
+    )
+    audited = clean_corpus(
+        df, langs=("en",), langid_model=fitted, with_reasons=True
+    )
+    plan = audited._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    rows = {r["doc_id"]: r for r in audited.collect()}
+    assert rows[0]["lang_pred"] == "en" and rows[0]["keep"]
+    assert rows[1]["lang_pred"] == "ru" and not rows[1]["keep"]
+    kept = clean_corpus(df, langs=("en",), langid_model=fitted).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+
+
 def test_fit_rejects_single_class(spark):
     df = spark.createDataFrame([("en", "the of and")], "lang string, text string")
     with pytest.raises(ValueError, match="distinct labels"):
