@@ -557,3 +557,25 @@ def test_pdf_ccitt_text_still_extracts(spark):
     out = extract_document_text(df).collect()
     assert out[0]["doc_format"] == "pdf"
     assert "scan page" in out[0]["text"]
+
+
+def test_fax_tiff_matches_png_in_phash_dedup(spark):
+    """Cross-format composition: the SAME scanned page as a G4 fax TIFF
+    and as a gray PNG lands in one phash near-dup pair — the
+    multimodal->dedup bridge now spans the fax formats."""
+    from drill_logfile_plugin_spark.operators.multimodal import (
+        _png_encode_gray,
+        phash_neardup,
+    )
+
+    img = dict(_images())["blobby"]
+    luma = np.where(img, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(_fax_tiff(img, 4))),
+        (2, bytearray(_png_encode_gray(luma))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = phash_neardup(df, codec="auto").collect()
+    assert len(pairs) == 1
+    assert {pairs[0]["doc_a"], pairs[0]["doc_b"]} == {1, 2}
+    assert pairs[0]["hamming"] == 0
