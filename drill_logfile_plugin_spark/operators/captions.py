@@ -58,8 +58,12 @@ def _clean_cue(lines: list[str]) -> str:
 
 def _captions_extract_text(payload: bytes):
     """SRT or WebVTT -> ``(text, n_cues, span_ms)``; consecutive repeat
-    cues (rolling-caption artifact) collapse."""
-    raw = payload.decode("utf-8", errors="replace").lstrip("﻿")
+    cues (rolling-caption artifact) collapse. Decoding runs the charset
+    chain (r10): subtitle rips are the single most legacy-charset-heavy
+    text format in the wild — a cp1251/cp1252 .srt used to mojibake."""
+    from .charset import decode_text
+
+    raw = decode_text(payload)[0].lstrip("﻿")
     is_vtt = raw.lstrip().startswith("WEBVTT")
     timing = _VTT_TIME if is_vtt else _SRT_TIME
     cues: list[str] = []

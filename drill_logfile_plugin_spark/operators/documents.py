@@ -191,8 +191,15 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
     from .charset import decode_text, is_texty, sniff_bom
 
     if sniff_bom(payload) is not None:
-        low = decode_text(payload)[0][:512].lower()
-        return "html" if ("<html" in low or "<!doctype html" in low) else "txt"
+        head = decode_text(payload)[0][:512]
+        low = head.lower()
+        if "<html" in low or "<!doctype html" in low:
+            return "html"
+        if head.lstrip().startswith("WEBVTT"):
+            return "vtt"
+        if re.match(r"^\s*\d+\s*\r?\n\s*\d{1,2}:\d{2}:\d{2},\d{3}\s*-->", head):
+            return "srt"
+        return "txt"
     from .email_text import looks_like_email
 
     # Email first: a message merely QUOTING LaTeX markup must stay an

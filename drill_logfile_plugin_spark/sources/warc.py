@@ -52,6 +52,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: inflation bound per WARC file (a segment is ~1 GiB compressed; the
+#: bound caps a crafted bomb, not a real crawl file)
+_MAX_WARC_FILE = 8 << 30
+
 WARC_SCHEMA = StructType(
     [
         StructField("path", StringType()),
@@ -177,6 +181,20 @@ def read_warc(
                         if on_error == "strict":
                             raise ValueError(
                                 f"{fpath}: bad gzip stream: {ex}"
+                            ) from ex
+                        continue
+                elif data[:4] == b"\x28\xb5\x2f\xfd":
+                    # .warc.zst (newer archive crawls) via the guarded
+                    # bounded zstd lane; absent module / corruption
+                    # follows the same skip/strict contract
+                    from ..operators.multimodal import _make_zstd_one
+
+                    try:
+                        data = _make_zstd_one(_MAX_WARC_FILE)(data)
+                    except (ValueError, NotImplementedError) as ex:
+                        if on_error == "strict":
+                            raise ValueError(
+                                f"{fpath}: zstd WARC: {ex}"
                             ) from ex
                         continue
                 rec_no = 0

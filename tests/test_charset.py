@@ -323,3 +323,58 @@ def test_warc_documents_charset_end_to_end(spark, tmp_path):
     for lane in (warc_documents(warc), warc_extracted_documents(warc)):
         plan = lane._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# --- r10 follow-through: captions + WARC.zst lanes ------------------------------
+
+
+def test_srt_legacy_charset_and_utf16_bom():
+    """Subtitle rips are the most legacy-charset-heavy text format in
+    the wild: cp1252 cue text decodes, and a UTF-16-BOM VTT/SRT routes
+    to the caption lane (not the bare-txt fallback)."""
+    srt_1252 = (
+        b"1\r\n00:00:01,000 --> 00:00:02,000\r\n"
+        b"\x93quoted\x94 caf\xe9 line\r\n\r\n"
+    )
+    assert DOC.sniff_document(srt_1252) == "srt"
+    text, n = DOC._extract_one("srt", srt_1252)
+    assert text == "“quoted” café line" and n == 1
+
+    vtt_u16 = ("WEBVTT\n\n00:01.000 --> 00:02.000\n" + RU + "\n").encode(
+        "utf-16"
+    )
+    assert DOC.sniff_document(vtt_u16) == "vtt"
+    text, n = DOC._extract_one("vtt", vtt_u16)
+    assert RU in text
+
+    srt_u16 = (
+        "1\r\n00:00:01,000 --> 00:00:02,000\r\n" + RU + "\r\n\r\n"
+    ).encode("utf-16")
+    assert DOC.sniff_document(srt_u16) == "srt"
+    assert RU in DOC._extract_one("srt", srt_u16)[0]
+
+
+def test_warc_zst_segment(spark, tmp_path):
+    """A .warc.zst segment parses where a zstd module exists; without
+    one the file skips (strict names the missing module)."""
+    from drill_logfile_plugin_spark.operators.multimodal import _zstd_module
+    from drill_logfile_plugin_spark.sources.warc import read_warc
+    from tests.test_warc import _http, _record
+
+    mod, flavor = _zstd_module()
+    blob = _record(url="https://z.example/a", payload=_http(b"<p>zst</p>"))
+    if mod is None:
+        fake = b"\x28\xb5\x2f\xfd" + blob
+        (tmp_path / "seg.warc.zst").write_bytes(fake)
+        assert read_warc(spark, str(tmp_path)).count() == 0  # skipped
+        with pytest.raises(Exception, match="zstandard|compression.zstd"):
+            read_warc(spark, str(tmp_path), on_error="strict").collect()
+    else:
+        comp = (
+            mod.ZstdCompressor().compress(blob)
+            if flavor == "zstandard"
+            else mod.compress(blob)
+        )
+        (tmp_path / "seg.warc.zst").write_bytes(comp)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        assert len(rows) == 1 and rows[0]["url"] == "https://z.example/a"
