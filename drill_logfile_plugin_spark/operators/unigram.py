@@ -401,6 +401,61 @@ def unigram_encode(
     )
 
 
+def unigram_vocab_ids(
+    model: UnigramModel, specials: tuple = ("<unk>",)
+) -> dict:
+    """piece -> contiguous integer token id, deterministic and
+    engine-stable: ``specials`` take ``0..len(specials)-1`` in the order
+    given (``<unk>`` = 0 by default), then pieces by (scaled logp DESC,
+    piece ASC) — the bpe_vocab_ids total order applied to the unigram
+    artifact, so a dataset tokenized today and one tokenized next month
+    under the same model carry identical ids."""
+    if len(set(specials)) != len(specials):
+        raise ValueError(f"duplicate special tokens: {specials}")
+    out = {s: i for i, s in enumerate(specials)}
+    ranked = sorted(
+        (
+            (p, lp)
+            for p, lp in zip(model.pieces, model.logp_scaled)
+            if p not in out
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    for i, (p, _lp) in enumerate(ranked):
+        out[p] = len(specials) + i
+    return out
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    specials: tuple = ("<unk>",),
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenize straight to integer ids (``array<long>``): the Viterbi
+    segmentation mapped through :func:`unigram_vocab_ids` as a map
+    LITERAL (vocabulary-sized, the same artifact class as the scorer's
+    weight arrays) — still one scan-fused expression, no shuffle, no
+    Python. Pieces outside the vocabulary (UNK single characters) map
+    to ``unk_id``."""
+    ids = unigram_vocab_ids(model, specials)
+    id_map = F.create_map(
+        *[x for p, i in ids.items() for x in (F.lit(p), F.lit(int(i)))]
+    )
+    enc = unigram_encode(df, model, text_col, "__pieces")
+    return enc.withColumn(
+        out_col,
+        F.transform(
+            "__pieces",
+            lambda p: F.coalesce(
+                F.element_at(id_map, p), F.lit(int(unk_id))
+            ).cast("long"),
+        ),
+    ).drop("__pieces")
+
+
 def unigram_token_counts(
     df: DataFrame,
     model: UnigramModel,

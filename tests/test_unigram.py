@@ -257,3 +257,41 @@ def test_train_rejects_bad_params(spark):
     empty = spark.createDataFrame([(" ",)], "text string")
     with pytest.raises(ValueError, match="no tokens"):
         unigram_train(empty, vocab_size=2, seed_size=4)
+
+
+def test_vocab_ids_and_encode_ids(spark, fitted):
+    from drill_logfile_plugin_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_vocab_ids,
+    )
+
+    ids = unigram_vocab_ids(fitted)
+    assert ids["<unk>"] == 0
+    assert sorted(ids.values()) == list(range(len(fitted.pieces) + 1))
+    # deterministic total order: highest-likelihood piece gets id 1
+    best = max(
+        zip(fitted.pieces, fitted.logp_scaled),
+        key=lambda t: (t[1], [-ord(c) for c in t[0]]),
+    )[0]
+    assert ids[best] == 1
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, "zebra!?"), (2, None)], "id long, text string"
+    )
+    out = unigram_encode_ids(df, fitted)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    got = {r["id"]: r["token_ids"] for r in out.collect()}
+    # ids reconstruct the segmentation through the same map
+    enc = {
+        r["id"]: r["pieces"]
+        for r in __import__(
+            "drill_logfile_plugin_spark.operators.unigram",
+            fromlist=["unigram_encode"],
+        ).unigram_encode(df, fitted).collect()
+    }
+    inv = {v: k for k, v in ids.items()}
+    assert [inv[i] if i else p for i, p in zip(got[0], enc[0])] == enc[0]
+    # unknown chars in 'zebra!?' hit unk_id 0
+    assert 0 in got[1]
+    assert got[2] is None
