@@ -228,13 +228,17 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
     raise ValueError("unrecognized document payload")
 
 
-def _extract_one(fmt: str, payload: bytes, declared_charset=None):
+def _extract_one(fmt: str, payload: bytes, declared_charset=None,
+                 html_markdown: bool = False):
     """(text, n_units) via the format's extractor. ``declared_charset``
     (an HTTP/container-level charset label) feeds the txt/html decode
-    chain; structured formats carry their own encoding rules."""
+    chain; structured formats carry their own encoding rules.
+    ``html_markdown`` renders the html lane through the structure-
+    preserving markdown extractor instead of the flat jusText text."""
     if fmt.startswith("gz:"):
         return _extract_one(
-            fmt[3:], _unwrap_envelope(payload), declared_charset
+            fmt[3:], _unwrap_envelope(payload), declared_charset,
+            html_markdown,
         )
     if fmt == "pdf":
         from .pdf import _pdf_extract_text
@@ -324,12 +328,17 @@ def _extract_one(fmt: str, payload: bytes, declared_charset=None):
             raise ValueError("mbox contains no extractable messages")
         return "\f".join(texts), len(texts)
     if fmt == "html":
-        from .boilerplate import _extract_main
         from .charset import decode_text
 
-        text, _nb, n_good = _extract_main(
-            decode_text(payload, declared_charset, html=True)[0]
-        )
+        decoded = decode_text(payload, declared_charset, html=True)[0]
+        if html_markdown:
+            from .html_md import html_to_markdown
+
+            text, _nb, n_good = html_to_markdown(decoded)
+        else:
+            from .boilerplate import _extract_main
+
+            text, _nb, n_good = _extract_main(decoded)
         return text, n_good
     if fmt == "txt":
         from .charset import decode_text, is_texty
@@ -349,6 +358,7 @@ def extract_document_text(
     on_error: str = "null",
     passthrough_cols: tuple = (),
     charset_col: str | None = None,
+    html_markdown: bool = False,
 ):
     """Spark lane: mixed document payloads -> ``(doc_id, doc_format,
     text, n_units, n_chars)``. ``codec="auto"`` sniffs per row; naming
@@ -360,7 +370,9 @@ def extract_document_text(
     string column carrying a per-row declared charset label (e.g. the
     HTTP Content-Type parameter a WARC adapter captured); it feeds the
     txt/html decode chain (operators/charset.py) and is consumed, not
-    emitted."""
+    emitted. ``html_markdown=True`` renders html rows through the
+    structure-preserving markdown extractor (operators/html_md.py) —
+    the markdown-shaped training-text option, same schema."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
@@ -416,7 +428,9 @@ def extract_document_text(
                 raw = bytes(p)
                 try:
                     fmt = sniff_document(raw) if codec == "auto" else codec
-                    text, n_units = _extract_one(fmt, raw, declared)
+                    text, n_units = _extract_one(
+                        fmt, raw, declared, html_markdown
+                    )
                 except (ValueError, NotImplementedError, UnicodeDecodeError):
                     if on_error == "strict":
                         raise

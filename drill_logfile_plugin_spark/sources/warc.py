@@ -371,6 +371,7 @@ def warc_extracted_documents(
     min_status: int = 200,
     max_status: int = 299,
     on_error: str = "null",
+    html_markdown: bool = False,
 ) -> DataFrame:
     """The crawl adapter for NON-HTML responses too (r9): 2xx bodies
     route per-row by magic through the document tier —
@@ -405,6 +406,7 @@ def warc_extracted_documents(
         on_error=on_error,
         passthrough_cols=("url", "source"),
         charset_col="charset",
+        html_markdown=html_markdown,
     ).select(
         "doc_id", "url", "source", "doc_format", "text", "n_units", "n_chars"
     )

@@ -139,3 +139,37 @@ def test_quarantine_contract(spark):
     assert out[0]["markdown"] is None
     with pytest.raises(Exception, match="block count"):
         extract_markdown(df, on_error="strict").collect()
+
+
+def test_router_and_crawl_adapter_markdown_option(spark, tmp_path):
+    """extract_document_text(html_markdown=True) renders html rows as
+    markdown (same schema); warc_extracted_documents threads it, so a
+    crawl becomes markdown-shaped training text in one exchange-free
+    pass — non-html rows are untouched."""
+    from drill_logfile_plugin_spark.operators.documents import (
+        extract_document_text,
+    )
+    from drill_logfile_plugin_spark.sources.warc import (
+        read_warc,
+        warc_extracted_documents,
+    )
+    from tests.test_warc import _http, _record
+
+    html = f"<html><body><h1>Title Here</h1><p>{P1}</p></body></html>".encode()
+    rows = [(0, bytearray(html)), (1, bytearray(P1.encode()))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_document_text(df, html_markdown=True).collect()
+    }
+    assert got[0]["text"].startswith("# Title Here")
+    assert got[1]["text"] == P1  # txt lane unchanged
+
+    blob = _record(url="https://md.example/a", payload=_http(html))
+    (tmp_path / "c.warc").write_bytes(blob)
+    out = warc_extracted_documents(
+        read_warc(spark, str(tmp_path / "c.warc")), html_markdown=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.first()["text"].startswith("# Title Here")
