@@ -37,7 +37,6 @@ Composes with the crawl-hygiene tier: ``read_warc`` → filter
 
 from __future__ import annotations
 
-import gzip
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -173,11 +172,20 @@ def read_warc(
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":
-                    # multi-member gzip: one streaming pass inflates every
-                    # per-record member (the Common Crawl layout)
+                    # multi-member gzip: one streaming BOUNDED pass
+                    # inflates every per-record member (the Common Crawl
+                    # layout); the shared helper closes the one-shot
+                    # decompress bomb window here too (r10 — the r9 fix
+                    # covered the document/tar lanes, not this one)
+                    from ..operators.multimodal import (
+                        bounded_decompress_bytes,
+                    )
+
                     try:
-                        data = gzip.decompress(data)
-                    except OSError as ex:
+                        data = bounded_decompress_bytes(
+                            data, "gzip", _MAX_WARC_FILE
+                        )
+                    except (OSError, ValueError) as ex:
                         if on_error == "strict":
                             raise ValueError(
                                 f"{fpath}: bad gzip stream: {ex}"

@@ -287,3 +287,19 @@ def test_warc_extracted_documents_routes_nonhtml(spark, tmp_path):
     # the composed plan is a narrow map: no Exchange anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_gzip_bomb_costs_the_cap(spark, tmp_path, monkeypatch):
+    """A crafted .warc.gz bomb inflates only to the file bound (r10 —
+    the bounded-streaming rule now covers the WARC segment lane too):
+    skip drops the file, strict names it."""
+    import gzip as _gzip
+
+    import drill_logfile_plugin_spark.sources.warc as W
+
+    monkeypatch.setattr(W, "_MAX_WARC_FILE", 1 << 16)
+    bomb = _gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, ~4 KiB gz
+    (tmp_path / "bomb.warc.gz").write_bytes(bomb)
+    assert W.read_warc(spark, str(tmp_path)).count() == 0
+    with pytest.raises(Exception, match="gzip"):
+        W.read_warc(spark, str(tmp_path), on_error="strict").collect()
