@@ -295,11 +295,12 @@ def _decode_2d_row(
 
 def _skip_fill_to_eol(br: _BitReader) -> bool:
     """Consume fill zeros + one EOL if present at the cursor; True if an
-    EOL was consumed. Fill is bounded (a byte-aligned encoder inserts at
-    most 7+4 zeros; tolerate a generous 64)."""
+    EOL was consumed. Fill may be LONG (T.4 uses it to satisfy minimum
+    scan-line transmission time); the bound caps a crafted all-zeros
+    stream at constant work per row attempt, far above any legal fill."""
     start = br.pos
     zeros = 0
-    while zeros < 64 and not br.eof() and br.peek(1) == 0:
+    while zeros < 4096 and not br.eof() and br.peek(1) == 0:
         br.skip(1)
         zeros += 1
     if zeros >= 11 and not br.eof() and br.peek(1) == 1:

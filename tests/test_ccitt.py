@@ -579,3 +579,15 @@ def test_fax_tiff_matches_png_in_phash_dedup(spark):
     assert len(pairs) == 1
     assert {pairs[0]["doc_a"], pairs[0]["doc_b"]} == {1, 2}
     assert pairs[0]["hamming"] == 0
+
+
+def test_g3_long_fill_before_eol():
+    """T.4 fill (minimum scan-line time) may run long: hundreds of fill
+    zeros before an EOL still decode."""
+    img = np.eye(3, 16, dtype=bool)
+    bits = ""
+    ref = None
+    for row in img:
+        bits += "0" * 500 + EOL + enc_mh_row(row)
+    got = ccitt_decode(_bits_to_bytes(bits), 16, 3, "g3")
+    assert np.array_equal(got, img)
