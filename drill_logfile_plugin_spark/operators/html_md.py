@@ -200,6 +200,8 @@ class _MdParser(HTMLParser):
                 self._parts = []
                 self._row_link_chars += self._link_chars
                 self._link_chars = 0
+        elif tag == "table":
+            self._flush()
         elif tag == "tr":
             cells = [c for c in (self._cells or []) if c]
             if cells:
