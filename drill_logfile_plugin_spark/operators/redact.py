@@ -11,12 +11,21 @@ expressions fused into the scan — scan-speed at any corpus size, no
 shuffle, no Python. The report variant adds one partial-agg'd global
 aggregate (a handful of counters).
 
-Redaction order is fixed and load-bearing: ``email`` before ``ipv4``
-(an address like ``bob@10.0.0.1`` redacts as one email, not an email
-stump plus an IP), ``ssn`` before ``phone`` (the looser phone pattern
-would otherwise eat the digit shape SSNs match). The pass is idempotent
-— placeholders contain no digits or ``@``, so no pattern can re-match
-its own output (pinned in tests/test_llm_ops.py).
+Redaction order is fixed and load-bearing: ``cc`` first (the phone
+pattern would nibble pieces of a spaced card number), ``email`` before
+``ipv4`` (an address like ``bob@10.0.0.1`` redacts as one email, not an
+email stump plus an IP), ``ssn`` before ``phone`` (the looser phone
+pattern would otherwise eat the digit shape SSNs match). The pass is
+idempotent — placeholders contain no digits or ``@``, so no pattern can
+re-match its own output (pinned in tests/test_llm_ops.py).
+
+Payment cards (r10) are the one kind a regex alone cannot do with
+precision: 13-19-digit candidates are verified with the Luhn checksum
+as a scan-fused JVM fold before replacement — an order id or timestamp
+run of the same shape fails the checksum and stays intact. IPv6 (r10)
+covers >= 5-group colon-hex plus every ``::``-compressed form; 2-group
+full forms are indistinguishable from clock times and stay out of
+scope by design.
 """
 
 from __future__ import annotations
@@ -41,10 +50,65 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"(?<!\d)(?:\+?1[\s.-]?)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}\b",
         "<PHONE>",
     ),
+    # IPv6: full/partial colon-hex with >= 5 groups, or any ::-compressed
+    # form (the :: anchor keeps timestamps like 12:34:56 out; 2-group
+    # full forms are indistinguishable from times and stay out of scope)
+    "ipv6": (
+        r"(?<![\w:])(?:(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}"
+        r"|[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{1,4}){0,5}::"
+        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})?)(?![\w:])",
+        "<IP6>",
+    ),
 }
 
-#: The fixed application order (see module docstring).
-DEFAULT_KINDS = ("email", "ipv4", "ssn", "phone")
+#: payment-card candidate shape: 13-19 digits with optional single
+#: space/dash separators, not embedded in a longer digit run. Candidates
+#: are only REDACTED when they pass the Luhn checksum (r10) — the
+#: verification regexes cannot express, done as a scan-fused fold.
+CC_CANDIDATE = r"(?<![\d-])\d(?:[ -]?\d){12,18}(?![\d-])"
+CC_TOKEN = "<CC>"
+
+#: The fixed application order (see module docstring; ``cc`` first —
+#: its digit runs would otherwise be nibbled by the phone pattern).
+DEFAULT_KINDS = ("cc", "email", "ipv4", "ipv6", "ssn", "phone")
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over a candidate's digits (separators ignored) —
+    pure JVM fold: reversed digit array, every second digit doubled with
+    the 9-subtraction, sum divisible by 10, 13-19 digits."""
+    digits = F.filter(
+        F.split(cand, ""), lambda ch: (ch >= "0") & (ch <= "9")
+    )
+    rev = F.reverse(digits)
+    n = F.size(rev)
+
+    def step(acc: Column, i: Column) -> Column:
+        d = F.element_at(rev, i + 1).cast("int")
+        dbl = d * 2
+        return acc + F.when(i % 2 == 0, d).otherwise(
+            F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        )
+
+    total = F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0), step)
+    return n.between(13, 19) & (total % 10 == 0)
+
+
+def _redact_cc(col: Column) -> Column:
+    """Replace every Luhn-VALID card candidate with the token: extract
+    candidates, verify each with the checksum fold, literal-replace the
+    survivors — one scan-fused expression, no shuffle, no Python. A
+    candidate failing Luhn (an order id, a timestamp run) is left
+    intact: precision is the point of the checksum."""
+    cands = F.array_distinct(
+        F.regexp_extract_all(col, F.lit(CC_CANDIDATE), 0)
+    )
+    verified = F.filter(cands, _luhn_ok)
+    return F.aggregate(
+        verified,
+        col,
+        lambda acc, c: F.replace(acc, c, F.lit(CC_TOKEN)),
+    )
 
 
 def redact_text(
@@ -53,6 +117,9 @@ def redact_text(
     """Column expression: ``col`` with each PII kind replaced by its token."""
     out = F.col(col) if isinstance(col, str) else col
     for k in kinds:
+        if k == "cc":
+            out = _redact_cc(out)
+            continue
         pattern, token = PII_PATTERNS[k]
         out = F.regexp_replace(out, pattern, token)
     return out
@@ -88,6 +155,18 @@ def redact_report(
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     staged = F.col(text_col)
     for k in kinds:
+        if k == "cc":
+            # a doc counts only when a candidate VERIFIED (the staged
+            # text actually changed) — a raw rlike would count Luhn
+            # failures the scrub leaves intact
+            redacted = _redact_cc(staged)
+            aggs.append(
+                F.sum((redacted != staged).cast("long")).alias(
+                    f"docs_with_{k}"
+                )
+            )
+            staged = redacted
+            continue
         pattern, token = PII_PATTERNS[k]
         aggs.append(
             F.sum(staged.rlike(pattern).cast("long")).alias(f"docs_with_{k}")

@@ -3949,3 +3949,64 @@ def test_band_index_update_crash_window_leaves_old_version_live(
     assert params["version"] == 2
     merged = standing.unionByName(inc.select(*standing.columns))
     assert _band_rows(updated) == _band_rows(D.minhash_bands(merged))
+
+
+def test_redact_cc_luhn_verified(spark):
+    """r10: payment-card candidates redact only when the Luhn checksum
+    verifies — same-shape order ids stay intact; spaced/dashed forms
+    and the progressive report agree."""
+    from drill_logfile_plugin_spark.operators.redact import (
+        redact_corpus,
+        redact_report,
+    )
+
+    rows = [
+        (0, "pay with 4111 1111 1111 1111 today"),       # valid Visa test PAN
+        (1, "card 5500-0000-0000-0004 on file"),          # valid MC test PAN
+        (2, "amex 378282246310005 works"),                # valid 15-digit
+        (3, "order id 4111 1111 1111 1112 shipped"),      # Luhn FAILS
+        (4, "tracking 1234567890123456789 is not a card"),# Luhn fails
+        (5, "short 4111 1111 11 stays"),                  # too few digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in redact_corpus(df).collect()}
+    assert got[0] == "pay with <CC> today"
+    assert got[1] == "card <CC> on file"
+    assert got[2] == "amex <CC> works"
+    assert got[3] == rows[3][1]  # checksum failure: left intact
+    assert got[4] == rows[4][1]
+    assert got[5] == rows[5][1]
+    # idempotent: the token has no digits
+    again = {
+        r["doc_id"]: r["text"]
+        for r in redact_corpus(
+            spark.createDataFrame(
+                [(k, v) for k, v in got.items()], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert again == got
+    rep = redact_report(df).first()
+    assert rep["docs_with_cc"] == 3
+
+    plan = redact_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_redact_ipv6_forms(spark):
+    from drill_logfile_plugin_spark.operators.redact import redact_corpus
+
+    rows = [
+        (0, "from 2001:0db8:85a3:0000:0000:8a2e:0370:7334 port 443"),
+        (1, "localhost is ::1 always"),
+        (2, "router fe80::1ff:fe23:4567:890a responded"),
+        (3, "meeting at 12:34:56 tomorrow"),            # a TIME, not an IP
+        (4, "ratio 1:2 and score 10:4 stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in redact_corpus(df).collect()}
+    assert got[0] == "from <IP6> port 443"
+    assert got[1] == "localhost is <IP6> always"
+    assert got[2] == "router <IP6> responded"
+    assert got[3] == rows[3][1]
+    assert got[4] == rows[4][1]
