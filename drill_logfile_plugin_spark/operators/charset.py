@@ -44,7 +44,13 @@ over the canonical charset set), so the WARC adapters stay
 exchange-free whole-stage-codegen maps. They require the engine
 session (``configure_session`` sets ``spark.sql.legacy.javaCharsets``
 and ``spark.sql.legacy.codingErrorAction`` so Spark's ``decode``
-accepts the full JVM charset set with replacement semantics).
+accepts the full JVM charset set with replacement semantics). One
+DOCUMENTED divergence from the Python chain: JVM ``decode`` has no
+strict mode, so a LYING declared label yields replacement characters
+instead of falling through to the next rung — the mismatch is visible
+(U+FFFD density) but not auto-recovered; rows needing the strict
+fall-through route through the Python lane
+(``extract_document_text(charset_col=...)``).
 
 No reference counterpart (the reference reads log lines as
 platform-default text, `LogRecordReader.java:202-232`); LLM-pipeline
