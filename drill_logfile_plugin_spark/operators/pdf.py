@@ -1254,6 +1254,7 @@ def extract_pdf_text(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     on_error: str = "null",
+    with_unmapped: bool = False,
 ):
     """Spark lane: PDF payloads -> ``(doc_id, text, n_pages, n_chars)``.
 
@@ -1262,12 +1263,18 @@ def extract_pdf_text(
     undecodable PDFs stay countable; "skip" drops; "strict" aborts).
     The output is the text tier's input shape: feed it straight into
     clean_corpus / exact dedup / chunk_docs.
+
+    ``with_unmapped=True`` (r10) appends ``unmapped_glyphs``
+    (``array<int>``, one U+FFFD count per page — the CID-font trust
+    signal of :func:`pdf_unmapped_glyph_counts` at the corpus surface)
+    so a pipeline gates untrustworthy text layers in the same pass.
     """
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StringType,
@@ -1278,42 +1285,51 @@ def extract_pdf_text(
     from .multimodal import _check_on_error
 
     _check_on_error(on_error)
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("n_pages", IntegerType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_chars", LongType()),
+    ]
+    if with_unmapped:
+        fields.append(StructField("unmapped_glyphs", ArrayType(IntegerType())))
+    schema = StructType(fields)
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).where(F.col("payload").isNotNull())
 
     def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, texts, pages, chars = [], [], [], []
+            ids, texts, pages, chars, unmapped = [], [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    text, n_pages = _pdf_extract_text(bytes(p))
+                    page_texts = _pdf_page_texts(bytes(p))
+                    text, n_pages = "\f".join(page_texts), len(page_texts)
+                    counts = (
+                        [t.count("\ufffd") for t in page_texts]
+                        if with_unmapped
+                        else None
+                    )
                 except (ValueError, NotImplementedError):
                     if on_error == "strict":
                         raise
                     if on_error == "skip":
                         continue
-                    text, n_pages = None, None
+                    text, n_pages, counts = None, None, None
                 ids.append(doc_id)
                 texts.append(text)
                 pages.append(n_pages)
                 chars.append(None if text is None else len(text))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "text": pd.Series(texts, dtype="object"),
-                    "n_pages": pd.Series(pages, dtype="Int32"),
-                    "n_chars": pd.Series(chars, dtype="Int64"),
-                }
-            )
+                unmapped.append(counts)
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "text": pd.Series(texts, dtype="object"),
+                "n_pages": pd.Series(pages, dtype="Int32"),
+                "n_chars": pd.Series(chars, dtype="Int64"),
+            }
+            if with_unmapped:
+                out["unmapped_glyphs"] = pd.Series(unmapped, dtype="object")
+            yield pd.DataFrame(out)
 
     return narrow.mapInPandas(batches, schema)
 

@@ -106,3 +106,25 @@ def test_no_encoding_type0_keeps_latin1_legacy():
     font = b"<< /Type /Font /Subtype /Type0 /BaseFont /X >>"
     doc = build_pdf([b"BT /F1 12 Tf (plain) Tj ET"], font_obj=font)
     assert _pdf_extract_text(doc)[0] == "plain"
+
+
+def test_spark_lane_with_unmapped_counts(spark):
+    """extract_pdf_text(with_unmapped=True) surfaces the per-page trust
+    signal at the corpus surface; the default schema is unchanged."""
+    from drill_logfile_plugin_spark.operators.pdf import extract_pdf_text
+
+    good = build_pdf([_hex_show("好")], font_obj=_type0_font("Identity-H"))
+    bad = build_pdf([_hex_show("曖昧")], font_obj=_type0_font("UniGB-UCS2-H"))
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bad))],
+        "doc_id long, payload binary",
+    )
+    base = extract_pdf_text(df)
+    assert base.columns == ["doc_id", "text", "n_pages", "n_chars"]
+    out = {
+        r["doc_id"]: r
+        for r in extract_pdf_text(df, with_unmapped=True).collect()
+    }
+    assert out[0]["unmapped_glyphs"] == [0]
+    assert out[1]["unmapped_glyphs"] == [2]
+    assert out[0]["text"] == "好"
