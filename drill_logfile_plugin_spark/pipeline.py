@@ -94,6 +94,7 @@ def ingest_increment(
     quality_threshold: float = 0.5,
     dsir_model=None,
     dsir_threshold: float = 0.0,
+    langid_model=None,
 ) -> DataFrame:
     """Process a corpus increment end to end; returns the packed chunk
     table ``(passthrough cols..., split, chunk_id, n_chunk_tokens,
@@ -141,6 +142,11 @@ def ingest_increment(
        both: rows whose DSIR log importance weight falls below
        ``dsir_threshold`` drop (stage 4c — thresholded importance
        resampling, the increment-safe form of the DSIR selection).
+       ``langid_model=`` (r10, a fitted
+       :func:`..operators.langid.lang_id_fit` model, e.g. from
+       ``artifacts.load_langid_model``) swaps the clean stage's
+       5-language marker heuristic for the learned classifier — the
+       ``langs`` gate then speaks the model's class labels.
     5. **Split** — per-document train/val/test via the q55 md5-bucket
        construction (a pure function of the id: reproducible across
        engines and corpus versions), assigned BEFORE chunking so every
@@ -312,6 +318,7 @@ def ingest_increment(
         langs=langs,
         quality_keep=quality_keep,
         drop_repetitive=drop_repetitive,
+        langid_model=langid_model,
     )
 
     # 4b. optional LEARNED quality gate (classifier.logreg_fit model):

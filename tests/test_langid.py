@@ -168,3 +168,30 @@ def test_fit_rejects_single_class(spark):
     df = spark.createDataFrame([("en", "the of and")], "lang string, text string")
     with pytest.raises(ValueError, match="distinct labels"):
         lang_id_fit(df, dim=8, iters=2)
+
+
+def test_ingest_increment_threads_langid_model(spark, fitted):
+    """The end-to-end pipeline accepts the learned model for its clean
+    stage: an in-scope-language doc chunks through; the other language
+    is gone."""
+    from drill_logfile_plugin_spark.pipeline import ingest_increment
+
+    en = (
+        "The report was written for the committee and it had one clear "
+        "finding in that this work is done with care from start to end "
+        "and that is the point of it all."
+    )
+    ru = (
+        "это длинный русский текст и он не должен пройти языковой "
+        "фильтр по его словам и буквам в этом наборе данных и ещё "
+        "немного слов здесь чтобы быть достаточно длинным ."
+    )
+    inc = spark.createDataFrame(
+        [(1, en, "web"), (2, ru, "web")],
+        "doc_id long, text string, source string",
+    )
+    packed = ingest_increment(
+        None, inc, langs=("en",), langid_model=fitted, chunk_tokens=16
+    )
+    ids = {r["doc_id"] for r in packed.collect()}
+    assert ids == {1}
