@@ -316,6 +316,7 @@ def ccitt_decode(
     rows: int | None = None,
     mode: str = "g4",
     byte_align: bool = False,
+    require_eol: bool = True,
 ) -> np.ndarray:
     """Decode a CCITT-coded raster to a black-pixel mask (bool,
     rows×columns).
@@ -336,6 +337,16 @@ def ccitt_decode(
     ``rows=None`` decodes until the data (or RTC/EOFB) runs out;
     ``byte_align`` realigns to a byte boundary before each row
     (TIFF compression 2's layout; PDF /EncodedByteAlign).
+
+    ``require_eol`` (r11): applies to ``"g3-2d"`` only. True (the
+    default, and the TIFF compression-3 contract — T.4 framing is
+    mandatory there) demands an EOL before every row. False matches
+    PDF K > 0 with /EndOfLine false (the PDF default): EOLs are
+    *tolerated* when present but not required — the per-row 1-D/2-D
+    tag bit is read at the start of every row either way, which is
+    the established public-decoder reading of the spec (Xpdf and
+    pdf.js ``CCITTFaxStream`` read the tag bit after the optional
+    EOL check on every coding line).
     """
     if columns <= 0 or columns > 1 << 16:
         raise ValueError(f"CCITT: invalid Columns {columns}")
@@ -352,14 +363,15 @@ def ccitt_decode(
             br.align()
         two_d = mode == "g4"
         if mode in ("g3", "g3-2d"):
-            if not _skip_fill_to_eol(br):
+            got_eol = _skip_fill_to_eol(br)
+            if not got_eol and (mode == "g3" or require_eol):
                 if rows is None:
                     break  # data exhausted without RTC: done
                 raise ValueError(
                     f"CCITT: missing EOL before row {len(out)}"
                 )
-            if _skip_fill_to_eol(br):  # two EOLs in a row: RTC begins
-                break
+            if got_eol and _skip_fill_to_eol(br):
+                break  # two EOLs in a row: RTC begins
             if mode == "g3-2d":
                 if br.eof():
                     break
@@ -398,10 +410,11 @@ def ccitt_decode_packed(
     mode: str = "g4",
     byte_align: bool = False,
     black_bit: int = 1,
+    require_eol: bool = True,
 ) -> bytes:
     """The packed form the TIFF/PDF layers consume: MSB-first bits per
     byte-aligned row, black pixels as ``black_bit`` (TIFF photometric 0
     and PDF /BlackIs1 true use 1; PDF default /BlackIs1 false uses 0)."""
-    mask = ccitt_decode(data, columns, rows, mode, byte_align)
+    mask = ccitt_decode(data, columns, rows, mode, byte_align, require_eol)
     bits = mask if black_bit == 1 else ~mask
     return np.packbits(bits, axis=1).tobytes()

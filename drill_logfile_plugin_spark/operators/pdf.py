@@ -725,6 +725,12 @@ class _Document:
                 mode = "g4" if k < 0 else ("g3-2d" if k > 0 else "mh")
                 if k == 0 and self.resolve(cp.get("EndOfLine", False)):
                     mode = "g3"
+                # K > 0 with /EndOfLine false (the PDF default): EOLs
+                # are tolerated, not required — the per-row tag bit is
+                # read either way (r11; Xpdf/pdf.js read it after the
+                # optional EOL check on every coding line). /EndOfLine
+                # true keeps the strict T.4 framing demand.
+                eol_required = bool(self.resolve(cp.get("EndOfLine", False)))
                 try:
                     raw = ccitt_decode_packed(
                         raw,
@@ -737,6 +743,7 @@ class _Document:
                         black_bit=1
                         if self.resolve(cp.get("BlackIs1", False))
                         else 0,
+                        require_eol=eol_required if k > 0 else True,
                     )
                 except ValueError as exc:
                     raise ValueError(f"PDF CCITT stream corrupt: {exc}")

@@ -50,13 +50,18 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"(?<!\d)(?:\+?1[\s.-]?)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}\b",
         "<PHONE>",
     ),
-    # IPv6: full/partial colon-hex with >= 5 groups, or any ::-compressed
-    # form (the :: anchor keeps timestamps like 12:34:56 out; 2-group
-    # full forms are indistinguishable from times and stay out of scope)
+    # IPv6: full/partial colon-hex with >= 5 groups, or a ::-compressed
+    # form with at least one hex group on SOME side (the :: anchor keeps
+    # timestamps like 12:34:56 out; a bare standalone `::` — Haskell type
+    # signatures, spaced C++ scope operators — must NOT match, so the
+    # compressed branch is split into head-nonempty and tail-nonempty
+    # alternatives instead of allowing both sides empty; r11 per ADVICE.
+    # 2-group full forms are indistinguishable from times: out of scope)
     "ipv6": (
         r"(?<![\w:])(?:(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}"
-        r"|[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{1,4}){0,5}::"
-        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})?)(?![\w:])",
+        r"|[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}::"
+        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})?"
+        r"|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})(?![\w:])",
         "<IP6>",
     ),
 }
@@ -96,10 +101,19 @@ def _luhn_ok(cand: Column) -> Column:
 
 def _redact_cc(col: Column) -> Column:
     """Replace every Luhn-VALID card candidate with the token: extract
-    candidates, verify each with the checksum fold, literal-replace the
-    survivors — one scan-fused expression, no shuffle, no Python. A
-    candidate failing Luhn (an order id, a timestamp run) is left
-    intact: precision is the point of the checksum."""
+    candidates, verify each with the checksum fold, then replace the
+    survivors *by matched span* — one scan-fused expression, no shuffle,
+    no Python. A candidate failing Luhn (an order id, a timestamp run)
+    is left intact: precision is the point of the checksum.
+
+    Span-anchored, not literal (r11, per ADVICE): each survivor is
+    substituted via ``regexp_replace`` with the candidate lookarounds
+    re-applied around the (regex-quoted) candidate text, so a verified
+    card number that also occurs as a SUBSTRING of a longer digit run
+    (e.g. a 20-digit order id containing the 16-digit card) is left
+    intact there — only standalone candidate spans redact. The quote
+    wrapper is belt-and-braces: candidates contain only digits, spaces
+    and dashes, all literal outside a character class."""
     cands = F.array_distinct(
         F.regexp_extract_all(col, F.lit(CC_CANDIDATE), 0)
     )
@@ -107,7 +121,13 @@ def _redact_cc(col: Column) -> Column:
     return F.aggregate(
         verified,
         col,
-        lambda acc, c: F.replace(acc, c, F.lit(CC_TOKEN)),
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(
+                F.lit(r"(?<![\d-])\Q"), c, F.lit(r"\E(?![\d-])")
+            ),
+            F.lit(CC_TOKEN),
+        ),
     )
 
 

@@ -147,11 +147,24 @@ def _lzma_filter_entry(cid: bytes, props: bytes) -> dict:
     }
 
 
-def _chain_order(coders, bind_pairs):
+def _chain_order(coders, bind_pairs, stream_counts=None):
     """Decode order of a LINEAR folder chain (every coder 1-in/1-out,
     one packed stream): coder k owns global in/out stream k, so bind
     pair (i, o) feeds coder o's output into coder i. Returns coder
-    indices from the packed stream to the folder output."""
+    indices from the packed stream to the folder output.
+
+    The coder-index-as-stream-index identity HOLDS ONLY when every
+    coder is 1-in/1-out, so a multi-stream coder (BCJ2 is 4-in/1-out)
+    is rejected explicitly up front (r11, per ADVICE) — previously such
+    folders failed only incidentally via the bounds/linearity checks."""
+    if stream_counts is not None:
+        for k, (n_in, n_out) in enumerate(stream_counts):
+            if n_in != 1 or n_out != 1:
+                raise ValueError(
+                    "7z folder chain is not linear: coder "
+                    f"{k} ({coders[k][0].hex()}) has {n_in} input / "
+                    f"{n_out} output streams (1-in/1-out required)"
+                )
     next_of = {}
     bound_ins = set()
     for i, o in bind_pairs:
@@ -252,18 +265,30 @@ def _decode_filter_chain(coders, order, packed, unpack_size) -> bytes:
 def _decode_folder(folder, packed: list, unpack_size: int) -> bytes:
     """One folder's unpacked bytes: single coders via bounded stdlib
     decompressors; LINEAR compressor+BCJ/delta chains fused through
-    stdlib-lzma raw filters (r10)."""
-    coders, bind_pairs = folder if isinstance(folder, tuple) else (folder, [])
+    stdlib-lzma raw filters (r10). Non-linear folders — any multi-in/
+    multi-out coder (BCJ2) or >1 packed stream — quarantine by the
+    NAMED 'not linear' guard (r11, per ADVICE), not incidentally."""
+    if isinstance(folder, tuple):
+        coders, bind_pairs = folder[0], folder[1]
+        stream_counts = folder[2] if len(folder) > 2 else None
+        n_packed = folder[3] if len(folder) > 3 else 1
+    else:
+        coders, bind_pairs, stream_counts, n_packed = folder, [], None, 1
     for cid, _props in coders:
         if cid == _7ZAES:
             raise NotImplementedError(
                 "7z AES-encrypted archive (7zAES coder): password "
                 "decryption is a plug-in point"
             )
+    if n_packed != 1:
+        raise ValueError(
+            "7z folder chain is not linear: folder declares "
+            f"{n_packed} packed streams (exactly 1 required)"
+        )
     if unpack_size > _MAX_UNPACK:
         raise ValueError("7z folder unpack size exceeds the bound")
     if len(coders) != 1:
-        order = _chain_order(coders, bind_pairs)
+        order = _chain_order(coders, bind_pairs, stream_counts)
         out = _decode_filter_chain(coders, order, packed[0], unpack_size)
         if len(out) < unpack_size:
             raise ValueError("7z folder shorter than its declared unpack size")
@@ -355,6 +380,7 @@ def _parse_folder(r: _Reader):
     if not 1 <= num_coders <= 64:
         raise ValueError("7z folder coder count invalid")
     coders = []
+    stream_counts: list = []
     total_in = total_out = 0
     for _ in range(num_coders):
         flags = r.byte()
@@ -368,6 +394,7 @@ def _parse_folder(r: _Reader):
         if flags & 0x20:
             props = r.bytes(r.number())
         coders.append((cid, props))
+        stream_counts.append((n_in, n_out))
         total_in += n_in
         total_out += n_out
     n_bind = total_out - 1
@@ -380,7 +407,7 @@ def _parse_folder(r: _Reader):
     out_index = next(
         (o for o in range(total_out) if o not in bound_outs), total_out - 1
     )
-    return coders, total_out, bind_pairs, out_index
+    return coders, total_out, bind_pairs, out_index, stream_counts, n_packed
 
 
 def _parse_streams_info(r: _Reader):
@@ -422,8 +449,9 @@ def _parse_streams_info(r: _Reader):
                 raise ValueError("7z external folder data unsupported")
             outs = []
             for _ in range(n_folders):
-                coders, total_out, bind_pairs, out_idx = _parse_folder(r)
-                folders.append((coders, bind_pairs))
+                (coders, total_out, bind_pairs, out_idx,
+                 stream_counts, n_packed) = _parse_folder(r)
+                folders.append((coders, bind_pairs, stream_counts, n_packed))
                 outs.append((total_out, out_idx))
             if r.number() != _K_UNPACK_SIZES:
                 raise ValueError("7z UnPackInfo missing kCodersUnpackSize")

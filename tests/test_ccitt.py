@@ -207,14 +207,19 @@ def enc_mh(img: np.ndarray, byte_align: bool = True) -> bytes:
     return _bits_to_bytes(bits)
 
 
-def enc_g3(img: np.ndarray, two_d_rows=None, rtc: bool = True) -> bytes:
+def enc_g3(
+    img: np.ndarray, two_d_rows=None, rtc: bool = True, eol: bool = True
+) -> bytes:
     """EOL-framed G3; ``two_d_rows`` (a per-row bool list) switches to
-    the mixed scheme: each EOL is followed by a tag bit (1 = 1-D)."""
+    the mixed scheme: each EOL is followed by a tag bit (1 = 1-D).
+    ``eol=False`` (r11) writes the PDF /EndOfLine-false layout: no EOL
+    before any row (the tag bit, when 2-D, still precedes each row)."""
     columns = img.shape[1]
     bits = ""
     ref = [columns, columns]
     for i, row in enumerate(img):
-        bits += EOL
+        if eol:
+            bits += EOL
         if two_d_rows is not None:
             if two_d_rows[i]:
                 bits += "0" + enc_2d_row(row, ref, columns)
@@ -464,7 +469,8 @@ def test_tiff_fax_spark_lane(spark):
 # --- PDF integration ---------------------------------------------------------------
 
 
-def _pdf_with_fax(img, k, black_is_1=False, wrap_flate=False):
+def _pdf_with_fax(img, k, black_is_1=False, wrap_flate=False,
+                  eol=True, declare_eol=None):
     import zlib
 
     from tests.test_pdf import text_stream
@@ -473,15 +479,22 @@ def _pdf_with_fax(img, k, black_is_1=False, wrap_flate=False):
     if k < 0:
         data = enc_g4(img)
     elif k > 0:
-        data = enc_g3(img, two_d_rows=[i % 2 == 1 for i in range(h)])
+        data = enc_g3(
+            img, two_d_rows=[i % 2 == 1 for i in range(h)],
+            eol=eol, rtc=eol,
+        )
     else:
         data = enc_mh(img, byte_align=False)
     if not black_is_1:
         pass  # polarity lives in DecodeParms, the coding is identical
     filters = "/CCITTFaxDecode"
+    eol_parm = (
+        "" if declare_eol is None
+        else f" /EndOfLine {'true' if declare_eol else 'false'}"
+    )
     parms = (
         f"<< /K {k} /Columns {w} /Rows {h} "
-        f"/BlackIs1 {'true' if black_is_1 else 'false'} >>"
+        f"/BlackIs1 {'true' if black_is_1 else 'false'}{eol_parm} >>"
     )
     if wrap_flate:
         data = zlib.compress(data)
