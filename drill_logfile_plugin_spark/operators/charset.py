@@ -21,19 +21,28 @@ subset of the WHATWG Encoding Standard's sniffing rules:
    export whose BOM was stripped in transit (checked BEFORE the UTF-8
    probe: such bytes are all < 0x80 and would pass it);
 5. a strict UTF-8 probe (the old behavior, now one rung of a chain);
-6. a **windows-1252 fallback** that never fails: latin-1 decode plus
+6. (r11) **structural + frequency sniffing of undeclared legacy
+   encodings** — Shift-JIS(cp932)/EUC-JP/EUC-KR(cp949)/GBK/Big5 and
+   KOI8-R/windows-1251: a strict decode per candidate is the
+   structural lead/trail-grammar validator (the stdlib codecs
+   implement the published grammars), then deterministic script-block
+   + pinned frequent-character scoring picks among survivors (see the
+   rung-5.5 section comment for the full design);
+7. a **windows-1252 fallback** that never fails: latin-1 decode plus
    the WHATWG windows-1252 C0/C1 table (the 27 codepoints where
    cp1252 differs; the five bytes cp1252 leaves undefined map to
    their C1 controls per the standard, so no byte is ever lost).
 
 The fallback preserves bytes 1:1, so an *undeclared* windows-1251
 page still comes out as recoverable single-byte text rather than
-U+FFFD soup — honest-degradation, not silent loss. Statistical
-charset *guessing* (chardet-style models) is out of scope by design:
-every rung above is deterministic and spec-anchored.
+U+FFFD soup — honest-degradation, not silent loss. Trained-model
+charset *guessing* (chardet-style) remains out of scope by design:
+every rung above, including the r11 sniffer, is deterministic and
+anchored in the encodings' published byte grammars and published
+character-frequency lists.
 
 ``decode_text`` returns ``(text, encoding, source)`` where source is
-one of ``bom | declared | meta | utf-8 | utf-16-heuristic |
+one of ``bom | declared | meta | utf-8 | utf-16-heuristic | sniffed |
 fallback`` — a caller that supplied a declared label and got back a
 different source has observed the mismatch.
 
@@ -204,6 +213,215 @@ def _utf16_heuristic(payload: bytes) -> str | None:
     return None
 
 
+# --- rung 5.5: structural sniffing of undeclared legacy encodings (r11) -------
+#
+# An UNDECLARED Shift-JIS/GBK/EUC-KR/Big5/EUC-JP page, or a KOI8-R /
+# windows-1251 Cyrillic page, previously fell to the windows-1252
+# byte-preserving fallback: recoverable bytes, mojibake text. The
+# sniffer below is deterministic and spec-anchored, not a chardet-style
+# trained model:
+#
+#   1. STRUCTURAL VALIDATION — a strict decode under each candidate
+#      codec. The stdlib codecs implement the encodings' published
+#      lead/trail byte grammars exactly, so a strict decode succeeding
+#      IS the structural validator (Shift-JIS leads 81-9F/E0-FC with
+#      their trail ranges, EUC lead/trail A1-FE, Big5 trails
+#      40-7E/A1-FE, ...). Candidates whose grammar the bytes violate
+#      drop out here.
+#   2. FREQUENCY SCORING — several encodings often accept the same
+#      bytes (GBK's grammar covers most high-byte pairs), so survivors
+#      are scored on where the DECODED characters land: the home
+#      script block of the encoding's language, weighted by membership
+#      in a small pinned set of the language's most frequent
+#      characters (top hanzi from published modern-Chinese frequency
+#      lists, top hangul syllables, kana, Russian letter frequencies).
+#      A wrong decode is a substitution cipher: its output lands on
+#      essentially random code points that hit the frequent sets at
+#      the chance rate, while the right decode hits them at natural-
+#      text rates — a wide, deterministic margin.
+#
+# KOI8-R vs windows-1251 (both decode every byte to mostly-Cyrillic)
+# separate by case statistics: the two layouts SWAP the upper/lower
+# halves (1251 lowercase 0xE0-0xFF is KOI8-R uppercase), so scoring
+# uppercase letters at a quarter weight makes the wrong candidate's
+# all-caps output lose. Single-byte Cyrillic claims are additionally
+# gated on a high-byte-heavy letter mix (>= 25%): accented Latin text
+# (a few percent high bytes) can never claim Cyrillic, while real
+# Russian text is high-byte-dominated.
+#
+# Known boundary (documented, not silent): single-byte encodings
+# OUTSIDE the candidate set whose letters alias into cp1251's letter
+# range (e.g. undeclared iso-8859-7 Greek) may sniff as Cyrillic; the
+# cure is adding them as candidates with their own frequency tables,
+# not loosening the gates.
+
+_SNIFF_SAMPLE = 65536
+
+#: frequent CJK ideographs: the union of top simplified hanzi (Jun Da's
+#: modern-Chinese corpus list), their traditional forms, and common
+#: Japanese kanji — shared across candidates (discrimination comes from
+#: the decode MAPPING: a wrong decode hits this set only by chance).
+_FREQ_HANZI = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得"
+    "就那要下以生会自着去之过家学对可她里后小么心多天而能好都然没日"
+    "于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同"
+    "三已老从动两长知民样现分将外但身些与高意进把法此实回二理美点月"
+    "明其种声全工己话儿者向情部正名定女问力机给等几很业最间新什打便"
+    "位因重被走电四第门相次东政海口使教西再平真听世期"
+    "這個們來說時為後裡學對會沒發經頭見長樣現將與問間東兩點讓國務員"
+    "動機關於過還開無業華實體質歷險應當壓縮證據讀寫講買賣錢銀鐵馬車"
+    "書廣統傳遠近親愛覺觀歸舊勢單雙總聲臺灣"
+    "私本日年月時分間人大学生中国社会事物語気電車駅新聞雨空山川田町"
+)
+
+#: frequent hangul syllables (top of published modern-Korean syllable
+#: frequency lists); a wrong decode lands uniformly over ~2350
+#: syllables and hits these at ~2%, real Korean text at ~50%.
+_FREQ_HANGUL = frozenset(
+    "이다의는에하고지서기를은가을로한것수있사니아대어인스트년요그리"
+    "시만적문자제주우와전해정상소부중심개국생성연비학교경제도무엇때"
+    "까함나습니었면으원회용라공장동보통신"
+)
+
+#: Russian letter frequencies, per-mille (published counts, rounded).
+_RU_FREQ = {
+    "о": 110, "е": 85, "а": 80, "и": 74, "н": 67, "т": 63, "с": 55,
+    "р": 47, "в": 45, "л": 44, "к": 35, "м": 32, "д": 30, "п": 28,
+    "у": 26, "я": 20, "ы": 19, "ь": 17, "г": 17, "з": 16, "б": 16,
+    "ч": 14, "й": 12, "х": 9, "ж": 9, "ш": 7, "ю": 6, "ц": 5,
+    "щ": 4, "э": 3, "ф": 2, "ё": 2, "ъ": 1,
+}
+
+#: deterministic priority: first-listed wins score ties.
+_MB_CANDIDATES = ("cp932", "euc_jp", "cp949", "gbk", "big5")
+_SB_CANDIDATES = ("cp1251", "koi8_r")
+
+
+def _cjk_stats(text: str) -> tuple[float, int, int]:
+    """(avg weight per non-ASCII char, n non-ASCII, distinctive hits).
+    Distinctive = kana or a frequent-set ideograph/syllable — evidence
+    a wrong decode produces only at the chance rate."""
+    score = 0
+    n = 0
+    distinctive = 0
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x80:
+            continue
+        n += 1
+        if 0x3041 <= cp <= 0x30FF:  # hiragana + katakana
+            score += 60
+            distinctive += 1
+        elif 0xAC00 <= cp <= 0xD7A3:  # hangul syllables
+            if ch in _FREQ_HANGUL:
+                score += 60
+                distinctive += 1
+            else:
+                score += 25
+        elif 0x4E00 <= cp <= 0x9FFF:  # CJK unified
+            if ch in _FREQ_HANZI:
+                score += 55
+                distinctive += 1
+            else:
+                score += 25
+        elif 0x3000 <= cp <= 0x303F or 0xFF01 <= cp <= 0xFF60:
+            score += 20  # CJK punctuation / fullwidth forms
+        elif 0xFF61 <= cp <= 0xFF9F:
+            score += 20  # halfwidth katakana: NOT distinctive (Big5
+            # leads alias into cp932's single-byte kana range)
+        elif 0x3400 <= cp <= 0x4DBF:
+            score += 5  # ext A: rare in genuine modern text
+        elif 0xE000 <= cp <= 0xF8FF or 0x80 <= cp <= 0x9F:
+            score -= 80  # PUA / C1: decode junk
+        else:
+            score -= 10
+    return (score / n if n else 0.0), n, distinctive
+
+
+def _cyr_stats(text: str) -> tuple[float, int]:
+    """(avg weight per non-ASCII char, n non-ASCII) under the Russian
+    unigram table. Natural text is predominantly ONE case, so the
+    score is the better of two orientations (lowercase-dominant /
+    uppercase-dominant: the dominant case at full weight, the other at
+    a quarter). The KOI8-R/1251 layouts swap the case halves, so the
+    wrong candidate's output is case-flipped — its frequency weights
+    then belong to a substitution cipher's letters, measured ~38‰ vs
+    ~54‰ for the right decode on the same bytes (and ~19‰ for random
+    letters), a stable deterministic margin for BOTH lowercase and
+    ALL-CAPS source text."""
+    s_lower = 0.0
+    s_upper = 0.0
+    n = 0
+    for ch in text:
+        if ord(ch) < 0x80:
+            continue
+        n += 1
+        w = _RU_FREQ.get(ch)
+        if w is not None:  # lowercase letter
+            s_lower += w
+            s_upper += w / 4
+            continue
+        w = _RU_FREQ.get(ch.lower())
+        if w is not None:  # uppercase letter
+            s_lower += w / 4
+            s_upper += w
+        else:
+            s_lower -= 20
+            s_upper -= 20
+    score = max(s_lower, s_upper)
+    return (score / n if n else 0.0), n
+
+
+def sniff_legacy(payload: bytes) -> str | None:
+    """The best-scoring legacy-candidate codec name for ``payload``, or
+    None when no candidate passes its gates (then the caller falls to
+    the byte-preserving windows-1252 rung as before). Detection runs on
+    a bounded head sample; the caller re-decodes the full payload."""
+    sample = payload[:_SNIFF_SAMPLE]
+    if len(sample) < len(payload):
+        sample = sample[:-4]  # never split a multibyte char at the cut
+    n_high = sum(1 for b in sample if b >= 0x80)
+    if n_high < 4:
+        return None
+    best = None
+    best_score = 0.0
+    for codec in _MB_CANDIDATES:
+        try:
+            text = sample.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        score, n, distinctive = _cjk_stats(text)
+        if (
+            n >= 4
+            and distinctive >= max(2, 0.05 * n)
+            and score >= 30
+            and score > best_score
+        ):
+            best, best_score = codec, score
+    ascii_letters = sum(
+        1 for b in sample if 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A
+    )
+    # Cyrillic gates: real Russian text is HIGH-BYTE-DOMINATED (every
+    # letter is a high byte; >= 0.6 in practice, ~0.5 with HTML markup)
+    # and uses a wide letter inventory, while accented Latin text has a
+    # few percent high bytes clustered on a handful of code points that
+    # can alias into frequent Cyrillic letters — the 0.4 ratio and the
+    # >= 8 distinct-high-bytes gates keep it out deterministically.
+    if (
+        n_high / (n_high + ascii_letters) >= 0.4
+        and len({b for b in sample if b >= 0x80}) >= 8
+    ):
+        for codec in _SB_CANDIDATES:
+            try:
+                text = sample.decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                continue
+            score, n = _cyr_stats(text)
+            if n >= 4 and score >= 35 and score > best_score:
+                best, best_score = codec, score
+    return best
+
+
 # --- the chain -----------------------------------------------------------------
 
 
@@ -249,6 +467,16 @@ def decode_text(
         return payload.decode("utf-8"), "utf-8", "utf-8"
     except UnicodeDecodeError:
         pass
+    # rung 5.5 (r11): structural + frequency sniffing of undeclared
+    # legacy CJK/Cyrillic pages — the full payload re-decodes STRICTLY
+    # (the sniffer saw a bounded head sample; a tail the grammar
+    # rejects falls through to the byte-preserving rung).
+    enc = sniff_legacy(payload)
+    if enc is not None:
+        try:
+            return payload.decode(enc), enc, "sniffed"
+        except (UnicodeDecodeError, ValueError):
+            pass
     return _decode_w1252(payload), "windows-1252", "fallback"
 
 
@@ -382,3 +610,41 @@ def decode_expr(body_col, charset_label_col):
     for label, jvm in _JVM_CHARSETS.items():
         out = F.when(charset_label_col == label, F.decode(body_col, jvm)).otherwise(out)
     return F.regexp_replace(out, "^\\uFEFF", "")
+
+
+#: route-to-Python threshold for :func:`decode_suspect_expr`: 1% of
+#: characters replaced. Real text under its right charset produces
+#: essentially zero U+FFFD (the odd corrupt byte); a LYING declared
+#: label (cp1251 bytes decoded as UTF-8, say) replaces a large share of
+#: every multi-byte-looking run. 0.01 sits orders of magnitude from
+#: both populations (policy pinned in tests/test_charset_sniff.py).
+FFFD_SUSPECT_THRESHOLD = 0.01
+
+
+def fffd_density_expr(text_col):
+    """Scan-fused U+FFFD density of a decoded text column: replaced
+    chars / total chars (0.0 for empty). Pure JVM expressions — no
+    shuffle, no Python — so the WARC lanes can carry the decode-audit
+    column at scan speed.
+
+    This is the machine-actionable form of the documented JVM-lane
+    divergence (module docstring): JVM ``decode`` has no strict mode,
+    so a lying declared label yields replacement characters instead of
+    falling through the chain the way the Python lane does. The
+    density makes that visible as a number a pipeline can route on."""
+    from pyspark.sql import functions as F
+
+    n = F.length(text_col)
+    replaced = n - F.length(F.replace(text_col, F.lit("�"), F.lit("")))
+    return (
+        replaced.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    )
+
+
+def decode_suspect_expr(text_col, threshold: float = FFFD_SUSPECT_THRESHOLD):
+    """Boolean: this JVM-decoded row needs the Python strict chain
+    (``extract_document_text(charset_col=...)`` / :func:`decode_text`)
+    — its replacement-character density crosses ``threshold``."""
+    from pyspark.sql import functions as F
+
+    return fffd_density_expr(text_col) >= F.lit(float(threshold))

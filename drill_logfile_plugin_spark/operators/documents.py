@@ -219,11 +219,12 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
         return "txt"
     except UnicodeDecodeError:
         pass
-    # Legacy-charset plain text: the BOM-less UTF-16 heuristic and the
-    # WHATWG windows-1252 fallback, gated on the control-character
-    # ratio so binary junk still quarantines.
+    # Legacy-charset plain text: the BOM-less UTF-16 heuristic, the
+    # r11 legacy-encoding sniffer, and the WHATWG windows-1252
+    # fallback, gated on the control-character ratio so binary junk
+    # still quarantines.
     text, _enc, src = decode_text(payload)
-    if src in ("utf-16-heuristic", "fallback") and is_texty(text):
+    if src in ("utf-16-heuristic", "sniffed", "fallback") and is_texty(text):
         return "txt"
     raise ValueError("unrecognized document payload")
 
@@ -344,7 +345,9 @@ def _extract_one(fmt: str, payload: bytes, declared_charset=None,
         from .charset import decode_text, is_texty
 
         text, _enc, src = decode_text(payload, declared_charset)
-        if src in ("utf-16-heuristic", "fallback") and not is_texty(text):
+        if src in (
+            "utf-16-heuristic", "sniffed", "fallback"
+        ) and not is_texty(text):
             raise ValueError("binary payload is not decodable text")
         return text, 1
     raise ValueError(f"document format {fmt!r} not extractable")

@@ -277,7 +277,8 @@ def wet_documents(warc: DataFrame) -> DataFrame:
 
 
 def warc_documents(
-    warc: DataFrame, min_status: int = 200, max_status: int = 299
+    warc: DataFrame, min_status: int = 200, max_status: int = 299,
+    decode_audit: bool = False,
 ) -> DataFrame:
     """The crawl→pipeline adapter: response records with a 2xx status
     become (doc_id, url, text, source) — body bytes decoded through the
@@ -285,8 +286,23 @@ def warc_documents(
     at parse time, then the HTML meta prescan, defaulting UTF-8 with
     replacement), markup stripped, URL canonicalized, source = the
     registered domain — one whole-stage-codegen map, no Python. Feed
-    the result straight to ``pipeline.ingest_increment``."""
-    from ..operators.charset import declared_charset_expr, decode_expr
+    the result straight to ``pipeline.ingest_increment``.
+
+    ``decode_audit=True`` (r11) appends two scan-fused columns —
+    ``fffd_density`` (replacement-char share of the decoded text) and
+    ``decode_suspect`` (density >= the pinned threshold) — making the
+    JVM lane's no-strict-mode divergence machine-actionable: route
+    suspect rows through the Python strict chain
+    (``extract_document_text(charset_col=...)``) instead of keeping
+    replacement soup. Still zero Exchange, zero Python (plan contract
+    pinned in tests). Default off: the base schema and its pinned
+    plan signatures are unchanged."""
+    from ..operators.charset import (
+        declared_charset_expr,
+        decode_expr,
+        decode_suspect_expr,
+        fffd_density_expr,
+    )
     from ..operators.web import canonical_url, strip_html
 
     responses = warc.where(
@@ -295,12 +311,17 @@ def warc_documents(
         & F.col("url").isNotNull()
     )
     cs = declared_charset_expr(F.col("http_content_type"), F.col("body"))
-    return responses.select(
+    text = strip_html(decode_expr(F.col("body"), cs))
+    cols = [
         F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
         canonical_url("url").alias("url"),
-        strip_html(decode_expr(F.col("body"), cs)).alias("text"),
+        text.alias("text"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
-    )
+    ]
+    if decode_audit:
+        cols.append(fffd_density_expr(text).alias("fffd_density"))
+        cols.append(decode_suspect_expr(text).alias("decode_suspect"))
+    return responses.select(*cols)
 
 
 #: The Common Crawl WAT envelope, as a Spark DDL schema for ``from_json``
