@@ -47,7 +47,9 @@ of real "encrypted" PDFs actually use) decode transparently — RC4-40
 through AES-256, see ``pdf_crypt`` (r9). CCITT fax image streams
 decode through ``/CCITTFaxDecode`` (r10, operators/ccitt.py) with
 ``bilevel_images()`` surfacing the rasters. Type0 fonts without
-ToUnicode read Identity-H/V codes as direct CIDs; other predefined
+ToUnicode read Identity-H/V codes as direct CIDs, and the predefined
+UCS-2 CMap families (UniGB/CNS/JIS/KS-UCS2[-HW]-H/V) read their codes
+as the UCS-2 values they are defined to be (r11); other predefined
 CMaps are a COUNTED absence (``pdf_unmapped_glyph_counts``) rather
 than Latin-1 mojibake (r10). Genuinely absent capabilities raise
 NotImplementedError at the documented plug-in points:
@@ -823,6 +825,35 @@ class _Document:
         walk(node, None)
         return out
 
+    def page_image_counts(self) -> list:
+        """Per-page count of image XObjects referenced by the page's
+        effective /Resources (r11, verdict item 6): the 'image-only
+        page' accounting signal for scanned documents. CCITT fax
+        rasters now DECODE to pixels (``bilevel_images``) but carry no
+        text layer without OCR — a page with images and an empty text
+        layer must be countable as a scanned page, never mistaken for
+        a blank one. Counts every /Subtype /Image (fax, DCT, ...):
+        the signal is 'this page's content lives in rasters', not
+        'this raster decodes here'."""
+        out = []
+        for _page, res in self.pages():
+            n = 0
+            xobjs = (
+                self.resolve(res.get("XObject"))
+                if isinstance(res, dict)
+                else None
+            )
+            if isinstance(xobjs, dict):
+                for ref in xobjs.values():
+                    xd = self.resolve(ref)
+                    if (
+                        isinstance(xd, dict)
+                        and self.resolve(xd.get("Subtype")) == "Image"
+                    ):
+                        n += 1
+            out.append(n)
+        return out
+
     def page_fonts(self, resources):
         """name -> ``(code_len, mapping)`` for a page's font resources,
         from the highest-fidelity source available per font: the
@@ -856,25 +887,38 @@ class _Document:
         return out
 
     def _type0_mapping(self, fd: dict):
-        """The Type0-without-ToUnicode lane (r10, the CJK-book slice).
+        """The Type0-without-ToUnicode lane (r10, the CJK-book slice;
+        r11 widened to the predefined UCS-2 CMap families).
 
         ``Identity-H``/``Identity-V``: 2-byte codes ARE the CIDs; they
         are read directly as Unicode scalar values (the shape emitted
         by generators that subset with Unicode-valued CIDs). CIDs in
         the surrogate gap have no scalar value and count as unmapped.
 
-        Any OTHER predefined CMap (UniGB-UCS2-H, 90ms-RKSJ-H, ...) or
-        an embedded CMap stream maps every 2-byte code to the unmapped
-        marker: the full Adobe CMap tables cannot be independently
-        cross-verified in this environment (the repo's in-test-writer
-        discipline — an unverifiable table is worse than an honest
-        count), so the contract is COUNT + QUARANTINE, surfaced per
-        page by :func:`pdf_unmapped_glyph_counts`, never silent
-        Latin-1 mojibake. Mixed-width predefined CMaps are counted in
-        2-byte units — an approximation documented here, affecting
-        only the count of a lane that is already absent-valued."""
+        ``Uni{GB,CNS,JIS,KS}-UCS2[-HW]-{H,V}`` (r11): these predefined
+        CMaps are DEFINED by Adobe as the UCS-2 encoding of their
+        character collection (Adobe-GB1/CNS1/Japan1/Korea1), so the
+        2-byte character codes in the content stream are literally
+        UCS-2 code units — text extraction needs no table at all, and
+        unlike the Identity heuristic above this reading is spec-exact.
+        UCS-2 has no surrogates, so surrogate-gap codes count as
+        unmapped exactly as in the Identity lane.
+
+        Any OTHER predefined CMap (90ms-RKSJ-H, KSCms-UHC-H, the
+        UTF16 variable-width families, ...) or an embedded CMap stream
+        maps every 2-byte code to the unmapped marker: those tables
+        cannot be independently cross-verified in this environment
+        (the repo's in-test-writer discipline — an unverifiable table
+        is worse than an honest count), so the contract is COUNT +
+        QUARANTINE, surfaced per page by
+        :func:`pdf_unmapped_glyph_counts`, never silent Latin-1
+        mojibake. Mixed-width predefined CMaps are counted in 2-byte
+        units — an approximation documented here, affecting only the
+        count of a lane that is already absent-valued."""
         enc = self.resolve(fd.get("Encoding"))
         if enc in ("Identity-H", "Identity-V"):
+            return (2, _IdentityCidMap())
+        if isinstance(enc, str) and _UCS2_CMAP_RE.match(enc):
             return (2, _IdentityCidMap())
         if enc is None:
             return None
@@ -1117,6 +1161,13 @@ def _parse_tounicode(data: bytes):
     return code_len, mapping
 
 
+#: the predefined UCS-2 CMap families (PDF 32000-1 §9.7.5.2 table 118):
+#: per Adobe's CMap resources these are "UCS-2 encoding for the
+#: Adobe-GB1/CNS1/Japan1/Korea1 character collection" — the character
+#: code IS the UCS-2 code unit, so Unicode reading is table-free.
+_UCS2_CMAP_RE = re.compile(r"^Uni(?:GB|CNS|JIS|KS)-UCS2(?:-HW)?-[HV]$")
+
+
 class _IdentityCidMap:
     """Identity-H/V CID reading: ``get(code)`` returns the code's
     Unicode scalar value; surrogate-gap codes (no scalar value) fall to
@@ -1256,12 +1307,23 @@ def pdf_unmapped_glyph_counts(payload: bytes) -> list:
     return [t.count("\ufffd") for t in _pdf_page_texts(payload)]
 
 
+def pdf_page_image_counts(payload: bytes) -> list:
+    """Per-page count of image XObjects (r11): the scanned-document
+    accounting surface beside :func:`pdf_unmapped_glyph_counts`. A
+    CCITT-fax page now decodes to PIXELS but has no text without OCR;
+    this count lets corpus accounting see 'image-only page' (images
+    present, empty text layer) distinctly from 'blank page' — no
+    silent empty text."""
+    return _Document(payload).page_image_counts()
+
+
 def extract_pdf_text(
     df,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     on_error: str = "null",
     with_unmapped: bool = False,
+    with_page_images: bool = False,
 ):
     """Spark lane: PDF payloads -> ``(doc_id, text, n_pages, n_chars)``.
 
@@ -1300,6 +1362,8 @@ def extract_pdf_text(
     ]
     if with_unmapped:
         fields.append(StructField("unmapped_glyphs", ArrayType(IntegerType())))
+    if with_page_images:
+        fields.append(StructField("page_images", ArrayType(IntegerType())))
     schema = StructType(fields)
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
@@ -1308,6 +1372,7 @@ def extract_pdf_text(
     def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, texts, pages, chars, unmapped = [], [], [], [], []
+            img_counts = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     page_texts = _pdf_page_texts(bytes(p))
@@ -1317,17 +1382,23 @@ def extract_pdf_text(
                         if with_unmapped
                         else None
                     )
+                    imgs = (
+                        _Document(bytes(p)).page_image_counts()
+                        if with_page_images
+                        else None
+                    )
                 except (ValueError, NotImplementedError):
                     if on_error == "strict":
                         raise
                     if on_error == "skip":
                         continue
-                    text, n_pages, counts = None, None, None
+                    text, n_pages, counts, imgs = None, None, None, None
                 ids.append(doc_id)
                 texts.append(text)
                 pages.append(n_pages)
                 chars.append(None if text is None else len(text))
                 unmapped.append(counts)
+                img_counts.append(imgs)
             out = {
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "text": pd.Series(texts, dtype="object"),
@@ -1336,6 +1407,8 @@ def extract_pdf_text(
             }
             if with_unmapped:
                 out["unmapped_glyphs"] = pd.Series(unmapped, dtype="object")
+            if with_page_images:
+                out["page_images"] = pd.Series(img_counts, dtype="object")
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(batches, schema)

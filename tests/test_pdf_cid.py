@@ -50,16 +50,58 @@ def test_identity_surrogate_gap_counts_as_unmapped():
 
 
 @pytest.mark.parametrize(
-    "cmap", ["UniGB-UCS2-H", "UniJIS-UCS2-H", "90ms-RKSJ-H", "KSCms-UHC-H"]
+    "cmap",
+    ["90ms-RKSJ-H", "KSCms-UHC-H", "UniJIS-UTF16-H", "GBK-EUC-H"],
 )
 def test_predefined_cmaps_are_counted_absence(cmap):
-    """A predefined (non-Identity) CMap without ToUnicode must NOT
-    decode as Latin-1 mojibake: every 2-byte code counts as unmapped
-    and the per-page surface makes the page gateable."""
+    """A predefined non-Identity, non-UCS2 CMap without ToUnicode must
+    NOT decode as Latin-1 mojibake: every 2-byte code counts as
+    unmapped and the per-page surface makes the page gateable. (The
+    UCS2 families moved to the decoding lane in r11 — below.)"""
     doc = build_pdf([_hex_show("四字熟語")], font_obj=_type0_font(cmap))
     text, _ = _pdf_extract_text(doc)
     assert text == "�" * 4
     assert pdf_unmapped_glyph_counts(doc) == [4]
+
+
+@pytest.mark.parametrize(
+    "cmap,sample",
+    [
+        ("UniGB-UCS2-H", "中文简体文本测试"),
+        ("UniGB-UCS2-V", "中文竖排"),
+        ("UniCNS-UCS2-H", "繁體中文測試"),
+        ("UniJIS-UCS2-H", "日本語のテキスト"),
+        ("UniJIS-UCS2-HW-H", "半角ワイド"),
+        ("UniKS-UCS2-H", "한국어 텍스트"),
+        ("UniKS-UCS2-V", "세로쓰기"),
+    ],
+)
+def test_ucs2_cmap_families_decode_table_free(cmap, sample):
+    """r11 (verdict item 3): the Uni*-UCS2 predefined CMaps ARE the
+    UCS-2 encoding of their collections per Adobe's definition, so the
+    2-byte codes read as Unicode directly — the CJK-book slice emits
+    correct text and its unmapped count drops to zero."""
+    doc = build_pdf([_hex_show(sample)], font_obj=_type0_font(cmap))
+    text, _ = _pdf_extract_text(doc)
+    assert text == sample
+    assert pdf_unmapped_glyph_counts(doc) == [0]
+
+
+def test_ucs2_cmap_surrogate_gap_still_counts():
+    """UCS-2 has no surrogates: gap codes stay counted, not crashed."""
+    stream = b"BT /F1 12 Tf <4E2DD800> Tj ET"
+    doc = build_pdf([stream], font_obj=_type0_font("UniGB-UCS2-H"))
+    text, _ = _pdf_extract_text(doc)
+    assert text == "中�"
+    assert pdf_unmapped_glyph_counts(doc) == [1]
+
+
+def test_ucs2_lookalike_names_stay_counted():
+    """Near-miss names must not match the family regex."""
+    for bad in ("UniGB-UCS2", "UniGB-UCS2-X", "XUniGB-UCS2-H",
+                "UniTH-UCS2-H"):
+        doc = build_pdf([_hex_show("中")], font_obj=_type0_font(bad))
+        assert pdf_unmapped_glyph_counts(doc) == [1]
 
 
 def test_tounicode_still_wins_over_identity():
@@ -114,7 +156,9 @@ def test_spark_lane_with_unmapped_counts(spark):
     from drill_logfile_plugin_spark.operators.pdf import extract_pdf_text
 
     good = build_pdf([_hex_show("好")], font_obj=_type0_font("Identity-H"))
-    bad = build_pdf([_hex_show("曖昧")], font_obj=_type0_font("UniGB-UCS2-H"))
+    # r11: UCS2 families now decode, so the counted-absence exemplar
+    # is a non-UCS2 predefined CMap
+    bad = build_pdf([_hex_show("曖昧")], font_obj=_type0_font("90ms-RKSJ-H"))
     df = spark.createDataFrame(
         [(0, bytearray(good)), (1, bytearray(bad))],
         "doc_id long, payload binary",
@@ -128,3 +172,54 @@ def test_spark_lane_with_unmapped_counts(spark):
     assert out[0]["unmapped_glyphs"] == [0]
     assert out[1]["unmapped_glyphs"] == [2]
     assert out[0]["text"] == "好"
+
+
+# --- per-page image accounting (r11, verdict item 6) ---------------------------
+
+
+def test_page_image_counts_on_scanned_pdf():
+    """A fax-bearing page reports its raster count: 'image-only page'
+    becomes countable, distinct from 'blank page'."""
+    from drill_logfile_plugin_spark.operators.pdf import (
+        pdf_page_image_counts,
+    )
+    from tests.test_ccitt import _images, _pdf_with_fax
+
+    img = dict(_images())["blobby"]
+    doc = _pdf_with_fax(img, -1)
+    assert pdf_page_image_counts(doc) == [1]
+
+
+def test_page_image_counts_zero_on_text_pdf():
+    from drill_logfile_plugin_spark.operators.pdf import (
+        pdf_page_image_counts,
+    )
+    from tests.test_pdf import build_pdf, text_stream
+
+    doc = build_pdf([text_stream("(a) Tj"), text_stream("(b) Tj")])
+    assert pdf_page_image_counts(doc) == [0, 0]
+
+
+def test_spark_lane_with_page_images(spark):
+    from drill_logfile_plugin_spark.operators.pdf import extract_pdf_text
+    from tests.test_ccitt import _images, _pdf_with_fax
+    from tests.test_pdf import build_pdf, text_stream
+
+    img = dict(_images())["text_like"]
+    scanned = _pdf_with_fax(img, -1)
+    texty = build_pdf([text_stream("(hello) Tj")])
+    df = spark.createDataFrame(
+        [(0, bytearray(scanned)), (1, bytearray(texty))],
+        "doc_id long, payload binary",
+    )
+    base = extract_pdf_text(df)
+    assert base.columns == ["doc_id", "text", "n_pages", "n_chars"]
+    out = {
+        r["doc_id"]: r
+        for r in extract_pdf_text(
+            df, with_unmapped=True, with_page_images=True
+        ).collect()
+    }
+    assert out[0]["page_images"] == [1]
+    assert out[1]["page_images"] == [0]
+    assert out[1]["text"] == "hello"
