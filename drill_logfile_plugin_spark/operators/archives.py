@@ -118,9 +118,11 @@ def _tar_members(payload: bytes):
         yield member.name, data
 
 
-def archive_members(payload: bytes):
+def archive_members(payload: bytes, password: str | None = None):
     """Yield ``(name, bytes)`` for each regular member; ValueError on
-    anything that is not a zip / tar / compressed tar / 7z."""
+    anything that is not a zip / tar / compressed tar / 7z.
+    ``password`` (r11) decrypts 7zAES archives (including encrypted
+    headers); zip-crypto is a separate, unimplemented scheme."""
     if payload[:2] == b"PK":
         yield from _zip_members(payload)
         return
@@ -129,7 +131,7 @@ def archive_members(payload: bytes):
 
         total = 0
         count = 0
-        for name, data in sevenzip_members(payload):
+        for name, data in sevenzip_members(payload, password=password):
             count += 1
             if count > _MAX_MEMBERS:
                 raise ValueError(
@@ -154,13 +156,16 @@ def explode_archive(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     on_error: str = "skip",
+    password: str | None = None,
 ):
     """Spark lane (one-to-many): archive payloads -> one row per member
     ``(doc_id, member_idx, member_name, payload, n_bytes)``. An
     unreadable ARCHIVE yields zero rows under "skip" (default) or
     aborts under "strict"; member reads are all-or-nothing per archive
     (a lying member bound fails that archive, not the job, under
-    "skip")."""
+    "skip"). ``password`` (r11) decrypts 7zAES archives in the batch;
+    a corpus-wide known password is the realistic shape (per-row
+    passwords belong to a pre-join against a credential table)."""
     from collections.abc import Iterable, Iterator
 
     import pandas as pd
@@ -195,7 +200,9 @@ def explode_archive(
             ids, idxs, names, blobs, sizes = [], [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    members = list(archive_members(bytes(p)))
+                    members = list(
+                        archive_members(bytes(p), password=password)
+                    )
                 except ValueError:
                     if on_error == "strict":
                         raise

@@ -18,9 +18,14 @@ variable-length numbers:
   stdlib-lzma raw decompressor (liblzma applies the inverse transforms
   on decode), with bind pairs resolved to the decode order and the
   folder's output stream taken from the UNBOUND out index;
-  delta-over-Copy decodes numerically. BCJ2 (4-input), non-linear
-  graphs, and **7zAES** (``06F10701``, password encryption) raise named
-  quarantines;
+  delta-over-Copy decodes numerically. **7zAES** (``06F10701``)
+  decrypts when a password is supplied (r11): key = the published
+  SHA-256 iteration over salt ‖ UTF-16LE password ‖ 64-bit counter,
+  2^NumCyclesPower rounds (7zFormat.txt / 7-Zip 7zAes.cpp), then
+  AES-256-CBC through the repo's FIPS-197 implementation
+  (``pdf_crypt``) — member folders and encrypted headers alike;
+  without a password it stays a named quarantine. BCJ2 (4-input) and
+  non-linear graphs raise named quarantines;
 * **SubStreamsInfo** — solid archives pack many files into one
   folder; per-folder substream counts and sizes split the unpacked
   stream;
@@ -262,24 +267,104 @@ def _decode_filter_chain(coders, order, packed, unpack_size) -> bytes:
         raise ValueError(f"7z filtered stream corrupt: {exc}")
 
 
-def _decode_folder(folder, packed: list, unpack_size: int) -> bytes:
+def _parse_aes_props(props: bytes) -> tuple[int, bytes, bytes]:
+    """7zAES coder properties -> (num_cycles_power, salt, iv), per the
+    published layout (7zFormat.txt / 7-Zip 7zAes.cpp): byte 0 carries
+    the cycles power in bits 0-5 and one extra salt/IV length bit each
+    in bits 7/6; byte 1 (present when either flag is set) carries the
+    remaining length nibbles; salt bytes then IV bytes follow. The IV
+    is zero-padded to the AES block size."""
+    if not props:
+        raise ValueError("7zAES coder properties missing")
+    b0 = props[0]
+    cycles = b0 & 0x3F
+    salt_size = iv_size = 0
+    at = 1
+    if b0 & 0xC0:
+        if len(props) < 2:
+            raise ValueError("7zAES coder properties truncated")
+        b1 = props[1]
+        salt_size = ((b0 >> 7) & 1) + (b1 >> 4)
+        iv_size = ((b0 >> 6) & 1) + (b1 & 0x0F)
+        at = 2
+    if len(props) < at + salt_size + iv_size:
+        raise ValueError("7zAES salt/IV escape the coder properties")
+    salt = props[at : at + salt_size]
+    iv = props[at + salt_size : at + salt_size + iv_size]
+    return cycles, salt, iv.ljust(16, b"\x00")
+
+
+#: derivation-cost ceiling: 7-Zip's own default is 19 (2^19 rounds);
+#: a crafted archive demanding 2^62 rounds is a CPU bomb, not a file.
+_MAX_AES_CYCLES_POWER = 24
+
+
+def _aes_key_from_password(password: str, cycles: int, salt: bytes) -> bytes:
+    """The 7z key derivation (7zAes.cpp CKeyInfo::CalcKey): password
+    UTF-16LE; cycles == 0x3F means the no-hash layout (salt+password
+    zero-padded to 32 bytes); otherwise one SHA-256 over 2^cycles
+    repetitions of (salt || password || counter_le64)."""
+    import hashlib
+
+    pwd = password.encode("utf-16-le")
+    if cycles == 0x3F:
+        return (salt + pwd)[:32].ljust(32, b"\x00")
+    if cycles > _MAX_AES_CYCLES_POWER:
+        raise ValueError(
+            f"7zAES cycles power {cycles} exceeds the derivation bound "
+            f"({_MAX_AES_CYCLES_POWER})"
+        )
+    h = hashlib.sha256()
+    block = salt + pwd
+    for i in range(1 << cycles):
+        h.update(block)
+        h.update(struct.pack("<Q", i))
+    return h.digest()
+
+
+def _aes_decrypt_stream(props: bytes, data: bytes, password: str) -> bytes:
+    """Decrypt one 7zAES-coded stream: AES-256-CBC with the derived
+    key, no unpadding (7z zero-pads to the block size; the downstream
+    decoder reads exactly what it needs). Reuses the from-scratch
+    FIPS-197 AES in ``pdf_crypt``."""
+    from .pdf_crypt import aes_cbc_decrypt
+
+    cycles, salt, iv = _parse_aes_props(props)
+    if len(data) % 16 or not data:
+        raise ValueError("7zAES ciphertext length not a block multiple")
+    key = _aes_key_from_password(password, cycles, salt)
+    return aes_cbc_decrypt(key, iv, data, unpad=False)
+
+
+def _decode_folder(
+    folder, packed: list, unpack_size: int, password: str | None = None
+) -> bytes:
     """One folder's unpacked bytes: single coders via bounded stdlib
     decompressors; LINEAR compressor+BCJ/delta chains fused through
     stdlib-lzma raw filters (r10). Non-linear folders — any multi-in/
     multi-out coder (BCJ2) or >1 packed stream — quarantine by the
-    NAMED 'not linear' guard (r11, per ADVICE), not incidentally."""
+    NAMED 'not linear' guard (r11, per ADVICE), not incidentally.
+
+    7zAES folders (r11): with a ``password``, the AES stage — always
+    adjacent to the packed stream in the coder graph — is stripped
+    first (key = the published SHA-256 iteration over salt ‖ UTF-16LE
+    password ‖ counter; AES-256-CBC via the repo's FIPS-197 tables),
+    then the remaining chain decodes as usual. Without a password the
+    named quarantine stands. A wrong password surfaces as the NAMED
+    decrypt failure (the decompressor downstream rejects the garbage;
+    7zAES itself carries no verifier — integrity lives in the CRCs)."""
     if isinstance(folder, tuple):
         coders, bind_pairs = folder[0], folder[1]
         stream_counts = folder[2] if len(folder) > 2 else None
         n_packed = folder[3] if len(folder) > 3 else 1
     else:
         coders, bind_pairs, stream_counts, n_packed = folder, [], None, 1
-    for cid, _props in coders:
-        if cid == _7ZAES:
-            raise NotImplementedError(
-                "7z AES-encrypted archive (7zAES coder): password "
-                "decryption is a plug-in point"
-            )
+    has_aes = any(cid == _7ZAES for cid, _props in coders)
+    if has_aes and password is None:
+        raise NotImplementedError(
+            "7z AES-encrypted archive (7zAES coder): pass password=... "
+            "to decrypt"
+        )
     if n_packed != 1:
         raise ValueError(
             "7z folder chain is not linear: folder declares "
@@ -287,23 +372,54 @@ def _decode_folder(folder, packed: list, unpack_size: int) -> bytes:
         )
     if unpack_size > _MAX_UNPACK:
         raise ValueError("7z folder unpack size exceeds the bound")
-    if len(coders) != 1:
-        order = _chain_order(coders, bind_pairs, stream_counts)
-        out = _decode_filter_chain(coders, order, packed[0], unpack_size)
-        if len(out) < unpack_size:
-            raise ValueError("7z folder shorter than its declared unpack size")
-        return out[:unpack_size]
-    cid, props = coders[0]
     data = packed[0]
-    if unpack_size > _MAX_UNPACK:
-        raise ValueError("7z folder unpack size exceeds the bound")
+    if len(coders) == 1:
+        order = [0]
+    else:
+        order = _chain_order(coders, bind_pairs, stream_counts)
+    if has_aes:
+        if coders[order[0]][0] != _7ZAES:
+            raise NotImplementedError(
+                "7zAES coder not adjacent to the packed stream: this "
+                "chain layout is a plug-in point"
+            )
+        data = _aes_decrypt_stream(coders[order[0]][1], data, password)
+        order = order[1:]
+        try:
+            return _decode_plain_chain(coders, order, data, unpack_size)
+        except ValueError as exc:
+            raise ValueError(
+                f"7z decrypt failed (wrong password or corrupt): {exc}"
+            )
+    return _decode_plain_chain(coders, order, data, unpack_size)
+
+
+def _decode_plain_chain(
+    coders, order: list, data: bytes, unpack_size: int
+) -> bytes:
+    """Decode an already-decrypted linear chain given its decode order
+    (empty order = the AES coder was the whole folder: raw copy)."""
+    if not order:
+        out = data
+    elif len(order) > 1:
+        out = _decode_filter_chain(
+            [coders[k] for k in order],
+            list(range(len(order))),
+            data,
+            unpack_size,
+        )
+    else:
+        out = _decode_single(coders[order[0]], data, unpack_size)
+    if len(out) < unpack_size:
+        raise ValueError("7z folder shorter than its declared unpack size")
+    return out[:unpack_size]
+
+
+def _decode_single(coder, data: bytes, unpack_size: int) -> bytes:
+    """One non-AES coder's decode (Copy/LZMA1/LZMA2/BZip2)."""
+    cid, props = coder
     if cid == _COPY:
         out = data
-    elif cid == _7ZAES:
-        raise NotImplementedError(
-            "7z AES-encrypted archive (7zAES coder): password "
-            "decryption is a plug-in point"
-        )
     elif cid == _LZMA2:
         import lzma
 
@@ -540,10 +656,13 @@ def _read_names(data: bytes, n_files: int) -> list:
     return names
 
 
-def sevenzip_members(payload: bytes):
+def sevenzip_members(payload: bytes, password: str | None = None):
     """Yield ``(name, bytes)`` for each non-empty regular member of a 7z
     archive; ValueError on corruption, NotImplementedError on
-    encryption and undecodable coder chains."""
+    undecodable coder chains. 7zAES archives (r11) decrypt when
+    ``password`` is given — both member folders and the encrypted
+    header (7-Zip's "encrypt file names" mode) — and stay a named
+    NotImplementedError quarantine without one."""
     if payload[:6] != MAGIC:
         raise ValueError("not a 7z archive (magic missing)")
     if len(payload) < 32:
@@ -568,7 +687,9 @@ def sevenzip_members(payload: bytes):
         packed = payload[at : at + pack_sizes[0]]
         if len(packed) != pack_sizes[0]:
             raise ValueError("7z packed header escapes the payload")
-        header = _decode_folder(folders[0], [packed], unpack_sizes[0])
+        header = _decode_folder(
+            folders[0], [packed], unpack_sizes[0], password=password
+        )
         r = _Reader(header)
         prop = r.number()
     if prop != _K_HEADER:
@@ -641,7 +762,9 @@ def sevenzip_members(payload: bytes):
         pack_idx += 1
         if sub_counts[fi] == 0:
             continue
-        data = _decode_folder(coders, [packed], unpack_sizes[fi])
+        data = _decode_folder(
+            coders, [packed], unpack_sizes[fi], password=password
+        )
         off = 0
         for sz in sub_sizes[fi]:
             member = data[off : off + sz]
