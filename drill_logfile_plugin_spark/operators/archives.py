@@ -24,7 +24,15 @@ Rules:
   stream, and member counts are bounded;
 * nested archives are NOT recursed (a member that is itself a zip
   emerges as that zip's bytes — re-apply the operator if a dump nests,
-  which keeps every explosion's cost visible in the plan).
+  which keeps every explosion's cost visible in the plan);
+* encrypted members decrypt when ``password=...`` is given (r11):
+  traditional PKWARE ZipCrypto through the stdlib's native support,
+  WinZip AES (AE-1/AE-2, method 99) from the published spec
+  (PBKDF2-HMAC-SHA1 key material, AES-CTR over the repo's FIPS-197
+  ECB, encrypt-then-MAC HMAC-SHA1 tag, 2-byte verifier for the named
+  wrong-password failure), and 7zAES per :mod:`.sevenzip`; without a
+  password, encrypted members raise the named NotImplementedError
+  quarantine.
 
 No reference counterpart; LLM-pipeline extension tier (SURVEY.md §2
 Tier C).
@@ -45,7 +53,109 @@ _MAX_MEMBER = 512 << 20
 _TAR_ENVELOPES = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b"\x28\xb5\x2f\xfd")
 
 
-def _zip_members(payload: bytes):
+#: WinZip AES (compression method 99) strength byte -> AES key bytes;
+#: salt is half the key length per the published AE-1/AE-2 spec.
+_WZ_AES_KEYLEN = {1: 16, 2: 24, 3: 32}
+_WZ_AES_METHOD = 99
+_WZ_AES_EXTRA_ID = 0x9901
+_WZ_PBKDF2_ITERS = 1000
+
+
+def _winzip_aes_extra(info) -> tuple[int, int] | None:
+    """(strength, actual_method) from the 0x9901 extra field, or None."""
+    extra = info.extra or b""
+    at = 0
+    while at + 4 <= len(extra):
+        eid, esz = int.from_bytes(extra[at:at + 2], "little"), int.from_bytes(
+            extra[at + 2:at + 4], "little"
+        )
+        if eid == _WZ_AES_EXTRA_ID and esz >= 7:
+            body = extra[at + 4 : at + 4 + esz]
+            strength = body[4]
+            method = int.from_bytes(body[5:7], "little")
+            return strength, method
+        at += 4 + esz
+    return None
+
+
+def _zip_raw_member_bytes(payload: bytes, info) -> bytes:
+    """The member's stored bytes straight from the local file record
+    (zipfile exposes only its own decryption; WinZip-AES needs raw)."""
+    off = info.header_offset
+    if payload[off : off + 4] != b"PK\x03\x04":
+        raise ValueError("zip local header signature missing")
+    fnlen = int.from_bytes(payload[off + 26 : off + 28], "little")
+    exlen = int.from_bytes(payload[off + 28 : off + 30], "little")
+    start = off + 30 + fnlen + exlen
+    end = start + info.compress_size
+    if end > len(payload):
+        raise ValueError("zip member data escapes the payload")
+    return payload[start:end]
+
+
+def _winzip_aes_decrypt(payload: bytes, info, password: str) -> bytes:
+    """Decrypt + decompress one WinZip-AES member (the published AE-1/
+    AE-2 layout): salt ‖ 2-byte password verifier ‖ ciphertext ‖ 10-byte
+    HMAC-SHA1 tag. Key material = PBKDF2-HMAC-SHA1(password, salt, 1000
+    iters) split as (AES key, HMAC key, verifier); cipher = AES-CTR
+    with a little-endian block counter starting at 1 (encrypt == decrypt
+    in CTR, so the repo's FIPS-197 ECB-encrypt is the whole primitive);
+    the tag authenticates the CIPHERTEXT (encrypt-then-MAC)."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from .pdf_crypt import aes_ecb_encrypt
+
+    parsed = _winzip_aes_extra(info)
+    if parsed is None:
+        raise ValueError("zip AES member missing its 0x9901 extra field")
+    strength, method = parsed
+    keylen = _WZ_AES_KEYLEN.get(strength)
+    if keylen is None:
+        raise ValueError(f"zip AES strength byte {strength} invalid")
+    raw = _zip_raw_member_bytes(payload, info)
+    saltlen = keylen // 2
+    if len(raw) < saltlen + 2 + 10:
+        raise ValueError("zip AES member data truncated")
+    salt = raw[:saltlen]
+    verifier = raw[saltlen : saltlen + 2]
+    ct = raw[saltlen + 2 : -10]
+    tag = raw[-10:]
+    material = hashlib.pbkdf2_hmac(
+        "sha1", password.encode("utf-8"), salt, _WZ_PBKDF2_ITERS,
+        dklen=2 * keylen + 2,
+    )
+    aes_key = material[:keylen]
+    mac_key = material[keylen : 2 * keylen]
+    if material[2 * keylen :] != verifier:
+        raise ValueError("zip decrypt failed: wrong password")
+    want = hmac_mod.new(mac_key, ct, hashlib.sha1).digest()[:10]
+    if not hmac_mod.compare_digest(want, tag):
+        raise ValueError("zip AES authentication failed (corrupt member)")
+    # AES-CTR keystream: 16-byte little-endian counter starting at 1
+    n_blocks = (len(ct) + 15) // 16
+    counters = b"".join(
+        (i + 1).to_bytes(16, "little") for i in range(n_blocks)
+    )
+    stream = aes_ecb_encrypt(aes_key, counters)[: len(ct)]
+    data = bytes(a ^ b for a, b in zip(ct, stream))
+    if method == 0:  # stored
+        out = data
+    elif method == 8:  # deflate (raw)
+        d = zlib.decompressobj(-15)
+        try:
+            out = d.decompress(data, _MAX_MEMBER + 1)
+        except zlib.error as exc:
+            raise ValueError(f"zip AES member corrupt: {exc}")
+    else:
+        raise NotImplementedError(
+            f"zip AES member compression method {method} is a plug-in "
+            "point (stored/deflate decode)"
+        )
+    return out
+
+
+def _zip_members(payload: bytes, password: str | None = None):
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except zipfile.BadZipFile as exc:
@@ -58,12 +168,37 @@ def _zip_members(payload: bytes):
         total += info.file_size
         if total > _MAX_TOTAL:
             raise ValueError("archive declared size exceeds the bound")
+    pwd = password.encode("utf-8") if password is not None else None
     for info in infos:
         if info.is_dir() or info.file_size == 0:
             continue
+        encrypted = bool(info.flag_bits & 0x1)
+        if info.compress_type == _WZ_AES_METHOD:
+            # WinZip AES (r11): stdlib zipfile cannot decrypt it
+            if password is None:
+                raise NotImplementedError(
+                    "zip AES-encrypted member "
+                    f"{info.filename!r}: pass password=... to decrypt"
+                )
+            data = _winzip_aes_decrypt(payload, info, password)
+            if len(data) > _MAX_MEMBER:
+                raise ValueError("archive member exceeds the member bound")
+            yield info.filename, data
+            continue
+        if encrypted and password is None:
+            raise NotImplementedError(
+                "zip encrypted member "
+                f"{info.filename!r}: pass password=... to decrypt"
+            )
         try:
-            with zf.open(info) as fh:
+            # stdlib zipfile implements traditional PKWARE (ZipCrypto)
+            # decryption natively when pwd is given (r11)
+            with zf.open(info, pwd=pwd if encrypted else None) as fh:
                 data = fh.read(_MAX_MEMBER + 1)
+        except RuntimeError as exc:
+            # zipfile raises RuntimeError("Bad password ...") on a
+            # ZipCrypto verifier mismatch
+            raise ValueError(f"zip decrypt failed: {exc}")
         except (zipfile.BadZipFile, zlib.error, OSError, EOFError) as exc:
             raise ValueError(f"archive member corrupt: {exc}")
         if len(data) > _MAX_MEMBER:
@@ -124,7 +259,7 @@ def archive_members(payload: bytes, password: str | None = None):
     ``password`` (r11) decrypts 7zAES archives (including encrypted
     headers); zip-crypto is a separate, unimplemented scheme."""
     if payload[:2] == b"PK":
-        yield from _zip_members(payload)
+        yield from _zip_members(payload, password=password)
         return
     if payload[:6] == b"7z\xbc\xaf\x27\x1c":
         from .sevenzip import sevenzip_members
