@@ -920,6 +920,10 @@ class _Document:
             return (2, _IdentityCidMap())
         if isinstance(enc, str) and _UCS2_CMAP_RE.match(enc):
             return (2, _IdentityCidMap())
+        if isinstance(enc, str) and _UTF16_CMAP_RE.match(enc):
+            # UTF-16BE encoding of the collection: variable-width
+            # (surrogate pairs), decoded whole-string (r11)
+            return (2, _Utf16CidMap())
         if enc is None:
             return None
         return (2, {})  # predefined/embedded CMap: counted absence
@@ -1167,6 +1171,25 @@ def _parse_tounicode(data: bytes):
 #: code IS the UCS-2 code unit, so Unicode reading is table-free.
 _UCS2_CMAP_RE = re.compile(r"^Uni(?:GB|CNS|JIS|KS)-UCS2(?:-HW)?-[HV]$")
 
+#: the UTF-16 twins (UniJIS-UTF16-H etc., incl. the JIS2004 variants):
+#: "UTF-16BE encoding for the ... character collection" — variable
+#: width (surrogate pairs), so they decode whole-string, not per-unit.
+_UTF16_CMAP_RE = re.compile(
+    r"^Uni(?:GB|CNS|JIS|JIS2004|KS)-UTF16-[HV]$"
+)
+
+
+class _Utf16CidMap:
+    """Predefined UTF-16 CMap reading (r11): shown bytes ARE UTF-16BE.
+    ``decode_bytes`` handles surrogate pairs; malformed units (lone
+    surrogates, odd tails) become U+FFFD so they stay countable under
+    the same convention as every other unmapped glyph."""
+
+    __slots__ = ()
+
+    def decode_bytes(self, s: bytes) -> str:
+        return s.decode("utf-16-be", errors="replace")
+
 
 class _IdentityCidMap:
     """Identity-H/V CID reading: ``get(code)`` returns the code's
@@ -1199,6 +1222,11 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
             return
         if active:
             code_len, mapping = active
+            if hasattr(mapping, "decode_bytes"):
+                # variable-width CMap (UTF-16 families, r11): the
+                # string decodes whole, not in fixed code_len units
+                lines[-1] += mapping.decode_bytes(s)
+                return
             out = []
             for i in range(0, len(s) - code_len + 1, code_len):
                 code = int.from_bytes(s[i : i + code_len], "big")

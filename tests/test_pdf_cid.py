@@ -51,13 +51,14 @@ def test_identity_surrogate_gap_counts_as_unmapped():
 
 @pytest.mark.parametrize(
     "cmap",
-    ["90ms-RKSJ-H", "KSCms-UHC-H", "UniJIS-UTF16-H", "GBK-EUC-H"],
+    ["90ms-RKSJ-H", "KSCms-UHC-H", "GBK-EUC-H", "B5pc-H"],
 )
 def test_predefined_cmaps_are_counted_absence(cmap):
-    """A predefined non-Identity, non-UCS2 CMap without ToUnicode must
-    NOT decode as Latin-1 mojibake: every 2-byte code counts as
+    """A predefined non-Identity, non-Unicode CMap without ToUnicode
+    must NOT decode as Latin-1 mojibake: every 2-byte code counts as
     unmapped and the per-page surface makes the page gateable. (The
-    UCS2 families moved to the decoding lane in r11 — below.)"""
+    UCS2 and UTF16 families moved to the decoding lane in r11 —
+    below.)"""
     doc = build_pdf([_hex_show("四字熟語")], font_obj=_type0_font(cmap))
     text, _ = _pdf_extract_text(doc)
     assert text == "�" * 4
@@ -93,6 +94,49 @@ def test_ucs2_cmap_surrogate_gap_still_counts():
     doc = build_pdf([stream], font_obj=_type0_font("UniGB-UCS2-H"))
     text, _ = _pdf_extract_text(doc)
     assert text == "中�"
+    assert pdf_unmapped_glyph_counts(doc) == [1]
+
+
+@pytest.mark.parametrize(
+    "cmap,sample",
+    [
+        ("UniJIS-UTF16-H", "日本語テキスト"),
+        ("UniGB-UTF16-H", "中文文本"),
+        ("UniKS-UTF16-V", "한국어"),
+        ("UniJIS2004-UTF16-H", "新字形"),
+    ],
+)
+def test_utf16_cmap_families_decode_table_free(cmap, sample):
+    """r11: the Uni*-UTF16 predefined CMaps are the UTF-16BE encoding
+    of their collections — whole-string decode, surrogate-aware."""
+    doc = build_pdf([_hex_show(sample)], font_obj=_type0_font(cmap))
+    text, _ = _pdf_extract_text(doc)
+    assert text == sample
+    assert pdf_unmapped_glyph_counts(doc) == [0]
+
+
+def test_utf16_cmap_surrogate_pairs_decode():
+    """Supplementary-plane text (CJK Ext B etc.) arrives as surrogate
+    PAIRS in a UTF16 CMap — exactly what the UCS2 lane cannot carry."""
+    sample = "\U00020BB7野家"  # U+20BB7 (yoshinoya 'yoshi') + BMP chars
+    codes = "".join(
+        f"{u:04X}" for u in
+        [int.from_bytes(b, "big") for b in
+         [sample.encode("utf-16-be")[i:i+2]
+          for i in range(0, len(sample.encode("utf-16-be")), 2)]]
+    )
+    stream = f"BT /F1 12 Tf <{codes}> Tj ET".encode()
+    doc = build_pdf([stream], font_obj=_type0_font("UniJIS-UTF16-H"))
+    text, _ = _pdf_extract_text(doc)
+    assert text == sample
+    assert pdf_unmapped_glyph_counts(doc) == [0]
+
+
+def test_utf16_cmap_lone_surrogate_counts():
+    stream = b"BT /F1 12 Tf <4E2DD800> Tj ET"  # BMP char + lone high
+    doc = build_pdf([stream], font_obj=_type0_font("UniJIS-UTF16-H"))
+    text, _ = _pdf_extract_text(doc)
+    assert text == "中\ufffd"
     assert pdf_unmapped_glyph_counts(doc) == [1]
 
 
