@@ -23,7 +23,8 @@ subset of the WHATWG Encoding Standard's sniffing rules:
 5. a strict UTF-8 probe (the old behavior, now one rung of a chain);
 6. (r11) **structural + frequency sniffing of undeclared legacy
    encodings** — Shift-JIS(cp932)/EUC-JP/EUC-KR(cp949)/GBK/Big5 and
-   KOI8-R/windows-1251: a strict decode per candidate is the
+   KOI8-R/windows-1251/iso-8859-5/iso-8859-7: a strict decode per
+   candidate is the
    structural lead/trail-grammar validator (the stdlib codecs
    implement the published grammars), then deterministic script-block
    + pinned frequent-character scoring picks among survivors (see the
@@ -249,11 +250,12 @@ def _utf16_heuristic(payload: bytes) -> str | None:
 # (a few percent high bytes) can never claim Cyrillic, while real
 # Russian text is high-byte-dominated.
 #
-# Known boundary (documented, not silent): single-byte encodings
-# OUTSIDE the candidate set whose letters alias into cp1251's letter
-# range (e.g. undeclared iso-8859-7 Greek) may sniff as Cyrillic; the
-# cure is adding them as candidates with their own frequency tables,
-# not loosening the gates.
+# The first r11 cut documented a Greek boundary (iso-8859-7 letters
+# alias into cp1251's letter range); it is closed the prescribed way —
+# iso-8859-7 is a candidate with its own Greek unigram table, and
+# iso-8859-5 covers the third Cyrillic layout. The same recipe extends
+# to further single-byte scripts: add (codec, frequency table) to
+# _SB_CANDIDATES; never loosen the gates.
 
 _SNIFF_SAMPLE = 65536
 
@@ -292,9 +294,30 @@ _RU_FREQ = {
     "щ": 4, "э": 3, "ф": 2, "ё": 2, "ъ": 1,
 }
 
+#: Modern-Greek letter frequencies, per-mille (published counts,
+#: rounded; final sigma listed separately — it is its own code point).
+_EL_FREQ = {
+    "α": 120, "ο": 95, "ι": 89, "ε": 84, "τ": 80, "σ": 45, "ν": 63,
+    "η": 57, "υ": 43, "ρ": 43, "π": 40, "κ": 40, "μ": 36, "λ": 34,
+    "ω": 25, "δ": 21, "γ": 19, "ς": 35, "χ": 14, "θ": 13, "φ": 11,
+    "β": 7, "ξ": 5, "ζ": 4, "ψ": 1,
+    # accented vowels are everyday Greek orthography, not edge cases
+    "ά": 35, "ό": 30, "ί": 28, "έ": 25, "ή": 20, "ύ": 12, "ώ": 12,
+}
+
 #: deterministic priority: first-listed wins score ties.
 _MB_CANDIDATES = ("cp932", "euc_jp", "cp949", "gbk", "big5")
-_SB_CANDIDATES = ("cp1251", "koi8_r")
+#: single-byte candidates: (codec, unigram table). iso-8859-5 is the
+#: THIRD Cyrillic layout in the wild; iso-8859-7 closes the Greek
+#: boundary the r11 first cut documented (Greek letters alias into
+#: cp1251's letter range, so without a Greek candidate a Greek page
+#: could sniff as Cyrillic — now Greek text outscores the alias).
+_SB_CANDIDATES = (
+    ("cp1251", _RU_FREQ),
+    ("koi8_r", _RU_FREQ),
+    ("iso8859_5", _RU_FREQ),
+    ("iso8859_7", _EL_FREQ),
+)
 
 
 def _cjk_stats(text: str) -> tuple[float, int, int]:
@@ -338,8 +361,8 @@ def _cjk_stats(text: str) -> tuple[float, int, int]:
     return (score / n if n else 0.0), n, distinctive
 
 
-def _cyr_stats(text: str) -> tuple[float, int]:
-    """(avg weight per non-ASCII char, n non-ASCII) under the Russian
+def _sb_stats(text: str, freq: dict) -> tuple[float, int]:
+    """(avg weight per non-ASCII char, n non-ASCII) under a language's
     unigram table. Natural text is predominantly ONE case, so the
     score is the better of two orientations (lowercase-dominant /
     uppercase-dominant: the dominant case at full weight, the other at
@@ -348,7 +371,11 @@ def _cyr_stats(text: str) -> tuple[float, int]:
     then belong to a substitution cipher's letters, measured ~38‰ vs
     ~54‰ for the right decode on the same bytes (and ~19‰ for random
     letters), a stable deterministic margin for BOTH lowercase and
-    ALL-CAPS source text."""
+    ALL-CAPS source text. The same comparison separates the Greek and
+    Cyrillic tables: a Greek page decoded as cp1251 lands on Cyrillic
+    letters whose Russian frequencies misalign with the Greek source
+    distribution, while the iso-8859-7 decode scores the Greek table
+    at natural-text rates."""
     s_lower = 0.0
     s_upper = 0.0
     n = 0
@@ -356,12 +383,12 @@ def _cyr_stats(text: str) -> tuple[float, int]:
         if ord(ch) < 0x80:
             continue
         n += 1
-        w = _RU_FREQ.get(ch)
+        w = freq.get(ch)
         if w is not None:  # lowercase letter
             s_lower += w
             s_upper += w / 4
             continue
-        w = _RU_FREQ.get(ch.lower())
+        w = freq.get(ch.lower())
         if w is not None:  # uppercase letter
             s_lower += w / 4
             s_upper += w
@@ -411,12 +438,12 @@ def sniff_legacy(payload: bytes) -> str | None:
         n_high / (n_high + ascii_letters) >= 0.4
         and len({b for b in sample if b >= 0x80}) >= 8
     ):
-        for codec in _SB_CANDIDATES:
+        for codec, freq in _SB_CANDIDATES:
             try:
                 text = sample.decode(codec)
             except (UnicodeDecodeError, ValueError):
                 continue
-            score, n = _cyr_stats(text)
+            score, n = _sb_stats(text, freq)
             if n >= 4 and score >= 35 and score > best_score:
                 best, best_score = codec, score
     return best

@@ -2,7 +2,8 @@
 legacy encodings — the top round-10 verdict item.
 
 Candidates: Shift-JIS(cp932) / EUC-JP / EUC-KR(cp949) / GBK / Big5 and
-KOI8-R / windows-1251. Validation = strict decode (the stdlib codecs
+KOI8-R / windows-1251 / iso-8859-5 / iso-8859-7 (Greek, second cut).
+Validation = strict decode (the stdlib codecs
 implement the published lead/trail grammars); discrimination =
 deterministic script-block + pinned frequent-character scoring; the
 KOI8-R/1251 pair separates by the case swap between their layouts.
@@ -293,3 +294,37 @@ def test_router_undeclared_legacy_document_extracts(spark):
     assert out[0]["text"] == RU
     assert out[1]["text"] == ZH_SIMP
     assert out[2]["text"] == JA
+
+
+# --- r11 second cut: Greek + the third Cyrillic layout --------------------------
+
+EL = "Αυτό είναι ένα ελληνικό κείμενο για τον έλεγχο της κωδικοποίησης."
+
+
+def test_greek_8859_7_sniffs_as_greek_not_cyrillic():
+    """The boundary the first r11 cut documented, closed: Greek letters
+    alias into cp1251's letter range, but the Greek candidate's own
+    frequency table outscores the substitution."""
+    got, enc, source = decode_text(EL.encode("iso8859_7"))
+    assert (enc, source) == ("iso8859_7", "sniffed")
+    assert got == EL
+
+
+def test_iso8859_5_third_cyrillic_layout_detects():
+    got, enc, source = decode_text(RU.encode("iso8859_5"))
+    assert (enc, source) == ("iso8859_5", "sniffed")
+    assert got == RU
+
+
+def test_three_cyrillic_layouts_each_win_their_own_bytes():
+    for codec in ("cp1251", "koi8_r", "iso8859_5"):
+        got, enc, source = decode_text(RU.encode(codec))
+        assert enc == codec, f"{codec} misdetected as {enc}"
+        assert got == RU
+
+
+def test_greek_html_wrapped():
+    html = f"<html><body><p>{EL}</p></body></html>"
+    got, enc, source = decode_text(html.encode("iso8859_7"), html=True)
+    assert (enc, source) == ("iso8859_7", "sniffed")
+    assert got == html
