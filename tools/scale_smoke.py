@@ -200,6 +200,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # full-charset JVM encode/decode (the charset_sniff lane encodes
+    # fixture bytes as windows-1251)
+    from drill_logfile_plugin_spark.sources.tables import configure_session
+
+    configure_session(spark, shuffle_partitions=32)
     gen_sf1(spark, args.regen)
     gen_sf1_embeddings(spark, args.regen)
     gen_sf1_events(spark, args.regen)
@@ -1134,6 +1139,47 @@ def main() -> None:
         )
 
     timed.append(("html_markdown", html_markdown_lane))
+
+    def langid_arrow_lane(spark, sf_dir):
+        # the r11 capacity path: broadcast weights + Arrow scoring over
+        # the same JVM-computed buckets — must scale like the literal
+        # path (zero shuffle, one ArrowEvalPython)
+        from drill_logfile_plugin_spark.operators.langid import (
+            lang_id_learned_arrow,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            lang_id_learned_arrow(docs, _langid_model)
+            .groupBy("lang_pred")
+            .count()
+        )
+
+    timed.append(("langid_arrow", langid_arrow_lane))
+
+    def charset_sniff_lane(spark, sf_dir):
+        # the r11 sniffer inside the Python document lane: documents
+        # re-encoded as undeclared windows-1251 bytes (a Russian prefix
+        # supplies the high-byte evidence; the suffix keeps per-row
+        # text real) must decode via source="sniffed" at corpus scale
+        from drill_logfile_plugin_spark.operators.documents import (
+            extract_document_text,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ru = "Привет мир это русский текст кодировки страницы. "
+        payloads = docs.select(
+            "doc_id",
+            F.encode(
+                F.concat(F.lit(ru * 10), F.col("text")), "windows-1251"
+            ).alias("payload"),
+        )
+        return extract_document_text(payloads, codec="txt").agg(
+            F.count("text").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+
+    timed.append(("charset_sniff", charset_sniff_lane))
 
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
