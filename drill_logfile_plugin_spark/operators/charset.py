@@ -305,18 +305,52 @@ _EL_FREQ = {
     "ά": 35, "ό": 30, "ί": 28, "έ": 25, "ή": 20, "ύ": 12, "ώ": 12,
 }
 
+#: Modern-Standard-Arabic letter frequencies, per-mille (published
+#: counts, rounded; hamza/alef variants listed — they are their own
+#: code points). Arabic has no case, so the orientation machinery in
+#: :func:`_sb_stats` reduces to a plain weighted sum.
+_AR_FREQ = {
+    "ا": 120, "ل": 95, "ي": 70, "م": 60, "و": 58, "ن": 55, "ر": 45,
+    "ت": 42, "ب": 40, "ة": 35, "ع": 32, "أ": 30, "د": 30, "س": 28,
+    "ف": 25, "ه": 25, "ق": 22, "ك": 20, "ح": 18, "إ": 15, "ج": 15,
+    "ى": 10, "ص": 10, "خ": 10, "ش": 10, "ذ": 8, "ط": 8, "ض": 6,
+    "ء": 5, "غ": 5, "ث": 5, "ز": 5, "آ": 3, "ظ": 2,
+}
+
+#: Thai character frequencies, per-mille (published counts, rounded;
+#: vowel signs and tone marks ARE separate code points and carry real
+#: mass in running text). Caseless like Arabic.
+_TH_FREQ = {
+    "า": 90, "น": 70, "ร": 60, "อ": 55, "่": 50, "ก": 50, "เ": 48,
+    "ี": 45, "ง": 40, "้": 40, "ม": 38, "ย": 35, "ั": 35, "ล": 30,
+    "ว": 30, "ส": 28, "ด": 25, "ท": 25, "บ": 22, "ต": 22, "ห": 20,
+    "ป": 18, "ุ": 18, "ื": 15, "จ": 15, "ไ": 15, "ค": 15, "ช": 12,
+    "ข": 10, "ใ": 10, "ำ": 10, "ถ": 8, "โ": 8, "พ": 12, "แ": 12,
+    "ะ": 15, "ิ": 25, "ู": 12, "็": 10, "๊": 2, "ๆ": 3, "ฯ": 1,
+    "ผ": 5, "ฝ": 2, "ภ": 4, "ศ": 5, "ษ": 4, "ซ": 5, "ญ": 4, "ธ": 4,
+    "ณ": 4, "ฐ": 2, "ฬ": 1, "ฮ": 1, "ฎ": 1, "ฏ": 1, "๋": 1, "ฉ": 2,
+}
+
 #: deterministic priority: first-listed wins score ties.
 _MB_CANDIDATES = ("cp932", "euc_jp", "cp949", "gbk", "big5")
 #: single-byte candidates: (codec, unigram table). iso-8859-5 is the
 #: THIRD Cyrillic layout in the wild; iso-8859-7 closes the Greek
 #: boundary the r11 first cut documented (Greek letters alias into
 #: cp1251's letter range, so without a Greek candidate a Greek page
-#: could sniff as Cyrillic — now Greek text outscores the alias).
+#: could sniff as Cyrillic — now Greek text outscores the alias);
+#: cp1256 (Arabic) and cp874 (Thai) extend the recipe to the two most
+#: common remaining legacy single-byte scripts. NOT candidates, by
+#: design: Latin-script legacy pages (iso-8859-9 Turkish etc.) never
+#: pass the high-byte ratio gate — their bytes fall to the
+#: byte-preserving cp1252 rung, which differs from their true layout
+#: in only a handful of positions (recoverable, documented).
 _SB_CANDIDATES = (
     ("cp1251", _RU_FREQ),
     ("koi8_r", _RU_FREQ),
     ("iso8859_5", _RU_FREQ),
     ("iso8859_7", _EL_FREQ),
+    ("cp1256", _AR_FREQ),
+    ("cp874", _TH_FREQ),
 )
 
 

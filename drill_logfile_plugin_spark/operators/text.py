@@ -582,6 +582,7 @@ def clean_corpus(
     drop_repetitive: bool = True,
     with_reasons: bool = False,
     langid_model=None,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """One-call corpus cleaning: the C4/Gopher-style filter pass composing
     the oracle-checked text signals — language gate (:func:`lang_id`),
@@ -594,6 +595,12 @@ def clean_corpus(
     prediction as ``lang_pred`` — same column, same ``langs`` gate,
     still one scan-fused expression (the learned scorer is shuffle- and
     Python-free by construction).
+
+    ``lang_col`` (r11) instead ADOPTS an existing column as
+    ``lang_pred`` — the composition point for the capacity scoring
+    path (``lang_id_learned_arrow`` for fastText-class models whose
+    weight matrix must not live in the expression tree): score first,
+    then clean. Mutually exclusive with ``langid_model``.
 
     ``with_reasons=False`` (production) returns the kept rows with their
     original columns; ``with_reasons=True`` returns EVERY row plus
@@ -610,18 +617,25 @@ def clean_corpus(
     """
     toks = TOKS_SPARK.format(c=text_col)
     t2, d2 = dup_ngram_counts_sql_spark("_toks", 2)
-    if langid_model is not None:
+    if lang_col is not None and langid_model is not None:
+        raise ValueError("clean_corpus: pass langid_model OR lang_col")
+    if lang_col is not None:
+        if lang_col not in df.columns:
+            raise ValueError(f"clean_corpus: lang_col {lang_col!r} absent")
+        lang_expr = F.col(lang_col)
+    elif langid_model is not None:
         from .langid import lang_id_learned_expr
 
         lang_expr = lang_id_learned_expr(langid_model, text_col)
     else:
         lang_expr = lang_id(text_col)
-    base = df.select(
-        "*",
-        F.expr(toks).alias("_toks"),
-        lang_expr.alias("lang_pred"),
-        quality_bucket(text_col).alias("quality"),
-    ).select(
+    cols = ["*", F.expr(toks).alias("_toks")]
+    if lang_col != "lang_pred":
+        # when the adopted column is already named lang_pred, re-adding
+        # the alias would create a duplicate column
+        cols.append(lang_expr.alias("lang_pred"))
+    cols.append(quality_bucket(text_col).alias("quality"))
+    base = df.select(*cols).select(
         "*",
         F.expr(repetition_verdict_case(t2, d2)).alias("rep_verdict"),
     )

@@ -252,14 +252,21 @@ def read_warc(
     return files.mapInPandas(parse_batches, WARC_SCHEMA)
 
 
-def wet_documents(warc: DataFrame) -> DataFrame:
+def wet_documents(warc: DataFrame, decode_audit: bool = False) -> DataFrame:
     """The WET twin of :func:`warc_documents`: Common Crawl's .wet.gz
     files carry ``conversion`` records whose payload is ALREADY extracted
     plain text (no HTTP envelope, no markup), so the adapter is URL
     canonicalization + decode: UTF-8 by spec, with the BOM/declared
     rungs of the charset chain honored (a converted page keeps its
-    exporter's BOM more often than the spec admits)."""
-    from ..operators.charset import declared_charset_expr, decode_expr
+    exporter's BOM more often than the spec admits). ``decode_audit``
+    (r11) appends the same scan-fused ``fffd_density``/``decode_suspect``
+    columns as :func:`warc_documents`."""
+    from ..operators.charset import (
+        declared_charset_expr,
+        decode_expr,
+        decode_suspect_expr,
+        fffd_density_expr,
+    )
     from ..operators.web import canonical_url
 
     conv = warc.where(
@@ -268,12 +275,17 @@ def wet_documents(warc: DataFrame) -> DataFrame:
     cs = declared_charset_expr(
         F.col("content_type"), F.col("body"), meta=False
     )
-    return conv.select(
+    text = decode_expr(F.col("body"), cs)
+    cols = [
         F.xxhash64("url", "warc_date", "record_no").alias("doc_id"),
         canonical_url("url").alias("url"),
-        decode_expr(F.col("body"), cs).alias("text"),
+        text.alias("text"),
         F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
-    )
+    ]
+    if decode_audit:
+        cols.append(fffd_density_expr(text).alias("fffd_density"))
+        cols.append(decode_suspect_expr(text).alias("decode_suspect"))
+    return conv.select(*cols)
 
 
 def warc_documents(

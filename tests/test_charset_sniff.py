@@ -328,3 +328,72 @@ def test_greek_html_wrapped():
     got, enc, source = decode_text(html.encode("iso8859_7"), html=True)
     assert (enc, source) == ("iso8859_7", "sniffed")
     assert got == html
+
+
+def test_wet_decode_audit_symmetry(spark):
+    """wet_documents carries the same opt-in audit columns as
+    warc_documents."""
+    import os
+    import tempfile
+
+    from drill_logfile_plugin_spark.sources.tables import configure_session
+    from drill_logfile_plugin_spark.sources.warc import (
+        read_warc,
+        wet_documents,
+    )
+    from tests.test_warc import _record
+
+    configure_session(spark)
+    blob = _record(
+        wtype="conversion", url="https://w.ex/a",
+        payload=("Привет мир " * 8).encode("cp1251"),
+        ctype="text/plain",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w.warc")
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        docs = wet_documents(read_warc(spark, path), decode_audit=True)
+        plan = docs._jdf.queryExecution().executedPlan().toString()
+        rows = docs.collect()
+    assert "Exchange" not in plan
+    # UTF-8-by-spec decode of cp1251 bytes -> replacement soup, flagged
+    assert rows[0]["decode_suspect"] is True
+
+
+# --- r11 third cut: Arabic + Thai single-byte scripts ---------------------------
+
+AR = "هذا نص عربي للتحقق من ترميز الصفحة والكشف عن اللغة المستخدمة في النص."
+TH = "นี่คือข้อความภาษาไทยสำหรับตรวจสอบการเข้ารหัสของหน้าเว็บและการตรวจจับ"
+
+
+def test_arabic_cp1256_detects():
+    got, enc, source = decode_text(AR.encode("cp1256"))
+    assert (enc, source) == ("cp1256", "sniffed")
+    assert got == AR
+
+
+def test_thai_cp874_detects():
+    got, enc, source = decode_text(TH.encode("cp874"))
+    assert (enc, source) == ("cp874", "sniffed")
+    assert got == TH
+
+
+def test_arabic_html_wrapped():
+    html = f"<html><body><p>{AR}</p></body></html>"
+    got, enc, source = decode_text(html.encode("cp1256"), html=True)
+    assert (enc, source) == ("cp1256", "sniffed")
+    assert got == html
+
+
+def test_all_single_byte_candidates_separate():
+    """Every single-byte candidate wins its own bytes against the
+    whole field — the full cross matrix, not just pairwise."""
+    fixtures = [
+        ("cp1251", RU), ("koi8_r", RU), ("iso8859_5", RU),
+        ("iso8859_7", EL), ("cp1256", AR), ("cp874", TH),
+    ]
+    for codec, text in fixtures:
+        got, enc, source = decode_text(text.encode(codec))
+        assert enc == codec, f"{codec} misdetected as {enc}"
+        assert got == text

@@ -140,3 +140,30 @@ def test_artifact_roundtrip_feeds_arrow_path(tmp_path, spark, fitted50):
     a = lang_id_learned_arrow(held, fitted50).collect()
     b = lang_id_learned_arrow(held, loaded).collect()
     assert [r["lang_pred"] for r in a] == [r["lang_pred"] for r in b]
+
+
+def test_clean_corpus_adopts_arrow_lang_column(spark, fitted50):
+    """The capacity composition: score with the Arrow path first, then
+    clean_corpus(lang_col=...) gates on the adopted column — no second
+    scoring pass, no weight literals in the cleaning plan."""
+    from drill_logfile_plugin_spark.operators.text import clean_corpus
+
+    rows = [
+        (0, "dan di tidak adalah yang ini pada juga telah tetapi " * 4),
+        (1, "และ ใน ไม่ เป็น ที่ นี้ บน ก็ ได้ แต่ " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = lang_id_learned_arrow(df, fitted50)
+    kept = clean_corpus(
+        scored, langs=("id",), lang_col="lang_pred",
+        quality_keep=(
+            "good", "too_short", "repetitive", "stopword_heavy",
+            "long_tokens",
+        ),
+        drop_repetitive=False,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    with pytest.raises(ValueError, match="langid_model OR lang_col"):
+        clean_corpus(scored, langid_model=fitted50, lang_col="lang_pred")
+    with pytest.raises(ValueError, match="absent"):
+        clean_corpus(df, lang_col="nope")

@@ -233,3 +233,55 @@ def test_spark_lane_explode_with_password(spark):
     assert len(rows) == 1
     assert rows[0]["member_name"] == "inner/doc.txt"
     assert bytes(rows[0]["payload"]) == PLAIN
+
+
+def test_aes_under_filter_chain():
+    """AES over a BCJ+LZMA2 folder: the stripped chain is still a
+    multi-coder filter chain and must decode through the fused path."""
+    import lzma as _lzma
+
+    x86ish = (
+        b"\x55\x48\x89\xe5" + b"\xe8\x12\x34\x00\x00\x90" * 60
+        + bytes(range(256)) * 2
+    )
+    inner = _lzma.compress(
+        x86ish, format=_lzma.FORMAT_RAW,
+        filters=[{"id": _lzma.FILTER_X86},
+                 {"id": _lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    packed = _encrypt(inner, PASSWORD, 6)
+    props = _aes_props(6, SALT, IV)
+    x86 = b"\x03\x03\x01\x03"
+
+    # coder0 LZMA2, coder1 BCJ, coder2 AES
+    # streams: in/out k for coder k; binds: BCJ.in1 <- LZMA2.out0,
+    # LZMA2.in0 <- AES.out2; unbound in = AES.in2 (packed),
+    # unbound out = 1 (BCJ) = folder output
+    info = wnum(SZ._K_PACK_INFO) + wnum(0) + wnum(1)
+    info += wnum(SZ._K_SIZE) + wnum(len(packed)) + wnum(SZ._K_END)
+    info += wnum(SZ._K_UNPACK_INFO)
+    info += wnum(SZ._K_FOLDER) + wnum(1) + b"\x00"
+    info += wnum(3)
+    info += bytes([len(_LZMA2) | 0x20]) + _LZMA2
+    info += wnum(len(_LZMA2_PROPS)) + _LZMA2_PROPS
+    info += bytes([len(x86)]) + x86
+    info += bytes([len(_AES) | 0x20]) + _AES + wnum(len(props)) + props
+    info += wnum(1) + wnum(0)  # BCJ.in1 <- LZMA2.out0
+    info += wnum(0) + wnum(2)  # LZMA2.in0 <- AES.out2
+    # kCodersUnpackSize in out-index order: LZMA2, BCJ, AES
+    info += wnum(SZ._K_UNPACK_SIZES)
+    info += wnum(len(x86ish)) + wnum(len(x86ish)) + wnum(len(inner))
+    info += wnum(SZ._K_END) + wnum(SZ._K_END)
+
+    header = wnum(SZ._K_HEADER)
+    header += wnum(SZ._K_MAIN_STREAMS) + info
+    header += wnum(SZ._K_FILES_INFO) + wnum(1) + _names_block(["p.bin"])
+    header += wnum(SZ._K_END) + wnum(SZ._K_END)
+    sig = bytearray(SZ.MAGIC + b"\x00\x04")
+    sig += b"\x00" * 4
+    sig += struct.pack("<QQ", len(packed), len(header))
+    sig += b"\x00" * 4
+    blob = bytes(sig) + packed + header
+
+    got = dict(SZ.sevenzip_members(blob, password=PASSWORD))
+    assert got == {"p.bin": x86ish}
