@@ -23,12 +23,13 @@ subset of the WHATWG Encoding Standard's sniffing rules:
 5. a strict UTF-8 probe (the old behavior, now one rung of a chain);
 6. (r11) **structural + frequency sniffing of undeclared legacy
    encodings** — Shift-JIS(cp932)/EUC-JP/EUC-KR(cp949)/GBK/Big5 and
-   KOI8-R/windows-1251/iso-8859-5/iso-8859-7: a strict decode per
-   candidate is the
-   structural lead/trail-grammar validator (the stdlib codecs
-   implement the published grammars), then deterministic script-block
-   + pinned frequent-character scoring picks among survivors (see the
-   rung-5.5 section comment for the full design);
+   the single-byte scripts KOI8-R/windows-1251/iso-8859-5 (Cyrillic),
+   iso-8859-7 (Greek), cp1256 (Arabic), cp874 (Thai), cp037 (EBCDIC —
+   mainframe dumps, this engine's home domain): a strict decode per
+   candidate is the structural lead/trail-grammar validator (the
+   stdlib codecs implement the published grammars), then deterministic
+   script-block + pinned frequent-character scoring picks among
+   survivors (see the rung-5.5 section comment for the full design);
 7. a **windows-1252 fallback** that never fails: latin-1 decode plus
    the WHATWG windows-1252 C0/C1 table (the 27 codepoints where
    cp1252 differs; the five bytes cp1252 leaves undefined map to
@@ -331,6 +332,16 @@ _TH_FREQ = {
     "ณ": 4, "ฐ": 2, "ฬ": 1, "ฮ": 1, "ฎ": 1, "ฏ": 1, "๋": 1, "ฉ": 2,
 }
 
+#: English letter frequencies, per-mille — the scoring table for the
+#: EBCDIC candidate (cp037 decodes its HIGH-byte letters to ASCII, so
+#: the source-byte rule in :func:`_sb_stats` is what lets this work).
+_EN_FREQ = {
+    "e": 127, "t": 91, "a": 82, "o": 75, "i": 70, "n": 67, "s": 63,
+    "h": 61, "r": 60, "d": 43, "l": 40, "u": 28, "c": 28, "m": 24,
+    "w": 24, "f": 22, "g": 20, "y": 20, "p": 19, "b": 15, "v": 10,
+    "k": 8, "j": 2, "x": 2, "q": 1, "z": 1,
+}
+
 #: deterministic priority: first-listed wins score ties.
 _MB_CANDIDATES = ("cp932", "euc_jp", "cp949", "gbk", "big5")
 #: single-byte candidates: (codec, unigram table). iso-8859-5 is the
@@ -351,6 +362,13 @@ _SB_CANDIDATES = (
     ("iso8859_7", _EL_FREQ),
     ("cp1256", _AR_FREQ),
     ("cp874", _TH_FREQ),
+    # EBCDIC (r11): mainframe log/text dumps — squarely this engine's
+    # home domain. Letters live at 0x81-0xA9/0xC1-0xE9, space is 0x40,
+    # digits F0-F9: English EBCDIC text is high-byte-DOMINATED and its
+    # cp037 decode scores the English table at natural-text rates,
+    # while random high bytes land mostly on EBCDIC punctuation
+    # (penalized) — measured ~65‰ correct vs < 5‰ junk.
+    ("cp037", _EN_FREQ),
 )
 
 
@@ -395,9 +413,14 @@ def _cjk_stats(text: str) -> tuple[float, int, int]:
     return (score / n if n else 0.0), n, distinctive
 
 
-def _sb_stats(text: str, freq: dict) -> tuple[float, int]:
-    """(avg weight per non-ASCII char, n non-ASCII) under a language's
-    unigram table. Natural text is predominantly ONE case, so the
+def _sb_stats(sample: bytes, text: str, freq: dict) -> tuple[float, int]:
+    """(avg weight per high-SOURCE-byte char, n such chars) under a
+    language's unigram table. Membership is decided by the SOURCE byte
+    (single-byte codecs decode 1:1, so ``zip(sample, text)`` aligns):
+    for the non-Latin scripts this is identical to filtering on
+    non-ASCII decoded chars, but EBCDIC (r11) decodes its high-byte
+    letters TO ASCII — scoring by source byte lets the English table
+    see them. Natural text is predominantly ONE case, so the
     score is the better of two orientations (lowercase-dominant /
     uppercase-dominant: the dominant case at full weight, the other at
     a quarter). The KOI8-R/1251 layouts swap the case halves, so the
@@ -413,8 +436,8 @@ def _sb_stats(text: str, freq: dict) -> tuple[float, int]:
     s_lower = 0.0
     s_upper = 0.0
     n = 0
-    for ch in text:
-        if ord(ch) < 0x80:
+    for b, ch in zip(sample, text):
+        if b < 0x80:
             continue
         n += 1
         w = freq.get(ch)
@@ -477,7 +500,7 @@ def sniff_legacy(payload: bytes) -> str | None:
                 text = sample.decode(codec)
             except (UnicodeDecodeError, ValueError):
                 continue
-            score, n = _sb_stats(text, freq)
+            score, n = _sb_stats(sample, text, freq)
             if n >= 4 and score >= 35 and score > best_score:
                 best, best_score = codec, score
     return best

@@ -397,3 +397,38 @@ def test_all_single_byte_candidates_separate():
         got, enc, source = decode_text(text.encode(codec))
         assert enc == codec, f"{codec} misdetected as {enc}"
         assert got == text
+
+
+# --- r11 fourth cut: EBCDIC (mainframe dumps) -----------------------------------
+
+EN = "The server restarted at dawn and every request completed without an error."
+
+
+def test_ebcdic_cp037_detects():
+    got, enc, source = decode_text(EN.encode("cp037"))
+    assert (enc, source) == ("cp037", "sniffed")
+    assert got == EN
+
+
+def test_ebcdic_log_line_detects():
+    """The on-theme case: a mainframe log line (digits, punctuation,
+    mixed case) — EBCDIC digits F0-F9 and letters are all high bytes."""
+    log = ("2026-08-16 21:00:01 INFO Connection accepted from host "
+           "alpha, user count is nine.")
+    got, enc, source = decode_text(log.encode("cp037"))
+    assert (enc, source) == ("cp037", "sniffed")
+    assert got == log
+
+
+def test_ebcdic_router_extracts(spark):
+    from drill_logfile_plugin_spark.operators.documents import (
+        extract_document_text,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray((EN + " ") .encode("cp037") * 3))],
+        "doc_id long, payload binary",
+    )
+    out = extract_document_text(df).collect()
+    assert out[0]["doc_format"] == "txt"
+    assert EN in out[0]["text"]
