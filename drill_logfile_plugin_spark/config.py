@@ -94,6 +94,10 @@ class LogFormatConfig:
     strict_numeric: bool = False  # True = reference's always-fatal numerics
     timestamp_format: str | None = None  # None = reuse date_format (reference
     # quirk: TIMESTAMP parses with the *date* format, LogRecordReader.java:256-258)
+    charset: str = "utf-8"  # r11: legacy-encoded logs (cp1251 exports,
+    # EBCDIC mainframe dumps). utf-8 keeps the JVM spark.read.text path;
+    # anything else routes read_log through the format("log") shim,
+    # whose Python readers decode per line (read_log's docstring).
 
     def __post_init__(self) -> None:
         self.validate()
@@ -121,6 +125,16 @@ class LogFormatConfig:
             compiled = None  # defer to the JVM check at read time
         if compiled is not None:
             self._check_groups(compiled.groups)
+        # charset knob (r11): unknown codecs fail AT SETUP, like every
+        # other config error (the reference's setup-error discipline)
+        import codecs as _codecs
+
+        try:
+            _codecs.lookup(self.charset)
+        except LookupError:
+            raise ValueError(
+                f"Log parser charset {self.charset!r} is not a known codec"
+            ) from None
         # 5/6. date/time format present when a typed column needs it
         # (LogRecordReader.java:193-199, 310-329)
         types = self.resolved_types()

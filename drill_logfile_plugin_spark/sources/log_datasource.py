@@ -192,6 +192,7 @@ def _cfg_from_options(options) -> LogFormatConfig:
         ),
         strict_numeric=str(opt("strictNumeric", "false")).lower() == "true",
         timestamp_format=opt("timestampFormat") or None,
+        charset=opt("charset", "utf-8"),
     )
     if cfg.group_count == -1:
         raise ValueError(
@@ -233,20 +234,20 @@ def _expand_paths(path: str, extensions: list[str]) -> list[str]:
     return hits if hits else [path]
 
 
-def _open_lines(path: str):
+def _open_lines(path: str, encoding: str = "utf-8"):
     if path.endswith(".gz"):
-        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+        return gzip.open(path, "rt", encoding=encoding, errors="replace")
     if path.endswith(".bz2"):
-        return bz2.open(path, "rt", encoding="utf-8", errors="replace")
+        return bz2.open(path, "rt", encoding=encoding, errors="replace")
     if path.endswith((".xz", ".lzma")):
-        return lzma.open(path, "rt", encoding="utf-8", errors="replace")
+        return lzma.open(path, "rt", encoding=encoding, errors="replace")
     for suf in _CODEC_SUFFIXES:
         if path.endswith("." + suf):
             raise NotImplementedError(
                 f"format('log') shim cannot decode .{suf}; use read_log "
                 "(Hadoop codec factory) for this compression"
             )
-    return open(path, encoding="utf-8", errors="replace")
+    return open(path, encoding=encoding, errors="replace")
 
 
 class _FilePartition(InputPartition):
@@ -265,7 +266,18 @@ class _FilePartition(InputPartition):
 _DEFAULT_SPLIT_SIZE = 64 * 1024 * 1024
 
 
-def _iter_partition_lines(partition):
+def _newline_safe(encoding: str) -> bool:
+    """True when LF is byte 0x0A under ``encoding`` (every ASCII-
+    compatible single/multi-byte charset). EBCDIC fails this — its
+    line ends are not 0x0A bytes — so such files must decode whole
+    (text-mode universal newlines after decode), never byte-split."""
+    try:
+        return "\n".encode(encoding) == b"\n" and b"\n".decode(encoding) == "\n"
+    except (UnicodeError, LookupError):
+        return False
+
+
+def _iter_partition_lines(partition, encoding: str = "utf-8"):
     """Yield ``(line_no, line_text)`` for a partition.
 
     Whole-file partitions iterate in text mode: universal newlines (the
@@ -286,7 +298,7 @@ def _iter_partition_lines(partition):
     the strict modes whose aborts must name exact global line numbers.
     """
     if partition.start is None:
-        with _open_lines(partition.path) as fh:
+        with _open_lines(partition.path, encoding) as fh:
             yield from enumerate(fh, start=1)
         return
     start, end = partition.start, partition.end
@@ -300,7 +312,7 @@ def _iter_partition_lines(partition):
             raw = fh.readline()
             if not raw:
                 break
-            s = raw.decode("utf-8", errors="replace")
+            s = raw.decode(encoding, errors="replace")
             if s.endswith("\n"):
                 s = s[:-1]
             segs = s.split("\r")
@@ -345,6 +357,8 @@ class LogDataSourceReader(DataSourceReader):
         a wrong diagnostic)."""
         if self.cfg.error_on_mismatch or self.cfg.strict_numeric:
             return False
+        if not _newline_safe(self.cfg.charset):
+            return False  # EBCDIC-class charsets: no 0x0A line model
         return not any(path.endswith("." + s) for s in _CODEC_SUFFIXES)
 
     def partitions(self):
@@ -458,7 +472,9 @@ class LogDataSourceReader(DataSourceReader):
                 c.clear()
             return batch
 
-        for line_no, line in _iter_partition_lines(partition):
+        for line_no, line in _iter_partition_lines(
+            partition, self.cfg.charset
+        ):
             line = line.strip(_JAVA_TRIM_CHARS)
             if not line:
                 continue  # Java-trim empty-line skip
@@ -511,6 +527,31 @@ class LogDataSource(DataSource):
 def register_log_datasource(spark) -> None:
     """Install ``format("log")`` on a session (idempotent)."""
     spark.dataSource.register(LogDataSource)
+
+
+def shim_reader(spark, cfg: LogFormatConfig):
+    """A ``spark.read.format("log")`` reader carrying ``cfg``'s full
+    option surface — the bridge ``read_log`` uses for non-UTF-8
+    charsets (r11), and a convenience for callers who already hold a
+    config object instead of option strings."""
+    reader = (
+        spark.read.format("log")
+        .option("pattern", cfg.pattern)
+        .option("fieldNames", ",".join(cfg.field_names))
+        .option("dateFormat", cfg.date_format)
+        .option("timeFormat", cfg.time_format)
+        .option(
+            "errorOnMismatch", "true" if cfg.error_on_mismatch else "false"
+        )
+        .option("strictNumeric", "true" if cfg.strict_numeric else "false")
+        .option("extensions", ",".join(cfg.extensions))
+        .option("charset", cfg.charset)
+    )
+    if cfg.data_types is not None:
+        reader = reader.option("dataTypes", ",".join(cfg.data_types))
+    if cfg.timestamp_format:
+        reader = reader.option("timestampFormat", cfg.timestamp_format)
+    return reader
 
 
 def _arrow_types():

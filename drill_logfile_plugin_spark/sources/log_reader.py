@@ -333,7 +333,26 @@ def read_log(
     default config. Compressed twins (``a.log.gz`` …) stay included, like
     Drill's codec-then-format resolution. Set ``extensions=[]`` to parse
     every file the path matches.
+
+    ``cfg.charset`` (r11): ``spark.read.text`` decodes UTF-8 with
+    replacement — irreversibly lossy for a cp1251 export or an EBCDIC
+    mainframe dump — so a non-UTF-8 charset routes the scan through the
+    ``format("log")`` shim, whose Python readers decode per line with
+    the declared codec (EBCDIC-class charsets additionally disable
+    byte-range splitting: their line ends are not 0x0A bytes).
     """
+    import codecs as _codecs
+
+    if _codecs.lookup(cfg.charset).name not in ("utf-8", "ascii"):
+        if paths:
+            raise NotImplementedError(
+                "read_log(paths=[...]) with a non-UTF-8 charset: pass a "
+                "directory or glob instead (the shim expands one path)"
+            )
+        from .log_datasource import register_log_datasource, shim_reader
+
+        register_log_datasource(spark)
+        return shim_reader(spark, cfg).load(path)
     reader = spark.read
     glob = _extensions_glob(cfg.extensions)
     if glob is not None:
