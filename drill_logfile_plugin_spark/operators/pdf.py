@@ -47,9 +47,13 @@ of real "encrypted" PDFs actually use) decode transparently — RC4-40
 through AES-256, see ``pdf_crypt`` (r9). CCITT fax image streams
 decode through ``/CCITTFaxDecode`` (r10, operators/ccitt.py) with
 ``bilevel_images()`` surfacing the rasters. Type0 fonts without
-ToUnicode read Identity-H/V codes as direct CIDs, and the predefined
+ToUnicode read Identity-H/V codes as direct CIDs, the predefined
 UCS-2 CMap families (UniGB/CNS/JIS/KS-UCS2[-HW]-H/V) read their codes
-as the UCS-2 values they are defined to be (r11); other predefined
+as the UCS-2 values they are defined to be (r11), and the legacy-byte
+predefined CMaps whose codespace IS a stdlib charset (90ms-RKSJ →
+cp932, KSCms-UHC → cp949, GBK-EUC → gbk, ETen-B5 → cp950, EUC →
+euc_jp, the Uni*-UTF8/UTF32 families, ...) decode table-free through
+that codec (r11, ``_LEGACY_CMAP_CODECS``); other predefined
 CMaps are a COUNTED absence (``pdf_unmapped_glyph_counts``) rather
 than Latin-1 mojibake (r10). Genuinely absent capabilities raise
 NotImplementedError at the documented plug-in points:
@@ -904,8 +908,24 @@ class _Document:
         UCS-2 has no surrogates, so surrogate-gap codes count as
         unmapped exactly as in the Identity lane.
 
-        Any OTHER predefined CMap (90ms-RKSJ-H, KSCms-UHC-H, the
-        UTF16 variable-width families, ...) or an embedded CMap stream
+        Legacy-byte predefined CMaps whose CODESPACE is exactly a
+        stdlib charset (r11, ``_LEGACY_CMAP_CODECS``): per Adobe's
+        cmap-resources each of these CMaps is defined over a national
+        encoding of its character collection — 90ms-RKSJ over
+        Microsoft KanjiCode (cp932), KSCms-UHC over Unified Hangul
+        Code (cp949), GBK-EUC over GBK, ETen-B5 over Big5+ETen
+        (cp950), EUC over EUC-JP, the Uni*-UTF8/UTF32 families over
+        those Unicode forms — so the content-stream string bytes ARE
+        text in that charset, and text extraction needs no CID table:
+        the CID indirection selects glyphs, not character values.
+        Whole-string codec decode (the codespaces are variable-width:
+        1-byte ASCII/kana ranges beside 2-byte lead/trail ranges) with
+        errors="replace", so extension-zone codes the codec does not
+        cover stay countable as U+FFFD.
+
+        Any OTHER predefined CMap (the Mac variants 90pv/83pv-RKSJ /
+        B5pc / KSCpc-EUC, CNS-EUC whose EUC-TW has no stdlib codec,
+        GBKp-EUC's replaced codes, ...) or an embedded CMap stream
         maps every 2-byte code to the unmapped marker: those tables
         cannot be independently cross-verified in this environment
         (the repo's in-test-writer discipline — an unverifiable table
@@ -924,6 +944,10 @@ class _Document:
             # UTF-16BE encoding of the collection: variable-width
             # (surrogate pairs), decoded whole-string (r11)
             return (2, _Utf16CidMap())
+        if isinstance(enc, str):
+            codec = _legacy_cmap_codec(enc)
+            if codec is not None:
+                return (2, _CodecCidMap(codec))
         if enc is None:
             return None
         return (2, {})  # predefined/embedded CMap: counted absence
@@ -1177,6 +1201,65 @@ _UCS2_CMAP_RE = re.compile(r"^Uni(?:GB|CNS|JIS|KS)-UCS2(?:-HW)?-[HV]$")
 _UTF16_CMAP_RE = re.compile(
     r"^Uni(?:GB|CNS|JIS|JIS2004|KS)-UTF16-[HV]$"
 )
+
+
+#: legacy-byte predefined CMaps whose codespace is EXACTLY a stdlib
+#: charset (PDF 32000-1 §9.7.5.2 table 118 names; encodings per
+#: Adobe's cmap-resources READMEs). Keyed by the name minus its
+#: writing-mode suffix (-H/-V share one encoding). Families whose
+#: encoding has no exact stdlib codec (Mac variants 90pv/83pv-RKSJ,
+#: B5pc, KSCpc-EUC; EUC-TW for CNS-EUC; GBKp-EUC's replaced codes)
+#: are deliberately ABSENT — they keep the counted quarantine.
+_LEGACY_CMAP_CODECS = {
+    # Adobe-Japan1
+    "90ms-RKSJ": "cp932",      # Microsoft KanjiCode (Shift-JIS, MS)
+    "90msp-RKSJ": "cp932",     # same encoding, proportional forms
+    "Add-RKSJ": "shift_jis",   # JIS X 0208 zone exact; NEC/Fujitsu
+    "Ext-RKSJ": "shift_jis",   # extension rows fail -> counted U+FFFD
+    "EUC": "euc_jp",
+    # Adobe-Korea1
+    "KSCms-UHC": "cp949",      # Unified Hangul Code (MS)
+    "KSCms-UHC-HW": "cp949",
+    "KSC-EUC": "euc_kr",
+    # Adobe-GB1
+    "GB-EUC": "gb2312",        # EUC-CN
+    "GBK-EUC": "gbk",
+    "GBK2K": "gb18030",
+    # Adobe-CNS1
+    "ETen-B5": "cp950",        # Big5 + ETen extensions
+    "HKscs-B5": "big5hkscs",
+}
+#: the Unicode-transform twins of the UCS2/UTF16 families: same
+#: whole-string table-free reading, different Unicode form.
+for _fam in ("GB", "CNS", "JIS", "JIS2004", "KS"):
+    _LEGACY_CMAP_CODECS[f"Uni{_fam}-UTF8"] = "utf-8"
+    _LEGACY_CMAP_CODECS[f"Uni{_fam}-UTF32"] = "utf-32-be"
+del _fam
+
+
+def _legacy_cmap_codec(name: str) -> str | None:
+    """Codec for a legacy-byte predefined CMap name, or None. The
+    writing-mode suffix (-H horizontal / -V vertical) selects glyph
+    orientation only — both modes share one character encoding."""
+    if name.endswith(("-H", "-V")):
+        return _LEGACY_CMAP_CODECS.get(name[:-2])
+    return None
+
+
+class _CodecCidMap:
+    """Legacy-byte predefined CMap reading (r11): the shown bytes ARE
+    text in the CMap's national charset, decoded whole-string (the
+    codespaces mix 1-byte and 2-byte codes). Codes outside the codec
+    (extension zones, truncated trail bytes) become U+FFFD so they
+    stay countable under the unmapped-glyph convention."""
+
+    __slots__ = ("codec",)
+
+    def __init__(self, codec: str) -> None:
+        self.codec = codec
+
+    def decode_bytes(self, s: bytes) -> str:
+        return s.decode(self.codec, errors="replace")
 
 
 class _Utf16CidMap:

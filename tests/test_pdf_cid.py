@@ -51,14 +51,16 @@ def test_identity_surrogate_gap_counts_as_unmapped():
 
 @pytest.mark.parametrize(
     "cmap",
-    ["90ms-RKSJ-H", "KSCms-UHC-H", "GBK-EUC-H", "B5pc-H"],
+    ["90pv-RKSJ-H", "83pv-RKSJ-H", "KSCpc-EUC-H", "CNS-EUC-H",
+     "GBKp-EUC-H", "B5pc-H"],
 )
 def test_predefined_cmaps_are_counted_absence(cmap):
-    """A predefined non-Identity, non-Unicode CMap without ToUnicode
-    must NOT decode as Latin-1 mojibake: every 2-byte code counts as
-    unmapped and the per-page surface makes the page gateable. (The
-    UCS2 and UTF16 families moved to the decoding lane in r11 —
-    below.)"""
+    """A predefined CMap whose encoding has NO exact stdlib codec
+    (the Mac variants, EUC-TW, GBKp's replaced codes) must NOT decode
+    as Latin-1 mojibake: every 2-byte code counts as unmapped and the
+    per-page surface makes the page gateable. (The UCS2/UTF16 families
+    and the stdlib-codec legacy-byte families moved to the decoding
+    lanes in r11 — below.)"""
     doc = build_pdf([_hex_show("四字熟語")], font_obj=_type0_font(cmap))
     text, _ = _pdf_extract_text(doc)
     assert text == "�" * 4
@@ -140,6 +142,96 @@ def test_utf16_cmap_lone_surrogate_counts():
     assert pdf_unmapped_glyph_counts(doc) == [1]
 
 
+def _bytes_show(raw: bytes) -> bytes:
+    """A content stream showing ``raw`` bytes verbatim as a hex
+    string — the shape of a legacy-byte (RKSJ/UHC/EUC/B5) CMap
+    stream, where the string bytes ARE the national charset."""
+    return f"BT /F1 12 Tf <{raw.hex().upper()}> Tj ET".encode()
+
+
+@pytest.mark.parametrize(
+    "cmap,codec,sample",
+    [
+        ("90ms-RKSJ-H", "cp932", "日本語 ﾃｷｽﾄ abc"),   # 2-byte + 1-byte kana + ASCII
+        ("90msp-RKSJ-V", "cp932", "縦書き"),
+        ("Add-RKSJ-H", "shift_jis", "漢字かな"),
+        ("Ext-RKSJ-H", "shift_jis", "拡張前の版"),
+        ("EUC-H", "euc_jp", "日本語テキスト"),
+        ("KSCms-UHC-H", "cp949", "한국어 텍스트"),
+        ("KSCms-UHC-HW-V", "cp949", "세로"),
+        ("KSC-EUC-H", "euc_kr", "한글"),
+        ("GB-EUC-H", "gb2312", "简体中文"),
+        ("GBK-EUC-H", "gbk", "汉字文本"),
+        ("GBK2K-H", "gb18030", "中文 \U00020BB7"),      # GB18030 4-byte form
+        ("ETen-B5-H", "cp950", "繁體中文"),
+        ("HKscs-B5-H", "big5hkscs", "香港字"),
+        ("UniJIS-UTF8-H", "utf-8", "日本語 \U00020BB7"),
+        ("UniKS-UTF32-H", "utf-32-be", "한국어"),
+    ],
+)
+def test_legacy_byte_cmaps_decode_via_codec(cmap, codec, sample):
+    """r11: legacy-byte predefined CMaps whose codespace IS a stdlib
+    charset (per Adobe's cmap-resources: 90ms-RKSJ = Microsoft
+    KanjiCode, KSCms-UHC = UHC, GBK-EUC = GBK, ETen-B5 = Big5+ETen,
+    ...) decode table-free — the content-stream bytes are text in
+    that charset; CID indirection selects glyphs, not values."""
+    doc = build_pdf(
+        [_bytes_show(sample.encode(codec))], font_obj=_type0_font(cmap)
+    )
+    text, _ = _pdf_extract_text(doc)
+    assert text == sample
+    assert pdf_unmapped_glyph_counts(doc) == [0]
+
+
+def test_legacy_byte_cmap_bad_trail_byte_counts():
+    """A lead byte with an invalid trail decodes to U+FFFD and stays
+    countable — extension-zone honesty, same convention as every
+    unmapped glyph."""
+    raw = "中".encode("gbk") + b"\x81\x20" + "文".encode("gbk")
+    doc = build_pdf([_bytes_show(raw)], font_obj=_type0_font("GBK-EUC-H"))
+    text, _ = _pdf_extract_text(doc)
+    assert text.startswith("中") and text.endswith("文")
+    assert "�" in text
+    assert pdf_unmapped_glyph_counts(doc)[0] >= 1
+
+
+def test_legacy_byte_cmap_tounicode_still_wins():
+    """ToUnicode stays authoritative over the codec lane: a font
+    declaring 90ms-RKSJ-H but carrying a ToUnicode CMap reads through
+    the table."""
+    import zlib
+
+    cmap_body = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfchar\n<8A79> <0059>\n"
+        b"endbfchar\nendcmap\nend\n"
+    )
+    comp = zlib.compress(cmap_body)
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /90ms-RKSJ-H "
+        b"/ToUnicode 7 0 R >>"
+    )
+    stream = b"BT /F1 12 Tf <8A79> Tj ET"
+    doc = bytearray(build_pdf([stream], compress=False, font_obj=font))
+    insert_at = doc.find(b"xref\n")
+    obj7 = (
+        b"7 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n"
+    )
+    doc[insert_at:insert_at] = obj7
+    assert _pdf_extract_text(bytes(doc))[0] == "Y"
+
+
+def test_legacy_cmap_lookalike_names_stay_counted():
+    """Near-miss names (wrong suffix, unknown family, the deliberately
+    excluded Mac variants) keep the quarantine."""
+    for bad in ("90ms-RKSJ", "90ms-RKSJ-X", "X90ms-RKSJ-H",
+                "90pv-RKSJ-H", "CNS-EUC-H", "GBKp-EUC-H"):
+        doc = build_pdf([_hex_show("中")], font_obj=_type0_font(bad))
+        assert pdf_unmapped_glyph_counts(doc) == [1], bad
+
+
 def test_ucs2_lookalike_names_stay_counted():
     """Near-miss names must not match the family regex."""
     for bad in ("UniGB-UCS2", "UniGB-UCS2-X", "XUniGB-UCS2-H",
@@ -200,9 +292,9 @@ def test_spark_lane_with_unmapped_counts(spark):
     from drill_logfile_plugin_spark.operators.pdf import extract_pdf_text
 
     good = build_pdf([_hex_show("好")], font_obj=_type0_font("Identity-H"))
-    # r11: UCS2 families now decode, so the counted-absence exemplar
-    # is a non-UCS2 predefined CMap
-    bad = build_pdf([_hex_show("曖昧")], font_obj=_type0_font("90ms-RKSJ-H"))
+    # r11: UCS2 + stdlib-codec legacy families now decode, so the
+    # counted-absence exemplar is a Mac-variant predefined CMap
+    bad = build_pdf([_hex_show("曖昧")], font_obj=_type0_font("B5pc-H"))
     df = spark.createDataFrame(
         [(0, bytearray(good)), (1, bytearray(bad))],
         "doc_id long, payload binary",
