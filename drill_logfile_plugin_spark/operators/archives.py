@@ -50,7 +50,12 @@ _MAX_TOTAL = 1 << 31  # 2 GiB declared-uncompressed bound per archive
 _MAX_MEMBER = 512 << 20
 
 #: magic prefixes for the compressed-tar envelopes decompress_payload opens
-_TAR_ENVELOPES = (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b"\x28\xb5\x2f\xfd")
+_TAR_ENVELOPES = (
+    b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b"\x28\xb5\x2f\xfd",
+    b"\x04\x22\x4d\x18",  # lz4 frame (.tar.lz4)
+    b"\x02\x21\x4c\x18",  # lz4 legacy frame
+    b"\xff\x06\x00\x00sNaPpY",  # snappy framing (.tar.sz)
+)
 
 
 #: WinZip AES (compression method 99) strength byte -> AES key bytes;
@@ -220,6 +225,14 @@ def _tar_members(payload: bytes):
         try:
             if payload[:4] == b"\x28\xb5\x2f\xfd":
                 payload = _make_zstd_one(_MAX_TOTAL)(payload)
+            elif payload[:4] in (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18"):
+                from .lz4 import lz4_frame_decompress
+
+                payload = lz4_frame_decompress(payload, _MAX_TOTAL)
+            elif payload[:10] == b"\xff\x06\x00\x00sNaPpY":
+                from .snappy import snappy_framed_decompress
+
+                payload = snappy_framed_decompress(payload, _MAX_TOTAL)
             else:
                 codec = (
                     "gzip"
