@@ -297,6 +297,44 @@ def _decode_legacy_frame(
     return pos
 
 
+def hadoop_lz4_decompress(payload: bytes, max_bytes: int) -> bytes:
+    """Decode the Hadoop BlockCompressorStream lz4 layout (the
+    ``Lz4Codec`` wire format inside SequenceFiles / part files):
+    repeated [4-byte BE uncompressed block length, then subchunks of
+    4-byte BE compressed length + one raw LZ4 BLOCK] until the block's
+    declared output is complete. No magic — extension/metadata-routed
+    only, never sniffed."""
+    out = bytearray()
+    i = 0
+    n = len(payload)
+    while i < n:
+        if i + 4 > n:
+            raise ValueError("hadoop-lz4 block header truncated")
+        block_len = int.from_bytes(payload[i : i + 4], "big")
+        i += 4
+        if len(out) + block_len > max_bytes:
+            raise ValueError("hadoop-lz4 output exceeds the bound")
+        produced = 0
+        while produced < block_len:
+            if i + 4 > n:
+                raise ValueError("hadoop-lz4 subchunk header truncated")
+            clen = int.from_bytes(payload[i : i + 4], "big")
+            i += 4
+            if i + clen > n:
+                raise ValueError("hadoop-lz4 subchunk truncated")
+            chunk = lz4_block_decompress(
+                payload[i : i + clen], block_len - produced
+            )
+            i += clen
+            produced += len(chunk)
+            out += chunk
+        if produced != block_len:
+            raise ValueError(
+                "hadoop-lz4 block produced more than it declared"
+            )
+    return bytes(out)
+
+
 def lz4_frame_decompress(payload: bytes, max_bytes: int) -> bytes:
     """Decode a whole ``.lz4`` payload: standard frames (checksums
     verified), legacy frames, and skippable frames, concatenated."""
