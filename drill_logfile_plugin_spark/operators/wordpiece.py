@@ -196,6 +196,97 @@ def wordpiece_train(
     return merges, words
 
 
+def wordpiece_merges_sql_duck(
+    n_merges: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`wordpiece_train`'s full trajectory (the
+    ``bpe_merges_sql_duck`` chained-CTE structure with the WordPiece
+    deltas): stage ``i`` recounts pairs AND symbol frequencies over the
+    stage-``i-1`` word table, scores each pair
+    ``CAST(freq AS DOUBLE) / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE))``
+    — operand-for-operand the Spark expression, so the IEEE doubles are
+    bit-identical — picks the same (score DESC, a, b) argmax, and
+    applies the same greedy fold with the marker-absorbing merged
+    symbol. Emits one row per executed merge (rk 1..k: a, b, score)
+    plus the rk-0 summary row whose ``score`` column carries the
+    corpus's total encoded symbol count after all merges (cast to
+    DOUBLE — certifying application semantics in-band, like the BPE
+    mirror's rk-0). Early stop mirrors via the LEFT JOIN ON TRUE
+    pass-through."""
+    from .text import TOKS_DUCK
+
+    toks = TOKS_DUCK.format(c=text_col)
+    spaced = (
+        r"' ' || left(w, 1) || "
+        r"regexp_replace(substr(w, 2), '(.)', ' ##\1', 'g')"
+    )
+    merged = (
+        "m.a || CASE WHEN m.b LIKE '##%' THEN substr(m.b, 3) "
+        "ELSE m.b END"
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT {spaced} AS s, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({toks}) AS w FROM {table})
+      WHERE w != '' GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT string_split(trim(s, ' '), ' ') AS syms, freq FROM {prev}),
+           UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY a, b
+    )"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT sym, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(trim(s, ' '), ' ')) AS sym, freq
+            FROM {prev})
+      GROUP BY sym
+    )"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT p.a, p.b,
+             CAST(p.freq AS DOUBLE) /
+               (CAST(sa.freq AS DOUBLE) * CAST(sb.freq AS DOUBLE)) AS score
+      FROM p{i} p
+      JOIN s{i} sa ON p.a = sa.sym
+      JOIN s{i} sb ON p.b = sb.sym
+      ORDER BY score DESC, p.a, p.b LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT CASE WHEN m.a IS NULL THEN w.s ELSE list_reduce(
+               list_prepend('', string_split(trim(w.s, ' '), ' ')),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, ' ' || m.a) AND x = m.b
+                 THEN left(acc, len(acc) - len(m.a) - 1) || ' ' || {merged}
+                 ELSE acc || ' ' || x END) END AS s,
+             w.freq
+      FROM {prev} w LEFT JOIN b{i} m ON TRUE
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rk, a, b, score FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    selects.append(
+        f"SELECT CAST(0 AS BIGINT) AS rk, '<corpus>' AS a, "
+        f"CAST(NULL AS VARCHAR) AS b, "
+        f"CAST((SELECT SUM(freq * len(string_split(trim(s, ' '), ' '))) "
+        f"FROM w{n_merges}) AS DOUBLE) AS score"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 class WordPieceModel:
     """The encode-side artifact: vocabulary pieces + the longest
     CONTENT length (characters matched in the word, the ``##`` marker

@@ -1778,3 +1778,42 @@ def q62(spark, sf):
         .alias("dup_ratio"),
     )
 
+
+
+from .operators import wordpiece as WP  # noqa: E402
+
+
+@query(
+    "q64_wordpiece_merges",
+    WP.wordpiece_merges_sql_duck(4),
+    doc="(operators/wordpiece.py wordpiece_train): distributed WordPiece "
+    "tokenizer INDUCTION — the BERT-family trainer completing the "
+    "repo's tokenizer triad (BPE q50 arm, unigram-LM pytest-certified, "
+    "WordPiece here). BPE's machinery with ##-marked segmentation and "
+    "the likelihood-gain pair score freq(ab)/(freq(a)*freq(b)): the "
+    "corpus is scanned once for the word-type table; each round is a "
+    "vocab-sized pair count + symbol count + two vocab-key joins + a "
+    "1-row argmax collect. Rows rk 1..4 pin the full merge trajectory "
+    "(a, b, IEEE-double score — operand-identical arithmetic on both "
+    "engines, so bit-exact); the rk-0 row carries the post-merge "
+    "corpus symbol total, certifying greedy-fold APPLICATION in-band. "
+    "The oracle re-runs the whole induction as a chained MATERIALIZED "
+    "CTE in DuckDB — a MATCH certifies segmentation, scoring, argmax "
+    "tie-breaks, AND merge application against an independent engine.",
+)
+def q64(spark, sf):
+    d = _t(spark, sf, "documents").select("text")
+    merges, words = WP.wordpiece_train(d, n_merges=4)
+    total = words.select(
+        F.sum(
+            F.col("freq") * F.size(F.split(F.trim("s"), " "))
+        ).alias("n")
+    ).collect()[0]["n"]
+    rows = [
+        (i + 1, a, b, float(score))
+        for i, (a, b, score) in enumerate(merges)
+    ]
+    rows.append((0, "<corpus>", None, float(total)))
+    return spark.createDataFrame(
+        rows, "rk long, a string, b string, score double"
+    )

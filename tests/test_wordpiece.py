@@ -258,3 +258,30 @@ def test_encode_layout_invariant(spark):
     assert sorted(
         [r["pieces"] for r in sorted(one, key=key)]
     ) == sorted([r["pieces"] for r in sorted(many, key=key)])
+
+
+def test_duckdb_mirror_matches_reference():
+    """The q64 oracle's chained-CTE induction reproduces the reference
+    trainer's trajectory and post-merge symbol total on its own."""
+    import duckdb
+
+    from drill_logfile_plugin_spark.operators.wordpiece import (
+        wordpiece_merges_sql_duck,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in CORPUS)
+        + ") AS t(text)"
+    )
+    rows = con.sql(wordpiece_merges_sql_duck(6)).fetchall()
+    merges = sorted((r for r in rows if r[0] > 0), key=lambda r: r[0])
+    want, ref_words = _ref_train(CORPUS, 6)
+    assert [(a, b) for _, a, b, _ in merges] == [
+        (a, b) for a, b, _ in want
+    ]
+    for (_, _, _, s_got), (_, _, s_want) in zip(merges, want):
+        assert s_got == pytest.approx(s_want, rel=1e-12)
+    total = next(r[3] for r in rows if r[0] == 0)
+    assert total == sum(len(k) * f for k, f in ref_words.items())
