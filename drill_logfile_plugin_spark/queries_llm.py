@@ -1817,3 +1817,53 @@ def q64(spark, sf):
     return spark.createDataFrame(
         rows, "rk long, a string, b string, score double"
     )
+
+
+from .operators import blocklist as BL  # noqa: E402
+
+#: q65's term list — fixed, lowercase (the C4-convention shape); terms
+#: chosen from the synthetic corpus vocabulary plus one zero-hit term
+#: so the "absent term" path is certified too.
+_Q65_TERMS = ["slow", "dup", "vector", "contraband"]
+
+
+@query(
+    "q65_term_blocklist",
+    f"""
+    WITH h AS (
+      SELECT source,
+             len(list_filter(
+                   string_split_regex(trim(lower(text), ' '),
+                                      '[ \t\n\x0B\f\r]+'),
+                   x -> list_contains({_Q65_TERMS!r}, x))) AS hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(hits) AS BIGINT) AS total_hits
+    FROM h GROUP BY source
+    """,
+    doc="(operators/blocklist.py): term-blocklist curation — the C4 "
+    "badwords stage, the first gate of every published web pipeline, "
+    "completing the cleaning tier in front of quality/langid/dedup. "
+    "Whole-TOKEN case-insensitive matching (never substrings) via the "
+    "engine-wide whitespace split; the list rides the plan as a "
+    "create_map literal so scoring is scan-fused — no join, no "
+    "shuffle, no Python; the only exchange is the partial-agg'd "
+    "(source) rollup. The broadcast-join path for 1M-entry production "
+    "lists is pytest-pinned equal to this literal path. Oracle "
+    "re-tokenizes and recounts in DuckDB over the identical split — "
+    "a MATCH certifies tokenization, matching semantics, and the "
+    "block/keep accounting.",
+)
+def q65(spark, sf):
+    d = _t(spark, sf, "documents").select("source", "text")
+    h = BL.term_blocklist_hits(d, _Q65_TERMS, out_col="hits")
+    return h.groupBy("source").agg(
+        F.sum((F.col("hits") > 0).cast("long")).alias("n_blocked"),
+        F.sum((F.col("hits") == 0).cast("long")).alias("n_kept"),
+        F.sum("hits").alias("total_hits"),
+    )
