@@ -462,6 +462,12 @@ def unigram_token_counts(
     text_col: str = "text",
     out_col: str = "n_pieces",
 ) -> DataFrame:
-    """Piece count per document — the token-budget surface, same folds."""
+    """Piece count per document — the token-budget surface, same folds.
+    NULL text counts NULL (``size(NULL)`` is -1 under non-ANSI
+    semantics, which would silently shrink token-budget SUMs by one
+    per NULL document — r11 fix, pinned in pytest)."""
     out = unigram_encode(df, model, text_col, "__pieces")
-    return out.withColumn(out_col, F.size("__pieces")).drop("__pieces")
+    return out.withColumn(
+        out_col,
+        F.when(F.col("__pieces").isNotNull(), F.size("__pieces")),
+    ).drop("__pieces")

@@ -408,6 +408,25 @@ def wordpiece_encode(
     )
 
 
+def wordpiece_token_counts(
+    df: DataFrame,
+    model: WordPieceModel,
+    text_col: str = "text",
+    out_col: str = "n_pieces",
+) -> DataFrame:
+    """Piece count per document — the token-budget surface, same
+    scan-fused folds (unigram_token_counts' shape)."""
+    out = wordpiece_encode(df, model, text_col, "__wp_pieces")
+    return out.withColumn(
+        out_col,
+        # size(NULL) is -1 under non-ANSI semantics; NULL text must
+        # count NULL, not -1
+        F.when(
+            F.col("__wp_pieces").isNotNull(), F.size("__wp_pieces")
+        ),
+    ).drop("__wp_pieces")
+
+
 def wordpiece_vocab_ids(
     model: WordPieceModel, specials: tuple[str, ...] = (UNK_PIECE,)
 ) -> list[tuple[str, int]]:

@@ -295,3 +295,22 @@ def test_vocab_ids_and_encode_ids(spark, fitted):
     # unknown chars in 'zebra!?' hit unk_id 0
     assert 0 in got[1]
     assert got[2] is None
+
+
+def test_token_counts_null_text_counts_null(spark):
+    """size(NULL) is -1 under non-ANSI semantics; a NULL document must
+    count NULL, never -1 (which would shrink token-budget SUMs)."""
+    from drill_logfile_plugin_spark.operators.unigram import (
+        UnigramModel,
+        unigram_token_counts,
+    )
+
+    m = UnigramModel(["a"], [0], 1)
+    df = spark.createDataFrame(
+        [(0, None), (1, "a")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_token_counts(df, m).collect()
+    }
+    assert rows == {0: None, 1: 1}

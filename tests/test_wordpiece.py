@@ -285,3 +285,20 @@ def test_duckdb_mirror_matches_reference():
         assert s_got == pytest.approx(s_want, rel=1e-12)
     total = next(r[3] for r in rows if r[0] == 0)
     assert total == sum(len(k) * f for k, f in ref_words.items())
+
+
+def test_token_counts_surface(spark):
+    model = WordPieceModel(["ab", "##c", "z"])
+    df = spark.createDataFrame(
+        [(0, "abc z"), (1, "nope"), (2, None)],
+        "doc_id long, text string",
+    )
+    from drill_logfile_plugin_spark.operators.wordpiece import (
+        wordpiece_token_counts,
+    )
+
+    rows = {
+        r["doc_id"]: r["n_pieces"]
+        for r in wordpiece_token_counts(df, model).collect()
+    }
+    assert rows == {0: 3, 1: 1, 2: None}  # [UNK] counts as one piece

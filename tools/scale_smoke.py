@@ -1181,6 +1181,75 @@ def main() -> None:
 
     timed.append(("charset_sniff", charset_sniff_lane))
 
+    # Round-11 session lanes. wordpiece_encode is the scan-fused
+    # MaxMatch fold (model fit once on a bounded sample, outside the
+    # timed body); blocklist_literal is the create_map literal path
+    # (zero exchange beyond the rollup); lz4_envelope times the
+    # from-scratch LZ4 frame decode inside the document router's
+    # Python lane — one fixed frame per row keeps per-row work
+    # constant, so the factor is the linearity of the decode path.
+    from drill_logfile_plugin_spark.operators.blocklist import (
+        term_blocklist_hits,
+    )
+    from drill_logfile_plugin_spark.operators.wordpiece import (
+        wordpiece_model,
+        wordpiece_token_counts,
+        wordpiece_train,
+    )
+
+    _wp_sample = (
+        spark.read.parquet(f"{SRC_SF}/documents.parquet")
+        .where(F.col("doc_id") % 50 == 0)
+        .limit(200)
+    )
+    _wp_merges, _wp_words = wordpiece_train(_wp_sample, n_merges=12)
+    _wp_model = wordpiece_model(_wp_words, _wp_merges)
+
+    def wordpiece_encode_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return wordpiece_token_counts(docs, _wp_model).agg(
+            F.sum("n_pieces").alias("total_pieces")
+        )
+
+    timed.append(("wordpiece_encode", wordpiece_encode_lane))
+
+    _bl_terms = [
+        "slow", "dup", "vector", "merge", "batch", "window", "drop",
+        "spam", "junk", "casino",
+    ]
+
+    def blocklist_lane(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return term_blocklist_hits(docs, _bl_terms, out_col="hits").agg(
+            F.sum("hits").alias("total"),
+            F.sum((F.col("hits") > 0).cast("long")).alias("blocked"),
+        )
+
+    timed.append(("blocklist_literal", blocklist_lane))
+
+    def lz4_envelope_lane(spark, sf_dir):
+        import sys as _sys
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from tests.test_lz4_snappy import _lz4_frame
+
+        from drill_logfile_plugin_spark.operators.documents import (
+            extract_document_text,
+        )
+
+        body = (
+            "A page that arrived as an lz4 frame envelope. Plain prose "
+            "with ordinary stopword density so the classifier keeps it. "
+        ) * 20
+        frame = bytearray(_lz4_frame(body.encode()))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        payloads = docs.select("doc_id", F.lit(frame).alias("payload"))
+        return extract_document_text(payloads).agg(
+            F.count("text").alias("n")
+        )
+
+    timed.append(("lz4_envelope", lz4_envelope_lane))
+
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}
         unknown = keep - {name for name, _ in timed}
