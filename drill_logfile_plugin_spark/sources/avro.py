@@ -425,6 +425,8 @@ def read_avro(
         for pdf in batches:
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
+                frows = []  # per-file: skip must drop the WHOLE file,
+                # never leave a corrupt file's earlier records behind
                 try:
                     data = bytes(blob)
                     got_json, _, _, _, _ = _parse_header(data)
@@ -436,16 +438,17 @@ def read_avro(
                     if ref_schema[0] == "record":
                         field_names = [n for n, _ in ref_schema[2]]
                         for rec in records:
-                            rows.append(
+                            frows.append(
                                 tuple(rec[n] for n in field_names)
                             )
                     else:
                         for rec in records:
-                            rows.append((rec,))
+                            frows.append((rec,))
                 except (ValueError, NotImplementedError) as ex:
                     if on_error == "strict":
                         raise ValueError(f"{fpath}: {ex}") from ex
                     continue
+                rows.extend(frows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )

@@ -370,19 +370,23 @@ def read_sequencefile(
         for pdf in batches:
             out = {f.name: [] for f in SEQFILE_SCHEMA.fields}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
+                frows = []  # per-file: skip must drop the WHOLE file,
+                # never leave a corrupt file's earlier records behind
                 try:
                     h, records = sequencefile_records(bytes(blob))
                     for idx, (k, v) in enumerate(records):
-                        out["path"].append(fpath)
-                        out["record_idx"].append(idx)
-                        out["key"].append(bytearray(k))
-                        out["value"].append(bytearray(v))
-                        out["key_class"].append(h.key_class)
-                        out["value_class"].append(h.value_class)
+                        frows.append((idx, bytearray(k), bytearray(v)))
                 except (ValueError, NotImplementedError) as ex:
                     if on_error == "strict":
                         raise ValueError(f"{fpath}: {ex}") from ex
                     continue
+                for idx, k, v in frows:
+                    out["path"].append(fpath)
+                    out["record_idx"].append(idx)
+                    out["key"].append(k)
+                    out["value"].append(v)
+                    out["key_class"].append(h.key_class)
+                    out["value_class"].append(h.value_class)
             yield pd.DataFrame(out)
 
     return files.mapInPandas(parse_batches, SEQFILE_SCHEMA)

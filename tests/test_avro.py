@@ -289,3 +289,13 @@ def test_schema_mismatch_quarantines_or_aborts(spark, tmp_path):
     assert read_avro(spark, str(tmp_path)).count() == 3
     with pytest.raises(Exception, match="differs"):
         read_avro(spark, str(tmp_path), on_error="strict").count()
+
+
+def test_midfile_corruption_drops_whole_file(spark, tmp_path):
+    good = _container(DOC_SCHEMA, DOCS[:3])
+    bad = bytearray(_container(DOC_SCHEMA, DOCS[:6], per_block=3))
+    bad[-10] ^= 0xFF  # second block's sync marker
+    (tmp_path / "a.avro").write_bytes(good)
+    (tmp_path / "b.avro").write_bytes(bytes(bad))
+    df = read_avro(spark, str(tmp_path))
+    assert df.count() == 3  # b.avro's first (valid) block must NOT leak

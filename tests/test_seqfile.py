@@ -273,3 +273,17 @@ def test_sequencefile_documents_adapter(spark, tmp_path):
         f"doc body {i} with words" for i in range(4)
     ]
     assert len({r["doc_id"] for r in rows}) == 4
+
+
+def test_midfile_corruption_drops_whole_file(spark, tmp_path):
+    """Skip-mode quarantine is per FILE: valid records before a
+    corrupt tail must not leak through."""
+    good = _record_file(RECORDS[:3])
+    bad = _record_file(RECORDS[:3]) + b"\x00\x00\x00\x10short"
+    (tmp_path / "good.seq").write_bytes(good)
+    (tmp_path / "bad.seq").write_bytes(bad)
+    df = read_sequencefile(spark, str(tmp_path))
+    assert df.count() == 3
+    assert {r["path"].rsplit("/", 1)[-1] for r in df.collect()} == {
+        "good.seq"
+    }
