@@ -387,7 +387,11 @@ def read_sequencefile(
                     out["value"].append(v)
                     out["key_class"].append(h.key_class)
                     out["value_class"].append(h.value_class)
-            yield pd.DataFrame(out)
+            # object dtype: an all-quarantined batch must not yield
+            # float64 columns Arrow cannot convert to binary
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
 
     return files.mapInPandas(parse_batches, SEQFILE_SCHEMA)
 

@@ -287,3 +287,10 @@ def test_midfile_corruption_drops_whole_file(spark, tmp_path):
     assert {r["path"].rsplit("/", 1)[-1] for r in df.collect()} == {
         "good.seq"
     }
+
+
+def test_all_quarantined_batch_yields_cleanly(spark, tmp_path):
+    """A partition whose every file quarantines must yield an empty
+    Arrow-convertible batch (object dtype), not crash."""
+    (tmp_path / "only-bad.seq").write_bytes(b"SEQ\x06broken")
+    assert read_sequencefile(spark, str(tmp_path)).count() == 0
