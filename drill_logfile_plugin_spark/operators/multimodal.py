@@ -1624,11 +1624,16 @@ def _make_zstd_one(max_bytes: int):
     codec's failures)."""
     mod, flavor = _zstd_module()
     if mod is None:
-        raise NotImplementedError(
-            "codec 'zstd': no zstd module in this environment — needs "
-            "Python >= 3.14 (stdlib compression.zstd) or the "
-            "'zstandard' package"
-        )
+        # r11: the pure-Python RFC 8878 decoder keeps zstd a LIVE
+        # format on module-less hosts (correctness/portability lane;
+        # a native module is always preferred when present — this
+        # branch only runs when neither stdlib nor binding exists)
+        from .zstd_dec import zstd_decompress
+
+        def _one(p: bytes) -> bytes:
+            return zstd_decompress(p, max_bytes)
+
+        return _one
     zstd_error = getattr(mod, "ZstdError", Exception)
 
     if flavor == "zstandard":

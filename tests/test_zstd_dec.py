@@ -1,0 +1,727 @@
+"""Pure-Python zstd decoder (r11) pinned against an independent
+in-test ENCODER built from the same RFC 8878 text: its FSE table
+construction, distribution serialization, reverse-walk FSE state
+encoding, and canonical Huffman code assignment are all reimplemented
+here from the spec (no code shared with the decoder), so a mistake on
+either side breaks the roundtrip. xxHash64 is pinned to published
+check values."""
+
+import pytest
+
+from drill_logfile_plugin_spark.operators.zstd_dec import (
+    _LL_DEFAULT,
+    _ML_DEFAULT,
+    _OF_DEFAULT,
+    fse_build_table,
+    fse_read_distribution,
+    xxh64,
+    zstd_decompress,
+)
+
+MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+# ----------------------------------------------------- bit-level writers
+
+class _BW:
+    """Backward-bitstream builder: pushes happen in the decoder's READ
+    order; the byte form carries the marker bit on top."""
+
+    def __init__(self):
+        self.items = []
+
+    def push(self, v, n):
+        assert 0 <= v < (1 << n) or n == 0
+        self.items.append((v, n))
+
+    def bytes(self):
+        acc = 1
+        total = 0
+        for v, n in self.items:
+            acc = (acc << n) | v
+            total += n
+        return acc.to_bytes((total + 8) // 8, "little")
+
+
+class _FW:
+    """Forward LSB-first bit writer (FSE table descriptions)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def push(self, v, n):
+        for k in range(n):
+            self.bits.append((v >> k) & 1)
+
+    def bytes(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+# ------------------------------------- independent FSE (spec re-derived)
+
+def _ref_fse_table(probs, al):
+    """Independent decode-table construction from RFC 8878 §4.1."""
+    size = 1 << al
+    sym = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            sym[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            sym[pos] = s
+            pos = (pos + step) % size
+            while pos > high:
+                pos = (pos + step) % size
+    assert pos == 0
+    occur = {}
+    cells = []
+    for i in range(size):
+        s = sym[i]
+        base_count = 1 if probs[s] == -1 else probs[s]
+        x = base_count + occur.get(s, 0)
+        occur[s] = occur.get(s, 0) + 1
+        nb = al - (x.bit_length() - 1)
+        cells.append((s, nb, (x << nb) - size))
+    return cells
+
+
+def _cells_for(cells, symbol):
+    return [
+        (i, nb, base) for i, (s, nb, base) in enumerate(cells)
+        if s == symbol
+    ]
+
+
+def _chain_cells(cells, symbols):
+    """Backward walk: cell index per emission + update bit values."""
+    picks = [None] * len(symbols)
+    picks[-1] = _cells_for(cells, symbols[-1])[0][0]
+    for i in range(len(symbols) - 2, -1, -1):
+        nxt = picks[i + 1]
+        for idx, nb, base in _cells_for(cells, symbols[i]):
+            if base <= nxt < base + (1 << nb):
+                picks[i] = idx
+                break
+        else:
+            raise AssertionError("FSE cell ranges failed to tile")
+    updates = []
+    for i in range(len(symbols) - 1):
+        idx = picks[i]
+        _, nb, base = cells[idx][0], cells[idx][1], cells[idx][2]
+        updates.append((picks[i + 1] - base, nb))
+    return picks, updates
+
+
+def _fse_write_dist(probs, al):
+    """Serialize a distribution (the FSE_writeNCount algorithm)."""
+    fw = _FW()
+    fw.push(al - 5, 4)
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb = al + 1
+    i = 0
+    while remaining > 1:
+        count = probs[i]
+        i += 1
+        v = count + 1
+        maxv = (2 * threshold - 1) - remaining
+        if v >= threshold:
+            v += maxv
+        assert v < (1 << nb), "edge distribution not supported by writer"
+        if v < maxv:
+            fw.push(v, nb - 1)
+        else:
+            fw.push(v, nb)
+        remaining -= -count if count < 0 else count
+        if count == 0:
+            z = 0
+            while i < len(probs) and probs[i] == 0:
+                z += 1
+                i += 1
+            while z >= 3:
+                fw.push(3, 2)
+                z -= 3
+            fw.push(z, 2)
+        while remaining < threshold and remaining > 1:
+            threshold >>= 1
+            nb -= 1
+    assert i == len(probs)
+    return fw.bytes()
+
+
+def _fse_encode_weights(weights, probs, al):
+    """FSE-compressed Huffman-weight area: distribution + the
+    2-state interleaved stream (reverse-walk encoded)."""
+    cells = _ref_fse_table(probs, al)
+    assert all(nb >= 1 for _, nb, _ in cells), "nb=0 cell breaks stop rule"
+    ws_a = weights[0::2]
+    ws_b = weights[1::2]
+    picks_a, upd_a = _chain_cells(cells, ws_a)
+    picks_b, upd_b = _chain_cells(cells, ws_b)
+    bw = _BW()
+    bw.push(picks_a[0], al)
+    bw.push(picks_b[0], al)
+    ups = []
+    for k in range(len(weights) - 2):
+        chain_upd = upd_a if k % 2 == 0 else upd_b
+        ups.append(chain_upd[k // 2])
+    for v, n in ups:
+        bw.push(v, n)
+    return _fse_write_dist(probs, al) + bw.bytes()
+
+
+# ------------------------------------------------ independent Huffman
+
+def _huff_weights(freqs):
+    """Code lengths via package-merge-free heap Huffman, converted to
+    zstd weights (maxBits <= 11 by construction on test alphabets)."""
+    import heapq
+
+    syms = [s for s, f in enumerate(freqs) if f > 0]
+    if len(syms) == 1:
+        return {syms[0]: 1}, 1
+    heap = [(freqs[s], s, [s]) for s in syms]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        for s in a + b:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, min(a + b), a + b))
+    max_bits = max(depth.values())
+    assert max_bits <= 11
+    weights = {s: max_bits + 1 - d for s, d in depth.items()}
+    return weights, max_bits
+
+
+def _huff_codes(weights_map, max_bits):
+    """code per symbol under the spec's table layout (ascending weight
+    groups from position 0, ascending symbol within a group)."""
+    pos = 0
+    codes = {}
+    for w in range(1, max_bits + 1):
+        for s in sorted(s for s, ws in weights_map.items() if ws == w):
+            n = 1 << (w - 1)
+            assert pos % n == 0
+            nb = max_bits + 1 - w
+            codes[s] = (pos >> (w - 1), nb)
+            pos += n
+    assert pos == 1 << max_bits
+    return codes
+
+
+def _huff_stream(data, codes):
+    bw = _BW()
+    for b in data:
+        code, nb = codes[b]
+        bw.push(code, nb)
+    return bw.bytes()
+
+
+def _huff_description(weights_map, fse=False):
+    last = max(weights_map)
+    ws = [weights_map.get(s, 0) for s in range(last)]  # last implied
+    if not fse:
+        head = 127 + len(ws)
+        body = bytearray()
+        for i in range(0, len(ws), 2):
+            hi = ws[i] << 4
+            lo = ws[i + 1] if i + 1 < len(ws) else 0
+            body.append(hi | lo)
+        return bytes([head]) + bytes(body)
+    # FSE-compressed weights: distribution over the weight alphabet
+    counts = {}
+    for w in ws:
+        counts[w] = counts.get(w, 0) + 1
+    al = 5
+    probs = _normalize(counts, max(counts), al, cap_half=True)
+    area = _fse_encode_weights(ws, probs, al)
+    assert len(area) < 128
+    return bytes([len(area)]) + area
+
+
+def _normalize(counts, max_symbol, al, cap_half=False):
+    """Histogram -> FSE distribution summing to 2^al, every present
+    symbol >= 1. ``cap_half`` keeps every probability <= 2^(al-1)
+    (no nb=0 cells — required only by the exhaustion-terminated
+    WEIGHTS stream; sequence streams are count-driven)."""
+    size = 1 << al
+    cap = size // 2 if cap_half else size
+    total = sum(counts.values())
+    probs = [0] * (max_symbol + 1)
+    for s, c in counts.items():
+        probs[s] = min(cap, max(1, (c * size) // total))
+    diff = size - sum(probs)
+    order = sorted(counts, key=lambda s: -counts[s])
+    k = 0
+    while diff != 0:
+        s = order[k % len(order)]
+        step = 1 if diff > 0 else -1
+        if 1 <= probs[s] + step <= cap:
+            probs[s] += step
+            diff -= step
+        k += 1
+        assert k < 10000
+    return probs
+
+
+# --------------------------------------------------- sequence encoding
+
+_LL_CODES = [(i, i, 0) for i in range(16)] + [
+    (16, 16, 1), (17, 18, 1), (18, 20, 1), (19, 22, 1), (20, 24, 2),
+    (21, 28, 2), (22, 32, 3), (23, 40, 3), (24, 48, 4), (25, 64, 6),
+    (26, 128, 7), (27, 256, 8), (28, 512, 9), (29, 1024, 10),
+    (30, 2048, 11), (31, 4096, 12), (32, 8192, 13), (33, 16384, 14),
+    (34, 32768, 15), (35, 65536, 16),
+]
+_ML_CODES = [(i, i + 3, 0) for i in range(32)] + [
+    (32, 35, 1), (33, 37, 1), (34, 39, 1), (35, 41, 1), (36, 43, 2),
+    (37, 47, 2), (38, 51, 3), (39, 59, 3), (40, 67, 4), (41, 83, 4),
+    (42, 99, 5), (43, 131, 7), (44, 259, 8), (45, 515, 9),
+    (46, 1027, 10), (47, 2051, 11), (48, 4099, 12), (49, 8195, 13),
+    (50, 16387, 14), (51, 32771, 15), (52, 65539, 16),
+]
+
+
+def _code_for(table, value):
+    best = None
+    for code, base, extra in table:
+        if base <= value < base + (1 << extra):
+            best = (code, value - base, extra)
+    assert best is not None, value
+    return best
+
+
+def _greedy_sequences(data):
+    """(sequences, literals, tail): LZ parse with matches >= 3."""
+    seqs = []
+    lits = bytearray()
+    table = {}
+    i = 0
+    anchor = 0
+    n = len(data)
+    while i + 3 <= n:
+        key = bytes(data[i : i + 3])
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 1 << 16:
+            mlen = 3
+            while (i + mlen < n and mlen < 131074
+                   and data[cand + mlen] == data[i + mlen]):
+                mlen += 1
+            ll = i - anchor
+            lits += data[anchor:i]
+            seqs.append((ll, i - cand + 3, mlen))  # offset_value = off+3
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    tail = data[anchor:]
+    return seqs, bytes(lits), bytes(tail)
+
+
+def _encode_sequences_fse(seqs, mode="fse"):
+    """Sequences section bytes for non-empty ``seqs``: count header,
+    modes byte, table descriptions, and the 3-state backward
+    bitstream. ``mode``: 'fse' (dynamic tables), 'predefined', or
+    'rle' (requires all codes equal per lane)."""
+    ll_codes = [_code_for(_LL_CODES, ll) for ll, _, _ in seqs]
+    of_codes = [
+        (ov.bit_length() - 1, ov - (1 << (ov.bit_length() - 1)),
+         ov.bit_length() - 1)
+        for _, ov, _ in seqs
+    ]
+    ml_codes = [_code_for(_ML_CODES, ml) for _, _, ml in seqs]
+
+    out = bytearray()
+    n = len(seqs)
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00 + 255:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:
+        out += bytes([255, n - 0x7F00 & 0xFF, (n - 0x7F00) >> 8])
+
+    def table_for(codes, which, defaults, max_al):
+        symbols = [c for c, _, _ in codes]
+        if mode == "predefined":
+            probs, al = defaults
+            return fse_build_table(probs, al), al, b"", 0
+        if mode == "rle":
+            assert len(set(symbols)) == 1
+            s = symbols[0]
+            return ([s], [0], [0]), 0, bytes([s]), 1
+        counts = {}
+        for s in symbols:
+            counts[s] = counts.get(s, 0) + 1
+        al = min(max_al, 6)
+        probs = _normalize(counts, max(counts), al)
+        return (
+            fse_build_table(probs, al), al, _fse_write_dist(probs, al), 2
+        )
+
+    ll_tbl, ll_al, ll_desc, llm = table_for(ll_codes, "ll", _LL_DEFAULT, 9)
+    of_tbl, of_al, of_desc, ofm = table_for(of_codes, "of", _OF_DEFAULT, 8)
+    ml_tbl, ml_al, ml_desc, mlm = table_for(ml_codes, "ml", _ML_DEFAULT, 9)
+    mode_bits = {"predefined": 0, "rle": 1, "fse": 2}[mode]
+    out.append((llm << 6) | (ofm << 4) | (mlm << 2))
+    out += ll_desc + of_desc + ml_desc
+
+    def chain(tbl, al, codes):
+        cells = [
+            (tbl[0][i], tbl[1][i], tbl[2][i])
+            for i in range(len(tbl[0]))
+        ]
+        symbols = [c for c, _, _ in codes]
+        if al == 0:  # RLE: single state, no bits anywhere
+            return [0] * len(symbols), [(0, 0)] * (len(symbols) - 1)
+        return _chain_cells(cells, symbols)
+
+    ll_pick, ll_upd = chain(ll_tbl, ll_al, ll_codes)
+    of_pick, of_upd = chain(of_tbl, of_al, of_codes)
+    ml_pick, ml_upd = chain(ml_tbl, ml_al, ml_codes)
+
+    bw = _BW()
+    bw.push(ll_pick[0], ll_al)
+    bw.push(of_pick[0], of_al)
+    bw.push(ml_pick[0], ml_al)
+    for s in range(n):
+        _, of_extra_v, of_extra_n = of_codes[s]
+        bw.push(of_extra_v, of_extra_n)
+        _, ml_extra_v, ml_extra_n = ml_codes[s]
+        bw.push(ml_extra_v, ml_extra_n)
+        _, ll_extra_v, ll_extra_n = ll_codes[s]
+        bw.push(ll_extra_v, ll_extra_n)
+        if s + 1 < n:
+            bw.push(*ll_upd[s])
+            bw.push(*ml_upd[s])
+            bw.push(*of_upd[s])
+    out += bw.bytes()
+    return bytes(out)
+
+
+# ------------------------------------------------------ block + frame
+
+def _raw_literals_header(regen):
+    if regen < 32:
+        return bytes([regen << 3])  # type 0, SF 0
+    assert regen < 1 << 12
+    v = (regen << 4) | (1 << 2)  # SF 01
+    return bytes([v & 0xFF, (v >> 8) & 0xFF])
+
+
+def _compressed_block(data, *, lit_mode="raw", seq_mode="fse",
+                      huff_fse_weights=False, four_stream=False,
+                      treeless=False):
+    seqs, lits, tail = _greedy_sequences(data)
+    literals = lits + tail
+    out = bytearray()
+    if lit_mode == "raw":
+        out += _raw_literals_header(len(literals)) + literals
+    elif lit_mode == "rle":
+        assert len(set(literals)) <= 1
+        out += bytes([(len(literals) << 3) | 1]) + literals[:1]
+    else:  # huffman
+        freqs = [0] * 256
+        for b in literals:
+            freqs[b] += 1
+        wmap, mb = _huff_weights(freqs)
+        codes = _huff_codes(wmap, mb)
+        desc = b"" if treeless else _huff_description(
+            wmap, fse=huff_fse_weights
+        )
+        if four_stream:
+            part = (len(literals) + 3) // 4
+            chunks = [literals[k * part : (k + 1) * part] for k in range(3)]
+            chunks.append(literals[3 * part :])
+            streams = [_huff_stream(c, codes) for c in chunks]
+            jump = b"".join(
+                len(s).to_bytes(2, "little") for s in streams[:3]
+            )
+            payload = desc + jump + b"".join(streams)
+            comp = len(payload)
+            regen = len(literals)
+            assert regen < 1 << 14 and comp < 1 << 14
+            hdr = ((3 if treeless else 2) | (2 << 2) | (regen << 4)
+                   | (comp << 18))
+            out += hdr.to_bytes(4, "little") + payload
+        else:
+            payload = desc + _huff_stream(literals, codes)
+            comp = len(payload)
+            regen = len(literals)
+            assert regen < 1 << 10 and comp < 1 << 10
+            hdr = (3 if treeless else 2) | (0 << 2) | (regen << 4) | (comp << 14)
+            out += hdr.to_bytes(3, "little") + payload
+    if seqs:
+        out += _encode_sequences_fse(seqs, mode=seq_mode)
+    else:
+        out.append(0)
+    return bytes(out), seqs
+
+
+def _frame(blocks, *, checksum=False, content_size=None,
+           single_segment=False, window_log=20):
+    """blocks: list of (type, payload_bytes, regen_for_rle)."""
+    out = bytearray(MAGIC)
+    fhd = 0
+    if checksum:
+        fhd |= 0x04
+    if single_segment:
+        fhd |= 0x20
+    fcs_bytes = b""
+    if content_size is not None:
+        if single_segment and content_size < 256:
+            fcs_bytes = bytes([content_size])  # flag 0 + single segment
+        else:
+            fhd |= 1 << 6
+            fcs_bytes = (content_size - 256).to_bytes(2, "little")
+    out.append(fhd)
+    if not single_segment:
+        out.append((window_log - 10) << 3)
+    out += fcs_bytes
+    for i, (btype, payload, rle_size) in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        if btype == 1:
+            word = last | (1 << 1) | (rle_size << 3)
+            out += word.to_bytes(3, "little") + payload  # 1 byte
+        else:
+            word = last | (btype << 1) | (len(payload) << 3)
+            out += word.to_bytes(3, "little") + payload
+    return bytes(out)
+
+
+def _zstd_compress(data, **block_kw):
+    """One compressed-block frame (content fits one block)."""
+    body, _ = _compressed_block(data, **block_kw)
+    from drill_logfile_plugin_spark.operators.zstd_dec import xxh64 as _x
+
+    frame = _frame([(2, body, 0)], checksum=True)
+    return frame + (_x(data) & 0xFFFFFFFF).to_bytes(4, "little")
+
+
+SAMPLES = [
+    b"the quick brown fox jumps over the lazy dog " * 40,
+    b"".join(b"line %d of a structured log file\n" % i for i in range(200)),
+    "Ünïcøde мέσα 中文 🎈 repeated tokens tokens tokens ".encode() * 30,
+    bytes(range(200)) * 3 + b"abcabcabc" * 30,
+]
+
+
+# ------------------------------------------------------------- vectors
+
+def test_xxh64_published_check_values():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert (
+        xxh64(b"Nobody inspects the spammish repetition")
+        == 0xFBCEA83C8A378BF1
+    )
+
+
+def test_fse_table_matches_independent_construction():
+    for probs, al in (_LL_DEFAULT, _ML_DEFAULT, _OF_DEFAULT,
+                      ([16, 8, 4, 4], 5), ([12, 10, 4, 3, 2, -1], 5)):
+        sym, nbits, base = fse_build_table(probs, al)
+        ref = _ref_fse_table(probs, al)
+        assert list(zip(sym, nbits, base)) == ref
+
+
+def test_fse_distribution_roundtrip():
+    for probs, al in (
+        ([8, 6, 4, 4, 4, 2, 2, 2], 5),
+        ([16, 8, 4, 2, 1, 1], 5),
+        ([1, 0, 0, 0, 0, 0, 0, 1, 30], 5),   # zero-repeat path
+        ([6, 4, 2, 2, 2, -1, -1, 0, 0, 0, 0, 1, 45], 6),
+        (_LL_DEFAULT[0], 6),
+    ):
+        blob = _fse_write_dist(probs, al)
+        got, got_al, used = fse_read_distribution(blob + b"\xAA", 255)
+        assert got_al == al
+        assert got == probs
+        assert used == len(blob)
+
+
+# ------------------------------------------------------------ roundtrips
+
+def test_raw_and_rle_block_frames():
+    data = b"raw block payload"
+    frame = _frame([(0, data, 0)])
+    assert zstd_decompress(frame, 1 << 20) == data
+    frame = _frame([(1, b"z", 500)])
+    assert zstd_decompress(frame, 1 << 20) == b"z" * 500
+    multi = _frame([(0, b"one-", 0), (1, b"x", 4), (0, b"-end", 0)])
+    assert zstd_decompress(multi, 1 << 20) == b"one-xxxx-end"
+
+
+@pytest.mark.parametrize("i", range(len(SAMPLES)))
+def test_compressed_roundtrip_raw_literals_fse_sequences(i):
+    data = SAMPLES[i]
+    assert zstd_decompress(_zstd_compress(data), 1 << 22) == data
+
+
+@pytest.mark.parametrize("i", range(len(SAMPLES)))
+def test_compressed_roundtrip_predefined_sequences(i):
+    data = SAMPLES[i]
+    z = _zstd_compress(data, seq_mode="predefined")
+    assert zstd_decompress(z, 1 << 22) == data
+
+
+def test_compressed_roundtrip_rle_sequences():
+    # identical (ll, offset, ml) everywhere -> all three lanes RLE
+    data = (b"abcdefgh" * 2) * 10  # period-16 matches, uniform codes
+    seqs, _, _ = _greedy_sequences(data)
+    if len({s for s in seqs}) != 1:
+        data = b"0123456789abcdef" * 12
+        seqs, _, _ = _greedy_sequences(data)
+    z = _zstd_compress(data, seq_mode="rle")
+    assert zstd_decompress(z, 1 << 20) == data
+
+
+def test_huffman_literals_one_stream():
+    data = b"huffman literals need skewed frequencies eeeeeee " * 4
+    z = _zstd_compress(data)
+    base = zstd_decompress(z, 1 << 20)
+    z2 = _zstd_compress(data, lit_mode="huffman")
+    assert zstd_decompress(z2, 1 << 20) == data == base
+
+
+def test_huffman_literals_four_streams():
+    data = ("four stream huffman " * 60).encode()
+    z = _zstd_compress(data, lit_mode="huffman", four_stream=True)
+    assert zstd_decompress(z, 1 << 20) == data
+
+
+def test_huffman_fse_compressed_weights():
+    data = b"fse-described weights exercise the interleaved states " * 8
+    z = _zstd_compress(data, lit_mode="huffman", huff_fse_weights=True)
+    assert zstd_decompress(z, 1 << 20) == data
+
+
+def test_treeless_literals_reuse_previous_tree():
+    d1 = b"shared alphabet block one with letters " * 6
+    d2 = b"shared alphabet block two with letters " * 6
+    b1, _ = _compressed_block(d1, lit_mode="huffman")
+    # block 2 reuses block 1's tree: encode with the SAME freqs source
+    freqs = [0] * 256
+    for b in d1:
+        freqs[b] += 1
+    wmap, mb = _huff_weights(freqs)
+    codes = _huff_codes(wmap, mb)
+    seqs, lits, tail = _greedy_sequences(d2)
+    literals = lits + tail
+    payload = _huff_stream(literals, codes)
+    regen, comp = len(literals), len(payload)
+    assert regen < 1 << 10 and comp < 1 << 10
+    hdr = 3 | (regen << 4) | (comp << 14)  # type 3 treeless, SF 0
+    b2 = bytearray(hdr.to_bytes(3, "little") + payload)
+    b2 += _encode_sequences_fse(seqs) if seqs else b"\x00"
+    frame = _frame([(2, b1, 0), (2, bytes(b2), 0)])
+    assert zstd_decompress(frame, 1 << 20) == d1 + d2
+
+
+def test_repeat_table_mode_across_blocks():
+    d1 = b"block one text with with with repeats repeats " * 5
+    d2 = d1  # identical code histograms -> same tables are valid
+    b1, seqs1 = _compressed_block(d1, seq_mode="fse")
+    assert seqs1
+    # block 2: repeat mode (3) for all lanes, reusing block 1's tables
+    seqs, lits, tail = _greedy_sequences(d2)
+    literals = lits + tail
+    out = bytearray(_raw_literals_header(len(literals)) + literals)
+    full = _encode_sequences_fse(seqs, mode="fse")
+    # rebuild with mode bits = repeat and NO descriptions: reuse the
+    # bitstream from the fse encoding (same tables -> same stream)
+    n = len(seqs)
+    out.append(n)
+    out.append((3 << 6) | (3 << 4) | (3 << 2))
+    # strip count byte, modes byte and the three descriptions from full
+    from drill_logfile_plugin_spark.operators.zstd_dec import (
+        fse_read_distribution as _rd,
+    )
+
+    p = 1 + 1  # count byte + modes byte
+    for _ in range(3):
+        _, _, used = _rd(full[p:], 255)
+        p += used
+    out += full[p:]
+    frame = _frame([(2, b1, 0), (2, bytes(out), 0)])
+    assert zstd_decompress(frame, 1 << 20) == d1 + d2
+
+
+def test_repeat_offsets_and_ll0_special_case():
+    """Hand-built sequences driving the recent-offset logic: initial
+    reps are [1,4,8]; offset_value 1 with lit_len>0 -> rep1=1."""
+    lits = b"abcd"
+    # seq1: ll=4, offset_value=1 (rep1=1 -> RLE of 'd'), ml=4
+    # seq2: ll=0, offset_value=1 -> idx 2 -> rep2(=4), ml=4
+    seqs = [(4, 1, 4), (0, 1, 4)]
+    out = bytearray(_raw_literals_header(len(lits)) + lits)
+    out += _encode_sequences_fse(seqs, mode="predefined")
+    frame = _frame([(2, bytes(out), 0)])
+    got = zstd_decompress(frame, 1 << 20)
+    # 'abcd' + 'dddd' (offset1) + offset-4 copy of last 4 = 'dddd'
+    assert got == b"abcd" + b"dddd" + b"dddd"
+
+
+def test_frame_header_variants_and_checksum():
+    data = b"checksummed content " * 20
+    z = _zstd_compress(data)
+    assert zstd_decompress(z, 1 << 20) == data
+    bad = bytearray(z)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad), 1 << 20)
+    # single-segment + 1-byte FCS
+    frame = _frame([(0, b"tiny", 0)], single_segment=True, content_size=4)
+    assert zstd_decompress(frame, 1 << 20) == b"tiny"
+    with pytest.raises(ValueError, match="declared"):
+        zstd_decompress(
+            _frame([(0, b"tiny", 0)], single_segment=True, content_size=3),
+            1 << 20,
+        )
+
+
+def test_skippable_and_concatenated_frames():
+    a = _frame([(0, b"first ", 0)])
+    skip = b"\x5a\x2a\x4d\x18" + (3).to_bytes(4, "little") + b"xyz"
+    b = _frame([(0, b"second", 0)])
+    assert zstd_decompress(a + skip + b, 1 << 20) == b"first second"
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="unrecognized"):
+        zstd_decompress(b"\xde\xad\xbe\xef rest", 1 << 20)
+    with pytest.raises(ValueError, match="reserved"):
+        # FHD with reserved bit 3 set
+        zstd_decompress(MAGIC + bytes([0x08, 0x50]) + b"\x01\x00\x00", 100)
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(
+            MAGIC + bytes([0x01, 0x50, 0x07]) + b"\x01\x00\x00", 100
+        )
+    with pytest.raises(ValueError, match="reserved block"):
+        zstd_decompress(MAGIC + bytes([0x00, 0x50]) + bytes([0x07, 0, 0]), 100)
+    good = _zstd_compress(SAMPLES[0])
+    with pytest.raises(ValueError):
+        zstd_decompress(good[:-9], 1 << 20)
+    with pytest.raises(ValueError, match="bound"):
+        zstd_decompress(good, 10)
+
+
+def test_offset_before_frame_rejects():
+    seqs = [(4, 100 + 3, 5)]  # offset 100 with only 4 bytes of history
+    lits = b"abcd"
+    out = bytearray(_raw_literals_header(4) + lits)
+    out += _encode_sequences_fse(seqs, mode="predefined")
+    frame = _frame([(2, bytes(out), 0)])
+    with pytest.raises(ValueError, match="before the frame"):
+        zstd_decompress(frame, 1 << 20)

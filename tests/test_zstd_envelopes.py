@@ -1,78 +1,39 @@
-"""zstd document envelopes + .tar.zst (round 10): the `.jsonl.zst` /
-`.html.zst` shipping format of the modern public corpora (The Pile,
-RedPajama, Dolma) routes through the existing import-guarded bounded
-zstd lane — magic ``28 B5 2F FD`` in the document router's envelope
-table and the archive tier's tar-envelope table.
+"""zstd document envelopes + .tar.zst: the `.jsonl.zst` / `.html.zst`
+shipping format of the modern public corpora (The Pile, RedPajama,
+Dolma) routes through the bounded zstd lane — magic ``28 B5 2F FD``
+in the document router's envelope table and the archive tier's
+tar-envelope table.
 
-Where no zstd module exists (this container), the stdlib-flavor
-bounded loop is executed end-to-end with an API-faithful fake (the
-r8/r9 zstd/brotli test discipline) at the Python layer — Spark-lane
-tests pin the absent-module actionability instead (a monkeypatched
-fake does not cross the executor process boundary)."""
+As of r11 the lane is LIVE on every host: a native module is used
+when present, else the pure-Python RFC 8878 decoder
+(operators/zstd_dec.py). These tests compress with the native module
+when available — which then also cross-validates the in-test RFC
+encoder from tests/test_zstd_dec.py — and with that in-test encoder
+otherwise, so nothing here ever skips."""
 
 import io
 import tarfile
-import zlib
 
 import pytest
 
 import drill_logfile_plugin_spark.operators.archives as AR
 import drill_logfile_plugin_spark.operators.documents as DOC
 from drill_logfile_plugin_spark.operators.multimodal import _zstd_module
+from tests.test_zstd_dec import _zstd_compress
 
 _ZSTD_MOD, _ZSTD_FLAVOR = _zstd_module()
 _MAGIC = b"\x28\xb5\x2f\xfd"
 
 
-# --- the API-faithful fake (zlib dressed as compression.zstd) -----------------
-
-
-class _FakeZstdDec:
-    """zlib.decompressobj behind the Python-3.14 ``compression.zstd``
-    incremental API; skips the 4-byte zstd frame magic our fixtures
-    prepend so routing (which keys on the magic) and decompression
-    (which here is zlib) compose."""
-
-    def __init__(self):
-        self._d = zlib.decompressobj()
-        self._stripped = False
-
-    @property
-    def eof(self):
-        return self._d.eof
-
-    @property
-    def needs_input(self):
-        return not self._d.unconsumed_tail
-
-    def decompress(self, data, max_length):
-        if not self._stripped:
-            if data[:4] != _MAGIC:
-                raise zlib.error("bad magic")
-            data = data[4:]
-            self._stripped = True
-        return self._d.decompress(self._d.unconsumed_tail + data, max_length)
-
-
-class _FakeZstdModule:
-    ZstdDecompressor = _FakeZstdDec
-    ZstdError = zlib.error
-
-
 @pytest.fixture
-def zstd_lane(monkeypatch):
-    """Compression callable for fixtures; real module when present,
-    else the fake wired through the guarded import."""
+def zstd_lane():
+    """Real-format compression callable: the native module when
+    present, else the in-test RFC 8878 encoder."""
     if _ZSTD_MOD is not None:
         if _ZSTD_FLAVOR == "zstandard":
             return lambda b: _ZSTD_MOD.ZstdCompressor().compress(b)
         return _ZSTD_MOD.compress
-    from drill_logfile_plugin_spark.operators import multimodal as M
-
-    monkeypatch.setattr(
-        M, "_zstd_module", lambda: (_FakeZstdModule, "stdlib")
-    )
-    return lambda b: _MAGIC + zlib.compress(b)
+    return _zstd_compress
 
 
 # --- document router -----------------------------------------------------------
@@ -114,7 +75,7 @@ def test_tar_zst_redirects_to_archive_lane(zstd_lane):
 def test_zst_bomb_costs_the_cap(zstd_lane, monkeypatch):
     monkeypatch.setattr(DOC, "_ENVELOPE_MAX", 1024)
     bomb = zstd_lane(b"\x00" * (1 << 20))
-    with pytest.raises(ValueError, match="max_bytes"):
+    with pytest.raises(ValueError, match="max_bytes|bound"):
         DOC._unwrap_envelope(bomb)
 
 
@@ -123,16 +84,41 @@ def test_corrupt_zst_quarantines(zstd_lane):
         DOC._extract_one("gz:txt", _MAGIC + b"\xde\xad\xbe\xef" * 8)
 
 
-@pytest.mark.skipif(
-    _ZSTD_MOD is not None, reason="zstd module present — lane is live"
-)
-def test_absent_module_is_actionable_through_spark(spark):
-    """No zstd module: a .zst row quarantines under on_error='null'
-    (NotImplementedError is in the quarantine contract) and the message
-    names both ways to get a module under strict."""
-    rows = [(0, bytearray(_MAGIC + b"\x00" * 16))]
-    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+def test_zst_document_row_is_live_through_spark(spark):
+    """The round-10 absent-module quarantine is gone: a .zst document
+    row decodes through the Spark lane on ANY host (native module or
+    the pure RFC 8878 decoder) — the lane is live, never a skip."""
+    text = (
+        "The zstd envelope now decodes everywhere, with sentences "
+        "that read like an ordinary paragraph of prose. " * 3
+    )
+    payload = _zstd_compress(text.encode())
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, payload binary"
+    )
     out = DOC.extract_document_text(df).collect()
-    assert out[0]["text"] is None
-    with pytest.raises(Exception, match="zstandard|compression.zstd"):
-        DOC.extract_document_text(df, on_error="strict").collect()
+    assert out[0]["text"] is not None
+    assert "decodes everywhere" in out[0]["text"]
+
+
+def test_native_module_cross_validates_intest_encoder():
+    """When a native zstd exists, it must decode the in-test RFC
+    encoder's frames byte-exactly (reference cross-validation); with
+    no module this degenerates to the pure-decoder roundtrip, which
+    tests/test_zstd_dec.py already pins."""
+    data = b"cross validation payload, repeated twice. " * 20
+    frame = _zstd_compress(data)
+    if _ZSTD_MOD is None:
+        from drill_logfile_plugin_spark.operators.zstd_dec import (
+            zstd_decompress,
+        )
+
+        assert zstd_decompress(frame, 1 << 20) == data
+        return
+    if _ZSTD_FLAVOR == "zstandard":
+        got = _ZSTD_MOD.ZstdDecompressor().decompress(
+            frame, max_output_size=1 << 20
+        )
+    else:
+        got = _ZSTD_MOD.decompress(frame)
+    assert got == data
