@@ -17,10 +17,13 @@ Scope, stated plainly:
 
 * Frames: standard frames (header descriptor, window descriptor,
   frame content size, content checksum VERIFIED when present),
-  skippable frames, concatenated frames. Dictionary frames
-  (Dictionary_ID != 0) are a named NotImplementedError — this lane
-  has no dictionary registry, and silent wrong output is worse than
-  an honest absence.
+  skippable frames, concatenated frames. DICTIONARY frames decode
+  too (RFC 8878 §5: entropy tables + initial repeat offsets +
+  content window) — pass a :class:`ZstdDict`, or use the Common
+  Crawl ``.warc.zst`` convention of a ``0x184D2A5D`` skippable frame
+  carrying the (optionally zstd-compressed) dictionary in-stream. A
+  frame naming an unavailable Dictionary_ID is a ValueError naming
+  the id — never silent wrong output.
 * Blocks: Raw, RLE, Compressed, with the 128 KiB block bound and the
   caller's total-output cap enforced during, not after, decode.
 * Entropy: full FSE (table description with the low-probability and
@@ -657,12 +660,72 @@ def _decode_block(data: bytes, out: bytearray, frame_start: int,
     out += rest
 
 
+# ---------------------------------------------------------- dictionaries
+
+_DICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 little-endian
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables the
+    first block may Treeless/Repeat into, initial recent offsets, and
+    the content window matches may reach back into. Raw payloads
+    (no magic) are content-only dictionaries with id 0."""
+
+    __slots__ = ("dict_id", "huff", "tables", "reps", "content")
+
+    def __init__(self, payload: bytes):
+        if payload[:4] != _DICT_MAGIC:
+            self.dict_id = 0
+            self.huff = None
+            self.tables = {}
+            self.reps = [1, 4, 8]
+            self.content = bytes(payload)
+            return
+        if len(payload) < 8:
+            raise ValueError("zstd dictionary truncated")
+        self.dict_id = int.from_bytes(payload[4:8], "little")
+        pos = 8
+        self.huff, used = _read_huffman(payload[pos:])
+        pos += used
+        self.tables = {}
+        for which in ("of", "ml", "ll"):  # the spec's serialization order
+            probs, al, used = fse_read_distribution(
+                payload[pos:], _MAX_SYM[which]
+            )
+            if al > _MAX_AL[which]:
+                raise ValueError(
+                    f"zstd dictionary {which} accuracy log {al} invalid"
+                )
+            self.tables[f"tbl_{which}"] = (fse_build_table(probs, al), al)
+            pos += used
+        if pos + 12 > len(payload):
+            raise ValueError("zstd dictionary offsets truncated")
+        self.reps = [
+            int.from_bytes(payload[pos + 4 * k : pos + 4 * k + 4], "little")
+            for k in range(3)
+        ]
+        if any(r == 0 for r in self.reps):
+            raise ValueError("zstd dictionary repeat offset 0 invalid")
+        pos += 12
+        self.content = bytes(payload[pos:])
+
+
 # --------------------------------------------------------------- frames
 
-def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
+def zstd_decompress(
+    payload: bytes, max_bytes: int, dictionary: ZstdDict | None = None
+) -> bytes:
     """Decode a complete ``.zst`` payload: standard frames (content
-    checksum verified when present), skippable frames, concatenated."""
+    checksum verified when present), skippable frames, concatenated.
+
+    Dictionaries: pass one explicitly, or embed it the way Common
+    Crawl's ``.warc.zst`` convention does — a skippable frame with
+    magic ``0x184D2A5D`` whose content is the dictionary (itself
+    optionally zstd-compressed); it then applies to every following
+    frame in the payload. A frame naming a Dictionary_ID with no
+    matching dictionary available is a ValueError naming the id."""
     out = bytearray()
+    cur_dict = dictionary
     pos = 0
     n = len(payload)
     if n < 4:
@@ -679,6 +742,14 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
             pos += 4
             if pos + skip > n:
                 raise ValueError("zstd skippable size exceeds payload")
+            if magic == 0x184D2A5D:
+                # the warc.zst convention: this skippable frame CARRIES
+                # the dictionary for the following frames, itself
+                # optionally zstd-compressed
+                body = payload[pos : pos + skip]
+                if body[:4] == b"\x28\xb5\x2f\xfd":
+                    body = zstd_decompress(body, max_bytes)
+                cur_dict = ZstdDict(body)
             pos += skip
             continue
         if magic != 0xFD2FB528:
@@ -697,16 +768,22 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
             if pos >= n:
                 raise ValueError("zstd window descriptor truncated")
             pos += 1  # window descriptor: bound comes from max_bytes
+        use_dict = None
         if did_size:
             if pos + did_size > n:
                 raise ValueError("zstd dictionary id truncated")
             did = int.from_bytes(payload[pos : pos + did_size], "little")
             pos += did_size
             if did:
-                raise NotImplementedError(
-                    f"zstd frame requires dictionary {did} — dictionary "
-                    "frames are out of this lane's scope"
-                )
+                if cur_dict is None or (
+                    cur_dict.dict_id and cur_dict.dict_id != did
+                ):
+                    raise ValueError(
+                        f"zstd frame requires dictionary {did}, which "
+                        "was not provided (pass dictionary= or embed it "
+                        "in a 0x184D2A5D skippable frame)"
+                    )
+                use_dict = cur_dict
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         content_size = None
         if fcs_size:
@@ -720,8 +797,20 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
             if content_size > max_bytes:
                 raise ValueError("zstd declared size exceeds the bound")
             pos += fcs_size
-        frame_start = len(out)
-        ctx: dict = {"reps": [1, 4, 8]}
+        # the frame decodes into a buffer seeded with the dictionary
+        # content, so matches reach into it like history; entropy
+        # tables and repeat offsets seed the block context the same way
+        if use_dict is not None:
+            fbuf = bytearray(use_dict.content)
+            ctx: dict = {"reps": list(use_dict.reps)}
+            if use_dict.huff is not None:
+                ctx["huff"] = use_dict.huff
+            ctx.update(use_dict.tables)
+        else:
+            fbuf = bytearray()
+            ctx = {"reps": [1, 4, 8]}
+        seed = len(fbuf)
+        budget = seed + (max_bytes - len(out))
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd block header truncated")
@@ -737,9 +826,9 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
                     raise ValueError("zstd RLE block truncated")
                 if bsize > _BLOCK_MAX:
                     raise ValueError("zstd block exceeds the block bound")
-                if len(out) + bsize > max_bytes:
+                if len(fbuf) + bsize > budget:
                     raise ValueError("zstd output exceeds the bound")
-                out += bytes([payload[pos]]) * bsize
+                fbuf += bytes([payload[pos]]) * bsize
                 pos += 1
             else:
                 if bsize > _BLOCK_MAX:
@@ -749,15 +838,14 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
                 body = payload[pos : pos + bsize]
                 pos += bsize
                 if btype == 0:  # raw
-                    if len(out) + bsize > max_bytes:
+                    if len(fbuf) + bsize > budget:
                         raise ValueError("zstd output exceeds the bound")
-                    out += body
+                    fbuf += body
                 else:
-                    _decode_block(body, out, frame_start, ctx, max_bytes)
+                    _decode_block(body, fbuf, 0, ctx, budget)
             if last:
                 break
-        if content_size is not None and \
-                len(out) - frame_start != content_size:
+        if content_size is not None and len(fbuf) - seed != content_size:
             raise ValueError(
                 "zstd decoded size differs from the declared content size"
             )
@@ -765,8 +853,9 @@ def zstd_decompress(payload: bytes, max_bytes: int) -> bytes:
             if pos + 4 > n:
                 raise ValueError("zstd content checksum truncated")
             want = int.from_bytes(payload[pos : pos + 4], "little")
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            got = xxh64(bytes(fbuf[seed:])) & 0xFFFFFFFF
             if got != want:
                 raise ValueError("zstd content checksum mismatch")
             pos += 4
+        out += fbuf[seed:]
     return bytes(out)

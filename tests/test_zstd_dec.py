@@ -704,7 +704,7 @@ def test_rejections():
     with pytest.raises(ValueError, match="reserved"):
         # FHD with reserved bit 3 set
         zstd_decompress(MAGIC + bytes([0x08, 0x50]) + b"\x01\x00\x00", 100)
-    with pytest.raises(NotImplementedError, match="dictionary"):
+    with pytest.raises(ValueError, match="requires dictionary"):
         zstd_decompress(
             MAGIC + bytes([0x01, 0x50, 0x07]) + b"\x01\x00\x00", 100
         )
@@ -725,3 +725,116 @@ def test_offset_before_frame_rejects():
     frame = _frame([(2, bytes(out), 0)])
     with pytest.raises(ValueError, match="before the frame"):
         zstd_decompress(frame, 1 << 20)
+
+
+# ---------------------------------------------------------- dictionaries
+
+def _make_dict(content, dict_id=7, reps=(1, 4, 8)):
+    """In-test RFC 8878 §5 dictionary: entropy tables (a Huffman tree
+    over the content's bytes; the three predefined FSE distributions
+    re-serialized), repeat offsets, content window."""
+    freqs = [0] * 256
+    for b in content:
+        freqs[b] += 1
+    wmap, mb = _huff_weights(freqs)
+    out = bytearray(b"\x37\xa4\x30\xec")
+    out += dict_id.to_bytes(4, "little")
+    out += _huff_description(wmap)
+    for probs, al in (_OF_DEFAULT, _ML_DEFAULT, _LL_DEFAULT):
+        out += _fse_write_dist(probs, al)
+    for r in reps:
+        out += r.to_bytes(4, "little")
+    out += content
+    return bytes(out), wmap, mb
+
+
+def _dict_frame(blocks, dict_id):
+    """Frame header naming ``dict_id`` (1-byte id field)."""
+    out = bytearray(MAGIC)
+    out.append(0x01)  # FHD: dictionary id flag = 1 byte
+    out.append((20 - 10) << 3)  # window descriptor
+    out.append(dict_id)
+    for i, (btype, payload) in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        word = last | (btype << 1) | (len(payload) << 3)
+        out += word.to_bytes(3, "little") + payload
+    return bytes(out)
+
+
+def test_dict_window_and_reps_and_tables():
+    """A dict-referencing frame whose first block (a) match-copies
+    from the DICT CONTENT, (b) uses offset_value=1 against the dict's
+    seeded repeat offsets, and (c) decodes Treeless literals with the
+    dict's Huffman table + Repeat-mode sequences with its FSE tables."""
+    content = b"the quick brown fox jumps over the lazy dog. "
+    dict_blob, wmap, mb = _make_dict(content, dict_id=9, reps=(5, 4, 8))
+    from drill_logfile_plugin_spark.operators.zstd_dec import ZstdDict
+
+    codes = _huff_codes(wmap, mb)
+    lits = b"lazy fox "  # alphabet subset of the dict content
+    payload = _huff_stream(lits, codes)
+    regen, comp = len(lits), len(payload)
+    hdr = 3 | (regen << 4) | (comp << 14)  # Treeless, 1 stream
+    block = bytearray(hdr.to_bytes(3, "little") + payload)
+    # two sequences, Repeat tables (mode 3 everywhere, dict supplies):
+    # seq1: ll=9, offset_value=45+3 -> copies "the quick " from dict
+    # seq2: ll=0, offset_value=1 with ll==0 -> idx2 -> rep2 = 4
+    seqs = [(9, 45 + 3, 10), (0, 1, 4)]
+    full = _encode_sequences_fse(seqs, mode="predefined")
+    block.append(len(seqs))
+    block.append((3 << 6) | (3 << 4) | (3 << 2))
+    block += full[2:]  # strip count + modes bytes; predefined has no desc
+    frame = _dict_frame([(2, bytes(block))], dict_id=9)
+    got = zstd_decompress(frame, 1 << 20, dictionary=ZstdDict(dict_blob))
+    # simulate: dict content seeds the window; seq1 copies 10 bytes
+    # from offset 45; seq1's real offset (45) pushes the rep history
+    # to [45, 5, 4]; seq2 has ll==0 and offset_value 1 -> index 2 ->
+    # rep2 = 5 (the DICT-SEEDED rep), copying 4 bytes from offset 5
+    buf = bytearray(content) + b"lazy fox "
+    start = len(buf) - 45
+    buf += buf[start : start + 10]
+    start = len(buf) - 5
+    buf += buf[start : start + 4]
+    assert got == bytes(buf[len(content):])
+
+
+def test_dict_via_skippable_frame_and_compressed_dict():
+    content = b"embedded dictionary window content, quite reusable. "
+    dict_blob, _, _ = _make_dict(content, dict_id=3)
+    lits = b"fresh "
+    block = bytearray(_raw_literals_header(len(lits)) + lits)
+    seqs = [(6, len(content) + 6 + 3, 8)]  # copy 8 bytes from dict start
+    block += _encode_sequences_fse(seqs, mode="predefined")
+    frame = _dict_frame([(2, bytes(block))], dict_id=3)
+    for dict_payload in (dict_blob, _zstd_compress(dict_blob)):
+        skip = (
+            b"\x5d\x2a\x4d\x18"
+            + len(dict_payload).to_bytes(4, "little")
+            + dict_payload
+        )
+        got = zstd_decompress(skip + frame, 1 << 20)
+        assert got == b"fresh " + content[:8]
+
+
+def test_missing_or_mismatched_dict_is_named():
+    frame = _dict_frame([(0, b"x")], dict_id=5)
+    with pytest.raises(ValueError, match="dictionary 5"):
+        zstd_decompress(frame, 1 << 20)
+    from drill_logfile_plugin_spark.operators.zstd_dec import ZstdDict
+
+    other, _, _ = _make_dict(b"zy12", dict_id=6)
+    with pytest.raises(ValueError, match="dictionary 5"):
+        zstd_decompress(frame, 1 << 20, dictionary=ZstdDict(other))
+
+
+def test_raw_content_dict():
+    from drill_logfile_plugin_spark.operators.zstd_dec import ZstdDict
+
+    d = ZstdDict(b"raw window only")
+    lits = b"x"
+    block = bytearray(_raw_literals_header(1) + lits)
+    block += _encode_sequences_fse([(1, 6 + 3, 6)], mode="predefined")
+    frame = _dict_frame([(2, bytes(block))], dict_id=1)
+    got = zstd_decompress(frame, 1 << 20, dictionary=d)
+    # window = "raw window only" + "x"; offset 6 copies " onlyx"
+    assert got == b"x" + b" onlyx"
