@@ -247,3 +247,126 @@ def robots_filter(
     """Keep only rows whose URL the host's robots.txt allows."""
     marked = robots_filter_mark(df, robots_df, agent, url_col, "__rb_ok")
     return marked.where(F.col("__rb_ok")).drop("__rb_ok")
+
+
+# ------------------------------------------------------------- sitemaps
+
+_MAX_SITEMAP_URLS = 100_000  # the sitemaps.org protocol's own cap is 50k
+_MAX_SITEMAP_BYTES = 64 << 20
+
+
+def parse_sitemap(payload: bytes) -> tuple[str, list[tuple[str, str | None]]]:
+    """One sitemap document (the sitemaps.org protocol: ``<urlset>``
+    of ``<url><loc/><lastmod/>`` or a ``<sitemapindex>`` of nested
+    ``<sitemap><loc/>``; gzip envelopes unwrapped) ->
+    ``(kind, [(loc, lastmod), ...])`` with kind ``"urlset"`` or
+    ``"index"``. Plain-text sitemaps (one URL per line) parse as a
+    urlset with NULL lastmod. Malformed XML is ValueError."""
+    import gzip as _gzip
+    import xml.etree.ElementTree as ET
+
+    if payload[:2] == b"\x1f\x8b":
+        from .multimodal import bounded_decompress_bytes
+
+        payload = bounded_decompress_bytes(
+            payload, "gzip", _MAX_SITEMAP_BYTES
+        )
+    if len(payload) > _MAX_SITEMAP_BYTES:
+        raise ValueError("sitemap exceeds the size bound")
+    stripped = payload.lstrip()
+    if not stripped.startswith(b"<"):
+        # the plain-text variant: one URL per line
+        out = []
+        for line in payload.decode("utf-8", errors="replace").splitlines():
+            line = line.strip()
+            if line.startswith(("http://", "https://")):
+                out.append((line, None))
+                if len(out) > _MAX_SITEMAP_URLS:
+                    raise ValueError("sitemap exceeds the URL bound")
+        return "urlset", out
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as ex:
+        raise ValueError(f"sitemap XML malformed: {ex}") from ex
+    tag = root.tag.rsplit("}", 1)[-1]
+    if tag == "urlset":
+        kind, entry_tag = "urlset", "url"
+    elif tag == "sitemapindex":
+        kind, entry_tag = "index", "sitemap"
+    else:
+        raise ValueError(f"sitemap root <{tag}> is neither urlset nor index")
+    out = []
+    for entry in root:
+        if entry.tag.rsplit("}", 1)[-1] != entry_tag:
+            continue
+        loc = None
+        lastmod = None
+        for child in entry:
+            name = child.tag.rsplit("}", 1)[-1]
+            if name == "loc" and child.text:
+                loc = child.text.strip()
+            elif name == "lastmod" and child.text:
+                lastmod = child.text.strip()
+        if loc:
+            out.append((loc, lastmod))
+            if len(out) > _MAX_SITEMAP_URLS:
+                raise ValueError("sitemap exceeds the URL bound")
+    return kind, out
+
+
+def explode_sitemaps(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "skip",
+) -> DataFrame:
+    """One row per discovered URL across a frame of sitemap payloads:
+    ``(id, kind, loc, lastmod)`` — index entries surface with kind
+    ``"index"`` so a pipeline can fetch-and-recurse them explicitly
+    (this operator never fetches). Arrow-batched, per-row
+    quarantine/strict like the document tier."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if on_error not in ("skip", "strict"):
+        raise ValueError(
+            f"on_error must be 'skip' or 'strict', got {on_error!r}"
+        )
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("kind", StringType()),
+            StructField("loc", StringType()),
+            StructField("lastmod", StringType()),
+        ]
+    )
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for rid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                try:
+                    kind, entries = parse_sitemap(bytes(blob))
+                except ValueError as ex:
+                    if on_error == "strict":
+                        raise ValueError(f"{id_col}={rid}: {ex}") from ex
+                    continue
+                for loc, lastmod in entries:
+                    out[id_col].append(rid)
+                    out["kind"].append(kind)
+                    out["loc"].append(loc)
+                    out["lastmod"].append(lastmod)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(parse, schema)

@@ -170,3 +170,61 @@ def test_spark_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------------- sitemaps
+
+SM = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    "<url><loc>https://e.com/a</loc><lastmod>2024-01-05</lastmod></url>\n"
+    "<url><loc>https://e.com/b</loc></url>\n"
+    "<url><priority>0.5</priority></url>\n"  # loc-less: dropped
+    "</urlset>"
+).encode()
+
+SM_INDEX = (
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<sitemap><loc>https://e.com/sitemap1.xml.gz</loc>"
+    "<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>"
+).encode()
+
+
+def test_parse_sitemap_urlset_index_text_and_gzip():
+    import gzip
+
+    from drill_logfile_plugin_spark.operators.robots import parse_sitemap
+
+    kind, entries = parse_sitemap(SM)
+    assert kind == "urlset"
+    assert entries == [
+        ("https://e.com/a", "2024-01-05"), ("https://e.com/b", None),
+    ]
+    kind, entries = parse_sitemap(gzip.compress(SM_INDEX))
+    assert kind == "index"
+    assert entries == [("https://e.com/sitemap1.xml.gz", "2024-02-01")]
+    kind, entries = parse_sitemap(
+        b"https://t.com/1\nnot a url\nhttps://t.com/2\n"
+    )
+    assert kind == "urlset"
+    assert entries == [("https://t.com/1", None), ("https://t.com/2", None)]
+    with pytest.raises(ValueError, match="malformed"):
+        parse_sitemap(b"<urlset><broken")
+    with pytest.raises(ValueError, match="neither"):
+        parse_sitemap(b"<rss></rss>")
+
+
+def test_explode_sitemaps_spark_lane(spark):
+    from drill_logfile_plugin_spark.operators.robots import explode_sitemaps
+
+    df = spark.createDataFrame(
+        [(0, bytearray(SM)), (1, bytearray(SM_INDEX)),
+         (2, bytearray(b"<urlset><broken"))],
+        "doc_id long, payload binary",
+    )
+    rows = explode_sitemaps(df).collect()
+    assert len(rows) == 3  # corrupt row quarantined
+    kinds = {r["doc_id"]: r["kind"] for r in rows}
+    assert kinds == {0: "urlset", 1: "index"}
+    with pytest.raises(Exception, match="doc_id=2"):
+        explode_sitemaps(df, on_error="strict").collect()
