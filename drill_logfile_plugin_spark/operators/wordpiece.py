@@ -281,8 +281,8 @@ def wordpiece_merges_sql_duck(
     selects.append(
         f"SELECT CAST(0 AS BIGINT) AS rk, '<corpus>' AS a, "
         f"CAST(NULL AS VARCHAR) AS b, "
-        f"CAST((SELECT SUM(freq * len(string_split(trim(s, ' '), ' '))) "
-        f"FROM w{n_merges}) AS DOUBLE) AS score"
+        f"CAST(COALESCE((SELECT SUM(freq * len(string_split(trim(s, ' '), "
+        f"' '))) FROM w{n_merges}), 0) AS DOUBLE) AS score"
     )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 

@@ -989,6 +989,12 @@ def sketch_arm_agg(e):
 
 
 
+#: q52's blocklist certification arm (r11) — fixed lowercase term
+#: list (the C4-convention shape): corpus-vocabulary terms plus one
+#: zero-hit term so the absent-term path is certified too.
+_BLOCKLIST_TERMS = ["slow", "dup", "vector", "contraband"]
+
+
 @query(
     "q52_sketch_checks",
     """
@@ -1034,6 +1040,22 @@ def sketch_arm_agg(e):
       FROM (SELECT unnest({cms_toks}) AS term FROM documents)
       GROUP BY term
     ) hh WHERE rk <= 20
+    UNION ALL
+    SELECT 'blocklist' AS part, source AS key,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(hits) AS BIGINT) AS n_c,
+           CAST(NULL AS BOOLEAN) AS flag_a, CAST(NULL AS BOOLEAN) AS flag_b,
+           CAST(NULL AS DOUBLE) AS d_min, CAST(NULL AS DOUBLE) AS d_max,
+           CAST(NULL AS VARCHAR) AS s_min, CAST(NULL AS VARCHAR) AS s_max
+    FROM (
+      SELECT source,
+             len(list_filter(
+                   string_split_regex(trim(lower(text), ' '),
+                                      '[ \t\n\x0B\f\r]+'),
+                   x -> list_contains({blocklist_terms}, x))) AS hits
+      FROM documents
+    ) bl GROUP BY source
     """.format(
         profile=profile_sql_duck("events", _EVENTS_PROFILE_COLS),
         rolling=rolling_exact_sql_duck(
@@ -1043,6 +1065,7 @@ def sketch_arm_agg(e):
             "SELECT event_type, user_id FROM events"
         ),
         cms_toks=_TOKS_DUCK_TEXT,
+        blocklist_terms=repr(_BLOCKLIST_TERMS),
     ),
     doc="Sketch tier, in-band-checked: the Spark side computes BOTH exact "
     "lanes (count_distinct — full shuffle of distinct keys; exact "
@@ -1073,7 +1096,7 @@ def sketch_arm_agg(e):
     "DataFrame-native count-min grid (d x w counters, partial-agg'd to "
     "fixed size before the shuffle) point-queried for the exact top-20 "
     "document tokens; flags assert the two CMS guarantees (never under-"
-    "counts; within eps*N over-count), oracle asserts TRUE.",
+    "counts; within eps*N over-count), oracle asserts TRUE. Blocklist arm (r11, operators/blocklist.py): term-blocklist curation certification — whole-token case-insensitive hits per source (n_a blocked docs, n_b clean docs, n_c total occurrences) with the list riding the plan as a create_map literal (scan-fused, zero extra exchange); the oracle re-tokenizes and recounts over the identical whitespace split.",
 )
 def q52(spark, sf):
     from .operators.profiler import profile_columns
@@ -1172,9 +1195,35 @@ def q52(spark, sf):
         F.lit(None).cast("string").alias("s_min"),
         F.lit(None).cast("string").alias("s_max"),
     )
+    from .operators.blocklist import term_blocklist_hits
+
+    d = _t(spark, sf, "documents").select("source", "text")
+    bl = (
+        term_blocklist_hits(d, _BLOCKLIST_TERMS, out_col="hits")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("hits") > 0).cast("long")).alias("n_a"),
+            F.sum((F.col("hits") == 0).cast("long")).alias("n_b"),
+            F.sum("hits").alias("n_c"),
+        )
+        .select(
+            F.lit("blocklist").alias("part"),
+            F.col("source").alias("key"),
+            "n_a",
+            "n_b",
+            "n_c",
+            F.lit(None).cast("boolean").alias("flag_a"),
+            F.lit(None).cast("boolean").alias("flag_b"),
+            F.lit(None).cast("double").alias("d_min"),
+            F.lit(None).cast("double").alias("d_max"),
+            F.lit(None).cast("string").alias("s_min"),
+            F.lit(None).cast("string").alias("s_max"),
+        )
+    )
     return (
         sketch.unionByName(profile)
         .unionByName(rolling)
         .unionByName(overlap)
         .unionByName(cms)
+        .unionByName(bl)
     )

@@ -24,6 +24,7 @@ from .operators import retrieval as R
 from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators import text as T
+from .operators import wordpiece as _WP
 from .operators.asof import asof_join
 from .operators.rangejoin import range_join
 from .registry import _t, query
@@ -861,6 +862,13 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     SELECT 'bpe' AS part, a AS grp, b AS token, freq AS n, rk,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score
     FROM ({BPE.bpe_merges_sql_duck(4)}) bpe_arm
+    UNION ALL
+    SELECT 'wordpiece' AS part, a AS grp, b AS token,
+           CASE WHEN rk = 0 THEN CAST(score AS BIGINT) END AS n, rk,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CASE WHEN rk = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(FLOOR(score * 1e12) AS BIGINT) END AS score
+    FROM ({_WP.wordpiece_merges_sql_duck(3)}) wp_arm
     """,
     doc="Corpus term exploration + lexical retrieval, union-merged "
     "(driver query-budget policy). Terms arm: top-5 terms per language — "
@@ -893,7 +901,16 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     "against a from-scratch reference trainer). The "
     "oracle recomputes the whole trajectory independently as a chained "
     "materialized-CTE pipeline, so the hash MATCH pins every sequential "
-    "selection AND the final encoding bit-for-bit.",
+    "selection AND the final encoding bit-for-bit. Wordpiece arm (r11, "
+    "operators/wordpiece.py wordpiece_train): the BERT-family trainer — "
+    "the same machinery with ##-marked segmentation and the "
+    "likelihood-gain score freq(ab)/(freq(a)*freq(b)); rows rk 1..3 "
+    "carry the merge pair and the score as floor(score*1e12) (the "
+    "double arithmetic is operand-identical on both engines, so the "
+    "scaled integer is bit-exact), row rk 0 the post-merge corpus "
+    "symbol total certifying greedy application; its oracle re-runs "
+    "the induction with per-round symbol-frequency joins in the same "
+    "chained-CTE style.",
 )
 def q50(spark, sf):
     from pyspark.sql import Window
@@ -956,7 +973,32 @@ def q50(spark, sf):
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("score"),
     )
-    return terms.unionByName(bm25).unionByName(bigram).unionByName(bpe)
+    import math as _math
+
+    wmerges, wwords = _WP.wordpiece_train(d, n_merges=3)
+    wtotal = wwords.agg(
+        F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " "))).alias("n")
+    ).collect()[0]["n"]
+    wp_rows = [
+        (i + 1, a, b, None, int(_math.floor(score * 1e12)))
+        for i, (a, b, score) in enumerate(wmerges)
+    ]
+    wp_rows.append((0, "<corpus>", None, int(wtotal or 0), None))
+    wp = spark.createDataFrame(
+        wp_rows, "rk long, grp string, token string, n long, score long"
+    ).select(
+        F.lit("wordpiece").alias("part"),
+        "grp",
+        "token",
+        "n",
+        "rk",
+        F.lit(None).cast("long").alias("doc_id"),
+        "score",
+    )
+    return (
+        terms.unionByName(bm25).unionByName(bigram).unionByName(bpe)
+        .unionByName(wp)
+    )
 
 
 @query(
@@ -1779,91 +1821,3 @@ def q62(spark, sf):
     )
 
 
-
-from .operators import wordpiece as WP  # noqa: E402
-
-
-@query(
-    "q64_wordpiece_merges",
-    WP.wordpiece_merges_sql_duck(4),
-    doc="(operators/wordpiece.py wordpiece_train): distributed WordPiece "
-    "tokenizer INDUCTION — the BERT-family trainer completing the "
-    "repo's tokenizer triad (BPE q50 arm, unigram-LM pytest-certified, "
-    "WordPiece here). BPE's machinery with ##-marked segmentation and "
-    "the likelihood-gain pair score freq(ab)/(freq(a)*freq(b)): the "
-    "corpus is scanned once for the word-type table; each round is a "
-    "vocab-sized pair count + symbol count + two vocab-key joins + a "
-    "1-row argmax collect. Rows rk 1..4 pin the full merge trajectory "
-    "(a, b, IEEE-double score — operand-identical arithmetic on both "
-    "engines, so bit-exact); the rk-0 row carries the post-merge "
-    "corpus symbol total, certifying greedy-fold APPLICATION in-band. "
-    "The oracle re-runs the whole induction as a chained MATERIALIZED "
-    "CTE in DuckDB — a MATCH certifies segmentation, scoring, argmax "
-    "tie-breaks, AND merge application against an independent engine.",
-)
-def q64(spark, sf):
-    d = _t(spark, sf, "documents").select("text")
-    merges, words = WP.wordpiece_train(d, n_merges=4)
-    total = words.select(
-        F.sum(
-            F.col("freq") * F.size(F.split(F.trim("s"), " "))
-        ).alias("n")
-    ).collect()[0]["n"]
-    rows = [
-        (i + 1, a, b, float(score))
-        for i, (a, b, score) in enumerate(merges)
-    ]
-    rows.append((0, "<corpus>", None, float(total)))
-    return spark.createDataFrame(
-        rows, "rk long, a string, b string, score double"
-    )
-
-
-from .operators import blocklist as BL  # noqa: E402
-
-#: q65's term list — fixed, lowercase (the C4-convention shape); terms
-#: chosen from the synthetic corpus vocabulary plus one zero-hit term
-#: so the "absent term" path is certified too.
-_Q65_TERMS = ["slow", "dup", "vector", "contraband"]
-
-
-@query(
-    "q65_term_blocklist",
-    f"""
-    WITH h AS (
-      SELECT source,
-             len(list_filter(
-                   string_split_regex(trim(lower(text), ' '),
-                                      '[ \t\n\x0B\f\r]+'),
-                   x -> list_contains({_Q65_TERMS!r}, x))) AS hits
-      FROM documents
-    )
-    SELECT source,
-           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_blocked,
-           CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           CAST(SUM(hits) AS BIGINT) AS total_hits
-    FROM h GROUP BY source
-    """,
-    doc="(operators/blocklist.py): term-blocklist curation — the C4 "
-    "badwords stage, the first gate of every published web pipeline, "
-    "completing the cleaning tier in front of quality/langid/dedup. "
-    "Whole-TOKEN case-insensitive matching (never substrings) via the "
-    "engine-wide whitespace split; the list rides the plan as a "
-    "create_map literal so scoring is scan-fused — no join, no "
-    "shuffle, no Python; the only exchange is the partial-agg'd "
-    "(source) rollup. The broadcast-join path for 1M-entry production "
-    "lists is pytest-pinned equal to this literal path. Oracle "
-    "re-tokenizes and recounts in DuckDB over the identical split — "
-    "a MATCH certifies tokenization, matching semantics, and the "
-    "block/keep accounting.",
-)
-def q65(spark, sf):
-    d = _t(spark, sf, "documents").select("source", "text")
-    h = BL.term_blocklist_hits(d, _Q65_TERMS, out_col="hits")
-    return h.groupBy("source").agg(
-        F.sum((F.col("hits") > 0).cast("long")).alias("n_blocked"),
-        F.sum((F.col("hits") == 0).cast("long")).alias("n_kept"),
-        F.sum("hits").alias("total_hits"),
-    )
