@@ -177,3 +177,15 @@ def test_all_quarantined_batch_yields_cleanly(spark, tmp_path):
     bad[148:156] = b"00000000"
     (tmp_path / "only-bad.tar").write_bytes(bytes(bad))
     assert read_webdataset(spark, str(tmp_path)).count() == 0
+
+
+def test_tar_zst_shard_reads_via_pure_decoder(spark, tmp_path):
+    """A .tar.zst shard decodes on any host (r11): the archive tier's
+    zstd envelope now rides the pure RFC 8878 lane when no module
+    exists."""
+    from tests.test_zstd_dec import _zstd_compress
+
+    raw = _shard(MEMBERS[:4])
+    (tmp_path / "shard-0.tar.zst").write_bytes(_zstd_compress(raw))
+    df = read_webdataset(spark, str(tmp_path))
+    assert df.count() == 2
