@@ -66,6 +66,7 @@ KIND_LOGREG = "logreg-weights"
 KIND_DSIR = "dsir-logratio"
 KIND_LANGID = "langid-ovr-weights"
 KIND_UNIGRAM = "unigram-lm-pieces"
+KIND_WORDPIECE = "wordpiece-vocab"
 
 
 def _encode_ndarray(arr: np.ndarray) -> dict:
@@ -468,6 +469,25 @@ def load_unigram_model(path: str):
     return UnigramModel(
         payload["pieces"], payload["logp_scaled"], payload["max_piece_len"]
     )
+
+
+def save_wordpiece_model(path: str, model) -> str:
+    """Persist a WordPiece tokenizer (wordpiece.wordpiece_model):
+    vocabulary pieces + the UNK piece. Train once; every MaxMatch
+    encode replays the identical greedy longest-match comparisons."""
+    return save_artifact(
+        path,
+        KIND_WORDPIECE,
+        {"pieces": list(model.pieces), "unk": model.unk},
+        {"n_pieces": len(model.pieces)},
+    )
+
+
+def load_wordpiece_model(path: str):
+    from .operators.wordpiece import WordPieceModel
+
+    _, payload, _ = load_artifact(path, KIND_WORDPIECE)
+    return WordPieceModel(payload["pieces"], unk=payload["unk"])
 
 
 def save_pca_model(path: str, model) -> str:

@@ -302,3 +302,26 @@ def test_token_counts_surface(spark):
         for r in wordpiece_token_counts(df, model).collect()
     }
     assert rows == {0: 3, 1: 1, 2: None}  # [UNK] counts as one piece
+
+
+def test_model_artifact_roundtrip(spark, tmp_path):
+    """Train-once/apply-many: the persisted vocabulary reproduces
+    identical encodes after a reload."""
+    from drill_logfile_plugin_spark.artifacts import (
+        load_wordpiece_model,
+        save_wordpiece_model,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, words = wordpiece_train(df, n_merges=8)
+    model = wordpiece_model(words, merges)
+    p = str(tmp_path / "wp.json")
+    save_wordpiece_model(p, model)
+    loaded = load_wordpiece_model(p)
+    assert loaded.pieces == model.pieces and loaded.unk == model.unk
+    a = wordpiece_encode(df, model).collect()
+    b = wordpiece_encode(df, loaded).collect()
+    key = lambda r: r["text"]  # noqa: E731
+    assert [r["pieces"] for r in sorted(a, key=key)] == [
+        r["pieces"] for r in sorted(b, key=key)
+    ]
