@@ -488,3 +488,57 @@ def test_explode_archive_tar_lz4_spark_lane(spark):
     rows = {r["member_name"]: bytes(r["payload"])
             for r in explode_archive(df).collect()}
     assert rows == {"a.txt": b"alpha doc", "b.txt": b"beta doc"}
+
+
+# ------------------------------------------------------------- fuzzing
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    frame_kw=st.sampled_from([
+        {}, {"b_checksum": True}, {"c_checksum": True},
+        {"b_indep": False, "chunk": 700}, {"chunk": 900},
+    ]),
+)
+def test_fuzz_lz4_roundtrip(data, frame_kw):
+    frame = _lz4_frame(data, **frame_kw)
+    assert lz4_frame_decompress(frame, 1 << 20) == data
+    legacy = _lz4_legacy(data)
+    assert lz4_frame_decompress(legacy, 1 << 20) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_fuzz_snappy_roundtrip(data):
+    assert snappy_raw_decompress(
+        _snappy_compress_raw(data), len(data) + 1
+    ) == data
+    assert snappy_framed_decompress(_snappy_frame(data), 1 << 20) == data
+    assert hadoop_snappy_decompress(_hadoop_snappy(data), 1 << 20) == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(noise=st.binary(min_size=1, max_size=300))
+def test_fuzz_corrupt_quarantines_cleanly(noise):
+    """Garbage (bare or magic-prefixed) -> ValueError, never a foreign
+    exception or a hang."""
+    import pytest as _pytest
+
+    for payload in (
+        noise,
+        b"\x04\x22\x4d\x18" + noise,
+        b"\xff\x06\x00\x00sNaPpY" + noise,
+    ):
+        try:
+            lz4_frame_decompress(payload, 1 << 16)
+        except ValueError:
+            pass
+        except NotImplementedError:
+            pass
+    try:
+        snappy_raw_decompress(noise, 1 << 16)
+    except ValueError:
+        pass
