@@ -131,6 +131,21 @@ def sniff_document(payload: bytes, _depth: int = 0) -> str:
                 "compressed tar payload: route via explode_archive"
             )
         return "gz:" + sniff_document(inner, _depth + 1)
+    # container formats with their own readers: NAME the right lane
+    # (the tar-redirect pattern) instead of "unrecognized"
+    if payload.startswith(b"Obj\x01"):
+        raise ValueError(
+            "avro object container: route via sources.avro.read_avro"
+        )
+    if payload.startswith(b"SEQ"):
+        raise ValueError(
+            "hadoop sequencefile: route via "
+            "sources.seqfile.read_sequencefile"
+        )
+    if payload.startswith(b"ARROW1"):
+        raise ValueError(
+            "arrow ipc file: route via sources.arrow_ipc.read_arrow_ipc"
+        )
     if payload.startswith(b"%PDF-"):
         return "pdf"
     if payload.startswith(b"PK"):

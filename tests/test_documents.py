@@ -249,3 +249,22 @@ def test_envelope_nesting_is_bounded(spark):
     got = {r["doc_id"]: r for r in DOC.extract_document_text(df).collect()}
     assert got[0]["text"] is None  # quarantined, job intact
     assert got[1]["text"] == "ok body"
+
+
+def test_container_formats_redirect_to_their_readers():
+    """Avro / SequenceFile / Arrow IPC payloads must NAME their
+    dedicated reader (the tar-redirect pattern), never sniff as text
+    or fail anonymously."""
+    import pytest
+
+    from drill_logfile_plugin_spark.operators.documents import (
+        sniff_document,
+    )
+
+    for magic, lane in (
+        (b"Obj\x01" + b"\x00" * 40, "read_avro"),
+        (b"SEQ\x06" + b"\x00" * 40, "read_sequencefile"),
+        (b"ARROW1\x00\x00" + b"\x00" * 40, "read_arrow_ipc"),
+    ):
+        with pytest.raises(ValueError, match=lane):
+            sniff_document(magic)
