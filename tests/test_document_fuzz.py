@@ -152,7 +152,11 @@ _EXTRACTORS = {
 
 @pytest.mark.parametrize("fmt", sorted(_EXTRACTORS))
 def test_mutated_valid_payloads_uphold_error_contract(fmt):
-    rng = np.random.default_rng(hash(fmt) % (2**32))
+    import zlib
+
+    # zlib.crc32, not hash(): str hashing is salted per process, which
+    # made the mutation set vary run to run (a flaky-by-design fuzz)
+    rng = np.random.default_rng(zlib.crc32(fmt.encode()))
     payload = _valid_payloads()[fmt]
     fn = _EXTRACTORS[fmt]
     fn(payload)  # the seed itself must parse
