@@ -3399,7 +3399,10 @@ def test_q52_exact_distinct_split_matches_fused_on_nulls(spark, tmp_path):
     sf_dir = str(tmp_path)
     df.write.parquet(f"{sf_dir}/events.parquet")
     spark.createDataFrame(
-        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        [(1, "alpha beta", "en", "src0", 10),
+         (2, "beta gamma", "en", "src1", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
     ).write.parquet(f"{sf_dir}/documents.parquet")
 
     import __spark_entry__ as entry
