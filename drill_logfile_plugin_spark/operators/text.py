@@ -583,6 +583,8 @@ def clean_corpus(
     with_reasons: bool = False,
     langid_model=None,
     lang_col: str | None = None,
+    blocklist_terms: list[str] | None = None,
+    blocklist_max_hits: int = 0,
 ) -> DataFrame:
     """One-call corpus cleaning: the C4/Gopher-style filter pass composing
     the oracle-checked text signals — language gate (:func:`lang_id`),
@@ -601,6 +603,12 @@ def clean_corpus(
     path (``lang_id_learned_arrow`` for fastText-class models whose
     weight matrix must not live in the expression tree): score first,
     then clean. Mutually exclusive with ``langid_model``.
+
+    ``blocklist_terms`` (r11) adds the C4-style term-blocklist gate
+    (operators/blocklist.py semantics: whole-token, case-insensitive,
+    occurrences counted) as one more scan-fused signal — rows with
+    more than ``blocklist_max_hits`` blocked-token occurrences drop;
+    ``with_reasons`` surfaces the count as ``blocklist_hits``.
 
     ``with_reasons=False`` (production) returns the kept rows with their
     original columns; ``with_reasons=True`` returns EVERY row plus
@@ -635,11 +643,37 @@ def clean_corpus(
         # the alias would create a duplicate column
         cols.append(lang_expr.alias("lang_pred"))
     cols.append(quality_bucket(text_col).alias("quality"))
+    if blocklist_terms is not None:
+        from .blocklist import term_blocklist_hits as _tbh  # noqa: F401
+        from .blocklist import _toks_lower, _MAX_LITERAL_TERMS
+
+        if len(blocklist_terms) > _MAX_LITERAL_TERMS:
+            raise ValueError(
+                "clean_corpus: blocklist beyond the literal-plan bound; "
+                "run term_blocklist_hits_join first and gate on its column"
+            )
+        tmap = F.create_map(
+            *[
+                F.lit(x)
+                for t in sorted({t.lower() for t in blocklist_terms})
+                for x in (t, 1)
+            ]
+        )
+        cols.append(
+            F.size(
+                F.filter(
+                    _toks_lower(text_col),
+                    lambda t: F.element_at(tmap, t).isNotNull(),
+                )
+            ).alias("blocklist_hits")
+        )
     base = df.select(*cols).select(
         "*",
         F.expr(repetition_verdict_case(t2, d2)).alias("rep_verdict"),
     )
     keep = F.col("quality").isin(*quality_keep)
+    if blocklist_terms is not None:
+        keep = keep & (F.col("blocklist_hits") <= blocklist_max_hits)
     if langs is not None:
         keep = keep & F.col("lang_pred").isin(*langs)
     if drop_repetitive:

@@ -178,3 +178,38 @@ def test_domain_plan_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_clean_corpus_blocklist_gate(spark):
+    """The one-call cleaner composes the blocklist as a scan-fused
+    signal: hits beyond the cap drop; with_reasons surfaces the count;
+    the plan stays exchange/Python-free."""
+    from drill_logfile_plugin_spark.operators.text import clean_corpus
+
+    df = spark.createDataFrame(
+        [
+            (0, "A perfectly ordinary paragraph with enough words to "
+                "read like real prose and pass the quality bands today."),
+            (1, "A perfectly ordinary paragraph with enough words to "
+                "read like real prose, plus one BAD token in the middle "
+                "of otherwise reasonable text for the gate to count."),
+        ],
+        "doc_id long, text string",
+    )
+    bands = ("good", "too_short", "stopword_heavy", "repetitive",
+             "long_tokens")  # neutralize the quality gate: isolate ours
+    kept = clean_corpus(df, blocklist_terms=["bad"], quality_keep=bands)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    audit = clean_corpus(
+        df, blocklist_terms=["bad"], quality_keep=bands, with_reasons=True
+    )
+    rows = {r["doc_id"]: r for r in audit.collect()}
+    assert rows[1]["blocklist_hits"] == 1 and not rows[1]["keep"]
+    assert rows[0]["blocklist_hits"] == 0 and rows[0]["keep"]
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    lax = clean_corpus(
+        df, blocklist_terms=["bad"], quality_keep=bands,
+        blocklist_max_hits=1,
+    )
+    assert lax.count() == 2
