@@ -73,8 +73,16 @@ def _spaced(t: Column) -> Column:
     return F.concat(F.lit(" "), F.regexp_replace(t, "(?s)(.)", "$1 "))
 
 
-def _word_types(df: DataFrame, text_col: str) -> DataFrame:
-    """(s, freq): spaced symbol string + corpus frequency per word TYPE.
+def word_type_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): raw word-type frequency table — the corpus's ONE full
+    tokenize+explode+aggregate pass.
+
+    Segmentation-scheme-free, so it is shareable: the BPE and WordPiece
+    trainers differ only in how they *space* a word into initial symbols,
+    not in what they count. A caller inducing both tokenizers over the
+    same corpus (the q50 shape) computes this once (barriered) and hands
+    it to both trainers via ``word_freqs=`` — one corpus scan+shuffle
+    instead of two.
 
     Empty/whitespace-only documents are dropped here: Spark's
     ``split(trim(''), '\\s+')`` yields ``['']``, and without the filter
@@ -88,7 +96,13 @@ def _word_types(df: DataFrame, text_col: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(_spaced(F.col("w")).alias("s"), "freq")
+    )
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(s, freq): spaced symbol string + corpus frequency per word TYPE."""
+    return word_type_freqs(df, text_col).select(
+        _spaced(F.col("w")).alias("s"), "freq"
     )
 
 
@@ -127,6 +141,7 @@ def bpe_train(
     min_freq: int = 1,
     barrier_every: int = 4,
     round_partitions: int | None = None,
+    word_freqs: DataFrame | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Induce ``n_merges`` BPE merges from the corpus.
 
@@ -159,12 +174,30 @@ def bpe_train(
     per-round task overhead while the one corpus-sized count before the
     barrier keeps full parallelism. Scales with the cluster, not a
     constant.
+
+    ``word_freqs``: optional pre-aggregated ``(w, freq)`` word-type table
+    (:func:`word_type_freqs`), already materialized (barriered) and sized
+    by the caller — the trainer then derives its spaced initial state
+    from it with a vocab-sized job instead of paying its own corpus
+    scan+shuffle. A caller inducing several tokenizers over one corpus
+    (q50: BPE + WordPiece) shares one scan this way. Values are identical
+    either way (the spacing is a deterministic per-row map); only where
+    the corpus pass runs differs.
     """
     if round_partitions is None:
         round_partitions = max(
             4, df.sparkSession.sparkContext.defaultParallelism // 4
         )
-    words = _barrier(_word_types(df, text_col).repartition(round_partitions))
+    if word_freqs is not None:
+        # No extra barrier: the caller materialized word_freqs, and the
+        # spacing is a narrow per-row map over its cached partitions —
+        # the first argmax job evaluates it in place, and the per-round
+        # persist discipline below keeps every later round depth-1.
+        words = word_freqs.select(_spaced(F.col("w")).alias("s"), "freq")
+    else:
+        words = _barrier(
+            _word_types(df, text_col).repartition(round_partitions)
+        )
     merges: list[tuple[str, str, int]] = []
     # One job per merge round: the argmax action over round r's pair
     # counts is ALSO what materializes round r's persisted fold (Spark

@@ -127,6 +127,7 @@ def wordpiece_train(
     min_freq: int = 1,
     barrier_every: int = 4,
     round_partitions: int | None = None,
+    word_freqs: DataFrame | None = None,
 ) -> tuple[list[tuple[str, str, float]], DataFrame]:
     """Induce ``n_merges`` WordPiece merges from the corpus.
 
@@ -141,14 +142,28 @@ def wordpiece_train(
     JOINT frequency reaches ``min_freq`` (the score itself is scale-
     free, so the frequency floor is what filters noise pairs).
     Caching/barrier discipline identical to ``bpe_train``.
+
+    ``word_freqs``: optional pre-aggregated ``(w, freq)`` word-type
+    table (``bpe.word_type_freqs``), already materialized (barriered)
+    and sized by the caller — the trainer then derives its ##-spaced
+    initial state with a vocab-sized job instead of paying its own
+    corpus scan+shuffle (the q50 shared-scan shape; values identical
+    either way, the spacing being a deterministic per-row map).
     """
     if round_partitions is None:
         round_partitions = max(
             4, df.sparkSession.sparkContext.defaultParallelism // 4
         )
-    words = _barrier(
-        _wp_word_types(df, text_col).repartition(round_partitions)
-    )
+    if word_freqs is not None:
+        # No extra barrier: narrow per-row spacing over the caller's
+        # materialized partitions (see bpe_train).
+        words = word_freqs.select(
+            _wp_spaced(F.col("w")).alias("s"), "freq"
+        )
+    else:
+        words = _barrier(
+            _wp_word_types(df, text_col).repartition(round_partitions)
+        )
     merges: list[tuple[str, str, float]] = []
     pinned: list[DataFrame] = []
     for r in range(n_merges):

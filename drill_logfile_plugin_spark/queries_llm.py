@@ -950,7 +950,25 @@ def q50(spark, sf):
         F.lit(None).cast("long").alias("doc_id"),
         F.col("p_scaled").alias("score"),
     )
-    bmerges, bwords = BPE.bpe_train(d, n_merges=4)
+    # The BPE and WordPiece trainers differ only in how they SPACE a word
+    # into initial symbols, so they share ONE corpus tokenize+explode+
+    # aggregate pass (bpe.word_type_freqs, barriered) instead of paying
+    # it twice. Their merge rounds are sequential latency-bound jobs over
+    # vocab-sized cached tables — two threads overlap the two round
+    # ladders the same way q63 overlaps its FastSV/pagerank arms (Spark
+    # job submission is thread-safe; the trainers share only the
+    # materialized word-type frame and touch no session state).
+    _rp = max(4, spark.sparkContext.defaultParallelism // 4)
+    wf = D._barrier(BPE.word_type_freqs(d, "text").repartition(_rp))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _fb = _ex.submit(BPE.bpe_train, d, n_merges=4, word_freqs=wf)
+        _fw = _ex.submit(
+            _WP.wordpiece_train, d, n_merges=3, word_freqs=wf
+        )
+        bmerges, bwords = _fb.result()
+        wmerges, wwords = _fw.result()
     bpe_table = spark.createDataFrame(
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(bmerges)],
         "rk long, grp string, token string, n long",
@@ -975,17 +993,28 @@ def q50(spark, sf):
     )
     import math as _math
 
-    wmerges, wwords = _WP.wordpiece_train(d, n_merges=3)
-    wtotal = wwords.agg(
-        F.sum(F.col("freq") * F.size(F.split(F.trim("s"), " "))).alias("n")
-    ).collect()[0]["n"]
+    # The rk-0 corpus symbol total rides the LAZY plan (a unionByName'd
+    # aggregate over the trainer's final cached state, the bpe arm's
+    # shape) instead of an eager build-time collect — one fewer
+    # serialized job at construction, identical values.
     wp_rows = [
         (i + 1, a, b, None, int(_math.floor(score * 1e12)))
         for i, (a, b, score) in enumerate(wmerges)
     ]
-    wp_rows.append((0, "<corpus>", None, int(wtotal or 0), None))
     wp = spark.createDataFrame(
         wp_rows, "rk long, grp string, token string, n long, score long"
+    ).unionByName(
+        wwords.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim("s"), " "))
+            ).alias("n")
+        ).select(
+            F.lit(0).cast("long").alias("rk"),
+            F.lit("<corpus>").alias("grp"),
+            F.lit(None).cast("string").alias("token"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("score"),
+        )
     ).select(
         F.lit("wordpiece").alias("part"),
         "grp",
