@@ -138,6 +138,40 @@ def _barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _lazy_barrier(df: DataFrame) -> DataFrame:
+    """Reuse barrier that materializes inside the CONSUMING action.
+
+    Same role as :func:`_barrier` — one physical computation feeding
+    several consumers — minus the eager driver-blocking job: the
+    returned frame wraps ONE checkpoint-marked RDD, so every consumer
+    subtree scans the same RDD object and the scheduler's stage dedup
+    (keyed on RDD identity — no canonicalization race, unlike AQE
+    exchange reuse across concurrently-submitted stages) computes it
+    exactly once, on first use, overlapped with whatever independent
+    stages the action is already running. Deliberately NOT ``persist``:
+    a lazy cache registers in the CacheManager keyed on the canonical
+    plan, so a later identical build (e.g. the bench's min-of-3 re-run
+    of the same query) would silently read the first run's data instead
+    of recomputing — a correctness-neutral but measurement-corrupting
+    reuse this engine bans.
+
+    Use it when nothing at construction time needs the materialized
+    rows; keep :func:`_barrier` when a collect/observe/size decision
+    reads them before the plan is final. Reliable-checkpoint mode
+    (checkpoint dir configured) stays EAGER: a lazy reliable checkpoint
+    cannot use the persist-around-checkpoint double-compute guard
+    without leaking the cache past the action.
+    """
+    spark = df.sparkSession
+    if (
+        spark.sparkContext.getCheckpointDir() is not None
+        and str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "true")).lower()
+        != "false"
+    ):
+        return _barrier(df)
+    return df.localCheckpoint(eager=False)
+
+
 def _probed_barrier(df: DataFrame, metric):
     """:func:`_barrier` + one observed scalar riding the SAME job.
 
@@ -458,13 +492,16 @@ def lsh_candidate_pairs(
     b = banded.alias("b")
     # The candidate set is referenced three times below (two id
     # projections + the re-rank join), in subplans different enough
-    # that ReuseExchange cannot dedup them; the ONE eager barrier
-    # in this operator materializes the banding/self-join subplan once
-    # instead of once per reference (a lazy persist would let the
-    # three branches race and redundantly recompute it within the
-    # final job). It is O(duplicate pairs) — tiny at any corpus
-    # scale; see _barrier for the local-vs-reliable fault-domain knob.
-    cand = _barrier(
+    # that ReuseExchange cannot dedup them; the ONE barrier in this
+    # operator materializes the banding/self-join subplan once instead
+    # of once per reference. It is LAZY: the distinct() inside means
+    # the expensive subplan ends in shuffle stages, which the scheduler
+    # dedups by shuffle id across every consumer job — compute-once
+    # without an eager construction-time job (unlike a lazy persist,
+    # whose CacheManager entry would also leak across rebuilds). It is
+    # O(duplicate pairs) — tiny at any corpus scale; see _barrier for
+    # the local-vs-reliable fault-domain knob.
+    cand = _lazy_barrier(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -748,7 +785,7 @@ def incremental_lsh_pairs(
             F.col("ib.doc_id").alias("doc_b"),
         )
     )
-    cand = _barrier(cross.unionByName(self_pairs).distinct())
+    cand = _lazy_barrier(cross.unionByName(self_pairs).distinct())
 
     # Exact re-rank over candidate-hit docs only. Increment wins an id
     # collision (a changed doc compares on its NEW text).
@@ -1046,12 +1083,14 @@ def hamming_band_pairs(
     band_bits = bits // 4
     band_mask = (1 << band_bits) - 1
     # Both sides of the candidate self-join read this; materialize the
-    # signature pipeline once (4×n small rows; see _barrier for the
-    # local-vs-reliable knob). A groupBy+collect_list pair expansion was
-    # tried and is slower: dup-heavy corpora have large in-bucket pair
-    # volume and the interpreted lambda expansion (bit_count per pair)
-    # loses to the codegen'd hash join + filter.
-    banded = _barrier(
+    # signature pipeline once (4×n small rows; lazily — stage-dedup'd by
+    # the scheduler inside the consuming action, no construction-time
+    # job; see _barrier for the local-vs-reliable knob). A groupBy+
+    # collect_list pair expansion was tried and is slower: dup-heavy
+    # corpora have large in-bucket pair volume and the interpreted
+    # lambda expansion (bit_count per pair) loses to the codegen'd hash
+    # join + filter.
+    banded = _lazy_barrier(
         sigs.select(
             "doc_id",
             "sig",
@@ -1124,8 +1163,9 @@ def ngram_jaccard_pairs(
     df = _spread(df)
     # Referenced by both the index explode and the size lookup (and the
     # index twice more via the self-join): materialize the tokenize+
-    # shingle work once (see _barrier for the local-vs-reliable knob).
-    docs = _barrier(
+    # shingle work once — lazily, inside the consuming action (see
+    # _lazy_barrier; no construction-time job).
+    docs = _lazy_barrier(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.expr(block_expr).alias("blk"),

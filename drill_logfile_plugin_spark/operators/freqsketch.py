@@ -144,7 +144,7 @@ def heavy_hitters_certified(
     1.0 = full exactness — the q52 driver arm, unchanged.
     """
     from ..functions.exprs import cert_slice_cond
-    from .dedup import _barrier
+    from .dedup import _lazy_barrier
 
     occ = df.select(F.col(col).alias("key")).where(F.col("key").isNotNull())
     if cert_fraction != 1.0:
@@ -164,7 +164,12 @@ def heavy_hitters_certified(
             ),
         )
     )
-    grid = _barrier(cms_table(occ, "key", w, d))
+    # Lazy barrier: the grid (≤ d·w rows) feeds two consumers (the N
+    # aggregate and the broadcast estimate join) off ONE checkpoint-
+    # marked RDD, materialized inside the query's own action concurrently
+    # with the exact top-k lane — the former eager barrier serialized a
+    # corpus-explode job at construction time before any arm could start.
+    grid = _lazy_barrier(cms_table(occ, "key", w, d))
     total = grid.filter(F.col("row") == 0).agg(F.sum("c").alias("n_total"))
     est = cms_estimate(exact.select("key"), grid, "key", w, d)
     bound = F.greatest(

@@ -168,9 +168,13 @@ def ann_certified_topk(
 
     Recall is aggregated across the certified queries (per-query
     recall@5 is quantized to fifths and would flap); the exact lane is
-    barriered because it feeds both its consumer joins.
+    barriered because it feeds both its consumer joins — lazily (one
+    checkpoint-marked RDD, stage-dedup'd by the scheduler), so the
+    brute-force pass materializes inside the query's own action,
+    overlapped with the ANN lane, instead of as a serialized
+    construction-time job.
     """
-    from .dedup import _barrier
+    from .dedup import _lazy_barrier
     from ..functions.exprs import cert_slice_cond
 
     if not 0.0 < cert_fraction <= 1.0:
@@ -185,9 +189,11 @@ def ann_certified_topk(
         cert_queries = queries.where(
             cert_slice_cond(F.col(id_col), cert_fraction)
         )
-        serve = _barrier(ann_rows)
+        serve = _lazy_barrier(ann_rows)
         ann_rows = serve
-    exact = _barrier(cosine_topk(cert_queries, corpus, k, id_col, vec_col))
+    exact = _lazy_barrier(
+        cosine_topk(cert_queries, corpus, k, id_col, vec_col)
+    )
     marked = exact.join(
         ann_rows.select("q_id", "neighbor_id", F.lit(1).alias("__hit")),
         ["q_id", "neighbor_id"],

@@ -741,8 +741,6 @@ def lm_surprisal(
     Reference scope: LLM-pipeline extension tier (SURVEY.md §2 Tier C);
     the reference plugin has no ranking/scoring surface.
     """
-    from .dedup import _barrier
-
     toks = F.expr(TOKS_SPARK.format(c=text_col))
     pairs = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
@@ -760,13 +758,32 @@ def lm_surprisal(
         .select("doc_id", "pr.w1", "pr.w2")
     )
     # Per-doc distinct-pair counts: the only pass over the exploded
-    # stream. Barriered because the corpus model below re-aggregates it
-    # (without the barrier Spark would re-run tokenize+explode per branch).
-    dp = _barrier(
-        pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    # stream, shared by the model side and the scoring side through a
+    # LAZY barrier — one RDD object, so the scheduler computes the
+    # tokenize+explode exactly once inside the consuming action (AQE
+    # exchange reuse alone double-computed it: the two consumers' leaf
+    # stages submit concurrently and race the stage cache). The former
+    # EAGER localCheckpoint got the same single-compute but paid it as a
+    # separate driver-blocking job before the query could even be
+    # returned; lazy materialization overlaps it with the sibling arms.
+    from .dedup import _lazy_barrier
+
+    dp = _lazy_barrier(
+        pairs.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("k")
+        )
     )
     counts = dp.groupBy("w1", "w2").agg(F.sum("k").alias("n_pair"))
-    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    # n_ctx = per-context total, as a window over the vocab²-sized pair
+    # model rather than a second aggregate+broadcast: one model subtree
+    # (one dp consumer, one broadcast build) instead of two racing for
+    # AQE's stage-reuse cache, and one BHJ in the scoring join instead
+    # of two. Integer sum either way — identical values.
+    from pyspark.sql import Window
+
+    counts = counts.withColumn(
+        "n_ctx", F.sum("n_pair").over(Window.partitionBy("w1"))
+    )
     vocab = df.select(
         F.explode(F.expr(TOKS_SPARK.format(c=text_col))).alias("t")
     ).agg(F.countDistinct("t").alias("v"))
@@ -784,7 +801,6 @@ def lm_surprisal(
     )
     scored = (
         dp.join(counts, ["w1", "w2"])  # self-trained: every pair matches
-        .join(totals, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "k", "n_pair", s_scaled)
     )
@@ -964,15 +980,19 @@ def positional_ngram_starts(
     distinct grams (~0.4 at 4e9), and a collision both deletes unique
     content and breaks parity with the string-keyed oracles.
 
-    Barriered (``_barrier``) because every consumer reads the stream at
-    least twice (index build + cover join) — and q59 feeds the SAME
-    materialized stream to both :func:`strip_boilerplate` (corpus
-    boilerplate, distinct-doc threshold) and
-    ``dedup.exact_substring_dedup`` (Lee et al. repeats, occurrence
-    threshold), so the corpus is exploded and hashed exactly once for
-    the whole rewrite tier.
+    Barriered because every consumer reads the stream at least twice
+    (index build + cover join) — and q59 feeds the SAME materialized
+    stream to both :func:`strip_boilerplate` (corpus boilerplate,
+    distinct-doc threshold) and ``dedup.exact_substring_dedup`` (Lee et
+    al. repeats, occurrence threshold), so the corpus is exploded and
+    hashed exactly once for the whole rewrite tier. The barrier is LAZY
+    (one checkpoint-marked RDD; scheduler-level stage dedup): no
+    construction-time decision reads the rows, so materialization rides
+    the consuming action, overlapped with the independent spans/docfrac
+    arms instead of serializing a corpus-sized job before the query
+    object even exists.
     """
-    from .dedup import _barrier
+    from .dedup import _lazy_barrier as _barrier
 
     toks = F.coalesce(
         F.expr(TOKS_SPARK.format(c=text_col)), F.expr("array()")

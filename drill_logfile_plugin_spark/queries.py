@@ -544,12 +544,17 @@ def q12(spark, sf):
     # aggregate (stats and the ordered journey computed in the same pass),
     # barriered because the two arms' divergent column pruning would
     # otherwise defeat ReuseExchange and shuffle events twice. The
-    # materialized frame is session-count-sized — the "sessions table"
-    # a production pipeline would persist anyway.
-    from .operators.dedup import _barrier
+    # barrier is LAZY (one checkpoint-marked RDD, scheduler-level stage
+    # dedup): nothing at construction reads the rows, so the eager form
+    # only serialized a build-time job in front of the same computation;
+    # materialization now rides the consuming action, overlapped with
+    # the independent orders/anomaly arms. The materialized frame is
+    # session-count-sized — the "sessions table" a production pipeline
+    # would persist anyway.
+    from .operators.dedup import _lazy_barrier
 
     s = sessionize(_t(spark, sf, "events"), gap_seconds=_SESSION_GAP_S)
-    per_session = _barrier(
+    per_session = _lazy_barrier(
         s.groupBy(F.col("user_id"), F.col("session_idx")).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("start_ts"),
@@ -1102,124 +1107,158 @@ def q52(spark, sf):
     from .operators.profiler import profile_columns
 
     e = _t(spark, sf, "events")
-    agg = sketch_arm_agg(e)
-    within_d = (
-        F.abs(F.col("n_approx") - F.col("n_users_exact"))
-        <= 0.05 * F.col("n_users_exact")
-    )
-    within_p = (
-        F.abs(F.col("p50_approx") - F.col("p50_exact"))
-        <= 0.02 * F.col("rng") + F.lit(1e-9)
-    )
-    sketch = agg.select(
-        F.lit("sketch").alias("part"),
-        F.col("event_type").alias("key"),
-        F.col("n_users_exact").alias("n_a"),
-        F.lit(None).cast("long").alias("n_b"),
-        F.lit(None).cast("long").alias("n_c"),
-        within_d.alias("flag_a"),
-        within_p.alias("flag_b"),
-        F.col("p50_exact").alias("d_min"),
-        F.lit(None).cast("double").alias("d_max"),
-        F.lit(None).cast("string").alias("s_min"),
-        F.lit(None).cast("string").alias("s_max"),
-    )
-    profile = profile_columns(e, list(_EVENTS_PROFILE_COLS)).select(
-        F.lit("profile").alias("part"),
-        F.col("col_name").alias("key"),
-        F.col("n_distinct").alias("n_a"),
-        F.col("n_nulls").alias("n_b"),
-        F.col("n_rows").alias("n_c"),
-        F.lit(None).cast("boolean").alias("flag_a"),
-        F.lit(None).cast("boolean").alias("flag_b"),
-        "d_min",
-        "d_max",
-        "s_min",
-        "s_max",
-    )
-    from .operators.rolling import rolling_distinct
-
-    rolling = rolling_distinct(
-        e.select("event_type", "ts", "user_id")
-    ).select(
-        F.lit("rolling").alias("part"),
-        F.col("event_type").alias("key"),
-        F.col("n_exact").alias("n_a"),
-        F.expr("unix_micros(bucket) div 3600000000").alias("n_b"),
-        F.lit(None).cast("long").alias("n_c"),
-        F.col("in_band").alias("flag_a"),
-        F.lit(None).cast("boolean").alias("flag_b"),
-        F.lit(None).cast("double").alias("d_min"),
-        F.lit(None).cast("double").alias("d_max"),
-        F.lit(None).cast("string").alias("s_min"),
-        F.lit(None).cast("string").alias("s_max"),
-    )
-    from .operators.segments import segment_overlap
-
-    overlap = segment_overlap(e.select("event_type", "user_id")).select(
-        F.lit("overlap").alias("part"),
-        F.concat_ws("|", "seg_a", "seg_b").alias("key"),
-        F.col("exact_inter").alias("_na"),
-        F.col("n_a").alias("_nb"),
-        F.col("n_b").alias("_nc"),
-        F.col("in_band").alias("_fa"),
-    ).select(
-        "part",
-        "key",
-        F.col("_na").alias("n_a"),
-        F.col("_nb").alias("n_b"),
-        F.col("_nc").alias("n_c"),
-        F.col("_fa").alias("flag_a"),
-        F.lit(None).cast("boolean").alias("flag_b"),
-        F.lit(None).cast("double").alias("d_min"),
-        F.lit(None).cast("double").alias("d_max"),
-        F.lit(None).cast("string").alias("s_min"),
-        F.lit(None).cast("string").alias("s_max"),
-    )
-    from .operators.freqsketch import heavy_hitters_certified
-    from .operators.text import TOKS_SPARK
-
-    occ = _t(spark, sf, "documents").select(
-        F.explode(F.expr(TOKS_SPARK.format(c="text"))).alias("term")
-    )
-    cms = heavy_hitters_certified(occ, "term", k=20).select(
-        F.lit("cms").alias("part"),
-        F.col("key"),
-        F.col("exact").alias("n_a"),
-        F.col("rk").alias("n_b"),
-        F.lit(None).cast("long").alias("n_c"),
-        F.col("never_under").alias("flag_a"),
-        F.col("within_eps").alias("flag_b"),
-        F.lit(None).cast("double").alias("d_min"),
-        F.lit(None).cast("double").alias("d_max"),
-        F.lit(None).cast("string").alias("s_min"),
-        F.lit(None).cast("string").alias("s_max"),
-    )
-    from .operators.blocklist import term_blocklist_hits
-
-    d = _t(spark, sf, "documents").select("source", "text")
-    bl = (
-        term_blocklist_hits(d, _BLOCKLIST_TERMS, out_col="hits")
-        .groupBy("source")
-        .agg(
-            F.sum((F.col("hits") > 0).cast("long")).alias("n_a"),
-            F.sum((F.col("hits") == 0).cast("long")).alias("n_b"),
-            F.sum("hits").alias("n_c"),
+    # The six arms are independent subtrees; build them on a thread
+    # pool — plan construction is py4j round-trips plus JVM analysis,
+    # and pinned py4j threads run those concurrently (the q63/q50
+    # overlap pattern applied to CONSTRUCTION; the arms share only
+    # the immutable base readers and touch no session state).
+    def _arm_sketch():
+        agg = sketch_arm_agg(e)
+        within_d = (
+            F.abs(F.col("n_approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
         )
-        .select(
-            F.lit("blocklist").alias("part"),
-            F.col("source").alias("key"),
-            "n_a",
-            "n_b",
-            "n_c",
+        within_p = (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.02 * F.col("rng") + F.lit(1e-9)
+        )
+        sketch = agg.select(
+            F.lit("sketch").alias("part"),
+            F.col("event_type").alias("key"),
+            F.col("n_users_exact").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            within_d.alias("flag_a"),
+            within_p.alias("flag_b"),
+            F.col("p50_exact").alias("d_min"),
+            F.lit(None).cast("double").alias("d_max"),
+            F.lit(None).cast("string").alias("s_min"),
+            F.lit(None).cast("string").alias("s_max"),
+        )
+        return sketch
+
+    def _arm_profile():
+        profile = profile_columns(e, list(_EVENTS_PROFILE_COLS)).select(
+            F.lit("profile").alias("part"),
+            F.col("col_name").alias("key"),
+            F.col("n_distinct").alias("n_a"),
+            F.col("n_nulls").alias("n_b"),
+            F.col("n_rows").alias("n_c"),
             F.lit(None).cast("boolean").alias("flag_a"),
+            F.lit(None).cast("boolean").alias("flag_b"),
+            "d_min",
+            "d_max",
+            "s_min",
+            "s_max",
+        )
+        return profile
+
+    def _arm_rolling():
+        from .operators.rolling import rolling_distinct
+
+        rolling = rolling_distinct(
+            e.select("event_type", "ts", "user_id")
+        ).select(
+            F.lit("rolling").alias("part"),
+            F.col("event_type").alias("key"),
+            F.col("n_exact").alias("n_a"),
+            F.expr("unix_micros(bucket) div 3600000000").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.col("in_band").alias("flag_a"),
             F.lit(None).cast("boolean").alias("flag_b"),
             F.lit(None).cast("double").alias("d_min"),
             F.lit(None).cast("double").alias("d_max"),
             F.lit(None).cast("string").alias("s_min"),
             F.lit(None).cast("string").alias("s_max"),
         )
-    )
+        return rolling
+
+    def _arm_overlap():
+        from .operators.segments import segment_overlap
+
+        overlap = segment_overlap(e.select("event_type", "user_id")).select(
+            F.lit("overlap").alias("part"),
+            F.concat_ws("|", "seg_a", "seg_b").alias("key"),
+            F.col("exact_inter").alias("_na"),
+            F.col("n_a").alias("_nb"),
+            F.col("n_b").alias("_nc"),
+            F.col("in_band").alias("_fa"),
+        ).select(
+            "part",
+            "key",
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            F.col("_nc").alias("n_c"),
+            F.col("_fa").alias("flag_a"),
+            F.lit(None).cast("boolean").alias("flag_b"),
+            F.lit(None).cast("double").alias("d_min"),
+            F.lit(None).cast("double").alias("d_max"),
+            F.lit(None).cast("string").alias("s_min"),
+            F.lit(None).cast("string").alias("s_max"),
+        )
+        return overlap
+
+    def _arm_cms():
+        from .operators.freqsketch import heavy_hitters_certified
+        from .operators.text import TOKS_SPARK
+
+        occ = _t(spark, sf, "documents").select(
+            F.explode(F.expr(TOKS_SPARK.format(c="text"))).alias("term")
+        )
+        cms = heavy_hitters_certified(occ, "term", k=20).select(
+            F.lit("cms").alias("part"),
+            F.col("key"),
+            F.col("exact").alias("n_a"),
+            F.col("rk").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.col("never_under").alias("flag_a"),
+            F.col("within_eps").alias("flag_b"),
+            F.lit(None).cast("double").alias("d_min"),
+            F.lit(None).cast("double").alias("d_max"),
+            F.lit(None).cast("string").alias("s_min"),
+            F.lit(None).cast("string").alias("s_max"),
+        )
+        return cms
+
+    def _arm_bl():
+        from .operators.blocklist import term_blocklist_hits
+
+        d = _t(spark, sf, "documents").select("source", "text")
+        bl = (
+            term_blocklist_hits(d, _BLOCKLIST_TERMS, out_col="hits")
+            .groupBy("source")
+            .agg(
+                F.sum((F.col("hits") > 0).cast("long")).alias("n_a"),
+                F.sum((F.col("hits") == 0).cast("long")).alias("n_b"),
+                F.sum("hits").alias("n_c"),
+            )
+            .select(
+                F.lit("blocklist").alias("part"),
+                F.col("source").alias("key"),
+                "n_a",
+                "n_b",
+                "n_c",
+                F.lit(None).cast("boolean").alias("flag_a"),
+                F.lit(None).cast("boolean").alias("flag_b"),
+                F.lit(None).cast("double").alias("d_min"),
+                F.lit(None).cast("double").alias("d_max"),
+                F.lit(None).cast("string").alias("s_min"),
+                F.lit(None).cast("string").alias("s_max"),
+            )
+        )
+        return bl
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(6) as _ex:
+        _fs = [
+            _ex.submit(f)
+            for f in (_arm_sketch, _arm_profile, _arm_rolling,
+                      _arm_overlap, _arm_cms, _arm_bl)
+        ]
+    sketch, profile, rolling, overlap, cms, bl = [
+        f.result() for f in _fs
+    ]
     return (
         sketch.unionByName(profile)
         .unionByName(rolling)

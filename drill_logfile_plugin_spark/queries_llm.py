@@ -313,43 +313,60 @@ def q23(spark, sf):
 )
 def q24(spark, sf):
     d = _t(spark, sf, "documents")
-    quality = (
-        d.select("doc_id", "text", T.quality_bucket("text").alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).alias("measure"),
-            F.min("doc_id").alias("min_doc_id"),
+
+    # Three independent arms; construction (py4j + JVM analysis) runs on
+    # pinned threads concurrently — the q52 pattern. No session state is
+    # touched; the arms share only the immutable base reader.
+    def _arm_quality():
+        return (
+            d.select(
+                "doc_id", "text", T.quality_bucket("text").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("measure"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .select(F.lit("quality").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
         )
-        .select(F.lit("quality").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
-    )
-    rarity = (
-        T.corpus_rarity(d, vocab_size=16)
-        .groupBy(
-            F.floor(F.col("mean_rank")).cast("long").cast("string").alias("bucket")
+
+    def _arm_rarity():
+        return (
+            T.corpus_rarity(d, vocab_size=16)
+            .groupBy(
+                F.floor(F.col("mean_rank")).cast("long").cast("string").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_oov").alias("measure"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .select(F.lit("rarity").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_oov").alias("measure"),
-            F.min("doc_id").alias("min_doc_id"),
+
+    def _arm_lm():
+        return (
+            T.lm_surprisal(d)
+            .groupBy(
+                F.floor(F.col("mean_s") / F.lit(250000.0))
+                .cast("long")
+                .cast("string")
+                .alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_rare").alias("measure"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .select(F.lit("lm").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
         )
-        .select(F.lit("rarity").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
-    )
-    lm = (
-        T.lm_surprisal(d)
-        .groupBy(
-            F.floor(F.col("mean_s") / F.lit(250000.0))
-            .cast("long")
-            .cast("string")
-            .alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_rare").alias("measure"),
-            F.min("doc_id").alias("min_doc_id"),
-        )
-        .select(F.lit("lm").alias("part"), "bucket", "n_docs", "measure", "min_doc_id")
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as _ex:
+        _fs = [_ex.submit(f) for f in (_arm_quality, _arm_rarity, _arm_lm)]
+    quality, rarity, lm = [f.result() for f in _fs]
     return quality.unionByName(rarity).unionByName(lm)
 
 

@@ -9,6 +9,7 @@ host session's defaults.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +57,26 @@ def configure_session(spark: SparkSession, shuffle_partitions: int | None = None
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
 
+#: Per-session reader-plan cache: (sf_dir, name) -> DataFrame, keyed
+#: weakly on the session. ``spark.read.parquet`` pays a driver-side
+#: footer/schema read plus file listing on EVERY call; a bench or
+#: service that builds many queries over the same ten tables re-paid it
+#: per query (~0.1 s each). The cached object is an unexecuted lazy
+#: plan — pure schema/file-listing metadata, exactly what a catalog
+#: temp view (register_views) would hold for the session; row data is
+#: still read from parquet by every action. WeakKeyDictionary so a
+#: stopped session's plans (and their JVM handles) are collectable.
+_READER_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _READER_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nanosecond timestamps surface as LongType under nanosAsLong; truncate to
     # microseconds exactly like DuckDB/pyarrow do (integer floor division —
@@ -66,6 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+    per_session[key] = df
     return df
 
 
