@@ -1399,8 +1399,10 @@ def dup_clusters(
         .distinct(),
         F.count(F.lit(1)).alias("n"),
     )
-    # node -> current label; labels start as the node id itself.
-    labels = _barrier(
+    # node -> current label; labels start as the node id itself. Lazy:
+    # nothing reads these rows until the first relabel join's consumer
+    # (or the caller's action when the graph is empty) materializes them.
+    labels = _lazy_barrier(
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
@@ -1410,19 +1412,40 @@ def dup_clusters(
     def _shortcut(m: DataFrame, frontier_rows: int) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint.
 
-        One Spark job per composition: the "did anything move" probe
-        rides the barrier job as an observed metric instead of a second
-        pass over the join (df.observe fires on the eager checkpoint
-        action), halving the operator's driver-loop job count.
+        One Spark job per composition ROUND; the "did anything move"
+        probe rides the barrier job as an observed metric instead of a
+        second pass over the join (df.observe fires on the eager
+        checkpoint action). In the broadcast regime a round chains
+        SEVERAL hops against the same materialized map — the identical
+        tiny broadcast subtree is built once per job (ReuseExchange
+        dedups the copies; even unshared it is frontier-sized) — so the
+        collapsed jump distance grows as (hops+1)^rounds instead of
+        2^rounds: fewer driver-blocking jobs for the same fixpoint,
+        which is pure scheduler latency on a contracted frontier. The
+        SMJ regime keeps one hop per job (there each extra hop is a
+        real shuffle join, not a latency constant). Correctness of the
+        single end-of-chain probe: labels only ever decrease, so any
+        intermediate hop's movement survives into the final column.
         """
-        for _ in range(64):  # 2^64 jump distance; effectively unbounded
-            a, b = m.alias("a"), _maybe_broadcast(m, frontier_rows).alias("b")
-            hop = a.join(b, F.col("a.new") == F.col("b.old"), "left").select(
-                F.col("a.old").alias("old"),
-                F.coalesce(F.col("b.new"), F.col("a.new")).alias("new"),
-                (F.coalesce(F.col("b.new"), F.col("a.new")) < F.col("a.new")).alias(
-                    "moved"
-                ),
+        hops = 3 if frontier_rows <= BROADCAST_FRONTIER_ROWS else 1
+        for _ in range(64):  # (hops+1)^64 jump distance; unbounded
+            out = m.select("old", "new", F.col("new").alias("new0"))
+            for h in range(hops):
+                bh = _maybe_broadcast(m, frontier_rows).select(
+                    F.col("old").alias(f"_o{h}"),
+                    F.col("new").alias(f"_n{h}"),
+                )
+                out = out.join(
+                    bh, F.col("new") == F.col(f"_o{h}"), "left"
+                ).select(
+                    "old",
+                    F.coalesce(F.col(f"_n{h}"), F.col("new")).alias("new"),
+                    "new0",
+                )
+            hop = out.select(
+                "old",
+                "new",
+                (F.col("new") < F.col("new0")).alias("moved"),
             )
             ck, n_moved = _probed_barrier(
                 hop, F.sum(F.col("moved").cast("long")).alias("n")
@@ -1453,8 +1476,13 @@ def dup_clusters(
             .select("old", F.least("old", "nbr").alias("new")),
             frontier,
         )
-        # Relabel nodes through the contraction map...
-        labels = _barrier(
+        # Relabel nodes through the contraction map. The barrier is
+        # LAZY: no construction-time decision reads the relabeled rows
+        # (only the next round's join and the final output consume
+        # them), so the former eager form serialized one pure-latency
+        # job per round; the lazy checkpoint still caps lineage at
+        # depth-1 per round once the consuming action materializes it.
+        labels = _lazy_barrier(
             labels.join(
                 _maybe_broadcast(nbr_min, frontier),
                 labels["label"] == nbr_min["old"],

@@ -90,7 +90,7 @@ def pagerank(
     # and honors the reliable-checkpoint knob (see dedup._barrier).
     from .dedup import (
         BROADCAST_FRONTIER_ROWS,
-        _barrier,
+        _lazy_barrier,
         _maybe_broadcast,
         _probed_barrier,
     )
@@ -102,8 +102,15 @@ def pagerank(
     # (checkpointed frames have no stats — AQE cannot make this call; the
     # probe riding the barrier job makes it free). deg's broadcast build
     # runs once and ReuseExchange shares it across all iterations.
+    # deg is consumed by every iteration's contrib join; the LAZY
+    # barrier (one checkpoint-marked RDD) means each iteration's
+    # broadcast build reads the materialized node-sized frame instead
+    # of re-aggregating the edge list once per iteration.
     deg = _maybe_broadcast(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), 2 * n_edges
+        _lazy_barrier(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ),
+        2 * n_edges,
     )
     # Nodes = src ∪ dst: under symmetric=True the two sets coincide, but
     # a DIRECTED graph has destination-only (dangling) nodes — they must
@@ -112,7 +119,10 @@ def pagerank(
     # inflow mass is dropped, not redistributed — the bounded-iteration
     # integer scheme has no uniform-redistribution term; documented
     # deviation from the textbook dangling-mass handling).
-    nodes = (
+    # nodes feeds every iteration's left join AND the initial ranks;
+    # lazily materialized once instead of re-running union+distinct over
+    # the edge list per iteration.
+    nodes = _lazy_barrier(
         e.select(F.col("src").alias("doc_id"))
         .unionByName(e.select(F.col("dst").alias("doc_id")))
         .distinct()
@@ -157,9 +167,13 @@ def pagerank(
         # When broadcasting, barrier the intermediate rank tables so each
         # broadcast build reads a materialized node-sized frame instead of
         # re-executing the unrolled prior-iteration chain once per build.
-        # The final iteration stays lazy — it feeds the caller's plan.
+        # LAZY: each intermediate table has exactly one consumer (the next
+        # iteration's broadcast build), so the eager form only serialized
+        # a driver-blocking job per iteration in front of the same
+        # computation. The final iteration stays unbarriered — it feeds
+        # the caller's plan.
         if small and i < iterations - 1:
-            ranks = _barrier(ranks)
+            ranks = _lazy_barrier(ranks)
     return ranks
 
 
