@@ -245,7 +245,17 @@ def unigram_train(
         logp = _mstep(seed_counts, pieces)
         model = UnigramModel(pieces, logp, max_piece_len)
 
-        # --- EM + prune rounds until the target size
+        # --- EM + prune rounds until the target size. The ladder runs
+        # without AQE (dedup._iteration_latency_mode): each E-step is
+        # one job over the cached word-type partitions instead of
+        # several per-stage driver round-trips; the corpus-sized seed
+        # pass above stays outside the guard.
+        from contextlib import ExitStack
+
+        from .dedup import _iteration_latency_mode
+
+        _em_stack = ExitStack()
+        _em_stack.enter_context(_iteration_latency_mode(df.sparkSession))
         while True:
             for _ in range(em_iters):
                 counts = _estep(words, model)
@@ -284,8 +294,13 @@ def unigram_train(
         model = UnigramModel(
             model.pieces, _mstep(counts, model.pieces), max_piece_len
         )
+        _em_stack.close()
     finally:
         words.unpersist()
+        try:
+            _em_stack.close()  # no-op when already closed above
+        except NameError:
+            pass  # seed-phase failure before the stack existed
     return model
 
 
