@@ -517,13 +517,19 @@ def bigram_model(
         .select("pr.w1", "pr.w2")
     )
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    # The denominator n_ctx = SUM(n_pair) per context is an UNORDERED
+    # window over the same w1 partitioning the rank window needs — so it
+    # shares the rank window's exchange instead of being a separate
+    # (w1)-keyed aggregation joined back in (one Exchange + one join
+    # fewer; the sum still covers every pair, including the ones
+    # min_count drops before ranking — the model's mass stays honest).
+    w_ctx = Window.partitionBy("w1")
     w = Window.partitionBy("w1").orderBy(F.desc("n_pair"), F.asc("w2"))
     return (
-        counts.filter(F.col("n_pair") >= min_count)
+        counts.withColumn("n_ctx", F.sum("n_pair").over(w_ctx))
+        .filter(F.col("n_pair") >= min_count)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
-        .join(totals, "w1")
         .select(
             "w1",
             "w2",
