@@ -544,16 +544,17 @@ def lsh_candidate_pairs(
     b = banded.alias("b")
     # The candidate set is referenced three times below (two id
     # projections + the re-rank join), in subplans different enough
-    # that ReuseExchange cannot dedup them; the ONE barrier in this
-    # operator materializes the banding/self-join subplan once instead
-    # of once per reference. It is LAZY: the distinct() inside means
-    # the expensive subplan ends in shuffle stages, which the scheduler
-    # dedups by shuffle id across every consumer job — compute-once
-    # without an eager construction-time job (unlike a lazy persist,
-    # whose CacheManager entry would also leak across rebuilds). It is
+    # that ReuseExchange cannot dedup them; the ONE eager barrier
+    # in this operator materializes the banding/self-join subplan once
+    # instead of once per reference. EAGER deliberately: the lazy form
+    # (localCheckpoint(eager=False)) was tried in r11 and regressed the
+    # operator ~2x (isolated min 3.93 s vs 1.98 s at sf0.1) — the three
+    # consumer subtrees race to compute the persist-marked RDD inside
+    # the final AQE job and re-run the banding pipeline redundantly,
+    # where the eager job computes it exactly once up front. It is
     # O(duplicate pairs) — tiny at any corpus scale; see _barrier for
     # the local-vs-reliable fault-domain knob.
-    cand = _lazy_barrier(
+    cand = _barrier(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -1135,14 +1136,16 @@ def hamming_band_pairs(
     band_bits = bits // 4
     band_mask = (1 << band_bits) - 1
     # Both sides of the candidate self-join read this; materialize the
-    # signature pipeline once (4×n small rows; lazily — stage-dedup'd by
-    # the scheduler inside the consuming action, no construction-time
-    # job; see _barrier for the local-vs-reliable knob). A groupBy+
+    # signature pipeline once, EAGERLY (4×n small rows; the r11 lazy
+    # form let the self-join's two sides race the persist-marked RDD
+    # and re-run the signature pipeline — isolated min 1.38 s vs
+    # 0.83 s eager at sf0.1; see _barrier for the local-vs-reliable
+    # knob). A groupBy+
     # collect_list pair expansion was tried and is slower: dup-heavy
     # corpora have large in-bucket pair volume and the interpreted
     # lambda expansion (bit_count per pair) loses to the codegen'd hash
     # join + filter.
-    banded = _lazy_barrier(
+    banded = _barrier(
         sigs.select(
             "doc_id",
             "sig",
