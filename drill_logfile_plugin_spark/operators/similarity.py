@@ -105,19 +105,39 @@ def cosine_topk(
 
     Returns (q_id, neighbor_id, rank, sim); self-matches excluded; ties
     broken by neighbor_id for full determinism. The small ``queries`` side
-    is broadcast — the corpus is scanned once, never shuffled.
+    is broadcast — the corpus is scanned once, never shuffled (at scale:
+    on an under-split source the r11 conditional spread fans the scan out
+    first, a no-op whenever the scan already has >= cores splits).
+
+    r11 cost shape: each pair's cosine needs three sequential folds
+    (q·c, q·q, c·c); the self-dots are functions of ONE row each, so they
+    are pre-folded per query / per corpus row before the pair join — the
+    per-pair work drops to one fold plus a multiply/sqrt/divide of two
+    ready doubles, bit-identically (same fold, same operands, same op
+    order as the inline form the oracle still uses).
     """
+    from .dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
-    )
+    ).withColumn("__qq", F.expr(dot_sql_spark("qe", "qe")))
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
+        )
+    ).withColumn("__cc", F.expr(dot_sql_spark("ce", "ce")))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine("qe", "ce").alias("sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.expr(dot_sql_spark("qe", "ce"))
+                / F.sqrt(F.col("__qq") * F.col("__cc"))
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -174,7 +194,7 @@ def ann_certified_topk(
     overlapped with the ANN lane, instead of as a serialized
     construction-time job.
     """
-    from .dedup import _lazy_barrier
+    from .dedup import _barrier, _lazy_barrier
     from ..functions.exprs import cert_slice_cond
 
     if not 0.0 < cert_fraction <= 1.0:
@@ -191,7 +211,7 @@ def ann_certified_topk(
         )
         serve = _lazy_barrier(ann_rows)
         ann_rows = serve
-    exact = _lazy_barrier(
+    exact = _barrier(
         cosine_topk(cert_queries, corpus, k, id_col, vec_col)
     )
     marked = exact.join(
@@ -292,34 +312,58 @@ def ann_lsh_topk(
     overrides ``n_tables``/``n_bits``/``dim``, so a stored index's
     bucketing cannot drift under a config change.
     """
+    from .dedup import _spread
+
     if planes is None:
         planes = hyperplanes(n_tables, n_bits, dim)
     to_buckets = _bucket_udf(planes)
 
-    def banded(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+    def banded(df: DataFrame, idname: str, vecname: str, nname: str) -> DataFrame:
         # NULL embedding = absent vector (SQL aggregate semantics): it
-        # can neither bucket nor be a neighbor.
+        # can neither bucket nor be a neighbor. The self-dot is folded
+        # ONCE per row here, before the posexplode multiplies the row by
+        # n_tables and before the candidate join multiplies it by the
+        # collision count (r11: same fold, same operands — bit-identical
+        # to folding it per pair).
         return df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(vecname),
+            F.expr(dot_sql_spark(vec_col, vec_col)).alias(nname),
             F.posexplode(to_buckets(F.col(vec_col))).alias(
                 "table_id", "bucket"
             ),
         )
 
-    qb = banded(queries, "q_id", "qe")
-    cb = banded(corpus, "neighbor_id", "ce")
+    qb = banded(queries, "q_id", "qe", "__qq")
+    # Conditional spread (no-op at >= cores splits): the corpus-side
+    # bucketing UDF + self-dot fold otherwise run on however few splits
+    # the file layout produced.
+    cb = banded(_spread(corpus), "neighbor_id", "ce", "__cc")
     cand = (
-        qb.join(cb, ["table_id", "bucket"])
+        F.broadcast(qb).join(cb, ["table_id", "bucket"])
         .where(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "qe", "neighbor_id", "ce")
+        .select("q_id", "qe", "__qq", "neighbor_id", "ce", "__cc")
+        # ONE q_id exchange serves both the dedup aggregation and the
+        # top-k window below: hash partitioning on q_id satisfies the
+        # clustered distribution of the (q_id, neighbor_id) distinct AND
+        # the window's partitionBy, so neither plans its own shuffle
+        # (r11; previously dedup shuffled on the pair key and the window
+        # re-shuffled on q_id — two exchanges for one).
+        .repartition("q_id")
         # (qe, ce) are functionally determined by the ids, so deduping on
         # the id pair alone is deterministic.
         .dropDuplicates(["q_id", "neighbor_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.select("q_id", "neighbor_id", cosine("qe", "ce").alias("sim"))
+        cand.select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.expr(dot_sql_spark("qe", "ce"))
+                / F.sqrt(F.col("__qq") * F.col("__cc"))
+            ).alias("sim"),
+        )
         .select(
             "q_id", "neighbor_id", F.row_number().over(w).alias("rank"), "sim"
         )
@@ -511,21 +555,35 @@ def ivf_topk(
         order = np.argsort(-(mat @ Cn.T), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe_eff].astype("int32")))
 
-    cb = corpus.where(F.col(vec_col).isNotNull()).select(
+    from .dedup import _spread
+
+    # Conditional spread (no-op at >= cores splits) + per-row self-dot
+    # pre-fold before the candidate join multiplies the rows (r11: same
+    # fold, same operands — bit-identical to folding per candidate).
+    cb = _spread(corpus.where(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ce"),
+        F.expr(dot_sql_spark(vec_col, vec_col)).alias("__cc"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
     qb = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qe"),
+        F.expr(dot_sql_spark(vec_col, vec_col)).alias("__qq"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        qb.join(cb, "cell")
+        F.broadcast(qb).join(cb, "cell")
         .where(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine("qe", "ce").alias("sim"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.expr(dot_sql_spark("qe", "ce"))
+                / F.sqrt(F.col("__qq") * F.col("__cc"))
+            ).alias("sim"),
+        )
         .select(
             "q_id", "neighbor_id", F.row_number().over(w).alias("rank"), "sim"
         )
@@ -771,18 +829,27 @@ def seed_clusters(
             f"CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         sims.append(f"(({dot}) / sqrt(__nsq * {nsq!r}D))")
+    from .dedup import _spread
+
     sims_arr = "array(" + ",".join(sims) + ")"
-    staged = df.withColumn("__v", F.col(vec_col)).withColumn(
+    # Conditional spread (no-op at >= cores splits): the k-fold
+    # assignment expression is the operator's whole cost and otherwise
+    # runs on however few splits the file layout produced.
+    staged = _spread(df).withColumn("__v", F.col(vec_col)).withColumn(
         "__nsq", F.expr(dot_sql_spark("__v", "__v"))
     )
     return (
-        staged.withColumn(
+        # Stage the k-similarity array ONCE (its own projection):
+        # inlining `sims_arr` into both array_position arguments would
+        # evaluate every seed fold twice per row — CollapseProject keeps
+        # a non-cheap multiply-referenced alias staged (r11; values
+        # identical, the folds are the same either way).
+        staged.withColumn("__sims", F.expr(sims_arr))
+        .withColumn(
             "cluster_id",
-            F.expr(
-                f"array_position({sims_arr}, array_max({sims_arr}))"
-            ).cast("long"),
+            F.expr("array_position(__sims, array_max(__sims))").cast("long"),
         )
-        .drop("__v", "__nsq")
+        .drop("__v", "__nsq", "__sims")
     )
 
 
