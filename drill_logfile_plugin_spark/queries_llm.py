@@ -184,7 +184,12 @@ def q29(spark, sf):
     "the sparse complement to q59's dense 8-gram scan.",
 )
 def q26(spark, sf):
-    d = _t(spark, sf, "documents")
+    # Conditional spread (no-op at >= cores splits): both arms' per-doc
+    # work — the Arrow-batched minhash UDF and the winnow array lambdas —
+    # otherwise runs on however few splits the file layout produced (one
+    # at bench scale), single-threading the whole query before its tiny
+    # aggregations (r11; exec 1.43 -> see OPTIMIZATION_r11.md).
+    d = D._spread(_t(spark, sf, "documents"))
     fp = T.fingerprint_udf(shingle_n=5)
     minhash = (
         d.select("doc_id", F.expr(T.TOKS_SPARK.format(c="text")).alias("toks"))
@@ -949,7 +954,16 @@ def q50(spark, sf):
             F.lit(None).cast("long").alias("score"),
         )
     )
-    bm25 = R.bm25_topk(d, R.query_set(spark, _BM25_QUERIES), k=5).select(
+    # Only the BM25 arm spreads its corpus input (conditional, no-op at
+    # >= cores splits): it pays TWO tokenize passes (postings + corpus
+    # stats) plus the deepest stage chain of the five arms, and the A/B
+    # measured 1.83 -> 1.35 s isolated at sf0.1. The terms/bigram arms
+    # measured FASTER unspread (their single explode+count is cheaper
+    # than the extra exchange) and the trainer ladder was a wash — left
+    # on the raw scan deliberately (r11).
+    bm25 = R.bm25_topk(
+        D._spread(d), R.query_set(spark, _BM25_QUERIES), k=5
+    ).select(
         F.lit("bm25").alias("part"),
         F.col("query_id").alias("grp"),
         F.lit(None).cast("string").alias("token"),
@@ -1506,6 +1520,11 @@ def q58(spark, sf):
     "is exploded and hashed once for the whole rewrite tier.",
 )
 def q59(spark, sf):
+    # NOTE (r11): a conditional _spread of the scan was A/B'd here and
+    # REGRESSED the query (isolated min 1.84 -> 2.41 s at sf0.1): the
+    # four arms already overlap their single-split map work inside one
+    # action, and the extra exchange serializes in front of the shared
+    # positional stream. Left unspread deliberately.
     d = _t(spark, sf, "documents")
     s = d.select("doc_id", F.explode(F.expr(_SH8_SPARK)).alias("g"))
     # ONE corpus-sized shuffle for the spans AND docfrac arms: the
