@@ -554,9 +554,13 @@ def lsh_candidate_pairs(
     # where the eager job computes it exactly once up front. It is
     # O(duplicate pairs) — tiny at any corpus scale; see _barrier for
     # the local-vs-reliable fault-domain knob.
-    cand = _barrier(
+    cand, n_cand = _probed_barrier(
         a.join(
-            b,
+            # shuffled-hash over sort-merge (r11, guide §3): both sides
+            # share one exchange (ReuseExchange) but SMJ pays two
+            # identical sorts over it; the per-partition hash build
+            # skips both. Isolated q27 min-of-6: 1.98 -> 1.34 s.
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -564,11 +568,18 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
     # Exact re-rank: build string shingle sets ONLY for docs that appear in
     # a candidate pair (a left-semi prefilter) — candidate counts are
-    # O(duplicates), so this is a tiny fraction of the corpus.
+    # O(duplicates), so this is a tiny fraction of the corpus. The
+    # checkpointed candidate frame carries no stats, so the planner would
+    # sort-merge every re-rank join against it; the pair count riding the
+    # barrier job (free — same action) drives the broadcast decision
+    # instead, with the dedup tier's frontier threshold as the fallback
+    # to SMJ on a pathologically dup-heavy corpus (r11; q27 re-rank SMJs
+    # -> BHJs, one fewer exchange each).
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -576,7 +587,11 @@ def lsh_candidate_pairs(
     )
     sh = F.expr(shingles_sql_spark(text_col, shingle_n))
     docs = (
-        df.join(cand_ids, df[id_col] == cand_ids["doc_id"], "left_semi")
+        df.join(
+            _maybe_broadcast(cand_ids, 2 * n_cand),
+            df[id_col] == cand_ids["doc_id"],
+            "left_semi",
+        )
         .select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -584,8 +599,12 @@ def lsh_candidate_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
+        _maybe_broadcast(cand, n_cand)
+        .join(da, "doc_a")
+        # db is the second join's build side: O(candidate docs) rows
+        # (bounded by 2 x pair count), each a shingle array — the same
+        # frontier gate bounds it.
+        .join(_maybe_broadcast(db, 2 * n_cand), "doc_b")
         .select(
             "doc_a",
             "doc_b",
