@@ -1473,15 +1473,42 @@ def dup_clusters(
         .distinct(),
         F.count(F.lit(1)).alias("n"),
     )
-    # node -> current label; labels start as the node id itself. Lazy:
-    # nothing reads these rows until the first relabel join's consumer
-    # (or the caller's action when the graph is empty) materializes them.
-    labels = _lazy_barrier(
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+    # The contraction ladder is a driver-sequential chain of tiny probed-
+    # barrier jobs (shortcut rounds, edge rewrites); with AQE on, each
+    # becomes several per-stage driver round-trips that a pair-graph-sized
+    # frame never needs (the trainer-ladder lesson, _iteration_latency_mode)
+    # — and even the LAZY barriers finalize their adaptive plans at
+    # construction (toRdd), running one stage job per subtree shuffle.
+    # Size-gated on the probed edge count: in the broadcast regime the
+    # rounds are pure scheduler latency, so AQE re-planning is all cost;
+    # a pathologically huge pair graph keeps AQE's coalescing/skew tools.
+    # The corpus-sized candidate pipeline above materialized under ambient
+    # AQE in the entry barrier, so only iteration jobs run under the guard.
+    from contextlib import nullcontext
+
+    guard = (
+        _iteration_latency_mode(pairs.sparkSession)
+        if n_edges and 2 * n_edges <= BROADCAST_FRONTIER_ROWS
+        else nullcontext()
     )
+    with guard:
+        # node -> current label; labels start as the node id itself. Lazy:
+        # nothing reads these rows until the first relabel join's consumer
+        # (or the caller's action when the graph is empty) materializes
+        # them.
+        labels = _lazy_barrier(
+            e.select(F.col("src").alias("node"))
+            .union(e.select("dst"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        labels = _run_contraction(labels, e, n_edges, max_iter)
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _run_contraction(labels, e, n_edges, max_iter):
+    """The hook/shortcut/relabel loop of :func:`dup_clusters` (split out
+    so the AQE guard wraps exactly the iteration jobs)."""
 
     def _shortcut(m: DataFrame, frontier_rows: int) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint.
@@ -1582,7 +1609,7 @@ def dup_clusters(
             .distinct(),
             F.count(F.lit(1)).alias("n"),
         )
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    return labels
 
 
 def incremental_dup_clusters(

@@ -71,7 +71,6 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    base = round((1.0 - damping) * SCALE)
     e = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -96,6 +95,40 @@ def pagerank(
     )
 
     e, n_edges = _probed_barrier(e.distinct(), F.count(F.lit(1)).alias("n"))
+    # The iteration constructions below chain LAZY barriers; under AQE,
+    # even a lazy localCheckpoint finalizes its adaptive plan at
+    # CONSTRUCTION time (toRdd), running one stage-materialization job
+    # per shuffle in the subtree — pure driver latency for node-sized
+    # frames. In the broadcast regime (same gate as `small`) build the
+    # whole ladder with AQE off so every deferred RDD materializes inside
+    # the consuming action instead; a huge graph keeps AQE. The edge
+    # barrier above stays under ambient AQE (its input subtree can be
+    # the full candidate pipeline).
+    from contextlib import nullcontext
+
+    from .dedup import _iteration_latency_mode
+
+    guard = (
+        _iteration_latency_mode(pairs.sparkSession)
+        if 2 * n_edges <= BROADCAST_FRONTIER_ROWS
+        else nullcontext()
+    )
+    with guard:
+        return _pagerank_ladder(e, n_edges, iterations, damping)
+
+
+def _pagerank_ladder(
+    e: DataFrame, n_edges: int, iterations: int, damping: float
+) -> DataFrame:
+    """The deg/nodes/iteration constructions of :func:`pagerank` (split
+    out so the AQE guard wraps exactly the ladder)."""
+    from .dedup import (
+        BROADCAST_FRONTIER_ROWS,
+        _lazy_barrier,
+        _maybe_broadcast,
+    )
+
+    base = round((1.0 - damping) * SCALE)
     # deg and the per-iteration rank tables are node-sized (<= 2x edges);
     # below the frontier threshold they broadcast, so each iteration's
     # contrib join streams the checkpointed edge partitions shuffle-free
