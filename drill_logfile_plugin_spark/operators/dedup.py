@@ -195,20 +195,34 @@ def _iteration_latency_mode(spark):
     stays OUTSIDE the guard, where AQE coalescing/skew handling keep
     their value).
 
+    Also shrinks ``spark.sql.shuffle.partitions`` to the ladder scale
+    (``max(4, defaultParallelism // 4)`` — the ``round_partitions``
+    sizing, cluster-proportional, not a local constant): every ladder
+    job's reduce stage schedules that many tasks instead of the
+    session's corpus-sized count, and with AQE off nothing else
+    re-coalesces them. Ladder aggregates are integer-exact by the
+    engine's determinism policy (argmax over integer counts, integer
+    min/sum folds), so partition count cannot change any value.
+
     Reentrant and thread-safe per session (the q50 pattern trains two
-    tokenizers on concurrent threads): the conf flips on first entry
-    and restores on last exit.
+    tokenizers on concurrent threads): the confs flip on first entry
+    and restore on last exit.
     """
     from contextlib import contextmanager
 
     @contextmanager
     def _guard():
         key = id(spark)
+        ladder_parts = str(max(4, spark.sparkContext.defaultParallelism // 4))
         with _LATENCY_LOCK:
             depth, saved = _LATENCY_STATE.get(key, (0, None))
             if depth == 0:
-                saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+                saved = (
+                    spark.conf.get("spark.sql.adaptive.enabled", "true"),
+                    spark.conf.get("spark.sql.shuffle.partitions", "200"),
+                )
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
+                spark.conf.set("spark.sql.shuffle.partitions", ladder_parts)
             _LATENCY_STATE[key] = (depth + 1, saved)
         try:
             yield
@@ -216,7 +230,8 @@ def _iteration_latency_mode(spark):
             with _LATENCY_LOCK:
                 depth, saved = _LATENCY_STATE[key]
                 if depth == 1:
-                    spark.conf.set("spark.sql.adaptive.enabled", saved)
+                    spark.conf.set("spark.sql.adaptive.enabled", saved[0])
+                    spark.conf.set("spark.sql.shuffle.partitions", saved[1])
                     del _LATENCY_STATE[key]
                 else:
                     _LATENCY_STATE[key] = (depth - 1, saved)
