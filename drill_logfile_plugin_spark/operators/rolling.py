@@ -84,9 +84,20 @@ def rolling_distinct(
     ).alias("_off")
     wend = F.expr(f"timestampadd({grain}, _off, bucket)").alias("wend")
 
+    # Both lanes reduce over per-(group, bucket, key) DISTINCT
+    # appearances: the HLL registers are insert-idempotent, so sketches
+    # built over the deduped frame are bit-identical to sketches over
+    # raw rows. Deduping ONCE here (map-side partial dedup, then one
+    # appearance-keyed exchange) and deriving both lanes from it reads
+    # and shuffles the raw events once instead of once per lane — the
+    # two consumers are byte-identical subplans, so ReuseExchange
+    # computes the dedup exchange once. NULL keys stay in the frame (a
+    # bucket whose every key is NULL must still appear in the spine);
+    # hll_sketch_agg skips them exactly like the raw-row form did, and
+    # the exact lane filters them below.
+    app = df.select(*gcols, bucket, F.col(key_col).alias("_k")).distinct()
     per_bucket = (
-        df.select(*gcols, bucket, F.col(key_col).alias("_k"))
-        .groupBy(*gcols, "bucket")
+        app.groupBy(*gcols, "bucket")
         .agg(F.hll_sketch_agg("_k").alias("_sk"))
     )
     spine = per_bucket.select(*gcols, "bucket")
@@ -138,12 +149,11 @@ def rolling_distinct(
         ),
     )
     exact = (
-        df.select(*gcols, bucket, F.col(key_col).alias("_k"))
         # NULL keys are not values under COUNT(DISTINCT) semantics (the
         # HLL lane and the DuckDB oracle both skip them) — exclude them
-        # here or n_exact overcounts by one per window.
-        .where(F.col("_k").isNotNull())
-        .distinct()
+        # here or n_exact overcounts by one per window. `app` is already
+        # appearance-distinct (shared with the HLL lane above).
+        app.where(F.col("_k").isNotNull())
         .withColumn("_next", F.lead("bucket").over(w_next))
         .select(
             *gcols, "bucket",
