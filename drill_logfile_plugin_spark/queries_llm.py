@@ -935,9 +935,38 @@ _BM25_ORACLE = R.bm25_sql_duck(_BM25_QUERIES, k=5)
     "chained-CTE style.",
 )
 def q50(spark, sf):
+    from concurrent.futures import ThreadPoolExecutor
     from pyspark.sql import Window
 
     d = _t(spark, sf, "documents")
+
+    # The trainer ladder (word-type barrier + BPE/WordPiece rounds) is
+    # the query's only BLOCKING build work — driver-sequential jobs whose
+    # latency nothing else can hide. Kick it off FIRST on its own thread
+    # so the three non-trainer arms' plan construction (py4j + JVM
+    # analysis, ~0.5 s serial) overlaps the ladder jobs instead of
+    # preceding them (r11; same thread-safety posture as the q52/q24
+    # construction pools: the arms share only the immutable base reader).
+    def _train():
+        _rp = max(4, spark.sparkContext.defaultParallelism // 4)
+        wf = D._barrier(BPE.word_type_freqs(d, "text").repartition(_rp))
+        # The BPE and WordPiece trainers differ only in how they SPACE a
+        # word into initial symbols, so they share ONE corpus tokenize+
+        # explode+aggregate pass (word_type_freqs, barriered above).
+        # Their merge rounds are sequential latency-bound jobs over
+        # vocab-sized cached tables — two threads overlap the two round
+        # ladders (Spark job submission is thread-safe; the trainers
+        # share only the materialized word-type frame).
+        with ThreadPoolExecutor(2) as _inner:
+            _fb = _inner.submit(BPE.bpe_train, d, n_merges=4, word_freqs=wf)
+            _fw = _inner.submit(
+                _WP.wordpiece_train, d, n_merges=3, word_freqs=wf
+            )
+            return _fb.result(), _fw.result()
+
+    _outer = ThreadPoolExecutor(1)
+    _trained = _outer.submit(_train)
+
     toks = d.select("lang", F.explode(T.tokens("text")).alias("token"))
     counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
@@ -981,25 +1010,12 @@ def q50(spark, sf):
         F.lit(None).cast("long").alias("doc_id"),
         F.col("p_scaled").alias("score"),
     )
-    # The BPE and WordPiece trainers differ only in how they SPACE a word
-    # into initial symbols, so they share ONE corpus tokenize+explode+
-    # aggregate pass (bpe.word_type_freqs, barriered) instead of paying
-    # it twice. Their merge rounds are sequential latency-bound jobs over
-    # vocab-sized cached tables — two threads overlap the two round
-    # ladders the same way q63 overlaps its FastSV/pagerank arms (Spark
-    # job submission is thread-safe; the trainers share only the
-    # materialized word-type frame and touch no session state).
-    _rp = max(4, spark.sparkContext.defaultParallelism // 4)
-    wf = D._barrier(BPE.word_type_freqs(d, "text").repartition(_rp))
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as _ex:
-        _fb = _ex.submit(BPE.bpe_train, d, n_merges=4, word_freqs=wf)
-        _fw = _ex.submit(
-            _WP.wordpiece_train, d, n_merges=3, word_freqs=wf
-        )
-        bmerges, bwords = _fb.result()
-        wmerges, wwords = _fw.result()
+    # Collect the trainer thread's results (started before the arm
+    # constructions above; see the top of this function).
+    try:
+        (bmerges, bwords), (wmerges, wwords) = _trained.result()
+    finally:
+        _outer.shutdown(wait=False)
     bpe_table = spark.createDataFrame(
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(bmerges)],
         "rk long, grp string, token string, n long",
