@@ -150,18 +150,24 @@ def rolling_distinct(
     )
     exact = (
         # NULL keys are not values under COUNT(DISTINCT) semantics (the
-        # HLL lane and the DuckDB oracle both skip them) — exclude them
-        # here or n_exact overcounts by one per window. `app` is already
-        # appearance-distinct (shared with the HLL lane above).
-        app.where(F.col("_k").isNotNull())
-        .withColumn("_next", F.lead("bucket").over(w_next))
+        # HLL lane and the DuckDB oracle both skip them) — but a WHERE
+        # here would be pushed below the shared dedup into the scan,
+        # giving this lane a different dedup subtree than the HLL lane's
+        # and defeating the exchange reuse the sharing exists for
+        # (verified in the executed plan: the pushed IsNotNull split the
+        # one dedup into two full scans+shuffles). Let NULL-key rows
+        # flow and count them OUT instead: COUNT(_k) skips NULLs, so
+        # n_exact is identical while both lanes read ONE byte-identical
+        # dedup exchange (ReusedExchange in the final plan). `app` is
+        # already appearance-distinct (shared with the HLL lane above).
+        app.withColumn("_next", F.lead("bucket").over(w_next))
         .select(
-            *gcols, "bucket",
+            *gcols, "bucket", "_k",
             F.explode(F.sequence(F.lit(0), span)).alias("_off"),
         )
-        .select(*gcols, wend)
+        .select(*gcols, wend, "_k")
         .groupBy(*gcols, "wend")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .agg(F.count(F.col("_k")).alias("n_exact"))
         .withColumnRenamed("wend", "bucket")
     )
     # LEFT join from the approx lane: a group whose every key is NULL
