@@ -64,8 +64,23 @@ def _spread(df: DataFrame) -> DataFrame:
     repartition of raw docs) is the cheap direction by design.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    if _est_scan_splits(df) < par:
+        return df.repartition(par)
+    return df
+
+
+def _est_scan_splits(df: DataFrame) -> int:
+    """Driver-side metadata estimate of a scan-rooted frame's split count.
+
+    Input-file count plus the optimizer's size statistic over
+    ``maxPartitionBytes`` (large files split) — never RDD
+    ``getNumPartitions`` (see :func:`_spread`'s docstring for the whys
+    and the scan-rooted precondition). Returns 0 when the source is not
+    file-backed or stats are unavailable — callers must treat 0 as
+    UNKNOWN (spread to be safe, keep AQE, ...), never as "empty"."""
     try:
         est = len(df.inputFiles())
+        par = df.sparkSession.sparkContext.defaultParallelism
         if est and est < par:
             # Account for big files splitting: bytes / maxPartitionBytes.
             size = int(
@@ -75,11 +90,9 @@ def _spread(df: DataFrame) -> DataFrame:
                 df.sparkSession, "spark.sql.files.maxPartitionBytes", 128 << 20
             )
             est = max(est, -(-size // mpb))
+        return est
     except Exception:
-        est = 0  # non-file source / stats unavailable: spread to be safe
-    if est < par:
-        return df.repartition(par)
-    return df
+        return 0  # non-file source / stats unavailable: unknown
 
 
 def _bytes_conf(spark, key: str, default: int) -> int:
@@ -132,10 +145,12 @@ def _barrier(df: DataFrame) -> DataFrame:
     ):
         cached = df.persist()
         try:
-            return cached.checkpoint(eager=True)
+            with _ambient_plan_window(spark):
+                return cached.checkpoint(eager=True)
         finally:
             cached.unpersist()
-    return df.localCheckpoint(eager=True)
+    with _ambient_plan_window(spark):
+        return df.localCheckpoint(eager=True)
 
 
 def _lazy_barrier(df: DataFrame) -> DataFrame:
@@ -169,14 +184,67 @@ def _lazy_barrier(df: DataFrame) -> DataFrame:
         != "false"
     ):
         return _barrier(df)
-    return df.localCheckpoint(eager=False)
+    with _ambient_plan_window(spark):
+        return df.localCheckpoint(eager=False)
 
 
 _LATENCY_LOCK = __import__("threading").Lock()
 _LATENCY_STATE: dict = {}
 
 
-def _iteration_latency_mode(spark):
+def _ambient_plan_window(spark):
+    """Context manager: freeze a plan under AMBIENT confs even while an
+    :func:`_iteration_latency_mode` guard is active on the session.
+
+    The guard flips session-global SQLConf (AQE off, ladder-width shuffle
+    partitions) for the duration of a trainer/contraction ladder. Spark
+    physical plans capture those confs at FREEZE time (``toRdd`` — every
+    eager/lazy ``localCheckpoint``), so a NON-ladder plan frozen by a
+    concurrent thread inside the guard window would be silently pinned to
+    ladder geometry: a corpus-scale frame at ``max(4, parallelism//4)``
+    partitions with no AQE coalescing/skew handling (the r11-advice
+    hazard: q50's main thread freezing the bigram arm while the trainer
+    thread holds the guard). This window makes :func:`_barrier` /
+    :func:`_lazy_barrier` freezes from non-holder threads restore the
+    saved ambient confs around the freeze, under the guard lock so guard
+    transitions cannot interleave.
+
+    Residual (bounded, documented): a HOLDER thread that finalizes a
+    ladder plan in the same instant reads ambient confs and plans that
+    one step under AQE — a few extra scheduler round-trips for that
+    step, values identical (ladder aggregates are integer-exact). The
+    asymmetric risk is deliberate: a mis-planned ladder step costs
+    milliseconds once; a corpus frame frozen at ladder width costs a
+    full-scale pass its parallelism.
+    """
+    import threading
+    from contextlib import contextmanager, nullcontext
+
+    key = id(spark)
+    st = _LATENCY_STATE.get(key)
+    if st is None or threading.get_ident() in st[2]:
+        return nullcontext()
+
+    @contextmanager
+    def _window():
+        with _LATENCY_LOCK:
+            st = _LATENCY_STATE.get(key)
+            if st is None:
+                yield
+                return
+            _, saved, _holders = st
+            spark.conf.set("spark.sql.adaptive.enabled", saved[0])
+            spark.conf.set("spark.sql.shuffle.partitions", saved[1])
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                spark.conf.set("spark.sql.shuffle.partitions", saved[2])
+
+    return _window()
+
+
+def _iteration_latency_mode(spark, shuffle_partitions: int | None = None):
     """Context manager: run a driver-sequential ladder of vocab-sized
     jobs without AQE's per-stage re-planning.
 
@@ -204,37 +272,61 @@ def _iteration_latency_mode(spark):
     engine's determinism policy (argmax over integer counts, integer
     min/sum folds), so partition count cannot change any value.
 
+    ``shuffle_partitions`` overrides the ladder width for ladders whose
+    per-job frames are NOT vocab/frontier-sized — e.g. the size-gated
+    small-corpus LSH candidate pipeline hand-sizes its banding shuffle
+    to ``defaultParallelism`` (one reduce partition per core, the same
+    width its ``_spread`` round-robin uses) instead of the //4 ladder
+    width. First entry wins on nesting (reentrant guards share one conf
+    snapshot).
+
     Reentrant and thread-safe per session (the q50 pattern trains two
     tokenizers on concurrent threads): the confs flip on first entry
-    and restore on last exit.
+    and restore on last exit. Holder thread ids are tracked so
+    :func:`_ambient_plan_window` can tell a ladder freeze (keep guard
+    confs) from a concurrent non-ladder freeze (restore ambient).
     """
+    import threading
     from contextlib import contextmanager
 
     @contextmanager
     def _guard():
         key = id(spark)
-        ladder_parts = str(max(4, spark.sparkContext.defaultParallelism // 4))
+        width = str(
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else max(4, spark.sparkContext.defaultParallelism // 4)
+        )
+        tid = threading.get_ident()
         with _LATENCY_LOCK:
-            depth, saved = _LATENCY_STATE.get(key, (0, None))
+            depth, saved, holders = _LATENCY_STATE.get(key, (0, None, {}))
             if depth == 0:
                 saved = (
                     spark.conf.get("spark.sql.adaptive.enabled", "true"),
                     spark.conf.get("spark.sql.shuffle.partitions", "200"),
+                    width,
                 )
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
-                spark.conf.set("spark.sql.shuffle.partitions", ladder_parts)
-            _LATENCY_STATE[key] = (depth + 1, saved)
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+            holders = dict(holders)
+            holders[tid] = holders.get(tid, 0) + 1
+            _LATENCY_STATE[key] = (depth + 1, saved, holders)
         try:
             yield
         finally:
             with _LATENCY_LOCK:
-                depth, saved = _LATENCY_STATE[key]
+                depth, saved, holders = _LATENCY_STATE[key]
                 if depth == 1:
                     spark.conf.set("spark.sql.adaptive.enabled", saved[0])
                     spark.conf.set("spark.sql.shuffle.partitions", saved[1])
                     del _LATENCY_STATE[key]
                 else:
-                    _LATENCY_STATE[key] = (depth - 1, saved)
+                    holders = dict(holders)
+                    if holders.get(tid, 0) <= 1:
+                        holders.pop(tid, None)
+                    else:
+                        holders[tid] -= 1
+                    _LATENCY_STATE[key] = (depth - 1, saved, holders)
 
     return _guard()
 
@@ -537,6 +629,20 @@ def lsh_candidate_pairs(
     # minhash_bands; the spread happens HERE because the re-rank below
     # reuses the same spread frame. Empty-shingle docs are excluded in
     # minhash_bands (see its docstring for both whys).
+    #
+    # Small-corpus gate (r12, guide §2): when the scan metadata says the
+    # corpus has at most one split per core, AQE's per-stage re-planning
+    # buys nothing the plan cannot be hand-sized for — the spread width
+    # IS defaultParallelism, the banding shuffle fans out over that same
+    # width, and there is no skew a 64-bucket-per-doc band table can
+    # accumulate at that volume. Ambient AQE turned the candidate
+    # barrier into one driver round-trip per exchange (4 jobs measured);
+    # under the guard it is ONE job at the hand-sized width. A real
+    # multi-split corpus keeps ambient AQE with its coalescing/skew
+    # handling — the gate is metadata-only and cluster-proportional.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    est_splits = _est_scan_splits(df)
+    small_corpus = 0 < est_splits <= par
     df = _spread(df)
     banded = minhash_bands(
         df, text_col, id_col, shingle_n, num_hashes, bands, spread=False
@@ -569,23 +675,32 @@ def lsh_candidate_pairs(
     # where the eager job computes it exactly once up front. It is
     # O(duplicate pairs) — tiny at any corpus scale; see _barrier for
     # the local-vs-reliable fault-domain knob.
-    cand, n_cand = _probed_barrier(
-        a.join(
-            # shuffled-hash over sort-merge (r11, guide §3): both sides
-            # share one exchange (ReuseExchange) but SMJ pays two
-            # identical sorts over it; the per-partition hash build
-            # skips both. Isolated q27 min-of-6: 1.98 -> 1.34 s.
-            b.hint("shuffle_hash"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct(),
-        F.count(F.lit(1)).alias("n"),
+    from contextlib import nullcontext
+
+    guard = (
+        _iteration_latency_mode(df.sparkSession, shuffle_partitions=par)
+        if small_corpus
+        else nullcontext()
     )
+    with guard:
+        cand, n_cand = _probed_barrier(
+            a.join(
+                # shuffled-hash over sort-merge (r11, guide §3): both sides
+                # share one exchange (ReuseExchange) but SMJ pays two
+                # identical sorts over it; the per-partition hash build
+                # skips both. Isolated q27 min-of-6: 1.98 -> 1.34 s.
+                b.hint("shuffle_hash"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct(),
+            F.count(F.lit(1)).alias("n"),
+        )
     # Exact re-rank: build string shingle sets ONLY for docs that appear in
     # a candidate pair (a left-semi prefilter) — candidate counts are
     # O(duplicates), so this is a tiny fraction of the corpus. The
@@ -1431,6 +1546,7 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    edges_hint: int | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph: (doc_id, cluster_id).
 
@@ -1479,15 +1595,33 @@ def dup_clusters(
                 "e.g. xxhash64(id), so the pair graph cannot silently "
                 "collapse to NULLs)"
             )
-    e, n_edges = _probed_barrier(
-        pairs.select(
-            F.col(id_a).cast("long").alias("src"),
-            F.col(id_b).cast("long").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct(),
-        F.count(F.lit(1)).alias("n"),
+    from contextlib import nullcontext
+
+    # ``edges_hint`` is an optional caller-provided UPPER bound on the
+    # pair count (e.g. the probe riding the caller's own barrier job,
+    # q63) — a pure perf hint with the _probed_barrier inflate-only
+    # contract: when it says the graph is small, the ENTRY barrier below
+    # also runs under the AQE-off guard (its subtree is a distinct over
+    # the caller's already-materialized pairs — one job instead of one
+    # per AQE stage); an inflated hint only keeps ambient AQE. Without a
+    # hint the entry barrier stays under ambient AQE, because its input
+    # subtree can be the full corpus-sized candidate pipeline.
+    entry_guard = (
+        _iteration_latency_mode(pairs.sparkSession)
+        if edges_hint is not None
+        and 0 < 2 * edges_hint <= BROADCAST_FRONTIER_ROWS
+        else nullcontext()
     )
+    with entry_guard:
+        e, n_edges = _probed_barrier(
+            pairs.select(
+                F.col(id_a).cast("long").alias("src"),
+                F.col(id_b).cast("long").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct(),
+            F.count(F.lit(1)).alias("n"),
+        )
     # The contraction ladder is a driver-sequential chain of tiny probed-
     # barrier jobs (shortcut rounds, edge rewrites); with AQE on, each
     # becomes several per-stage driver round-trips that a pair-graph-sized
@@ -1498,9 +1632,8 @@ def dup_clusters(
     # rounds are pure scheduler latency, so AQE re-planning is all cost;
     # a pathologically huge pair graph keeps AQE's coalescing/skew tools.
     # The corpus-sized candidate pipeline above materialized under ambient
-    # AQE in the entry barrier, so only iteration jobs run under the guard.
-    from contextlib import nullcontext
-
+    # AQE in the entry barrier (unless the caller's hint bounded it), so
+    # only iteration jobs run under the guard.
     guard = (
         _iteration_latency_mode(pairs.sparkSession)
         if n_edges and 2 * n_edges <= BROADCAST_FRONTIER_ROWS
@@ -1528,44 +1661,46 @@ def _run_contraction(labels, e, n_edges, max_iter):
     def _shortcut(m: DataFrame, frontier_rows: int) -> DataFrame:
         """Pointer-jump an old→new map (new <= old) to its fixpoint.
 
-        One Spark job per composition ROUND; the "did anything move"
-        probe rides the barrier job as an observed metric instead of a
-        second pass over the join (df.observe fires on the eager
-        checkpoint action). In the broadcast regime a round chains
-        SEVERAL hops against the same materialized map — the identical
-        tiny broadcast subtree is built once per job (ReuseExchange
-        dedups the copies; even unshared it is frontier-sized) — so the
-        collapsed jump distance grows as (hops+1)^rounds instead of
-        2^rounds: fewer driver-blocking jobs for the same fixpoint,
-        which is pure scheduler latency on a contracted frontier. The
-        SMJ regime keeps one hop per job (there each extra hop is a
-        real shuffle join, not a latency constant). Correctness of the
-        single end-of-chain probe: labels only ever decrease, so any
-        intermediate hop's movement survives into the final column.
+        One Spark job per composition ROUND, and nothing else: in the
+        small (guarded) regime every hop is a plain in-job shuffle join
+        at ladder width — r11's broadcast hints were measured in r12 to
+        COST jobs here, because a frozen plan's BroadcastExchange
+        materializes its build side as a blocking driver job at freeze
+        time (2-4 jobs per round instead of 1), while a frontier-sized
+        SMJ at ladder width runs entirely inside the barrier job. The
+        large regime was always plain joins (the broadcast gate and the
+        guard share the frontier threshold).
+
+        A round chains SEVERAL hops against the same map in the small
+        regime, so the collapsed jump distance grows as (hops+1)^rounds
+        instead of 2^rounds. Convergence is decided by the LAST hop's
+        movement, observed on the same barrier job: if applying the map
+        to the last hop's output moved nothing, that output is already
+        the fixpoint of "apply m" (m only ever maps downward), so the
+        former confirmation round — a whole extra job proving n_moved=0
+        — is unnecessary. The probe's inflate-only contract
+        (:func:`_probed_barrier`) can only ADD a redundant round, never
+        fake convergence.
         """
         hops = 3 if frontier_rows <= BROADCAST_FRONTIER_ROWS else 1
         for _ in range(64):  # (hops+1)^64 jump distance; unbounded
-            out = m.select("old", "new", F.col("new").alias("new0"))
+            out = m.select("old", "new")
             for h in range(hops):
-                bh = _maybe_broadcast(m, frontier_rows).select(
+                bh = m.select(
                     F.col("old").alias(f"_o{h}"),
                     F.col("new").alias(f"_n{h}"),
                 )
+                nxt = F.coalesce(F.col(f"_n{h}"), F.col("new"))
+                sel = [
+                    F.col("old"),
+                    nxt.alias("new"),
+                ]
+                if h == hops - 1:
+                    sel.append((nxt < F.col("new")).cast("long").alias("mv"))
                 out = out.join(
                     bh, F.col("new") == F.col(f"_o{h}"), "left"
-                ).select(
-                    "old",
-                    F.coalesce(F.col(f"_n{h}"), F.col("new")).alias("new"),
-                    "new0",
-                )
-            hop = out.select(
-                "old",
-                "new",
-                (F.col("new") < F.col("new0")).alias("moved"),
-            )
-            ck, n_moved = _probed_barrier(
-                hop, F.sum(F.col("moved").cast("long")).alias("n")
-            )
+                ).select(*sel)
+            ck, n_moved = _probed_barrier(out, F.sum("mv").alias("n"))
             m = ck.select("old", "new")
             if not n_moved:
                 return m
@@ -1598,9 +1733,15 @@ def _run_contraction(labels, e, n_edges, max_iter):
         # them), so the former eager form serialized one pure-latency
         # job per round; the lazy checkpoint still caps lineage at
         # depth-1 per round once the consuming action materializes it.
+        # Plain joins, not broadcasts (r12): a broadcast inside a frozen
+        # plan materializes its build side as a blocking driver job at
+        # freeze time — the lazy barrier then costs one job per round
+        # for the map build alone, where a frontier-sized shuffle join
+        # at ladder width freezes for free and joins inside the
+        # consuming action (see _shortcut's docstring for the A/B).
         labels = _lazy_barrier(
             labels.join(
-                _maybe_broadcast(nbr_min, frontier),
+                nbr_min,
                 labels["label"] == nbr_min["old"],
                 "left",
             )
@@ -1614,8 +1755,8 @@ def _run_contraction(labels, e, n_edges, max_iter):
         ma = nbr_min.select(F.col("old").alias("src"), F.col("new").alias("ns"))
         mb = nbr_min.select(F.col("old").alias("dst"), F.col("new").alias("nd"))
         e, n_edges = _probed_barrier(
-            e.join(_maybe_broadcast(ma, frontier), "src", "left")
-            .join(_maybe_broadcast(mb, frontier), "dst", "left")
+            e.join(ma, "src", "left")
+            .join(mb, "dst", "left")
             .select(
                 F.coalesce("ns", "src").alias("src"),
                 F.coalesce("nd", "dst").alias("dst"),

@@ -27,11 +27,11 @@ leaks through the floors (≤ 1 unit per edge per iteration) — fine for a
 Scale posture: one iteration = one equi join (edges ⨝ ranks on an
 8-byte id) + one partial-agg'd sum + one left join back onto nodes —
 identical plan shape to dup_clusters' contraction rounds, O(edges)
-shuffle per round. Below the dedup tier's frontier threshold the
-node-sized frames (out-degrees, the rank table) broadcast instead —
-each iteration then streams the checkpointed edges shuffle-free, with
-intermediate rank tables barriered so broadcast builds never re-execute
-the unrolled prior-iteration chain. Larger graphs keep the SMJ path
+shuffle per round. Below the dedup tier's frontier threshold the whole
+ladder is built lazily with AQE off at ladder width, so construction
+runs ZERO driver-blocking jobs and every iteration materializes inside
+the consuming action (intermediate rank tables lazily barriered to
+keep each iteration's plan depth-1). Larger graphs keep ambient AQE
 with shallow unrolled lineage (constant iteration count, default 3).
 The graph here is the *pair* graph (duplicates only), orders of
 magnitude smaller than the corpus.
@@ -57,6 +57,7 @@ def pagerank(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     symmetric: bool = True,
+    edges_hint: int | None = None,
 ) -> DataFrame:
     """Fixed-``iterations`` integer PageRank over an edge list.
 
@@ -89,28 +90,43 @@ def pagerank(
     # and honors the reliable-checkpoint knob (see dedup._barrier).
     from .dedup import (
         BROADCAST_FRONTIER_ROWS,
-        _lazy_barrier,
-        _maybe_broadcast,
         _probed_barrier,
     )
 
-    e, n_edges = _probed_barrier(e.distinct(), F.count(F.lit(1)).alias("n"))
-    # The iteration constructions below chain LAZY barriers; under AQE,
-    # even a lazy localCheckpoint finalizes its adaptive plan at
-    # CONSTRUCTION time (toRdd), running one stage-materialization job
-    # per shuffle in the subtree — pure driver latency for node-sized
-    # frames. In the broadcast regime (same gate as `small`) build the
-    # whole ladder with AQE off so every deferred RDD materializes inside
-    # the consuming action instead; a huge graph keeps AQE. The edge
-    # barrier above stays under ambient AQE (its input subtree can be
-    # the full candidate pipeline).
     from contextlib import nullcontext
 
     from .dedup import _iteration_latency_mode
 
+    # ``edges_hint``: optional caller-provided UPPER bound on the pair
+    # count (same perf-hint contract as dup_clusters' — inflate-only,
+    # plans not values). When it bounds the graph small, the entry
+    # barrier's distinct — over the caller's already-materialized pairs
+    # — runs under the AQE-off guard as ONE job; without a hint it keeps
+    # ambient AQE because its input subtree can be the full corpus-sized
+    # candidate pipeline. The symmetric union doubles rows before
+    # distinct, hence the 2x in the caller-facing bound's comparison.
+    entry_guard = (
+        _iteration_latency_mode(pairs.sparkSession)
+        if edges_hint is not None
+        and 0 < 4 * edges_hint <= BROADCAST_FRONTIER_ROWS
+        else nullcontext()
+    )
+    with entry_guard:
+        e, n_edges = _probed_barrier(
+            e.distinct(), F.count(F.lit(1)).alias("n")
+        )
+    # The iteration constructions below chain LAZY barriers; under AQE,
+    # even a lazy localCheckpoint finalizes its adaptive plan at
+    # CONSTRUCTION time (toRdd), running one stage-materialization job
+    # per shuffle in the subtree — pure driver latency for node-sized
+    # frames. In the small regime (same gate as the ladder's plain-join
+    # choice) build the whole ladder with AQE off so every deferred RDD
+    # materializes inside the consuming action instead; a huge graph
+    # keeps AQE. Empty graphs skip the guard like dup_clusters does —
+    # flipping session confs around an empty ladder is pure overhead.
     guard = (
         _iteration_latency_mode(pairs.sparkSession)
-        if 2 * n_edges <= BROADCAST_FRONTIER_ROWS
+        if n_edges and 2 * n_edges <= BROADCAST_FRONTIER_ROWS
         else nullcontext()
     )
     with guard:
@@ -125,25 +141,27 @@ def _pagerank_ladder(
     from .dedup import (
         BROADCAST_FRONTIER_ROWS,
         _lazy_barrier,
-        _maybe_broadcast,
     )
 
     base = round((1.0 - damping) * SCALE)
-    # deg and the per-iteration rank tables are node-sized (<= 2x edges);
-    # below the frontier threshold they broadcast, so each iteration's
-    # contrib join streams the checkpointed edge partitions shuffle-free
-    # (checkpointed frames have no stats — AQE cannot make this call; the
-    # probe riding the barrier job makes it free). deg's broadcast build
-    # runs once and ReuseExchange shares it across all iterations.
+    # deg and the per-iteration rank tables are node-sized (<= 2x edges).
+    # r11 broadcast them below the frontier threshold; r12 measured that
+    # trade and reversed it: a BroadcastExchange inside a plan being
+    # FROZEN (the lazy barriers below, toRdd) materializes its build
+    # side as a blocking driver job at freeze time — two jobs per
+    # barriered iteration (deg + the rank table), 4 of pagerank's 6
+    # construction jobs. Plain equi joins freeze for free and run at
+    # ladder width inside the CONSUMING action, where the scheduler
+    # overlaps them with whatever else that action runs (q63: the
+    # clusters arm). Above the frontier the hint was inactive anyway,
+    # so the plan there is unchanged — shuffling the checkpointed edges
+    # once per iteration is bounded by the small regime's gate.
     # deg is consumed by every iteration's contrib join; the LAZY
-    # barrier (one checkpoint-marked RDD) means each iteration's
-    # broadcast build reads the materialized node-sized frame instead
-    # of re-aggregating the edge list once per iteration.
-    deg = _maybe_broadcast(
-        _lazy_barrier(
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        ),
-        2 * n_edges,
+    # barrier (one checkpoint-marked RDD) means each iteration reads
+    # the materialized node-sized frame instead of re-aggregating the
+    # edge list once per iteration.
+    deg = _lazy_barrier(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     )
     # Nodes = src ∪ dst: under symmetric=True the two sets coincide, but
     # a DIRECTED graph has destination-only (dangling) nodes — they must
@@ -166,12 +184,9 @@ def _pagerank_ladder(
         contrib = (
             e.join(deg, "src")
             .join(
-                _maybe_broadcast(
-                    ranks.select(
-                        F.col("doc_id").alias("src"),
-                        F.col("rank_scaled").alias("r_src"),
-                    ),
-                    2 * n_edges,
+                ranks.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("rank_scaled").alias("r_src"),
                 ),
                 "src",
             )
